@@ -1,0 +1,147 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared text-pipeline building blocks over the `documents` table
+  * (doc_id, text, lang, source, n_chars). All pure DataFrame transforms,
+  * fully codegen'd (no UDFs): shingling via higher-order array functions,
+  * hashing via md5 — deterministic and reproducible in the DuckDB oracle.
+  *
+  * Scale notes (100 TB posture): every transform here is per-row (no
+  * shuffle) except the group-bys/joins that are explicitly keyed by shingle
+  * or doc_id; near-dup discovery goes through MinHash LSH (candidate
+  * generation by band equality) to avoid the O(n^2) pairwise comparison.
+  */
+object TextOps {
+
+  /** Whitespace tokens of `text` as an array column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** (doc_id, source, shingle) rows: one per DISTINCT k-shingle per doc.
+    * Input df must have (doc_id, source, text). Docs shorter than k tokens
+    * are dropped (they have no k-shingle). */
+  def shingleRows(docs: DataFrame, k: Int = 3): DataFrame = {
+    val joined = (0 until k).map(j => s"t[i + $j]").mkString("concat_ws(' ', ", ", ", ")")
+    docs
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(
+        col("doc_id"),
+        col("source"),
+        explode(array_distinct(expr(s"transform(sequence(0, size(t) - $k), i -> $joined)")))
+          .as("shingle"),
+      )
+  }
+
+  /** Exact pairwise Jaccard over distinct-shingle rows, restricted to pairs
+    * sharing at least one shingle (the join prunes disjoint pairs for free)
+    * and, when `sameSourceOnly`, to pairs within one `source` partition.
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b. */
+  def jaccardPairs(sh: DataFrame, sameSourceOnly: Boolean): DataFrame = {
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("source").as("src_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("source").as("src_b"), col("shingle").as("shingle_b"))
+    val cond0 = a("shingle") === b("shingle_b") && a("doc_a") < b("doc_b")
+    val cond = if (sameSourceOnly) cond0 && a("src_a") === b("src_b") else cond0
+    a.join(b, cond)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+      .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
+  }
+
+  /** MinHash signatures: for each doc, `numHashes` independent minima of
+    * md5(shingle || '#' || k). One aggregation pass, no row explosion — the
+    * k-th signature element is just another agg column. min over fixed-width
+    * lowercase hex == numeric min, so plain string MIN is a valid minhash. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(k =>
+      min(md5(concat(col("shingle"), lit(s"#$k")))).as(s"h$k"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: melt signatures to (doc_id, band, sig) and join on
+    * band equality. With bandRows = 1 each of the `numHashes` signature
+    * elements is its own band (high-recall configuration for low-similarity
+    * corpora); larger bandRows concatenates consecutive elements. */
+  def lshCandidates(sigs: DataFrame, numHashes: Int, bandRows: Int): DataFrame = {
+    require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
+    val nBands = numHashes / bandRows
+    val bandCols = (0 until nBands).map { b =>
+      val parts = (0 until bandRows).map(r => col(s"h${b * bandRows + r}"))
+      concat(parts: _*)
+    }
+    val melted = sigs.select(
+      col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "sig")),
+    )
+    val a = melted.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val b = melted.select(col("doc_id").as("doc_b"), col("band").as("band_b"), col("sig").as("sig_b"))
+    a.join(b, a("band") === b("band_b") && a("sig") === b("sig_b") && a("doc_a") < b("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** Exact Jaccard evaluated only on candidate pairs (the LSH verify step). */
+  def verifyCandidates(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sa = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val sb = sh.select(col("doc_id").as("doc_b2"), col("shingle").as("shingle_b"))
+    cand
+      .join(sa, "doc_a")
+      .join(sb, col("doc_b") === col("doc_b2") && col("shingle") === col("shingle_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+      .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
+  }
+
+  /** (doc_id, simhash) — 60-bit SimHash of the token multiset as a bigint.
+    * Token hash = first 15 hex chars of md5 (60 bits, fits a signed long);
+    * bit j of the signature is set when the sum of (bit_j(hash)*2 - 1) over
+    * all tokens is positive. Entirely higher-order-function expressions —
+    * per-row, no shuffle, stays inside codegen. */
+  def simhashDF(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("transform(split(text, ' '), tk -> cast(conv(substring(md5(tk), 1, 15), 16, 10) as bigint))").as("hs"))
+      .select(col("doc_id"),
+        expr(
+          """aggregate(
+            |  transform(sequence(0, 59), j ->
+            |    CASE WHEN aggregate(hs, 0L, (acc, h) -> acc + (shiftright(h, j) & 1L) * 2L - 1L) > 0L
+            |         THEN 1L ELSE 0L END),
+            |  0L, (acc, b) -> acc * 2L + b)""".stripMargin).as("simhash"))
+
+  /** Language-ID scoring: marker-token hit counts per language, argmax with a
+    * fixed priority-order tie-break (and 'und' when no marker hits at all).
+    * The marker lists are tiny common-stopword sets — a standard n-gram/
+    * stopword heuristic; deterministic and oracle-expressible. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "los", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ein"),
+    "fr" -> Seq("le", "les", "et", "des", "un"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "wo3"),
+  )
+
+  def langIdDF(docs: DataFrame): DataFrame = {
+    val scored = langMarkers.zipWithIndex.map { case ((lang, words), idx) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      struct(
+        expr(s"size(filter(split(text, ' '), x -> x IN ($inList)))").as("score"),
+        lit(-idx).as("prio"),
+        lit(lang).as("lang"),
+      )
+    }
+    val best = greatest(scored: _*)
+    docs.select(
+      col("doc_id"),
+      col("lang").as("actual_lang"),
+      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und")).as("pred_lang"),
+    )
+  }
+}

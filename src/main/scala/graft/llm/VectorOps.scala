@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector operators over the `embeddings` table
+  * (vec_id, embedding: array<float>[64], label).
+  *
+  * Dot products are computed as an explicit left-to-right fold in DOUBLE
+  * (float -> double widening is exact), so the result is bit-identical to any
+  * engine that sums the products sequentially — which is what the DuckDB
+  * oracle does. No UDFs: `zip_with`/`aggregate` stay inside codegen.
+  *
+  * Scale path: brute-force top-k is a broadcast nested-loop join (fine when
+  * one side — the query set — is small); all-pairs similarity goes through
+  * the sign-LSH bucketing in [[hyperplaneBuckets]] so candidate generation is
+  * an equi-join on bucket id instead of an O(n^2) cross product.
+  */
+object VectorOps {
+
+  /** Left-to-right double-precision dot product of two float-array columns
+    * (as a SQL expression string over columns named `a` and `b`). */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  private def normExpr(a: String): String =
+    s"sqrt(aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+
+  /** cosine(a, b) as a Column, given the two array-column names. */
+  def cosine(a: String, b: String): Column =
+    expr(dotExpr(a, b)) / (expr(normExpr(a)) * expr(normExpr(b)))
+
+  /** Brute-force cosine top-k: for each query vector (small side, broadcast),
+    * rank all candidate vectors by cosine desc with id tie-break.
+    * Output: (vec_id, neighbor_id, rnk, cos). */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val c = candidates.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    c.join(q, col("qid") =!= col("nid"))
+      .withColumn("cos", cosine("qe", "ne"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"), col("rnk"), col("cos"))
+  }
+
+  /** All-pairs cosine >= tau within an id-sampled subset (exact near-dup on
+    * embeddings). Output: (vec_a, vec_b, cos), vec_a < vec_b. */
+  def cosineNearDupPairs(emb: DataFrame, sampleMod: Int, tau: Double): DataFrame = {
+    val sub = emb.filter(col("vec_id") % sampleMod === 0)
+    val a = sub.select(col("vec_id").as("vec_a"), col("embedding").as("qe"))
+    val b = sub.select(col("vec_id").as("vec_b"), col("embedding").as("ne"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine("qe", "ne"))
+      .filter(col("cos") >= tau)
+      .select("vec_a", "vec_b", "cos")
+  }
+
+  /** Sign-LSH bucket id: `nPlanes` pseudo-random hyperplanes with components
+    * derived deterministically from md5(plane:dim), mapped to [-0.5, 0.5).
+    * bucket = bits of sign(dot(plane, v)) packed into a long. This is the
+    * scale path for ANN: bucket is an equi-join/groupBy key. */
+  def hyperplaneBuckets(emb: DataFrame, nPlanes: Int, dim: Int): DataFrame = {
+    val planeDot: Int => String = p => {
+      // component_i = (hex16(md5("p:i")) mod 1024)/1024 - 0.5, folded inline
+      s"""aggregate(zip_with(embedding, plane$p, (x, w) -> CAST(x AS DOUBLE) * w),
+         |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    }
+    val withPlanes = (0 until nPlanes).foldLeft(emb) { (df, p) =>
+      df.withColumn(
+        s"plane$p",
+        expr(
+          s"""transform(sequence(0, ${dim - 1}),
+             |  i -> CAST(conv(substring(md5(concat('$p', ':', i)), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0 - 0.5)""".stripMargin),
+      )
+    }
+    val bucketBits = (0 until nPlanes).map(p =>
+      when(expr(planeDot(p)) > 0, lit(1L)).otherwise(lit(0L)))
+    val bucket = bucketBits.reduce((a, b) => a * 2 + b)
+    withPlanes
+      .withColumn("bucket", bucket)
+      .select(col("vec_id"), col("embedding"), col("label"), col("bucket"))
+  }
+
+  /** LSH-bucketed approximate top-k: queries are ranked only against
+    * candidates sharing their hyperplane bucket. */
+  def lshTopK(emb: DataFrame, queryIds: Column => Column, nPlanes: Int, dim: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = hyperplaneBuckets(emb, nPlanes, dim)
+    val q = broadcast(
+      bucketed.filter(queryIds(col("vec_id")))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket").as("qbucket")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    bucketed
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), col("bucket"))
+      .join(q, col("bucket") === col("qbucket") && col("qid") =!= col("nid"))
+      .withColumn("cos", cosine("qe", "ne"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"), col("rnk"), col("cos"))
+  }
+}

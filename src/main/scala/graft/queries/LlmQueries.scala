@@ -1,0 +1,332 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.llm.{TextOps, VectorOps}
+
+/** Q18+ of SURVEY.md §2.H: the [NS] LLM-data-pipeline operators — dedup
+  * (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding cosine),
+  * similarity search (brute-force + LSH-bucketed ANN), text analysis
+  * (lang-ID, quality scoring, token stats, fingerprinting), and multimodal
+  * column plumbing. Oracle SQL mirrors every md5-based construction exactly
+  * (both engines emit identical lowercase-hex md5 over UTF-8).
+  */
+object LlmQueries {
+
+  /** Shared oracle CTE: per-doc DISTINCT 3-gram shingles (1-based DuckDB
+    * list indexing; Spark side uses 0-based `transform(sequence(...))`). */
+  private val shingleCte =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source, shingle FROM (
+      |    SELECT doc_id, source,
+      |           unnest(list_transform(generate_series(1, len(t) - 2),
+      |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      |    FROM toks))""".stripMargin
+
+  val all: Seq[Declared] = Seq(
+    // ------------------------------------------------------------------
+    // Q18 — exact dedup (D11): keep min-doc_id row per identical text,
+    // then survivor count per language.
+    Declared(
+      "q18_exact_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy("text").orderBy("doc_id")
+        Tables.documents(s, dir)
+          .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .groupBy("lang").agg(count(lit(1)).as("n_unique"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_unique FROM (
+             |  SELECT lang, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q19 — n-gram Jaccard near-dup within source partitions (exact
+    // small-N path; the shared-shingle join prunes disjoint pairs).
+    Declared(
+      "q19_ngram_jaccard",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sh = TextOps.shingleRows(docs, 3)
+        TextOps.jaccardPairs(sh, sameSourceOnly = true)
+          .filter(col("jaccard") >= 0.015)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(shingleCte +
+        """,
+          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          |pairs AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+          |  FROM sh a JOIN sh b
+          |    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT doc_a, doc_b,
+          |       CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard
+          |FROM pairs
+          |JOIN cnt ca ON pairs.doc_a = ca.doc_id
+          |JOIN cnt cb ON pairs.doc_b = cb.doc_id
+          |WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.015
+          |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q20 — similarity top-k: brute-force cosine of a fixed query subset
+    // (vec_id < 10, broadcast) against all vectors; row_number <= 5.
+    Declared(
+      "q20_cosine_topk",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        VectorOps.bruteForceTopK(emb.filter($"vec_id" < 10), emb, 5)
+          .orderBy("vec_id", "rnk")
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+             |p AS (
+             |  SELECT qid, e.vec_id AS nid,
+             |    list_sum(list_transform(generate_series(1, len(qe)),
+             |             i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+             |    / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+             |  FROM q JOIN embeddings e ON e.vec_id <> qid)
+             |SELECT qid AS vec_id, nid AS neighbor_id, CAST(rn AS INT) AS rnk, cos FROM (
+             |  SELECT qid, nid, cos,
+             |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+             |  FROM p)
+             |WHERE rn <= 5 ORDER BY vec_id, rnk""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q21 — MinHash + LSH near-dup (D11 scale path): 16 md5-minima per doc,
+    // 1-row bands (high recall on this low-similarity corpus), candidates by
+    // band equality, then exact-Jaccard verification >= 0.02.
+    Declared(
+      "q21_minhash_lsh",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sh = TextOps.shingleRows(docs, 3)
+        val sigs = TextOps.minhashSignatures(sh, 16)
+        val cand = TextOps.lshCandidates(sigs, 16, 1)
+        TextOps.verifyCandidates(cand, sh)
+          .filter(col("jaccard") >= 0.02)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(shingleCte +
+        """,
+          |sigs AS (
+          |  SELECT doc_id, ks.k AS k, MIN(md5(shingle || '#' || ks.k)) AS sig
+          |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+          |  GROUP BY doc_id, ks.k),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM sigs a JOIN sigs b
+          |    ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id),
+          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          |common AS (
+          |  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+          |  FROM cand c
+          |  JOIN sh sa ON sa.doc_id = c.doc_a
+          |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          |  GROUP BY 1, 2)
+          |SELECT doc_a, doc_b,
+          |       CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard
+          |FROM common
+          |JOIN cnt ca ON common.doc_a = ca.doc_id
+          |JOIN cnt cb ON common.doc_b = cb.doc_id
+          |WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.02
+          |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q22 — SimHash signatures (D11): 60-bit md5-derived simhash per doc.
+    // Not ANSI-SQL-expressible without hex->int parsing in DuckDB, so this
+    // entry gets the driver's rows-only check; correctness is covered by
+    // SimHashSpec (hamming-vs-jaccard monotonicity on fixtures).
+    Declared(
+      "q22_simhash",
+      (s, dir) => {
+        TextOps.simhashDF(Tables.documents(s, dir)).orderBy("doc_id")
+      },
+      None,
+    ),
+
+    // ------------------------------------------------------------------
+    // Q23 — language ID (text analysis): stopword-marker scoring with fixed
+    // priority tie-break; 'und' when nothing matches.
+    Declared(
+      "q23_langid",
+      (s, dir) => {
+        TextOps.langIdDF(Tables.documents(s, dir)).orderBy("doc_id")
+      },
+      Some {
+        val scores = TextOps.langMarkers.map { case (lang, words) =>
+          val inList = words.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(string_split(text, ' '), x -> x IN ($inList))) AS s_$lang"
+        }.mkString(",\n         ")
+        s"""SELECT doc_id, lang AS actual_lang,
+           |  CASE WHEN GREATEST(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+           |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           |       WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           |       WHEN s_fr >= s_zh THEN 'fr'
+           |       ELSE 'zh' END AS pred_lang
+           |FROM (SELECT doc_id, lang, text,
+           |         $scores
+           |      FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      },
+    ),
+
+    // ------------------------------------------------------------------
+    // Q24 — quality scoring (text analysis): token/char stats, stopword and
+    // alphabetic ratios, composite score. Pure double arithmetic — identical
+    // in both engines.
+    Declared(
+      "q24_quality_score",
+      (s, dir) => {
+        import s.implicits._
+        val stop = Seq("the", "a", "of", "and", "to", "in", "is").map(w => s"'$w'").mkString(", ")
+        Tables.documents(s, dir)
+          .select(
+            $"doc_id",
+            size(split($"text", " ")).as("n_tokens"),
+            length($"text").as("text_len"),
+            (expr(s"size(filter(split(text, ' '), x -> x IN ($stop)))").cast("double")
+              / size(split($"text", " "))).as("stop_ratio"),
+            (length(regexp_replace($"text", "[^a-z]", "")).cast("double")
+              / length($"text")).as("alpha_ratio"),
+          )
+          .withColumn("quality_score",
+            $"stop_ratio" * 0.3 + least(lit(1.0), $"n_tokens" / 100.0) * 0.7)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_tokens, text_len, stop_ratio, alpha_ratio,
+             |       stop_ratio * 0.3 + LEAST(1.0, n_tokens / 100.0) * 0.7 AS quality_score
+             |FROM (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             |    CAST(len(text) AS INT) AS text_len,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |         x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
+             |      / len(string_split(text, ' ')) AS stop_ratio,
+             |    CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+             |      / len(text) AS alpha_ratio
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q25 — token counting (text analysis): whitespace tokens + a BPE-ish
+    // regex segmentation (letter runs / digit runs / single symbols).
+    Declared(
+      "q25_token_stats",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select(
+            $"doc_id",
+            size(split($"text", " ")).as("ws_tokens"),
+            size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("bpe_pieces"),
+            (length($"text").cast("double") / size(split($"text", " "))).as("chars_per_token"),
+          )
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_pieces,
+             |  CAST(len(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q26 — document fingerprinting (text analysis): whole-doc md5 plus a
+    // winnowing-style fingerprint (min md5 over 5-token shingles; short docs
+    // fall back to the whole-doc hash).
+    Declared(
+      "q26_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id", $"text", split($"text", " ").as("t"))
+          .select(
+            $"doc_id",
+            md5($"text").as("full_fp"),
+            when(size($"t") >= 5,
+              array_min(expr(
+                """transform(sequence(0, greatest(size(t) - 5, 0)),
+                  |  i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))""".stripMargin)))
+              .otherwise(md5($"text")).as("winnow_fp"),
+          )
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, md5(text) AS full_fp,
+             |  CASE WHEN len(t) >= 5 THEN
+             |    list_min(list_transform(generate_series(1, len(t) - 4),
+             |      i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])))
+             |  ELSE md5(text) END AS winnow_fp
+             |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q27 — embedding-cosine near-dup (D11): all pairs within an id-sampled
+    // subset with cosine >= 0.25.
+    Declared(
+      "q27_embedding_neardup",
+      (s, dir) => {
+        VectorOps.cosineNearDupPairs(Tables.embeddings(s, dir), 5, 0.25)
+          .orderBy("vec_a", "vec_b")
+      },
+      Some("""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
+             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |  list_sum(list_transform(generate_series(1, len(a.embedding)),
+             |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             |  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+             |FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+             |WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+             |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             |  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.25
+             |ORDER BY vec_a, vec_b""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q28 — LSH-bucketed ANN (similarity-search scale path): sign-LSH over
+    // 4 md5-derived hyperplanes, top-3 within bucket for queries vec_id < 10.
+    // Hex->int parsing is not portable to the oracle -> rows-only check;
+    // recall-vs-brute-force is asserted in VectorOpsSpec.
+    Declared(
+      "q28_ann_lsh",
+      (s, dir) => {
+        VectorOps.lshTopK(Tables.embeddings(s, dir), _ < 10, 4, 64, 3)
+          .orderBy("vec_id", "rnk")
+      },
+      None,
+    ),
+
+    // ------------------------------------------------------------------
+    // Q29 — multimodal column plumbing: text payload re-encoded as an opaque
+    // binary column with typed metadata, "decoded" by a clearly-stubbed
+    // deterministic feature extractor (see graft.llm.Multimodal). The
+    // Spark-side schema/partitioning/batching is real; the codec is a fake.
+    Declared(
+      "q29_multimodal",
+      (s, dir) => {
+        graft.llm.Multimodal.features(
+          graft.llm.Multimodal.asMedia(Tables.documents(s, dir)))
+          .orderBy("media_id")
+      },
+      None,
+    ),
+  )
+}
