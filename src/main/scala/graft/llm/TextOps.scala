@@ -53,9 +53,10 @@ object TextOps {
   }
 
   /** MinHash signatures: for each doc, `numHashes` independent minima of
-    * md5(shingle || '#' || k). One aggregation pass, no row explosion — the
-    * k-th signature element is just another agg column. min over fixed-width
-    * lowercase hex == numeric min, so plain string MIN is a valid minhash. */
+    * md5(shingle || '#' || k). One aggregation pass, no row explosion and no
+    * join — per-occurrence hashing is embarrassingly parallel and the only
+    * shuffle is the final groupBy(doc_id). min over fixed-width lowercase
+    * hex == numeric min, so plain string MIN is a valid minhash. */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map(k =>
       min(md5(concat(col("shingle"), lit(s"#$k")))).as(s"h$k"))
@@ -84,19 +85,20 @@ object TextOps {
       .distinct()
   }
 
-  /** Exact Jaccard evaluated only on candidate pairs (the LSH verify step). */
+  /** Exact Jaccard evaluated only on candidate pairs (the LSH verify step).
+    * Per-doc shingle sets are aggregated once, joined to the (small)
+    * candidate-pair frame, and intersected as arrays — two hash joins on
+    * doc_id instead of a shingle-level 3-way join. Counts are identical to
+    * the join formulation (shingle rows are distinct per doc). */
   def verifyCandidates(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val sa = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val sb = sh.select(col("doc_id").as("doc_b2"), col("shingle").as("shingle_b"))
+    val docSets = sh.groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("sset"), count(lit(1)).as("n"))
     cand
-      .join(sa, "doc_a")
-      .join(sb, col("doc_b") === col("doc_b2") && col("shingle") === col("shingle_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("common"))
-      .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .join(docSets.select(col("doc_id").as("doc_a"), col("sset").as("sa"), col("n").as("na")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"), col("sset").as("sb"), col("n").as("nb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
   }
 
   /** (doc_id, simhash) — 60-bit SimHash of the token multiset as a bigint.

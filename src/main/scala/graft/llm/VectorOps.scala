@@ -32,14 +32,18 @@ object VectorOps {
 
   /** Brute-force cosine top-k: for each query vector (small side, broadcast),
     * rank all candidate vectors by cosine desc with id tie-break.
+    * Norms are projected ONCE PER VECTOR before the join (O(n+q) instead of
+    * O(n*q) norm folds — same doubles, 3x less work per pair).
     * Output: (vec_id, neighbor_id, rnk, cos). */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("qn", expr(normExpr("qe"))))
     val c = candidates.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .withColumn("nn", expr(normExpr("ne")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     c.join(q, col("qid") =!= col("nid"))
-      .withColumn("cos", cosine("qe", "ne"))
+      .withColumn("cos", expr(dotExpr("qe", "ne")) / (col("qn") * col("nn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"), col("rnk"), col("cos"))
@@ -50,9 +54,11 @@ object VectorOps {
   def cosineNearDupPairs(emb: DataFrame, sampleMod: Int, tau: Double): DataFrame = {
     val sub = emb.filter(col("vec_id") % sampleMod === 0)
     val a = sub.select(col("vec_id").as("vec_a"), col("embedding").as("qe"))
+      .withColumn("na", expr(normExpr("qe")))
     val b = sub.select(col("vec_id").as("vec_b"), col("embedding").as("ne"))
+      .withColumn("nb", expr(normExpr("ne")))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosine("qe", "ne"))
+      .withColumn("cos", expr(dotExpr("qe", "ne")) / (col("na") * col("nb")))
       .filter(col("cos") >= tau)
       .select("vec_a", "vec_b", "cos")
   }
@@ -90,12 +96,14 @@ object VectorOps {
     val bucketed = hyperplaneBuckets(emb, nPlanes, dim)
     val q = broadcast(
       bucketed.filter(queryIds(col("vec_id")))
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket").as("qbucket")))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket").as("qbucket"))
+        .withColumn("qn", expr(normExpr("qe"))))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     bucketed
       .select(col("vec_id").as("nid"), col("embedding").as("ne"), col("bucket"))
+      .withColumn("nn", expr(normExpr("ne")))
       .join(q, col("bucket") === col("qbucket") && col("qid") =!= col("nid"))
-      .withColumn("cos", cosine("qe", "ne"))
+      .withColumn("cos", expr(dotExpr("qe", "ne")) / (col("qn") * col("nn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"), col("rnk"), col("cos"))

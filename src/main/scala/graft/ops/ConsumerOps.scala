@@ -23,6 +23,12 @@ object ConsumerOps {
   def reset(backend: KvBackend, chainPrefix: String): Int =
     backend.del(backend.keys(s"$chainPrefix:*"))
 
+  /** F2 seeded random sample-k (the reference's `keys.sample(10)` spot
+    * check, meeseeker_test.rb:43): deterministic with a fixed seed, fully
+    * distributed (TakeOrdered over rand — no collect of the full keyspace). */
+  def sampleKeys(keyed: DataFrame, k: Int, seed: Long): DataFrame =
+    keyed.orderBy(rand(seed)).limit(k)
+
   /** Decompose composite keys into typed columns (C14): works for both the
     * 5-part mainnet and 6-part sidechain grammars. */
   def splitKeys(keyed: DataFrame, keyCol: String = "key"): DataFrame = {

@@ -38,6 +38,11 @@ object EngineOps {
 
   import graft.model.Model.VirtualTrxId
 
+  /** C12 chain-name prettify: 'hive_engine' -> 'Hive Engine'
+    * (follower_job.rb:9-11). */
+  def chainName(chainKeyPrefix: String): String =
+    chainKeyPrefix.split('_').map(_.capitalize).mkString(" ")
+
   /** engine blocks -> one row per (real ++ virtual) transaction in stream
     * order, ids rewritten, block timestamp merged (follower_job.rb:164-180). */
   def explodeEngineTrxs(blocks: DataFrame): DataFrame = {

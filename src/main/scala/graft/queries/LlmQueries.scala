@@ -55,7 +55,9 @@ object LlmQueries {
       "q19_ngram_jaccard",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val sh = TextOps.shingleRows(docs, 3)
+        // the shingle frame feeds both join sides + the per-doc counts —
+        // cache it once instead of re-exploding three times
+        val sh = TextOps.shingleRows(docs, 3).cache()
         TextOps.jaccardPairs(sh, sameSourceOnly = true)
           .filter(col("jaccard") >= 0.015)
           .select("doc_a", "doc_b", "jaccard")
@@ -106,15 +108,18 @@ object LlmQueries {
 
     // ------------------------------------------------------------------
     // Q21 — MinHash + LSH near-dup (D11 scale path): 16 md5-minima per doc,
-    // 1-row bands (high recall on this low-similarity corpus), candidates by
-    // band equality, then exact-Jaccard verification >= 0.02.
+    // banded 2 rows x 8 bands (a candidate needs a full 2-signature band
+    // collision, which keeps the candidate set quadratically smaller than
+    // per-hash matching on a low-similarity corpus — the property that makes
+    // LSH viable at 100 TB), then exact-Jaccard verification >= 0.02.
     Declared(
       "q21_minhash_lsh",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val sh = TextOps.shingleRows(docs, 3)
+        // shingles feed signatures AND the 3-way verify join: cache once
+        val sh = TextOps.shingleRows(docs, 3).cache()
         val sigs = TextOps.minhashSignatures(sh, 16)
-        val cand = TextOps.lshCandidates(sigs, 16, 1)
+        val cand = TextOps.lshCandidates(sigs, 16, 2)
         TextOps.verifyCandidates(cand, sh)
           .filter(col("jaccard") >= 0.02)
           .select("doc_a", "doc_b", "jaccard")
@@ -126,10 +131,13 @@ object LlmQueries {
           |  SELECT doc_id, ks.k AS k, MIN(md5(shingle || '#' || ks.k)) AS sig
           |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
           |  GROUP BY doc_id, ks.k),
+          |bands AS (
+          |  SELECT doc_id, k // 2 AS band, string_agg(sig, '' ORDER BY k) AS band_key
+          |  FROM sigs GROUP BY doc_id, band),
           |cand AS (
           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM sigs a JOIN sigs b
-          |    ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id),
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
           |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
           |common AS (
           |  SELECT c.doc_a, c.doc_b, COUNT(*) AS common

@@ -50,6 +50,19 @@ class ConsumerOpsSpec extends SparkSpec {
     assert(res === Map("a" -> true, "zzz" -> false))
   }
 
+  test("sampleKeys is deterministic under a fixed seed (F2)") {
+    val s1 = ConsumerOps.sampleKeys(keyed, 2, 42L).collect().map(_.getString(0)).toSeq
+    val s2 = ConsumerOps.sampleKeys(keyed, 2, 42L).collect().map(_.getString(0)).toSeq
+    assert(s1 === s2)
+    assert(s1.length === 2)
+  }
+
+  test("chainName prettify (C12)") {
+    assert(EngineOps.chainName("hive_engine") === "Hive Engine")
+    assert(EngineOps.chainName("steem_engine") === "Steem Engine")
+    assert(EngineOps.chainName("hive") === "Hive")
+  }
+
   test("reset deletes by prefix sweep only (B5)") {
     val b = new InMemoryKvBackend
     b.set("hive:1:t:0:vote", "x")
