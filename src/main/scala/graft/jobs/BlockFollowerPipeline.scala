@@ -22,19 +22,42 @@ object BlockFollowerPipeline {
   def parseVops(raw: DataFrame): DataFrame =
     raw.select(from_json(col("value"), Model.vopSchema).as("v")).select("v.*")
 
-  /** Run the whole pipeline over one (batch or micro-batch) block frame. */
+  /** Control key holding the batch-final summary awaiting its successor. */
+  def pendingSummaryKey(cfg: FollowerConfig): String =
+    s"${cfg.chain}:graft:pending_summary"
+
+  /** Run the whole pipeline over one (batch or micro-batch) block frame.
+    *
+    * With `carrySummaries` (the streaming path), the summary of the
+    * batch-final trx prefix — which strict parity suppresses within the
+    * batch — is parked in a KV control key and published at the head of the
+    * next non-empty batch, so an N-micro-batch replay produces the exact
+    * publish sequence of a single continuous run. */
   def processBatch(
       blocks: DataFrame,
       vops: DataFrame,
       cfg: FollowerConfig,
-      backendName: String): Unit = {
+      backendName: String,
+      carrySummaries: Boolean = false): Unit = {
     val ops = BlockOps.allOps(blocks, vops, cfg)
     val keyed = BlockOps.keyedOps(ops, cfg)
     KvPubSubSink.writeKv(keyed, backendName, cfg.ttlSeconds)
     KvPubSubSink.writeCheckpoints(BlockOps.checkpointUpdates(ops, cfg), backendName)
+
+    val backend = graft.sink.KvBackends(backendName)
+    val pendingKey = pendingSummaryKey(cfg)
+    val batchHasOps = !ops.isEmpty
+    if (carrySummaries && batchHasOps) {
+      // the carried summary precedes every publish of this batch (it is the
+      // "previous prefix" transition fired by this batch's first record)
+      backend.get(pendingKey).foreach(p => backend.publish(s"${cfg.chain}:transaction", p))
+    }
     KvPubSubSink.publishOrdered(
       BlockOps.channelMessages(blocks, vops, cfg), backendName,
       Seq("o_block", "o_virt", "o_otrx", "o_oidx", "o_rank", "channel"))
+    if (carrySummaries && batchHasOps) {
+      BlockOps.tailSummary(ops, cfg).foreach(t => backend.set(pendingKey, t))
+    }
   }
 
   /** Streaming entry: replay-source (or any (idx, value) JSONL stream) of
@@ -77,7 +100,7 @@ object BlockFollowerPipeline {
           val batchVops = allVops.join(
             blocks.select(col("block_num").as("b_bn")),
             col("block") === col("b_bn"), "left_semi")
-          processBatch(blocks, batchVops, cfg, backendName)
+          processBatch(blocks, batchVops, cfg, backendName, carrySummaries = true)
         } finally blocks.unpersist()
         ()
       }

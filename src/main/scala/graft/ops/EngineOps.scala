@@ -155,6 +155,21 @@ object EngineOps {
     contract.unionByName(action)
   }
 
+  /** Batch-final run's summary payload for the cross-micro-batch carry
+    * (see BlockOps.tailSummary). The channel is NOT decided here: on the
+    * Engine it depends on whether the record that triggers the publish —
+    * the first record of the next batch — is virtual (follower_job.rb:44). */
+  def tailSummary(trxs: DataFrame, cfg: EngineConfig): Option[String] =
+    trxSummaries(trxs, cfg.copy(strictParity = false))
+      .filter(col("o_block") === Long.MaxValue)
+      .select("payload").collect().headOption.map(_.getString(0))
+
+  /** Whether the stream-first record of this batch is virtual (drives the
+    * carried summary's channel). */
+  def firstRecordVirtual(trxs: DataFrame): Option[Boolean] =
+    trxs.orderBy("block_num", "ord").select("is_virtual")
+      .limit(1).collect().headOption.map(_.getBoolean(0))
+
   /** B3 checkpoint: `{prefix}:meeseeker:last_block_num` per block. */
   def checkpointUpdates(trxs: DataFrame, cfg: EngineConfig): DataFrame =
     trxs.select(col("block_num")).distinct()

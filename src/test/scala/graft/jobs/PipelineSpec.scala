@@ -60,11 +60,12 @@ class PipelineSpec extends SparkSpec {
     BlockFollowerPipeline.processBatch(blocks, vops, cfg, "stream-one-ref")
 
     assert(backend.get("hive:meeseeker:last_block_num") === Some("103"))
-    assert(backend.size === batchBackend.size)
+    // streaming additionally parks the stream-final summary in the control key
+    assert(backend.size === batchBackend.size + 1)
     assert(backend.publishLog === batchBackend.publishLog)
   }
 
-  test("streaming with small micro-batches: same KV state; summaries cut at batch edges") {
+  test("streaming with small micro-batches: EXACT publish-sequence parity via summary carry") {
     val backend = freshBackend("stream-chunked")
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
     val q = BlockFollowerPipeline.runStream(
@@ -72,15 +73,34 @@ class PipelineSpec extends SparkSpec {
       cfg, "stream-chunked", ckpt, linesPerTrigger = 2L)
     q.awaitTermination(60000)
 
-    // KV materialization is batch-size-invariant (idempotent by key)
-    assert(backend.size === 10)
+    // KV materialization is batch-size-invariant (idempotent by key); the
+    // pending control key parks the stream-final summary
+    assert(backend.size === 11) // 9 op keys + checkpoint + pending summary
     assert(backend.get("hive:meeseeker:last_block_num") === Some("103"))
-    assert(backend.get("hive:100:t0aaa:0:vote").get.contains("\"vote_operation\""))
-    // publish stream: per-batch ordering holds; block/op messages identical,
-    // only cross-batch summaries are deferred (documented parity bound)
-    val channels = backend.publishLog.map(_._1)
-    assert(channels.count(_ == "hive:block") === 4)
-    assert(channels.count(_.startsWith("hive:op:")) === 10)
+    assert(backend.get(BlockFollowerPipeline.pendingSummaryKey(cfg)) ===
+      Some("""{"block_num":103,"transaction_id":"t3ddd","transaction_num":0}"""))
+
+    // the full publish sequence across N micro-batches equals the
+    // single-continuous-run sequence: the batch-final summary is carried in
+    // the control key and fired at the head of the next batch
+    val batchBackend = freshBackend("stream-chunked-ref")
+    val blocks = spark.read.schema(Model.blockSchema).json(resource("blocks.jsonl"))
+    val vops = spark.read.schema(Model.vopSchema).json(resource("vops.jsonl"))
+    BlockFollowerPipeline.processBatch(blocks, vops, cfg, "stream-chunked-ref")
+    assert(backend.publishLog === batchBackend.publishLog)
+  }
+
+  test("engine streaming chunked: exact parity incl. carried-summary channel quirk") {
+    val backend = freshBackend("engine-chunked")
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val q = EngineFollowerPipeline.runStream(
+      spark, resource("engine_blocks.jsonl"), graft.ops.EngineConfig(), "engine-chunked",
+      ckpt, linesPerTrigger = 1L)
+    q.awaitTermination(60000)
+    val batchBackend = freshBackend("engine-chunked-ref")
+    val blocks = spark.read.schema(Model.engineBlockSchema).json(resource("engine_blocks.jsonl"))
+    EngineFollowerPipeline.processBatch(blocks, graft.ops.EngineConfig(), "engine-chunked-ref")
+    assert(backend.publishLog === batchBackend.publishLog)
   }
 
   test("engine batch pipeline end-to-end") {
@@ -99,7 +119,7 @@ class PipelineSpec extends SparkSpec {
       spark, resource("engine_blocks.jsonl"), EngineConfig(), "engine-stream",
       ckpt, linesPerTrigger = 1000L)
     q.awaitTermination(60000)
-    assert(backend.size === 6)
+    assert(backend.size === 7) // 5 trx keys + checkpoint + parked summary
     assert(backend.publishLog.size === 15)
   }
 }
