@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+final case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+final case class Sched(fetched_at: Timestamp, next_shuffle_block_num: Long, payload: String)
+
+/** Streaming semantics of the watermarked window/dedup jobs, driven through
+  * MemoryStream micro-batches including late data beyond the watermark. */
+class EventStreamJobsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("watermarked tumbling window aggregates per day/type and drops too-late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // Update mode: watermark filters too-late input and evicts state (in
+    // Complete mode Spark retains everything and late data still counts)
+    val q = EventStreamJobs.windowedEventCounts(in.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(
+        Ev(ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(ts("2024-01-01 11:00:00"), 2, "click", 1.0),
+        Ev(ts("2024-01-02 09:00:00"), 1, "error", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past Jan 1, then send a too-late Jan 1 event
+      in.addData(Ev(ts("2024-01-05 00:00:00"), 3, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 10:30:00"), 9, "click", 1.0)) // late beyond watermark
+      q.processAllAvailable()
+      // memory sink in update mode appends row versions: take the latest
+      // (max) count per key — counts are monotone
+      val rows = spark.table("win_counts")
+        .groupBy("day", "event_type")
+        .agg(org.apache.spark.sql.functions.max("n_events").as("n"))
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows === Set(
+        ("2024-01-01 00:00:00.0", "click", 2L), // late event NOT counted
+        ("2024-01-02 00:00:00.0", "error", 1L),
+        ("2024-01-05 00:00:00.0", "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming schedule dedup publishes once per next_shuffle_block_num") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Sched]
+    val q = EventStreamJobs.dedupSchedules(in.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("sched_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Sched(ts("2024-01-01 00:00:00"), 63L, "a"),
+        Sched(ts("2024-01-01 00:00:30"), 63L, "b"),
+        Sched(ts("2024-01-01 00:01:00"), 84L, "c"))
+      q.processAllAvailable()
+      in.addData(Sched(ts("2024-01-01 00:02:00"), 84L, "d")) // duplicate round
+      q.processAllAvailable()
+      val out = spark.table("sched_dedup")
+        .collect().map(r => (r.getLong(1), r.getString(2))).toSet
+      assert(out === Set((63L, "a"), (84L, "c")))
+    } finally q.stop()
+  }
+
+  test("streaming session windows merge within gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreamJobs.sessionizedCounts(in.toDF(), gap = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(
+        Ev(ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(ts("2024-01-01 10:20:00"), 1, "click", 1.0), // same session
+        Ev(ts("2024-01-01 11:30:00"), 1, "click", 1.0), // new session
+        Ev(ts("2024-01-01 10:05:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+      assert(rows === Set(
+        (1L, "2024-01-01 10:00:00.0", 2L),
+        (1L, "2024-01-01 11:30:00.0", 1L),
+        (2L, "2024-01-01 10:05:00.0", 1L)))
+    } finally q.stop()
+  }
+}
