@@ -1,0 +1,65 @@
+package graft.sink
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.model.Model
+import graft.ops.{BlockOps, FollowerConfig}
+
+/** The parquet-backed KV table: write layout, point/glob reads with
+  * partition pruning visible in the plan, and TTL-as-partition-drop. */
+class KvTableSpec extends SparkSpec {
+
+  private val cfg = FollowerConfig(chain = "hive")
+
+  private def keyed = {
+    val blocks = spark.read.schema(Model.blockSchema).json(resource("blocks.jsonl"))
+    val vops = spark.read.schema(Model.vopSchema).json(resource("vops.jsonl"))
+    BlockOps.keyedOps(BlockOps.allOps(blocks, vops, cfg), cfg)
+  }
+
+  test("write/read round-trip with point get and glob queries") {
+    val dir = Files.createTempDirectory("kvtable-").toString
+    KvTable.write(keyed, "hive", dir, bucketSize = 2L)
+    val table = KvTable.load(spark, dir)
+    assert(table.count() === 9)
+
+    val got = KvTable.pointGet(table, "hive:100:t0aaa:0:vote", bucketSize = 2L).collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[String]("kv_value").contains("\"vote_operation\""))
+
+    assert(KvTable.globQuery(table, "hive:*:vote", bucketSize = 2L).count() === 1)
+    assert(KvTable.globQuery(table, "hive:102:*", bucketSize = 2L).count() === 2)
+    assert(KvTable.globQuery(table, "steem:*", bucketSize = 2L).count() === 0)
+  }
+
+  test("point get and literal-block glob prune to one partition") {
+    val dir = Files.createTempDirectory("kvtable-").toString
+    KvTable.write(keyed, "hive", dir, bucketSize = 2L)
+    val table = KvTable.load(spark, dir)
+    val plan = KvTable.pointGet(table, "hive:100:t0aaa:0:vote", bucketSize = 2L)
+      .queryExecution.executedPlan.toString
+    // partition filters on both partition columns -> single-bucket scan
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("chain"), plan)
+    assert(plan.contains("block_bucket"), plan)
+    val globPlan = KvTable.globQuery(table, "hive:102:*", bucketSize = 2L)
+      .queryExecution.executedPlan.toString
+    assert(globPlan.contains("block_bucket"), globPlan)
+  }
+
+  test("TTL retention drops whole buckets below the horizon") {
+    val dir = Files.createTempDirectory("kvtable-").toString
+    KvTable.write(keyed, "hive", dir, bucketSize = 2L)
+    // blocks 100-103, bucketSize 2 => buckets 50 (100,101) and 51 (102,103)
+    val dropped = KvTable.expireBelow(spark, dir, "hive", horizonBlockNum = 102L, bucketSize = 2L)
+    assert(dropped === Seq("block_bucket=50"))
+    val remaining = KvTable.load(spark, dir)
+    assert(remaining.count() === 4) // only blocks 102-103 keys survive
+    assert(KvTable.globQuery(remaining, "hive:100:*", bucketSize = 2L).count() === 0)
+    // horizon below all buckets: nothing to drop
+    assert(KvTable.expireBelow(spark, dir, "hive", 0L, 2L) === Seq.empty)
+    // unknown chain: no-op
+    assert(KvTable.expireBelow(spark, dir, "steem", 1000L, 2L) === Seq.empty)
+  }
+}
