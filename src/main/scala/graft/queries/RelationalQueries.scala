@@ -386,5 +386,87 @@ object RelationalQueries {
              |  epoch_us(ts) // 1000000 - 1704067200 AS secs_since
              |FROM events ORDER BY event_id""".stripMargin),
     ),
+
+    // ------------------------------------------------------------------
+    // Q30 — rollup / grouping sets (D9): subtotals + grand total over
+    // (returnflag, linestatus). NULL group keys are coalesced to 'ALL' so
+    // ordering and hashing are engine-agnostic.
+    Declared(
+      "q30_rollup",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+          .select(
+            coalesce($"l_returnflag", lit("ALL")).as("rflag"),
+            coalesce($"l_linestatus", lit("ALL")).as("lstatus"),
+            $"sum_qty", $"n")
+          .orderBy("rflag", "lstatus")
+      },
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+             |       COALESCE(l_linestatus, 'ALL') AS lstatus,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+             |       COUNT(*) AS n
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY rflag, lstatus""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q31 — intersect-all / except-all (E7): multiset semantics over the
+    // per-user event-type bags.
+    Declared(
+      "q31_multiset_ops",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val err = ev.filter($"event_type" === "error").select("user_id")
+        val pur = ev.filter($"event_type" === "purchase").select("user_id")
+        err.intersectAll(pur).groupBy("user_id").agg(count(lit(1)).as("n"))
+          .withColumn("tag", lit("intersect_all"))
+          .unionByName(
+            err.exceptAll(pur).groupBy("user_id").agg(count(lit(1)).as("n"))
+              .withColumn("tag", lit("except_all")))
+          .orderBy("tag", "user_id")
+      },
+      Some("""SELECT user_id, COUNT(*) AS n, 'intersect_all' AS tag FROM (
+             |  SELECT user_id FROM events WHERE event_type = 'error'
+             |  INTERSECT ALL
+             |  SELECT user_id FROM events WHERE event_type = 'purchase')
+             |GROUP BY user_id
+             |UNION ALL
+             |SELECT user_id, COUNT(*) AS n, 'except_all' AS tag FROM (
+             |  SELECT user_id FROM events WHERE event_type = 'error'
+             |  EXCEPT ALL
+             |  SELECT user_id FROM events WHERE event_type = 'purchase')
+             |GROUP BY user_id
+             |ORDER BY tag, user_id""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q32 — window frame specs (F4): 3-row sliding sum + running count per
+    // customer over order history.
+    Declared(
+      "q32_sliding_frame",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        Tables.orders(s, dir)
+          .select(
+            $"o_custkey", $"o_orderkey",
+            sum($"o_totalprice".cast(DecimalType(25, 6)))
+              .over(w.rowsBetween(-2, 0)).cast("double").as("sliding_sum"),
+            count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("running_n"),
+          )
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+             |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sliding_sum,
+             |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+    ),
   )
 }

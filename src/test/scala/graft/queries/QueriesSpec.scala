@@ -1,0 +1,37 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Registry sanity + determinism of the statistically-flavored queries
+  * (everything else is pinned row-exactly by the driver's DuckDB oracle). */
+class QueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("registry: unique names, every oracle key has a query, flagship runs") {
+    val names = SparkEntry.declared.map(_.name)
+    assert(names.distinct.size === names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // 3 rows-only entries by design (q22 simhash, q28 ann-lsh, q29 multimodal)
+    assert(SparkEntry.queries.size - SparkEntry.oracleSql.size === 3)
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("hash/sampling-flavored queries are run-to-run deterministic") {
+    for (name <- Seq("q20_cosine_topk", "q21_minhash_lsh", "q26_fingerprint", "q28_ann_lsh")) {
+      val q = SparkEntry.queries(name)
+      val a = q(spark, dir).collect().map(_.toString).toSeq
+      val b = q(spark, dir).collect().map(_.toString).toSeq
+      assert(a === b, s"$name not deterministic")
+      assert(a.nonEmpty, s"$name returned no rows at sf0.001")
+    }
+  }
+
+  test("approx_count_distinct tracks exact distinct within rsd (D10)") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, dir)
+    val exact = ev.select(countDistinct("user_id")).collect()(0).getLong(0)
+    val approx = ev.select(approx_count_distinct("user_id", 0.05)).collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.15)
+  }
+}
