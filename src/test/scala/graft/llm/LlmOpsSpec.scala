@@ -81,6 +81,28 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("Dedup.exact keeps the min-id row per identical text") {
+    val out = Dedup.exact(docs).select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 2L, 3L, 5L, 6L)) // doc 4 (== doc 3) dropped
+  }
+
+  test("Dedup.dedupNearLsh drops exact AND near duplicates of lower ids") {
+    val survivors = Dedup.dedupNearLsh(docs, tau = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(1L, 3L, 5L, 6L)) // 2 (near-dup of 1) and 4 (== 3) dropped
+  }
+
+  test("Dedup.dedupByEmbedding drops high-cosine vectors") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.04f, 0.0f)), // near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.dedupByEmbedding(emb, tau = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out === Set(1L, 3L))
+  }
+
   test("multimodal stub features are deterministic and schema-stable") {
     val d = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
