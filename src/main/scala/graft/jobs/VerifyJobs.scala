@@ -1,0 +1,52 @@
+package graft.jobs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.ConsumerOps
+
+/** The reference's `verify:*` batch analytics (SURVEY §3.4, Rakefile:128-651):
+  * re-derive authoritative expectations and set-compare them against the
+  * materialized keyspace. Every check returns a mismatch frame — EMPTY means
+  * verified (the Rakefile exits non-zero on any row; callers do the same).
+  * All set algebra is distributed (except/left_anti) — nothing collects.
+  */
+object VerifyJobs {
+
+  /** Mainnet trx-set verification (Rakefile:247-264): per block, the trx ids
+    * recovered from keys must equal the block's transaction_ids. Virtual
+    * sentinel keys are excluded exactly like the reference (Rakefile:234). */
+  def verifyBlockTrxs(keyed: DataFrame, blocks: DataFrame): DataFrame = {
+    val actual = ConsumerOps.splitKeys(keyed)
+      .filter(col("trx_id_k") =!= graft.model.Model.VirtualTrxId)
+      .select(col("block_num_k").as("block_num"), col("trx_id_k").as("trx_id"))
+    val expected = blocks.select(
+      col("block_num"), explode(col("transaction_ids")).as("trx_id"))
+    ConsumerOps.verifyTrxSets(actual, expected)
+  }
+
+  /** Sidechain -> mainnet cross-check (Rakefile:419-493): every engine
+    * transaction's ref block must exist on the mainnet side. Output: engine
+    * trxs whose ref block is missing (empty == verified). */
+  def verifyEngineRefBlocks(engineTrxs: DataFrame, mainnetBlocks: DataFrame): DataFrame =
+    engineTrxs
+      .withColumn("ref_block",
+        coalesce(col("refHiveBlockNumber"), col("refSteemBlockNumber")))
+      .join(
+        mainnetBlocks.select(col("block_num").as("ref_block")),
+        Seq("ref_block"), "left_anti")
+      .select("ref_block", "transactionId", "contract", "action")
+
+  /** The reference's sampled spot check (meeseeker_test.rb:43-59): k random
+    * keys (fixed seed), each (block, trx) pair must exist authoritatively.
+    * Output: sample rows with a `found` flag; all-true == verified. */
+  def sampledMembership(keyed: DataFrame, blocks: DataFrame, k: Int, seed: Long): DataFrame = {
+    val sample = ConsumerOps.splitKeys(ConsumerOps.sampleKeys(keyed, k, seed))
+      .select(col("block_num_k").as("block_num"), col("trx_id_k").as("trx_id"))
+    val authoritative = blocks.select(
+      col("block_num"),
+      explode(concat(col("transaction_ids"),
+        array(lit(graft.model.Model.VirtualTrxId)))).as("trx_id"))
+    ConsumerOps.membership(sample, authoritative)
+  }
+}
