@@ -22,42 +22,55 @@ object BlockFollowerPipeline {
   def parseVops(raw: DataFrame): DataFrame =
     raw.select(from_json(col("value"), Model.vopSchema).as("v")).select("v.*")
 
-  /** Control key holding the batch-final summary awaiting its successor. */
-  def pendingSummaryKey(cfg: FollowerConfig): String =
-    s"${cfg.chain}:graft:pending_summary"
+  /** Control key parking batch `batchId`'s final summary for its successor.
+    * Keyed per batch so a foreachBatch RETRY of batch i still finds batch
+    * i-1's summary intact (a single mutable key would already have been
+    * overwritten by the failed attempt — content loss, not a benign
+    * duplicate). Writes are deterministic recomputations => idempotent. */
+  def pendingSummaryKey(cfg: FollowerConfig, batchId: Long): String =
+    s"${cfg.chain}:graft:pending_summary:$batchId"
 
   /** Run the whole pipeline over one (batch or micro-batch) block frame.
     *
     * With `carrySummaries` (the streaming path), the summary of the
     * batch-final trx prefix — which strict parity suppresses within the
-    * batch — is parked in a KV control key and published at the head of the
-    * next non-empty batch, so an N-micro-batch replay produces the exact
-    * publish sequence of a single continuous run. */
+    * batch — is parked under a per-batch KV control key and published at the
+    * head of the next non-empty batch, so an N-micro-batch replay produces
+    * the exact publish sequence of a single continuous run; empty batches
+    * carry the pending summary forward. */
   def processBatch(
       blocks: DataFrame,
       vops: DataFrame,
       cfg: FollowerConfig,
       backendName: String,
-      carrySummaries: Boolean = false): Unit = {
-    val ops = BlockOps.allOps(blocks, vops, cfg)
-    val keyed = BlockOps.keyedOps(ops, cfg)
-    KvPubSubSink.writeKv(keyed, backendName, cfg.ttlSeconds)
-    KvPubSubSink.writeCheckpoints(BlockOps.checkpointUpdates(ops, cfg), backendName)
+      carrySummaries: Boolean = false,
+      batchId: Long = 0L): Unit = {
+    // the explode/window chain feeds kv writes, checkpoints, messages, and
+    // the tail summary — one cache instead of ~5 re-derivations per batch
+    val ops = BlockOps.allOps(blocks, vops, cfg).cache()
+    try {
+      val keyed = BlockOps.keyedOps(ops, cfg)
+      KvPubSubSink.writeKv(keyed, backendName, cfg.ttlSeconds)
+      KvPubSubSink.writeCheckpoints(BlockOps.checkpointUpdates(ops, cfg), backendName)
 
-    val backend = graft.sink.KvBackends(backendName)
-    val pendingKey = pendingSummaryKey(cfg)
-    val batchHasOps = !ops.isEmpty
-    if (carrySummaries && batchHasOps) {
-      // the carried summary precedes every publish of this batch (it is the
-      // "previous prefix" transition fired by this batch's first record)
-      backend.get(pendingKey).foreach(p => backend.publish(s"${cfg.chain}:transaction", p))
-    }
-    KvPubSubSink.publishOrdered(
-      BlockOps.channelMessages(blocks, vops, cfg), backendName,
-      Seq("o_block", "o_virt", "o_otrx", "o_oidx", "o_rank", "channel"))
-    if (carrySummaries && batchHasOps) {
-      BlockOps.tailSummary(ops, cfg).foreach(t => backend.set(pendingKey, t))
-    }
+      val messages = BlockOps.channelMessagesFrom(blocks, ops, keyed, cfg)
+      if (!carrySummaries) {
+        KvPubSubSink.publishOrdered(messages, backendName, BlockOps.messageSortCols)
+      } else {
+        val backend = graft.sink.KvBackends(backendName)
+        val prev = backend.get(pendingSummaryKey(cfg, batchId - 1))
+        val batchHasOps = !ops.isEmpty
+        if (batchHasOps) {
+          // carried summary first: it is the "previous prefix" transition
+          // fired by this batch's first record
+          prev.foreach(p => backend.publish(s"${cfg.chain}:transaction", p))
+          KvPubSubSink.publishOrdered(messages, backendName, BlockOps.messageSortCols)
+        }
+        val tail = if (batchHasOps) BlockOps.tailSummary(ops, cfg) else prev
+        tail.foreach(t => backend.set(pendingSummaryKey(cfg, batchId), t))
+        backend.del(Seq(pendingSummaryKey(cfg, batchId - 2)))
+      }
+    } finally ops.unpersist()
   }
 
   /** Streaming entry: replay-source (or any (idx, value) JSONL stream) of
@@ -86,21 +99,21 @@ object BlockFollowerPipeline {
     // Static side of the union: fixture vops, filtered per batch to the
     // blocks present in that batch (the per-micro-batch enrichment of A2).
     val allVops = vopsJsonl match {
-      case Some(p) =>
-        parseVops(spark.read.text(p).withColumnRenamed("value", "value"))
+      case Some(p) => parseVops(spark.read.text(p))
       case None => emptyVops(spark)
     }
 
     rawBlocks.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val blocks = parseBlocks(batch).cache()
         try {
           val batchVops = allVops.join(
             blocks.select(col("block_num").as("b_bn")),
             col("block") === col("b_bn"), "left_semi")
-          processBatch(blocks, batchVops, cfg, backendName, carrySummaries = true)
+          processBatch(blocks, batchVops, cfg, backendName,
+            carrySummaries = true, batchId = batchId)
         } finally blocks.unpersist()
         ()
       }

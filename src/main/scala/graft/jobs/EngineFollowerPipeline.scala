@@ -14,36 +14,45 @@ object EngineFollowerPipeline {
   def parseEngineBlocks(raw: DataFrame): DataFrame =
     raw.select(from_json(col("value"), Model.engineBlockSchema).as("b")).select("b.*")
 
-  def pendingSummaryKey(cfg: EngineConfig): String =
-    s"${cfg.chainKeyPrefix}:graft:pending_summary"
+  /** Per-batch pending key — see BlockFollowerPipeline.pendingSummaryKey
+    * for the retry-idempotence rationale. */
+  def pendingSummaryKey(cfg: EngineConfig, batchId: Long): String =
+    s"${cfg.chainKeyPrefix}:graft:pending_summary:$batchId"
 
   def processBatch(
       blocks: DataFrame,
       cfg: EngineConfig,
       backendName: String,
-      carrySummaries: Boolean = false): Unit = {
-    val trxs = EngineOps.explodeEngineTrxs(blocks)
-    val keyed = EngineOps.keyedTrxs(trxs, cfg)
-    KvPubSubSink.writeKv(keyed, backendName, cfg.ttlSeconds)
-    KvPubSubSink.writeCheckpoints(EngineOps.checkpointUpdates(trxs, cfg), backendName)
+      carrySummaries: Boolean = false,
+      batchId: Long = 0L): Unit = {
+    val trxs = EngineOps.explodeEngineTrxs(blocks).cache()
+    try {
+      val keyed = EngineOps.keyedTrxs(trxs, cfg)
+      KvPubSubSink.writeKv(keyed, backendName, cfg.ttlSeconds)
+      KvPubSubSink.writeCheckpoints(EngineOps.checkpointUpdates(trxs, cfg), backendName)
 
-    val backend = graft.sink.KvBackends(backendName)
-    val pendingKey = pendingSummaryKey(cfg)
-    val firstVirt = if (carrySummaries) EngineOps.firstRecordVirtual(trxs) else None
-    firstVirt.foreach { virt =>
-      // carried summary: channel keyed off THIS batch's first record
-      // (the triggering record), per follower_job.rb:44-50
-      val channel =
-        if (virt) s"${cfg.chainKeyPrefix}:virtual_transaction"
-        else s"${cfg.chainKeyPrefix}:transaction"
-      backend.get(pendingKey).foreach(p => backend.publish(channel, p))
-    }
-    KvPubSubSink.publishOrdered(
-      EngineOps.channelMessages(blocks, cfg), backendName,
-      Seq("o_block", "o_ord", "o_rank", "channel"))
-    if (carrySummaries && firstVirt.isDefined) {
-      EngineOps.tailSummary(trxs, cfg).foreach(t => backend.set(pendingKey, t))
-    }
+      val messages = EngineOps.channelMessagesFrom(trxs, keyed, cfg)
+      if (!carrySummaries) {
+        KvPubSubSink.publishOrdered(messages, backendName, EngineOps.messageSortCols)
+      } else {
+        val backend = graft.sink.KvBackends(backendName)
+        val prev = backend.get(pendingSummaryKey(cfg, batchId - 1))
+        val firstVirt = EngineOps.firstRecordVirtual(trxs)
+        firstVirt.foreach { virt =>
+          // carried summary: channel keyed off THIS batch's first record
+          // (the triggering record), per follower_job.rb:44-50
+          val channel =
+            if (virt) s"${cfg.chainKeyPrefix}:virtual_transaction"
+            else s"${cfg.chainKeyPrefix}:transaction"
+          prev.foreach(p => backend.publish(channel, p))
+          KvPubSubSink.publishOrdered(messages, backendName, EngineOps.messageSortCols)
+        }
+        val tail =
+          if (firstVirt.isDefined) EngineOps.tailSummary(trxs, cfg) else prev
+        tail.foreach(t => backend.set(pendingSummaryKey(cfg, batchId), t))
+        backend.del(Seq(pendingSummaryKey(cfg, batchId - 2)))
+      }
+    } finally trxs.unpersist()
   }
 
   def runStream(
@@ -61,8 +70,9 @@ object EngineFollowerPipeline {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(parseEngineBlocks(batch), cfg, backendName, carrySummaries = true)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(parseEngineBlocks(batch), cfg, backendName,
+          carrySummaries = true, batchId = batchId)
         ()
       }
       .start()

@@ -20,8 +20,14 @@ object VerifyJobs {
     val actual = ConsumerOps.splitKeys(keyed)
       .filter(col("trx_id_k") =!= graft.model.Model.VirtualTrxId)
       .select(col("block_num_k").as("block_num"), col("trx_id_k").as("trx_id"))
-    val expected = blocks.select(
-      col("block_num"), explode(col("transaction_ids")).as("trx_id"))
+    // only op-producing transactions materialize keys (a zero-op trx never
+    // yields in the reference either) — zip ids with their transactions and
+    // keep those with operations
+    val expected = blocks
+      .select(col("block_num"),
+        explode(arrays_zip(col("transaction_ids"), col("transactions"))).as("z"))
+      .filter(size(col("z.transactions.operations")) > 0)
+      .select(col("block_num"), col("z.transaction_ids").as("trx_id"))
     ConsumerOps.verifyTrxSets(actual, expected)
   }
 

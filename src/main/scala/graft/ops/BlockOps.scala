@@ -122,12 +122,17 @@ object BlockOps {
     val realCount = ops.filter(!col("is_virtual"))
       .groupBy(col("block_num").as("rc_block")).agg(countDistinct("trx_id").as("n_real"))
 
+    // summary_num counts only OP-PRODUCING transactions: a zero-op trx never
+    // yields in the reference and so never enters block_transactions — the
+    // rank among prefixes (not the raw transactions-array position) is the
+    // faithful value when empty transactions exist.
+    val wRealRank = Window.partitionBy("block_num", "is_virtual").orderBy("transaction_num")
     val prefixes = ops
       .groupBy("block_num", "trx_id", "is_virtual", "transaction_num")
       .agg(count(lit(1)).as("n_ops"))
       .join(realCount, col("block_num") === col("rc_block"), "left")
       .withColumn("summary_num",
-        when(!col("is_virtual"), col("transaction_num"))
+        when(!col("is_virtual"), row_number().over(wRealRank) - 1)
           .otherwise(greatest(coalesce(col("n_real"), lit(0L)) - 1, lit(0L)).cast("int")))
 
     val streamOrder = Window.orderBy("block_num", "is_virtual", "transaction_num")
@@ -239,14 +244,23 @@ object BlockOps {
         col("block_num").cast("string").as("kv_value"),
         col("block_num"))
 
-  /** The full ordered notify stream: summaries + block payloads + op
-    * notifications, sorted on the reference's publish order. */
-  def channelMessages(blocks: DataFrame, vops: DataFrame, cfg: FollowerConfig): DataFrame = {
-    val ops = allOps(blocks, vops, cfg)
-    val keyed = keyedOps(ops, cfg)
+  val messageSortCols: Seq[String] =
+    Seq("o_block", "o_virt", "o_otrx", "o_oidx", "o_rank", "channel")
+
+  /** Notify stream from precomputed frames, UNSORTED — the sink applies the
+    * one load-bearing sort. Callers that already built (ops, keyed) use this
+    * to avoid re-deriving the explode chain. */
+  def channelMessagesFrom(
+      blocks: DataFrame, ops: DataFrame, keyed: DataFrame, cfg: FollowerConfig): DataFrame =
     trxSummaries(ops, cfg)
       .unionByName(blockMessages(blocks, ops, cfg))
       .unionByName(opMessages(keyed, cfg))
-      .orderBy("o_block", "o_virt", "o_otrx", "o_oidx", "o_rank", "channel")
+
+  /** The full notify stream in exact reference publish order (consumer /
+    * golden-test API). */
+  def channelMessages(blocks: DataFrame, vops: DataFrame, cfg: FollowerConfig): DataFrame = {
+    val ops = allOps(blocks, vops, cfg)
+    channelMessagesFrom(blocks, ops, keyedOps(ops, cfg), cfg)
+      .orderBy(messageSortCols.map(col): _*)
   }
 }

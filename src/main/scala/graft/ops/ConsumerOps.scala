@@ -24,22 +24,27 @@ object ConsumerOps {
     backend.del(backend.keys(s"$chainPrefix:*"))
 
   /** F2 seeded random sample-k (the reference's `keys.sample(10)` spot
-    * check, meeseeker_test.rb:43): deterministic with a fixed seed, fully
-    * distributed (TakeOrdered over rand — no collect of the full keyspace). */
-  def sampleKeys(keyed: DataFrame, k: Int, seed: Long): DataFrame =
-    keyed.orderBy(rand(seed)).limit(k)
+    * check, meeseeker_test.rb:43): pseudo-random order from a hash of
+    * (key, seed) — a pure function of the DATA, so the sample is identical
+    * under any partition layout (rand(seed) is per-partition-seeded and
+    * would not be). TakeOrdered — no collect of the full keyspace. */
+  def sampleKeys(keyed: DataFrame, k: Int, seed: Long, keyCol: String = "key"): DataFrame =
+    keyed.orderBy(md5(concat(col(keyCol), lit(seed.toString)))).limit(k)
 
   /** Decompose composite keys into typed columns (C14): works for both the
     * 5-part mainnet and 6-part sidechain grammars. */
   def splitKeys(keyed: DataFrame, keyCol: String = "key"): DataFrame = {
-    val parts = split(col(keyCol), ":")
+    // try_element_at + try_cast: short or non-data keys (the checkpoint and
+    // control keys swept up by a `{prefix}:*` glob) yield nulls instead of
+    // ANSI index/cast errors
+    def part(i: Int) = s"try_element_at(split($keyCol, ':'), $i)"
     keyed
-      .withColumn("chain", element_at(parts, 1))
-      .withColumn("block_num_k", element_at(parts, 2).cast("long"))
-      .withColumn("trx_id_k", element_at(parts, 3))
-      .withColumn("trx_index_k", element_at(parts, 4).cast("int"))
-      .withColumn("op_type_k", element_at(parts, 5))
-      .withColumn("action_k", when(size(parts) >= 6, element_at(parts, 6)))
+      .withColumn("chain", expr(part(1)))
+      .withColumn("block_num_k", expr(s"try_cast(${part(2)} AS BIGINT)"))
+      .withColumn("trx_id_k", expr(part(3)))
+      .withColumn("trx_index_k", expr(s"try_cast(${part(4)} AS INT)"))
+      .withColumn("op_type_k", expr(part(5)))
+      .withColumn("action_k", expr(part(6)))
   }
 
   /** The verify-task oracle pattern (E1/E2, Rakefile:247-264): per-block

@@ -55,8 +55,11 @@ object EngineOps {
       posexplode(col("virtualTransactions")).as(Seq("pos", "trx")),
       lit(true).as("is_virtual"))
       .withColumn("trx", col("trx").withField("transactionId",
+        // dash-less source ids rewrite to "{40 zeros}-" like the reference's
+        // nil interpolation (follower_job.rb:173-177) — try_element_at, since
+        // ANSI element_at throws on the missing second segment
         concat(lit(VirtualTrxId), lit("-"),
-          element_at(split(col("trx.transactionId"), "-"), 2))))
+          coalesce(expr("try_element_at(split(trx.transactionId, '-'), 2)"), lit("")))))
 
     val all = real.unionByName(virt)
       .select(
@@ -178,13 +181,18 @@ object EngineOps {
         col("block_num").cast("string").as("kv_value"),
         col("block_num"))
 
-  /** Full ordered notify stream for the sidechain. */
-  def channelMessages(blocks: DataFrame, cfg: EngineConfig): DataFrame = {
-    val trxs = explodeEngineTrxs(blocks)
-    val keyed = keyedTrxs(trxs, cfg)
+  val messageSortCols: Seq[String] = Seq("o_block", "o_ord", "o_rank", "channel")
+
+  /** Notify stream from precomputed frames, unsorted (sink sorts). */
+  def channelMessagesFrom(trxs: DataFrame, keyed: DataFrame, cfg: EngineConfig): DataFrame =
     trxSummaries(trxs, cfg)
       .unionByName(blockMessages(trxs, cfg))
       .unionByName(contractMessages(keyed, cfg))
-      .orderBy("o_block", "o_ord", "o_rank", "channel")
+
+  /** Full ordered notify stream for the sidechain. */
+  def channelMessages(blocks: DataFrame, cfg: EngineConfig): DataFrame = {
+    val trxs = explodeEngineTrxs(blocks)
+    channelMessagesFrom(trxs, keyedTrxs(trxs, cfg), cfg)
+      .orderBy(messageSortCols.map(col): _*)
   }
 }

@@ -50,7 +50,9 @@ object Policies {
     explicitStart match {
       case Some(n) => StartAt(n)
       case None =>
-        val next = checkpoint.map(_ + 1).getOrElse(0L)
+        // no checkpoint reads as 0 in the reference (redis nil.to_i) and
+        // still gets the +1 (block_follower_job.rb:111) -> resume point 1
+        val next = checkpoint.getOrElse(0L) + 1
         if (expireKeysSec == -1L) StartAt(math.max(next, head))
         else if (head - next > expireKeysSec / 3) FreshSync(head)
         else ResumeFrom(next, (head - next) * blockIntervalSec.toDouble)

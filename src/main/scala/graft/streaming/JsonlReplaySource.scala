@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.catalyst.InternalRow
@@ -44,12 +44,13 @@ class JsonlReplaySource extends TableProvider {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = properties.get("path")
+    // the raw properties map preserves option case — go through the
+    // case-insensitive wrapper or "linesPerTrigger" silently misses
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = opts.get("path")
     require(path != null, "jsonl replay source requires a 'path' option")
-    val perTrigger =
-      Option(properties.get("linespertrigger")).map(_.toLong).getOrElse(Long.MaxValue)
-    val numPartitions =
-      Option(properties.get("numpartitions")).map(_.toInt).getOrElse(4)
+    val perTrigger = opts.getLong("linesPerTrigger", Long.MaxValue)
+    val numPartitions = opts.getInt("numPartitions", 4)
     new ReplayTable(path, perTrigger, numPartitions)
   }
 }
@@ -95,9 +96,17 @@ private[streaming] case class LineOffset(n: Long) extends Offset {
 
 private[streaming] class ReplayMicroBatchStream(
     path: String, perTrigger: Long, numPartitions: Int)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private lazy val total: Long = ReplayIO.countLines(path)
+  // Without SupportsTriggerAvailableNow, Trigger.AvailableNow silently
+  // collapses the whole replay into ONE batch (ignoring admission control);
+  // implementing it freezes the end offset and batches up to it.
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(total)
 
   override def initialOffset(): Offset = LineOffset(0L)
 
@@ -111,10 +120,11 @@ private[streaming] class ReplayMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[LineOffset].n
+    val end = availableNowTarget.getOrElse(total)
     limit match {
       case rows: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
-        LineOffset(math.min(s + rows.maxRows(), total))
-      case _ => LineOffset(total)
+        LineOffset(math.min(s + rows.maxRows(), end))
+      case _ => LineOffset(end)
     }
   }
 

@@ -74,10 +74,11 @@ class PipelineSpec extends SparkSpec {
     q.awaitTermination(60000)
 
     // KV materialization is batch-size-invariant (idempotent by key); the
-    // pending control key parks the stream-final summary
-    assert(backend.size === 11) // 9 op keys + checkpoint + pending summary
+    // per-batch pending keys park the batch-final summaries (batch 0's key
+    // is only cleaned two batches later, so two linger at stream end)
+    assert(backend.size === 12) // 9 op keys + checkpoint + pending:0 + pending:1
     assert(backend.get("hive:meeseeker:last_block_num") === Some("103"))
-    assert(backend.get(BlockFollowerPipeline.pendingSummaryKey(cfg)) ===
+    assert(backend.get(BlockFollowerPipeline.pendingSummaryKey(cfg, 1L)) ===
       Some("""{"block_num":103,"transaction_id":"t3ddd","transaction_num":0}"""))
 
     // the full publish sequence across N micro-batches equals the
@@ -88,6 +89,26 @@ class PipelineSpec extends SparkSpec {
     val vops = spark.read.schema(Model.vopSchema).json(resource("vops.jsonl"))
     BlockFollowerPipeline.processBatch(blocks, vops, cfg, "stream-chunked-ref")
     assert(backend.publishLog === batchBackend.publishLog)
+  }
+
+  test("carry is idempotent under micro-batch RETRY (foreachBatch at-least-once)") {
+    val backend = freshBackend("retry-test")
+    val blocks = spark.read.schema(Model.blockSchema).json(resource("blocks.jsonl"))
+    val vops = spark.read.schema(Model.vopSchema).json(resource("vops.jsonl"))
+    val b0 = blocks.filter(org.apache.spark.sql.functions.col("block_num") <= 101)
+    val b1 = blocks.filter(org.apache.spark.sql.functions.col("block_num") >= 102)
+    BlockFollowerPipeline.processBatch(b0, vops, cfg, "retry-test", carrySummaries = true, batchId = 0L)
+    BlockFollowerPipeline.processBatch(b1, vops, cfg, "retry-test", carrySummaries = true, batchId = 1L)
+    val pendingAfter = backend.get(BlockFollowerPipeline.pendingSummaryKey(cfg, 1L))
+    val logAfter = backend.publishLog
+    // simulate Spark re-running batch 1 after a crash-before-offset-commit:
+    // batch 0's pending key must still be there, so the retry re-publishes
+    // the SAME carried summary (at-least-once) and re-parks the same tail
+    BlockFollowerPipeline.processBatch(b1, vops, cfg, "retry-test", carrySummaries = true, batchId = 1L)
+    assert(backend.get(BlockFollowerPipeline.pendingSummaryKey(cfg, 1L)) === pendingAfter)
+    val retried = backend.publishLog.drop(logAfter.size)
+    val original = logAfter.drop(logAfter.size - retried.size)
+    assert(retried === original) // byte-identical replay, no content corruption
   }
 
   test("engine streaming chunked: exact parity incl. carried-summary channel quirk") {

@@ -96,9 +96,12 @@ class BlockOpsSpec extends SparkSpec {
     assert(log === expected)
   }
 
-  test("corrected mode emits the stream-final summary too") {
+  test("corrected mode emits the stream-final summary too; zero-op trxs don't count") {
     val log = BlockOps.channelMessages(blocks, vops, cfg.copy(strictParity = false))
       .select("channel", "payload").collect().map(r => (r.getString(0), r.getString(1)))
+    // block 103's transactions array is [zero-op t3zzz, t3ddd]: the reference
+    // never sees t3zzz (it yields no ops), so t3ddd's transaction_num is 0 —
+    // the rank among OP-PRODUCING trxs, not the array position (1)
     assert(log.last === ("hive:transaction" ->
       """{"block_num":103,"transaction_id":"t3ddd","transaction_num":0}"""))
     assert(log.length === 20)

@@ -20,6 +20,14 @@ class ConsumerOpsSpec extends SparkSpec {
     assert(ConsumerOps.findTrx(keyed, "hive", "t0aaa").count() === 2)
   }
 
+  test("splitKeys tolerates short/non-data keys under ANSI (checkpoint, control)") {
+    val sweep = Seq("hive:meeseeker:last_block_num", "hive:graft:pending_summary:3").toDF("key")
+    val rows = ConsumerOps.splitKeys(sweep).collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getAs[Any]("block_num_k") == null))
+    assert(rows.forall(_.getAs[Any]("op_type_k") == null))
+  }
+
   test("splitKeys decomposes both key grammars (C14)") {
     val rows = ConsumerOps.splitKeys(keyed).collect()
     val vote = rows.find(_.getAs[String]("key") == "hive:100:t0aaa:0:vote").get

@@ -68,6 +68,17 @@ class EngineOpsSpec extends SparkSpec {
     ))
   }
 
+  test("dash-less virtual transactionId rewrites to sentinel+'-' (never null)") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"blockNumber":19000,"timestamp":"2024-01-01T00:01:00","transactions":[],"virtualTransactions":[{"transactionId":"nodashid","refHiveBlockNumber":100,"contract":"c","action":"a","payload":"{}"}]}""")
+    val blk = spark.read.schema(Model.engineBlockSchema).json(raw.toDS())
+    val rows = EngineOps.keyedTrxs(EngineOps.explodeEngineTrxs(blk), cfg).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("transactionId") === s"$Z40-")
+    assert(rows(0).getAs[String]("key") === s"hive_engine:19000:$Z40:0:c:a")
+  }
+
   test("checkpoints per engine block") {
     val cps = EngineOps.checkpointUpdates(EngineOps.explodeEngineTrxs(blocks), cfg)
       .orderBy("block_num").collect()

@@ -33,6 +33,8 @@ class PoliciesSpec extends SparkSpec {
     assert(resolveResume(None, Some(0L), 100000L, 86400L) === FreshSync(100000L))
     // small gap => resume with behind seconds
     assert(resolveResume(None, Some(90L), 100L, 86400L) === ResumeFrom(91L, 27.0))
+    // no checkpoint reads as 0 + 1 (nil.to_i + 1), never block 0
+    assert(resolveResume(None, None, 100L, 86400L) === ResumeFrom(1L, 297.0))
   }
 
   test("chain-id detection incl. the guess fallback (A6)") {
