@@ -26,48 +26,53 @@ object Dedup {
   }
 
   /** Near-dup pairs via MinHash LSH banding + exact-Jaccard verification
-    * (the 100 TB path: candidate generation is an equi-join on bands). */
+    * (the 100 TB path: candidate generation is an equi-join on bands).
+    * Returns a lazy frame over an UNCACHED shingle expansion — callers that
+    * consume it more than once (or downstream of multiple joins) should
+    * cache the shingles themselves, as [[dedupNearLsh]] does with a bounded
+    * lifetime. */
   def nearDuplicatePairs(
       docs: DataFrame,
       tau: Double,
       shingleSize: Int = 3,
       numHashes: Int = 16,
-      bandRows: Int = 2): DataFrame = {
-    val sh = TextOps.shingleRows(docs, shingleSize).cache()
+      bandRows: Int = 2,
+      shingles: Option[DataFrame] = None): DataFrame = {
+    val sh = shingles.getOrElse(TextOps.shingleRows(docs, shingleSize))
     val sigs = TextOps.minhashSignatures(sh, numHashes)
     val cand = TextOps.lshCandidates(sigs, numHashes, bandRows)
     TextOps.verifyCandidates(cand, sh).filter(col("jaccard") >= tau)
   }
 
   /** Near-dedup the corpus: drop every doc that is a verified near-dup of a
-    * lower-id doc. */
+    * lower-id doc. The shingle frame is cached only for the duration of the
+    * drop-set materialization (no session-lifetime leak). */
   def dedupNearLsh(
       docs: DataFrame,
       tau: Double,
       shingleSize: Int = 3,
       numHashes: Int = 16,
       bandRows: Int = 2): DataFrame = {
-    val drop = nearDuplicatePairs(docs, tau, shingleSize, numHashes, bandRows)
-      .select(col("doc_b").as("doc_id")).distinct()
-    docs.join(drop, Seq("doc_id"), "left_anti")
+    val sh = TextOps.shingleRows(docs, shingleSize).cache()
+    try {
+      // eagerly materialize the drop set with its lineage severed
+      // (localCheckpoint), so the shingle cache can be released before the
+      // lazy surviving frame is returned — and without collecting ids to
+      // the driver (the drop set can be a large fraction of the corpus)
+      val drop = nearDuplicatePairs(docs, tau, shingleSize, numHashes, bandRows, Some(sh))
+        .select(col("doc_b").as("doc_id")).distinct()
+        .localCheckpoint(true)
+      docs.join(drop, Seq("doc_id"), "left_anti")
+    } finally sh.unpersist()
   }
 
   /** Embedding-space near-dedup: drop vectors whose cosine to a lower-id
-    * vector meets tau. Exact pairwise within the frame — use with an
-    * LSH-bucketed candidate frame (VectorOps.hyperplaneBuckets) at scale. */
+    * vector meets tau — [[VectorOps.cosineNearDupPairs]] over the full frame
+    * (sampleMod=1). Exact pairwise; use an LSH-bucketed candidate frame
+    * (VectorOps.hyperplaneBuckets) as the pre-filter at scale. */
   def dedupByEmbedding(emb: DataFrame, tau: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("va"), col("embedding").as("qe"))
-      .withColumn("na", expr(
-        "sqrt(aggregate(transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc,v)->acc+v))"))
-    val b = emb.select(col("vec_id").as("vb"), col("embedding").as("ne"))
-      .withColumn("nb", expr(
-        "sqrt(aggregate(transform(ne, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc,v)->acc+v))"))
-    val drop = a.join(b, col("va") < col("vb"))
-      .withColumn("cos",
-        expr("aggregate(zip_with(qe, ne, (x, y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-          / (col("na") * col("nb")))
-      .filter(col("cos") >= tau)
-      .select(col("vb").as("vec_id")).distinct()
+    val drop = VectorOps.cosineNearDupPairs(emb, sampleMod = 1, tau)
+      .select(col("vec_b").as("vec_id")).distinct()
     emb.join(drop, Seq("vec_id"), "left_anti")
   }
 }

@@ -36,15 +36,18 @@ object ConsumerOps {
   def splitKeys(keyed: DataFrame, keyCol: String = "key"): DataFrame = {
     // try_element_at + try_cast: short or non-data keys (the checkpoint and
     // control keys swept up by a `{prefix}:*` glob) yield nulls instead of
-    // ANSI index/cast errors
-    def part(i: Int) = s"try_element_at(split($keyCol, ':'), $i)"
+    // ANSI index/cast errors. The key column is aliased to a fixed name
+    // first so arbitrary caller column names never reach SQL text.
+    def part(i: Int) = s"try_element_at(split(__graft_key, ':'), $i)"
     keyed
+      .withColumn("__graft_key", col(keyCol))
       .withColumn("chain", expr(part(1)))
       .withColumn("block_num_k", expr(s"try_cast(${part(2)} AS BIGINT)"))
       .withColumn("trx_id_k", expr(part(3)))
       .withColumn("trx_index_k", expr(s"try_cast(${part(4)} AS INT)"))
       .withColumn("op_type_k", expr(part(5)))
       .withColumn("action_k", expr(part(6)))
+      .drop("__graft_key")
   }
 
   /** The verify-task oracle pattern (E1/E2, Rakefile:247-264): per-block

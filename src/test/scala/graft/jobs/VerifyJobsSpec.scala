@@ -20,6 +20,25 @@ class VerifyJobsSpec extends SparkSpec {
     assert(VerifyJobs.verifyBlockTrxs(keyed.select("key"), blocks).count() === 0)
   }
 
+  test("checkpoint and control keys in a real sweep are not flagged as corruption") {
+    import spark.implicits._
+    val sweep = keyed.select("key").unionByName(Seq(
+      "hive:meeseeker:last_block_num",
+      "hive:graft:pending_summary:3").toDF("key"))
+    assert(VerifyJobs.verifyBlockTrxs(sweep, blocks).count() === 0)
+  }
+
+  test("phantom sentinel/zero-op keys cannot pass the spot check") {
+    import spark.implicits._
+    // block 101 has no vops; t3zzz is the zero-op trx — neither is authoritative
+    val phantoms = Seq(
+      s"hive:101:${"0" * 40}:0:fake", // excluded from sample by sentinel shape
+      "hive:103:t3zzz:0:vote").toDF("key")
+    val res = VerifyJobs.sampledMembership(phantoms, blocks, k = 10, seed = 1L).collect()
+    assert(res.length === 1) // sentinel key dropped from the sample by shape
+    assert(!res(0).getAs[Boolean]("found")) // zero-op trx key flagged
+  }
+
   test("a missing and an extra key are both detected") {
     import spark.implicits._
     val corrupted = keyed.select("key")
@@ -43,10 +62,12 @@ class VerifyJobsSpec extends SparkSpec {
     assert(bad(0).getAs[Long]("ref_block") === 999999L)
   }
 
-  test("sampled membership spot check: all sampled keys found (fixed seed)") {
+  test("sampled membership spot check: all sampled data keys found (fixed seed)") {
     val res = VerifyJobs.sampledMembership(keyed.select("key"), blocks, k = 5, seed = 42L)
       .collect()
-    assert(res.length === 5)
+    // sentinel keys in the sample are skipped by shape (like the reference
+    // test), so up to k data keys come back — every one must be found
+    assert(res.length >= 1 && res.length <= 5)
     assert(res.forall(_.getAs[Boolean]("found")))
   }
 }

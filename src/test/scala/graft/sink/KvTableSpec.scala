@@ -48,6 +48,36 @@ class KvTableSpec extends SparkSpec {
     assert(globPlan.contains("block_bucket"), globPlan)
   }
 
+  test("glob bucket-prune disabled when a leading wildcard can cross colons") {
+    val dir = Files.createTempDirectory("kvtable-").toString
+    KvTable.write(keyed, "hive", dir, bucketSize = 2L)
+    val table = KvTable.load(spark, dir)
+    // '*:0:*' : the star crosses ':' so '0' is NOT necessarily the block
+    // segment — here it matches the trx_index segment. A naive bucket prune
+    // on 0/2 would return 0 rows (no block lives in bucket 0).
+    val n = KvTable.globQuery(table, "*:0:*", bucketSize = 2L).count()
+    assert(n === 6) // the six keys whose trx_index segment is 0
+  }
+
+  test("pointGet with malformed keys returns empty, never throws") {
+    val dir = Files.createTempDirectory("kvtable-").toString
+    KvTable.write(keyed, "hive", dir, bucketSize = 2L)
+    val table = KvTable.load(spark, dir)
+    assert(KvTable.pointGet(table, "hive::whatever", 2L).count() === 0)
+    assert(KvTable.pointGet(table, "hive:٣:x", 2L).count() === 0) // Unicode digit
+    assert(KvTable.pointGet(table, "nosuchchain:1:t:0:vote", 2L).count() === 0)
+  }
+
+  test("overwriteBuckets is idempotent under batch replay") {
+    val dir = Files.createTempDirectory("kvtable-").toString
+    KvTable.overwriteBuckets(keyed, "hive", dir, bucketSize = 2L)
+    assert(KvTable.load(spark, dir).count() === 9)
+    // replay the same batch (foreachBatch retry): byte-identical, no dupes
+    KvTable.overwriteBuckets(keyed, "hive", dir, bucketSize = 2L)
+    assert(KvTable.load(spark, dir).count() === 9)
+    assert(KvTable.pointGet(KvTable.load(spark, dir), "hive:100:t0aaa:0:vote", 2L).count() === 1)
+  }
+
   test("TTL retention drops whole buckets below the horizon") {
     val dir = Files.createTempDirectory("kvtable-").toString
     KvTable.write(keyed, "hive", dir, bucketSize = 2L)
