@@ -101,12 +101,23 @@ object TextOps {
       .select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
   }
 
-  /** (doc_id, simhash) — 60-bit SimHash of the token multiset as a bigint.
-    * Token hash = first 15 hex chars of md5 (60 bits, fits a signed long);
-    * bit j of the signature is set when the sum of (bit_j(hash)*2 - 1) over
-    * all tokens is positive. Entirely higher-order-function expressions —
-    * per-row, no shuffle, stays inside codegen. */
-  def simhashDF(docs: DataFrame): DataFrame =
+  /** (doc_id, simhash) — 60-bit SimHash of the token multiset as a bigint,
+    * via the native codegen'd expression [[graft.functions.SimHash64]]
+    * (registered as `graft_simhash64` by GraftExtensions). Per-row, no
+    * shuffle, one md5 per token. [[simhashHofDF]] keeps the pure
+    * built-in-functions formulation — bit-identical, used as the
+    * cross-check in the spec and as the fallback when the extension is not
+    * registered. */
+  def simhashDF(docs: DataFrame): DataFrame = {
+    val registered = docs.sparkSession.catalog.functionExists("graft_simhash64")
+    if (registered)
+      docs.select(col("doc_id"), expr("graft_simhash64(text)").as("simhash"))
+    else simhashHofDF(docs)
+  }
+
+  /** Higher-order-function formulation of the same simhash scheme: token
+    * hash = first 15 hex chars of md5; bit votes; MSB-first fold. */
+  def simhashHofDF(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
         expr("transform(split(text, ' '), tk -> cast(conv(substring(md5(tk), 1, 15), 16, 10) as bigint))").as("hs"))

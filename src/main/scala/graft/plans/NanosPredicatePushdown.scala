@@ -92,8 +92,17 @@ object NanosPredicatePushdown extends Rule[LogicalPlan] with PredicateHelper {
   }
 }
 
-/** Session extension wiring: `--conf spark.sql.extensions=graft.plans.GraftExtensions`. */
+/** Session extension wiring: `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  * Injects the pushdown rule and registers the native functions
+  * (`graft_simhash64`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => NanosPredicatePushdown)
+    extensions.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash64"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.SimHash64].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => graft.functions.SimHash64(children.head),
+    ))
+  }
 }

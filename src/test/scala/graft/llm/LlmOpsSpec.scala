@@ -52,6 +52,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(hamming(hashes(1L), hashes(2L)) < hamming(hashes(1L), hashes(5L)))
   }
 
+  test("native SimHash64 expression is bit-identical to the HOF formulation") {
+    // the extension registers graft_simhash64 in the shared test session
+    assert(spark.catalog.functionExists("graft_simhash64"))
+    val native = TextOps.simhashDF(docs).orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    val hof = TextOps.simhashHofDF(docs).orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    assert(native === hof)
+    // empty-ish text edge: single token, and a doc with double spaces
+    val edge = Seq((1L, "solo"), (2L, "a  b")).toDF("doc_id", "text")
+    val n2 = TextOps.simhashDF(edge).orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    val h2 = TextOps.simhashHofDF(edge).orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    assert(n2 === h2)
+  }
+
   test("langid: marker-bearing docs classify; markerless fall back to 'und'") {
     val d = Seq(
       (1L, "the cat and the dog of the house", "en"),
