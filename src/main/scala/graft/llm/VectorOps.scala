@@ -19,16 +19,29 @@ import org.apache.spark.sql.functions._
 object VectorOps {
 
   /** Left-to-right double-precision dot product of two float-array columns
-    * (as a SQL expression string over columns named `a` and `b`). */
-  private def dotExpr(a: String, b: String): String =
+    * (as a SQL expression string over columns named `a` and `b`).
+    * The HOF fallback and the native kernel (graft_dot_f, registered by
+    * GraftExtensions) produce bit-identical doubles — exact float->double
+    * widening, strict sequential accumulation — so either path matches the
+    * DuckDB oracle; the native one skips interpreted per-element lambdas. */
+  private def hofDot(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 
-  private def normExpr(a: String): String =
+  private def hofNorm(a: String): String =
     s"sqrt(aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
 
-  /** cosine(a, b) as a Column, given the two array-column names. */
+  private def nativeFns(df: DataFrame): Boolean =
+    df.sparkSession.catalog.functionExists("graft_dot_f")
+
+  private def dotExprFor(df: DataFrame, a: String, b: String): String =
+    if (nativeFns(df)) s"graft_dot_f($a, $b)" else hofDot(a, b)
+
+  private def normExprFor(df: DataFrame, a: String): String =
+    if (nativeFns(df)) s"graft_norm_f($a)" else hofNorm(a)
+
+  /** cosine(a, b) as a Column over a frame (HOF fallback path). */
   def cosine(a: String, b: String): Column =
-    expr(dotExpr(a, b)) / (expr(normExpr(a)) * expr(normExpr(b)))
+    expr(hofDot(a, b)) / (expr(hofNorm(a)) * expr(hofNorm(b)))
 
   /** Brute-force cosine top-k: for each query vector (small side, broadcast),
     * rank all candidate vectors by cosine desc with id tie-break.
@@ -38,12 +51,12 @@ object VectorOps {
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .withColumn("qn", expr(normExpr("qe"))))
+      .withColumn("qn", expr(normExprFor(queries, "qe"))))
     val c = candidates.select(col("vec_id").as("nid"), col("embedding").as("ne"))
-      .withColumn("nn", expr(normExpr("ne")))
+      .withColumn("nn", expr(normExprFor(candidates, "ne")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     c.join(q, col("qid") =!= col("nid"))
-      .withColumn("cos", expr(dotExpr("qe", "ne")) / (col("qn") * col("nn")))
+      .withColumn("cos", expr(dotExprFor(candidates, "qe", "ne")) / (col("qn") * col("nn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"), col("rnk"), col("cos"))
@@ -54,11 +67,11 @@ object VectorOps {
   def cosineNearDupPairs(emb: DataFrame, sampleMod: Int, tau: Double): DataFrame = {
     val sub = emb.filter(col("vec_id") % sampleMod === 0)
     val a = sub.select(col("vec_id").as("vec_a"), col("embedding").as("qe"))
-      .withColumn("na", expr(normExpr("qe")))
+      .withColumn("na", expr(normExprFor(sub, "qe")))
     val b = sub.select(col("vec_id").as("vec_b"), col("embedding").as("ne"))
-      .withColumn("nb", expr(normExpr("ne")))
+      .withColumn("nb", expr(normExprFor(sub, "ne")))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", expr(dotExpr("qe", "ne")) / (col("na") * col("nb")))
+      .withColumn("cos", expr(dotExprFor(sub, "qe", "ne")) / (col("na") * col("nb")))
       .filter(col("cos") >= tau)
       .select("vec_a", "vec_b", "cos")
   }
@@ -97,13 +110,13 @@ object VectorOps {
     val q = broadcast(
       bucketed.filter(queryIds(col("vec_id")))
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket").as("qbucket"))
-        .withColumn("qn", expr(normExpr("qe"))))
+        .withColumn("qn", expr(normExprFor(emb, "qe"))))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     bucketed
       .select(col("vec_id").as("nid"), col("embedding").as("ne"), col("bucket"))
-      .withColumn("nn", expr(normExpr("ne")))
+      .withColumn("nn", expr(normExprFor(emb, "ne")))
       .join(q, col("bucket") === col("qbucket") && col("qid") =!= col("nid"))
-      .withColumn("cos", expr(dotExpr("qe", "ne")) / (col("qn") * col("nn")))
+      .withColumn("cos", expr(dotExprFor(emb, "qe", "ne")) / (col("qn") * col("nn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"), col("rnk"), col("cos"))

@@ -104,5 +104,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.SimHash64].getName, "graft_simhash64"),
       (children: Seq[Expression]) => graft.functions.SimHash64(children.head),
     ))
+    extensions.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot_f"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.DotProductF].getName, "graft_dot_f"),
+      (children: Seq[Expression]) =>
+        graft.functions.DotProductF(children(0), children(1)),
+    ))
+    extensions.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_norm_f"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.NormF].getName, "graft_norm_f"),
+      (children: Seq[Expression]) => graft.functions.NormF(children.head),
+    ))
   }
 }

@@ -76,6 +76,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(out === Map(1L -> "en", 2L -> "es", 3L -> "und"))
   }
 
+  test("native dot/norm kernels are bit-identical to the HOF fold") {
+    assert(spark.catalog.functionExists("graft_dot_f"))
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(50).select(col("vec_id"), col("embedding").as("qe"))
+      .crossJoin(graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .limit(50).select(col("embedding").as("ne")))
+    val native = emb.selectExpr("graft_dot_f(qe, ne) AS d", "graft_norm_f(qe) AS n").collect()
+    val hof = emb.selectExpr(
+      "aggregate(zip_with(qe, ne, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d",
+      "sqrt(aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) AS n",
+    ).collect()
+    native.zip(hof).foreach { case (a, b) =>
+      assert(a.getDouble(0) === b.getDouble(0)) // bit-exact, no tolerance
+      assert(a.getDouble(1) === b.getDouble(1))
+    }
+  }
+
   test("LSH ANN results are contained in the brute-force ranking order") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val brute = VectorOps.bruteForceTopK(emb.filter($"vec_id" < 5), emb, 50)
