@@ -327,11 +327,18 @@ object LlmQueries {
     // binary column with typed metadata, "decoded" by a clearly-stubbed
     // deterministic feature extractor (see graft.llm.Multimodal). The
     // Spark-side schema/partitioning/batching is real; the codec is a fake.
+    // The declared surface serializes the feature vector to a CSV string:
+    // the driver's rows-only harness sorts rows by every column and arrays
+    // are unhashable there (round-1 q29 ERR). The array-typed API stays on
+    // Multimodal.features for programmatic use.
     Declared(
       "q29_multimodal",
       (s, dir) => {
         graft.llm.Multimodal.features(
           graft.llm.Multimodal.asMedia(Tables.documents(s, dir)))
+          .withColumn("feature_csv",
+            expr("concat_ws(',', transform(feature, x -> format_string('%.4f', x)))"))
+          .drop("feature")
           .orderBy("media_id")
       },
       None,
