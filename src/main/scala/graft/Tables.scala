@@ -23,8 +23,23 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  /** Small-input parallelism guard for the compute-heavy-per-byte tables
+    * (documents/embeddings: 16 md5s per shingle, 64-dim folds per vector).
+    * A sub-row-group parquet file reads as ONE split no matter how low
+    * `spark.sql.files.maxPartitionBytes` goes, serializing all that compute
+    * on one core. When the scan yields fewer splits than cores, repartition
+    * to full parallelism — the shuffled bytes are tiny exactly when the
+    * guard fires. At 100 TB the scan has thousands of row-group splits, the
+    * condition is false, and this is a no-op (no shuffle added). */
+  private def parallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    parallelized(table(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    parallelized(table(spark, dir, "embeddings"))
 
   /** `ts` arrives as TIMESTAMP(NANOS); surfaced as TimestampType truncated to
     * microseconds (floor division — positive epoch values, so floor == trunc,

@@ -63,11 +63,35 @@ object TextOps {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs: melt signatures to (doc_id, band, sig) and join on
-    * band equality. With bandRows = 1 each of the `numHashes` signature
+  /** Default LSH bucket-size cap: buckets larger than this are dropped from
+    * candidate generation. A degenerate popular band key (boilerplate docs,
+    * empty-ish shingle sets) otherwise fans out O(bucket^2) pairs — the one
+    * skew hazard of banded LSH at 100 TB. Dropping is sound for NEAR-DUP
+    * semantics: a band shared by >cap docs carries no discriminating signal,
+    * and true near-dup pairs still collide on their other (rarer) bands. */
+  val DefaultMaxBucketSize = 10000
+
+  /** (band, sig) buckets -> candidate pairs, generated WITHIN each bucket
+    * from the sorted doc-id list (doc_a < doc_b by construction) instead of
+    * via a melted self-join: one small shuffle on the band key, no join, and
+    * the bucket-size skew cap falls out of a plain size() filter. */
+  def bucketPairs(bands: DataFrame, maxBucketSize: Int): DataFrame =
+    bands.groupBy("band", "sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |            b -> named_struct('doc_a', a, 'doc_b', b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+
+  /** LSH candidate pairs: melt signatures to (doc_id, band, sig) and bucket
+    * on band equality. With bandRows = 1 each of the `numHashes` signature
     * elements is its own band (high-recall configuration for low-similarity
     * corpora); larger bandRows concatenates consecutive elements. */
-  def lshCandidates(sigs: DataFrame, numHashes: Int, bandRows: Int): DataFrame = {
+  def lshCandidates(sigs: DataFrame, numHashes: Int, bandRows: Int,
+                    maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
     val nBands = numHashes / bandRows
     val bandCols = (0 until nBands).map { b =>
@@ -78,11 +102,50 @@ object TextOps {
       col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "sig")),
     )
-    val a = melted.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-    val b = melted.select(col("doc_id").as("doc_b"), col("band").as("band_b"), col("sig").as("sig_b"))
-    a.join(b, a("band") === b("band_b") && a("sig") === b("sig_b") && a("doc_a") < b("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
+    bucketPairs(melted, maxBucketSize)
+  }
+
+  /** Per-doc profile: the distinct shingle set AND the `numHashes` minhash
+    * minima in ONE aggregation pass — the near-dup pipeline's only full
+    * shuffle over shingle rows. (The unfused formulation paid this shuffle
+    * twice: once for signatures, once for the verify step's doc sets.) */
+  def minhashProfiles(sh: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = collect_set(col("shingle")).as("sset") +:
+      (0 until numHashes).map(k =>
+        min(md5(concat(col("shingle"), lit(s"#$k")))).as(s"h$k"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fused MinHash+LSH near-dup pipeline: shingle -> one groupBy(doc_id)
+    * computing signatures + shingle sets -> band-bucket candidate pairs ->
+    * exact-Jaccard verify against the cached profiles. Candidate semantics
+    * are identical to [[minhashSignatures]] + [[lshCandidates]] +
+    * [[verifyCandidates]] (pairs sharing >= 1 full band, then exact Jaccard)
+    * but the plan has ONE shuffle over shingle rows instead of two, no
+    * self-join, and no intermediate distinct over melted signatures.
+    * Output: (doc_a, doc_b, common, na, nb, jaccard), doc_a < doc_b. */
+  def lshNearDupPairs(docs: DataFrame, k: Int, numHashes: Int, bandRows: Int,
+                      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
+    val prof = minhashProfiles(shingleRows(docs, k), numHashes).cache()
+    val nBands = numHashes / bandRows
+    val bandCols = (0 until nBands).map { b =>
+      concat((0 until bandRows).map(r => col(s"h${b * bandRows + r}")): _*)
+    }
+    val bands = prof.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+    // pairs is small (post-LSH); AQE sees its runtime size and turns both
+    // profile joins into broadcasts of the pair side (nested static
+    // broadcast hints here measured WORSE — driver-side broadcast jobs of a
+    // plan containing another broadcast exchange serialize badly).
+    val pairs = bucketPairs(bands, maxBucketSize)
+    pairs
+      .join(prof.select(col("doc_id").as("doc_a"), col("sset").as("sa")), Seq("doc_a"))
+      .join(prof.select(col("doc_id").as("doc_b"), col("sset").as("sb")), Seq("doc_b"))
+      .withColumn("na", size(col("sa")).cast("long"))
+      .withColumn("nb", size(col("sb")).cast("long"))
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
   }
 
   /** Exact Jaccard evaluated only on candidate pairs (the LSH verify step).

@@ -102,18 +102,38 @@ object VectorOps {
       .select(col("vec_id"), col("embedding"), col("label"), col("bucket"))
   }
 
+  /** Default per-bucket candidate cap for [[lshTopK]] — see
+    * [[TextOps.DefaultMaxBucketSize]] for the rationale. A degenerate hot
+    * bucket (near-zero vectors, clustered corpora) otherwise fans the
+    * broadcast join out by O(bucket) per query hitting it. */
+  val DefaultMaxBucketSize = 100000
+
   /** LSH-bucketed approximate top-k: queries are ranked only against
-    * candidates sharing their hyperplane bucket. */
-  def lshTopK(emb: DataFrame, queryIds: Column => Column, nPlanes: Int, dim: Int, k: Int): DataFrame = {
+    * candidates sharing their hyperplane bucket. Buckets larger than
+    * `maxBucketSize` are deterministically thinned to ~maxBucketSize
+    * candidates (hash-of-id subsample) BEFORE the join: the hot-bucket
+    * census is a tiny count aggregation (bucket column only — embeddings
+    * are pruned from that scan) broadcast back as a filter, so the
+    * candidate side itself is never shuffled. */
+  def lshTopK(emb: DataFrame, queryIds: Column => Column, nPlanes: Int, dim: Int, k: Int,
+              maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucketed = hyperplaneBuckets(emb, nPlanes, dim)
     val q = broadcast(
       bucketed.filter(queryIds(col("vec_id")))
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket").as("qbucket"))
         .withColumn("qn", expr(normExprFor(emb, "qe"))))
+    // hot buckets only (<= n/maxBucketSize of them by definition): broadcast
+    // the census, keep ~1/ceil(cnt/cap) of each hot bucket's candidates.
+    val hot = bucketed.groupBy("bucket").agg(count(lit(1)).as("bcnt"))
+      .filter(col("bcnt") > maxBucketSize)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     bucketed
       .select(col("vec_id").as("nid"), col("embedding").as("ne"), col("bucket"))
+      .join(broadcast(hot), Seq("bucket"), "left")
+      .filter(col("bcnt").isNull ||
+        pmod(xxhash64(col("nid")), ceil(col("bcnt") / maxBucketSize).cast("long")) === 0)
+      .drop("bcnt")
       .withColumn("nn", expr(normExprFor(emb, "ne")))
       .join(q, col("bucket") === col("qbucket") && col("qid") =!= col("nid"))
       .withColumn("cos", expr(dotExprFor(emb, "qe", "ne")) / (col("qn") * col("nn")))

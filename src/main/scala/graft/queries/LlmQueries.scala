@@ -115,12 +115,7 @@ object LlmQueries {
     Declared(
       "q21_minhash_lsh",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        // shingles feed signatures AND the 3-way verify join: cache once
-        val sh = TextOps.shingleRows(docs, 3).cache()
-        val sigs = TextOps.minhashSignatures(sh, 16)
-        val cand = TextOps.lshCandidates(sigs, 16, 2)
-        TextOps.verifyCandidates(cand, sh)
+        TextOps.lshNearDupPairs(Tables.documents(s, dir), 3, 16, 2)
           .filter(col("jaccard") >= 0.02)
           .select("doc_a", "doc_b", "jaccard")
           .orderBy("doc_a", "doc_b")

@@ -36,6 +36,60 @@ class LlmOpsSpec extends SparkSpec {
     assert(!verified.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("fused lshNearDupPairs matches the unfused signature/candidate/verify path") {
+    val sh = TextOps.shingleRows(docs, 3)
+    val unfused = TextOps.verifyCandidates(
+      TextOps.lshCandidates(TextOps.minhashSignatures(sh, 16), 16, 2), sh)
+      .select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val fused = TextOps.lshNearDupPairs(docs, 3, 16, 2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(fused === unfused)
+    assert(fused.exists(p => p._1 == 3L && p._2 == 4L)) // non-vacuous
+  }
+
+  test("LSH bucket cap drops degenerate popular buckets, keeps normal ones") {
+    // 40 identical boilerplate docs -> one full-band bucket of 40 in every
+    // band; plus the distinct near-dup pair. With the cap below 40 the
+    // boilerplate generates ZERO candidate pairs while the real pair (whose
+    // buckets are size 2) survives.
+    val boiler = (100L until 140L).map(i =>
+      (i, "identical boilerplate header repeated across the whole corpus", "s1"))
+    val d = (boiler ++ Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "s1"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again", "s1"),
+    )).toDF("doc_id", "text", "source")
+    val capped = TextOps.lshNearDupPairs(d, 3, 16, 2, maxBucketSize = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((1L, 2L)))
+    // and uncapped, the degenerate bucket contributes its 40*39/2 pairs
+    val uncapped = TextOps.lshNearDupPairs(d, 3, 16, 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size === 40 * 39 / 2 + 1)
+  }
+
+  test("vector LSH hot-bucket thinning bounds candidates, keeps small buckets intact") {
+    // 64 identical vectors all land in one bucket; thinning with cap 8 keeps
+    // ~cnt/ceil(cnt/cap) of them, so each query ranks against far fewer than
+    // the full bucket. Results stay top-k-shaped and deterministic.
+    val dim = 8
+    val hotRows = (0L until 64L).map(i => (i, Array.fill(dim)(1.0f), "hot"))
+    val emb = hotRows.toDF("vec_id", "embedding", "label")
+    val capped = VectorOps.lshTopK(emb, _ < 2, 4, dim, 3, maxBucketSize = 8)
+    val out = capped.select("vec_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(out.nonEmpty && out.length <= 2 * 3)
+    // determinism: same thinning decision on re-run
+    val out2 = capped.select("vec_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(out.toSet === out2.toSet)
+    // default cap leaves the q28-sized corpus untouched: identical results
+    val real = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = VectorOps.lshTopK(real, _ < 5, 4, 64, 3)
+      .select("vec_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val b = VectorOps.lshTopK(real, _ < 5, 4, 64, 3, maxBucketSize = Int.MaxValue)
+      .select("vec_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(a === b)
+  }
+
   test("exact duplicates have identical minhash signatures (full-band collision)") {
     val sh = TextOps.shingleRows(docs, 3)
     val sigs = TextOps.minhashSignatures(sh, 16).collect()
