@@ -44,7 +44,8 @@ object BlockFollowerPipeline {
       cfg: FollowerConfig,
       backendName: String,
       carrySummaries: Boolean = false,
-      batchId: Long = 0L): Unit = {
+      batchId: Long = 0L,
+      publishMode: graft.sink.PublishMode = graft.sink.PublishMode.Strict): Unit = {
     // the explode/window chain feeds kv writes, checkpoints, messages, and
     // the tail summary — one cache instead of ~5 re-derivations per batch
     val ops = BlockOps.allOps(blocks, vops, cfg).cache()
@@ -55,7 +56,7 @@ object BlockFollowerPipeline {
 
       val messages = BlockOps.channelMessagesFrom(blocks, ops, keyed, cfg)
       if (!carrySummaries) {
-        KvPubSubSink.publishOrdered(messages, backendName, BlockOps.messageSortCols)
+        KvPubSubSink.publish(messages, backendName, BlockOps.messageSortCols, publishMode)
       } else {
         val backend = graft.sink.KvBackends(backendName)
         val prev = backend.get(pendingSummaryKey(cfg, batchId - 1))
@@ -64,7 +65,7 @@ object BlockFollowerPipeline {
           // carried summary first: it is the "previous prefix" transition
           // fired by this batch's first record
           prev.foreach(p => backend.publish(s"${cfg.chain}:transaction", p))
-          KvPubSubSink.publishOrdered(messages, backendName, BlockOps.messageSortCols)
+          KvPubSubSink.publish(messages, backendName, BlockOps.messageSortCols, publishMode)
         }
         val tail = if (batchHasOps) BlockOps.tailSummary(ops, cfg) else prev
         tail.foreach(t => backend.set(pendingSummaryKey(cfg, batchId), t))

@@ -24,7 +24,8 @@ object EngineFollowerPipeline {
       cfg: EngineConfig,
       backendName: String,
       carrySummaries: Boolean = false,
-      batchId: Long = 0L): Unit = {
+      batchId: Long = 0L,
+      publishMode: graft.sink.PublishMode = graft.sink.PublishMode.Strict): Unit = {
     val trxs = EngineOps.explodeEngineTrxs(blocks).cache()
     try {
       val keyed = EngineOps.keyedTrxs(trxs, cfg)
@@ -33,7 +34,8 @@ object EngineFollowerPipeline {
 
       val messages = EngineOps.channelMessagesFrom(trxs, keyed, cfg)
       if (!carrySummaries) {
-        KvPubSubSink.publishOrdered(messages, backendName, EngineOps.messageSortCols)
+        KvPubSubSink.publish(messages, backendName, EngineOps.messageSortCols, publishMode,
+          blockCol = "o_block")
       } else {
         val backend = graft.sink.KvBackends(backendName)
         val prev = backend.get(pendingSummaryKey(cfg, batchId - 1))
@@ -45,7 +47,7 @@ object EngineFollowerPipeline {
             if (virt) s"${cfg.chainKeyPrefix}:virtual_transaction"
             else s"${cfg.chainKeyPrefix}:transaction"
           prev.foreach(p => backend.publish(channel, p))
-          KvPubSubSink.publishOrdered(messages, backendName, EngineOps.messageSortCols)
+          KvPubSubSink.publish(messages, backendName, EngineOps.messageSortCols, publishMode)
         }
         val tail =
           if (firstVirt.isDefined) EngineOps.tailSummary(trxs, cfg) else prev

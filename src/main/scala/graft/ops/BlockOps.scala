@@ -135,11 +135,21 @@ object BlockOps {
         when(!col("is_virtual"), row_number().over(wRealRank) - 1)
           .otherwise(greatest(coalesce(col("n_real"), lit(0L)) - 1, lit(0L)).cast("int")))
 
-    val streamOrder = Window.orderBy("block_num", "is_virtual", "transaction_num")
-    val withNext = prefixes
-      .withColumn("pub_block", lead(col("block_num"), 1).over(streamOrder))
-      .withColumn("pub_virt", lead(col("is_virtual").cast("int"), 1).over(streamOrder))
-      .withColumn("pub_otrx", lead(col("transaction_num"), 1).over(streamOrder))
+    // lead over the global prefix order, computed per block-range bucket with
+    // boundary stitching (Stitch) — no unpartitioned WindowExec in the plan.
+    val withNext = Stitch.leadStitched(
+        prefixes,
+        floor(col("block_num") / Stitch.DefaultRange),
+        Seq(col("block_num"), col("is_virtual"), col("transaction_num")),
+        struct(
+          col("block_num").as("b"),
+          col("is_virtual").cast("int").as("v"),
+          col("transaction_num").as("t")),
+        "nxt")
+      .withColumn("pub_block", col("nxt.b"))
+      .withColumn("pub_virt", col("nxt.v"))
+      .withColumn("pub_otrx", col("nxt.t"))
+      .drop("nxt")
 
     // The stream-final prefix has no successor: in strict parity it emits
     // nothing (the reference quirk); in corrected mode it is placed at the

@@ -108,12 +108,21 @@ object EngineOps {
       .groupBy("block_num", "trx_id", "island", "is_virtual")
       .agg(min("ord").as("run_ord"))
     val wBlock = Window.partitionBy("block_num").orderBy("run_ord")
-    val streamOrder = Window.orderBy("block_num", "run_ord")
-    val withNext = runs
-      .withColumn("run_idx", row_number().over(wBlock) - 1)
-      .withColumn("pub_block", lead(col("block_num"), 1).over(streamOrder))
-      .withColumn("pub_ord", lead(col("run_ord"), 1).over(streamOrder))
-      .withColumn("pub_virtual", lead(col("is_virtual"), 1).over(streamOrder))
+    // global-order lead via block-range buckets + boundary stitching (Stitch)
+    // instead of an unpartitioned window over every run.
+    val withNext = Stitch.leadStitched(
+        runs.withColumn("run_idx", row_number().over(wBlock) - 1),
+        floor(col("block_num") / Stitch.DefaultRange),
+        Seq(col("block_num"), col("run_ord")),
+        struct(
+          col("block_num").as("b"),
+          col("run_ord").as("o"),
+          col("is_virtual").as("v")),
+        "nxt")
+      .withColumn("pub_block", col("nxt.b"))
+      .withColumn("pub_ord", col("nxt.o"))
+      .withColumn("pub_virtual", col("nxt.v"))
+      .drop("nxt")
 
     val placed =
       if (cfg.strictParity) withNext.filter(col("pub_block").isNotNull)

@@ -18,6 +18,25 @@ import org.apache.spark.sql.functions._
   * task resolves it from [[KvBackends]] (local/tests) — a cluster deployment
   * resolves a connection pool instead.
   */
+/** How a batch's channel messages are sequenced onto the backend. */
+sealed trait PublishMode
+object PublishMode {
+  /** Reference parity: EVERY message drains through one ordered writer —
+    * the exact total publish order of the reference's sequential loop.
+    * O(messages) through one task; fine up to moderate scale, the bench
+    * parity mode, and the default. */
+  case object Strict extends PublishMode
+
+  /** Scale mode: control messages (rank <= 1 — trx summaries + block
+    * headers) keep the strict single-writer total order, while the
+    * much-larger rank >= 2 per-op notification stream fans out across
+    * block-hash partitions. Each block's notifications stay contiguous and
+    * in reference order (sortWithinPartitions leads with the block column);
+    * interleaving ACROSS blocks is unspecified. At-least-once, like every
+    * publish path. */
+  case object RelaxedPerBlock extends PublishMode
+}
+
 object KvPubSubSink {
 
   /** Write one batch of keyed records: (key, kv_value) + TTL policy. */
@@ -46,6 +65,36 @@ object KvPubSubSink {
         val backend = KvBackends(backendName)
         rows.foreach(r => backend.publish(r.getString(0), r.getString(1)))
       }
+
+  /** Per-block-ordered parallel publish: messages are hash-partitioned by
+    * `blockCol` and sorted within each partition on the full publish order,
+    * so one block's messages are published contiguously and in order by
+    * whichever task owns the block — no single-writer drain. */
+  def publishPerBlock(
+      messages: DataFrame, backendName: String,
+      sortCols: Seq[String], blockCol: String): Unit =
+    messages
+      .repartition(col(blockCol))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .select("channel", "payload")
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val backend = KvBackends(backendName)
+        rows.foreach(r => backend.publish(r.getString(0), r.getString(1)))
+      }
+
+  /** Mode-dispatching publish entry (see [[PublishMode]]). Message frames
+    * carry rank 0/1 for control messages (summaries, block headers) and
+    * rank >= 2 for per-op notifications in both follower chains. */
+  def publish(
+      messages: DataFrame, backendName: String, sortCols: Seq[String],
+      mode: PublishMode, rankCol: String = "o_rank", blockCol: String = "o_block"): Unit =
+    mode match {
+      case PublishMode.Strict =>
+        publishOrdered(messages, backendName, sortCols)
+      case PublishMode.RelaxedPerBlock =>
+        publishOrdered(messages.filter(col(rankCol) <= 1), backendName, sortCols)
+        publishPerBlock(messages.filter(col(rankCol) >= 2), backendName, sortCols, blockCol)
+    }
 
   /** Write checkpoint keys ascending so the last write is the max block. */
   def writeCheckpoints(checkpoints: DataFrame, backendName: String): Unit =
