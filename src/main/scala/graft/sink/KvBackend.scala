@@ -16,6 +16,12 @@ trait KvBackend extends Serializable {
   def get(key: String): Option[String]
   def keys(glob: String): Seq[String]
   def del(ks: Seq[String]): Int
+
+  /** Barrier for pipelined implementations: returns once every previously
+    * issued command is acknowledged. The per-partition sink paths call this
+    * at partition end; in-memory backends are synchronous and keep the
+    * no-op default. */
+  def flush(): Unit = ()
 }
 
 /** JVM-local backend for tests and local runs: concurrent maps + an ordered

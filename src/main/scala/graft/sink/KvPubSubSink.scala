@@ -50,6 +50,7 @@ object KvPubSubSink {
           backend.set(key, r.getString(1))
           if (ttl != -1L) backend.expire(key, ttl)
         }
+        backend.flush()
     }
   }
 
@@ -64,6 +65,7 @@ object KvPubSubSink {
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val backend = KvBackends(backendName)
         rows.foreach(r => backend.publish(r.getString(0), r.getString(1)))
+        backend.flush()
       }
 
   /** Per-block-ordered parallel publish: messages are hash-partitioned by
@@ -80,6 +82,7 @@ object KvPubSubSink {
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val backend = KvBackends(backendName)
         rows.foreach(r => backend.publish(r.getString(0), r.getString(1)))
+        backend.flush()
       }
 
   /** Mode-dispatching publish entry (see [[PublishMode]]). Message frames
@@ -105,5 +108,6 @@ object KvPubSubSink {
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val backend = KvBackends(backendName)
         rows.foreach(r => backend.set(r.getString(0), r.getString(1)))
+        backend.flush()
       }
 }
