@@ -96,6 +96,20 @@ object BlockFollowerPipeline {
       .option("path", blocksJsonl)
       .option("linesPerTrigger", linesPerTrigger.toString)
       .load()
+    runStreamFrom(spark, rawBlocks, vopsJsonl, cfg, backendName, checkpointDir)
+  }
+
+  /** Stream entry over ANY raw (idx, value) block stream — the replay
+    * source or the production [[graft.streaming.JsonRpcBlockSource]]. */
+  def runStreamFrom(
+      spark: SparkSession,
+      rawBlocks: DataFrame,
+      vopsJsonl: Option[String],
+      cfg: FollowerConfig,
+      backendName: String,
+      checkpointDir: String,
+      publishMode: graft.sink.PublishMode = graft.sink.PublishMode.Strict,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
 
     // Static side of the union: fixture vops, filtered per batch to the
     // blocks present in that batch (the per-micro-batch enrichment of A2).
@@ -106,7 +120,7 @@ object BlockFollowerPipeline {
 
     rawBlocks.writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val blocks = parseBlocks(batch).cache()
         try {
@@ -114,7 +128,7 @@ object BlockFollowerPipeline {
             blocks.select(col("block_num").as("b_bn")),
             col("block") === col("b_bn"), "left_semi")
           processBatch(blocks, batchVops, cfg, backendName,
-            carrySummaries = true, batchId = batchId)
+            carrySummaries = true, batchId = batchId, publishMode = publishMode)
         } finally blocks.unpersist()
         ()
       }

@@ -1,0 +1,145 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ops.{FollowerConfig, Policies}
+import graft.sink.{InMemoryKvBackend, KvBackends, PublishMode, RedisKvBackend}
+
+/** The `meeseeker sync` CLI lifecycle (bin/meeseeker:19-33): wire a block
+  * source -> follower pipeline -> KV/pub-sub backend, and keep it alive
+  * under the reference's crash-restart backoff (Policies.cliRestartBackoff).
+  *
+  * {{{
+  *   runMain graft.jobs.SyncMain \
+  *     --endpoints=https://node-a/,https://node-b/   # live JSON-RPC leg
+  *     [--replay=/path/blocks.jsonl]                 # or fixture replay
+  *     [--vops=/path/vops.jsonl]
+  *     --backend=redis://host:6379 | memory
+  *     --checkpoint=/tmp/ck --chain=hive
+  *     [--blocksPerTrigger=100] [--mode=irreversible|head]
+  *     [--relaxedPublish] [--once] [--maxRestarts=N]
+  * }}}
+  *
+  * `--once` runs a single bounded AvailableNow pass (backfill / test);
+  * otherwise the stream runs continuously and a crash restarts it after
+  * the doubling backoff, exactly like the reference's outer loop.
+  */
+object SyncMain {
+
+  final case class Args(
+      endpoints: Option[String] = None,
+      replay: Option[String] = None,
+      vops: Option[String] = None,
+      backend: String = "memory",
+      checkpoint: String = "/tmp/graft-sync-ck",
+      chain: String = "hive",
+      blocksPerTrigger: Long = 100L,
+      mode: String = "irreversible",
+      startBlock: Option[Long] = None,
+      relaxedPublish: Boolean = false,
+      once: Boolean = false,
+      maxRestarts: Int = Int.MaxValue)
+
+  def parseArgs(argv: Array[String]): Args =
+    argv.foldLeft(Args()) { (a, s) =>
+      s.split("=", 2) match {
+        case Array("--endpoints", v) => a.copy(endpoints = Some(v))
+        case Array("--replay", v) => a.copy(replay = Some(v))
+        case Array("--vops", v) => a.copy(vops = Some(v))
+        case Array("--backend", v) => a.copy(backend = v)
+        case Array("--checkpoint", v) => a.copy(checkpoint = v)
+        case Array("--chain", v) => a.copy(chain = v)
+        case Array("--blocksPerTrigger", v) => a.copy(blocksPerTrigger = v.toLong)
+        case Array("--mode", v) => a.copy(mode = v)
+        case Array("--startBlock", v) => a.copy(startBlock = Some(v.toLong))
+        case Array("--relaxedPublish") => a.copy(relaxedPublish = true)
+        case Array("--once") => a.copy(once = true)
+        case Array("--maxRestarts", v) => a.copy(maxRestarts = v.toInt)
+        case other => sys.error(s"unknown argument '${other.mkString("=")}'")
+      }
+    }
+
+  def registerBackend(spec: String): String = spec match {
+    case "memory" =>
+      KvBackends.register("sync-backend", new InMemoryKvBackend)
+      "sync-backend"
+    case r if r.startsWith("redis://") =>
+      val hp = r.stripPrefix("redis://").split(':')
+      KvBackends.register("sync-backend",
+        new RedisKvBackend(hp(0), if (hp.length > 1) hp(1).toInt else 6379))
+      "sync-backend"
+    case other => sys.error(s"unknown backend '$other'")
+  }
+
+  /** One stream attempt (blocks until termination or failure). */
+  def runOnce(spark: SparkSession, a: Args): Unit = {
+    val raw = (a.endpoints, a.replay) match {
+      case (Some(eps), _) =>
+        val r = spark.readStream
+          .format("graft.streaming.JsonRpcBlockSource")
+          .option("endpoints", eps)
+          .option("mode", a.mode)
+          .option("blocksPerTrigger", a.blocksPerTrigger.toString)
+        a.startBlock.fold(r)(sb => r.option("startBlock", sb.toString)).load()
+      case (None, Some(path)) =>
+        spark.readStream
+          .format("graft.streaming.JsonlReplaySource")
+          .option("path", path)
+          .option("linesPerTrigger", a.blocksPerTrigger.toString)
+          .load()
+      case _ => sys.error("need --endpoints or --replay")
+    }
+    val mode = if (a.relaxedPublish) PublishMode.RelaxedPerBlock else PublishMode.Strict
+    val trigger =
+      if (a.once) Trigger.AvailableNow() else Trigger.ProcessingTime("3 seconds")
+    val q = BlockFollowerPipeline.runStreamFrom(
+      spark, raw, a.vops, FollowerConfig(chain = a.chain), registerBackend(a.backend),
+      a.checkpoint, publishMode = mode, trigger = trigger)
+    q.awaitTermination()
+  }
+
+  /** Crash-restart outer loop (bin/meeseeker:25-33): doubling backoff,
+    * reset after a run that survived past the backoff horizon. */
+  def syncLoop(spark: SparkSession, a: Args, sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong)): Int = {
+    var attempt = 1
+    var restarts = 0
+    while (restarts <= a.maxRestarts) {
+      val t0 = System.nanoTime()
+      try {
+        runOnce(spark, a)
+        return restarts // clean termination (AvailableNow or stopped query)
+      } catch {
+        case e: Throwable =>
+          val ranSec = (System.nanoTime() - t0) / 1e9
+          val backoff = Policies.cliRestartBackoff(attempt)
+          // a run that outlived the current backoff counts as healthy:
+          // reset the schedule like a freshly started process
+          attempt = if (ranSec > backoff * 2) 1 else attempt + 1
+          restarts += 1
+          if (restarts <= a.maxRestarts) {
+            System.err.println(
+              s"[sync] stream died (${e.getMessage}); restart #$restarts in ${backoff}s")
+            sleep(backoff)
+          } else throw e
+      }
+    }
+    restarts
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName(s"graft-sync-${a.chain}")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try syncLoop(spark, a)
+    finally spark.stop()
+  }
+}

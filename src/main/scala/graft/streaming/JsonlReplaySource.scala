@@ -167,16 +167,20 @@ private[streaming] object ReplayIO {
       val p = partition.asInstanceOf[LineRangePartition]
       new PartitionReader[InternalRow] {
         private val source = scala.io.Source.fromFile(p.path)
+        // Long line counter (zipWithIndex is Int and would wrap past 2^31
+        // lines). Each partition re-scans from line 0 — O(file) per
+        // partition, fine for fixture replay, NOT the pattern for a real
+        // source (JsonRpcBlockSource seeks by height instead).
         private val it = source.getLines().filter(_.trim.nonEmpty)
-          .zipWithIndex
+          .zip(Iterator.iterate(0L)(_ + 1L))
           .dropWhile(_._2 < p.from)
           .takeWhile(_._2 < p.until)
-        private var current: (String, Int) = _
+        private var current: (String, Long) = _
         override def next(): Boolean = {
           if (it.hasNext) { current = it.next(); true } else false
         }
         override def get(): InternalRow =
-          InternalRow(current._2.toLong, UTF8String.fromString(current._1))
+          InternalRow(current._2, UTF8String.fromString(current._1))
         override def close(): Unit = source.close()
       }
     }

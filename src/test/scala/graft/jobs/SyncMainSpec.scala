@@ -1,0 +1,54 @@
+package graft.jobs
+
+import graft.SparkSpec
+import graft.sink.KvBackends
+import graft.streaming.StubRpcServer
+
+/** End-to-end CLI lifecycle: arg parsing, a full --once sync from the stub
+  * RPC node into the in-memory backend, and the crash-restart backoff loop.
+  */
+class SyncMainSpec extends SparkSpec {
+
+  test("parseArgs covers the full surface") {
+    val a = SyncMain.parseArgs(Array(
+      "--endpoints=http://n1/,http://n2/", "--backend=redis://h:7000",
+      "--chain=steem", "--blocksPerTrigger=7", "--mode=head",
+      "--startBlock=5", "--relaxedPublish", "--once", "--maxRestarts=2"))
+    assert(a.endpoints === Some("http://n1/,http://n2/"))
+    assert(a.backend === "redis://h:7000" && a.chain === "steem")
+    assert(a.blocksPerTrigger === 7L && a.mode === "head")
+    assert(a.startBlock === Some(5L) && a.relaxedPublish && a.once)
+    assert(a.maxRestarts === 2)
+  }
+
+  test("--once syncs the stub chain end-to-end into the backend") {
+    val srv = new StubRpcServer(resource("blocks.jsonl"))
+    try {
+      val ck = java.nio.file.Files.createTempDirectory("sync-ck").toString
+      SyncMain.runOnce(spark, SyncMain.Args(
+        endpoints = Some(srv.endpoint),
+        vops = Some(resource("vops.jsonl")),
+        backend = "memory", checkpoint = ck,
+        startBlock = Some(srv.blocks.keys.min),
+        blocksPerTrigger = 3L, once = true))
+      val backend = KvBackends("sync-backend").asInstanceOf[graft.sink.InMemoryKvBackend]
+      // all blocks materialized + checkpoint key advanced to the head
+      assert(backend.get("hive:meeseeker:last_block_num") ===
+        Some(srv.blocks.keys.max.toString))
+      assert(backend.keys("hive:*:*:*:*").nonEmpty)
+      assert(backend.publishLog.nonEmpty)
+    } finally srv.close()
+  }
+
+  test("syncLoop restarts with the doubling backoff and gives up at maxRestarts") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val boom = intercept[RuntimeException] {
+      SyncMain.syncLoop(
+        spark,
+        SyncMain.Args(maxRestarts = 3), // no source -> every attempt throws
+        sleep = sleeps += _)
+    }
+    assert(boom.getMessage.contains("need --endpoints or --replay"))
+    assert(sleeps.toSeq === Seq(1.0, 2.0, 4.0)) // bin/meeseeker:25-33 curve
+  }
+}
