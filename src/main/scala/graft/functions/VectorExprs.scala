@@ -11,13 +11,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * `aggregate(transform(...))` folds in VectorOps (same 100x-class win as
   * [[SimHash64]]; HOF lambdas evaluate interpreted per element).
   *
-  * Semantics match the HOF formulation bit-for-bit on equal-length inputs:
-  * float -> double widening (exact) and a strict left-to-right double
-  * accumulation — identical to the DuckDB oracle's sequential list_sum,
-  * keeping the hash-compare gate valid. Edge divergence: on MISMATCHED
-  * lengths the kernel truncates to the shorter array, where `zip_with`
-  * would null-pad the longer one and poison the fold to NULL — embeddings
-  * are fixed-dim so this never fires in the declared queries.
+  * Semantics match the HOF formulation bit-for-bit: float -> double widening
+  * (exact), strict left-to-right double accumulation — identical to the
+  * DuckDB oracle's sequential list_sum — and, when the array type admits
+  * null elements, a null element poisons the result to NULL exactly like
+  * the `zip_with`/`aggregate` fold. The input type check REQUIRES
+  * ARRAY<FLOAT> on both sides: array<double>/array<int> arguments are an
+  * analysis error, never a silent memory reinterpretation. Edge divergence
+  * (documented, not fired by any declared query — embeddings are
+  * fixed-dim): on MISMATCHED lengths the kernel truncates to the shorter
+  * array where `zip_with` null-pads the longer one and yields NULL.
   *
   * Registered as `graft_dot_f(a, b)` and `graft_norm_f(a)` by
   * [[graft.plans.GraftExtensions]].
@@ -45,45 +48,100 @@ object VectorKernels {
     }
     math.sqrt(acc)
   }
+
+  /** Null-element-aware variants (used when containsNull): any null element
+    * -> null result, matching the HOF fold's NULL poisoning. */
+  def dotBoxed(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  def normBoxed(a: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val v = a.getFloat(i).toDouble
+      acc += v * v
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  private[functions] def elementsNullable(dt: DataType): Boolean = dt match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
 }
 
 case class DotProductF(left: Expression, right: Expression) extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == ArrayType(FloatType) && right.dataType == ArrayType(FloatType))
-      TypeCheckResult.TypeCheckSuccess
-    else if (left.dataType.isInstanceOf[ArrayType] && right.dataType.isInstanceOf[ArrayType])
-      TypeCheckResult.TypeCheckSuccess // nullable-element array<float> variants
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_dot_f requires two ARRAY<FLOAT> arguments, got " +
-        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot_f requires two ARRAY<FLOAT> arguments, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+
+  private def boxed: Boolean =
+    VectorKernels.elementsNullable(left.dataType) ||
+      VectorKernels.elementsNullable(right.dataType)
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = super.nullable || boxed
   override def prettyName: String = "graft_dot_f"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (boxed) VectorKernels.dotBoxed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.dot($a, $b)")
+    if (!boxed)
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.dot($a, $b)")
+    else nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |java.lang.Double r = graft.functions.VectorKernels.dotBoxed($a, $b);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductF =
     copy(left = l, right = r)
 }
 
 case class NormF(child: Expression) extends UnaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType.isInstanceOf[ArrayType]) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_norm_f requires an ARRAY<FLOAT> argument, got ${child.dataType.catalogString}")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_norm_f requires an ARRAY<FLOAT> argument, got ${other.catalogString}")
+  }
+
+  private def boxed: Boolean = VectorKernels.elementsNullable(child.dataType)
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = super.nullable || boxed
   override def prettyName: String = "graft_norm_f"
 
   override protected def nullSafeEval(input: Any): Any =
-    VectorKernels.norm(input.asInstanceOf[ArrayData])
+    if (boxed) VectorKernels.normBoxed(input.asInstanceOf[ArrayData])
+    else VectorKernels.norm(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.norm($c)")
+    if (!boxed)
+      defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.norm($c)")
+    else nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |java.lang.Double r = graft.functions.VectorKernels.normBoxed($c);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): NormF =
     copy(child = newChild)

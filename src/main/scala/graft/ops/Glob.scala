@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object Glob {
 
+  /** Escape a char for use INSIDE a Java regex character class. */
+  private def quoteInClass(c: Char): String =
+    if ("\\]^[&-".contains(c)) "\\" + c else c.toString
+
   /** Translate a Redis glob into an anchored Java regex. */
   def toRegex(glob: String): String = {
     val sb = new StringBuilder("^")
@@ -29,13 +33,42 @@ object Glob {
           i += 1
           sb.append(java.util.regex.Pattern.quote(glob.charAt(i).toString))
         case '[' =>
-          // character class: copy up to the matching ']' (Redis and Java
-          // agree on [abc], [^abc], [a-c])
-          val end = glob.indexOf(']', i + 1)
-          if (end < 0) sb.append("\\[")
+          // Character class, parsed with Redis stringmatchlen semantics
+          // (util.c): `\x` escapes INSIDE the class, the class ends at the
+          // first unescaped ']' (even immediately: `[]` is an empty class
+          // matching nothing, `[^]` matches any char), `a-b` ranges swap
+          // when reversed ([z-a] == [a-z]), and `-` consumes the next char
+          // even if it is ']'. Content is re-emitted char-by-char with
+          // Java-class metachars escaped (never copied verbatim, which
+          // would let `&&`/nested-class syntax leak in).
+          var j = i + 1
+          var neg = false
+          if (j < glob.length && glob.charAt(j) == '^') { neg = true; j += 1 }
+          val content = new StringBuilder
+          var closed = false
+          while (j < glob.length && !closed) {
+            val c = glob.charAt(j)
+            if (c == '\\' && j + 1 < glob.length) {
+              content.append(quoteInClass(glob.charAt(j + 1))); j += 2
+            } else if (c == ']') {
+              closed = true; j += 1
+            } else if (j + 2 < glob.length && glob.charAt(j + 1) == '-') {
+              val (lo, hi) =
+                if (c <= glob.charAt(j + 2)) (c, glob.charAt(j + 2))
+                else (glob.charAt(j + 2), c)
+              content.append(quoteInClass(lo)).append('-').append(quoteInClass(hi))
+              j += 3
+            } else {
+              content.append(quoteInClass(c)); j += 1
+            }
+          }
+          if (!closed) sb.append("\\[") // unterminated: literal '[' (documented)
           else {
-            sb.append(glob.substring(i, end + 1))
-            i = end
+            if (content.isEmpty)
+              sb.append(if (neg) "[\\s\\S]" else "[^\\s\\S]")
+            else
+              sb.append(if (neg) "[^" else "[").append(content).append("]")
+            i = j - 1
           }
         case c if "\\.[]{}()<>*+-=!?^$|".contains(c) =>
           sb.append(java.util.regex.Pattern.quote(c.toString))

@@ -151,15 +151,25 @@ object LlmQueries {
 
     // ------------------------------------------------------------------
     // Q22 — SimHash signatures (D11): 60-bit md5-derived simhash per doc.
-    // Not ANSI-SQL-expressible without hex->int parsing in DuckDB, so this
-    // entry gets the driver's rows-only check; correctness is covered by
-    // SimHashSpec (hamming-vs-jaccard monotonicity on fixtures).
+    // The oracle mirrors the scheme exactly — DuckDB parses the md5 hex
+    // via the '0x'-prefixed BIGINT cast (round-1 ran rows-only; hex->int64
+    // turned out portable after all). Native expression and HOF tree are
+    // bit-identical (LlmOpsSpec), so either Spark path matches.
     Declared(
       "q22_simhash",
       (s, dir) => {
         TextOps.simhashDF(Tables.documents(s, dir)).orderBy("doc_id")
       },
-      None,
+      Some("""WITH hs AS (
+             |  SELECT doc_id,
+             |         list_transform(string_split(text, ' '),
+             |                        tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT) AS hs
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(list_sum(list_transform(generate_series(0, 59), j ->
+             |    CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+             |         THEN (1::BIGINT << (59 - j)) ELSE 0 END)) AS BIGINT) AS simhash
+             |FROM hs ORDER BY doc_id""".stripMargin),
     ),
 
     // ------------------------------------------------------------------
@@ -306,15 +316,47 @@ object LlmQueries {
     // ------------------------------------------------------------------
     // Q28 — LSH-bucketed ANN (similarity-search scale path): sign-LSH over
     // 4 md5-derived hyperplanes, top-3 within bucket for queries vec_id < 10.
-    // Hex->int parsing is not portable to the oracle -> rows-only check;
-    // recall-vs-brute-force is asserted in VectorOpsSpec.
+    // The oracle reproduces the hyperplanes (md5 hex via '0x' BIGINT cast),
+    // the sign-bit bucket packing (bit p of 4 is MSB-first), and the
+    // in-bucket cosine ranking; recall-vs-brute-force is additionally
+    // asserted in LlmOpsSpec.
     Declared(
       "q28_ann_lsh",
       (s, dir) => {
         VectorOps.lshTopK(Tables.embeddings(s, dir), _ < 10, 4, 64, 3)
           .orderBy("vec_id", "rnk")
       },
-      None,
+      Some("""WITH planes AS (
+             |  SELECT p, list_transform(generate_series(1, 64),
+             |    i -> ('0x' || substr(md5(p::VARCHAR || ':' || (i - 1)::VARCHAR), 1, 8))::BIGINT
+             |         / 4294967296.0 - 0.5) AS w
+             |  FROM (SELECT unnest(generate_series(0, 3)) AS p)),
+             |bits AS (
+             |  SELECT e.vec_id, pl.p,
+             |    CASE WHEN list_sum(list_transform(generate_series(1, 64),
+             |           i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) > 0
+             |         THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+             |  FROM embeddings e CROSS JOIN planes pl),
+             |b AS (
+             |  SELECT e.vec_id, e.embedding, s.bucket,
+             |    sqrt(list_sum(list_transform(e.embedding,
+             |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+             |  FROM embeddings e JOIN (
+             |    SELECT vec_id, CAST(sum(bit << (3 - p)) AS BIGINT) AS bucket
+             |    FROM bits GROUP BY vec_id) s ON s.vec_id = e.vec_id),
+             |q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qb, nrm AS qn
+             |      FROM b WHERE vec_id < 10),
+             |cand AS (
+             |  SELECT qid, v.vec_id AS nid,
+             |    list_sum(list_transform(generate_series(1, 64),
+             |      i -> CAST(qe[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+             |      / (qn * v.nrm) AS cos
+             |  FROM q JOIN b v ON v.bucket = q.qb AND v.vec_id <> qid)
+             |SELECT qid AS vec_id, nid AS neighbor_id, CAST(rn AS INT) AS rnk, cos FROM (
+             |  SELECT qid, nid, cos,
+             |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+             |  FROM cand)
+             |WHERE rn <= 3 ORDER BY vec_id, rnk""".stripMargin),
     ),
 
     // ------------------------------------------------------------------

@@ -56,23 +56,126 @@ object KvTable {
     * frame — a retried batch lands byte-identically instead of duplicating.
     * Requires batches aligned to bucket boundaries (a bucket is written by
     * one batch), which block-ordered ingestion gives for free when
-    * bucketSize is a multiple of the blocks-per-trigger. */
+    * bucketSize is a multiple of the blocks-per-trigger.
+    *
+    * The precondition is ENFORCED at runtime: before overwriting, the
+    * affected buckets' existing block range is checked against the batch's
+    * range — existing rows OUTSIDE the incoming range would be silently
+    * deleted by the overwrite, so the call refuses (IllegalStateException)
+    * and points at [[writeVersioned]], the alignment-free idempotent path.
+    * The check is one min/max aggregate over partition-pruned buckets. */
   def overwriteBuckets(
       keyed: DataFrame,
       chain: String,
       path: String,
-      bucketSize: Long = DefaultBucketSize): Unit =
-    keyed
+      bucketSize: Long = DefaultBucketSize): Unit = {
+    val spark = keyed.sparkSession
+    val frame = keyed
       .select(
         col("key"), col("kv_value"), col("block_num"),
         lit(chain).as("chain"),
         (col("block_num") / bucketSize).cast("long").as("block_bucket"))
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(new Path(path)) &&
+      fs.listStatus(new Path(path)).exists(_.getPath.getName.startsWith("chain="))
+    if (hasData) {
+      val b = frame.agg(
+        min("block_num").as("lo"), max("block_num").as("hi"),
+        collect_set("block_bucket").as("buckets")).head()
+      if (!b.isNullAt(0)) {
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val buckets = b.getSeq[Long](2)
+        val ex = load(spark, path)
+          .filter(col("chain") === chain && col("block_bucket").isin(buckets: _*))
+          .agg(min("block_num"), max("block_num")).head()
+        if (!ex.isNullAt(0) && (ex.getLong(0) < lo || ex.getLong(1) > hi))
+          throw new IllegalStateException(
+            s"overwriteBuckets would delete existing rows: buckets ${buckets.sorted.mkString(",")} " +
+              s"hold blocks [${ex.getLong(0)},${ex.getLong(1)}] but this batch only covers [$lo,$hi]. " +
+              "Batches must own whole buckets (bucketSize a multiple of blocks-per-trigger) — " +
+              "use writeVersioned/loadLatest for alignment-free idempotent replay.")
+      }
+    }
+    frame
       .repartition(col("chain"), col("block_bucket"))
       .sortWithinPartitions("key")
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("chain", "block_bucket")
       .parquet(path)
+  }
+
+  /** Alignment-free idempotent write: append with a `w_version` column (the
+    * micro-batch id / any monotone replay-stable version). A retried batch
+    * re-appends byte-identical rows under the SAME version, and
+    * [[loadLatest]]'s last-write-wins dedup collapses them — exactly-once
+    * semantics without any bucket-alignment precondition, at the cost of a
+    * dedup on read until [[compact]] folds it in. */
+  def writeVersioned(
+      keyed: DataFrame,
+      chain: String,
+      path: String,
+      version: Long,
+      bucketSize: Long = DefaultBucketSize): Unit =
+    keyed
+      .select(
+        col("key"), col("kv_value"), col("block_num"),
+        lit(version).as("w_version"),
+        lit(chain).as("chain"),
+        (col("block_num") / bucketSize).cast("long").as("block_bucket"))
+      .repartition(col("chain"), col("block_bucket"))
+      .sortWithinPartitions("key")
+      .write.mode("append")
+      .partitionBy("chain", "block_bucket")
+      .parquet(path)
+
+  /** Read a versioned table with last-write-wins per key: the max
+    * (w_version, kv_value) struct per key — one hash aggregation keyed by
+    * `key` (no global window), partition-prunable like any other read. */
+  def loadLatest(spark: SparkSession, path: String): DataFrame =
+    load(spark, path)
+      .groupBy("key")
+      .agg(max(struct(
+        col("w_version"), col("kv_value"), col("block_num"),
+        col("chain"), col("block_bucket"))).as("r"))
+      .select(
+        col("key"), col("r.kv_value").as("kv_value"), col("r.block_num").as("block_num"),
+        col("r.w_version").as("w_version"), col("r.chain").as("chain"),
+        col("r.block_bucket").as("block_bucket"))
+
+  /** Fold the dedup in: rewrite every (chain, bucket) at or below
+    * `upToBucket` (closed buckets — the stream has moved past them) to one
+    * sorted, last-write-wins-unique file per bucket. Read-side dedup cost on
+    * compacted buckets drops to zero; the versioned layout is preserved so
+    * mixed compacted/live reads keep working through [[loadLatest]]. */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      chain: String,
+      upToBucket: Long): Seq[Long] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val chainDir = new Path(path, s"chain=$chain")
+    if (!fs.exists(chainDir)) return Seq.empty
+    val buckets = fs.listStatus(chainDir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("block_bucket="))
+      .map(_.stripPrefix("block_bucket=").toLong)
+      .filter(_ <= upToBucket)
+      .sorted
+    if (buckets.isEmpty) return Seq.empty
+    val deduped = loadLatest(spark, path)
+      .filter(col("chain") === chain && col("block_bucket").isin(buckets: _*))
+      .repartition(col("chain"), col("block_bucket"))
+      .sortWithinPartitions("key")
+      .cache()
+    try {
+      deduped.count() // materialize BEFORE the overwrite clobbers the input files
+      deduped.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("chain", "block_bucket")
+        .parquet(path)
+      buckets
+    } finally deduped.unpersist()
+  }
 
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -147,6 +147,30 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("native kernels reject non-float arrays and match the HOF on null elements") {
+    // array<double>/array<int> are an ANALYSIS error, not silent garbage
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dot_f(array(1.0D, 2.0D), array(1.0D, 2.0D))").collect()
+    }
+    assert(e1.getMessage.contains("ARRAY<FLOAT>"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_norm_f(array(1, 2))").collect()
+    }
+    assert(e2.getMessage.contains("ARRAY<FLOAT>"))
+    // a null ELEMENT poisons both the native kernel and the HOF fold to NULL
+    val r = spark.sql(
+      """SELECT
+        |  graft_dot_f(fa, fb) AS d_native,
+        |  aggregate(zip_with(fa, fb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d_hof,
+        |  graft_norm_f(fa) AS n_native,
+        |  graft_dot_f(fb, fb) AS d_clean
+        |FROM (SELECT array(cast(1.0 AS float), cast(NULL AS float)) AS fa,
+        |             array(cast(1.0 AS float), cast(2.0 AS float)) AS fb)""".stripMargin).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getDouble(3) === 5.0)
+  }
+
   test("LSH ANN results are contained in the brute-force ranking order") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val brute = VectorOps.bruteForceTopK(emb.filter($"vec_id" < 5), emb, 50)

@@ -31,6 +31,32 @@ class GlobSpec extends SparkSpec {
     assert(!matches("h[^i]ve:*", "hive:1:t:0:vote"))
   }
 
+  test("character-class edges follow Redis stringmatchlen semantics") {
+    // escaped ']' inside a class no longer truncates the class
+    assert(matches("""x[a\]b]y""", "xay"))
+    assert(matches("""x[a\]b]y""", "x]y"))
+    assert(matches("""x[a\]b]y""", "xby"))
+    assert(!matches("""x[a\]b]y""", "xcy"))
+    // empty class matches nothing; negated empty class matches any char
+    assert(!matches("x[]y", "xy"))
+    assert(!matches("x[]y", "xay"))
+    assert(matches("x[^]y", "xzy"))
+    // reversed ranges swap like Redis ([z-a] == [a-z])
+    assert(matches("x[c-a]y", "xby"))
+    // '-' consumes the next char even when it is ']' (the [a-]] quirk):
+    // class is the ']'..'a' range, the second ']' closes it
+    assert(matches("x[a-]]y", "x^y")) // '^' is between ']' and 'a'
+    assert(!matches("x[a-]]y", "xzy"))
+    // Java-only class syntax cannot leak in: '&&' members are literal chars
+    assert(matches("x[a&&b]y", "x&y"))
+    // unterminated class stays a literal '[' (documented divergence)
+    assert(matches("x[ab", "x[ab"))
+    // in-memory backend KEYS shares the same corrected path
+    val b = new graft.sink.InMemoryKvBackend
+    b.set("xay", "1"); b.set("x]y", "2"); b.set("xcy", "3")
+    assert(b.keys("""x[a\]b]y""").toSet === Set("xay", "x]y"))
+  }
+
   test("regex metacharacters in keys are literal") {
     assert(matches("a.b:*", "a.b:x"))
     assert(!matches("a.b:*", "axb:x"))

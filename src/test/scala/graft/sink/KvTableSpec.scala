@@ -78,6 +78,58 @@ class KvTableSpec extends SparkSpec {
     assert(KvTable.pointGet(KvTable.load(spark, dir), "hive:100:t0aaa:0:vote", 2L).count() === 1)
   }
 
+  test("overwriteBuckets REFUSES a misaligned batch that would delete rows") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("kvtable-").toString
+    // bucketSize 2, blocks 100..103 -> buckets 50,51. First batch writes
+    // blocks 100-101 (all of bucket 50); second batch only block 102 —
+    // bucket 51 is fine. Third batch replays block 101 ALONE: bucket 50
+    // already holds block 100, which the overwrite would wipe.
+    val k = keyed.cache()
+    KvTable.overwriteBuckets(k.filter(col("block_num") <= 101), "hive", dir, 2L)
+    KvTable.overwriteBuckets(k.filter(col("block_num") === 102), "hive", dir, 2L)
+    val boom = intercept[IllegalStateException] {
+      KvTable.overwriteBuckets(k.filter(col("block_num") === 101), "hive", dir, 2L)
+    }
+    assert(boom.getMessage.contains("writeVersioned"))
+    // the aligned replay of the SAME aligned batch still succeeds
+    KvTable.overwriteBuckets(k.filter(col("block_num") <= 101), "hive", dir, 2L)
+    k.unpersist()
+  }
+
+  test("writeVersioned + loadLatest: misaligned replayed batches land exactly once") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("kvtable-").toString
+    val k = keyed.cache()
+    // batches deliberately NOT bucket-aligned (bucketSize 2, batches split
+    // at 101/102 boundary mid-bucket... blocks 100|101,102|103)
+    KvTable.writeVersioned(k.filter(col("block_num") === 100), "hive", dir, version = 1L, 2L)
+    KvTable.writeVersioned(k.filter(col("block_num").between(101, 102)), "hive", dir, version = 2L, 2L)
+    // foreachBatch retry: batch 2 replays, then batch 3 arrives
+    KvTable.writeVersioned(k.filter(col("block_num").between(101, 102)), "hive", dir, version = 2L, 2L)
+    KvTable.writeVersioned(k.filter(col("block_num") === 103), "hive", dir, version = 3L, 2L)
+
+    val latest = KvTable.loadLatest(spark, dir)
+    assert(latest.count() === 9) // exactly-once keys despite the replay
+    assert(latest.select("key").distinct().count() === 9)
+    // raw table carries the duplicates until compaction
+    assert(KvTable.load(spark, dir).count() > 9)
+
+    // point lookup still correct through the deduped view
+    val got = KvTable.pointGet(latest, "hive:100:t0aaa:0:vote", 2L).collect()
+    assert(got.length === 1 && got(0).getAs[String]("kv_value").contains("vote_operation"))
+
+    // compact closed buckets: physical rows collapse to unique keys
+    val compacted = KvTable.compact(spark, dir, "hive", upToBucket = 51L)
+    assert(compacted === Seq(50L, 51L))
+    assert(KvTable.load(spark, dir).count() === 9)
+    assert(KvTable.loadLatest(spark, dir).count() === 9)
+    // idempotent: compacting again is a no-op rewrite
+    KvTable.compact(spark, dir, "hive", upToBucket = 51L)
+    assert(KvTable.load(spark, dir).count() === 9)
+    k.unpersist()
+  }
+
   test("TTL retention drops whole buckets below the horizon") {
     val dir = Files.createTempDirectory("kvtable-").toString
     KvTable.write(keyed, "hive", dir, bucketSize = 2L)
