@@ -23,14 +23,17 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  /** Small-input parallelism guard for the compute-heavy-per-byte tables
-    * (documents/embeddings: 16 md5s per shingle, 64-dim folds per vector).
-    * A sub-row-group parquet file reads as ONE split no matter how low
-    * `spark.sql.files.maxPartitionBytes` goes, serializing all that compute
-    * on one core. When the scan yields fewer splits than cores, repartition
-    * to full parallelism — the shuffled bytes are tiny exactly when the
-    * guard fires. At 100 TB the scan has thousands of row-group splits, the
-    * condition is false, and this is a no-op (no shuffle added). */
+  /** Small-input parallelism guard for the COMPUTE-HEAVY-PER-BYTE tables
+    * only (documents/embeddings: 16 md5s per shingle, simhash bit votes,
+    * 64-dim folds per vector). Parquet splits at row-group granularity and
+    * these local files are a single row group — one task per scan no matter
+    * how low `spark.sql.files.maxPartitionBytes` goes, serializing all that
+    * compute on one core (measured: q21 6.2->3.5s, q22 3.4->1.0s). When the
+    * scan yields fewer splits than cores, repartition to full parallelism;
+    * at 100 TB the scan has thousands of row-group splits, the condition is
+    * false, and this is a no-op. Deliberately NOT applied to the relational
+    * tables: their queries are shuffle-bound, and a blanket exchange added
+    * 0.3-1.5s to every scan-light query for nothing (measured). */
   private def parallelized(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target) else df

@@ -76,23 +76,31 @@ object VectorOps {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** Component i of pseudo-random hyperplane p: the first 8 md5 hex chars
+    * of "p:i" as an unsigned 32-bit value, mapped to [-0.5, 0.5). Computed
+    * DRIVER-SIDE (bit-identical to the SQL
+    * `conv(substring(md5(concat(p, ':', i)), 1, 8), 16, 10)` the oracle
+    * uses) so the planes enter the plan as array literals — the expression
+    * form re-ran 64 x nPlanes md5s PER ROW because Catalyst does not
+    * constant-fold higher-order functions. */
+  private[llm] def planeComponents(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { i =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$i".getBytes("UTF-8"))
+      val hex = digest.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+    }
+
   /** Sign-LSH bucket id: `nPlanes` pseudo-random hyperplanes with components
     * derived deterministically from md5(plane:dim), mapped to [-0.5, 0.5).
     * bucket = bits of sign(dot(plane, v)) packed into a long. This is the
     * scale path for ANN: bucket is an equi-join/groupBy key. */
   def hyperplaneBuckets(emb: DataFrame, nPlanes: Int, dim: Int): DataFrame = {
-    val planeDot: Int => String = p => {
-      // component_i = (hex16(md5("p:i")) mod 1024)/1024 - 0.5, folded inline
+    val planeDot: Int => String = p =>
       s"""aggregate(zip_with(embedding, plane$p, (x, w) -> CAST(x AS DOUBLE) * w),
          |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
-    }
     val withPlanes = (0 until nPlanes).foldLeft(emb) { (df, p) =>
-      df.withColumn(
-        s"plane$p",
-        expr(
-          s"""transform(sequence(0, ${dim - 1}),
-             |  i -> CAST(conv(substring(md5(concat('$p', ':', i)), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0 - 0.5)""".stripMargin),
-      )
+      df.withColumn(s"plane$p", typedLit(planeComponents(p, dim)))
     }
     val bucketBits = (0 until nPlanes).map(p =>
       when(expr(planeDot(p)) > 0, lit(1L)).otherwise(lit(0L)))
