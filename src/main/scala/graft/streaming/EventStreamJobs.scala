@@ -15,6 +15,23 @@ import org.apache.spark.sql.functions._
   */
 object EventStreamJobs {
 
+  /** Production state-store posture for the stateful jobs below (the 100 TB
+    * leg of F6/F7): RocksDB-backed state with changelog checkpointing (per
+    * commit, upload the delta instead of a full snapshot) and bounded
+    * off-heap memory, so window/session/dedup state scales with disk, not
+    * executor heap. Apply with [[withRocksDbState]] before starting queries;
+    * the HDFS-backed default remains correct for small state (every spec
+    * runs both, see EventStreamJobsSpec). */
+  val rocksDbStateStoreConf: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+    "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage" -> "true",
+  )
+
+  def withRocksDbState(spark: org.apache.spark.sql.SparkSession): Unit =
+    rocksDbStateStoreConf.foreach { case (k, v) => spark.conf.set(k, v) }
+
   /** Watermarked tumbling-window rollup (Q14's streaming form). Late events
     * beyond `watermark` are dropped; output mode `update`/`append` both
     * work downstream. */

@@ -50,6 +50,53 @@ class EventStreamJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful jobs run on the RocksDB state store with identical results") {
+    implicit val sqlCtx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    EventStreamJobs.withRocksDbState(spark)
+    val ck = java.nio.file.Files.createTempDirectory("rocks-ck").toString
+    try {
+      val in = MemoryStream[Ev]
+      val q = EventStreamJobs.windowedEventCounts(in.toDF(), watermark = "1 hour")
+        .writeStream.format("memory").queryName("win_rocks")
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        in.addData(
+          Ev(ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+          Ev(ts("2024-01-01 11:00:00"), 2, "click", 1.0),
+          Ev(ts("2024-01-02 09:00:00"), 1, "error", 1.0))
+        q.processAllAvailable()
+        in.addData(Ev(ts("2024-01-05 00:00:00"), 3, "click", 1.0))
+        q.processAllAvailable()
+        val rows = spark.table("win_rocks")
+          .groupBy("day", "event_type")
+          .agg(org.apache.spark.sql.functions.max("n_events").as("n"))
+          .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+        assert(rows === Set(
+          ("2024-01-01 00:00:00.0", "click", 2L),
+          ("2024-01-02 00:00:00.0", "error", 1L),
+          ("2024-01-05 00:00:00.0", "click", 1L)))
+      } finally q.stop()
+      // non-vacuous: the checkpoint must hold RocksDB artifacts (changelog /
+      // zip snapshots), not the HDFS provider's .delta files
+      val stateFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(ck, "state"))
+        .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      val names = scala.jdk.CollectionConverters.IteratorHasAsScala(stateFiles)
+        .asScala.map(_.getFileName.toString).toVector
+      assert(names.exists(n => n.endsWith(".changelog") || n.endsWith(".zip")),
+        s"no RocksDB state artifacts under $ck: $names")
+      assert(!names.exists(_.endsWith(".delta")), "HDFS provider files present")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage")
+    }
+  }
+
   test("streaming schedule dedup publishes once per next_shuffle_block_num") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Sched]
