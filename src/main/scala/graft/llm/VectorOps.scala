@@ -110,6 +110,115 @@ object VectorOps {
       .select(col("vec_id"), col("embedding"), col("label"), col("bucket"))
   }
 
+  /** IVF (inverted-file) ANN — the centroid-bucketed alternative to the
+    * sign-LSH path, as pure DataFrame ops:
+    *
+    *  1. TRAIN: `nCentroids` seed centroids = the vectors with the smallest
+    *     xxhash64(vec_id) (deterministic sample), refined by `iterations`
+    *     Lloyd steps. Assignment is per-row (argmin over centroid literals,
+    *     no shuffle); the mean update is a groupBy over EXPLODED DIMS whose
+    *     result is k x dim rows — the only driver collect, O(k*dim), never
+    *     O(n).
+    *  2. ASSIGN: every vector gets its nearest-centroid bucket — per-row
+    *     compute against broadcast-literal centroids, no shuffle.
+    *  3. PROBE: each query expands to its `nProbe` nearest centroid ids and
+    *     equi-joins candidates on bucket — same join shape as [[lshTopK]],
+    *     recall tuned by nProbe instead of plane count. With
+    *     nProbe == nCentroids this is EXACTLY brute force (spec-pinned).
+    *
+    * All distances are double-precision cosine (dot via the native kernel
+    * when registered). Deterministic: seeded sample, fixed iteration count,
+    * id tie-breaks. */
+  def ivfTopK(
+      emb: DataFrame,
+      queryIds: Column => Column,
+      nCentroids: Int,
+      nProbe: Int,
+      k: Int,
+      iterations: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    // --- 1. TRAIN ------------------------------------------------------
+    // deterministic seed sample: smallest hash wins, ties impossible on ids
+    var centroids: Seq[Seq[Double]] =
+      emb.select(col("vec_id"), col("embedding"))
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(nCentroids)
+        .collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+
+    def assignExpr(cs: Seq[Seq[Double]]): Column = {
+      // argmin over centroid literals: least() on (distance, idx) structs —
+      // per-row, codegen-friendly, zero shuffle. Cosine distance via
+      // normalized dot; the row's norm is computed once per row.
+      val vn = expr(normExprFor(emb, "embedding"))
+      val scored = cs.zipWithIndex.map { case (c, i) =>
+        val cNorm = math.sqrt(c.map(x => x * x).sum)
+        val dot = expr(
+          s"""aggregate(zip_with(embedding, __c$i, (x, w) -> CAST(x AS DOUBLE) * w),
+             |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+        struct((lit(1.0) - dot / (vn * lit(cNorm))).as("dist"), lit(i).as("idx"))
+      }
+      least(scored: _*).getField("idx")
+    }
+
+    def withCentroidCols(df: DataFrame, cs: Seq[Seq[Double]]): DataFrame =
+      cs.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+        d.withColumn(s"__c$i", typedLit(c))
+      }
+
+    for (_ <- 0 until iterations) {
+      // mean per (bucket, dim): k*dim result rows — tiny, collected to the
+      // driver to become the next round's literals
+      val means = withCentroidCols(emb, centroids)
+        .withColumn("bucket", assignExpr(centroids))
+        .select(col("bucket"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("bucket", "dim").agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (b, rows) =>
+          b -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      // empty clusters keep their previous centroid
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+    }
+
+    // --- 2. ASSIGN + 3. PROBE -----------------------------------------
+    val assigned = withCentroidCols(emb, centroids)
+      .withColumn("bucket", assignExpr(centroids))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+
+    def probeExpr(cs: Seq[Seq[Double]], n: Int): Column = {
+      val vn = expr(normExprFor(emb, "embedding"))
+      val scored = cs.zipWithIndex.map { case (c, i) =>
+        val cNorm = math.sqrt(c.map(x => x * x).sum)
+        val dot = expr(
+          s"""aggregate(zip_with(embedding, __c$i, (x, w) -> CAST(x AS DOUBLE) * w),
+             |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+        struct((lit(1.0) - dot / (vn * lit(cNorm))).as("dist"), lit(i).as("idx"))
+      }
+      slice(array_sort(array(scored: _*)), 1, n).getField("idx")
+    }
+
+    val q = broadcast(
+      withCentroidCols(emb.filter(queryIds(col("vec_id"))), centroids)
+        .withColumn("probes", probeExpr(centroids, nProbe))
+        .select(
+          col("vec_id").as("qid"), col("embedding").as("qe"),
+          explode(col("probes")).as("qbucket"))
+        .withColumn("qn", expr(normExprFor(emb, "qe"))))
+
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    assigned
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), col("bucket"))
+      .withColumn("nn", expr(normExprFor(emb, "ne")))
+      .join(q, col("bucket") === col("qbucket") && col("qid") =!= col("nid"))
+      .withColumn("cos", expr(dotExprFor(emb, "qe", "ne")) / (col("qn") * col("nn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"), col("rnk"), col("cos"))
+  }
+
   /** Default per-bucket candidate cap for [[lshTopK]] — see
     * [[TextOps.DefaultMaxBucketSize]] for the rationale. A degenerate hot
     * bucket (near-zero vectors, clustered corpora) otherwise fans the

@@ -360,6 +360,22 @@ object LlmQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Q33 — IVF ANN (the centroid-bucketed similarity-search scale path,
+    // complementing q28's sign-LSH): deterministic seeded centroids + Lloyd
+    // refinement, nProbe nearest-centroid buckets per query. Rows-only by
+    // design: the iterative training loop has no single-SQL oracle; the
+    // spec pins full-probe == brute-force exactly and partial-probe
+    // containment/determinism.
+    Declared(
+      "q33_ann_ivf",
+      (s, dir) => {
+        VectorOps.ivfTopK(Tables.embeddings(s, dir), _ < 10, nCentroids = 8, nProbe = 3, k = 3)
+          .orderBy("vec_id", "rnk")
+      },
+      None,
+    ),
+
+    // ------------------------------------------------------------------
     // Q29 — multimodal column plumbing: text payload re-encoded as an opaque
     // binary column with typed metadata, "decoded" by a clearly-stubbed
     // deterministic feature extractor (see graft.llm.Multimodal). The

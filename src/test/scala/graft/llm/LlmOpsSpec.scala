@@ -189,6 +189,32 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN: full probe equals brute force; partial probe is contained in it") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = VectorOps.bruteForceTopK(emb.filter($"vec_id" < 5), emb, 3)
+      .select("vec_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    // probing EVERY centroid degenerates IVF to an exact full scan
+    val full = VectorOps.ivfTopK(emb, _ < 5, nCentroids = 8, nProbe = 8, k = 3)
+      .select("vec_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(full === brute)
+    // a partial probe returns top-k-shaped, deterministic results whose
+    // per-query ranking respects the true cosine order
+    val part = VectorOps.ivfTopK(emb, _ < 5, nCentroids = 8, nProbe = 2, k = 3)
+      .select("vec_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect()
+    assert(part.nonEmpty && part.groupBy(_._1).forall(_._2.length <= 3))
+    val part2 = VectorOps.ivfTopK(emb, _ < 5, nCentroids = 8, nProbe = 2, k = 3)
+      .select("vec_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect()
+    assert(part.toSet === part2.toSet)
+    val bruteOrder = VectorOps.bruteForceTopK(emb.filter($"vec_id" < 5), emb, 2000)
+      .select("vec_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    part.groupBy(_._1).foreach { case (qid, rows) =>
+      val ivfOrder = rows.sortBy(_._3).map(_._2).toSeq
+      val filtered = bruteOrder(qid).filter(ivfOrder.contains)
+      assert(ivfOrder === filtered.take(ivfOrder.size))
+    }
+  }
+
   test("Dedup.exact keeps the min-id row per identical text") {
     val out = Dedup.exact(docs).select("doc_id").as[Long].collect().toSet
     assert(out === Set(1L, 2L, 3L, 5L, 6L)) // doc 4 (== doc 3) dropped
