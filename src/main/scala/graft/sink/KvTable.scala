@@ -162,19 +162,24 @@ object KvTable {
       .filter(_ <= upToBucket)
       .sorted
     if (buckets.isEmpty) return Seq.empty
-    val deduped = loadLatest(spark, path)
+    // Stage the deduped rows to an underscore-prefixed dir (invisible to
+    // parquet readers of `path`) BEFORE overwriting the live buckets — the
+    // rewrite never reads the files it is replacing, so a mid-write crash
+    // leaves the live table untouched and the staging dir reaped next run.
+    val staging = new Path(path, "_compact_staging")
+    fs.delete(staging, true)
+    loadLatest(spark, path)
       .filter(col("chain") === chain && col("block_bucket").isin(buckets: _*))
+      .write.mode("overwrite").parquet(staging.toString)
+    spark.read.parquet(staging.toString)
       .repartition(col("chain"), col("block_bucket"))
       .sortWithinPartitions("key")
-      .cache()
-    try {
-      deduped.count() // materialize BEFORE the overwrite clobbers the input files
-      deduped.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("chain", "block_bucket")
-        .parquet(path)
-      buckets
-    } finally deduped.unpersist()
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("chain", "block_bucket")
+      .parquet(path)
+    fs.delete(staging, true)
+    buckets
   }
 
   def load(spark: SparkSession, path: String): DataFrame =

@@ -1,7 +1,17 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom-state sessionization types (see
+  * [[EventStreamJobs.customSessions]]). */
+final case class SessionEvent(ts: Timestamp, user_id: Long)
+final case class SessionState(start: Long, last: Long, n: Long)
+final case class ClosedSession(
+    user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
 
 /** Streaming analytics over the `events` stream shape (F6/F7): watermarked
   * tumbling/session windows and streaming dedup — the Structured Streaming
@@ -56,4 +66,62 @@ object EventStreamJobs {
     schedules
       .withWatermark("fetched_at", watermark)
       .dropDuplicates("next_shuffle_block_num")
+
+  /** CUSTOM-STATE sessionization via `flatMapGroupsWithState` — the
+    * arbitrary-stateful-processing twin of [[sessionizedCounts]], for
+    * session logic `session_window` cannot express (emit-on-close payloads,
+    * per-session invariants, custom timeout actions). State per user is a
+    * 3-long struct (start, last, count); an EVENT-TIME timeout at
+    * `last + gap` closes the session when the watermark passes it, so state
+    * is watermark-bounded exactly like the built-in operator and runs on
+    * the RocksDB store unchanged. Emits one row per CLOSED session
+    * (append mode); in-batch gaps close sessions inline. */
+  def customSessions(
+      events: DataFrame, gapMs: Long, watermark: String): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def stateFn(
+        userId: Long,
+        rows: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[ClosedSession] = {
+      def closed(s: SessionState): ClosedSession =
+        ClosedSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(closed).toIterator
+        state.remove()
+        out
+      } else {
+        // fold this batch's events (ordered) into the session chain
+        val sorted = rows.toVector.sortBy(_.ts.getTime)
+        var emitted = Vector.empty[ClosedSession]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.last <= gapMs =>
+              cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+            case Some(s) =>
+              emitted :+= closed(s)
+              cur = Some(SessionState(t, t, 1))
+            case None =>
+              cur = Some(SessionState(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last + gapMs)
+        }
+        emitted.iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("user_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(stateFn)
+  }
 }

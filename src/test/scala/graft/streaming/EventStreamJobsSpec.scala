@@ -117,6 +117,39 @@ class EventStreamJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("custom-state sessions (flatMapGroupsWithState) close on gap and on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreamJobs.customSessions(
+        in.toDF(), gapMs = 30L * 60 * 1000, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("custom_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Ev(ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(ts("2024-01-01 10:20:00"), 1, "click", 1.0), // same session
+        Ev(ts("2024-01-01 11:30:00"), 1, "click", 1.0), // in-batch gap: closes #1
+        Ev(ts("2024-01-01 10:05:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      // watermark far ahead: event-time timeouts close the open sessions
+      in.addData(Ev(ts("2024-01-02 00:00:00"), 99, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-03 00:00:00"), 99, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("custom_sessions")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+        .toSet
+      // user 1: session 10:00-10:20 (2 events) closed by in-batch gap;
+      // session 11:30 (1 event) closed by timeout. user 2: 10:05 by timeout.
+      assert(rows.contains((1L, "2024-01-01 10:00:00.0", "2024-01-01 10:20:00.0", 2L)))
+      assert(rows.contains((1L, "2024-01-01 11:30:00.0", "2024-01-01 11:30:00.0", 1L)))
+      assert(rows.contains((2L, "2024-01-01 10:05:00.0", "2024-01-01 10:05:00.0", 1L)))
+      // matches the built-in session_window's grouping for the same data
+      assert(rows.count(_._1 == 1L) === 2)
+    } finally q.stop()
+  }
+
   test("streaming session windows merge within gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
