@@ -43,6 +43,21 @@ object IngestBench {
     // warm: parse+plan once
     blocks.count()
 
+    // One untimed warm pass (JIT/codegen dominate a single cold run), then
+    // time both publish modes on the warm JVM.
+    val warmBackend = new InMemoryKvBackend
+    KvBackends.register("ingest-bench-warm", warmBackend)
+    BlockFollowerPipeline.processBatch(
+      blocks, BlockFollowerPipeline.emptyVops(spark), cfg, "ingest-bench-warm")
+
+    val relaxedBackend = new InMemoryKvBackend
+    KvBackends.register("ingest-bench-relaxed", relaxedBackend)
+    val t1 = System.nanoTime()
+    BlockFollowerPipeline.processBatch(
+      blocks, BlockFollowerPipeline.emptyVops(spark), cfg, "ingest-bench-relaxed",
+      publishMode = graft.sink.PublishMode.RelaxedPerBlock)
+    val relaxedSec = (System.nanoTime() - t1) / 1e9
+
     val t0 = System.nanoTime()
     BlockFollowerPipeline.processBatch(
       blocks, BlockFollowerPipeline.emptyVops(spark), cfg, "ingest-bench")
@@ -50,10 +65,14 @@ object IngestBench {
 
     val nOps = nBlocks.toLong * trxPerBlock * opsPerTrx
     require(backend.size == nOps + 1, s"unexpected kv size ${backend.size}") // ops + checkpoint key
+    require(relaxedBackend.publishLog.size == backend.publishLog.size,
+      "relaxed mode lost messages")
+
     val bps = nBlocks / sec
     println(
       s"""{"metric":"ingest_blocks_per_sec","value":$bps,"unit":"blocks/sec",""" +
         s""""ops_per_sec":${nOps / sec},"blocks":$nBlocks,"elapsed_sec":$sec,""" +
+        s""""relaxed_blocks_per_sec":${nBlocks / relaxedSec},""" +
         s""""reference_blocks_per_sec":0.33,"speedup":${bps / 0.33}}""")
     spark.stop()
   }
