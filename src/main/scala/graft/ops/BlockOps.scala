@@ -137,10 +137,13 @@ object BlockOps {
 
     // lead over the global prefix order, computed per block-range bucket with
     // boundary stitching (Stitch) — no unpartitioned WindowExec in the plan.
+    // trx_id is the tie-break: virtual prefixes share the sentinel
+    // transaction_num, and without it the lead order between them would be
+    // partitioning-dependent.
     val withNext = Stitch.leadStitched(
         prefixes,
         floor(col("block_num") / Stitch.DefaultRange),
-        Seq(col("block_num"), col("is_virtual"), col("transaction_num")),
+        Seq(col("block_num"), col("is_virtual"), col("transaction_num"), col("trx_id")),
         struct(
           col("block_num").as("b"),
           col("is_virtual").cast("int").as("v"),
