@@ -43,12 +43,18 @@ object IngestBench {
     // warm: parse+plan once
     blocks.count()
 
-    // One untimed warm pass (JIT/codegen dominate a single cold run), then
-    // time both publish modes on the warm JVM.
+    // One untimed warm pass PER MODE (JIT/codegen dominate a cold run, and
+    // the relaxed plan has its own repartition/fan-out code path to warm —
+    // warming only strict would bias the comparison against relaxed).
     val warmBackend = new InMemoryKvBackend
     KvBackends.register("ingest-bench-warm", warmBackend)
     BlockFollowerPipeline.processBatch(
       blocks, BlockFollowerPipeline.emptyVops(spark), cfg, "ingest-bench-warm")
+    val warmBackend2 = new InMemoryKvBackend
+    KvBackends.register("ingest-bench-warm2", warmBackend2)
+    BlockFollowerPipeline.processBatch(
+      blocks, BlockFollowerPipeline.emptyVops(spark), cfg, "ingest-bench-warm2",
+      publishMode = graft.sink.PublishMode.RelaxedPerBlock)
 
     val relaxedBackend = new InMemoryKvBackend
     KvBackends.register("ingest-bench-relaxed", relaxedBackend)

@@ -131,7 +131,12 @@ object TextOps {
   def lshNearDupPairs(docs: DataFrame, k: Int, numHashes: Int, bandRows: Int,
                       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
-    val prof = minhashProfiles(shingleRows(docs, k), numHashes).cache()
+    // lazy localCheckpoint, not cache(): the profile frame is consumed three
+    // times (bands + both verify joins) within this one returned plan, and
+    // its storage blocks are freed when the plan becomes unreachable (GC +
+    // ContextCleaner) — a plain cache() with no caller-side handle would
+    // leak one cached table per invocation for the session's lifetime.
+    val prof = minhashProfiles(shingleRows(docs, k), numHashes).localCheckpoint(false)
     val nBands = numHashes / bandRows
     val bandCols = (0 until nBands).map { b =>
       concat((0 until bandRows).map(r => col(s"h${b * bandRows + r}")): _*)

@@ -147,20 +147,24 @@ object VectorOps {
         .collect()
         .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
 
-    def assignExpr(cs: Seq[Seq[Double]]): Column = {
-      // argmin over centroid literals: least() on (distance, idx) structs —
-      // per-row, codegen-friendly, zero shuffle. Cosine distance via
-      // normalized dot; the row's norm is computed once per row.
+    // (distance, idx) structs against every centroid literal — the ONE
+    // definition of the metric, shared by training assignment (argmin via
+    // least) and query probing (top-nProbe via array_sort): a fix applied
+    // here cannot diverge between the two, which is what keeps the
+    // spec-pinned "full probe == brute force" invariant safe to maintain.
+    def scoredStructs(cs: Seq[Seq[Double]]): Seq[Column] = {
       val vn = expr(normExprFor(emb, "embedding"))
-      val scored = cs.zipWithIndex.map { case (c, i) =>
+      cs.zipWithIndex.map { case (c, i) =>
         val cNorm = math.sqrt(c.map(x => x * x).sum)
         val dot = expr(
           s"""aggregate(zip_with(embedding, __c$i, (x, w) -> CAST(x AS DOUBLE) * w),
              |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
         struct((lit(1.0) - dot / (vn * lit(cNorm))).as("dist"), lit(i).as("idx"))
       }
-      least(scored: _*).getField("idx")
     }
+
+    def assignExpr(cs: Seq[Seq[Double]]): Column =
+      least(scoredStructs(cs): _*).getField("idx")
 
     def withCentroidCols(df: DataFrame, cs: Seq[Seq[Double]]): DataFrame =
       cs.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
@@ -188,17 +192,8 @@ object VectorOps {
       .withColumn("bucket", assignExpr(centroids))
       .select(col("vec_id"), col("embedding"), col("bucket"))
 
-    def probeExpr(cs: Seq[Seq[Double]], n: Int): Column = {
-      val vn = expr(normExprFor(emb, "embedding"))
-      val scored = cs.zipWithIndex.map { case (c, i) =>
-        val cNorm = math.sqrt(c.map(x => x * x).sum)
-        val dot = expr(
-          s"""aggregate(zip_with(embedding, __c$i, (x, w) -> CAST(x AS DOUBLE) * w),
-             |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
-        struct((lit(1.0) - dot / (vn * lit(cNorm))).as("dist"), lit(i).as("idx"))
-      }
-      slice(array_sort(array(scored: _*)), 1, n).getField("idx")
-    }
+    def probeExpr(cs: Seq[Seq[Double]], n: Int): Column =
+      slice(array_sort(array(scoredStructs(cs): _*)), 1, n).getField("idx")
 
     val q = broadcast(
       withCentroidCols(emb.filter(queryIds(col("vec_id"))), centroids)
@@ -242,15 +237,25 @@ object VectorOps {
         .withColumn("qn", expr(normExprFor(emb, "qe"))))
     // hot buckets only (<= n/maxBucketSize of them by definition): broadcast
     // the census, keep ~1/ceil(cnt/cap) of each hot bucket's candidates.
-    val hot = bucketed.groupBy("bucket").agg(count(lit(1)).as("bcnt"))
-      .filter(col("bcnt") > maxBucketSize)
+    // COST: the census is a second full pass of the plane folds (bucket is
+    // derived from the embedding, so nothing can be pruned from that scan) —
+    // the price of the skew guard. Opt out with maxBucketSize=Int.MaxValue
+    // when the corpus is known well-spread; the census is skipped entirely.
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    bucketed
+    val candBase = bucketed
       .select(col("vec_id").as("nid"), col("embedding").as("ne"), col("bucket"))
-      .join(broadcast(hot), Seq("bucket"), "left")
-      .filter(col("bcnt").isNull ||
-        pmod(xxhash64(col("nid")), ceil(col("bcnt") / maxBucketSize).cast("long")) === 0)
-      .drop("bcnt")
+    val cand =
+      if (maxBucketSize == Int.MaxValue) candBase
+      else {
+        val hot = bucketed.groupBy("bucket").agg(count(lit(1)).as("bcnt"))
+          .filter(col("bcnt") > maxBucketSize)
+        candBase
+          .join(broadcast(hot), Seq("bucket"), "left")
+          .filter(col("bcnt").isNull ||
+            pmod(xxhash64(col("nid")), ceil(col("bcnt") / maxBucketSize).cast("long")) === 0)
+          .drop("bcnt")
+      }
+    cand
       .withColumn("nn", expr(normExprFor(emb, "ne")))
       .join(q, col("bucket") === col("qbucket") && col("qid") =!= col("nid"))
       .withColumn("cos", expr(dotExprFor(emb, "qe", "ne")) / (col("qn") * col("nn")))

@@ -28,7 +28,7 @@ object Glob {
     while (i < glob.length) {
       glob.charAt(i) match {
         case '*' => sb.append("[\\s\\S]*")
-        case '?' => sb.append(".")
+        case '?' => sb.append("[\\s\\S]") // any char INCLUDING newline (Java '.' excludes it)
         case '\\' if i + 1 < glob.length =>
           i += 1
           sb.append(java.util.regex.Pattern.quote(glob.charAt(i).toString))
@@ -37,10 +37,12 @@ object Glob {
           // (util.c): `\x` escapes INSIDE the class, the class ends at the
           // first unescaped ']' (even immediately: `[]` is an empty class
           // matching nothing, `[^]` matches any char), `a-b` ranges swap
-          // when reversed ([z-a] == [a-z]), and `-` consumes the next char
-          // even if it is ']'. Content is re-emitted char-by-char with
-          // Java-class metachars escaped (never copied verbatim, which
-          // would let `&&`/nested-class syntax leak in).
+          // when reversed ([z-a] == [a-z]), `-` consumes the next char even
+          // if it is ']' (so `[a-]` is the ]..a range), and a class that
+          // runs off the END of the pattern closes there with whatever it
+          // parsed (Redis's patternLen==0 break). Content is re-emitted
+          // char-by-char with Java-class metachars escaped (never copied
+          // verbatim, which would let `&&`/nested-class syntax leak in).
           var j = i + 1
           var neg = false
           if (j < glob.length && glob.charAt(j) == '^') { neg = true; j += 1 }
@@ -62,14 +64,11 @@ object Glob {
               content.append(quoteInClass(c)); j += 1
             }
           }
-          if (!closed) sb.append("\\[") // unterminated: literal '[' (documented)
-          else {
-            if (content.isEmpty)
-              sb.append(if (neg) "[\\s\\S]" else "[^\\s\\S]")
-            else
-              sb.append(if (neg) "[^" else "[").append(content).append("]")
-            i = j - 1
-          }
+          if (content.isEmpty)
+            sb.append(if (neg) "[\\s\\S]" else "[^\\s\\S]")
+          else
+            sb.append(if (neg) "[^" else "[").append(content).append("]")
+          i = j - 1
         case c if "\\.[]{}()<>*+-=!?^$|".contains(c) =>
           sb.append(java.util.regex.Pattern.quote(c.toString))
         case c => sb.append(c)

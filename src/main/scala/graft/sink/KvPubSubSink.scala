@@ -30,10 +30,12 @@ object PublishMode {
   /** Scale mode: control messages (rank <= 1 — trx summaries + block
     * headers) keep the strict single-writer total order, while the
     * much-larger rank >= 2 per-op notification stream fans out across
-    * block-hash partitions. Each block's notifications stay contiguous and
-    * in reference order (sortWithinPartitions leads with the block column);
-    * interleaving ACROSS blocks is unspecified. At-least-once, like every
-    * publish path. */
+    * block-hash partitions. The guarantee is PER-BLOCK RELATIVE ORDER: one
+    * block's notifications are published in reference order by a single
+    * task, but tasks run concurrently, so messages of DIFFERENT blocks may
+    * interleave on the backend — a subscriber must key off the block id in
+    * the payload, not off contiguity. At-least-once, like every publish
+    * path. */
   case object RelaxedPerBlock extends PublishMode
 }
 
@@ -70,8 +72,10 @@ object KvPubSubSink {
 
   /** Per-block-ordered parallel publish: messages are hash-partitioned by
     * `blockCol` and sorted within each partition on the full publish order,
-    * so one block's messages are published contiguously and in order by
-    * whichever task owns the block — no single-writer drain. */
+    * so one block's messages are published in order by the task owning the
+    * block — no single-writer drain. Messages of different blocks may
+    * interleave across concurrent tasks (see
+    * [[PublishMode.RelaxedPerBlock]]). */
   def publishPerBlock(
       messages: DataFrame, backendName: String,
       sortCols: Seq[String], blockCol: String): Unit =

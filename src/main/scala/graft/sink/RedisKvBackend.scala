@@ -134,23 +134,43 @@ class RedisKvBackend(host: String, port: Int, pipelineDepth: Int = 256)
     case ok => ok
   }
 
+  /** Tear the connection down so the next op reconnects fresh. Called on
+    * any I/O failure: the peer may have reset the socket (local
+    * isClosed/isConnected still read "connected" after a remote reset) and
+    * the reply stream position is unknown — a fresh connection is the only
+    * safe state. */
+  private def invalidate(): Unit = {
+    if (socket != null) { try socket.close() catch { case _: java.io.IOException => () } }
+    socket = null; out = null; in = null; pending = 0
+  }
+
+  private def withConnection[T](body: => T): T =
+    try { ensureConnected(); body }
+    catch { case e: java.io.IOException => invalidate(); throw e }
+
   private def drain(): Unit = {
     if (out == null) return // nothing ever sent (e.g. flush on an empty partition)
     out.flush()
-    while (pending > 0) { fail(Resp.readReply(in)); pending -= 1 }
+    // decrement BEFORE surfacing an error reply: the command was executed
+    // and its reply consumed, so the stream stays in sync — only the
+    // failure is reported. (Decrementing after fail() left `pending` stale
+    // by one, making the next drain eat a later command's reply.)
+    while (pending > 0) {
+      val r = Resp.readReply(in)
+      pending -= 1
+      fail(r)
+    }
   }
 
   /** Fire-and-collect-later (pipelined) command. */
-  private def send(cmd: String*): Unit = {
-    ensureConnected()
+  private def send(cmd: String*): Unit = withConnection {
     out.write(Resp.encode(cmd))
     pending += 1
     if (pending >= pipelineDepth) drain()
   }
 
   /** Round-trip command: drains the pipeline, then reads its own reply. */
-  private def call(cmd: String*): Resp.Reply = {
-    ensureConnected()
+  private def call(cmd: String*): Resp.Reply = withConnection {
     drain()
     out.write(Resp.encode(cmd))
     out.flush()
@@ -163,7 +183,11 @@ class RedisKvBackend(host: String, port: Int, pipelineDepth: Int = 256)
     synchronized(send("EXPIRE", key, ttlSeconds.toString))
   override def publish(channel: String, payload: String): Unit =
     synchronized(send("PUBLISH", channel, payload))
-  override def flush(): Unit = synchronized(drain())
+  override def flush(): Unit = synchronized {
+    // no ensureConnected: flushing an idle backend must not open a socket
+    try drain()
+    catch { case e: java.io.IOException => invalidate(); throw e }
+  }
 
   override def get(key: String): Option[String] =
     synchronized(call("GET", key) match {

@@ -92,18 +92,25 @@ object EventStreamJobs {
         state.remove()
         out
       } else {
-        // fold this batch's events (ordered) into the session chain
+        // fold this batch's events (ordered) into the session chain. A
+        // late cross-batch event (within watermark) either OVERLAPS the
+        // open session — merge, extending start backwards like the
+        // built-in session_window — or falls in a disjoint EARLIER gap,
+        // where it forms its own session emitted immediately (the open
+        // session bounds it on the right, so nothing can ever merge it).
         val sorted = rows.toVector.sortBy(_.ts.getTime)
         var emitted = Vector.empty[ClosedSession]
         var cur = state.getOption
         sorted.foreach { e =>
           val t = e.ts.getTime
           cur match {
-            case Some(s) if t - s.last <= gapMs =>
-              cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
-            case Some(s) =>
+            case Some(s) if t >= s.start - gapMs && t <= s.last + gapMs =>
+              cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
+            case Some(s) if t > s.last + gapMs =>
               emitted :+= closed(s)
               cur = Some(SessionState(t, t, 1))
+            case Some(_) => // disjoint earlier: its own already-closed session
+              emitted :+= ClosedSession(userId, e.ts, e.ts, 1)
             case None =>
               cur = Some(SessionState(t, t, 1))
           }

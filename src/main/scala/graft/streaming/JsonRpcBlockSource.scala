@@ -240,15 +240,17 @@ private[streaming] object RpcClient {
     * from get_dynamic_global_properties. */
   def headFor(cfg: RpcConfig): Long =
     withRetry(cfg, seed = 1L) { ep =>
-      rpcCall(ep, cfg.dgpoMethod, "[]").map { dgpo =>
-        val field =
-          if (cfg.mode == "head") "head_block_number"
-          else "last_irreversible_block_num"
-        val n = dgpo.get(field)
-        require(n != null, s"dgpo missing $field")
-        n.asLong()
-      }
-    }.getOrElse(sys.error("dgpo returned null result"))
+      val dgpo = rpcCall(ep, cfg.dgpoMethod, "[]").getOrElse(
+        // null result is RETRYABLE (bad node) — thrown inside the lambda so
+        // the pool fails over instead of killing the stream on first touch
+        throw new java.io.IOException(s"null dgpo result from $ep"))
+      val field =
+        if (cfg.mode == "head") "head_block_number"
+        else "last_irreversible_block_num"
+      val n = dgpo.get(field)
+      if (n == null) throw new java.io.IOException(s"dgpo from $ep missing $field")
+      Some(n.asLong())
+    }.get
 
   val readerFactory: PartitionReaderFactory = new PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -259,12 +261,18 @@ private[streaming] object RpcClient {
         override def next(): Boolean = {
           height += 1
           if (height >= p.until) return false
-          // per-height retry; a permanently-missing block fails the task
-          // (partition retry re-fetches the immutable range)
+          // A null result (lagging node whose head is behind the offset
+          // range) is RETRYABLE — thrown inside the retry lambda so the
+          // backoff/failover loop gets another node or a later poll, rather
+          // than failing the task on the first lag. Only an exhausted retry
+          // budget fails the task (partition retry re-fetches the immutable
+          // range, so delivery stays exactly-once into the batch).
           current = withRetry(p.cfg, seed = height) { ep =>
-            rpcCall(ep, p.cfg.rpcMethod, s"[$height]").map(_.toString)
-          }.getOrElse(throw new java.io.IOException(
-            s"block $height not yet available on any endpoint"))
+            val r = rpcCall(ep, p.cfg.rpcMethod, s"[$height]")
+            if (r.isEmpty) throw new java.io.IOException(
+              s"block $height not yet available on $ep")
+            r.map(_.toString)
+          }.get
           true
         }
         override def get(): InternalRow =

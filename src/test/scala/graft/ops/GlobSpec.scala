@@ -49,8 +49,17 @@ class GlobSpec extends SparkSpec {
     assert(!matches("x[a-]]y", "xzy"))
     // Java-only class syntax cannot leak in: '&&' members are literal chars
     assert(matches("x[a&&b]y", "x&y"))
-    // unterminated class stays a literal '[' (documented divergence)
-    assert(matches("x[ab", "x[ab"))
+    // unterminated class closes at end-of-pattern with what it parsed
+    // (Redis's patternLen==0 break): "x[ab" is the class {a,b}, and "x[a-]"
+    // is the ]..a range, NOT literal text
+    assert(matches("x[ab", "xa"))
+    assert(matches("x[ab", "xb"))
+    assert(!matches("x[ab", "x[ab"))
+    assert(matches("x[a-]", "x^"))
+    assert(!matches("x[a-]", "xz"))
+    // lone trailing '[' is an empty class: matches nothing at all
+    assert(!matches("x[", "x["))
+    assert(!matches("x[", "xa"))
     // in-memory backend KEYS shares the same corrected path
     val b = new graft.sink.InMemoryKvBackend
     b.set("xay", "1"); b.set("x]y", "2"); b.set("xcy", "3")

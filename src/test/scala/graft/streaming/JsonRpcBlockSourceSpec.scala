@@ -31,6 +31,10 @@ class StubRpcServer(blocksJsonl: String, failFirst: Int = 0) {
   val getBlockCalls = new AtomicInteger(0)
   val requestCount = new AtomicInteger(0)
   private val failuresLeft = new AtomicInteger(failFirst)
+  /** Lagging-node simulation: this height returns result:null for the
+    * first `lagCount` requests (node behind the offset range). */
+  @volatile var lagHeight: Long = -1L
+  val lagLeft = new AtomicInteger(0)
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", (ex: HttpExchange) => {
@@ -52,7 +56,9 @@ class StubRpcServer(blocksJsonl: String, failFirst: Int = 0) {
         if (failuresLeft.getAndDecrement() > 0) reply(500, "transient")
         else {
           val h = req.get("params").get(0).asLong()
-          blocks.get(h) match {
+          if (h == lagHeight && lagLeft.getAndDecrement() > 0)
+            reply(200, """{"jsonrpc":"2.0","id":1,"result":null}""")
+          else blocks.get(h) match {
             case Some(b) => reply(200, s"""{"jsonrpc":"2.0","id":1,"result":$b}""")
             case None => reply(200, """{"jsonrpc":"2.0","id":1,"result":null}""")
           }
@@ -149,6 +155,24 @@ class JsonRpcBlockSourceSpec extends SparkSpec {
       // admission control caps the advance
       val capped = stream.latestOffset(BlockHeightOffset(1L), ReadLimit.maxRows(3))
       assert(capped.asInstanceOf[BlockHeightOffset].next === 4L)
+    } finally srv.close()
+  }
+
+  test("a lagging node's null result is retried, not a task failure") {
+    val srv = new StubRpcServer(fixture)
+    try {
+      val lo = srv.blocks.keys.min
+      srv.lagHeight = lo + 1
+      srv.lagLeft.set(2) // null twice, then the block appears
+      val df = spark.read
+        .format("graft.streaming.JsonRpcBlockSource")
+        .option("endpoints", srv.endpoint)
+        .option("startBlock", lo.toString)
+        .option("endBlock", (lo + 3).toString)
+        .option("retryBaseSec", "0.01")
+        .option("maxRetries", "4")
+        .load()
+      assert(df.select("idx").as[Long].collect().sorted === Array(lo, lo + 1, lo + 2))
     } finally srv.close()
   }
 
