@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, TextOps, VectorOps}
+
+/** Empirical scale probe for the 100 TB-posture claims:
+  * `runMain graft.ScaleBench [factor]` replicates the sf0.1 documents /
+  * embeddings tables `factor`x (disjoint id ranges, exact-duplicate text —
+  * the duplicate-HEAVY worst case for near-dup machinery: every LSH bucket
+  * holds `factor` colliding docs) and times the scale-path operators on the
+  * result. The point is the SHAPE of the scaling curve: candidate counts
+  * bounded by banding + caps, wall time ~linear in corpus size, no
+  * collect()s — printed as one JSON line per operator.
+  */
+object ScaleBench {
+
+  private def timed[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def replicate(df: DataFrame, idCol: String, factor: Int): DataFrame =
+    (0 until factor)
+      .map(i => df.withColumn(idCol, col(idCol) + lit(i.toLong * 10000000L)))
+      .reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(20)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    val docs = replicate(Tables.documents(spark, sfDir), "doc_id", factor)
+      .localCheckpoint(true) // replicate once, measure operators not the union
+    val nDocs = docs.count()
+
+    val (nPairs, tLsh) = timed {
+      TextOps.lshNearDupPairs(docs, 3, 16, 2).filter(col("jaccard") >= 0.5).count()
+    }
+    println(s"""{"op":"lsh_near_dup","docs":$nDocs,"verified_pairs":$nPairs,"sec":$tLsh}""")
+
+    val (nSurv, tDedup) = timed { Dedup.dedupNearLsh(docs, tau = 0.5).count() }
+    println(s"""{"op":"dedup_near_lsh","docs":$nDocs,"survivors":$nSurv,"sec":$tDedup}""")
+
+    val (nExact, tExact) = timed { Dedup.exact(docs).count() }
+    println(s"""{"op":"dedup_exact","docs":$nDocs,"survivors":$nExact,"sec":$tExact}""")
+
+    val emb = replicate(Tables.embeddings(spark, sfDir), "vec_id", factor)
+      .localCheckpoint(true)
+    val nVec = emb.count()
+    val (nAnn, tAnn) = timed {
+      VectorOps.lshTopK(emb, _ < 10, 4, 64, 3).count()
+    }
+    println(s"""{"op":"ann_lsh","vectors":$nVec,"results":$nAnn,"sec":$tAnn}""")
+
+    spark.stop()
+  }
+}

@@ -45,25 +45,21 @@ object Dedup {
   }
 
   /** Near-dedup the corpus: drop every doc that is a verified near-dup of a
-    * lower-id doc. The shingle frame is cached only for the duration of the
-    * drop-set materialization (no session-lifetime leak). */
+    * lower-id doc — on the FUSED LSH pipeline (one shuffle over shingle
+    * rows, skew-capped buckets). The drop set is eagerly materialized with
+    * severed lineage (localCheckpoint) and never collected to the driver
+    * (it can be a large fraction of the corpus). */
   def dedupNearLsh(
       docs: DataFrame,
       tau: Double,
       shingleSize: Int = 3,
       numHashes: Int = 16,
       bandRows: Int = 2): DataFrame = {
-    val sh = TextOps.shingleRows(docs, shingleSize).cache()
-    try {
-      // eagerly materialize the drop set with its lineage severed
-      // (localCheckpoint), so the shingle cache can be released before the
-      // lazy surviving frame is returned — and without collecting ids to
-      // the driver (the drop set can be a large fraction of the corpus)
-      val drop = nearDuplicatePairs(docs, tau, shingleSize, numHashes, bandRows, Some(sh))
-        .select(col("doc_b").as("doc_id")).distinct()
-        .localCheckpoint(true)
-      docs.join(drop, Seq("doc_id"), "left_anti")
-    } finally sh.unpersist()
+    val drop = TextOps.lshNearDupPairs(docs, shingleSize, numHashes, bandRows)
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .localCheckpoint(true)
+    docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
   /** Embedding-space near-dedup: drop vectors whose cosine to a lower-id
