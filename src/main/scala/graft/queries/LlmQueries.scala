@@ -360,6 +360,28 @@ object LlmQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Q34 — deterministic stratified sampling (data mixing): per-source
+    // keep fractions 0.2/0.4/0.6/0.8 (from the source's numeric suffix mod
+    // 4), membership decided by uint32(md5(doc_id)[0:8)) < frac * 2^32 —
+    // layout-independent and bit-identical in DuckDB, so a SAMPLING query
+    // is hash-match-gated like any deterministic operator.
+    Declared(
+      "q34_mix_sample",
+      (s, dir) => {
+        import s.implicits._
+        val frac = (pmod(expr("try_cast(substring(source, 4) as int)"), lit(4)) + 1) * lit(0.2)
+        Tables.documents(s, dir)
+          .filter(graft.llm.Mixing.hashKeep($"doc_id", frac))
+          .select($"doc_id", $"source")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source FROM documents
+             |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+             |      < ((CAST(substr(source, 4) AS INT) % 4) + 1) * 0.2 * 4294967296.0
+             |ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
     // Q33 — IVF ANN (the centroid-bucketed similarity-search scale path,
     // complementing q28's sign-LSH): deterministic seeded centroids + Lloyd
     // refinement, nProbe nearest-centroid buckets per query. Rows-only by

@@ -215,6 +215,39 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("Mixing: hash sampling is deterministic, monotone, and budget-tracking") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    // determinism + layout independence: same membership after repartition
+    val a = Mixing.stratifiedSample(d, Map.empty, defaultFrac = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Mixing.stratifiedSample(d.repartition(13), Map.empty, defaultFrac = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b && a.nonEmpty)
+    // monotone: the 0.4 sample is contained in the 0.7 sample
+    val bigger = Mixing.stratifiedSample(d, Map.empty, defaultFrac = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.subsetOf(bigger) && bigger.size > a.size)
+    // fraction tracks: ~40% +- sampling noise
+    val n = d.count().toDouble
+    assert(math.abs(a.size / n - 0.4) < 0.1)
+    // per-source fractions apply independently
+    val strat = Mixing.stratifiedSample(d, Map("src0" -> 1.0, "src1" -> 0.0), defaultFrac = 0.5)
+    val bySrc = strat.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") === totals("src0"))
+    assert(!bySrc.contains("src1"))
+    // token-budget mixing: sampled token mass tracks the budget
+    val budget = 2000L
+    val mixed = Mixing.sampleToTokenBudget(d, budget, Map("src0" -> 1.0, "src1" -> 1.0))
+    val toks = mixed
+      .select(org.apache.spark.sql.functions.size(split($"text", " ")).cast("long").as("t"))
+      .agg(org.apache.spark.sql.functions.sum("t")).head().getLong(0)
+    assert(mixed.select("source").distinct().count() === 2) // weight-0 sources dropped
+    assert(toks > 0 && math.abs(toks - budget) < budget) // right order of magnitude
+  }
+
   test("Dedup.exact keeps the min-id row per identical text") {
     val out = Dedup.exact(docs).select("doc_id").as[Long].collect().toSet
     assert(out === Set(1L, 2L, 3L, 5L, 6L)) // doc 4 (== doc 3) dropped
