@@ -40,6 +40,41 @@ class SyncMainSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("full production path: RPC source -> pipeline -> Redis-protocol backend") {
+    // all three production legs composed: the JSON-RPC polling source reads
+    // a stub chain node, the follower pipeline transforms, and the RESP
+    // backend materializes over a real socket — then the result is compared
+    // byte-for-byte against the same sync into the in-memory backend.
+    val rpc = new StubRpcServer(resource("blocks.jsonl"))
+    val redis = new graft.sink.StubRedisServer
+    try {
+      val ckA = java.nio.file.Files.createTempDirectory("sync-prod-a").toString
+      SyncMain.runOnce(spark, SyncMain.Args(
+        endpoints = Some(rpc.endpoint),
+        vops = Some(resource("vops.jsonl")),
+        backend = s"redis://127.0.0.1:${redis.port}", checkpoint = ckA,
+        startBlock = Some(rpc.blocks.keys.min),
+        blocksPerTrigger = 2L, once = true))
+      KvBackends("sync-backend").asInstanceOf[graft.sink.RedisKvBackend].close()
+
+      val ckB = java.nio.file.Files.createTempDirectory("sync-prod-b").toString
+      SyncMain.runOnce(spark, SyncMain.Args(
+        endpoints = Some(rpc.endpoint),
+        vops = Some(resource("vops.jsonl")),
+        backend = "memory", checkpoint = ckB,
+        startBlock = Some(rpc.blocks.keys.min),
+        blocksPerTrigger = 2L, once = true))
+      val mem = KvBackends("sync-backend").asInstanceOf[graft.sink.InMemoryKvBackend]
+
+      import scala.jdk.CollectionConverters._
+      val memKeys = mem.keys("*").sorted
+      assert(redis.store.keySet().asScala.toSeq.sorted === memKeys)
+      memKeys.foreach(k => assert(Option(redis.store.get(k)) === mem.get(k), s"mismatch at $k"))
+      assert(redis.published.asScala.toSeq === mem.publishLog)
+      assert(redis.published.asScala.nonEmpty)
+    } finally { rpc.close(); redis.close() }
+  }
+
   test("syncLoop restarts with the doubling backoff and gives up at maxRestarts") {
     val sleeps = scala.collection.mutable.ArrayBuffer.empty[Double]
     val boom = intercept[RuntimeException] {
