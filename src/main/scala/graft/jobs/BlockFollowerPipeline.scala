@@ -64,7 +64,13 @@ object BlockFollowerPipeline {
         if (batchHasOps) {
           // carried summary first: it is the "previous prefix" transition
           // fired by this batch's first record
-          prev.foreach(p => backend.publish(s"${cfg.chain}:transaction", p))
+          prev.foreach { p =>
+            backend.publish(s"${cfg.chain}:transaction", p)
+            // flush NOW: this driver-thread publish must reach the backend
+            // before the executor tasks' publishes (pipelined backends
+            // buffer per thread)
+            backend.flush()
+          }
           KvPubSubSink.publish(messages, backendName, BlockOps.messageSortCols, publishMode)
         }
         val tail = if (batchHasOps) BlockOps.tailSummary(ops, cfg) else prev

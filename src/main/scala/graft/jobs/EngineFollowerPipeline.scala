@@ -46,7 +46,12 @@ object EngineFollowerPipeline {
           val channel =
             if (virt) s"${cfg.chainKeyPrefix}:virtual_transaction"
             else s"${cfg.chainKeyPrefix}:transaction"
-          prev.foreach(p => backend.publish(channel, p))
+          prev.foreach { p =>
+            backend.publish(channel, p)
+            // flush NOW: must precede the executor tasks' publishes on a
+            // per-thread-pipelined backend
+            backend.flush()
+          }
           KvPubSubSink.publish(messages, backendName, EngineOps.messageSortCols, publishMode)
         }
         val tail =

@@ -99,34 +99,80 @@ object Resp {
   *    are drained every `pipelineDepth` commands and on [[flush]] — one
   *    round-trip per batch instead of per key (the per-partition write path
   *    calls flush() once at partition end);
-  *  - PUBLISH rides the same single connection in call order, so the strict
-  *    publish sequence maps 1:1 onto the wire;
-  *  - reads (GET/KEYS/DEL) drain the pipeline first, so a task always reads
-  *    its own writes.
+  *  - PUBLISH rides the calling thread's connection in call order — the
+  *    strict publish path is one ordered task = one thread = one
+  *    connection, so the strict sequence maps 1:1 onto the wire;
+  *  - reads (GET/KEYS/DEL) drain the caller's pipeline first, so a task
+  *    always reads its own writes.
   *
-  * One connection per backend instance; all ops synchronized (executor
-  * threads in local mode share the registry instance — a cluster deployment
-  * registers one backend per executor). Connection state is transient: the
-  * instance reconnects lazily after serialization or a broken socket.
+  * CONNECTION-PER-THREAD: each executor task thread lazily opens its own
+  * socket, so 32 parallel writer partitions pump 32 pipelined connections
+  * instead of serializing on one lock (the round-2 review's named
+  * bottleneck). Connection state is transient and per-thread; a broken
+  * socket is invalidated so the next op on that thread reconnects fresh.
   */
 class RedisKvBackend(host: String, port: Int, pipelineDepth: Int = 256)
     extends KvBackend {
 
-  @transient private var socket: Socket = _
-  @transient private var out: OutputStream = _
-  @transient private var in: InputStream = _
-  @transient private var pending: Int = 0
+  /** One thread's connection: pipeline counter + reply stream. */
+  private final class Conn {
+    var socket: Socket = _
+    var out: OutputStream = _
+    var in: InputStream = _
+    var pending: Int = 0
 
-  private def ensureConnected(): Unit = {
-    if (socket == null || socket.isClosed || !socket.isConnected) {
-      val s = new Socket()
-      s.connect(new InetSocketAddress(host, port), 5000)
-      s.setTcpNoDelay(true)
-      socket = s
-      out = new BufferedOutputStream(s.getOutputStream, 64 * 1024)
-      in = new BufferedInputStream(s.getInputStream, 64 * 1024)
-      pending = 0
+    def ensureConnected(): Unit =
+      if (socket == null || socket.isClosed || !socket.isConnected) {
+        val s = new Socket()
+        s.connect(new InetSocketAddress(host, port), 5000)
+        s.setTcpNoDelay(true)
+        socket = s
+        out = new BufferedOutputStream(s.getOutputStream, 64 * 1024)
+        in = new BufferedInputStream(s.getInputStream, 64 * 1024)
+        pending = 0
+      }
+
+    /** Tear down so the next op reconnects fresh: after an I/O failure the
+      * peer may have reset the socket (local state still reads "connected")
+      * and the reply stream position is unknown. */
+    def invalidate(): Unit = {
+      if (socket != null) { try socket.close() catch { case _: java.io.IOException => () } }
+      socket = null; out = null; in = null; pending = 0
     }
+
+    def drain(): Unit = {
+      if (out == null) return // nothing ever sent (e.g. flush on an empty partition)
+      out.flush()
+      // decrement BEFORE surfacing an error reply: the command executed and
+      // its reply was consumed, so the stream stays in sync — only the
+      // failure is reported. (Decrementing after the check would leave
+      // `pending` stale by one and desync every later reply.)
+      while (pending > 0) {
+        val r = Resp.readReply(in)
+        pending -= 1
+        r match {
+          case Resp.Err(m) => throw new IllegalStateException(s"redis error: $m")
+          case _ => ()
+        }
+      }
+    }
+
+    def close(): Unit =
+      if (socket != null) {
+        try drain()
+        finally { try socket.close() catch { case _: java.io.IOException => () }; socket = null }
+      }
+  }
+
+  @transient private lazy val allConns =
+    new java.util.concurrent.ConcurrentLinkedQueue[Conn]()
+  @transient private lazy val conn: ThreadLocal[Conn] =
+    ThreadLocal.withInitial(() => { val c = new Conn; allConns.add(c); c })
+
+  private def withConn[T](body: Conn => T): T = {
+    val c = conn.get()
+    try { c.ensureConnected(); body(c) }
+    catch { case e: java.io.IOException => c.invalidate(); throw e }
   }
 
   private def fail(r: Resp.Reply): Resp.Reply = r match {
@@ -134,83 +180,56 @@ class RedisKvBackend(host: String, port: Int, pipelineDepth: Int = 256)
     case ok => ok
   }
 
-  /** Tear the connection down so the next op reconnects fresh. Called on
-    * any I/O failure: the peer may have reset the socket (local
-    * isClosed/isConnected still read "connected" after a remote reset) and
-    * the reply stream position is unknown — a fresh connection is the only
-    * safe state. */
-  private def invalidate(): Unit = {
-    if (socket != null) { try socket.close() catch { case _: java.io.IOException => () } }
-    socket = null; out = null; in = null; pending = 0
+  /** Fire-and-collect-later (pipelined) command on this thread's conn. */
+  private def send(cmd: String*): Unit = withConn { c =>
+    c.out.write(Resp.encode(cmd))
+    c.pending += 1
+    if (c.pending >= pipelineDepth) c.drain()
   }
 
-  private def withConnection[T](body: => T): T =
-    try { ensureConnected(); body }
-    catch { case e: java.io.IOException => invalidate(); throw e }
-
-  private def drain(): Unit = {
-    if (out == null) return // nothing ever sent (e.g. flush on an empty partition)
-    out.flush()
-    // decrement BEFORE surfacing an error reply: the command was executed
-    // and its reply consumed, so the stream stays in sync — only the
-    // failure is reported. (Decrementing after fail() left `pending` stale
-    // by one, making the next drain eat a later command's reply.)
-    while (pending > 0) {
-      val r = Resp.readReply(in)
-      pending -= 1
-      fail(r)
-    }
+  /** Round-trip command: drains this thread's pipeline, reads its reply. */
+  private def call(cmd: String*): Resp.Reply = withConn { c =>
+    c.drain()
+    c.out.write(Resp.encode(cmd))
+    c.out.flush()
+    fail(Resp.readReply(c.in))
   }
 
-  /** Fire-and-collect-later (pipelined) command. */
-  private def send(cmd: String*): Unit = withConnection {
-    out.write(Resp.encode(cmd))
-    pending += 1
-    if (pending >= pipelineDepth) drain()
-  }
-
-  /** Round-trip command: drains the pipeline, then reads its own reply. */
-  private def call(cmd: String*): Resp.Reply = withConnection {
-    drain()
-    out.write(Resp.encode(cmd))
-    out.flush()
-    fail(Resp.readReply(in))
-  }
-
-  override def set(key: String, value: String): Unit =
-    synchronized(send("SET", key, value))
+  override def set(key: String, value: String): Unit = send("SET", key, value)
   override def expire(key: String, ttlSeconds: Long): Unit =
-    synchronized(send("EXPIRE", key, ttlSeconds.toString))
+    send("EXPIRE", key, ttlSeconds.toString)
   override def publish(channel: String, payload: String): Unit =
-    synchronized(send("PUBLISH", channel, payload))
-  override def flush(): Unit = synchronized {
-    // no ensureConnected: flushing an idle backend must not open a socket
-    try drain()
-    catch { case e: java.io.IOException => invalidate(); throw e }
+    send("PUBLISH", channel, payload)
+
+  override def flush(): Unit = {
+    // no ensureConnected: flushing an idle thread must not open a socket
+    val c = conn.get()
+    try c.drain()
+    catch { case e: java.io.IOException => c.invalidate(); throw e }
   }
 
   override def get(key: String): Option[String] =
-    synchronized(call("GET", key) match {
+    call("GET", key) match {
       case Resp.Bulk(v) => v
       case other => throw new IllegalStateException(s"GET: unexpected $other")
-    })
+    }
 
   override def keys(glob: String): Seq[String] =
-    synchronized(call("KEYS", glob) match {
+    call("KEYS", glob) match {
       case Resp.Arr(items) => items.collect { case Resp.Bulk(Some(k)) => k }
       case other => throw new IllegalStateException(s"KEYS: unexpected $other")
-    })
+    }
 
   override def del(ks: Seq[String]): Int =
     if (ks.isEmpty) 0
-    else synchronized(call("DEL" +: ks: _*) match {
+    else call("DEL" +: ks: _*) match {
       case Resp.IntReply(n) => n.toInt
       case other => throw new IllegalStateException(s"DEL: unexpected $other")
-    })
-
-  def close(): Unit = synchronized {
-    if (socket != null) {
-      try drain() finally { socket.close(); socket = null }
     }
+
+  /** Close EVERY thread's connection (driver-side teardown). */
+  def close(): Unit = {
+    var c = allConns.poll()
+    while (c != null) { c.close(); c = allConns.poll() }
   }
 }

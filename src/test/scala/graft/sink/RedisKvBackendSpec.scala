@@ -105,6 +105,23 @@ class RedisKvBackendSpec extends SparkSpec {
     } finally { b.close(); srv.close() }
   }
 
+  test("per-thread connections: parallel writers don't serialize or lose writes") {
+    val srv = new StubRedisServer
+    val b = new RedisKvBackend("127.0.0.1", srv.port)
+    try {
+      val threads = (0 until 8).map { t =>
+        new Thread(() => {
+          (0 until 200).foreach(i => b.set(s"t$t:k$i", s"v$i"))
+          b.flush() // flushes THIS thread's pipeline, like the sink does
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(srv.store.size === 8 * 200)
+      assert(b.get("t3:k77") === Some("v77"))
+    } finally { b.close(); srv.close() }
+  }
+
   test("follower pipeline over the RESP backend matches the in-memory run") {
     val srv = new StubRedisServer
     val redis = new RedisKvBackend("127.0.0.1", srv.port)
