@@ -201,6 +201,53 @@ object TextOps {
             |         THEN 1L ELSE 0L END),
             |  0L, (acc, b) -> acc * 2L + b)""".stripMargin).as("simhash"))
 
+  /** Per-doc n-gram repetition statistics — the Gopher/C4-style repetition
+    * quality filters: `dup_frac` = fraction of n-gram OCCURRENCES that are
+    * repeats of an earlier occurrence (1 - distinct/total), `top_frac` =
+    * fraction taken by the single most frequent n-gram. Pure per-row HOFs,
+    * no shuffle; cost is O(grams * distinct) per row, bounded by document
+    * length. Docs shorter than n tokens report 0 repetition. */
+  def repetitionStats(docs: DataFrame, n: Int): DataFrame = {
+    val joined = (0 until n).map(j => s"t[i + $j]").mkString("concat_ws(' ', ", ", ", ")")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      // the CASE gates the array accesses: ANSI subscripts throw on
+      // out-of-bounds, so short docs must not build the transform at all
+      .withColumn("grams", expr(
+        s"CASE WHEN size(t) >= $n THEN transform(sequence(0, size(t) - $n), i -> $joined) ELSE array() END"))
+      .withColumn("n_grams", size(col("grams")))
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        when(col("n_grams") > 0,
+          lit(1.0) - size(array_distinct(col("grams"))).cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("dup_frac"),
+        when(col("n_grams") > 0,
+          expr("array_max(transform(array_distinct(grams), g -> size(filter(grams, x -> x = g))))")
+            .cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("top_frac"),
+      )
+  }
+
+  /** Eval-set decontamination: drop every training doc that shares at least
+    * one n-gram with the eval corpus — the standard train/test overlap
+    * guard. Candidate detection is an equi-join on the shingle (the same
+    * scale shape as LSH candidate generation: no pairwise comparison), and
+    * the contaminated-id set is applied with one anti-join. */
+  def decontaminate(train: DataFrame, eval_ : DataFrame, n: Int): DataFrame = {
+    val contaminated = contaminatedIds(train, eval_, n)
+    train.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Distinct train doc_ids sharing >= 1 n-gram with the eval corpus. */
+  def contaminatedIds(train: DataFrame, eval_ : DataFrame, n: Int): DataFrame = {
+    val trainSh = shingleRows(train, n).select("doc_id", "shingle")
+    val evalSh = shingleRows(eval_, n).select(col("shingle").as("e_shingle")).distinct()
+    trainSh
+      .join(evalSh, trainSh("shingle") === evalSh("e_shingle"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
   /** Language-ID scoring: marker-token hit counts per language, argmax with a
     * fixed priority-order tie-break (and 'und' when no marker hits at all).
     * The marker lists are tiny common-stopword sets — a standard n-gram/

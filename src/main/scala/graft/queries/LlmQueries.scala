@@ -382,6 +382,61 @@ object LlmQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Q35 — n-gram repetition stats (the Gopher/C4 repetition quality
+    // filters): per-doc duplicate-2-gram fraction and top-2-gram fraction.
+    // Pure per-row list arithmetic, identical in DuckDB.
+    Declared(
+      "q35_repetition",
+      (s, dir) => {
+        TextOps.repetitionStats(Tables.documents(s, dir), 2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(t) >= 2 THEN
+             |      list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+             |    ELSE [] END AS grams
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+             |SELECT doc_id,
+             |  CAST(len(grams) AS INT) AS n_grams,
+             |  CASE WHEN len(grams) > 0
+             |       THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+             |       ELSE 0.0 END AS dup_frac,
+             |  CASE WHEN len(grams) > 0
+             |       THEN CAST(list_max(list_transform(list_distinct(grams),
+             |              g2 -> len(list_filter(grams, x -> x = g2)))) AS DOUBLE) / len(grams)
+             |       ELSE 0.0 END AS top_frac
+             |FROM g ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q36 — eval-set decontamination: training docs sharing at least one
+    // 5-gram with the "eval" slice (doc_id % 50 == 0) are flagged. The
+    // candidate detection is a shingle equi-join (no pairwise comparison) —
+    // the standard train/test overlap guard of a training-data pipeline.
+    Declared(
+      "q36_decontam",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val eval_ = docs.filter($"doc_id" % 50 === 0)
+        val train = docs.filter($"doc_id" % 50 =!= 0)
+        TextOps.contaminatedIds(train, eval_, 5).orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
+             |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS shingle
+             |  FROM toks WHERE len(t) >= 5)
+             |SELECT DISTINCT tr.doc_id
+             |FROM sh tr
+             |WHERE tr.doc_id % 50 <> 0
+             |  AND tr.shingle IN (SELECT shingle FROM sh WHERE doc_id % 50 = 0)
+             |ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
     // Q33 — IVF ANN (the centroid-bucketed similarity-search scale path,
     // complementing q28's sign-LSH): deterministic seeded centroids + Lloyd
     // refinement, nProbe nearest-centroid buckets per query. Rows-only by

@@ -248,6 +248,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(toks > 0 && math.abs(toks - budget) < budget) // right order of magnitude
   }
 
+  test("repetitionStats flags repeated n-grams; decontaminate drops overlapping docs") {
+    val d = Seq(
+      (1L, "a b a b a b", "s"),            // "a b" 3x + "b a" 2x of 5 bigrams
+      (2L, "all words here are unique ok", "s"),
+      (3L, "x", "s"),                       // shorter than n
+    ).toDF("doc_id", "text", "source")
+    val rep = TextOps.repetitionStats(d, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rep(1L)._1 === 5)
+    assert(math.abs(rep(1L)._2 - (1.0 - 2.0 / 5)) < 1e-9) // 2 distinct of 5
+    assert(math.abs(rep(1L)._3 - 3.0 / 5) < 1e-9)         // "a b" 3 of 5
+    assert(rep(2L)._2 === 0.0 && rep(2L)._3 === 1.0 / 5)
+    assert(rep(3L) === ((0, 0.0, 0.0)))
+
+    val train = Seq(
+      (10L, "the quick brown fox jumps over the dog", "s"),
+      (11L, "totally unrelated content with other tokens", "s"),
+    ).toDF("doc_id", "text", "source")
+    val eval_ = Seq(
+      (90L, "we ask whether the quick brown fox jumps today", "s"),
+    ).toDF("doc_id", "text", "source")
+    val surv = TextOps.decontaminate(train, eval_, 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv === Set(11L)) // doc 10 shares the 4-gram "the quick brown fox"
+    val flagged = TextOps.contaminatedIds(train, eval_, 4)
+      .as[Long].collect().toSet
+    assert(flagged === Set(10L))
+  }
+
   test("Dedup.exact keeps the min-id row per identical text") {
     val out = Dedup.exact(docs).select("doc_id").as[Long].collect().toSet
     assert(out === Set(1L, 2L, 3L, 5L, 6L)) // doc 4 (== doc 3) dropped
