@@ -418,10 +418,17 @@ object LlmQueries {
       "q36_decontam",
       (s, dir) => {
         import s.implicits._
-        val docs = Tables.documents(s, dir)
-        val eval_ = docs.filter($"doc_id" % 50 === 0)
-        val train = docs.filter($"doc_id" % 50 =!= 0)
-        TextOps.contaminatedIds(train, eval_, 5).orderBy("doc_id")
+        // both sides come from ONE shingle pass (train/eval split by id
+        // parity after exploding) — the two-corpora API
+        // (TextOps.contaminatedIds) would shingle the table twice here
+        val sh = TextOps.shingleRows(Tables.documents(s, dir), 5)
+          .select($"doc_id", $"shingle")
+        val evalSh = sh.filter($"doc_id" % 50 === 0)
+          .select($"shingle".as("e_shingle")).distinct()
+        sh.filter($"doc_id" % 50 =!= 0)
+          .join(evalSh, $"shingle" === $"e_shingle", "left_semi")
+          .select("doc_id").distinct()
+          .orderBy("doc_id")
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
              |sh AS (
