@@ -93,4 +93,20 @@ object Multimodal {
         s"""transform(sequence(0, least(int(n_bytes / $stride), ${maxFrames - 1})),
            |  i -> substring(payload, i * $stride + 1, 1))""".stripMargin).as("frames"),
     )
+
+  /** Deterministic resize analog: downsample the payload to `targetBytes`
+    * by taking evenly strided bytes (a nearest-neighbor-resize access
+    * pattern — seek + gather, per row, executor-side; a real image resize
+    * plugs into the same column shape). Payloads at or under the target
+    * pass through; metadata (`n_bytes`) tracks the new size. */
+  def resize(media: DataFrame, targetBytes: Int): DataFrame =
+    media
+      .withColumn("payload",
+        when(col("n_bytes") <= targetBytes, col("payload"))
+          .otherwise(expr(
+            s"""aggregate(
+               |  transform(sequence(0, ${targetBytes - 1}),
+               |    i -> substring(payload, int(i * n_bytes / $targetBytes) + 1, 1)),
+               |  cast(X'' as binary), (acc, b) -> concat(acc, b))""".stripMargin)))
+      .withColumn("n_bytes", least(col("n_bytes"), lit(targetBytes.toLong)))
 }

@@ -316,5 +316,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(f1(1).getAs[Int]("width") === 0)
     val frames = Multimodal.sampleFrames(media, 4, 3).collect()
     assert(frames.forall(_.getAs[Seq[Array[Byte]]]("frames").nonEmpty))
+    // resize: strided downsample to the target size; small payloads pass
+    // through untouched; metadata tracks the new size; deterministic
+    val resized = Multimodal.resize(media, targetBytes = 4).orderBy("media_id").collect()
+    val r1m = resized(0)
+    assert(r1m.getAs[Long]("n_bytes") === 4L)
+    assert(r1m.getAs[Array[Byte]]("payload").length === 4)
+    // strides into "hello world" (11 bytes): offsets 0,2,5,8 -> 'h','l',' ','r'
+    assert(new String(r1m.getAs[Array[Byte]]("payload"), "UTF-8") === "hl r")
+    assert(resized(1).getAs[Long]("n_bytes") === 0L) // empty stays empty
+    val again = Multimodal.resize(media, 4).orderBy("media_id").collect()
+    resized.zip(again).foreach { case (x, y) =>
+      assert(x.getAs[Array[Byte]]("payload").toSeq === y.getAs[Array[Byte]]("payload").toSeq)
+      assert(x.getAs[Long]("n_bytes") === y.getAs[Long]("n_bytes"))
+    }
   }
 }
