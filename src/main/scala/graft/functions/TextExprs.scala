@@ -1,0 +1,170 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd text kernels — the per-row replacements for the
+  * interpreted higher-order-function trees in TextOps (same 100x-class win
+  * as [[SimHash64]]: HOF lambdas evaluate one interpreted call per element,
+  * these run one tight JVM loop per row inside whole-stage codegen).
+  *
+  * All three mirror their HOF formulations exactly (the HOF forms remain in
+  * TextOps as cross-checks and extension-less fallbacks):
+  *
+  *  - `graft_shingles(text, k)`: distinct k-token shingles in first-
+  *    occurrence order == `array_distinct(transform(sequence(0, n-k),
+  *    i -> concat_ws(' ', t[i..i+k-1])))` over `split(text, ' ', -1)`.
+  *  - `graft_minhash(text, k, numHashes)`: minhash signature over the
+  *    distinct shingle set. Hash family: h1/h2 = first/second 4 md5 bytes of
+  *    the shingle as unsigned 32-bit ints, h_j = (h1 + j*h2) mod 4294967311
+  *    (prime > 2^32; j*h2 <= 15*2^32 so the affine form never overflows a
+  *    long). ONE md5 per shingle instead of numHashes — the classic
+  *    two-hash universal family. NULL for docs with < k tokens (no
+  *    shingle set to sign). Oracle-expressible: DuckDB computes h1/h2 via
+  *    ('0x' || substr(md5(s), 1|9, 8))::BIGINT.
+  *  - `graft_repstats(text, n)`: struct(n_grams, n_distinct, top_count) of
+  *    the n-gram OCCURRENCE multiset (not distinct) — the Gopher/C4
+  *    repetition-filter counters, one hash-map pass instead of the
+  *    O(distinct * grams) filter-per-distinct-gram HOF.
+  */
+object TextKernels {
+
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  val MinHashPrime = 4294967311L // smallest prime > 2^32
+
+  /** Whitespace tokens, keeping empties — same as Spark's split(text, ' '). */
+  private def toks(text: UTF8String): Array[String] = text.toString.split(" ", -1)
+
+  private def gram(t: Array[String], i: Int, k: Int): String = {
+    val sb = new java.lang.StringBuilder(t(i))
+    var j = 1
+    while (j < k) { sb.append(' ').append(t(i + j)); j += 1 }
+    sb.toString
+  }
+
+  /** Distinct k-shingles in first-occurrence order (array_distinct parity). */
+  def shingles(text: UTF8String, k: Int): ArrayData = {
+    val t = toks(text)
+    if (t.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= t.length - k) { seen.add(gram(t, i, k)); i += 1 }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Minhash signature over the distinct shingle set; null when < k tokens. */
+  def minhash(text: UTF8String, k: Int, numHashes: Int): ArrayData = {
+    val t = toks(text)
+    if (t.length < k) return null
+    val seen = new java.util.HashSet[String]()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val md = digest.get()
+    var i = 0
+    while (i <= t.length - k) {
+      val g = gram(t, i, k)
+      if (seen.add(g)) {
+        md.reset()
+        val d = md.digest(g.getBytes("UTF-8"))
+        val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) | ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        var j = 0
+        while (j < numHashes) {
+          val h = (h1 + j * h2) % MinHashPrime
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** (n_grams, n_distinct, top_count) over n-gram occurrences. */
+  def repStats(text: UTF8String, n: Int): InternalRow = {
+    val t = toks(text)
+    if (t.length < n) return InternalRow(0, 0, 0)
+    val total = t.length - n + 1
+    val counts = new java.util.HashMap[String, Int]()
+    var top = 0
+    var i = 0
+    while (i < total) {
+      val c = counts.merge(gram(t, i, n), 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    InternalRow(total, counts.size, top)
+  }
+}
+
+/** Base for the (text, intLiteral...) kernels: string child, literal params. */
+sealed trait TextKernelExpr extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+}
+
+case class ShingleSet(child: Expression, k: Int) extends TextKernelExpr {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
+case class MinHashSig(child: Expression, k: Int, numHashes: Int) extends TextKernelExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // docs with < k tokens have no signature
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.minhash(input.asInstanceOf[UTF8String], k, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData r =
+         |  graft.functions.TextKernels.minhash($c, $k, $numHashes);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+case class RepStats(child: Expression, n: Int) extends TextKernelExpr {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top_count", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_repstats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.repStats(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.repStats($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepStats =
+    copy(child = newChild)
+}

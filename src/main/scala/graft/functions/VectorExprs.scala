@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native codegen'd vector kernels over `array<float>` embeddings —
   * replacing the interpreted `aggregate(zip_with(...))` /
@@ -76,10 +76,151 @@ object VectorKernels {
     math.sqrt(acc)
   }
 
+  /** Mixed float x double dot product — the centroid kernel: embeddings stay
+    * ARRAY<FLOAT>, trained centroids are driver-side ARRAY<DOUBLE> literals.
+    * Bit-identical to `aggregate(zip_with(e, c, (x, w) -> CAST(x AS DOUBLE)
+    * * w), 0.0D, (acc, v) -> acc + v)` (exact widening, strict left-to-right
+    * accumulation). */
+  def dotFD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  def dotFDBoxed(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** Centroid ranking for IVF ANN: all centroid indices ordered by
+    * (cosine distance to the embedding, index). `cents` is the centroid
+    * matrix flattened row-major. Bit-identical to the struct formulation it
+    * replaces (`array_sort(array(struct(1.0 - dot/(vn*cNorm), idx), ...))`):
+    * same double operations in the same order, zero norms score the max
+    * distance 2.0 (never NaN), ties break on the lower index (stable sort
+    * from ascending-index start; 1.0 - x never yields -0.0, so primitive
+    * comparison == Spark's struct double ordering on this domain). */
+  def centroidRanks(v: ArrayData, cents: Array[Double], dim: Int, nc: Int): ArrayData = {
+    val n = v.numElements()
+    var vn = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; vn += x * x; i += 1 }
+    vn = math.sqrt(vn)
+    val dist = new Array[Double](nc)
+    var c = 0
+    while (c < nc) {
+      val off = c * dim
+      var dot = 0.0
+      var cn = 0.0
+      var j = 0
+      val m = math.min(dim, n)
+      while (j < m) { dot += v.getFloat(j).toDouble * cents(off + j); j += 1 }
+      j = 0
+      while (j < dim) { val w = cents(off + j); cn += w * w; j += 1 }
+      cn = math.sqrt(cn)
+      dist(c) = if (cn == 0.0 || vn == 0.0) 2.0 else 1.0 - dot / (vn * cn)
+      c += 1
+    }
+    val idx = Array.tabulate(nc)(identity)
+    var a = 1
+    while (a < nc) {
+      val id = idx(a)
+      val d = dist(id)
+      var b = a - 1
+      while (b >= 0 && dist(idx(b)) > d) { idx(b + 1) = idx(b); b -= 1 }
+      idx(b + 1) = id
+      a += 1
+    }
+    new GenericArrayData(idx)
+  }
+
   private[functions] def elementsNullable(dt: DataType): Boolean = dt match {
     case ArrayType(_, cn) => cn
     case _ => false
   }
+}
+
+/** `graft_centroid_ranks(embedding, array(array(...), ...))` — centroid
+  * indices ordered by cosine distance; see [[VectorKernels.centroidRanks]].
+  * The centroid matrix is a FOLDABLE literal evaluated at function-build
+  * time into a plain constructor param, so the generated code is one stable
+  * static call with the flattened matrix as a reference object — re-planning
+  * each Lloyd iteration reuses the compiled class instead of recompiling an
+  * 8-struct sort tree with new literals. */
+case class CentroidRanks(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_centroid_ranks requires an ARRAY<FLOAT> argument, got ${other.catalogString}")
+  }
+
+  private val dim: Int = if (centroids.isEmpty) 0 else centroids.head.length
+  @transient private lazy val flat: Array[Double] = centroids.flatten.toArray
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_centroid_ranks"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.centroidRanks(input.asInstanceOf[ArrayData], flat, dim, centroids.size)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", flat, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.centroidRanks($c, $ref, $dim, ${centroids.size})")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidRanks =
+    copy(child = newChild)
+}
+
+/** `graft_dot_fd(array<float>, array<double>)` — see [[VectorKernels.dotFD]]. */
+case class DotProductFD(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot_fd requires (ARRAY<FLOAT>, ARRAY<DOUBLE>) arguments, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+
+  private def boxed: Boolean =
+    VectorKernels.elementsNullable(left.dataType) ||
+      VectorKernels.elementsNullable(right.dataType)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = super.nullable || boxed
+  override def prettyName: String = "graft_dot_fd"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (boxed) VectorKernels.dotFDBoxed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else VectorKernels.dotFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (!boxed)
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.dotFD($a, $b)")
+    else nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |java.lang.Double r = graft.functions.VectorKernels.dotFDBoxed($a, $b);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductFD =
+    copy(left = l, right = r)
 }
 
 case class DotProductF(left: Expression, right: Expression) extends BinaryExpression {

@@ -4,67 +4,127 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Shared text-pipeline building blocks over the `documents` table
-  * (doc_id, text, lang, source, n_chars). All pure DataFrame transforms,
-  * fully codegen'd (no UDFs): shingling via higher-order array functions,
-  * hashing via md5 — deterministic and reproducible in the DuckDB oracle.
+  * (doc_id, text, lang, source, n_chars). Deterministic and reproducible in
+  * the DuckDB oracle. The per-row kernels (shingling, minhash, repetition
+  * counters, simhash) dispatch to native codegen'd expressions
+  * ([[graft.functions.TextKernels]], registered by GraftExtensions) with
+  * bit-identical higher-order-function fallbacks kept as cross-checks —
+  * HOFs evaluate interpreted per element and measured 3-10x slower.
   *
   * Scale notes (100 TB posture): every transform here is per-row (no
   * shuffle) except the group-bys/joins that are explicitly keyed by shingle
-  * or doc_id; near-dup discovery goes through MinHash LSH (candidate
-  * generation by band equality) to avoid the O(n^2) pairwise comparison.
+  * or band; near-dup discovery goes through MinHash LSH (candidate
+  * generation by band equality) to avoid the O(n^2) pairwise comparison,
+  * and the LSH path computes signatures PER ROW — the full corpus is never
+  * shuffled, only 8-per-doc band keys and the (tiny) candidate pairs.
   */
 object TextOps {
 
   /** Whitespace tokens of `text` as an array column. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** (doc_id, source, shingle) rows: one per DISTINCT k-shingle per doc.
-    * Input df must have (doc_id, source, text). Docs shorter than k tokens
-    * are dropped (they have no k-shingle). */
-  def shingleRows(docs: DataFrame, k: Int = 3): DataFrame = {
-    val joined = (0 until k).map(j => s"t[i + $j]").mkString("concat_ws(' ', ", ", ", ")")
-    docs
-      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= k)
-      .select(
-        col("doc_id"),
-        col("source"),
-        explode(array_distinct(expr(s"transform(sequence(0, size(t) - $k), i -> $joined)")))
-          .as("shingle"),
-      )
+  private def hasFn(df: DataFrame, name: String): Boolean =
+    df.sparkSession.catalog.functionExists(name)
+
+  /** Distinct k-shingle array of `text`, first-occurrence order; empty for
+    * docs shorter than k tokens. Native kernel when registered; HOF
+    * formulation otherwise (bit-identical, spec-pinned). */
+  def shingleCol(df: DataFrame, k: Int): Column =
+    if (hasFn(df, "graft_shingles")) expr(s"graft_shingles(text, $k)")
+    else hofShingleCol(k)
+
+  /** SQL for the distinct k-shingle array over `split(text, ' ')`. */
+  private def hofShingleSql(k: Int): String = {
+    val joined = (0 until k).map(j => s"split(text, ' ')[i + $j]")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    s"array_distinct(transform(sequence(0, size(split(text, ' ')) - $k), i -> $joined))"
   }
 
-  /** Exact pairwise Jaccard over distinct-shingle rows, restricted to pairs
-    * sharing at least one shingle (the join prunes disjoint pairs for free)
-    * and, when `sameSourceOnly`, to pairs within one `source` partition.
-    * Kept as the equi-join + map-side-countable groupBy: the bucketized
-    * collect_list form (as in [[bucketPairs]]) measured 2.6x SLOWER here —
-    * shingle buckets are mostly singletons, so the list/explode machinery
-    * pays for itself only under LSH banding where buckets mean collisions.
-    * Output: (doc_a, doc_b, common, na, nb, jaccard) with doc_a < doc_b. */
-  def jaccardPairs(sh: DataFrame, sameSourceOnly: Boolean): DataFrame = {
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("source").as("src_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("source").as("src_b"), col("shingle").as("shingle_b"))
+  /** The pure-built-ins formulation of [[shingleCol]]. */
+  def hofShingleCol(k: Int): Column =
+    expr(s"CASE WHEN size(split(text, ' ')) >= $k THEN ${hofShingleSql(k)} ELSE array() END")
+
+  /** (doc_id, source, sset, n) — per-doc distinct shingle set and its size,
+    * computed per row (no shuffle). Docs shorter than k tokens are dropped. */
+  def shingleArrays(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), shingleCol(docs, k).as("sset"))
+      .filter(size(col("sset")) > 0)
+      .withColumn("n", size(col("sset")).cast("long"))
+
+  /** (doc_id, source, shingle) rows: one per DISTINCT k-shingle per doc. */
+  def shingleRows(docs: DataFrame, k: Int = 3): DataFrame =
+    shingleArrays(docs, k)
+      .select(col("doc_id"), col("source"), explode(col("sset")).as("shingle"))
+
+  /** Exact pairwise Jaccard over per-doc shingle ARRAYS, restricted to pairs
+    * sharing at least one shingle (the equi-join prunes disjoint pairs) and,
+    * when `sameSourceOnly`, to pairs within one `source` partition. The
+    * per-doc sizes ride along on the exploded rows, so the common-count
+    * groupBy finishes the job — no separate count aggregation, no post-group
+    * joins. Kept as the equi-join + map-side-countable groupBy: the
+    * bucketized collect_list form (as in [[bucketPairs]]) measured 2.6x
+    * SLOWER here — shingle buckets are mostly singletons, so the
+    * list/explode machinery pays for itself only under LSH banding where
+    * buckets mean collisions.
+    * Input: [[shingleArrays]] output (cache/checkpoint it — both join sides
+    * read it). Output: (doc_a, doc_b, common, na, nb, jaccard), doc_a <
+    * doc_b. */
+  def jaccardPairs(arrs: DataFrame, sameSourceOnly: Boolean): DataFrame = {
+    val a = arrs.select(col("doc_id").as("doc_a"), col("source").as("src_a"),
+      col("n").as("na"), explode(col("sset")).as("shingle"))
+    val b = arrs.select(col("doc_id").as("doc_b"), col("source").as("src_b"),
+      col("n").as("nb"), explode(col("sset")).as("shingle_b"))
     val cond0 = a("shingle") === b("shingle_b") && a("doc_a") < b("doc_b")
     val cond = if (sameSourceOnly) cond0 && a("src_a") === b("src_b") else cond0
     a.join(b, cond)
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("common"))
-      .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .agg(count(lit(1)).as("common"), first(col("na")).as("na"), first(col("nb")).as("nb"))
       .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
   }
 
-  /** MinHash signatures: for each doc, `numHashes` independent minima of
-    * md5(shingle || '#' || k). One aggregation pass, no row explosion and no
-    * join — per-occurrence hashing is embarrassingly parallel and the only
-    * shuffle is the final groupBy(doc_id). min over fixed-width lowercase
-    * hex == numeric min, so plain string MIN is a valid minhash. */
+  /** The minhash hash family shared by every path (and the DuckDB oracle):
+    * h1/h2 = first/second 4 md5 bytes of the shingle as unsigned 32-bit
+    * ints, h_k = (h1 + k*h2) mod 4294967311 (prime > 2^32). ONE md5 per
+    * shingle, numHashes derived by integer math — vs the md5-per-(shingle,k)
+    * scheme this cut 16x of the hashing. As SQL over a `shingle` column: */
+  private def h1Expr = "cast(conv(substring(md5(shingle), 1, 8), 16, 10) as bigint)"
+  private def h2Expr = "cast(conv(substring(md5(shingle), 9, 8), 16, 10) as bigint)"
+  val MinHashPrime: Long = graft.functions.TextKernels.MinHashPrime
+
+  /** MinHash signatures from DISTINCT shingle ROWS: `numHashes` minima of
+    * the affine family over one md5 per row. Row-based twin of
+    * [[minhashSigDF]] (one groupBy(doc_id) shuffle; use the per-row form
+    * when starting from documents). Columns: doc_id, h0..h{numHashes-1}. */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val hashed = sh.select(col("doc_id"),
+      expr(h1Expr).as("h1"), expr(h2Expr).as("h2"))
     val aggs = (0 until numHashes).map(k =>
-      min(md5(concat(col("shingle"), lit(s"#$k")))).as(s"h$k"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      min(pmod(col("h1") + lit(k.toLong) * col("h2"), lit(MinHashPrime))).as(s"h$k"))
+    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-row minhash signatures: (doc_id, sig: array<long>[numHashes]) with
+    * NO shuffle — the 100 TB shape (signature computation is embarrassingly
+    * parallel; only band keys ever reach an exchange). Native kernel when
+    * registered, HOF fallback otherwise (bit-identical, spec-pinned). */
+  def minhashSigDF(docs: DataFrame, k: Int, numHashes: Int): DataFrame = {
+    val sig =
+      if (hasFn(docs, "graft_minhash")) expr(s"graft_minhash(text, $k, $numHashes)")
+      else hofMinhashSig(k, numHashes)
+    docs.select(col("doc_id"), sig.as("sig")).filter(col("sig").isNotNull)
+  }
+
+  /** Pure-built-ins formulation of the per-row signature (NULL when < k
+    * tokens, like the kernel). Cross-check/fallback only: the inlined
+    * shingle+hash subtree re-evaluates per signature index. */
+  def hofMinhashSig(k: Int, numHashes: Int): Column = {
+    val hsSql =
+      s"transform(${hofShingleSql(k)}, shingle -> named_struct('h1', $h1Expr, 'h2', $h2Expr))"
+    val sigSql =
+      s"""transform(sequence(0, ${numHashes - 1}), kk ->
+         |  array_min(transform($hsSql, h -> pmod(h.h1 + kk * h.h2, ${MinHashPrime}L))))""".stripMargin
+    expr(s"CASE WHEN size(split(text, ' ')) >= $k THEN $sigSql ELSE NULL END")
   }
 
   /** Default LSH bucket-size cap: buckets larger than this are dropped from
@@ -90,17 +150,23 @@ object TextOps {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
 
-  /** LSH candidate pairs: melt signatures to (doc_id, band, sig) and bucket
-    * on band equality. With bandRows = 1 each of the `numHashes` signature
-    * elements is its own band (high-recall configuration for low-similarity
-    * corpora); larger bandRows concatenates consecutive elements. */
+  /** Band-key columns over signature array column `sig`: bandRows
+    * consecutive signature values joined with '#' (numbers need a separator
+    * — bare concat would alias "1"+"23" with "12"+"3"). */
+  private def bandKeyCols(nBands: Int, bandRows: Int): Seq[Column] =
+    (0 until nBands).map { b =>
+      concat_ws("#", (0 until bandRows).map(r => col("sig")(b * bandRows + r)): _*)
+    }
+
+  /** LSH candidate pairs from row-based signatures (h0..hN columns, as
+    * produced by [[minhashSignatures]]): band = bandRows consecutive
+    * signature values. */
   def lshCandidates(sigs: DataFrame, numHashes: Int, bandRows: Int,
                     maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
     val nBands = numHashes / bandRows
     val bandCols = (0 until nBands).map { b =>
-      val parts = (0 until bandRows).map(r => col(s"h${b * bandRows + r}"))
-      concat(parts: _*)
+      concat_ws("#", (0 until bandRows).map(r => col(s"h${b * bandRows + r}")): _*)
     }
     val melted = sigs.select(
       col("doc_id"),
@@ -109,49 +175,40 @@ object TextOps {
     bucketPairs(melted, maxBucketSize)
   }
 
-  /** Per-doc profile: the distinct shingle set AND the `numHashes` minhash
-    * minima in ONE aggregation pass — the near-dup pipeline's only full
-    * shuffle over shingle rows. (The unfused formulation paid this shuffle
-    * twice: once for signatures, once for the verify step's doc sets.) */
-  def minhashProfiles(sh: DataFrame, numHashes: Int): DataFrame = {
-    val aggs = collect_set(col("shingle")).as("sset") +:
-      (0 until numHashes).map(k =>
-        min(md5(concat(col("shingle"), lit(s"#$k")))).as(s"h$k"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-  }
-
-  /** Fused MinHash+LSH near-dup pipeline: shingle -> one groupBy(doc_id)
-    * computing signatures + shingle sets -> band-bucket candidate pairs ->
-    * exact-Jaccard verify against the cached profiles. Candidate semantics
-    * are identical to [[minhashSignatures]] + [[lshCandidates]] +
-    * [[verifyCandidates]] (pairs sharing >= 1 full band, then exact Jaccard)
-    * but the plan has ONE shuffle over shingle rows instead of two, no
-    * self-join, and no intermediate distinct over melted signatures.
+  /** Fused MinHash+LSH near-dup pipeline, per-row signatures end to end:
+    *
+    *   docs -> graft_minhash per row (NO corpus shuffle)
+    *        -> posexplode band keys (nBands small rows/doc, 16-byte-ish keys)
+    *        -> [[bucketPairs]] (the only full-width shuffle: band keys)
+    *        -> exact-Jaccard verify, shingle sets computed per row FOR
+    *           CANDIDATE DOCS ONLY (semi-join on the candidate id set).
+    *
+    * vs the row-based twin ([[minhashSignatures]] + [[lshCandidates]] +
+    * [[verifyCandidates]]): identical candidate semantics (pairs sharing
+    * >= 1 full band, then exact Jaccard — spec-pinned equal), but the
+    * full-corpus groupBy(doc_id) over shingle rows is gone entirely; at
+    * 100 TB nothing corpus-sized is ever exchanged.
     * Output: (doc_a, doc_b, common, na, nb, jaccard), doc_a < doc_b. */
   def lshNearDupPairs(docs: DataFrame, k: Int, numHashes: Int, bandRows: Int,
                       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
-    // lazy localCheckpoint, not cache(): the profile frame is consumed three
-    // times (bands + both verify joins) within this one returned plan, and
-    // its storage blocks are freed when the plan becomes unreachable (GC +
-    // ContextCleaner) — a plain cache() with no caller-side handle would
-    // leak one cached table per invocation for the session's lifetime.
-    val prof = minhashProfiles(shingleRows(docs, k), numHashes).localCheckpoint(false)
     val nBands = numHashes / bandRows
-    val bandCols = (0 until nBands).map { b =>
-      concat((0 until bandRows).map(r => col(s"h${b * bandRows + r}")): _*)
-    }
-    val bands = prof.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
-    // pairs is small (post-LSH); AQE sees its runtime size and turns both
-    // profile joins into broadcasts of the pair side (nested static
-    // broadcast hints here measured WORSE — driver-side broadcast jobs of a
-    // plan containing another broadcast exchange serialize badly).
-    val pairs = bucketPairs(bands, maxBucketSize)
+    val bands = minhashSigDF(docs, k, numHashes)
+      .select(col("doc_id"), posexplode(array(bandKeyCols(nBands, bandRows): _*)).as(Seq("band", "sig")))
+    // pairs and the candidate doc sets are consumed by multiple joins within
+    // this one returned plan: lazy localCheckpoint, not cache() — storage is
+    // freed when the plan becomes unreachable (GC + ContextCleaner), a plain
+    // cache() with no caller-side handle would leak for the session lifetime.
+    val pairs = bucketPairs(bands, maxBucketSize).localCheckpoint(false)
+    val candIds = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingleCol(docs, k).as("sset"))
+      .withColumn("n", size(col("sset")).cast("long"))
+      .localCheckpoint(false)
     pairs
-      .join(prof.select(col("doc_id").as("doc_a"), col("sset").as("sa")), Seq("doc_a"))
-      .join(prof.select(col("doc_id").as("doc_b"), col("sset").as("sb")), Seq("doc_b"))
-      .withColumn("na", size(col("sa")).cast("long"))
-      .withColumn("nb", size(col("sb")).cast("long"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa"), col("n").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb"), col("n").as("nb")), Seq("doc_b"))
       .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
@@ -181,8 +238,7 @@ object TextOps {
     * cross-check in the spec and as the fallback when the extension is not
     * registered. */
   def simhashDF(docs: DataFrame): DataFrame = {
-    val registered = docs.sparkSession.catalog.functionExists("graft_simhash64")
-    if (registered)
+    if (hasFn(docs, "graft_simhash64"))
       docs.select(col("doc_id"), expr("graft_simhash64(text)").as("simhash"))
     else simhashHofDF(docs)
   }
@@ -204,10 +260,29 @@ object TextOps {
   /** Per-doc n-gram repetition statistics — the Gopher/C4-style repetition
     * quality filters: `dup_frac` = fraction of n-gram OCCURRENCES that are
     * repeats of an earlier occurrence (1 - distinct/total), `top_frac` =
-    * fraction taken by the single most frequent n-gram. Pure per-row HOFs,
-    * no shuffle; cost is O(grams * distinct) per row, bounded by document
-    * length. Docs shorter than n tokens report 0 repetition. */
-  def repetitionStats(docs: DataFrame, n: Int): DataFrame = {
+    * fraction taken by the single most frequent n-gram. Per row, no
+    * shuffle; the native kernel is one hash-map pass per row (the HOF
+    * formulation's O(grams * distinct) filter-per-distinct-gram measured
+    * ~10x slower and is kept as the spec cross-check). Docs shorter than n
+    * tokens report 0 repetition. */
+  def repetitionStats(docs: DataFrame, n: Int): DataFrame =
+    if (hasFn(docs, "graft_repstats"))
+      docs
+        .select(col("doc_id"), expr(s"graft_repstats(text, $n)").as("rs"))
+        .select(
+          col("doc_id"),
+          col("rs.n_grams").as("n_grams"),
+          when(col("rs.n_grams") > 0,
+            lit(1.0) - col("rs.n_distinct").cast("double") / col("rs.n_grams"))
+            .otherwise(lit(0.0)).as("dup_frac"),
+          when(col("rs.n_grams") > 0,
+            col("rs.top_count").cast("double") / col("rs.n_grams"))
+            .otherwise(lit(0.0)).as("top_frac"),
+        )
+    else repetitionStatsHof(docs, n)
+
+  /** Pure-built-ins formulation of [[repetitionStats]] (bit-identical). */
+  def repetitionStatsHof(docs: DataFrame, n: Int): DataFrame = {
     val joined = (0 until n).map(j => s"t[i + $j]").mkString("concat_ws(' ', ", ", ", ")")
     docs
       .select(col("doc_id"), tokens(col("text")).as("t"))

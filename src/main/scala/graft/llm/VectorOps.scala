@@ -138,77 +138,99 @@ object VectorOps {
       iterations: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
+    // The training loop + final assign + probe make iterations+3 passes over
+    // the embedding frame: materialize it ONCE (lazy localCheckpoint — the
+    // standard iterative-ML shape; storage is freed with the plan). Without
+    // this every pass re-runs the scan (and the small-input repartition).
+    val e = emb.localCheckpoint(false)
+
     // --- 1. TRAIN ------------------------------------------------------
     // deterministic seed sample: smallest hash wins, ties impossible on ids
     var centroids: Seq[Seq[Double]] =
-      emb.select(col("vec_id"), col("embedding"))
+      e.select(col("vec_id"), col("embedding"))
         .orderBy(xxhash64(col("vec_id")), col("vec_id"))
         .limit(nCentroids)
         .collect()
         .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
 
-    // (distance, idx) structs against every centroid literal — the ONE
-    // definition of the metric, shared by training assignment (argmin via
-    // least) and query probing (top-nProbe via array_sort): a fix applied
-    // here cannot diverge between the two, which is what keeps the
-    // spec-pinned "full probe == brute force" invariant safe to maintain.
-    def scoredStructs(cs: Seq[Seq[Double]]): Seq[Column] = {
-      val vn = expr(normExprFor(emb, "embedding"))
+    // Centroid ranking — the ONE definition of the metric, shared by
+    // training assignment (ranks[0]) and query probing (ranks[0..nProbe)):
+    // a fix applied here cannot diverge between the two, which is what
+    // keeps the spec-pinned "full probe == brute force" invariant safe.
+    // Zero norms (degenerate vector or empty cluster) score the MAX cosine
+    // distance 2.0 instead of NaN — NaN inside the sort comparisons makes
+    // assignment and probe order undefined.
+    //
+    // Native kernel when registered: ONE stable static call whose centroid
+    // matrix is a codegen reference object, so re-planning each Lloyd
+    // iteration reuses the compiled class. The struct/array_sort tree
+    // (interpreted HOF dots, re-compiled per iteration because the centroid
+    // literals are baked into the plan) is the bit-identical fallback.
+    val haveCR = e.sparkSession.catalog.functionExists("graft_centroid_ranks")
+
+    def centroidsSql(cs: Seq[Seq[Double]]): String =
+      cs.map(c => c.map(v => s"${v}D").mkString("array(", ", ", ")"))
+        .mkString("array(", ", ", ")")
+
+    def scoredStructs(cs: Seq[Seq[Double]]): Seq[Column] =
       cs.zipWithIndex.map { case (c, i) =>
         val cNorm = math.sqrt(c.map(x => x * x).sum)
         val dot = expr(
           s"""aggregate(zip_with(embedding, __c$i, (x, w) -> CAST(x AS DOUBLE) * w),
              |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
-        struct((lit(1.0) - dot / (vn * lit(cNorm))).as("dist"), lit(i).as("idx"))
-      }
-    }
-
-    def assignExpr(cs: Seq[Seq[Double]]): Column =
-      least(scoredStructs(cs): _*).getField("idx")
-
-    def withCentroidCols(df: DataFrame, cs: Seq[Seq[Double]]): DataFrame =
-      cs.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-        d.withColumn(s"__c$i", typedLit(c))
+        val dist =
+          if (cNorm == 0) lit(2.0)
+          else when(col("__vn") === 0, lit(2.0))
+            .otherwise(lit(1.0) - dot / (col("__vn") * lit(cNorm)))
+        struct(dist.as("dist"), lit(i).as("idx"))
       }
 
+    /** df + `__ranks`: all centroid indices ordered by (distance, index). */
+    def withRanks(df: DataFrame, cs: Seq[Seq[Double]]): DataFrame =
+      if (haveCR)
+        df.withColumn("__ranks", expr(s"graft_centroid_ranks(embedding, ${centroidsSql(cs)})"))
+      else
+        cs.zipWithIndex.foldLeft(
+          df.withColumn("__vn", expr(normExprFor(df, "embedding")))) {
+          case (d, (c, i)) => d.withColumn(s"__c$i", typedLit(c))
+        }.withColumn("__ranks", array_sort(array(scoredStructs(cs): _*)).getField("idx"))
+
+    val dim = if (centroids.isEmpty) 0 else centroids.head.length
     for (_ <- 0 until iterations) {
-      // mean per (bucket, dim): k*dim result rows — tiny, collected to the
-      // driver to become the next round's literals
-      val means = withCentroidCols(emb, centroids)
-        .withColumn("bucket", assignExpr(centroids))
-        .select(col("bucket"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy("bucket", "dim").agg(avg(col("x").cast("double")).as("m"))
+      // per-bucket mean, one avg agg per dimension (k x dim result values —
+      // tiny, collected to the driver to become the next round's literals).
+      // Map-side partial aggregation over WIDE rows: vs the posexplode melt
+      // this is one narrow stage pair instead of a k*dim-row exchange.
+      val dimAggs = (0 until dim).map(i => avg(col("embedding")(i).cast("double")).as(s"m$i"))
+      val means = withRanks(e, centroids)
+        .withColumn("bucket", col("__ranks")(0))
+        .groupBy("bucket")
+        .agg(dimAggs.head, dimAggs.tail: _*)
         .collect()
-        .groupBy(_.getInt(0))
-        .map { case (b, rows) =>
-          b -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-        }
+        .map(r => r.getInt(0) -> (1 to dim).map(r.getDouble).toSeq)
+        .toMap
       // empty clusters keep their previous centroid
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }
 
     // --- 2. ASSIGN + 3. PROBE -----------------------------------------
-    val assigned = withCentroidCols(emb, centroids)
-      .withColumn("bucket", assignExpr(centroids))
+    val assigned = withRanks(e, centroids)
+      .withColumn("bucket", col("__ranks")(0))
       .select(col("vec_id"), col("embedding"), col("bucket"))
 
-    def probeExpr(cs: Seq[Seq[Double]], n: Int): Column =
-      slice(array_sort(array(scoredStructs(cs): _*)), 1, n).getField("idx")
-
     val q = broadcast(
-      withCentroidCols(emb.filter(queryIds(col("vec_id"))), centroids)
-        .withColumn("probes", probeExpr(centroids, nProbe))
+      withRanks(e.filter(queryIds(col("vec_id"))), centroids)
         .select(
           col("vec_id").as("qid"), col("embedding").as("qe"),
-          explode(col("probes")).as("qbucket"))
-        .withColumn("qn", expr(normExprFor(emb, "qe"))))
+          explode(slice(col("__ranks"), 1, nProbe)).as("qbucket"))
+        .withColumn("qn", expr(normExprFor(e, "qe"))))
 
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     assigned
       .select(col("vec_id").as("nid"), col("embedding").as("ne"), col("bucket"))
-      .withColumn("nn", expr(normExprFor(emb, "ne")))
+      .withColumn("nn", expr(normExprFor(e, "ne")))
       .join(q, col("bucket") === col("qbucket") && col("qid") =!= col("nid"))
-      .withColumn("cos", expr(dotExprFor(emb, "qe", "ne")) / (col("qn") * col("nn")))
+      .withColumn("cos", expr(dotExprFor(e, "qe", "ne")) / (col("qn") * col("nn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"), col("rnk"), col("cos"))

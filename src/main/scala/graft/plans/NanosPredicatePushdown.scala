@@ -96,8 +96,64 @@ object NanosPredicatePushdown extends Rule[LogicalPlan] with PredicateHelper {
   * Injects the pushdown rule and registers the native functions
   * (`graft_simhash64`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Extract a literal INT argument (the kernel shape params: shingle size,
+    * hash count) — analysis error otherwise, never a runtime surprise. */
+  private def litInt(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn argument $pos must be an INT literal, got $other")
+  }
+
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => NanosPredicatePushdown)
+    extensions.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.ShingleSet].getName, "graft_shingles"),
+      (children: Seq[Expression]) =>
+        graft.functions.ShingleSet(children(0), litInt(children(1), "graft_shingles", 1)),
+    ))
+    extensions.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.MinHashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) =>
+        graft.functions.MinHashSig(children(0),
+          litInt(children(1), "graft_minhash", 1), litInt(children(2), "graft_minhash", 2)),
+    ))
+    extensions.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_repstats"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.RepStats].getName, "graft_repstats"),
+      (children: Seq[Expression]) =>
+        graft.functions.RepStats(children(0), litInt(children(1), "graft_repstats", 1)),
+    ))
+    extensions.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_centroid_ranks"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.CentroidRanks].getName, "graft_centroid_ranks"),
+      (children: Seq[Expression]) => {
+        val m = children(1)
+        require(m.foldable, "graft_centroid_ranks centroid matrix must be foldable")
+        val cents = m.eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toObjectArray(m.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType)
+              .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray().toSeq)
+              .toSeq
+          case other => throw new IllegalArgumentException(
+            s"graft_centroid_ranks argument 1 must be ARRAY<ARRAY<DOUBLE>>, got $other")
+        }
+        graft.functions.CentroidRanks(children(0), cents)
+      },
+    ))
+    extensions.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot_fd"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.DotProductFD].getName, "graft_dot_fd"),
+      (children: Seq[Expression]) =>
+        graft.functions.DotProductFD(children(0), children(1)),
+    ))
     extensions.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash64"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

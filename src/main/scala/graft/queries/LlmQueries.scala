@@ -55,9 +55,10 @@ object LlmQueries {
       "q19_ngram_jaccard",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        // the shingle frame feeds both join sides + the per-doc counts —
-        // cache it once instead of re-exploding three times
-        val sh = TextOps.shingleRows(docs, 3).cache()
+        // per-doc shingle ARRAYS (native kernel, per-row, sizes attached) —
+        // checkpointed once, exploded by both join sides; the pair groupBy
+        // then finishes jaccard with no separate count agg or post-joins
+        val sh = TextOps.shingleArrays(docs, 3).localCheckpoint(false)
         TextOps.jaccardPairs(sh, sameSourceOnly = true)
           .filter(col("jaccard") >= 0.015)
           .select("doc_a", "doc_b", "jaccard")
@@ -107,11 +108,15 @@ object LlmQueries {
     ),
 
     // ------------------------------------------------------------------
-    // Q21 — MinHash + LSH near-dup (D11 scale path): 16 md5-minima per doc,
-    // banded 2 rows x 8 bands (a candidate needs a full 2-signature band
-    // collision, which keeps the candidate set quadratically smaller than
-    // per-hash matching on a low-similarity corpus — the property that makes
-    // LSH viable at 100 TB), then exact-Jaccard verification >= 0.02.
+    // Q21 — MinHash + LSH near-dup (D11 scale path): 16 minhash minima per
+    // doc from the two-hash affine family (ONE md5 per shingle; h_k =
+    // (h1 + k*h2) mod 4294967311 — the oracle reproduces it via the
+    // '0x'-hex BIGINT cast), computed PER ROW by the native kernel (no
+    // corpus shuffle), banded 2 rows x 8 bands (a candidate needs a full
+    // 2-signature band collision, which keeps the candidate set
+    // quadratically smaller than per-hash matching on a low-similarity
+    // corpus — the property that makes LSH viable at 100 TB), then
+    // exact-Jaccard verification >= 0.02 on candidate docs only.
     Declared(
       "q21_minhash_lsh",
       (s, dir) => {
@@ -122,12 +127,17 @@ object LlmQueries {
       },
       Some(shingleCte +
         """,
+          |hs AS (
+          |  SELECT doc_id,
+          |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+          |         ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+          |  FROM sh),
           |sigs AS (
-          |  SELECT doc_id, ks.k AS k, MIN(md5(shingle || '#' || ks.k)) AS sig
-          |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+          |  SELECT doc_id, ks.k AS k, MIN((h1 + ks.k * h2) % 4294967311) AS sig
+          |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
           |  GROUP BY doc_id, ks.k),
           |bands AS (
-          |  SELECT doc_id, k // 2 AS band, string_agg(sig, '' ORDER BY k) AS band_key
+          |  SELECT doc_id, k // 2 AS band, string_agg(sig::VARCHAR, '#' ORDER BY k) AS band_key
           |  FROM sigs GROUP BY doc_id, band),
           |cand AS (
           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

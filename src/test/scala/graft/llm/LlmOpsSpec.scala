@@ -93,9 +93,40 @@ class LlmOpsSpec extends SparkSpec {
   test("exact duplicates have identical minhash signatures (full-band collision)") {
     val sh = TextOps.shingleRows(docs, 3)
     val sigs = TextOps.minhashSignatures(sh, 16).collect()
-      .map(r => r.getLong(0) -> (1 to 16).map(r.getString).toSeq).toMap
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toSeq).toMap
     assert(sigs(3L) === sigs(4L))
     assert(sigs(1L) !== sigs(5L))
+  }
+
+  test("native text kernels are bit-identical to the HOF formulations") {
+    // shingles: native vs array_distinct(transform(...)), incl. a short doc
+    val edge = docs.union(Seq((7L, "a b", "s1"), (8L, "", "s2")).toDF("doc_id", "text", "source"))
+    val nat = edge.select($"doc_id", TextOps.shingleCol(edge, 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val hof = edge.select($"doc_id", TextOps.hofShingleCol(3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(nat === hof)
+    assert(nat(1L).nonEmpty && nat(7L).isEmpty && nat(8L).isEmpty)
+
+    // per-row minhash: native kernel vs pure-built-ins, NULL on short docs
+    val natSig = edge.select($"doc_id", expr("graft_minhash(text, 3, 16)").as("sig"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    val hofSig = edge.select($"doc_id", TextOps.hofMinhashSig(3, 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(natSig === hofSig)
+    assert(natSig(7L).isEmpty && natSig(3L).nonEmpty)
+
+    // per-row sigs == row-based groupBy sigs (the two public paths agree)
+    val rowSigs = TextOps.minhashSignatures(TextOps.shingleRows(edge, 3), 16)
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toSeq).toMap
+    assert(natSig.collect { case (id, Some(s)) => id -> s } === rowSigs)
+
+    // repetition stats: native kernel vs HOF counters
+    val repN = TextOps.repetitionStats(edge, 2).orderBy("doc_id")
+      .as[(Long, Int, Double, Double)].collect().toSeq
+    val repH = TextOps.repetitionStatsHof(edge, 2).orderBy("doc_id")
+      .as[(Long, Int, Double, Double)].collect().toSeq
+    assert(repN === repH)
   }
 
   test("simhash: identical docs equal; near-dup hamming < unrelated hamming") {
@@ -213,6 +244,34 @@ class LlmOpsSpec extends SparkSpec {
       val filtered = bruteOrder(qid).filter(ivfOrder.contains)
       assert(ivfOrder === filtered.take(ivfOrder.size))
     }
+  }
+
+  test("centroid-ranks kernel matches an independent struct/array_sort formulation") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // deterministic "trained-looking" centroids incl. a zero centroid (the
+    // NaN-guard edge: must rank LAST-ish with dist 2.0, never poison sorts)
+    val cents: Seq[Seq[Double]] = (0 until 7).map(c =>
+      (0 until 64).map(d => math.sin(c * 64 + d))) :+ Seq.fill(64)(0.0)
+    val sql = cents.map(c => c.map(v => s"${v}D").mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+    val kernel = emb.select($"vec_id", expr(s"graft_centroid_ranks(embedding, $sql)").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // independent formulation: explicit structs sorted by (dist, idx)
+    val structs = cents.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      val dot = expr(
+        s"""aggregate(zip_with(embedding, array(${c.map(v => s"${v}D").mkString(", ")}),
+           |          (x, w) -> CAST(x AS DOUBLE) * w),
+           |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+      val vn = expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+      val dist = if (cn == 0) lit(2.0)
+        else when(vn === 0, lit(2.0)).otherwise(lit(1.0) - dot / (vn * lit(cn)))
+      struct(dist.as("dist"), lit(i).as("idx"))
+    }
+    val ref = emb.select($"vec_id", array_sort(array(structs: _*)).getField("idx").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(kernel === ref)
+    assert(kernel.values.forall(_.last == 7)) // zero centroid always ranks last here
   }
 
   test("Mixing: hash sampling is deterministic, monotone, and budget-tracking") {
