@@ -76,6 +76,11 @@ object BlockFollowerPipeline {
         val tail = if (batchHasOps) BlockOps.tailSummary(ops, cfg) else prev
         tail.foreach(t => backend.set(pendingSummaryKey(cfg, batchId), t))
         backend.del(Seq(pendingSummaryKey(cfg, batchId - 2)))
+        // explicit durability barrier: the pending-summary SET must be on
+        // the wire before this micro-batch commits. (The del above happens
+        // to round-trip on pipelined backends, but that is incidental —
+        // making it conditional would silently lose the summary on crash.)
+        backend.flush()
       }
     } finally ops.unpersist()
   }

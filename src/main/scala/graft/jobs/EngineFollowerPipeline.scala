@@ -58,6 +58,10 @@ object EngineFollowerPipeline {
           if (firstVirt.isDefined) EngineOps.tailSummary(trxs, cfg) else prev
         tail.foreach(t => backend.set(pendingSummaryKey(cfg, batchId), t))
         backend.del(Seq(pendingSummaryKey(cfg, batchId - 2)))
+        // explicit durability barrier — see BlockFollowerPipeline: the
+        // pending-summary SET must not rely on the del's incidental
+        // round-trip to reach the wire before batch commit
+        backend.flush()
       }
     } finally trxs.unpersist()
   }

@@ -58,12 +58,17 @@ object KvTable {
     * one batch), which block-ordered ingestion gives for free when
     * bucketSize is a multiple of the blocks-per-trigger.
     *
-    * The precondition is ENFORCED at runtime: before overwriting, the
-    * affected buckets' existing block range is checked against the batch's
-    * range — existing rows OUTSIDE the incoming range would be silently
+    * The precondition is ENFORCED at runtime at BLOCK granularity: before
+    * overwriting, the affected buckets' existing DISTINCT block set is
+    * anti-joined against the batch's — any existing block the batch does
+    * not carry (outside its range OR an interior gap) would be silently
     * deleted by the overwrite, so the call refuses (IllegalStateException)
     * and points at [[writeVersioned]], the alignment-free idempotent path.
-    * The check is one min/max aggregate over partition-pruned buckets. */
+    * The check reads only the partition-pruned buckets' block_num column.
+    * KEYS within a re-sent block are deliberately not compared: a batch
+    * that re-derives a present block with a different key set is a
+    * legitimate rewrite (reorg repair) and wins; writers needing key-level
+    * idempotence belong on [[writeVersioned]]/[[loadLatest]]. */
   def overwriteBuckets(
       keyed: DataFrame,
       chain: String,
@@ -79,20 +84,23 @@ object KvTable {
     val hasData = fs.exists(new Path(path)) &&
       fs.listStatus(new Path(path)).exists(_.getPath.getName.startsWith("chain="))
     if (hasData) {
-      val b = frame.agg(
-        min("block_num").as("lo"), max("block_num").as("hi"),
-        collect_set("block_bucket").as("buckets")).head()
-      if (!b.isNullAt(0)) {
-        val (lo, hi) = (b.getLong(0), b.getLong(1))
-        val buckets = b.getSeq[Long](2)
-        val ex = load(spark, path)
+      val b = frame.agg(collect_set("block_bucket").as("buckets")).head()
+      if (!b.isNullAt(0) && b.getSeq[Long](0).nonEmpty) {
+        val buckets = b.getSeq[Long](0)
+        val batchBlocks = frame.select("block_bucket", "block_num").distinct()
+        val orphaned = load(spark, path)
           .filter(col("chain") === chain && col("block_bucket").isin(buckets: _*))
-          .agg(min("block_num"), max("block_num")).head()
-        if (!ex.isNullAt(0) && (ex.getLong(0) < lo || ex.getLong(1) > hi))
+          .select("block_bucket", "block_num").distinct()
+          .join(batchBlocks, Seq("block_bucket", "block_num"), "left_anti")
+          .orderBy("block_num")
+          .limit(5).collect()
+        if (orphaned.nonEmpty)
           throw new IllegalStateException(
-            s"overwriteBuckets would delete existing rows: buckets ${buckets.sorted.mkString(",")} " +
-              s"hold blocks [${ex.getLong(0)},${ex.getLong(1)}] but this batch only covers [$lo,$hi]. " +
-              "Batches must own whole buckets (bucketSize a multiple of blocks-per-trigger) — " +
+            s"overwriteBuckets would delete existing rows: blocks " +
+              orphaned.map(_.getLong(1)).mkString("[", ",", ",...]") +
+              s" live in buckets ${buckets.sorted.mkString(",")} but are absent from this batch " +
+              "(misaligned range or interior gap). Batches must own whole buckets " +
+              "(bucketSize a multiple of blocks-per-trigger) — " +
               "use writeVersioned/loadLatest for alignment-free idempotent replay.")
       }
     }

@@ -95,25 +95,61 @@ object EventStreamJobs {
         // fold this batch's events (ordered) into the session chain. A
         // late cross-batch event (within watermark) either OVERLAPS the
         // open session — merge, extending start backwards like the
-        // built-in session_window — or falls in a disjoint EARLIER gap,
-        // where it forms its own session emitted immediately (the open
-        // session bounds it on the right, so nothing can ever merge it).
+        // built-in session_window — or falls in a disjoint EARLIER gap.
+        // Earlier-disjoint events accumulate in their own chain (adjacent
+        // late events within gapMs merge with EACH OTHER, exactly like
+        // session_window would), held until the fold ends: the open
+        // session's start can itself move backwards via overlap merges, so
+        // whether the chain is truly disjoint is only decidable at the end.
         val sorted = rows.toVector.sortBy(_.ts.getTime)
         var emitted = Vector.empty[ClosedSession]
+        var earlier: Option[SessionState] = None // strictly before cur's gap
         var cur = state.getOption
+        def closedOf(s: SessionState): ClosedSession =
+          ClosedSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
         sorted.foreach { e =>
           val t = e.ts.getTime
           cur match {
             case Some(s) if t >= s.start - gapMs && t <= s.last + gapMs =>
               cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
             case Some(s) if t > s.last + gapMs =>
-              emitted :+= closed(s)
+              // open session closes; the earlier chain (bounded right by
+              // it) can merge into it if the backward extensions connected
+              // them, else it closes too — chronological emission order
+              val merged = earlier match {
+                case Some(a) if s.start - a.last <= gapMs =>
+                  SessionState(a.start, s.last, a.n + s.n)
+                case Some(a) =>
+                  emitted :+= closedOf(a); s
+                case None => s
+              }
+              earlier = None
+              emitted :+= closedOf(merged)
               cur = Some(SessionState(t, t, 1))
-            case Some(_) => // disjoint earlier: its own already-closed session
-              emitted :+= ClosedSession(userId, e.ts, e.ts, 1)
+            case Some(_) => // disjoint earlier than the open session
+              earlier match {
+                case Some(a) if t <= a.last + gapMs =>
+                  earlier = Some(SessionState(a.start, math.max(a.last, t), a.n + 1))
+                case Some(a) =>
+                  emitted :+= closedOf(a)
+                  earlier = Some(SessionState(t, t, 1))
+                case None =>
+                  earlier = Some(SessionState(t, t, 1))
+              }
             case None =>
               cur = Some(SessionState(t, t, 1))
           }
+        }
+        // end of fold: the surviving earlier chain either connects to the
+        // (possibly backward-extended) open session or is final
+        (earlier, cur) match {
+          case (Some(a), Some(s)) if s.start - a.last <= gapMs =>
+            cur = Some(SessionState(a.start, math.max(a.last, s.last), a.n + s.n))
+          case (Some(a), Some(_)) =>
+            emitted :+= closedOf(a)
+          case (Some(a), None) =>
+            cur = Some(a)
+          case _ => ()
         }
         cur.foreach { s =>
           state.update(s)

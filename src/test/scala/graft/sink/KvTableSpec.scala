@@ -97,6 +97,26 @@ class KvTableSpec extends SparkSpec {
     k.unpersist()
   }
 
+  test("overwriteBuckets REFUSES an interior-gap batch spanning the same range") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("kvtable-").toString
+    // one bucket holds blocks 100..103; the replay carries 100 AND 103 —
+    // the [lo,hi] envelope matches the existing rows exactly, but interior
+    // blocks 101/102 are absent and the dynamic overwrite would wipe them.
+    // (A min/max range heuristic passes this batch; the block-set
+    // anti-join must not.)
+    val k = keyed.cache()
+    KvTable.overwriteBuckets(k.filter(col("block_num") <= 103), "hive", dir, 4L)
+    val before = KvTable.load(spark, dir).count()
+    val boom = intercept[IllegalStateException] {
+      KvTable.overwriteBuckets(
+        k.filter(col("block_num") === 100 || col("block_num") === 103), "hive", dir, 4L)
+    }
+    assert(boom.getMessage.contains("writeVersioned"))
+    assert(KvTable.load(spark, dir).count() === before) // nothing deleted
+    k.unpersist()
+  }
+
   test("writeVersioned + loadLatest: misaligned replayed batches land exactly once") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("kvtable-").toString

@@ -150,6 +150,40 @@ class EventStreamJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("custom-state sessions merge adjacent late events like session_window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreamJobs.customSessions(
+        in.toDF(), gapMs = 30L * 60 * 1000, watermark = "6 hours")
+      .writeStream.format("memory").queryName("custom_sessions_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Ev(ts("2024-01-01 12:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // three LATE events: 11:00 and 11:10 are disjoint from the open
+      // session (12:00 - 30min gap = 11:30) but within gap of EACH OTHER;
+      // 11:35 overlaps and extends the open session's start back to 11:35,
+      // which brings it within gap of the 11:00-11:10 chain — the whole
+      // batch must collapse into ONE session 11:00-12:00 (x4), exactly
+      // what the built-in session_window computes for these timestamps.
+      in.addData(
+        Ev(ts("2024-01-01 11:00:00"), 1, "click", 1.0),
+        Ev(ts("2024-01-01 11:10:00"), 1, "click", 1.0),
+        Ev(ts("2024-01-01 11:35:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark so the timeout closes the merged session
+      in.addData(Ev(ts("2024-01-02 00:00:00"), 99, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-03 00:00:00"), 99, "click", 1.0))
+      q.processAllAvailable()
+      val user1 = spark.table("custom_sessions_late")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+        .filter(_._1 == 1L).toSet
+      assert(user1 === Set((1L, "2024-01-01 11:00:00.0", "2024-01-01 12:00:00.0", 4L)))
+    } finally q.stop()
+  }
+
   test("streaming session windows merge within gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
