@@ -454,6 +454,39 @@ object LlmQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Q38 — vocabulary construction (corpus term statistics): per-source
+    // top-10 terms by occurrence count (tf) with document frequency (df) —
+    // the aggregation a tokenizer-vocab / corpus-stats pass runs before
+    // training. Scale shape: groupBy(source, term) is map-side combinable
+    // (partial counts per partition); the top-k window runs over the
+    // already-aggregated (tiny) per-source term frame, never the corpus.
+    Declared(
+      "q38_vocab",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy("source").orderBy($"tf".desc, $"term")
+        Tables.documents(s, dir)
+          .select($"source", $"doc_id", explode(split($"text", " ")).as("term"))
+          .groupBy("source", "term")
+          .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+          .withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 10)
+          .select($"source", $"term", $"tf", $"df", $"rnk".cast("int").as("rnk"))
+          .orderBy("source", "rnk")
+      },
+      Some("""WITH tok AS (
+             |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |stats AS (
+             |  SELECT source, term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+             |  FROM tok GROUP BY 1, 2)
+             |SELECT source, term, tf, df, CAST(rn AS INT) AS rnk FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY tf DESC, term) AS rn
+             |  FROM stats)
+             |WHERE rn <= 10 ORDER BY source, rnk""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
     // Q33 — IVF ANN (the centroid-bucketed similarity-search scale path,
     // complementing q28's sign-LSH): deterministic seeded centroids + Lloyd
     // refinement, nProbe nearest-centroid buckets per query. Rows-only by

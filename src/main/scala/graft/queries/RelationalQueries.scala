@@ -468,5 +468,70 @@ object RelationalQueries {
              |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
              |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
     ),
+
+    // ------------------------------------------------------------------
+    // Q37 — as-of (point-in-time) join: each click gets the latest error by
+    // the same user at or before its timestamp. Spark has no ASOF JOIN;
+    // graft.ops.AsOfJoin is the scale-safe union+keyed-window form (one
+    // shuffle of |L|+|R| rows, no pair explosion). The oracle mirrors the
+    // union trick — deterministic tie semantics (same-ts errors count as
+    // "at or before"; among them the greatest event_id wins), unlike native
+    // ASOF JOIN whose equal-timestamp pick is unspecified.
+    Declared(
+      "q37_asof_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter($"event_type" === "click")
+          .select("event_id", "user_id", "ts")
+        val errors = ev.filter($"event_type" === "error")
+          .select("user_id", "ts", "event_id", "value")
+        graft.ops.AsOfJoin.lastAtOrBefore(
+            clicks, errors,
+            by = Seq("user_id"), ts = "ts", tie = "event_id",
+            payload = Seq("event_id", "ts", "value"), prefix = "err_")
+          .orderBy("event_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, ts, event_id, value,
+             |         CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS side
+             |  FROM events WHERE event_type IN ('click', 'error')),
+             |m AS (
+             |  SELECT *,
+             |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER w AS err_event_id,
+             |    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER w AS err_ts,
+             |    last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER w AS err_value
+             |  FROM u
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT event_id, user_id, ts, err_event_id, err_ts, err_value
+             |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q39 — exact percentiles (linear interpolation) of event value per
+    // type. Exact percentile is inherently sort-heavy; the 100 TB path is
+    // approx_percentile (t-digest sketch, map-side combinable), spec-pinned
+    // to track these exact values within tolerance.
+    Declared(
+      "q39_percentiles",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            expr("percentile(value, 0.5D)").as("p50"),
+            expr("percentile(value, 0.9D)").as("p90"),
+            expr("percentile(value, 0.99D)").as("p99"),
+          )
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |       quantile_cont(value, 0.5) AS p50,
+             |       quantile_cont(value, 0.9) AS p90,
+             |       quantile_cont(value, 0.99) AS p99
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
   )
 }

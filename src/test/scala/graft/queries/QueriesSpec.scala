@@ -38,4 +38,20 @@ class QueriesSpec extends SparkSpec {
     val approx = ev.select(approx_count_distinct("user_id", 0.05)).collect()(0).getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.15)
   }
+
+  test("approx_percentile (the 100 TB path) tracks q39's exact percentiles") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, dir)
+    val rows = ev.groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5D)").as("exact"),
+        expr("approx_percentile(value, 0.5D, 10000)").as("approx"),
+        (max("value") - min("value")).as("range"))
+      .collect()
+    rows.foreach { r =>
+      val (exact, approx, range) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(math.abs(approx - exact) / range < 0.02,
+        s"${r.getString(0)}: approx p50 $approx vs exact $exact")
+    }
+  }
 }
