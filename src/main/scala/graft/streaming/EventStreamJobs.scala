@@ -67,6 +67,25 @@ object EventStreamJobs {
       .withWatermark("fetched_at", watermark)
       .dropDuplicates("next_shuffle_block_num")
 
+  /** Streaming exact corpus dedup — the [NS] streaming twin of
+    * [[graft.llm.Dedup.exact]]: emit the FIRST document per dedup key
+    * (default: the text itself — use a fingerprint column for long docs),
+    * suppressing cross-micro-batch duplicates. State is one entry per
+    * distinct key, expired once the event-time watermark passes the key's
+    * first arrival (`dropDuplicatesWithinWatermark`): a late re-arrival
+    * inside the horizon is still deduped, state stays bounded instead of
+    * growing with corpus distinct count — the property that lets this run
+    * forever on RocksDB at ingest scale. Exactly the semantics a streaming
+    * training-data intake wants: "never admit a doc I admitted recently." */
+  def streamingExactDedup(
+      docs: DataFrame,
+      tsCol: String,
+      watermark: String,
+      on: Seq[String] = Seq("text")): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(on)
+
   /** CUSTOM-STATE sessionization via `flatMapGroupsWithState` — the
     * arbitrary-stateful-processing twin of [[sessionizedCounts]], for
     * session logic `session_window` cannot express (emit-on-close payloads,

@@ -9,6 +9,7 @@ import graft.SparkSpec
 
 final case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 final case class Sched(fetched_at: Timestamp, next_shuffle_block_num: Long, payload: String)
+final case class StreamDoc(ts: Timestamp, doc_id: Long, text: String)
 
 /** Streaming semantics of the watermarked window/dedup jobs, driven through
   * MemoryStream micro-batches including late data beyond the watermark. */
@@ -147,6 +148,35 @@ class EventStreamJobsSpec extends SparkSpec {
       assert(rows.contains((2L, "2024-01-01 10:05:00.0", "2024-01-01 10:05:00.0", 1L)))
       // matches the built-in session_window's grouping for the same data
       assert(rows.count(_._1 == 1L) === 2)
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup: cross-batch suppression, bounded state horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamDoc]
+    val q = EventStreamJobs.streamingExactDedup(
+        in.toDF(), tsCol = "ts", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(StreamDoc(ts("2024-01-01 10:00:00"), 1, "alpha"))
+      q.processAllAvailable()
+      // cross-micro-batch duplicate within the horizon -> suppressed;
+      // fresh doc admitted
+      in.addData(
+        StreamDoc(ts("2024-01-01 10:05:00"), 2, "alpha"),
+        StreamDoc(ts("2024-01-01 10:10:00"), 3, "beta"))
+      q.processAllAvailable()
+      // far-future doc advances the watermark past alpha's expiry...
+      in.addData(StreamDoc(ts("2024-01-01 20:00:00"), 4, "gamma"))
+      q.processAllAvailable()
+      // ...so a re-arrival AFTER the horizon is admitted again (state was
+      // evicted — this is what keeps dedup state bounded forever)
+      in.addData(StreamDoc(ts("2024-01-01 20:30:00"), 5, "alpha"))
+      q.processAllAvailable()
+      val ids = spark.table("stream_dedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 3L, 4L, 5L))
     } finally q.stop()
   }
 
