@@ -43,6 +43,31 @@ class AsOfJoinSpec extends SparkSpec {
     ))
   }
 
+  test("differential: matches a brute-force range-join oracle on random data") {
+    val rnd = new scala.util.Random(42)
+    val lefts = (0 until 300).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, t(rnd.nextInt(1000).toLong)))
+    val rights = (0 until 200).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, t(rnd.nextInt(1000).toLong), rnd.nextDouble()))
+    val lDf = lefts.toDF("lid", "user_id", "ts")
+    val rDf = rights.toDF("rid", "user_id", "ts", "px")
+
+    val got = AsOfJoin.lastAtOrBefore(
+        lDf, rDf, by = Seq("user_id"), ts = "ts", tie = "rid",
+        payload = Seq("rid"), prefix = "m_")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+
+    // O(|L| x |R|) reference: greatest (ts, rid) right row at or before
+    val want = lefts.map { case (lid, u, lts) =>
+      lid -> rights
+        .filter(r => r._2 == u && !r._3.after(lts))
+        .sortBy(r => (r._3.getTime, r._1))
+        .lastOption.map(_._1)
+    }.toMap
+    assert(got === want)
+    assert(got.values.exists(_.nonEmpty) && got.values.exists(_.isEmpty)) // non-vacuous
+  }
+
   test("plan shape: keyed window, no cross/range join explosion") {
     val trades = Seq((100L, 1L, t(5))).toDF("trade_id", "user_id", "ts")
     val quotes = Seq((1L, 1L, t(10), 1.0)).toDF("rid", "user_id", "ts", "px")
