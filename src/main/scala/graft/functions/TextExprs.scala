@@ -119,6 +119,7 @@ sealed trait TextKernelExpr extends UnaryExpression {
 }
 
 case class ShingleSet(child: Expression, k: Int) extends TextKernelExpr {
+  require(k >= 1, s"graft_shingles: shingle size must be >= 1, got $k")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_shingles"
 
@@ -133,6 +134,8 @@ case class ShingleSet(child: Expression, k: Int) extends TextKernelExpr {
 }
 
 case class MinHashSig(child: Expression, k: Int, numHashes: Int) extends TextKernelExpr {
+  require(k >= 1, s"graft_minhash: shingle size must be >= 1, got $k")
+  require(numHashes >= 1, s"graft_minhash: numHashes must be >= 1, got $numHashes")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true // docs with < k tokens have no signature
   override def prettyName: String = "graft_minhash"
@@ -153,6 +156,7 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int) extends TextKer
 }
 
 case class RepStats(child: Expression, n: Int) extends TextKernelExpr {
+  require(n >= 1, s"graft_repstats: n-gram size must be >= 1, got $n")
   override def dataType: DataType = StructType(Seq(
     StructField("n_grams", IntegerType, nullable = false),
     StructField("n_distinct", IntegerType, nullable = false),

@@ -37,8 +37,14 @@ object AsOfJoin {
     * @param tie     right-side tie-break column: among right rows sharing
     *                (by, ts), the greatest `tie` wins
     * @param payload right-side columns to attach
-    * @param prefix  prefix for the attached columns (avoids collisions);
-    *                left rows with no matching right row get nulls
+    * @param prefix  prefix for the attached columns — pick one that cannot
+    *                collide with a left column name; left rows with no
+    *                matching right row get nulls
+    *
+    * Right rows with a null timestamp are DROPPED (as-of against an
+    * unknown time is undefined — and in window order nulls sort first, so
+    * such a row would otherwise masquerade as "before everything"). Left
+    * rows with a null timestamp come through with null payload.
     */
   def lastAtOrBefore(
       left: DataFrame,
@@ -60,7 +66,7 @@ object AsOfJoin {
         lit(null).cast(tieType).as("__tie") +:
         lit(null).cast(pType).as("__p") +:
         keyCols.map(left(_)): _*)
-    val r = right.select(
+    val r = right.filter(right(ts).isNotNull).select(
       lit(null).cast(l.schema.head.dataType).as("__l") +:
         lit(0).as("__side") +:
         right(tie).as("__tie") +:
