@@ -108,12 +108,14 @@ object TextOps {
     * NO shuffle — the 100 TB shape (signature computation is embarrassingly
     * parallel; only band keys ever reach an exchange). Native kernel when
     * registered, HOF fallback otherwise (bit-identical, spec-pinned). */
-  def minhashSigDF(docs: DataFrame, k: Int, numHashes: Int): DataFrame = {
-    val sig =
-      if (hasFn(docs, "graft_minhash")) expr(s"graft_minhash(text, $k, $numHashes)")
-      else hofMinhashSig(k, numHashes)
-    docs.select(col("doc_id"), sig.as("sig")).filter(col("sig").isNotNull)
-  }
+  def minhashSigDF(docs: DataFrame, k: Int, numHashes: Int): DataFrame =
+    docs.select(col("doc_id"), minhashSigCol(docs, k, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** The per-row signature as a Column (NULL when < k tokens). */
+  def minhashSigCol(docs: DataFrame, k: Int, numHashes: Int): Column =
+    if (hasFn(docs, "graft_minhash")) expr(s"graft_minhash(text, $k, $numHashes)")
+    else hofMinhashSig(k, numHashes)
 
   /** Pure-built-ins formulation of the per-row signature (NULL when < k
     * tokens, like the kernel). Cross-check/fallback only: the inlined

@@ -86,6 +86,35 @@ object EventStreamJobs {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(on)
 
+  /** Streaming NEAR-exact dedup: admit the first document per minhash
+    * SIGNATURE within the watermark horizon. Signature equality (all
+    * `numHashes` minima identical) is the standard near-exact criterion —
+    * it collapses trivially-perturbed re-crawls whose shingle sets are
+    * (near-)identical, while texts differing in any meaningful way keep
+    * distinct signatures. Honest scope note: this is NOT the full banded
+    * LSH near-dup (a doc colliding on some-but-not-all bands is admitted);
+    * pair-level near-dup at a Jaccard threshold needs the batch pipeline
+    * ([[graft.llm.TextOps.lshNearDupPairs]]) over an accumulated corpus.
+    * Per-row native signature -> one dedup state entry per recent distinct
+    * signature; docs too short to sign (< k tokens) fall back to
+    * exact-text dedup (prefixed so a raw text can never alias a
+    * signature string). */
+  def streamingNearExactDedup(
+      docs: DataFrame,
+      tsCol: String,
+      watermark: String,
+      k: Int = 3,
+      numHashes: Int = 16): DataFrame = {
+    val sig = graft.llm.TextOps.minhashSigCol(docs, k, numHashes)
+    docs
+      .withColumn("__sig",
+        when(sig.isNotNull, concat_ws("#", sig))
+          .otherwise(concat(lit("raw:"), col("text"))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__sig")
+      .drop("__sig")
+  }
+
   /** CUSTOM-STATE sessionization via `flatMapGroupsWithState` — the
     * arbitrary-stateful-processing twin of [[sessionizedCounts]], for
     * session logic `session_window` cannot express (emit-on-close payloads,

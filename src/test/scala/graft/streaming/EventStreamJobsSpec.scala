@@ -180,6 +180,32 @@ class EventStreamJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-exact dedup suppresses signature-identical docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamDoc]
+    val q = EventStreamJobs.streamingNearExactDedup(
+        in.toDF(), tsCol = "ts", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("stream_neardedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        StreamDoc(ts("2024-01-01 10:00:00"), 1, "x y z x y z"),
+        StreamDoc(ts("2024-01-01 10:00:00"), 2, "a b")) // too short to sign
+      q.processAllAvailable()
+      // doc 3 has a DIFFERENT text but the IDENTICAL 3-shingle set (cyclic
+      // repetition) -> same signature -> suppressed; doc 4 is a new text;
+      // doc 5 is a short exact dup -> suppressed by the raw-text fallback
+      in.addData(
+        StreamDoc(ts("2024-01-01 10:05:00"), 3, "x y z x y z x y z"),
+        StreamDoc(ts("2024-01-01 10:06:00"), 4, "totally different words here"),
+        StreamDoc(ts("2024-01-01 10:07:00"), 5, "a b"))
+      q.processAllAvailable()
+      val ids = spark.table("stream_neardedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("custom-state sessions merge adjacent late events like session_window") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
