@@ -487,6 +487,48 @@ object LlmQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Q40 — sequence packing (the sample-packing pass before training):
+    // per-source contiguous packing of docs into fixed token-budget bins.
+    // Deterministic: docs in doc_id order, bin = floor(tokens-before /
+    // budget), position = index within bin. One keyed window (running sum
+    // per source) — the packing itself never shuffles doc payloads twice.
+    // Exact GREEDY bin-packing is inherently sequential; contiguous-order
+    // packing is what large-scale pipelines actually run (stable, single
+    // pass, deterministic shards), with docs straddling a boundary split
+    // or padded downstream.
+    Declared(
+      "q40_seq_packing",
+      (s, dir) => {
+        import s.implicits._
+        val budget = 2048
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        val wBin = Window.partitionBy("source", "bin").orderBy("doc_id")
+        Tables.documents(s, dir)
+          .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("n_tokens"))
+          .withColumn("tok_before",
+            coalesce(sum($"n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("bin", ($"tok_before" / budget).cast("long"))
+          .withColumn("pos_in_bin", (row_number().over(wBin) - 1).cast("int"))
+          .select("doc_id", "source", "n_tokens", "bin", "pos_in_bin")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT *,
+             |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+             |  FROM t),
+             |b AS (SELECT *, tok_before // 2048 AS bin FROM c)
+             |SELECT doc_id, source, n_tokens, bin,
+             |       CAST(row_number() OVER (PARTITION BY source, bin ORDER BY doc_id) - 1 AS INT)
+             |         AS pos_in_bin
+             |FROM b ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
     // Q33 — IVF ANN (the centroid-bucketed similarity-search scale path,
     // complementing q28's sign-LSH): deterministic seeded centroids + Lloyd
     // refinement, nProbe nearest-centroid buckets per query. Rows-only by
