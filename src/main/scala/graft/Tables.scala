@@ -44,6 +44,17 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     parallelized(table(spark, dir, "embeddings"))
 
+  /** Documents WITHOUT the parallelism guard — for scan-light queries
+    * (simple projections, pre-shuffle aggregations, keyed windows) where
+    * the guard's exchange of full text payloads costs 0.6-1.2 s and buys
+    * nothing: the query either does trivial per-row work or immediately
+    * reshuffles on its own key anyway (measured: q17a 1.6 s guarded vs
+    * 0.35 s raw). Keep [[documents]] for the compute-heavy-per-byte
+    * consumers (shingling, hashing kernels, codecs, explodes feeding
+    * aggregation). */
+  def documentsRaw(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+
   /** `ts` arrives as TIMESTAMP(NANOS); surfaced as TimestampType truncated to
     * microseconds (floor division — positive epoch values, so floor == trunc,
     * matching DuckDB's ns->us read-time truncation). */

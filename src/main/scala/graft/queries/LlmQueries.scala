@@ -37,7 +37,7 @@ object LlmQueries {
       (s, dir) => {
         import s.implicits._
         val w = Window.partitionBy("text").orderBy("doc_id")
-        Tables.documents(s, dir)
+        Tables.documentsRaw(s, dir)
           .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
           .groupBy("lang").agg(count(lit(1)).as("n_unique"))
           .orderBy("lang")
@@ -218,7 +218,7 @@ object LlmQueries {
       (s, dir) => {
         import s.implicits._
         val stop = Seq("the", "a", "of", "and", "to", "in", "is").map(w => s"'$w'").mkString(", ")
-        Tables.documents(s, dir)
+        Tables.documentsRaw(s, dir)
           .select(
             $"doc_id",
             size(split($"text", " ")).as("n_tokens"),
@@ -254,7 +254,7 @@ object LlmQueries {
       "q25_token_stats",
       (s, dir) => {
         import s.implicits._
-        Tables.documents(s, dir)
+        Tables.documentsRaw(s, dir)
           .select(
             $"doc_id",
             size(split($"text", " ")).as("ws_tokens"),
@@ -380,7 +380,7 @@ object LlmQueries {
       (s, dir) => {
         import s.implicits._
         val frac = (pmod(expr("try_cast(substring(source, 4) as int)"), lit(4)) + 1) * lit(0.2)
-        Tables.documents(s, dir)
+        Tables.documentsRaw(s, dir)
           .filter(graft.llm.Mixing.hashKeep($"doc_id", frac))
           .select($"doc_id", $"source")
           .orderBy("doc_id")
@@ -398,7 +398,7 @@ object LlmQueries {
     Declared(
       "q35_repetition",
       (s, dir) => {
-        TextOps.repetitionStats(Tables.documents(s, dir), 2)
+        TextOps.repetitionStats(Tables.documentsRaw(s, dir), 2)
           .orderBy("doc_id")
       },
       Some("""WITH g AS (
@@ -503,7 +503,7 @@ object LlmQueries {
         val budget = 2048
         val w = Window.partitionBy("source").orderBy("doc_id")
         val wBin = Window.partitionBy("source", "bin").orderBy("doc_id")
-        Tables.documents(s, dir)
+        Tables.documentsRaw(s, dir)
           .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("n_tokens"))
           .withColumn("tok_before",
             coalesce(sum($"n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

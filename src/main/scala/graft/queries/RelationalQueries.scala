@@ -345,7 +345,7 @@ object RelationalQueries {
       "q17a_string_scalars",
       (s, dir) => {
         import s.implicits._
-        Tables.documents(s, dir)
+        Tables.documentsRaw(s, dir)
           .select(
             $"doc_id",
             initcap(regexp_replace($"lang", "_", " ")).as("lang_cap"),
