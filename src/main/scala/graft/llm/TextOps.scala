@@ -259,6 +259,35 @@ object TextOps {
             |         THEN 1L ELSE 0L END),
             |  0L, (acc, b) -> acc * 2L + b)""".stripMargin).as("simhash"))
 
+  /** SimHash near-dup pairs — the hamming-distance twin of the MinHash
+    * path: pairs whose 60-bit simhashes differ in at most `maxHamming`
+    * bits. Candidate generation banded like LSH: `nBands` equal bit slices
+    * as equi-join keys. By pigeonhole the banding is LOSSLESS whenever
+    * maxHamming < nBands (a pair within hamming h differs in at most h
+    * bands, so at least one band matches exactly) — this is exact near-dup
+    * detection with LSH's scale shape: per-row signatures, a small
+    * band-key shuffle, and a verify join on candidates only.
+    * Output: (doc_a, doc_b, hamming), doc_a < doc_b. */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3, nBands: Int = 4,
+                          maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(maxHamming < nBands, "banding is lossless only when maxHamming < nBands")
+    require(60 % nBands == 0, "nBands must divide the 60-bit signature")
+    val bandBits = 60 / nBands
+    val mask = (1L << bandBits) - 1
+    // tiny frame (doc_id, simhash), consumed by the bands and both verify
+    // joins — checkpoint once, same lifetime rationale as lshNearDupPairs
+    val sh = simhashDF(docs).localCheckpoint(false)
+    val bandCols = (0 until nBands).map(b =>
+      shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)))
+    val bands = sh.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+    bucketPairs(bands, maxBucketSize)
+      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), Seq("doc_b"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Per-doc n-gram repetition statistics — the Gopher/C4-style repetition
     * quality filters: `dup_frac` = fraction of n-gram OCCURRENCES that are
     * repeats of an earlier occurrence (1 - distinct/total), `top_frac` =

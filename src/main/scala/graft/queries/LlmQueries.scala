@@ -487,6 +487,45 @@ object LlmQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Q41 — SimHash near-dup pairs (the hamming twin of q21's MinHash
+    // path): 60-bit simhashes, 4x15-bit bands as candidate keys —
+    // pigeonhole makes the banding LOSSLESS for hamming <= 3 — then
+    // bit_count(xor) verification on candidates only.
+    Declared(
+      "q41_simhash_neardup",
+      (s, dir) => {
+        TextOps.simhashNearDupPairs(Tables.documents(s, dir), maxHamming = 3)
+          .withColumn("hamming", col("hamming").cast("int"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH hs0 AS (
+             |  SELECT doc_id,
+             |         list_transform(string_split(text, ' '),
+             |                        tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT) AS hs
+             |  FROM documents),
+             |hs AS (
+             |  SELECT doc_id,
+             |    CAST(list_sum(list_transform(generate_series(0, 59), j ->
+             |      CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+             |           THEN (1::BIGINT << (59 - j)) ELSE 0 END)) AS BIGINT) AS simhash
+             |  FROM hs0),
+             |bands AS (
+             |  SELECT doc_id, simhash, bs.b AS b, (simhash >> (bs.b * 15)) & 32767 AS bkey
+             |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM bands a JOIN bands b
+             |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b,
+             |       CAST(bit_count(xor(ha.simhash, hb.simhash)) AS INT) AS hamming
+             |FROM cand
+             |JOIN hs ha ON ha.doc_id = cand.doc_a
+             |JOIN hs hb ON hb.doc_id = cand.doc_b
+             |WHERE bit_count(xor(ha.simhash, hb.simhash)) <= 3
+             |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
     // Q40 — sequence packing (the sample-packing pass before training):
     // per-source contiguous packing of docs into fixed token-budget bins.
     // Deterministic: docs in doc_id order, bin = floor(tokens-before /

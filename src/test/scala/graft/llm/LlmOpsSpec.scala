@@ -246,6 +246,20 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("simhash banding is lossless: banded pairs == brute-force hamming <= 3") {
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val hashes = TextOps.simhashDF(real).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb))).toSet
+    val banded = TextOps.simhashNearDupPairs(real, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty) // non-vacuous on the planted near-dups
+  }
+
   test("centroid-ranks kernel matches an independent struct/array_sort formulation") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     // deterministic "trained-looking" centroids incl. a zero centroid (the
