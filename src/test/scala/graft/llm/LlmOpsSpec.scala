@@ -246,6 +246,35 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("minhash family agrees across paths on randomized corpora") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (0 until (5 + rnd.nextInt(10))).map { i =>
+        val n = rnd.nextInt(12) // includes docs too short to shingle
+        (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "), "s1")
+      }.toDF("doc_id", "text", "source")
+
+      // per-row kernel signatures == row-based groupBy signatures
+      val perRow = TextOps.minhashSigDF(corpus, 3, 8).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val rowBased = TextOps.minhashSignatures(TextOps.shingleRows(corpus, 3), 8)
+        .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+      assert(perRow === rowBased, s"seed=$seed signature paths diverge")
+
+      // fused pipeline == unfused signature/candidate/verify pipeline
+      val sh = TextOps.shingleRows(corpus, 3)
+      val unfused = TextOps.verifyCandidates(
+        TextOps.lshCandidates(TextOps.minhashSignatures(sh, 8), 8, 2), sh)
+        .select("doc_a", "doc_b", "common", "na", "nb")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val fused = TextOps.lshNearDupPairs(corpus, 3, 8, 2)
+        .select("doc_a", "doc_b", "common", "na", "nb")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(fused === unfused, s"seed=$seed fused/unfused diverge")
+    }
+  }
+
   test("simhash banding is lossless: banded pairs == brute-force hamming <= 3") {
     val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val hashes = TextOps.simhashDF(real).collect()
