@@ -64,11 +64,39 @@ object Dedup {
 
   /** Embedding-space near-dedup: drop vectors whose cosine to a lower-id
     * vector meets tau — [[VectorOps.cosineNearDupPairs]] over the full frame
-    * (sampleMod=1). Exact pairwise; use an LSH-bucketed candidate frame
-    * (VectorOps.hyperplaneBuckets) as the pre-filter at scale. */
+    * (sampleMod=1). EXACT but pairwise (O(n^2) non-equi join): small
+    * corpora / sampled audits only; the scale path is
+    * [[dedupByEmbeddingLsh]]. */
   def dedupByEmbedding(emb: DataFrame, tau: Double): DataFrame = {
     val drop = VectorOps.cosineNearDupPairs(emb, sampleMod = 1, tau)
       .select(col("vec_b").as("vec_id")).distinct()
+    emb.join(drop, Seq("vec_id"), "left_anti")
+  }
+
+  /** The 100 TB embedding-dedup path: candidate pairs restricted to
+    * sign-LSH hyperplane buckets (equi-join on bucket id — no cross
+    * product), cosine-verified >= tau, greedy lower-id survivor policy.
+    * APPROXIMATE by construction: a near-dup pair split across buckets is
+    * missed; recall rises as nPlanes falls (coarser buckets) — the
+    * standard recall/cost dial. With nPlanes=0 every vector shares one
+    * bucket and this degenerates to the exact path (spec-pinned). */
+  def dedupByEmbeddingLsh(
+      emb: DataFrame,
+      tau: Double,
+      nPlanes: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val b = VectorOps.hyperplaneBuckets(emb, nPlanes, dim)
+    // norms projected once per vector BEFORE the bucket join (native kernel
+    // when registered), same discipline as the top-k paths
+    val a = b.select(col("vec_id").as("vec_a"), col("embedding").as("qe"), col("bucket"))
+      .withColumn("na", expr(VectorOps.normExprFor(emb, "qe")))
+    val c = b.select(col("vec_id").as("vec_b"), col("embedding").as("ne"), col("bucket"))
+      .withColumn("nb", expr(VectorOps.normExprFor(emb, "ne")))
+    val drop = a.join(c, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(expr(VectorOps.dotExprFor(emb, "qe", "ne")) / (col("na") * col("nb")) >= tau)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .localCheckpoint(true)
     emb.join(drop, Seq("vec_id"), "left_anti")
   }
 }

@@ -33,10 +33,10 @@ object VectorOps {
   private def nativeFns(df: DataFrame): Boolean =
     df.sparkSession.catalog.functionExists("graft_dot_f")
 
-  private def dotExprFor(df: DataFrame, a: String, b: String): String =
+  private[llm] def dotExprFor(df: DataFrame, a: String, b: String): String =
     if (nativeFns(df)) s"graft_dot_f($a, $b)" else hofDot(a, b)
 
-  private def normExprFor(df: DataFrame, a: String): String =
+  private[llm] def normExprFor(df: DataFrame, a: String): String =
     if (nativeFns(df)) s"graft_norm_f($a)" else hofNorm(a)
 
   /** cosine(a, b) as a Column over a frame (HOF fallback path). */
@@ -104,7 +104,9 @@ object VectorOps {
     }
     val bucketBits = (0 until nPlanes).map(p =>
       when(expr(planeDot(p)) > 0, lit(1L)).otherwise(lit(0L)))
-    val bucket = bucketBits.reduce((a, b) => a * 2 + b)
+    // nPlanes=0 -> one global bucket (degenerates to exact all-pairs)
+    val bucket =
+      if (bucketBits.isEmpty) lit(0L) else bucketBits.reduce((a, b) => a * 2 + b)
     withPlanes
       .withColumn("bucket", bucket)
       .select(col("vec_id"), col("embedding"), col("label"), col("bucket"))

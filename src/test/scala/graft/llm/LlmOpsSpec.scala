@@ -246,6 +246,22 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("embedding LSH dedup: subset of exact survivors; nPlanes=0 degenerates to exact") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.dedupByEmbedding(emb, tau = 0.25)
+      .select("vec_id").as[Long].collect().toSet
+    val lsh = Dedup.dedupByEmbeddingLsh(emb, tau = 0.25, nPlanes = 4)
+      .select("vec_id").as[Long].collect().toSet
+    // LSH can only MISS drop-pairs (bucket splits), never invent them:
+    // every exact survivor survives LSH too
+    assert(exact.subsetOf(lsh))
+    // one global bucket == the exact path
+    val degenerate = Dedup.dedupByEmbeddingLsh(emb, tau = 0.25, nPlanes = 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(degenerate === exact)
+    assert(exact.size < emb.count()) // non-vacuous: something was dropped
+  }
+
   test("minhash family agrees across paths on randomized corpora") {
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
     for (seed <- 1 to 8) {
