@@ -354,6 +354,59 @@ object TextOps {
       .select("doc_id").distinct()
   }
 
+  /** FUZZY cross-corpus decontamination: train doc_ids that are a verified
+    * near-dup (Jaccard >= tau) of ANY doc in `other` — the
+    * whole-document-similarity guard that catches paraphrased/trimmed eval
+    * leakage a single-shingle overlap test ([[contaminatedIds]]) either
+    * over-fires on (one common idiom) or, at large n, misses. Same scale
+    * shape as [[lshNearDupPairs]]: per-row signatures on BOTH corpora,
+    * band-key equi-join across them (never within one), shingle sets
+    * computed for candidate docs only. Approximate with LSH's usual
+    * recall; band collisions tune it. Output: distinct train doc_id. */
+  def crossNearDupIds(
+      train: DataFrame,
+      other: DataFrame,
+      tau: Double,
+      k: Int = 3,
+      numHashes: Int = 16,
+      bandRows: Int = 2,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
+    val nBands = numHashes / bandRows
+    def bandsOf(df: DataFrame): DataFrame =
+      minhashSigDF(df, k, numHashes)
+        .select(col("doc_id"), posexplode(array(bandKeyCols(nBands, bandRows): _*)).as(Seq("band", "sig")))
+    // cross-corpus candidates: equi-join on (band, key) BETWEEN the frames
+    // (bucket cap applied to the other side — a boilerplate-heavy eval
+    // bucket otherwise fans out against every matching train doc)
+    val otherBands = bandsOf(other)
+    val otherCapped =
+      if (maxBucketSize == Int.MaxValue) otherBands
+      else {
+        val hot = otherBands.groupBy("band", "sig").agg(count(lit(1)).as("bcnt"))
+          .filter(col("bcnt") > maxBucketSize)
+        otherBands.join(broadcast(hot), Seq("band", "sig"), "left_anti")
+      }
+    val cand = bandsOf(train)
+      .join(otherCapped.select(col("band"), col("sig"), col("doc_id").as("o_id")), Seq("band", "sig"))
+      .select(col("doc_id"), col("o_id")).distinct()
+      .localCheckpoint(false)
+    val trainSets = train
+      .join(cand.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingleCol(train, k).as("ts"))
+    val otherSets = other
+      .join(cand.select(col("o_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("o_id"), shingleCol(other, k).as("os"))
+    cand
+      .join(trainSets, Seq("doc_id"))
+      .join(otherSets, Seq("o_id"))
+      .filter(
+        size(array_intersect(col("ts"), col("os"))).cast("double")
+          / (size(col("ts")) + size(col("os"))
+             - size(array_intersect(col("ts"), col("os")))) >= tau)
+      .select("doc_id").distinct()
+  }
+
   /** Language-ID scoring: marker-token hit counts per language, argmax with a
     * fixed priority-order tie-break (and 'und' when no marker hits at all).
     * The marker lists are tiny common-stopword sets — a standard n-gram/

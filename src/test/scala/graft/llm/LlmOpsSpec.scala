@@ -366,6 +366,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(toks > 0 && math.abs(toks - budget) < budget) // right order of magnitude
   }
 
+  test("crossNearDupIds: whole-doc similarity vs single-shingle overlap") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "s1"), // near-dup of eval
+      (2L, "spark shuffles data between stages using hash partitioning", "s1"), // exact dup of eval
+      (3L, "the quick brown completely different everything else here now", "s1"), // ONE shared shingle
+      (4L, "unrelated content about databases and indexes in production", "s1"),
+    ).toDF("doc_id", "text", "source")
+    val eval_ = Seq(
+      (100L, "the quick brown fox jumps over the lazy cat today", "e"),
+      (101L, "spark shuffles data between stages using hash partitioning", "e"),
+    ).toDF("doc_id", "text", "source")
+
+    val fuzzy = TextOps.crossNearDupIds(train, eval_, tau = 0.5)
+      .as[Long].collect().toSet
+    assert(fuzzy === Set(1L, 2L)) // whole-doc similarity: 3 is NOT flagged
+    // the single-shingle guard DOES flag doc 3 — the two operators answer
+    // different questions, both needed
+    val exactOverlap = TextOps.contaminatedIds(train, eval_, 3)
+      .as[Long].collect().toSet
+    assert(exactOverlap.contains(3L) && exactOverlap.contains(1L) && exactOverlap.contains(2L))
+    assert(!exactOverlap.contains(4L))
+  }
+
   test("repetitionStats flags repeated n-grams; decontaminate drops overlapping docs") {
     val d = Seq(
       (1L, "a b a b a b", "s"),            // "a b" 3x + "b a" 2x of 5 bigrams
