@@ -96,9 +96,16 @@ object VectorOps {
     * bucket = bits of sign(dot(plane, v)) packed into a long. This is the
     * scale path for ANN: bucket is an equi-join/groupBy key. */
   def hyperplaneBuckets(emb: DataFrame, nPlanes: Int, dim: Int): DataFrame = {
+    // float-embedding x double-plane-literal dot: native kernel when
+    // registered (bit-identical; the HOF fold evaluates interpreted per
+    // element and this projection runs once per plane per row, on every
+    // path that consumes buckets)
+    val haveFD = emb.sparkSession.catalog.functionExists("graft_dot_fd")
     val planeDot: Int => String = p =>
-      s"""aggregate(zip_with(embedding, plane$p, (x, w) -> CAST(x AS DOUBLE) * w),
-         |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+      if (haveFD) s"graft_dot_fd(embedding, plane$p)"
+      else
+        s"""aggregate(zip_with(embedding, plane$p, (x, w) -> CAST(x AS DOUBLE) * w),
+           |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
     val withPlanes = (0 until nPlanes).foldLeft(emb) { (df, p) =>
       df.withColumn(s"plane$p", typedLit(planeComponents(p, dim)))
     }
