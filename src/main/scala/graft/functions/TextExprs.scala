@@ -93,6 +93,62 @@ object TextKernels {
     new GenericArrayData(mins)
   }
 
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def toHex(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Count of whitespace tokens that are members of `words`. Equals
+    * `size(filter(split(text, ' '), x -> x IN (...)))`. */
+  def tokenCountIn(text: UTF8String, words: java.util.HashSet[String]): Int = {
+    val t = toks(text)
+    var n = 0
+    var i = 0
+    while (i < t.length) {
+      if (words.contains(t(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  /** Lowercase-hex md5 of the minimum k-shingle digest (byte-wise unsigned
+    * min == lexicographic min of the fixed-width hex, so this equals
+    * `array_min(transform(shingles, s -> md5(s)))`); null when < k
+    * tokens. */
+  def minShingleMd5(text: UTF8String, k: Int): UTF8String = {
+    val t = toks(text)
+    if (t.length < k) return null
+    val md = digest.get()
+    var best: Array[Byte] = null
+    var i = 0
+    while (i <= t.length - k) {
+      md.reset()
+      val d = md.digest(gram(t, i, k).getBytes("UTF-8"))
+      if (best == null || unsignedLess(d, best)) best = d
+      i += 1
+    }
+    UTF8String.fromString(toHex(best))
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
   /** (n_grams, n_distinct, top_count) over n-gram occurrences. */
   def repStats(text: UTF8String, n: Int): InternalRow = {
     val t = toks(text)
@@ -152,6 +208,49 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int) extends TextKer
        """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+case class TokenCountIn(child: Expression, words: Seq[String]) extends TextKernelExpr {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_token_count_in"
+
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    words.foreach(s.add)
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.tokenCountIn(input.asInstanceOf[UTF8String], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("words", set, "java.util.HashSet<String>")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.tokenCountIn($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCountIn =
+    copy(child = newChild)
+}
+
+case class MinShingleMd5(child: Expression, k: Int) extends TextKernelExpr {
+  require(k >= 1, s"graft_min_shingle_md5: shingle size must be >= 1, got $k")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true // docs with < k tokens
+  override def prettyName: String = "graft_min_shingle_md5"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.minShingleMd5(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |org.apache.spark.unsafe.types.UTF8String r =
+         |  graft.functions.TextKernels.minShingleMd5($c, $k);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinShingleMd5 =
     copy(child = newChild)
 }
 

@@ -419,11 +419,20 @@ object TextOps {
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "wo3"),
   )
 
+  /** Count of whitespace tokens of `text` in `words` — native hash-set
+    * kernel when registered, `size(filter(...IN...))` HOF otherwise
+    * (identical counts). */
+  def tokenCountInCol(df: DataFrame, words: Seq[String]): Column = {
+    val inList = words.map(w => s"'$w'").mkString(", ")
+    if (hasFn(df, "graft_token_count_in"))
+      expr(s"graft_token_count_in(text, array($inList))")
+    else expr(s"size(filter(split(text, ' '), x -> x IN ($inList)))")
+  }
+
   def langIdDF(docs: DataFrame): DataFrame = {
     val scored = langMarkers.zipWithIndex.map { case ((lang, words), idx) =>
-      val inList = words.map(w => s"'$w'").mkString(", ")
       struct(
-        expr(s"size(filter(split(text, ' '), x -> x IN ($inList)))").as("score"),
+        tokenCountInCol(docs, words).as("score"),
         lit(-idx).as("prio"),
         lit(lang).as("lang"),
       )

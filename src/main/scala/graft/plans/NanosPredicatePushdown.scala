@@ -130,6 +130,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.RepStats(children(0), litInt(children(1), "graft_repstats", 1)),
     ))
     extensions.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_token_count_in"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.TokenCountIn].getName, "graft_token_count_in"),
+      (children: Seq[Expression]) => {
+        val w = children(1)
+        require(w.foldable, "graft_token_count_in word list must be foldable")
+        val words = w.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq
+        graft.functions.TokenCountIn(children(0), words)
+      },
+    ))
+    extensions.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_min_shingle_md5"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.MinShingleMd5].getName, "graft_min_shingle_md5"),
+      (children: Seq[Expression]) =>
+        graft.functions.MinShingleMd5(children(0), litInt(children(1), "graft_min_shingle_md5", 1)),
+    ))
+    extensions.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_centroid_ranks"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.CentroidRanks].getName, "graft_centroid_ranks"),

@@ -217,13 +217,14 @@ object LlmQueries {
       "q24_quality_score",
       (s, dir) => {
         import s.implicits._
-        val stop = Seq("the", "a", "of", "and", "to", "in", "is").map(w => s"'$w'").mkString(", ")
-        Tables.documentsRaw(s, dir)
+        val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+        val docs = Tables.documentsRaw(s, dir)
+        docs
           .select(
             $"doc_id",
             size(split($"text", " ")).as("n_tokens"),
             length($"text").as("text_len"),
-            (expr(s"size(filter(split(text, ' '), x -> x IN ($stop)))").cast("double")
+            (TextOps.tokenCountInCol(docs, stop).cast("double")
               / size(split($"text", " "))).as("stop_ratio"),
             (length(regexp_replace($"text", "[^a-z]", "")).cast("double")
               / length($"text")).as("alpha_ratio"),
@@ -278,16 +279,24 @@ object LlmQueries {
       "q26_fingerprint",
       (s, dir) => {
         import s.implicits._
+        // native min-shingle-md5 kernel when registered (NULL for docs
+        // shorter than the shingle -> coalesce to the whole-doc hash,
+        // exactly the HOF form's when/otherwise); HOF otherwise
+        val winnow =
+          if (s.catalog.functionExists("graft_min_shingle_md5"))
+            coalesce(expr("graft_min_shingle_md5(text, 5)"), md5($"text"))
+          else
+            when(size(split($"text", " ")) >= 5,
+              array_min(expr(
+                """transform(sequence(0, greatest(size(split(text, ' ')) - 5, 0)),
+                  |  i -> md5(concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1],
+                  |           split(text, ' ')[i+2], split(text, ' ')[i+3], split(text, ' ')[i+4])))""".stripMargin)))
+              .otherwise(md5($"text"))
         Tables.documents(s, dir)
-          .select($"doc_id", $"text", split($"text", " ").as("t"))
           .select(
             $"doc_id",
             md5($"text").as("full_fp"),
-            when(size($"t") >= 5,
-              array_min(expr(
-                """transform(sequence(0, greatest(size(t) - 5, 0)),
-                  |  i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))""".stripMargin)))
-              .otherwise(md5($"text")).as("winnow_fp"),
+            winnow.as("winnow_fp"),
           )
           .orderBy("doc_id")
       },

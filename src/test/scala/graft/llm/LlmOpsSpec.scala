@@ -127,6 +127,29 @@ class LlmOpsSpec extends SparkSpec {
     val repH = TextOps.repetitionStatsHof(edge, 2).orderBy("doc_id")
       .as[(Long, Int, Double, Double)].collect().toSeq
     assert(repN === repH)
+
+    // token-set counting: native hash-set kernel vs IN-filter HOF
+    val stop = Seq("the", "over", "a")
+    val cntN = edge.select($"doc_id", TextOps.tokenCountInCol(edge, stop).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cntH = edge.select($"doc_id",
+        expr(s"size(filter(split(text, ' '), x -> x IN (${stop.map(w => s"'$w'").mkString(", ")})))").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cntN === cntH)
+    assert(cntN(1L) > 0)
+
+    // winnow fingerprint: native min-shingle-md5 vs array_min-of-md5 HOF
+    val wN = edge.select($"doc_id", expr("graft_min_shingle_md5(text, 3)").as("fp"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val wH = edge.select($"doc_id", $"text", split($"text", " ").as("t"))
+      .select($"doc_id",
+        when(size($"t") >= 3,
+          array_min(expr(
+            "transform(sequence(0, size(t) - 3), i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2])))")))
+          .as("fp"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(wN === wH)
+    assert(wN(7L).isEmpty && wN(1L).nonEmpty)
   }
 
   test("simhash: identical docs equal; near-dup hamming < unrelated hamming") {
