@@ -64,6 +64,32 @@ object ScaleBench {
     }
     println(s"""{"op":"ann_lsh","vectors":$nVec,"results":$nAnn,"sec":$tAnn}""")
 
+    // as-of join over replicated events: one keyed window over |L|+|R|
+    // rows — wall time should track row count, never pair count
+    val events = replicate(Tables.events(spark, sfDir), "event_id", factor)
+      .localCheckpoint(true)
+    val nEv = events.count()
+    val clicks = events.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val errs = events.filter(col("event_type") === "error")
+      .select("user_id", "ts", "event_id", "value")
+    val (nAsof, tAsof) = timed {
+      graft.ops.AsOfJoin.lastAtOrBefore(
+        clicks, errs, Seq("user_id"), "ts", "event_id",
+        Seq("event_id", "value"), "err_").count()
+    }
+    println(s"""{"op":"asof_join","events":$nEv,"rows":$nAsof,"sec":$tAsof}""")
+
+    // vocabulary construction over replicated docs: map-side-combinable
+    // (source, term) agg; result size is vocab-bound, not corpus-bound
+    val (nVocab, tVocab) = timed {
+      docs.select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("source", "term")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .count()
+    }
+    println(s"""{"op":"vocab","docs":$nDocs,"terms":$nVocab,"sec":$tVocab}""")
+
     spark.stop()
   }
 }
