@@ -19,8 +19,17 @@ import graft.Tables
 object RelationalQueries {
 
   /** Order-independent exact sum of a double column: cast to decimal, sum,
-    * cast back. Oracle twin: CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE). */
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(25, 6))).cast("double")
+    * re-cast to SCALE 4 (lossless — inputs are 2-decimal values, products
+    * 4-decimal), then to double. The scale-4 hop matters: a decimal whose
+    * unscaled value exceeds 2^53 converts to double through int128->double
+    * + a division in DuckDB (double-rounded, can land 1 ulp off Spark's
+    * correctly-rounded BigDecimal conversion — observed on sf0.1 revenue
+    * sums at scale 8). At scale 4 the unscaled value stays exact in a
+    * double up to 9e11, so both engines' conversions are correctly rounded
+    * and identical. Oracle twin:
+    * CAST(CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DECIMAL(25,4)) AS DOUBLE). */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(25, 6))).cast(DecimalType(25, 4)).cast("double")
 
   val all: Seq[Declared] = Seq(
     // ------------------------------------------------------------------
@@ -199,11 +208,11 @@ object RelationalQueries {
           .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
           .groupBy("r_name")
           .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(25, 8)))
-            .cast("double").as("revenue"))
+            .cast(DecimalType(25, 4)).cast("double").as("revenue"))
           .orderBy("r_name")
       },
       Some("""SELECT r_name,
-             |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,8))) AS DOUBLE) AS revenue
+             |       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,8))) AS DECIMAL(25,4)) AS DOUBLE) AS revenue
              |FROM lineitem
              |JOIN orders   ON l_orderkey  = o_orderkey
              |JOIN customer ON o_custkey   = c_custkey
@@ -229,9 +238,9 @@ object RelationalQueries {
           .orderBy("l_returnflag", "l_linestatus")
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
-             |  CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+             |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(25,4)) AS DOUBLE) AS sum_qty,
+             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(25,4)) AS DOUBLE) AS sum_base_price,
+             |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DECIMAL(25,4)) AS DOUBLE) / COUNT(*) AS avg_disc,
              |  COUNT(*) AS count_order
              |FROM lineitem GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin),
@@ -288,7 +297,7 @@ object RelationalQueries {
       },
       Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              |       COUNT(*) AS n_events,
-             |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+             |       CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,4)) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1 ORDER BY day""".stripMargin),
     ),
 
@@ -406,7 +415,7 @@ object RelationalQueries {
       },
       Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
              |       COALESCE(l_linestatus, 'ALL') AS lstatus,
-             |       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+             |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(25,4)) AS DOUBLE) AS sum_qty,
              |       COUNT(*) AS n
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY rflag, lstatus""".stripMargin),
