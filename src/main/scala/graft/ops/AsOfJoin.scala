@@ -80,4 +80,76 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .select(col("__l.*") +: payload.map(f => col(s"__m.$f").as(s"$prefix$f")): _*)
   }
+
+  /** Skew-safe twin of [[lastAtOrBefore]] for HOT join keys: the flat form
+    * funnels every row of one key through a single window task, so a key
+    * holding a large fraction of the data becomes a straggler. This form
+    * bounds the per-task row count by TIME RANGE instead (the same
+    * bucket-and-stitch discipline as [[Stitch.leadStitched]]):
+    *
+    *   1. the carry-forward window runs per (key, bucket) — parallel, each
+    *      task sees one time slice of one key;
+    *   2. each bucket's FINAL right payload (one row per key x bucket) is
+    *      propagated across buckets by a window over that tiny heads
+    *      frame — the only per-key-partitioned work left, O(buckets);
+    *   3. left rows whose slice-local lookback found nothing take their
+    *      bucket's carry-in.
+    *
+    * Result is IDENTICAL to the flat form (spec-pinned on random data).
+    * `bucketMicros` is the slice width over a TimestampType `ts`. */
+  def lastAtOrBeforeBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      ts: String,
+      tie: String,
+      payload: Seq[String],
+      prefix: String,
+      bucketMicros: Long = 3600L * 1000000L): DataFrame = {
+    val keyCols = by :+ ts
+    val p = struct(payload.map(right(_)): _*)
+    val pType = right.select(p).schema.head.dataType
+    val tieType = right.select(right(tie)).schema.head.dataType
+    val l = left.select(
+      struct(left.columns.map(left(_)).toSeq: _*).as("__l") +:
+        lit(1).as("__side") +:
+        lit(null).cast(tieType).as("__tie") +:
+        lit(null).cast(pType).as("__p") +:
+        keyCols.map(left(_)): _*)
+    val r = right.filter(right(ts).isNotNull).select(
+      lit(null).cast(l.schema.head.dataType).as("__l") +:
+        lit(0).as("__side") +:
+        right(tie).as("__tie") +:
+        p.as("__p") +:
+        keyCols.map(right(_)): _*)
+    val u = r.unionByName(l)
+      .withColumn("__bucket", (unix_micros(col(ts)) / bucketMicros).cast("long"))
+
+    // 1. slice-local carry-forward: window keyed by (by..., bucket)
+    val wSlice = Window.partitionBy((by :+ "__bucket").map(col): _*)
+      .orderBy(col(ts).asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sliced = u.withColumn("__m", last(col("__p"), ignoreNulls = true).over(wSlice))
+
+    // 2. per-(key, bucket) final right payload -> cross-bucket carry-in.
+    //    heads is one row per key x OCCUPIED bucket (buckets with no right
+    //    rows carry a null final and inherit through the same window).
+    val finals = u.filter(col("__side") === 0)
+      .groupBy((by :+ "__bucket").map(col): _*)
+      .agg(max_by(col("__p"), struct(col(ts), col("__tie"))).as("__final"))
+    val buckets = u.select((by :+ "__bucket").map(col): _*).distinct()
+      .join(finals, by :+ "__bucket", "left")
+    val wCarry = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("__bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = buckets.withColumn("__carry", last(col("__final"), ignoreNulls = true).over(wCarry))
+      .select((by :+ "__bucket").map(col) :+ col("__carry"): _*)
+
+    // 3. resolve: slice-local hit wins, else the bucket's carry-in
+    sliced
+      .filter(col("__side") === 1)
+      .join(carry, by :+ "__bucket", "left")
+      .withColumn("__r", coalesce(col("__m"), col("__carry")))
+      .select(col("__l.*") +: payload.map(f => col(s"__r.$f").as(s"$prefix$f")): _*)
+  }
 }

@@ -66,6 +66,14 @@ class AsOfJoinSpec extends SparkSpec {
     }.toMap
     assert(got === want)
     assert(got.values.exists(_.nonEmpty) && got.values.exists(_.isEmpty)) // non-vacuous
+
+    // the skew-safe bucketed form is IDENTICAL to the flat form, at a
+    // bucket width small enough that carries cross many bucket boundaries
+    val gotBucketed = AsOfJoin.lastAtOrBeforeBucketed(
+        lDf, rDf, by = Seq("user_id"), ts = "ts", tie = "rid",
+        payload = Seq("rid"), prefix = "m_", bucketMicros = 100L * 1000L)
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(gotBucketed === want)
   }
 
   test("plan shape: keyed window, no cross/range join explosion") {
