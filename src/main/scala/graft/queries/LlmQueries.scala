@@ -496,6 +496,40 @@ object LlmQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Q42 — unigram corpus-frequency scoring (the language-model-proxy
+    // quality filter): each doc scored by the average corpus frequency of
+    // its tokens — documents of rare/garbled tokens score low, exactly
+    // the signal an LM-perplexity filter approximates. Ratio arithmetic
+    // only (integer counts, one final division): log-probabilities would
+    // hash-diverge on libm differences between engines. Scale shape: the
+    // corpus vocab is counts-bounded; AQE broadcasts it into the
+    // token-level join, then one per-doc aggregation.
+    Declared(
+      "q42_unigram_score",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val toks = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+        val vocab = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+        val total = lit(toks.count())
+        toks.join(vocab, Seq("term"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).cast("int").as("n_tokens"),
+            (sum($"tf").cast("double") / count(lit(1)) / total).as("avg_tok_freq"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |vocab AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+             |total AS (SELECT COUNT(*) AS n FROM toks)
+             |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+             |       CAST(SUM(tf) AS DOUBLE) / COUNT(*) / (SELECT n FROM total) AS avg_tok_freq
+             |FROM toks JOIN vocab USING (term)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
     // Q41 — SimHash near-dup pairs (the hamming twin of q21's MinHash
     // path): 60-bit simhashes, 4x15-bit bands as candidate keys —
     // pigeonhole makes the banding LOSSLESS for hamming <= 3 — then
