@@ -354,6 +354,37 @@ object TextOps {
       .select("doc_id").distinct()
   }
 
+  /** Bloom-pre-filtered variant of [[contaminatedIds]] — the semi-join
+    * reduction pattern for 100 TB: a compact Bloom filter over the eval
+    * corpus' distinct shingles is built once (`bloom_filter_agg`, bounded
+    * bytes regardless of corpus size) and applied to the train side's
+    * shingle stream BEFORE the exact semi-join, so the shuffle carries
+    * only probable matches instead of every train shingle. False
+    * positives cost nothing but pass-through rows — the exact semi-join
+    * behind the filter removes them, so the RESULT is identical to the
+    * unfiltered form (spec-pinned). `expectedItems`/`numBits` size the
+    * filter (defaults: 1M items / 8M bits ~ 1 MB, ~2% FPP). */
+  def contaminatedIdsBloom(
+      train: DataFrame,
+      eval_ : DataFrame,
+      n: Int,
+      expectedItems: Long = 1000000L,
+      numBits: Long = 8000000L): DataFrame = {
+    val evalSh = shingleRows(eval_, n).select(col("shingle").as("e_shingle")).distinct()
+      .localCheckpoint(false) // feeds the filter build AND the exact join
+    // EAGER driver-side build: might_contain requires a CONSTANT filter
+    // (Spark's own runtime bloom-join rule feeds it a scalar subquery).
+    // This collects the bounded sketch (numBits/8 bytes), never data rows.
+    val bf = evalSh
+      .agg(expr(s"graft_bloom_agg(xxhash64(e_shingle), ${expectedItems}L, ${numBits}L)").as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val trainSh = shingleRows(train, n).select("doc_id", "shingle")
+      .filter(call_function("graft_bloom_contains", lit(bf), xxhash64(col("shingle"))))
+    trainSh
+      .join(evalSh, trainSh("shingle") === evalSh("e_shingle"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
   /** FUZZY cross-corpus decontamination: train doc_ids that are a verified
     * near-dup (Jaccard >= tau) of ANY doc in `other` — the
     * whole-document-similarity guard that catches paraphrased/trimmed eval

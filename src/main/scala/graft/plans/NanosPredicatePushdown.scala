@@ -129,6 +129,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         graft.functions.RepStats(children(0), litInt(children(1), "graft_repstats", 1)),
     ))
+    // Spark's Bloom-filter expressions exist only as internal plumbing for
+    // the runtime bloom-join rule (not in the SQL registry); surface them
+    // for the semi-join-reduction pattern (TextOps.contaminatedIdsBloom)
+    extensions.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_agg"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2)),
+    ))
+    extensions.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_contains"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1)),
+    ))
     extensions.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_token_count_in"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -389,6 +389,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(toks > 0 && math.abs(toks - budget) < budget) // right order of magnitude
   }
 
+  test("bloom-pre-filtered decontamination equals the exact form") {
+    // real corpus split: eval = doc_id % 50 == 0, train = the rest (the
+    // q36 shape) — the bloom pre-filter must not change the answer
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val eval_ = d.filter($"doc_id" % 50 === 0)
+    val train = d.filter($"doc_id" % 50 =!= 0)
+    val exact = TextOps.contaminatedIds(train, eval_, 5).as[Long].collect().toSet
+    val bloom = TextOps.contaminatedIdsBloom(train, eval_, 5).as[Long].collect().toSet
+    assert(bloom === exact)
+    assert(exact.nonEmpty) // non-vacuous on the planted near-dups
+    // and with a pathologically tiny filter (all-FP regime) it still
+    // cannot over-report: the exact join behind it is the gate
+    val tiny = TextOps.contaminatedIdsBloom(train, eval_, 5,
+      expectedItems = 10L, numBits = 64L).as[Long].collect().toSet
+    assert(tiny === exact)
+  }
+
   test("crossNearDupIds: whole-doc similarity vs single-shingle overlap") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today", "s1"), // near-dup of eval
