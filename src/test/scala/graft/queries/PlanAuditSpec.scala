@@ -33,9 +33,15 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("no accidental cross products; every window is partitioned") {
+    var windowsSeen = 0
+    var pairwiseSeen = 0
     for (d <- SparkEntry.declared) {
       val nodes = collectNodes(
         d.build(spark, dir).queryExecution.executedPlan)
+      windowsSeen += nodes.count(_.isInstanceOf[WindowExec])
+      if (pairwiseByDesign(d.name))
+        pairwiseSeen += nodes.count(n =>
+          n.isInstanceOf[BroadcastNestedLoopJoinExec] || n.isInstanceOf[CartesianProductExec])
       if (!pairwiseByDesign(d.name)) {
         assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
           s"${d.name}: CartesianProduct in plan")
@@ -47,5 +53,9 @@ class PlanAuditSpec extends SparkSpec {
           s"${d.name}: unpartitioned WindowExec (single-task global sort)")
       }
     }
+    // non-vacuity: the traversal must actually see the windows the query
+    // set is known to contain, and the allowlisted pairwise joins
+    assert(windowsSeen >= 5, s"traversal saw only $windowsSeen WindowExec nodes")
+    assert(pairwiseSeen >= 1, "traversal never saw the documented pairwise joins")
   }
 }
