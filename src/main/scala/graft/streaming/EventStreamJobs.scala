@@ -115,6 +115,31 @@ object EventStreamJobs {
       .drop("__sig")
   }
 
+  /** Streaming trending terms, stage 1: watermarked tumbling-window token
+    * counts over a document stream — the stateful half of the standard
+    * two-stage streaming top-k. Append mode emits each (window, term)
+    * count once the watermark closes the window; rank the closed windows
+    * with [[topTermsPerWindow]] downstream (per sink micro-batch or over
+    * the materialized table). Top-k itself is deliberately NOT stateful:
+    * ranking inside the streaming agg would need arbitrary per-window
+    * state for a result the closed-window counts already determine. */
+  def windowedTermCounts(
+      docs: DataFrame, tsCol: String, windowLen: String, watermark: String): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), explode(split(col("text"), " ")).as("term"))
+      .groupBy(window(col(tsCol), windowLen).as("w"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("term"), col("n"))
+
+  /** Stage 2 (stateless, batch): top-k terms per closed window. */
+  def topTermsPerWindow(counts: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start").orderBy(col("n").desc, col("term"))
+    counts.withColumn("rnk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** CUSTOM-STATE sessionization via `flatMapGroupsWithState` — the
     * arbitrary-stateful-processing twin of [[sessionizedCounts]], for
     * session logic `session_window` cannot express (emit-on-close payloads,

@@ -180,6 +180,35 @@ class EventStreamJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming trending terms: closed windows rank top-k, late data honored") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamDoc]
+    val q = EventStreamJobs.windowedTermCounts(
+        in.toDF(), tsCol = "ts", windowLen = "1 hour", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("trending")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        StreamDoc(ts("2024-01-01 10:05:00"), 1, "spark spark shuffle"),
+        StreamDoc(ts("2024-01-01 10:40:00"), 2, "spark window state"))
+      q.processAllAvailable()
+      // a LATE doc still inside the watermark lands in the 10:00 window
+      in.addData(StreamDoc(ts("2024-01-01 10:50:00"), 3, "shuffle shuffle shuffle"))
+      q.processAllAvailable()
+      // advance the watermark far: the 10:00 window closes and is emitted
+      in.addData(StreamDoc(ts("2024-01-02 00:00:00"), 9, "later"))
+      q.processAllAvailable()
+      in.addData(StreamDoc(ts("2024-01-03 00:00:00"), 9, "later"))
+      q.processAllAvailable()
+      val top = EventStreamJobs.topTermsPerWindow(spark.table("trending"), 2)
+        .filter($"window_start" === ts("2024-01-01 10:00:00"))
+        .select("term", "n", "rnk")
+        .as[(String, Long, Int)].collect().toSet
+      // 10:00 window term counts: shuffle=4, spark=3, window=1, state=1
+      assert(top === Set(("shuffle", 4L, 1), ("spark", 3L, 2)))
+    } finally q.stop()
+  }
+
   test("streaming near-exact dedup suppresses signature-identical docs") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamDoc]
