@@ -603,7 +603,7 @@ object LlmQueries {
              |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
              |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
              |  FROM t),
-             |b AS (SELECT *, tok_before // 2048 AS bin FROM c)
+             |b AS (SELECT *, CAST(tok_before // 2048 AS BIGINT) AS bin FROM c)
              |SELECT doc_id, source, n_tokens, bin,
              |       CAST(row_number() OVER (PARTITION BY source, bin ORDER BY doc_id) - 1 AS INT)
              |         AS pos_in_bin
