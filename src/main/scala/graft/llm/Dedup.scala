@@ -73,6 +73,60 @@ object Dedup {
     emb.join(drop, Seq("vec_id"), "left_anti")
   }
 
+  /** Connected components over verified near-dup pairs: every doc that
+    * appears in a pair is labeled with the MINIMUM doc_id reachable through
+    * the pair graph (the canonical duplicate-cluster id), plus the cluster
+    * size — the cluster-then-keep-one view that complements the greedy
+    * pairwise drop above (greedy collapses transitive chains implicitly;
+    * this materializes them, which audits and per-cluster sampling need).
+    *
+    * Algorithm: iterative min-label propagation. labels(v) starts at v;
+    * each round takes the min over v's own label and its neighbors' labels
+    * (one equi-join edges⋈labels + one groupBy(doc) shuffle, both keyed by
+    * doc id); a fixpoint check per round costs one tiny action. Converges
+    * in O(component diameter) rounds — near-dup clusters are shallow
+    * (duplicates of a common ancestor), so 2-4 rounds in practice. Each
+    * round's result is localCheckpoint'ed: the plan would otherwise double
+    * per iteration and re-run every prior round per action. At 100 TB the
+    * edge frame is a tiny fraction of the corpus (verified pairs only);
+    * for adversarially deep graphs the O(log n)-round alternating
+    * large-star/small-star scheme is the named upgrade path — same
+    * join/groupBy primitives, different propagation rule.
+    *
+    * Input: (doc_a, doc_b) pairs, doc_a < doc_b (extra columns ignored).
+    * Output: (doc_id, cluster_id, cluster_size), one row per doc present
+    * in at least one pair; cluster_size >= 2 by construction. */
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // scanned every round — sever lineage once
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") =!= col("prev"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).cast("int").as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select("doc_id", "cluster_id", "cluster_size")
+  }
+
   /** The 100 TB embedding-dedup path: candidate pairs restricted to
     * sign-LSH hyperplane buckets (equi-join on bucket id — no cross
     * product), cosine-verified >= tau, greedy lower-id survivor policy.

@@ -460,6 +460,80 @@ object TextOps {
     else expr(s"size(filter(split(text, ' '), x -> x IN ($inList)))")
   }
 
+  /** Passage-level duplication stats (the sub-document dedup pass of web
+    * pipelines — boilerplate and syndicated spans recur across documents
+    * that are NOT whole-doc near-dups). The corpus has no paragraph
+    * delimiters, so passages are consecutive `w`-token chunks (the trailing
+    * partial chunk included); a passage instance counts as duplicated when
+    * its md5 occurs in >= 2 DISTINCT documents.
+    *
+    * Shape at scale: chunk hashing is per-row (one md5 per w tokens — far
+    * cheaper than shingling); the document-frequency groupBy is keyed by
+    * the 32-char hash, the join back reuses that partitioning, and the
+    * per-doc rollup is the only other shuffle. No doc text ever moves —
+    * only hashes.
+    *
+    * Output: (doc_id, n_passages, n_dup_passages, dup_frac). */
+  def passageStats(docs: DataFrame, w: Int = 20): DataFrame = {
+    val chunks = docs.select(
+      col("doc_id"),
+      explode(expr(
+        s"""transform(sequence(0, cast(ceil(size(split(text, ' ')) / ${w}.0D) as int) - 1),
+           |  i -> md5(concat_ws(' ', slice(split(text, ' '), i * $w + 1, $w))))""".stripMargin
+      )).as("h"))
+    val freq = chunks.groupBy("h").agg(countDistinct("doc_id").as("df"))
+    chunks.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("df") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup_passages"))
+      .withColumn("dup_frac",
+        col("n_dup_passages").cast("double") / col("n_passages"))
+  }
+
+  /** Per-document TF-IDF (quality/topicality scoring): tf = term count in
+    * doc, idf = ln(N / df) with df = number of docs containing the term.
+    * Returns the top-scoring term per doc (ties broken by term asc) plus
+    * the document's tfidf mass. The sum goes through the fixed-scale
+    * decimal path (as RelationalQueries.dsum) — a naive double sum is
+    * shuffle-order-dependent and breaks cross-engine hash equality.
+    *
+    * Shape at scale: one groupBy(doc_id, term) for tf, one groupBy(term)
+    * for df (both map-side-combinable), a join keyed by term, and a keyed
+    * window + rollup by doc_id. */
+  def tfidfTopTerms(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    // Corpus size N as an eager count embedded as a literal: a 1-row
+    // carrier frame plans as BroadcastNestedLoopJoin (constant-key hash
+    // joins constant-fold back into cross products), which the plan audit
+    // bans. count(*) over parquet is answered from row-group metadata —
+    // cheap at any scale — and the literal keeps idf foldable per row.
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    val top = scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("tfidf").as("top_tfidf"))
+    // Exact cross-engine sum: each element rounded to 6dp (both engines'
+    // round() agree on the nearest-6dp double), then summed as exact
+    // DECIMAL(25,6). The double->decimal CAST diverges between engines on
+    // unrounded values (Spark rounds HALF_UP, DuckDB truncates the binary
+    // expansion — the oracle compensates with a +5e-9 nudge before its
+    // truncating cast); the final decimal->double is exact (unscaled value
+    // < 2^53). Naive double sums are shuffle-order-dependent — never.
+    val sums = scored.groupBy("doc_id")
+      .agg(sum(round(col("tfidf"), 6).cast(DecimalType(25, 6)))
+        .cast("double").as("tfidf_sum"))
+    top.join(sums, "doc_id")
+  }
+
   def langIdDF(docs: DataFrame): DataFrame = {
     val scored = langMarkers.zipWithIndex.map { case ((lang, words), idx) =>
       struct(

@@ -647,5 +647,121 @@ object LlmQueries {
       },
       None,
     ),
+
+    // ------------------------------------------------------------------
+    // Q43 — duplicate clusters: connected components over the verified
+    // MinHash-LSH near-dup pairs (tau=0.5) — the cluster-then-keep-one
+    // view (cluster id = min reachable doc_id, plus cluster size). Spark
+    // side is iterative min-label propagation (Dedup.duplicateClusters);
+    // the oracle computes the same transitive closure with a recursive
+    // CTE over the identical deterministic LSH pair pipeline.
+    Declared(
+      "q43_dup_clusters",
+      (s, dir) => {
+        val pairs = TextOps.lshNearDupPairs(Tables.documents(s, dir), 3, 16, 2)
+          .filter(col("jaccard") >= 0.5)
+        graft.llm.Dedup.duplicateClusters(pairs)
+          .orderBy("doc_id")
+      },
+      Some(shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """,
+          |hs AS (
+          |  SELECT doc_id,
+          |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+          |         ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+          |  FROM sh),
+          |sigs AS (
+          |  SELECT doc_id, ks.k AS k, MIN((h1 + ks.k * h2) % 4294967311) AS sig
+          |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+          |  GROUP BY doc_id, ks.k),
+          |bands AS (
+          |  SELECT doc_id, k // 2 AS band, string_agg(sig::VARCHAR, '#' ORDER BY k) AS band_key
+          |  FROM sigs GROUP BY doc_id, band),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          |common AS (
+          |  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+          |  FROM cand c
+          |  JOIN sh sa ON sa.doc_id = c.doc_a
+          |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          |  GROUP BY 1, 2),
+          |pairs AS (
+          |  SELECT doc_a, doc_b
+          |  FROM common JOIN cnt ca ON common.doc_a = ca.doc_id
+          |              JOIN cnt cb ON common.doc_b = cb.doc_id
+          |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5),
+          |edges AS (
+          |  SELECT doc_a AS s, doc_b AS d FROM pairs
+          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+          |reach(doc, root) AS (
+          |  SELECT DISTINCT s, s FROM edges
+          |  UNION
+          |  SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.doc),
+          |labels AS (SELECT doc AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc),
+          |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS INT) AS cluster_size FROM labels GROUP BY cluster_id)
+          |SELECT labels.doc_id, labels.cluster_id, sizes.cluster_size
+          |FROM labels JOIN sizes USING (cluster_id)
+          |ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q44 — passage-level duplication (sub-document dedup): consecutive
+    // 20-token chunks, a passage instance is duplicated when its hash
+    // occurs in >= 2 distinct docs. SUM(...) in the oracle goes HUGEINT
+    // (pandas float64) without the BIGINT cast — cast both counters.
+    Declared(
+      "q44_passage_dedup",
+      (s, dir) => {
+        TextOps.passageStats(Tables.documents(s, dir), 20)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |chunks AS (
+             |  SELECT doc_id,
+             |         unnest(list_transform(generate_series(0, CAST(ceil(len(t) / 20.0) AS INT) - 1),
+             |                i -> md5(array_to_string(list_slice(t, i*20 + 1, i*20 + 20), ' ')))) AS h
+             |  FROM toks),
+             |freq AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY h)
+             |SELECT doc_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_passages,
+             |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+             |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+             |FROM chunks JOIN freq USING (h)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q45 — per-document TF-IDF: top term (ties -> term asc) + document
+    // tfidf mass through the fixed-scale decimal sum (naive double sums
+    // are shuffle-order-dependent and break the cross-engine hash).
+    Declared(
+      "q45_tfidf",
+      (s, dir) => {
+        TextOps.tfidfTopTerms(Tables.documentsRaw(s, dir))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tfc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tf GROUP BY doc_id, term),
+             |dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+             |n AS (SELECT COUNT(*) AS n FROM documents),
+             |scored AS (
+             |  SELECT doc_id, term, tf, tfc.tf * ln(CAST(n.n AS DOUBLE) / dfc.df) AS tfidf
+             |  FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+             |top AS (
+             |  SELECT doc_id, term AS top_term, tfidf AS top_tfidf,
+             |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+             |  FROM scored),
+             |sums AS (
+             |  SELECT doc_id,
+             |    CAST(SUM(CAST(round(tfidf, 6) + 5e-9 AS DECIMAL(25,6))) AS DOUBLE) AS tfidf_sum
+             |  FROM scored GROUP BY doc_id)
+             |SELECT top.doc_id, top_term, top_tfidf, tfidf_sum
+             |FROM top JOIN sums USING (doc_id) WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

@@ -480,6 +480,69 @@ class LlmOpsSpec extends SparkSpec {
     assert(out === Set(1L, 3L))
   }
 
+  test("duplicateClusters: min-label components incl. transitive chains") {
+    // components: {1,2,3} via chain 1-2, 2-3 (no direct 1-3 edge);
+    // {5,6}; a 4-deep path {10..14} forcing multiple propagation rounds;
+    // 7 appears in no pair -> absent from the output
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),
+      (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+    ).toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClusters(pairs)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out === Set(
+      (1L, 1L, 3), (2L, 1L, 3), (3L, 1L, 3),
+      (5L, 5L, 2), (6L, 5L, 2),
+      (10L, 10L, 5), (11L, 10L, 5), (12L, 10L, 5), (13L, 10L, 5), (14L, 10L, 5),
+    ))
+    // deterministic across runs (iteration count must not leak into labels)
+    val again = Dedup.duplicateClusters(pairs)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(again === out)
+  }
+
+  test("passageStats: aligned shared chunks count as duplicated instances") {
+    val a = (1 to 40).map(i => s"tok$i").mkString(" ")   // chunks: [1..20], [21..40]
+    val b = (1 to 20).map(i => s"tok$i").mkString(" ")   // == doc a's first chunk
+    val c = (100 to 139).map(i => s"tok$i").mkString(" ") // disjoint
+    val d = "short doc" // single partial chunk, unique
+    val docs4 = Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("doc_id", "text")
+    val out = TextOps.passageStats(docs4, 20)
+      .select("doc_id", "n_passages", "n_dup_passages")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, dup) => id -> ((n, dup)) }.toMap
+    assert(out(1L) === ((2L, 1L))) // first chunk shared with doc 2
+    assert(out(2L) === ((1L, 1L)))
+    assert(out(3L) === ((2L, 0L)))
+    assert(out(4L) === ((1L, 0L)))
+    // dup_frac is the instance ratio
+    val fracs = TextOps.passageStats(docs4, 20)
+      .select("doc_id", "dup_frac").as[(Long, Double)].collect().toMap
+    assert(fracs(1L) === 0.5)
+    assert(fracs(3L) === 0.0)
+  }
+
+  test("tfidfTopTerms: corpus-wide terms score zero; top term tie-breaks asc") {
+    val docs3 = Seq(
+      (1L, "common rare1 common common"), // tf(common)=3 but df=3 -> idf=0
+      (2L, "common rare2 rare2"),
+      (3L, "common zebra aaaa"),          // zebra/aaaa tie (tf=1, df=1) -> aaaa wins
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(docs3)
+      .select("doc_id", "top_term", "top_tfidf", "tfidf_sum")
+      .as[(Long, String, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === "rare1")
+    assert(out(2L)._2 === "rare2")
+    assert(math.abs(out(2L)._3 - 2.0 * math.log(3.0)) < 1e-12) // tf=2, idf=ln(3/1)
+    assert(out(3L)._2 === "aaaa")              // lexicographic tie-break
+    // idf(common)=ln(3/3)=0 contributes nothing to any sum
+    assert(math.abs(out(1L)._4 - math.log(3.0)) < 1e-4)
+  }
+
   test("multimodal stub features are deterministic and schema-stable") {
     val d = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
