@@ -149,6 +149,29 @@ object TextKernels {
     a.length < b.length
   }
 
+  /** md5 hex per consecutive w-token chunk, trailing partial included.
+    * Equals `transform(sequence(0, ceil(n/w)-1),
+    * i -> md5(concat_ws(' ', slice(t, i*w+1, w))))` over `split(text, ' ')`
+    * (split of "" is [""], so every doc has >= 1 chunk). */
+  def chunkHashes(text: UTF8String, w: Int): ArrayData = {
+    val t = toks(text)
+    val n = (t.length + w - 1) / w
+    val md = digest.get()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val from = i * w
+      val until = math.min(from + w, t.length)
+      val sb = new java.lang.StringBuilder(t(from))
+      var j = from + 1
+      while (j < until) { sb.append(' ').append(t(j)); j += 1 }
+      md.reset()
+      out(i) = UTF8String.fromString(toHex(md.digest(sb.toString.getBytes("UTF-8"))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** (n_grams, n_distinct, top_count) over n-gram occurrences. */
   def repStats(text: UTF8String, n: Int): InternalRow = {
     val t = toks(text)
@@ -251,6 +274,21 @@ case class MinShingleMd5(child: Expression, k: Int) extends TextKernelExpr {
        """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinShingleMd5 =
+    copy(child = newChild)
+}
+
+case class ChunkHashes(child: Expression, w: Int) extends TextKernelExpr {
+  require(w >= 1, s"graft_chunk_hashes: chunk width must be >= 1, got $w")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_chunk_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.chunkHashes(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.chunkHashes($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkHashes =
     copy(child = newChild)
 }
 

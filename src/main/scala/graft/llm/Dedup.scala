@@ -101,9 +101,12 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint(true) // scanned every round — sever lineage once
-    var labels = edges.select(col("src").as("doc_id"))
-      .distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    // init = self min-ed with direct neighbors: the first propagation
+    // round fused into one aggregation — 2-cliques (the overwhelmingly
+    // common duplicate-cluster shape) converge after a single loop pass
+    var labels = edges.groupBy("src")
+      .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
+      .withColumnRenamed("src", "doc_id")
       .localCheckpoint(true)
     var round = 0
     var converged = false
@@ -111,9 +114,12 @@ object Dedup {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .select(col("dst").as("doc_id"), col("cluster_id"))
+      // LAZY checkpoint: the fixpoint probe below is the action that
+      // materializes it — an eager checkpoint would pay a separate job
+      // per round for the same result
       val next = labels.union(viaNeighbor)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       converged = next
         .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
         .filter(col("cluster_id") =!= col("prev"))

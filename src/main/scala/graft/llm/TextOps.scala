@@ -474,13 +474,21 @@ object TextOps {
     * only hashes.
     *
     * Output: (doc_id, n_passages, n_dup_passages, dup_frac). */
+  /** Chunk-hash array as a Column — native kernel when registered, the
+    * bit-identical HOF formulation otherwise (kept as cross-check). */
+  def chunkHashCol(df: DataFrame, w: Int): Column =
+    if (hasFn(df, "graft_chunk_hashes")) expr(s"graft_chunk_hashes(text, $w)")
+    else hofChunkHashes(w)
+
+  /** Pure-built-ins formulation of [[chunkHashCol]]. */
+  def hofChunkHashes(w: Int): Column = expr(
+    s"""transform(sequence(0, cast(ceil(size(split(text, ' ')) / ${w}.0D) as int) - 1),
+       |  i -> md5(concat_ws(' ', slice(split(text, ' '), i * $w + 1, $w))))""".stripMargin)
+
   def passageStats(docs: DataFrame, w: Int = 20): DataFrame = {
     val chunks = docs.select(
       col("doc_id"),
-      explode(expr(
-        s"""transform(sequence(0, cast(ceil(size(split(text, ' ')) / ${w}.0D) as int) - 1),
-           |  i -> md5(concat_ws(' ', slice(split(text, ' '), i * $w + 1, $w))))""".stripMargin
-      )).as("h"))
+      explode(chunkHashCol(docs, w)).as("h"))
     val freq = chunks.groupBy("h").agg(countDistinct("doc_id").as("df"))
     chunks.join(freq, "h")
       .groupBy("doc_id")
@@ -516,22 +524,26 @@ object TextOps {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
       .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
-    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
-    val top = scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("term").as("top_term"), col("tfidf").as("top_tfidf"))
-    // Exact cross-engine sum: each element rounded to 6dp (both engines'
-    // round() agree on the nearest-6dp double), then summed as exact
+    // One aggregation carries both outputs — no window, no self-join:
+    // min(struct(-tfidf, term)) picks the max tfidf with ties broken by
+    // term ASC (negation is exact, so -(-x) round-trips bit-identically).
+    // The sum is exact cross-engine: each element rounded to 6dp (both
+    // engines' round() agree on the nearest-6dp double), then summed as
     // DECIMAL(25,6). The double->decimal CAST diverges between engines on
     // unrounded values (Spark rounds HALF_UP, DuckDB truncates the binary
     // expansion — the oracle compensates with a +5e-9 nudge before its
     // truncating cast); the final decimal->double is exact (unscaled value
     // < 2^53). Naive double sums are shuffle-order-dependent — never.
-    val sums = scored.groupBy("doc_id")
-      .agg(sum(round(col("tfidf"), 6).cast(DecimalType(25, 6)))
-        .cast("double").as("tfidf_sum"))
-    top.join(sums, "doc_id")
+    scored.groupBy("doc_id")
+      .agg(
+        min(struct((-col("tfidf")).as("neg"), col("term").as("t"))).as("top"),
+        sum(round(col("tfidf"), 6).cast(DecimalType(25, 6)))
+          .cast("double").as("tfidf_sum"))
+      .select(
+        col("doc_id"),
+        col("top.t").as("top_term"),
+        (-col("top.neg")).as("top_tfidf"),
+        col("tfidf_sum"))
   }
 
   def langIdDF(docs: DataFrame): DataFrame = {

@@ -164,6 +164,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       },
     ))
     extensions.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_chunk_hashes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.ChunkHashes].getName, "graft_chunk_hashes"),
+      (children: Seq[Expression]) =>
+        graft.functions.ChunkHashes(children(0), litInt(children(1), "graft_chunk_hashes", 1)),
+    ))
+    extensions.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_min_shingle_md5"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.MinShingleMd5].getName, "graft_min_shingle_md5"),

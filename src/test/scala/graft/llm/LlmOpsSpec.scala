@@ -150,6 +150,15 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(wN === wH)
     assert(wN(7L).isEmpty && wN(1L).nonEmpty)
+
+    // chunk hashes: native kernel vs transform/slice/md5 HOF, incl. the
+    // trailing-partial chunk and the empty-text single chunk
+    val chN = edge.select($"doc_id", expr("graft_chunk_hashes(text, 5)").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val chH = edge.select($"doc_id", TextOps.hofChunkHashes(5).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(chN === chH)
+    assert(chN(1L).length === 3 && chN(8L).length === 1) // 12 toks -> 5,5,2
   }
 
   test("simhash: identical docs equal; near-dup hamming < unrelated hamming") {
