@@ -546,6 +546,49 @@ object TextOps {
         col("tfidf_sum"))
   }
 
+  /** Bigram language-model scoring (the CCNet-style perplexity quality
+    * filter): an add-one-smoothed bigram model is fit on the corpus itself
+    * and every document is scored by its average negative log-probability
+    * -ln((c(w1,w2) + 1) / (c(w1) + V)) over its bigram instances. High
+    * avg_nll = improbable word sequences (gibberish, boilerplate soup);
+    * low = fluent under the corpus distribution.
+    *
+    * Shape at scale: bigram explode, two map-side-combinable groupBys for
+    * the model (bigram and context counts), joins keyed by those counts'
+    * own grouping keys, one per-doc rollup. A production run would prune
+    * the model to top-K bigrams and broadcast it; here both sides stay
+    * distributed (the model is corpus-sized). V (distinct token count) is
+    * an eager scalar — a one-row aggregate embedded as a literal, for the
+    * same BroadcastNestedLoopJoin reason as [[tfidfTopTerms]]'s N.
+    *
+    * The per-doc sum uses the rounded-element DECIMAL path (see
+    * [[tfidfTopTerms]]); the final avg divides the exact sum-as-double by
+    * the bigram count — identical operands in both engines.
+    *
+    * Output: (doc_id, n_bigrams, avg_nll) for docs with >= 2 tokens. */
+  def bigramNll(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val v = docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(countDistinct("tok")).head().getLong(0)
+    val bi = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bi.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .withColumn("nll", -log((col("c12") + lit(1.0)) / (col("c1") + lit(v.toDouble))))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(round(col("nll"), 6).cast(DecimalType(25, 6))).cast("double")
+          / count(lit(1))).as("avg_nll"))
+  }
+
   def langIdDF(docs: DataFrame): DataFrame = {
     val scored = langMarkers.zipWithIndex.map { case ((lang, words), idx) =>
       struct(

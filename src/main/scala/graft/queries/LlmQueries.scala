@@ -735,6 +735,37 @@ object LlmQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Q46 — bigram LM scoring (CCNet-style perplexity filter): add-one-
+    // smoothed corpus bigram model, per-doc average negative log-prob.
+    // Same rounded-element decimal-sum discipline as q45.
+    Declared(
+      "q46_bigram_nll",
+      (s, dir) => {
+        TextOps.bigramNll(Tables.documents(s, dir))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 2),
+             |bi0 AS (
+             |  SELECT doc_id,
+             |         unnest(list_transform(generate_series(1, len(t) - 1),
+             |                i -> {'w1': t[i], 'w2': t[i+1]})) AS b
+             |  FROM toks),
+             |bi AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi0),
+             |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+             |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+             |v AS (SELECT COUNT(DISTINCT tok) AS v FROM
+             |        (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+             |scored AS (
+             |  SELECT doc_id, -ln((c12.c12 + 1.0) / (c1.c1 + v.v)) AS nll
+             |  FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(CAST(round(nll, 6) + 5e-9 AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_nll
+             |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
     // Q45 — per-document TF-IDF: top term (ties -> term asc) + document
     // tfidf mass through the fixed-scale decimal sum (naive double sums
     // are shuffle-order-dependent and break the cross-engine hash).

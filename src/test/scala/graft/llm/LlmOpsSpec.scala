@@ -552,6 +552,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(out(1L)._4 - math.log(3.0)) < 1e-4)
   }
 
+  test("bigramNll: add-one-smoothed scores match the hand calculation") {
+    // corpus: V=3 (a,b,c); contexts c1(a)=3, c1(b)=2;
+    // bigrams c12(a,b)=3, c12(b,a)=1, c12(b,c)=1
+    val docs2 = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextOps.bigramNll(docs2)
+      .select("doc_id", "n_bigrams", "avg_nll")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val nllAB = -math.log(4.0 / 6.0) // (3+1)/(3+3)
+    val nllBA = -math.log(2.0 / 5.0) // (1+1)/(2+3)
+    val nllBC = -math.log(2.0 / 5.0)
+    assert(out(1L)._1 === 3L)
+    assert(math.abs(out(1L)._2 - (2 * nllAB + nllBA) / 3) < 1e-4)
+    assert(out(2L)._1 === 2L)
+    assert(math.abs(out(2L)._2 - (nllAB + nllBC) / 2) < 1e-4)
+    // single-token docs carry no bigram -> absent
+    assert(!TextOps.bigramNll(docs2.union(Seq((3L, "x")).toDF("doc_id", "text")))
+      .select("doc_id").as[Long].collect().contains(3L))
+  }
+
   test("multimodal stub features are deterministic and schema-stable") {
     val d = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
