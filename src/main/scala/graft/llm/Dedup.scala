@@ -133,6 +133,44 @@ object Dedup {
       .select("doc_id", "cluster_id", "cluster_size")
   }
 
+  /** SemDeDup-style semantic dedup: embeddings are clustered by a
+    * deterministic trained k-means (seeded sample + Lloyd steps — the same
+    * trainer as the IVF ANN path), and the pairwise cosine check runs only
+    * WITHIN each cluster; the higher-id member of any within-cluster pair
+    * with cosine >= tau is dropped. Data-adaptive clusters concentrate
+    * semantic duplicates far better than data-oblivious hyperplane cuts,
+    * at the cost of the (cheap, k x dim) training loop — complementary to
+    * [[dedupByEmbeddingLsh]]. APPROXIMATE by construction: a near-dup pair
+    * split across clusters is missed. With nCentroids=1 every vector
+    * shares one cluster and this degenerates to the exact
+    * [[dedupByEmbedding]] (spec-pinned).
+    *
+    * Shape at scale: training collects k x dim means (never O(n)); the
+    * cluster assignment is per-row against centroid literals; candidate
+    * generation is an equi-join on the cluster id — no cross product; the
+    * drop set is checkpointed and anti-joined, never driver-collected. */
+  def semDedup(
+      emb: DataFrame,
+      tau: Double,
+      nCentroids: Int = 8,
+      iterations: Int = 2): DataFrame = {
+    val e = emb.localCheckpoint(false)
+    val centroids = VectorOps.trainCentroids(e, nCentroids, iterations)
+    val assigned = VectorOps.withRanks(e, centroids)
+      .withColumn("bucket", col("__ranks")(0))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    val a = assigned.select(col("vec_id").as("vec_a"), col("embedding").as("qe"), col("bucket"))
+      .withColumn("na", expr(VectorOps.normExprFor(e, "qe")))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("embedding").as("ne"), col("bucket"))
+      .withColumn("nb", expr(VectorOps.normExprFor(e, "ne")))
+    val drop = a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(expr(VectorOps.dotExprFor(e, "qe", "ne")) / (col("na") * col("nb")) >= tau)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .localCheckpoint(true)
+    emb.join(drop, Seq("vec_id"), "left_anti")
+  }
+
   /** The 100 TB embedding-dedup path: candidate pairs restricted to
     * sign-LSH hyperplane buckets (equi-join on bucket id — no cross
     * product), cosine-verified >= tau, greedy lower-id survivor policy.

@@ -138,72 +138,60 @@ object VectorOps {
     * All distances are double-precision cosine (dot via the native kernel
     * when registered). Deterministic: seeded sample, fixed iteration count,
     * id tie-breaks. */
-  def ivfTopK(
-      emb: DataFrame,
-      queryIds: Column => Column,
-      nCentroids: Int,
-      nProbe: Int,
-      k: Int,
-      iterations: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  // Centroid ranking — the ONE definition of the metric, shared by
+  // training assignment (ranks[0]), query probing (ranks[0..nProbe)), and
+  // semantic-dedup cluster scoping: a fix applied here cannot diverge
+  // between consumers, which is what keeps the spec-pinned "full probe ==
+  // brute force" invariant safe. Zero norms (degenerate vector or empty
+  // cluster) score the MAX cosine distance 2.0 instead of NaN — NaN inside
+  // the sort comparisons makes assignment and probe order undefined.
+  //
+  // Native kernel when registered: ONE stable static call whose centroid
+  // matrix is a codegen reference object, so re-planning each Lloyd
+  // iteration reuses the compiled class. The struct/array_sort tree
+  // (interpreted HOF dots, re-compiled per iteration because the centroid
+  // literals are baked into the plan) is the bit-identical fallback.
+  private def centroidsSql(cs: Seq[Seq[Double]]): String =
+    cs.map(c => c.map(v => s"${v}D").mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
 
-    // The training loop + final assign + probe make iterations+3 passes over
-    // the embedding frame: materialize it ONCE (lazy localCheckpoint — the
-    // standard iterative-ML shape; storage is freed with the plan). Without
-    // this every pass re-runs the scan (and the small-input repartition).
-    val e = emb.localCheckpoint(false)
+  private def scoredStructs(cs: Seq[Seq[Double]]): Seq[Column] =
+    cs.zipWithIndex.map { case (c, i) =>
+      val cNorm = math.sqrt(c.map(x => x * x).sum)
+      val dot = expr(
+        s"""aggregate(zip_with(embedding, __c$i, (x, w) -> CAST(x AS DOUBLE) * w),
+           |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+      val dist =
+        if (cNorm == 0) lit(2.0)
+        else when(col("__vn") === 0, lit(2.0))
+          .otherwise(lit(1.0) - dot / (col("__vn") * lit(cNorm)))
+      struct(dist.as("dist"), lit(i).as("idx"))
+    }
 
-    // --- 1. TRAIN ------------------------------------------------------
-    // deterministic seed sample: smallest hash wins, ties impossible on ids
+  /** df + `__ranks`: all centroid indices ordered by (distance, index). */
+  private[llm] def withRanks(df: DataFrame, cs: Seq[Seq[Double]]): DataFrame =
+    if (df.sparkSession.catalog.functionExists("graft_centroid_ranks"))
+      df.withColumn("__ranks", expr(s"graft_centroid_ranks(embedding, ${centroidsSql(cs)})"))
+    else
+      cs.zipWithIndex.foldLeft(
+        df.withColumn("__vn", expr(normExprFor(df, "embedding")))) {
+        case (d, (c, i)) => d.withColumn(s"__c$i", typedLit(c))
+      }.withColumn("__ranks", array_sort(array(scoredStructs(cs): _*)).getField("idx"))
+
+  /** Deterministic k-means: seed centroids = the vectors with the smallest
+    * xxhash64(vec_id) (ties impossible on ids), refined by `iterations`
+    * Lloyd steps. Assignment is per-row against centroid literals (no
+    * shuffle); the mean update is one avg agg per dimension whose k x dim
+    * result is the only driver collect — never O(n). Callers pass an
+    * already-checkpointed frame (the loop makes `iterations`+1 passes). */
+  private[llm] def trainCentroids(
+      e: DataFrame, nCentroids: Int, iterations: Int): Seq[Seq[Double]] = {
     var centroids: Seq[Seq[Double]] =
       e.select(col("vec_id"), col("embedding"))
         .orderBy(xxhash64(col("vec_id")), col("vec_id"))
         .limit(nCentroids)
         .collect()
         .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
-
-    // Centroid ranking — the ONE definition of the metric, shared by
-    // training assignment (ranks[0]) and query probing (ranks[0..nProbe)):
-    // a fix applied here cannot diverge between the two, which is what
-    // keeps the spec-pinned "full probe == brute force" invariant safe.
-    // Zero norms (degenerate vector or empty cluster) score the MAX cosine
-    // distance 2.0 instead of NaN — NaN inside the sort comparisons makes
-    // assignment and probe order undefined.
-    //
-    // Native kernel when registered: ONE stable static call whose centroid
-    // matrix is a codegen reference object, so re-planning each Lloyd
-    // iteration reuses the compiled class. The struct/array_sort tree
-    // (interpreted HOF dots, re-compiled per iteration because the centroid
-    // literals are baked into the plan) is the bit-identical fallback.
-    val haveCR = e.sparkSession.catalog.functionExists("graft_centroid_ranks")
-
-    def centroidsSql(cs: Seq[Seq[Double]]): String =
-      cs.map(c => c.map(v => s"${v}D").mkString("array(", ", ", ")"))
-        .mkString("array(", ", ", ")")
-
-    def scoredStructs(cs: Seq[Seq[Double]]): Seq[Column] =
-      cs.zipWithIndex.map { case (c, i) =>
-        val cNorm = math.sqrt(c.map(x => x * x).sum)
-        val dot = expr(
-          s"""aggregate(zip_with(embedding, __c$i, (x, w) -> CAST(x AS DOUBLE) * w),
-             |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
-        val dist =
-          if (cNorm == 0) lit(2.0)
-          else when(col("__vn") === 0, lit(2.0))
-            .otherwise(lit(1.0) - dot / (col("__vn") * lit(cNorm)))
-        struct(dist.as("dist"), lit(i).as("idx"))
-      }
-
-    /** df + `__ranks`: all centroid indices ordered by (distance, index). */
-    def withRanks(df: DataFrame, cs: Seq[Seq[Double]]): DataFrame =
-      if (haveCR)
-        df.withColumn("__ranks", expr(s"graft_centroid_ranks(embedding, ${centroidsSql(cs)})"))
-      else
-        cs.zipWithIndex.foldLeft(
-          df.withColumn("__vn", expr(normExprFor(df, "embedding")))) {
-          case (d, (c, i)) => d.withColumn(s"__c$i", typedLit(c))
-        }.withColumn("__ranks", array_sort(array(scoredStructs(cs): _*)).getField("idx"))
-
     val dim = if (centroids.isEmpty) 0 else centroids.head.length
     for (_ <- 0 until iterations) {
       // per-bucket mean, one avg agg per dimension (k x dim result values —
@@ -221,6 +209,26 @@ object VectorOps {
       // empty clusters keep their previous centroid
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }
+    centroids
+  }
+
+  def ivfTopK(
+      emb: DataFrame,
+      queryIds: Column => Column,
+      nCentroids: Int,
+      nProbe: Int,
+      k: Int,
+      iterations: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    // The training loop + final assign + probe make iterations+3 passes over
+    // the embedding frame: materialize it ONCE (lazy localCheckpoint — the
+    // standard iterative-ML shape; storage is freed with the plan). Without
+    // this every pass re-runs the scan (and the small-input repartition).
+    val e = emb.localCheckpoint(false)
+
+    // --- 1. TRAIN ------------------------------------------------------
+    val centroids = trainCentroids(e, nCentroids, iterations)
 
     // --- 2. ASSIGN + 3. PROBE -----------------------------------------
     val assigned = withRanks(e, centroids)

@@ -735,6 +735,24 @@ object LlmQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Q47 — SemDeDup semantic dedup: k-means-clustered embeddings,
+    // within-cluster cosine pruning at tau=0.92, min-id survivor policy.
+    // Rows-only by design (the trained centroids have no single-SQL
+    // oracle, same posture as q33); LlmOpsSpec pins the nCentroids=1
+    // degeneration to the exact path, determinism, and tau monotonicity.
+    // The embedding array stays off the declared surface (driver's
+    // rows-only harness cannot sort arrays).
+    Declared(
+      "q47_semdedup",
+      (s, dir) => {
+        graft.llm.Dedup.semDedup(Tables.embeddings(s, dir), tau = 0.92)
+          .select("vec_id", "label")
+          .orderBy("vec_id")
+      },
+      None,
+    ),
+
+    // ------------------------------------------------------------------
     // Q46 — bigram LM scoring (CCNet-style perplexity filter): add-one-
     // smoothed corpus bigram model, per-doc average negative log-prob.
     // Same rounded-element decimal-sum discipline as q45.

@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.functions._
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 /** Correctness of the LLM-pipeline operators that have no SQL oracle:
   * MinHash-LSH recall against exact Jaccard, SimHash behavior, LSH-ANN
@@ -550,6 +550,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(3L)._2 === "aaaa")              // lexicographic tie-break
     // idf(common)=ln(3/3)=0 contributes nothing to any sum
     assert(math.abs(out(1L)._4 - math.log(3.0)) < 1e-4)
+  }
+
+  test("semDedup: nCentroids=1 degenerates to exact; deterministic; tau-monotone") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // one cluster = the exact all-pairs path
+    val sem1 = Dedup.semDedup(emb, tau = 0.5, nCentroids = 1)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = Dedup.dedupByEmbedding(emb, tau = 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(sem1 === exact)
+    // clustered: deterministic across runs, survivors are a superset of
+    // the exact survivors (cluster scoping can only MISS pairs), non-trivial
+    val semA = Dedup.semDedup(emb, tau = 0.5, nCentroids = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val semB = Dedup.semDedup(emb, tau = 0.5, nCentroids = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(semA === semB)
+    assert(exact.subsetOf(semA))
+    // tau monotone: a stricter (higher) tau never drops more
+    val strict = Dedup.semDedup(emb, tau = 0.9, nCentroids = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(semA.subsetOf(strict))
   }
 
   test("bigramNll: add-one-smoothed scores match the hand calculation") {
