@@ -106,6 +106,47 @@ object ScaleBench {
     }
     println(s"""{"op":"asof_hotkey","events":$nEv,"flat_sec":$tFlat,"bucketed_sec":$tBuck,"rows_equal":${nFlat == nBuck}}""")
 
+    // duplicate-cluster connected components on a synthetic graph:
+    // star components of size 8 (the shallow shape real duplicate
+    // clusters take — converge on the fused init round) PLUS one 64-deep
+    // chain (the adversarial diameter that forces the propagation loop).
+    // Wall time should track edge count x rounds; rounds are bounded by
+    // the CHAIN, not the million shallow components.
+    val starSize = 8
+    val nEdgeRows = sys.env.getOrElse("SPARK_GRAFT_CC_EDGES", "1000000").toLong
+    val stars = spark.range(nEdgeRows).toDF("i")
+      .filter(pmod(col("i"), lit(starSize)) =!= 0)
+      .select(
+        (col("i") - pmod(col("i"), lit(starSize))).as("doc_a"),
+        col("i").as("doc_b"))
+    val chainBase = nEdgeRows + 1000L
+    val chain = spark.range(64).toDF("j")
+      .select((col("j") + chainBase).as("doc_a"), (col("j") + chainBase + 1).as("doc_b"))
+    val ccEdges = stars.unionByName(chain).localCheckpoint(true)
+    val nEdges = ccEdges.count()
+    val ((nCcRows, nClusters), tCc) = timed {
+      val labels = Dedup.duplicateClusters(ccEdges).localCheckpoint(false)
+      (labels.count(), labels.select("cluster_id").distinct().count())
+    }
+    println(s"""{"op":"dup_clusters","edges":$nEdges,"vertices":$nCcRows,"clusters":$nClusters,"sec":$tCc}""")
+
+    // passage dedup over the replicated corpus (duplicate-HEAVY: every
+    // chunk occurs factor x) — only hashes shuffle, doc text never moves
+    val (nPass, tPass) = timed {
+      TextOps.passageStats(docs, 20).agg(sum("n_dup_passages")).head().getLong(0)
+    }
+    println(s"""{"op":"passage_dedup","docs":$nDocs,"dup_passages":$nPass,"sec":$tPass}""")
+
+    // SemDeDup over replicated embeddings: the within-cluster join is
+    // quadratic in cluster SIZE, so k must scale with n (the SemDeDup
+    // recipe — k ~ n/200 here). k=8 vs k=200 at 40 k vectors measured
+    // 19 s vs 30 s: at this probe size the O(n x k x dim) assignment
+    // dominates, but scaled k cuts candidate pairs 25x (100 M -> 4 M),
+    // which is the term that survives a 100x corpus scale-up.
+    val kSem = math.max(8L, nVec / 200L).toInt
+    val (nSem, tSem) = timed { Dedup.semDedup(emb, tau = 0.99, nCentroids = kSem).count() }
+    println(s"""{"op":"semdedup","vectors":$nVec,"k":$kSem,"survivors":$nSem,"sec":$tSem}""")
+
     // vocabulary construction over replicated docs: map-side-combinable
     // (source, term) agg; result size is vocab-bound, not corpus-bound
     val (nVocab, tVocab) = timed {
