@@ -589,6 +589,78 @@ object TextOps {
           / count(lit(1))).as("avg_nll"))
   }
 
+  /** PII redaction patterns — the pre-training scrub pass. Kept to the
+    * regex subset Java (Spark) and RE2 (DuckDB's regexp_*) interpret
+    * identically: literal classes, bounded counts, ASCII `\b`; no
+    * backrefs or lookaround (RE2 has neither). Order matters and is
+    * fixed: emails first (an IPv4-shaped string inside a hostname must
+    * not be double-counted as an IP), then IPs, then phones. */
+  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  val PhoneRe = """\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"""
+
+  /** text column + id passthrough -> (ids..., n_email, n_ipv4, n_phone,
+    * redacted) with category counts taken BEFORE the rewrite (counting
+    * after would see the placeholders). Per-row, no shuffle: at 100 TB
+    * this runs inside whole-stage codegen at scan parallelism —
+    * regexp_count/regexp_replace are codegen'd Catalyst expressions, and
+    * counts-then-rewrites of the same pattern share the compiled regex.
+    * Placeholders are angle-bracket tokens a whitespace tokenizer keeps
+    * as single (counted) units downstream. */
+  def redactPii(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val afterEmail = regexp_replace(t, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    docs
+      .withColumn("n_email", regexp_count(t, lit(EmailRe)))
+      .withColumn("n_ipv4", regexp_count(afterEmail, lit(Ipv4Re)))
+      .withColumn("n_phone", regexp_count(afterIp, lit(PhoneRe)))
+      .withColumn("redacted", regexp_replace(afterIp, PhoneRe, "<PHONE>"))
+  }
+
+  /** Gopher-style quality gate (Rae et al. 2021 rules, the subset whose
+    * signals exist in a whitespace corpus): word-count bounds, mean word
+    * length bounds, min distinct stopwords, max single-term dominance
+    * (the "repetition" family's cheapest member). One pass of per-row
+    * expressions + nothing wider than the tokens array — no shuffle, no
+    * UDF. Returns the per-rule booleans AND the conjunction: pipelines
+    * audit rule hit-rates before enabling the filter, so the rules must
+    * be observable individually. */
+  def gopherRules(
+      docs: DataFrame,
+      minWords: Int = 20,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 2.0,
+      maxMeanWordLen: Double = 12.0,
+      minDistinctStop: Int = 2,
+      maxTopTermFrac: Double = 0.20): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val toks = tokens(col("text"))
+    val nWords = size(toks)
+    // mean word length from char counts (spaces = words-1), not a HOF
+    // re-walk of the array
+    val meanLen = (length(col("text")) - (nWords - lit(1))).cast("double") / nWords
+    val distinctStop = size(array_intersect(toks, typedLit(stop)))
+    val topTermN = array_max(transform(
+      array_distinct(toks),
+      w => aggregate(toks, lit(0), (acc, x) => acc + when(x === w, 1).otherwise(0))))
+    docs.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      distinctStop.as("n_stop_distinct"),
+      (topTermN.cast("double") / nWords).as("top_term_frac"),
+    ).select(
+      col("*"),
+      (col("n_words") >= minWords && col("n_words") <= maxWords).as("ok_words"),
+      (col("mean_word_len") >= minMeanWordLen &&
+        col("mean_word_len") <= maxMeanWordLen).as("ok_word_len"),
+      (col("n_stop_distinct") >= minDistinctStop).as("ok_stop"),
+      (col("top_term_frac") <= maxTopTermFrac).as("ok_repetition"),
+    ).withColumn("keep",
+      col("ok_words") && col("ok_word_len") && col("ok_stop") && col("ok_repetition"))
+  }
+
   def langIdDF(docs: DataFrame): DataFrame = {
     val scored = langMarkers.zipWithIndex.map { case ((lang, words), idx) =>
       struct(
