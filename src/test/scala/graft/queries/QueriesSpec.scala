@@ -12,12 +12,13 @@ class QueriesSpec extends SparkSpec {
     val names = SparkEntry.declared.map(_.name)
     assert(names.distinct.size === names.size)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // 2 rows-only entries by design: q29 multimodal (the stub codec's
-    // rolling byte hash is a sequential fold with no DuckDB equivalent) and
-    // q33 ann-ivf (iterative centroid training has no single-SQL oracle;
-    // spec-pinned against brute force instead). q22/q28 gained full oracles
-    // in round 2 via the '0x' hex->BIGINT cast.
-    assert(SparkEntry.queries.size - SparkEntry.oracleSql.size === 2)
+    // Rows-only entries by design (no DuckDB oracle): q33 ann-ivf (iterative
+    // centroid training has no single-SQL oracle; spec-pinned against brute
+    // force) and q47 semdedup (trained k-means, likewise spec-pinned).
+    // Everything else must carry an oracle — assert the exact set so a new
+    // oracle-less query is a deliberate decision, not an accident.
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly === Set("q29_multimodal", "q33_ann_ivf", "q47_semdedup"))
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
