@@ -1,19 +1,31 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: image/audio/video payloads are carried as
-  * opaque `binary` columns with a typed metadata struct, and feature
-  * extraction runs batched per partition — the shape a real decoder (JNI
-  * image lib, ffmpeg bindings, …) plugs into.
+/** Multimodal-column support: image/audio payloads are carried as opaque
+  * `binary` columns with typed metadata, and decode / feature-extract /
+  * resize run batched per partition — payload bytes never hit the driver,
+  * and each executor core streams its partition through the codec.
   *
-  * The decode step itself is a STUB (this container has no media libraries):
-  * [[StubCodec.decode]] derives a deterministic fake "feature vector" from
-  * the bytes. Everything around it — the schema, the binary column, the
-  * partition-level batching via mapPartitions, the Dataset encoders — is the
-  * real 100 TB-shaped plumbing: payload bytes never hit the driver, and each
-  * executor core streams its partition through the codec.
+  * The codecs are REAL pure-JVM implementations of two self-describing
+  * container formats that need no native media libraries:
+  *
+  *   - [[PpmCodec]] — binary PPM (P6): full header parse (magic, `#`
+  *     comments, arbitrary whitespace, maxval validation) + raw RGB
+  *     payload. The format every image tool emits with `-compress none`.
+  *   - [[WavCodec]] — RIFF/WAVE PCM: a real chunk walker (fmt validation,
+  *     unknown-chunk skipping with the even-byte padding rule) + 16-bit
+  *     little-endian mono samples.
+  *
+  * Fixture media is synthesized FROM the `documents` table (text bytes →
+  * pixels / samples) so the decoded features are independently computable
+  * by the DuckDB oracle from the same parquet — the decode path gets the
+  * same hash-match guarantee as the relational queries. In production the
+  * payload column is the raw bytes read straight from parquet/object
+  * storage and the same decoders run unchanged.
   */
 object Multimodal {
 
@@ -25,60 +37,285 @@ object Multimodal {
       payload: Array[Byte],
   )
 
-  final case class MediaFeatures(
+  final case class ImageFeatures(
       media_id: Long,
-      mime: String,
-      n_bytes: Long,
       width: Int,
       height: Int,
-      feature: Array[Float],
+      n_pixels: Int,
+      byte_sum: Long,
+      mean_byte: Double,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double,
   )
 
-  /** STUB codec — stands in for a real image/audio decoder. Deterministic:
-    * derives pseudo-features from payload bytes only. */
-  object StubCodec {
-    val featureDim = 8
-    def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
-      // ??? <- a real implementation would decode the container format here.
-      // Deterministic fake: "dimensions" from the first bytes, features from
-      // a rolling byte sum — stable across runs and engines.
-      val w = if (payload.isEmpty) 0 else (payload(0) & 0x7f) + 1
-      val h = if (payload.length < 2) 0 else (payload(1) & 0x7f) + 1
-      val feat = new Array[Float](featureDim)
-      var acc = 0L
-      var i = 0
-      while (i < payload.length) {
-        acc = acc * 31 + (payload(i) & 0xff)
-        feat(i % featureDim) += ((acc % 1000).toFloat / 1000.0f)
-        i += 1
+  final case class AudioFeatures(
+      media_id: Long,
+      sample_rate: Int,
+      n_channels: Int,
+      bits_per_sample: Int,
+      n_samples: Long,
+      sample_sum: Long,
+      mean_sample: Double,
+      peak_abs: Int,
+  )
+
+  final case class Ppm(width: Int, height: Int, maxVal: Int, pixels: Array[Byte])
+
+  /** Binary PPM (P6) — `P6 <ws> width <ws> height <ws> maxval <single-ws>`
+    * then `width*height*3` raw RGB bytes; `#` starts a comment running to
+    * end-of-line anywhere inside header whitespace. */
+  object PpmCodec {
+    val Mime = "image/x-portable-pixmap"
+
+    def encode(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dims ${width}x$height")
+      require(pixels.length == width * height * 3,
+        s"pixel buffer ${pixels.length} != ${width * height * 3}")
+      val header = s"P6\n$width $height\n255\n".getBytes(UTF_8)
+      val out = new Array[Byte](header.length + pixels.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(pixels, 0, out, header.length, pixels.length)
+      out
+    }
+
+    def decode(bytes: Array[Byte]): Ppm = {
+      def fail(msg: String) = throw new IllegalArgumentException(s"PPM: $msg")
+      if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') fail("bad magic (want P6)")
+      var i = 2
+      def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+      def skipWsAndComments(): Unit = {
+        var moving = true
+        while (moving && i < bytes.length) {
+          if (isWs(bytes(i))) i += 1
+          else if (bytes(i) == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+          else moving = false
+        }
       }
-      (w, h, feat)
+      def readInt(what: String): Int = {
+        skipWsAndComments()
+        if (i >= bytes.length || bytes(i) < '0' || bytes(i) > '9') fail(s"expected $what digit")
+        var v = 0
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+          v = v * 10 + (bytes(i) - '0')
+          if (v > 0x7fffffff / 16) fail(s"$what overflow")
+          i += 1
+        }
+        v
+      }
+      val w = readInt("width")
+      val h = readInt("height")
+      val mv = readInt("maxval")
+      if (w <= 0 || h <= 0) fail(s"bad dims ${w}x$h")
+      if (mv <= 0 || mv > 255) fail(s"maxval $mv out of 8-bit range")
+      // exactly ONE whitespace byte separates maxval from the raster
+      if (i >= bytes.length || !isWs(bytes(i))) fail("missing raster separator")
+      i += 1
+      val need = w * h * 3
+      if (bytes.length - i < need) fail(s"truncated raster: ${bytes.length - i} < $need")
+      Ppm(w, h, mv, java.util.Arrays.copyOfRange(bytes, i, i + need))
     }
   }
 
-  /** documents -> media table: text payload re-encoded as UTF-8 binary with
-    * typed metadata. In production this column is the raw image/audio bytes
-    * read straight from parquet/object storage. */
-  def asMedia(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id").as("media_id"),
-      lit("text/plain").as("mime"),
-      length(col("text")).cast("long").as("n_bytes"),
-      encode(col("text"), "UTF-8").as("payload"),
-    )
+  final case class Wav(sampleRate: Int, nChannels: Int, bitsPerSample: Int, samples: Array[Short])
 
-  /** Batched per-partition feature extraction. mapPartitions (not a per-row
-    * UDF) so a real codec can amortize init cost per partition — the Scala
-    * analog of `mapInPandas` batch shape. */
-  def features(media: DataFrame): DataFrame = {
+  /** RIFF/WAVE, PCM. Encoder writes canonical 16-bit mono LE; decoder is a
+    * real chunk walker — validates RIFF/WAVE framing, requires a PCM fmt
+    * chunk ahead of data, skips unknown chunks (LIST, cue, …) honoring the
+    * RIFF even-size padding rule. */
+  object WavCodec {
+    val Mime = "audio/wav"
+
+    def encode(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      require(sampleRate > 0, s"bad sample rate $sampleRate")
+      val dataLen = samples.length * 2
+      val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes(UTF_8)).putInt(36 + dataLen).put("WAVE".getBytes(UTF_8))
+      out.put("fmt ".getBytes(UTF_8)).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2) // byte rate
+        .putShort(2) // block align
+        .putShort(16) // bits per sample
+      out.put("data".getBytes(UTF_8)).putInt(dataLen)
+      samples.foreach(out.putShort)
+      out.array()
+    }
+
+    def decode(bytes: Array[Byte]): Wav = {
+      def fail(msg: String) = throw new IllegalArgumentException(s"WAV: $msg")
+      val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, UTF_8)
+      }
+      if (bytes.length < 12 || fourcc() != "RIFF") fail("bad magic (want RIFF)")
+      buf.getInt() // riff payload size — trust chunk sizes, not this
+      if (fourcc() != "WAVE") fail("not a WAVE form")
+      var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+      var data: Option[Array[Byte]] = None
+      while (buf.remaining() >= 8 && data.isEmpty) {
+        val id = fourcc()
+        val size = buf.getInt()
+        if (size < 0 || size > buf.remaining()) fail(s"chunk $id size $size overruns file")
+        id match {
+          case "fmt " =>
+            if (size < 16) fail(s"fmt chunk too small ($size)")
+            val start = buf.position()
+            val audioFormat = buf.getShort()
+            if (audioFormat != 1) fail(s"not PCM (format $audioFormat)")
+            val channels = buf.getShort().toInt
+            val rate = buf.getInt()
+            buf.getInt() // byte rate (derived)
+            buf.getShort() // block align (derived)
+            val bits = buf.getShort().toInt
+            if (bits != 16) fail(s"only 16-bit PCM supported (got $bits)")
+            if (channels != 1) fail(s"only mono supported (got $channels)")
+            fmt = Some((channels, rate, bits))
+            buf.position(start + size + (size & 1)) // skip any fmt extension
+          case "data" =>
+            if (fmt.isEmpty) fail("data chunk before fmt")
+            if (size % 2 != 0) fail(s"odd PCM16 data size $size")
+            val d = new Array[Byte](size); buf.get(d)
+            data = Some(d)
+          case _ => // unknown chunk (LIST, cue, ...): skip, padded to even
+            buf.position(buf.position() + size + (size & 1))
+        }
+      }
+      val (ch, rate, bits) = fmt.getOrElse(fail("missing fmt chunk"))
+      val d = data.getOrElse(fail("missing data chunk"))
+      val samples = new Array[Short](d.length / 2)
+      val sb = java.nio.ByteBuffer.wrap(d).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < samples.length) { samples(i) = sb.getShort(); i += 1 }
+      Wav(rate, ch, bits, samples)
+    }
+  }
+
+  /** Fixed raster width for document-derived fixture images — pixels are
+    * the text's UTF-8 bytes zero-padded to a full `PpmWidth x h` RGB grid,
+    * so the oracle can recompute every decoded stat from the text column. */
+  val PpmWidth = 16
+
+  /** documents -> media table of REAL binary PPM images (text bytes as
+    * pixels). In production this column is raw image bytes read straight
+    * from parquet/object storage; the decoder doesn't care which. */
+  def asMedia(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val tb = text.getBytes(UTF_8)
+          val rowBytes = PpmWidth * 3
+          val h = math.max(1, (tb.length + rowBytes - 1) / rowBytes)
+          val pixels = java.util.Arrays.copyOf(tb, PpmWidth * h * 3)
+          val payload = PpmCodec.encode(PpmWidth, h, pixels)
+          MediaRecord(id, PpmCodec.Mime, payload.length.toLong, payload)
+        }
+      }.toDF()
+  }
+
+  /** documents -> media table of REAL PCM16 WAV files: each text byte b
+    * becomes the centered sample (b - 128) * 256. */
+  def asWavMedia(documents: DataFrame, sampleRate: Int = 8000): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val tb = text.getBytes(UTF_8)
+          val samples = new Array[Short](tb.length)
+          var i = 0
+          while (i < tb.length) { samples(i) = (((tb(i) & 0xff) - 128) * 256).toShort; i += 1 }
+          val payload = WavCodec.encode(samples, sampleRate)
+          MediaRecord(id, WavCodec.Mime, payload.length.toLong, payload)
+        }
+      }.toDF()
+  }
+
+  /** Batched per-partition image decode + feature extraction. mapPartitions
+    * (not a per-row UDF) so codec init amortizes per task — the Scala
+    * analog of the `mapInPandas` batch shape. All sums are exact integer
+    * arithmetic; the means divide exact ints, so they are bit-identical
+    * across engines. */
+  def imageFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val ds: Dataset[MediaRecord] = media.as[MediaRecord]
-    ds.mapPartitions { it =>
-      // per-partition codec init would go here (once per task, not per row)
+    media.as[MediaRecord].mapPartitions { it =>
       it.map { m =>
-        val (w, h, feat) = StubCodec.decode(m.payload)
-        MediaFeatures(m.media_id, m.mime, m.n_bytes, w, h, feat)
+        val img = PpmCodec.decode(m.payload)
+        var sum = 0L
+        val chan = new Array[Long](3)
+        var i = 0
+        while (i < img.pixels.length) {
+          val v = img.pixels(i) & 0xff
+          sum += v
+          chan(i % 3) += v
+          i += 1
+        }
+        val nPix = img.width * img.height
+        ImageFeatures(m.media_id, img.width, img.height, nPix, sum,
+          sum.toDouble / (nPix * 3),
+          chan(0).toDouble / nPix, chan(1).toDouble / nPix, chan(2).toDouble / nPix)
+      }
+    }.toDF()
+  }
+
+  /** Batched per-partition audio decode + feature extraction (header
+    * metadata + exact-integer sample stats). */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { m =>
+        val wav = WavCodec.decode(m.payload)
+        var sum = 0L
+        var peak = 0
+        var i = 0
+        while (i < wav.samples.length) {
+          val v = wav.samples(i).toInt
+          sum += v
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          i += 1
+        }
+        val n = wav.samples.length.toLong
+        AudioFeatures(m.media_id, wav.sampleRate, wav.nChannels, wav.bitsPerSample,
+          n, sum, if (n == 0) 0.0 else sum.toDouble / n, peak)
+      }
+    }.toDF()
+  }
+
+  /** REAL nearest-neighbor image resize: decode -> resample -> re-encode,
+    * per row, executor-side. Output payloads are valid PPMs of exactly
+    * `targetW x targetH`. */
+  def resizeImage(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, s"bad target ${targetW}x$targetH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { m =>
+        val img = PpmCodec.decode(m.payload)
+        val out = new Array[Byte](targetW * targetH * 3)
+        var ty = 0
+        while (ty < targetH) {
+          val sy = ty * img.height / targetH
+          var tx = 0
+          while (tx < targetW) {
+            val sx = tx * img.width / targetW
+            val src = (sy * img.width + sx) * 3
+            val dst = (ty * targetW + tx) * 3
+            out(dst) = img.pixels(src)
+            out(dst + 1) = img.pixels(src + 1)
+            out(dst + 2) = img.pixels(src + 2)
+            tx += 1
+          }
+          ty += 1
+        }
+        val payload = PpmCodec.encode(targetW, targetH, out)
+        MediaRecord(m.media_id, m.mime, payload.length.toLong, payload)
       }
     }.toDF()
   }
@@ -93,20 +330,4 @@ object Multimodal {
         s"""transform(sequence(0, least(int(n_bytes / $stride), ${maxFrames - 1})),
            |  i -> substring(payload, i * $stride + 1, 1))""".stripMargin).as("frames"),
     )
-
-  /** Deterministic resize analog: downsample the payload to `targetBytes`
-    * by taking evenly strided bytes (a nearest-neighbor-resize access
-    * pattern — seek + gather, per row, executor-side; a real image resize
-    * plugs into the same column shape). Payloads at or under the target
-    * pass through; metadata (`n_bytes`) tracks the new size. */
-  def resize(media: DataFrame, targetBytes: Int): DataFrame =
-    media
-      .withColumn("payload",
-        when(col("n_bytes") <= targetBytes, col("payload"))
-          .otherwise(expr(
-            s"""aggregate(
-               |  transform(sequence(0, ${targetBytes - 1}),
-               |    i -> substring(payload, int(i * n_bytes / $targetBytes) + 1, 1)),
-               |  cast(X'' as binary), (acc, b) -> concat(acc, b))""".stripMargin)))
-      .withColumn("n_bytes", least(col("n_bytes"), lit(targetBytes.toLong)))
 }

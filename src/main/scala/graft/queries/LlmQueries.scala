@@ -627,25 +627,78 @@ object LlmQueries {
     ),
 
     // ------------------------------------------------------------------
-    // Q29 — multimodal column plumbing: text payload re-encoded as an opaque
-    // binary column with typed metadata, "decoded" by a clearly-stubbed
-    // deterministic feature extractor (see graft.llm.Multimodal). The
-    // Spark-side schema/partitioning/batching is real; the codec is a fake.
-    // The declared surface serializes the feature vector to a CSV string:
-    // the driver's rows-only harness sorts rows by every column and arrays
-    // are unhashable there (round-1 q29 ERR). The array-typed API stays on
-    // Multimodal.features for programmatic use.
+    // Q29 — multimodal image decode: documents become REAL binary PPM (P6)
+    // images (text bytes as zero-padded RGB pixels), then a real pure-JVM
+    // header+raster decoder (graft.llm.Multimodal.PpmCodec) extracts
+    // width/height/channel stats batched per partition. The oracle
+    // recomputes every stat straight from the text column's UTF-8 bytes
+    // (hex-of-blob + per-byte list arithmetic), so the encode->decode
+    // round trip is hash-verified end to end. All sums are exact ints and
+    // the means divide exact ints — bit-identical across engines.
     Declared(
       "q29_multimodal",
       (s, dir) => {
-        graft.llm.Multimodal.features(
+        graft.llm.Multimodal.imageFeatures(
           graft.llm.Multimodal.asMedia(Tables.documents(s, dir)))
-          .withColumn("feature_csv",
-            expr("concat_ws(',', transform(feature, x -> format_string('%.4f', x)))"))
-          .drop("feature")
           .orderBy("media_id")
       },
-      None,
+      Some("""WITH b AS (
+             |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+             |  FROM documents),
+             |d AS (
+             |  SELECT doc_id, n,
+             |    CAST(16 AS INT) AS width,
+             |    CAST(GREATEST(1, (n + 47) // 48) AS INT) AS height,
+             |    list_transform(generate_series(1, CAST(n AS INT)),
+             |      i -> CAST(('0x' || substr(hx, (i-1)*2+1, 2)) AS BIGINT)) AS bytes
+             |  FROM b)
+             |SELECT doc_id AS media_id, width, height,
+             |  CAST(width * height AS INT) AS n_pixels,
+             |  CAST(COALESCE(list_sum(bytes), 0) AS BIGINT) AS byte_sum,
+             |  CAST(COALESCE(list_sum(bytes), 0) AS DOUBLE) / (width * height * 3) AS mean_byte,
+             |  CAST(COALESCE(list_sum(list_transform(generate_series(1, CAST(n AS INT)),
+             |    i -> CASE WHEN (i-1) % 3 = 0 THEN bytes[i] ELSE 0 END)), 0) AS DOUBLE)
+             |    / (width * height) AS mean_r,
+             |  CAST(COALESCE(list_sum(list_transform(generate_series(1, CAST(n AS INT)),
+             |    i -> CASE WHEN (i-1) % 3 = 1 THEN bytes[i] ELSE 0 END)), 0) AS DOUBLE)
+             |    / (width * height) AS mean_g,
+             |  CAST(COALESCE(list_sum(list_transform(generate_series(1, CAST(n AS INT)),
+             |    i -> CASE WHEN (i-1) % 3 = 2 THEN bytes[i] ELSE 0 END)), 0) AS DOUBLE)
+             |    / (width * height) AS mean_b
+             |FROM d ORDER BY media_id""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q50 — multimodal audio decode: documents become REAL RIFF/WAVE PCM16
+    // files (each text byte b -> centered sample (b-128)*256), then a real
+    // chunk-walking decoder (graft.llm.Multimodal.WavCodec) extracts the
+    // header metadata + exact-integer sample stats. Oracle recomputes from
+    // text bytes, same discipline as q29.
+    Declared(
+      "q50_wav_decode",
+      (s, dir) => {
+        graft.llm.Multimodal.audioFeatures(
+          graft.llm.Multimodal.asWavMedia(Tables.documents(s, dir)))
+          .filter(col("n_samples") > 0)
+          .orderBy("media_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, n,
+             |    list_transform(generate_series(1, CAST(n AS INT)),
+             |      i -> (CAST(('0x' || substr(hx, (i-1)*2+1, 2)) AS BIGINT) - 128) * 256) AS samples
+             |  FROM b WHERE n > 0)
+             |SELECT doc_id AS media_id,
+             |  CAST(8000 AS INT) AS sample_rate,
+             |  CAST(1 AS INT) AS n_channels,
+             |  CAST(16 AS INT) AS bits_per_sample,
+             |  CAST(n AS BIGINT) AS n_samples,
+             |  CAST(list_sum(samples) AS BIGINT) AS sample_sum,
+             |  CAST(list_sum(samples) AS DOUBLE) / n AS mean_sample,
+             |  CAST(list_max(list_transform(samples, x -> abs(x))) AS INT) AS peak_abs
+             |FROM s ORDER BY media_id""".stripMargin),
     ),
 
     // ------------------------------------------------------------------

@@ -594,36 +594,45 @@ class LlmOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().contains(3L))
   }
 
-  test("multimodal stub features are deterministic and schema-stable") {
+  test("multimodal media frames decode to hand-computed features") {
     val d = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
       .withColumn("n_chars", length(col("text")).cast("long"))
     val media = Multimodal.asMedia(d)
     assert(media.schema.fieldNames.toSeq ===
       Seq("media_id", "mime", "n_bytes", "payload"))
-    val f1 = Multimodal.features(media).orderBy("media_id").collect()
-    val f2 = Multimodal.features(media).orderBy("media_id").collect()
+    val f1 = Multimodal.imageFeatures(media).orderBy("media_id").collect()
+    val f2 = Multimodal.imageFeatures(media).orderBy("media_id").collect()
     assert(f1.map(_.toString).toSeq === f2.map(_.toString).toSeq)
+    // "hello world" = 11 bytes -> one 16x1 RGB row, zero-padded
     val r = f1.head
     assert(r.getAs[Long]("media_id") === 1L)
-    assert(r.getAs[Int]("width") === ('h'.toInt & 0x7f) + 1)
-    // empty payload: zero dims, zero features
-    assert(f1(1).getAs[Int]("width") === 0)
+    assert(r.getAs[Int]("width") === 16)
+    assert(r.getAs[Int]("height") === 1)
+    val textSum = "hello world".getBytes("UTF-8").map(_ & 0xff).sum.toLong
+    assert(r.getAs[Long]("byte_sum") === textSum)
+    assert(r.getAs[Double]("mean_byte") === textSum.toDouble / 48)
+    // R channel = payload bytes at offsets 0,3,6,9 = 'h','l','w','l'
+    val rSum = Seq('h', 'l', 'w', 'l').map(_.toInt).sum
+    assert(r.getAs[Double]("mean_r") === rSum.toDouble / 16)
+    // empty text still encodes a valid 16x1 all-zero image
+    assert(f1(1).getAs[Int]("height") === 1)
+    assert(f1(1).getAs[Long]("byte_sum") === 0L)
     val frames = Multimodal.sampleFrames(media, 4, 3).collect()
     assert(frames.forall(_.getAs[Seq[Array[Byte]]]("frames").nonEmpty))
-    // resize: strided downsample to the target size; small payloads pass
-    // through untouched; metadata tracks the new size; deterministic
-    val resized = Multimodal.resize(media, targetBytes = 4).orderBy("media_id").collect()
-    val r1m = resized(0)
-    assert(r1m.getAs[Long]("n_bytes") === 4L)
-    assert(r1m.getAs[Array[Byte]]("payload").length === 4)
-    // strides into "hello world" (11 bytes): offsets 0,2,5,8 -> 'h','l',' ','r'
-    assert(new String(r1m.getAs[Array[Byte]]("payload"), "UTF-8") === "hl r")
-    assert(resized(1).getAs[Long]("n_bytes") === 0L) // empty stays empty
-    val again = Multimodal.resize(media, 4).orderBy("media_id").collect()
-    resized.zip(again).foreach { case (x, y) =>
-      assert(x.getAs[Array[Byte]]("payload").toSeq === y.getAs[Array[Byte]]("payload").toSeq)
-      assert(x.getAs[Long]("n_bytes") === y.getAs[Long]("n_bytes"))
-    }
+    // real NN resize: output payloads are valid PPMs of the target size
+    val resized = Multimodal.resizeImage(media, 4, 1).orderBy("media_id").collect()
+    val p = Multimodal.PpmCodec.decode(resized(0).getAs[Array[Byte]]("payload"))
+    assert((p.width, p.height) === (4, 1))
+    // NN samples source columns 0,4,8,12 of "hello world" + padding
+    assert(p.pixels.slice(0, 3).map(_.toChar).mkString === "hel")
+    // WAV twin: sample = (byte - 128) * 256, header round-trips
+    val wf = Multimodal.audioFeatures(Multimodal.asWavMedia(d, 8000))
+      .orderBy("media_id").collect()
+    assert(wf(0).getAs[Int]("sample_rate") === 8000)
+    assert(wf(0).getAs[Long]("n_samples") === 11L)
+    assert(wf(0).getAs[Long]("sample_sum") ===
+      "hello world".getBytes("UTF-8").map(b => ((b & 0xff) - 128) * 256L).sum)
+    assert(wf(1).getAs[Long]("n_samples") === 0L)
   }
 }

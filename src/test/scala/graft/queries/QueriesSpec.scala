@@ -15,10 +15,11 @@ class QueriesSpec extends SparkSpec {
     // Rows-only entries by design (no DuckDB oracle): q33 ann-ivf (iterative
     // centroid training has no single-SQL oracle; spec-pinned against brute
     // force) and q47 semdedup (trained k-means, likewise spec-pinned).
+    // q29 multimodal graduated to a full oracle in round 5 (real PPM codec).
     // Everything else must carry an oracle — assert the exact set so a new
     // oracle-less query is a deliberate decision, not an accident.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("q29_multimodal", "q33_ann_ivf", "q47_semdedup"))
+    assert(rowsOnly === Set("q33_ann_ivf", "q47_semdedup"))
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
