@@ -147,6 +147,14 @@ object Dedup {
       .select("doc_id", "cluster_id", "cluster_size")
   }
 
+  /** Per-cluster size cap for [[semDedup]]: clusters above this are split
+    * into deterministic hash sub-cells of ~this size and the pairwise
+    * check runs within a sub-cell only — candidate pairs per cluster fall
+    * from O(s^2) to O(s * cap). The default never triggers on well-spread
+    * corpora; a degenerate hot cluster (near-identical corpus) is bounded
+    * instead of quadratic. */
+  val DefaultMaxClusterSize = 100000
+
   /** SemDeDup-style semantic dedup: embeddings are clustered by a
     * deterministic trained k-means (seeded sample + Lloyd steps — the same
     * trainer as the IVF ANN path), and the pairwise cosine check runs only
@@ -155,34 +163,78 @@ object Dedup {
     * semantic duplicates far better than data-oblivious hyperplane cuts,
     * at the cost of the (cheap, k x dim) training loop — complementary to
     * [[dedupByEmbeddingLsh]]. APPROXIMATE by construction: a near-dup pair
-    * split across clusters is missed. With nCentroids=1 every vector
-    * shares one cluster and this degenerates to the exact
+    * split across clusters (or, under the hot-cluster guard, across
+    * sub-cells) is missed. With nCentroids=1 and the cap untriggered every
+    * vector shares one cluster and this degenerates to the exact
     * [[dedupByEmbedding]] (spec-pinned).
     *
-    * Shape at scale: training collects k x dim means (never O(n)); the
-    * cluster assignment is per-row against centroid literals; candidate
-    * generation is an equi-join on the cluster id — no cross product; the
-    * drop set is checkpointed and anti-joined, never driver-collected. */
+    * `nCentroids = 0` (the default) scales the cluster count with the
+    * corpus: k = max(8, ceil(sqrt(n))) — the SemDeDup-paper regime, keeping
+    * expected cluster size ~sqrt(n) so within-cluster pair counts grow
+    * linearly, not quadratically, with the corpus. The count() behind it is
+    * answered from parquet row-group metadata; training still collects only
+    * k x dim means (~sqrt(n) * dim — an 80 MB broadcast at n = 1e11,
+    * dim = 64).
+    *
+    * Shape at scale: cluster assignment is per-row against centroid
+    * literals; candidate generation is an equi-join on (cluster, sub-cell)
+    * — no cross product, and the hot-cluster census ([[semDedupCandidates]])
+    * bounds any single join key at ~maxClusterSize rows; the drop set is
+    * checkpointed and anti-joined, never driver-collected. */
   def semDedup(
       emb: DataFrame,
       tau: Double,
-      nCentroids: Int = 8,
-      iterations: Int = 2): DataFrame = {
+      nCentroids: Int = 0,
+      iterations: Int = 2,
+      maxClusterSize: Int = DefaultMaxClusterSize): DataFrame = {
     val e = emb.localCheckpoint(false)
-    val centroids = VectorOps.trainCentroids(e, nCentroids, iterations)
+    val k =
+      if (nCentroids > 0) nCentroids
+      else math.max(8, math.ceil(math.sqrt(e.count().toDouble)).toInt)
+    val centroids = VectorOps.trainCentroids(e, k, iterations)
     val assigned = VectorOps.withRanks(e, centroids)
       .withColumn("bucket", col("__ranks")(0))
       .select(col("vec_id"), col("embedding"), col("bucket"))
-    val a = assigned.select(col("vec_id").as("vec_a"), col("embedding").as("qe"), col("bucket"))
-      .withColumn("na", expr(VectorOps.normExprFor(e, "qe")))
-    val b = assigned.select(col("vec_id").as("vec_b"), col("embedding").as("ne"), col("bucket"))
-      .withColumn("nb", expr(VectorOps.normExprFor(e, "ne")))
-    val drop = a.join(b, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .filter(expr(VectorOps.dotExprFor(e, "qe", "ne")) / (col("na") * col("nb")) >= tau)
+    val drop = semDedupCandidates(e, assigned, maxClusterSize)
+      .filter(col("cos") >= tau)
       .select(col("vec_b").as("vec_id")).distinct()
       .localCheckpoint(true)
     emb.join(drop, Seq("vec_id"), "left_anti")
+  }
+
+  /** Within-cluster candidate pairs (vec_a < vec_b, with their cosine),
+    * guarded against hot clusters: a census (tiny k-row aggregate,
+    * broadcast back) finds clusters above `maxClusterSize`; their members
+    * are split into ceil(size/cap) deterministic sub-cells by hashed id
+    * and pairs are generated within a (cluster, cell) key only. Every join
+    * key is thereby bounded at ~maxClusterSize rows — the same census
+    * discipline as [[VectorOps.lshTopK]]'s hot-bucket thinning, but
+    * partitioning instead of dropping candidates so every vector can still
+    * be deduped against cell-mates. */
+  private[llm] def semDedupCandidates(
+      e: DataFrame,
+      assigned: DataFrame,
+      maxClusterSize: Int): DataFrame = {
+    val hot = assigned.groupBy("bucket").agg(count(lit(1)).as("csize"))
+      .filter(col("csize") > maxClusterSize)
+    val celled = assigned
+      .join(broadcast(hot), Seq("bucket"), "left")
+      .withColumn("cell",
+        when(col("csize").isNull, lit(0L))
+          .otherwise(pmod(xxhash64(col("vec_id")),
+            ceil(col("csize") / maxClusterSize).cast("long"))))
+      .drop("csize")
+    val a = celled
+      .select(col("vec_id").as("vec_a"), col("embedding").as("qe"), col("bucket"), col("cell"))
+      .withColumn("na", expr(VectorOps.normExprFor(e, "qe")))
+    val b = celled
+      .select(col("vec_id").as("vec_b"), col("embedding").as("ne"), col("bucket"), col("cell"))
+      .withColumn("nb", expr(VectorOps.normExprFor(e, "ne")))
+    a.join(b, Seq("bucket", "cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        expr(VectorOps.dotExprFor(e, "qe", "ne")) / (col("na") * col("nb")))
+      .select("vec_a", "vec_b", "cos")
   }
 
   /** The 100 TB embedding-dedup path: candidate pairs restricted to

@@ -798,7 +798,9 @@ object LlmQueries {
     Declared(
       "q47_semdedup",
       (s, dir) => {
-        graft.llm.Dedup.semDedup(Tables.embeddings(s, dir), tau = 0.92)
+        // nCentroids pinned at 8 (not auto-k) so the declared rows stay
+        // stable while the library default scales k with corpus size
+        graft.llm.Dedup.semDedup(Tables.embeddings(s, dir), tau = 0.92, nCentroids = 8)
           .select("vec_id", "label")
           .orderBy("vec_id")
       },

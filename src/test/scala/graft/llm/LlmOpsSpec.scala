@@ -572,6 +572,44 @@ class LlmOpsSpec extends SparkSpec {
     val strict = Dedup.semDedup(emb, tau = 0.9, nCentroids = 4)
       .select("vec_id").as[Long].collect().toSet
     assert(semA.subsetOf(strict))
+    // auto-k (nCentroids=0, the default): runs, deterministic, and still
+    // a superset of the exact survivors
+    val auto = Dedup.semDedup(emb, tau = 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(auto === Dedup.semDedup(emb, tau = 0.5)
+      .select("vec_id").as[Long].collect().toSet)
+    assert(exact.subsetOf(auto))
+  }
+
+  test("semDedup hot-cluster guard bounds candidates on a degenerate corpus") {
+    // 200 identical vectors -> ONE cluster: the worst case the cap exists
+    // for. Uncapped, candidate pairs are all-pairs C(200,2) = 19900.
+    val n = 200
+    val emb = (0 until n).map(i => (i.toLong, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = emb.localCheckpoint(false)
+    val centroids = VectorOps.trainCentroids(e, 1, 1)
+    val assigned = VectorOps.withRanks(e, centroids)
+      .withColumn("bucket", col("__ranks")(0))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    val allPairs = Dedup.semDedupCandidates(e, assigned, maxClusterSize = n).count()
+    assert(allPairs === n.toLong * (n - 1) / 2)
+    // cap 50 -> 4 hash sub-cells: pairs collapse to within-cell only.
+    // Hash cell sizes are uneven but the quadratic blowup is gone: even a
+    // worst-realistic imbalance stays far under half of all-pairs.
+    val capped = Dedup.semDedupCandidates(e, assigned, maxClusterSize = 50).count()
+    assert(capped < allPairs / 2, s"capped=$capped not bounded vs $allPairs")
+    // dedup semantics under the cap: min id still survives; at most one
+    // survivor per sub-cell (identical vectors all verify at cos=1)
+    val survivors = Dedup.semDedup(emb, tau = 0.9, nCentroids = 1, maxClusterSize = 50)
+      .select("vec_id").as[Long].collect().sorted
+    assert(survivors.head === 0L)
+    assert(survivors.length >= 1 && survivors.length <= 4,
+      s"expected <= ceil(200/50) survivors, got ${survivors.length}")
+    // cap untriggered == legacy all-pairs behavior (q47 parity)
+    val uncapped = Dedup.semDedup(emb, tau = 0.9, nCentroids = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(uncapped === Seq(0L))
   }
 
   test("bigramNll: add-one-smoothed scores match the hand calculation") {
