@@ -157,6 +157,30 @@ object ScaleBench {
     }
     println(s"""{"op":"vocab","docs":$nDocs,"terms":$nVocab,"sec":$tVocab}""")
 
+    // sequence packing on a ONE-source corpus — the worst case for the
+    // flat per-source running-sum window (all rows through one task).
+    // The two-level prefix sum's sequential step is only the per-bucket
+    // heads frame (1/8192nd of the corpus); wall time should track the
+    // parallel local windows, flat should track the single-task sort.
+    val oneSrc = docs
+      .select(col("doc_id"), lit("s").as("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .localCheckpoint(true)
+    val (nPacked, tPack) = timed {
+      graft.llm.Packing.packSequences(oneSrc, budget = 2048)
+        .agg(count(lit(1)), max("bin"), sum("pos_in_bin")).head().getLong(0)
+    }
+    import org.apache.spark.sql.expressions.Window
+    val (_, tPackFlat) = timed {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      oneSrc
+        .withColumn("tok_before",
+          coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("bin", (col("tok_before") / 2048).cast("long"))
+        .agg(max("bin"), sum("tok_before")).head()
+    }
+    println(s"""{"op":"seq_packing_1src","docs":$nPacked,"two_level_sec":$tPack,"flat_window_sec":$tPackFlat}""")
+
     spark.stop()
   }
 }

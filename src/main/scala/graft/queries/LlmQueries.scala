@@ -570,27 +570,19 @@ object LlmQueries {
 
     // ------------------------------------------------------------------
     // Q40 — sequence packing (the sample-packing pass before training):
-    // per-source contiguous packing of docs into fixed token-budget bins.
-    // Deterministic: docs in doc_id order, bin = floor(tokens-before /
-    // budget), position = index within bin. One keyed window (running sum
-    // per source) — the packing itself never shuffles doc payloads twice.
-    // Exact GREEDY bin-packing is inherently sequential; contiguous-order
-    // packing is what large-scale pipelines actually run (stable, single
-    // pass, deterministic shards), with docs straddling a boundary split
-    // or padded downstream.
+    // per-source contiguous packing of docs into fixed token-budget bins
+    // via graft.llm.Packing — a hierarchical two-level prefix sum (the
+    // Stitch shape), NOT a flat per-source running-sum window (which
+    // funnels the corpus through #sources tasks). PlanAuditSpec asserts
+    // no window in this plan partitions by source alone.
     Declared(
       "q40_seq_packing",
       (s, dir) => {
         import s.implicits._
-        val budget = 2048
-        val w = Window.partitionBy("source").orderBy("doc_id")
-        val wBin = Window.partitionBy("source", "bin").orderBy("doc_id")
-        Tables.documentsRaw(s, dir)
-          .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("n_tokens"))
-          .withColumn("tok_before",
-            coalesce(sum($"n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .withColumn("bin", ($"tok_before" / budget).cast("long"))
-          .withColumn("pos_in_bin", (row_number().over(wBin) - 1).cast("int"))
+        graft.llm.Packing.packSequences(
+          Tables.documentsRaw(s, dir)
+            .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("n_tokens")),
+          budget = 2048)
           .select("doc_id", "source", "n_tokens", "bin", "pos_in_bin")
           .orderBy("doc_id")
       },

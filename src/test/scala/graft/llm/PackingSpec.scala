@@ -1,0 +1,51 @@
+package graft.llm
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Differential test: the two-level hierarchical prefix sum must be
+  * row-for-row identical to the flat per-source running-sum window it
+  * replaced (the flat form is the obviously-correct spec; the two-level
+  * form is the scale-safe implementation). */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def flatPack(df: org.apache.spark.sql.DataFrame, budget: Long) = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val wBin = Window.partitionBy("source", "bin").orderBy("doc_id")
+    df.withColumn("tok_before",
+        coalesce(sum($"n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", ($"tok_before" / budget).cast("long"))
+      .withColumn("pos_in_bin", (row_number().over(wBin) - 1).cast("int"))
+  }
+
+  test("two-level packing == flat window: multi-source, gappy ids, tiny buckets") {
+    // gappy, non-contiguous doc_ids across 3 sources; bucketWidth=64 forces
+    // many buckets so the stitch path is genuinely exercised
+    val docs = (0 until 500)
+      .map(i => (i * 3L + (i % 7), s"src${i % 3}", (i % 13 + 1).toLong))
+      .toDF("doc_id", "source", "n_tokens")
+    val cols = Seq("doc_id", "source", "n_tokens", "tok_before", "bin", "pos_in_bin")
+    val two = Packing.packSequences(docs, budget = 50, bucketWidth = 64)
+      .selectExpr(cols: _*)
+    val flat = flatPack(docs, budget = 50).selectExpr(cols: _*)
+    assert(two.exceptAll(flat).isEmpty && flat.exceptAll(two).isEmpty)
+  }
+
+  test("two-level packing == flat window: one source (the funnel case)") {
+    val docs = (0 until 300).map(i => (i.toLong, "only", (i % 5 + 1).toLong))
+      .toDF("doc_id", "source", "n_tokens")
+    val cols = Seq("doc_id", "source", "n_tokens", "tok_before", "bin", "pos_in_bin")
+    val two = Packing.packSequences(docs, budget = 17, bucketWidth = 32)
+      .selectExpr(cols: _*)
+    val flat = flatPack(docs, budget = 17).selectExpr(cols: _*)
+    assert(two.exceptAll(flat).isEmpty && flat.exceptAll(two).isEmpty)
+    // sanity on absolute values: first row starts a bin at position 0
+    val first = two.orderBy("doc_id").limit(1).collect()(0)
+    assert(first.getAs[Long]("tok_before") === 0L)
+    assert(first.getAs[Long]("bin") === 0L)
+    assert(first.getAs[Int]("pos_in_bin") === 0)
+  }
+}

@@ -58,4 +58,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(windowsSeen >= 5, s"traversal saw only $windowsSeen WindowExec nodes")
     assert(pairwiseSeen >= 1, "traversal never saw the documented pairwise joins")
   }
+
+  test("q40 packing never windows by source alone over the raw corpus") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val q40 = SparkEntry.queries("q40_seq_packing")(spark, dir)
+    val windows = collectNodes(q40.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "q40 plan lost its windows — check the traversal")
+    // A window keyed by source alone funnels the corpus through #sources
+    // tasks — UNLESS it consumes an already-aggregated frame (the
+    // two-level design's per-bucket heads window, 1/bucketWidth-th of the
+    // input). So: source-only windows must sit above an Aggregate.
+    var headsWindows = 0
+    windows.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name)).distinct
+      if (keys == Seq("source")) {
+        headsWindows += 1
+        assert(collectNodes(w).exists(_.isInstanceOf[BaseAggregateExec]),
+          "q40: WindowExec by source alone over the RAW corpus — parallelism = #sources")
+      }
+    }
+    // non-vacuity: the heads window is expected to exist and be checked
+    assert(headsWindows >= 1, "q40: expected the per-bucket heads window in the plan")
+  }
 }
