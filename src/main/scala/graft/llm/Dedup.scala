@@ -141,6 +141,13 @@ object Dedup {
       labels = next
       round += 1
     }
+    // Returning unconverged labels would hand the caller WRONG cluster ids
+    // with no signal — fail loudly instead. With pointer jumping rounds
+    // are O(log diameter), so hitting this means maxRounds is set far too
+    // low for the graph, not that the algorithm is stuck.
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters: labels not converged after $maxRounds rounds — " +
+        "raise maxRounds (rounds needed ~ log2 of the largest cluster's diameter)")
     val sizes = labels.groupBy("cluster_id")
       .agg(count(lit(1)).cast("int").as("cluster_size"))
     labels.join(sizes, "cluster_id")

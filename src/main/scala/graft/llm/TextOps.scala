@@ -486,9 +486,11 @@ object TextOps {
        |  i -> md5(concat_ws(' ', slice(split(text, ' '), i * $w + 1, $w))))""".stripMargin)
 
   def passageStats(docs: DataFrame, w: Int = 20): DataFrame = {
+    // chunks feeds the df groupBy AND the join: hash the corpus once
     val chunks = docs.select(
       col("doc_id"),
       explode(chunkHashCol(docs, w)).as("h"))
+      .localCheckpoint(false)
     val freq = chunks.groupBy("h").agg(countDistinct("doc_id").as("df"))
     chunks.join(freq, "h")
       .groupBy("doc_id")
@@ -571,9 +573,19 @@ object TextOps {
     val v = docs
       .select(explode(tokens(col("text"))).as("tok"))
       .agg(countDistinct("tok")).head().getLong(0)
-    val bi = docs
+    // bi feeds THREE consumers (c12, c1, the scoring join). Materialize the
+    // TOKENIZED frame once (lazy localCheckpoint, same discipline as
+    // ivfTopK's embedding frame) so the corpus is scanned+split once, not
+    // three times. The checkpoint sits BEFORE the explode on purpose: the
+    // token-array frame is a fraction of the exploded bigram frame's size
+    // (measured: checkpointing post-explode was a net LOSS at sf0.1 —
+    // the store/reload outweighed the re-derivation), and each consumer's
+    // explode fuses into its own aggregation stage.
+    val toks = docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
+      .localCheckpoint(false)
+    val bi = toks
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))

@@ -513,6 +513,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("duplicateClusters: jumping converges deep chains; exhaustion fails loudly") {
+    // a 40-deep path: plain min-label propagation needs ~40 rounds, pointer
+    // jumping O(log) — maxRounds=8 must suffice
+    val chain = (0 until 40).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClusters(chain, maxRounds = 8)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+    assert(out.length === 41)
+    assert(out.forall(_._2 === 0L), "all chain members must label to the min id")
+    // forced non-convergence must THROW, never return wrong labels silently
+    val ex = intercept[IllegalStateException] {
+      Dedup.duplicateClusters(chain, maxRounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("not converged"))
+  }
+
   test("passageStats: aligned shared chunks count as duplicated instances") {
     val a = (1 to 40).map(i => s"tok$i").mkString(" ")   // chunks: [1..20], [21..40]
     val b = (1 to 20).map(i => s"tok$i").mkString(" ")   // == doc a's first chunk
