@@ -630,6 +630,15 @@ object TextOps {
       .withColumn("redacted", regexp_replace(afterIp, PhoneRe, "<PHONE>"))
   }
 
+  /** Pure-built-ins top-term count (most frequent token's occurrence
+    * count) — the O(distinct * tokens) interpreted fallback for sessions
+    * without the graft extension; bit-identical to
+    * `graft_repstats(text, 1).top_count` (spec cross-checked). */
+  private[llm] def gopherTopTermHof(toks: Column): Column =
+    array_max(transform(
+      array_distinct(toks),
+      w => aggregate(toks, lit(0), (acc, x) => acc + when(x === w, 1).otherwise(0))))
+
   /** Gopher-style quality gate (Rae et al. 2021 rules, the subset whose
     * signals exist in a whitespace corpus): word-count bounds, mean word
     * length bounds, min distinct stopwords, max single-term dominance
@@ -653,9 +662,13 @@ object TextOps {
     // re-walk of the array
     val meanLen = (length(col("text")) - (nWords - lit(1))).cast("double") / nWords
     val distinctStop = size(array_intersect(toks, typedLit(stop)))
-    val topTermN = array_max(transform(
-      array_distinct(toks),
-      w => aggregate(toks, lit(0), (acc, x) => acc + when(x === w, 1).otherwise(0))))
+    // top-term count through the one-pass graft_repstats kernel (n=1:
+    // unigrams) — the interpreted nested-HOF fallback is O(distinct *
+    // tokens) per row and exists only for sessions without the extension
+    // (spec cross-checks the two bit-identically)
+    val topTermN =
+      if (hasFn(docs, "graft_repstats")) expr("graft_repstats(text, 1).top_count")
+      else gopherTopTermHof(toks)
     docs.select(
       col("doc_id"),
       nWords.as("n_words"),

@@ -831,6 +831,85 @@ object LlmQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Q48 — PII redaction (the pre-training scrub): email -> IP -> phone
+    // counted-then-rewritten in fixed order (an IPv4-shaped string inside
+    // a hostname must not double-count). The raw corpus contains no PII,
+    // so each doc gets ONE deterministic email/IP/phone injected from its
+    // doc_id — identically in both engines — making the counts and the
+    // rewrite non-vacuous. Regex subset chosen for Java/RE2 agreement.
+    Declared(
+      "q48_redact_pii",
+      (s, dir) => {
+        val injected = Tables.documentsRaw(s, dir).withColumn("text",
+          concat(col("text"),
+            lit(" reach me at user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or 10.0.0."), (col("doc_id") % 256).cast("string"),
+            lit(" call 555-123-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        TextOps.redactPii(injected, "text")
+          .select("doc_id", "n_email", "n_ipv4", "n_phone", "redacted")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH injected AS (
+             |  SELECT doc_id,
+             |    text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+             |      || '@mail.example.com or 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+             |      || ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |      AS text
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, text,
+             |    regexp_replace(text, '${TextOps.EmailRe}', '<EMAIL>', 'g') AS after_email
+             |  FROM injected),
+             |r2 AS (
+             |  SELECT doc_id, text, after_email,
+             |    regexp_replace(after_email, '${TextOps.Ipv4Re}', '<IP>', 'g') AS after_ip
+             |  FROM r)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS INT) AS n_email,
+             |  CAST(len(regexp_extract_all(after_email, '${TextOps.Ipv4Re}')) AS INT) AS n_ipv4,
+             |  CAST(len(regexp_extract_all(after_ip, '${TextOps.PhoneRe}')) AS INT) AS n_phone,
+             |  regexp_replace(after_ip, '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted
+             |FROM r2 ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q49 — Gopher-style quality gate: per-rule booleans + conjunction
+    // (word-count bounds, mean word length, distinct stopwords, top-term
+    // dominance via the one-pass graft_repstats kernel). Pure per-row
+    // expressions — runs at scan parallelism at any corpus size.
+    Declared(
+      "q49_gopher_rules",
+      (s, dir) => {
+        TextOps.gopherRules(Tables.documentsRaw(s, dir))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+             |         CAST(len(string_split(text, ' ')) AS INT) AS n_words
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, n_words,
+             |    CAST(length(text) - (n_words - 1) AS DOUBLE) / n_words AS mean_word_len,
+             |    CAST(len(list_intersect(toks, ['the','a','of','and','to','in','is'])) AS INT)
+             |      AS n_stop_distinct,
+             |    CAST(list_max(list_transform(list_distinct(toks),
+             |      w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE) / n_words
+             |      AS top_term_frac
+             |  FROM t)
+             |SELECT doc_id, n_words, mean_word_len, n_stop_distinct, top_term_frac,
+             |  (n_words >= 20 AND n_words <= 100000) AS ok_words,
+             |  (mean_word_len >= 2.0 AND mean_word_len <= 12.0) AS ok_word_len,
+             |  (n_stop_distinct >= 2) AS ok_stop,
+             |  (top_term_frac <= 0.20) AS ok_repetition,
+             |  ((n_words >= 20 AND n_words <= 100000)
+             |    AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+             |    AND (n_stop_distinct >= 2)
+             |    AND (top_term_frac <= 0.20)) AS keep
+             |FROM s ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
     // Q45 — per-document TF-IDF: top term (ties -> term asc) + document
     // tfidf mass through the fixed-scale decimal sum (naive double sums
     // are shuffle-order-dependent and break the cross-engine hash).

@@ -528,6 +528,54 @@ class LlmOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("not converged"))
   }
 
+  test("gopherRules: kernel top-term == HOF fallback; rules hand-check") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog and runs to all of " +
+        "the green hills in the misty morning light with great speed today"),
+      (2L, "spam spam spam spam spam"),
+      (3L, ""),
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(docs).orderBy("doc_id").collect()
+    // doc 1: 26 words, stopwords present, no dominance -> keep
+    assert(out(0).getAs[Int]("n_words") === 26)
+    assert(out(0).getAs[Boolean]("keep") === true)
+    // doc 2: one term is 100% of tokens AND under min words -> rejected
+    assert(out(1).getAs[Double]("top_term_frac") === 1.0)
+    assert(out(1).getAs[Boolean]("ok_words") === false)
+    assert(out(1).getAs[Boolean]("ok_repetition") === false)
+    assert(out(1).getAs[Boolean]("keep") === false)
+    // empty text degenerates to one empty token, frac 1.0, no crash
+    assert(out(2).getAs[Int]("n_words") === 1)
+    assert(out(2).getAs[Double]("top_term_frac") === 1.0)
+    // the kernel path must be bit-identical to the interpreted HOF form
+    val toks = split(col("text"), " ")
+    val hof = docs.select(col("doc_id"),
+      (TextOps.gopherTopTermHof(toks).cast("double") / size(toks)).as("hof_frac"))
+    val both = TextOps.gopherRules(docs).select("doc_id", "top_term_frac")
+      .join(hof, "doc_id")
+      .filter(col("top_term_frac") =!= col("hof_frac"))
+    assert(both.isEmpty, "kernel and HOF top-term fractions diverged")
+  }
+
+  test("redactPii: counts taken before rewrite, email -> ip -> phone order") {
+    val docs = Seq(
+      (1L, "mail bob@x.com or 1.2.3.4 call 555-123-4567 now"),
+      (2L, "a@1.2.3.4.com is an email not an ip"),
+      (3L, "nothing sensitive here"),
+    ).toDF("doc_id", "text")
+    val out = TextOps.redactPii(docs, "text")
+      .select("doc_id", "n_email", "n_ipv4", "n_phone", "redacted")
+      .orderBy("doc_id").collect()
+    assert((out(0).getInt(1), out(0).getInt(2), out(0).getInt(3)) === ((1, 1, 1)))
+    assert(out(0).getString(4) === "mail <EMAIL> or <IP> call <PHONE> now")
+    // the IPv4-shaped hostname is consumed by the EMAIL pass, never
+    // double-counted as an IP (the fixed pass order exists for this)
+    assert((out(1).getInt(1), out(1).getInt(2), out(1).getInt(3)) === ((1, 0, 0)))
+    assert(out(1).getString(4) === "<EMAIL> is an email not an ip")
+    assert((out(2).getInt(1), out(2).getInt(2), out(2).getInt(3)) === ((0, 0, 0)))
+    assert(out(2).getString(4) === "nothing sensitive here")
+  }
+
   test("passageStats: aligned shared chunks count as duplicated instances") {
     val a = (1 to 40).map(i => s"tok$i").mkString(" ")   // chunks: [1..20], [21..40]
     val b = (1 to 20).map(i => s"tok$i").mkString(" ")   // == doc a's first chunk
