@@ -39,7 +39,9 @@ object SyncMain {
       startBlock: Option[Long] = None,
       relaxedPublish: Boolean = false,
       once: Boolean = false,
-      maxRestarts: Int = Int.MaxValue)
+      maxRestarts: Int = Int.MaxValue,
+      job: String = "blocks", // blocks | schedule (Rakefile:54, :70-73)
+      untilBlock: Option[Long] = None)
 
   def parseArgs(argv: Array[String]): Args =
     argv.foldLeft(Args()) { (a, s) =>
@@ -56,6 +58,8 @@ object SyncMain {
         case Array("--relaxedPublish") => a.copy(relaxedPublish = true)
         case Array("--once") => a.copy(once = true)
         case Array("--maxRestarts", v) => a.copy(maxRestarts = v.toInt)
+        case Array("--job", v) => a.copy(job = v)
+        case Array("--untilBlock", v) => a.copy(untilBlock = Some(v.toLong))
         case other => sys.error(s"unknown argument '${other.mkString("=")}'")
       }
     }
@@ -129,6 +133,17 @@ object SyncMain {
 
   def main(argv: Array[String]): Unit = {
     val a = parseArgs(argv)
+    if (a.job == "schedule") {
+      // `rake witness:schedule[chain]` twin (Rakefile:70-73) — a driver-side
+      // poll loop, no Spark session to spin up
+      val eps = a.endpoints.getOrElse(sys.error("--job=schedule needs --endpoints"))
+      ScheduleFollowerJob.run(
+        ScheduleFollowerJob.ScheduleConfig(
+          endpoints = eps.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          chain = a.chain, mode = a.mode, untilBlockNum = a.untilBlock),
+        registerBackend(a.backend))
+      return
+    }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
       .appName(s"graft-sync-${a.chain}")

@@ -71,7 +71,7 @@ class JsonRpcBlockSource extends TableProvider {
   }
 }
 
-private[streaming] final case class RpcConfig(
+private[graft] final case class RpcConfig(
     endpoints: Seq[String],
     mode: String,
     startBlock: Option[Long],
@@ -179,7 +179,7 @@ private[streaming] case class HeightRangePartition(cfg: RpcConfig, from: Long, u
 
 /** Driver- and executor-side JSON-RPC plumbing. Uses the JDK HTTP stack and
   * Spark's bundled Jackson — no extra dependencies. */
-private[streaming] object RpcClient {
+private[graft] object RpcClient {
 
   import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 

@@ -13,12 +13,14 @@ class SyncMainSpec extends SparkSpec {
     val a = SyncMain.parseArgs(Array(
       "--endpoints=http://n1/,http://n2/", "--backend=redis://h:7000",
       "--chain=steem", "--blocksPerTrigger=7", "--mode=head",
-      "--startBlock=5", "--relaxedPublish", "--once", "--maxRestarts=2"))
+      "--startBlock=5", "--relaxedPublish", "--once", "--maxRestarts=2",
+      "--job=schedule", "--untilBlock=99"))
     assert(a.endpoints === Some("http://n1/,http://n2/"))
     assert(a.backend === "redis://h:7000" && a.chain === "steem")
     assert(a.blocksPerTrigger === 7L && a.mode === "head")
     assert(a.startBlock === Some(5L) && a.relaxedPublish && a.once)
     assert(a.maxRestarts === 2)
+    assert(a.job === "schedule" && a.untilBlock === Some(99L))
   }
 
   test("--once syncs the stub chain end-to-end into the backend") {
