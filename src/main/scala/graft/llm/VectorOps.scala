@@ -56,7 +56,13 @@ object VectorOps {
       .withColumn("nn", expr(normExprFor(candidates, "ne")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     c.join(q, col("qid") =!= col("nid"))
-      .withColumn("cos", expr(dotExprFor(candidates, "qe", "ne")) / (col("qn") * col("nn")))
+      // zero-norm vectors make dot/(qn*nn) = 0/0 = NaN, and NaN sorts
+      // ABOVE every real cosine in a desc order — rank them last (-2 <
+      // any true cosine) instead of letting them win every top-k slot.
+      // Same guard in ivfTopK/lshTopK; assignment-phase distances are
+      // guarded inside withRanks and the native kernel (dist = 2.0).
+      .withColumn("cos",
+        nanvl(expr(dotExprFor(candidates, "qe", "ne")) / (col("qn") * col("nn")), lit(-2.0)))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"), col("rnk"), col("cos"))
@@ -247,7 +253,8 @@ object VectorOps {
       .select(col("vec_id").as("nid"), col("embedding").as("ne"), col("bucket"))
       .withColumn("nn", expr(normExprFor(e, "ne")))
       .join(q, col("bucket") === col("qbucket") && col("qid") =!= col("nid"))
-      .withColumn("cos", expr(dotExprFor(e, "qe", "ne")) / (col("qn") * col("nn")))
+      .withColumn("cos", // NaN guard: see bruteForceTopK
+        nanvl(expr(dotExprFor(e, "qe", "ne")) / (col("qn") * col("nn")), lit(-2.0)))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"), col("rnk"), col("cos"))
@@ -297,7 +304,8 @@ object VectorOps {
     cand
       .withColumn("nn", expr(normExprFor(emb, "ne")))
       .join(q, col("bucket") === col("qbucket") && col("qid") =!= col("nid"))
-      .withColumn("cos", expr(dotExprFor(emb, "qe", "ne")) / (col("qn") * col("nn")))
+      .withColumn("cos", // NaN guard: see bruteForceTopK
+        nanvl(expr(dotExprFor(emb, "qe", "ne")) / (col("qn") * col("nn")), lit(-2.0)))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"), col("rnk"), col("cos"))
