@@ -320,6 +320,27 @@ object Multimodal {
     }.toDF()
   }
 
+  /** REAL audio downsample: decode -> keep every `factor`-th sample ->
+    * re-encode at the correspondingly reduced sample rate. Plain
+    * decimation (no low-pass) — the deterministic, oracle-friendly
+    * resample; output payloads are valid WAVs. */
+  def downsampleAudio(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"bad downsample factor $factor")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { m =>
+        val wav = WavCodec.decode(m.payload)
+        val n = (wav.samples.length + factor - 1) / factor
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) { out(i) = wav.samples(i * factor); i += 1 }
+        val payload = WavCodec.encode(out, math.max(1, wav.sampleRate / factor))
+        MediaRecord(m.media_id, m.mime, payload.length.toLong, payload)
+      }
+    }.toDF()
+  }
+
   /** Deterministic frame-sampling analog: every `stride`-th byte of the
     * payload as a "frame", limited to `maxFrames` — the access pattern a
     * video frame-sampler has (seek + slice), kept executor-side. */

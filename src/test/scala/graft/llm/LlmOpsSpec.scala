@@ -728,12 +728,19 @@ class LlmOpsSpec extends SparkSpec {
     // NN samples source columns 0,4,8,12 of "hello world" + padding
     assert(p.pixels.slice(0, 3).map(_.toChar).mkString === "hel")
     // WAV twin: sample = (byte - 128) * 256, header round-trips
-    val wf = Multimodal.audioFeatures(Multimodal.asWavMedia(d, 8000))
-      .orderBy("media_id").collect()
+    val wavMedia = Multimodal.asWavMedia(d, 8000)
+    val wf = Multimodal.audioFeatures(wavMedia).orderBy("media_id").collect()
     assert(wf(0).getAs[Int]("sample_rate") === 8000)
     assert(wf(0).getAs[Long]("n_samples") === 11L)
     assert(wf(0).getAs[Long]("sample_sum") ===
       "hello world".getBytes("UTF-8").map(b => ((b & 0xff) - 128) * 256L).sum)
     assert(wf(1).getAs[Long]("n_samples") === 0L)
+    // real decimation: every 4th sample survives, rate drops 4x
+    val down = Multimodal.downsampleAudio(wavMedia, 4).orderBy("media_id").collect()
+    val dw = Multimodal.WavCodec.decode(down(0).getAs[Array[Byte]]("payload"))
+    assert(dw.sampleRate === 2000)
+    // indices 0,4,8 of "hello world" -> 'h','o','r'
+    assert(dw.samples.toSeq ===
+      "hor".getBytes("UTF-8").map(b => (((b & 0xff) - 128) * 256).toShort).toSeq)
   }
 }

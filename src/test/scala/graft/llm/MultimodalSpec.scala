@@ -61,6 +61,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(wav.samples.toSeq === Seq[Short](7, -7, 300))
   }
 
+  test("WAV round-trip survives the full byte range of document-derived samples") {
+    // every possible text byte maps into [-32768, 32512] step 256
+    val samples = (0 until 256).map(b => ((b - 128) * 256).toShort).toArray
+    val wav = WavCodec.decode(WavCodec.encode(samples, 8000))
+    assert(wav.samples.toSeq === samples.toSeq)
+  }
+
   test("WAV decoder rejects non-PCM, bad framing, and overrunning chunks") {
     val ok = WavCodec.encode(Array[Short](1, 2), 8000)
     val notRiff = ok.clone(); notRiff(0) = 'X'
