@@ -178,10 +178,10 @@ object Dedup {
     * `nCentroids = 0` (the default) scales the cluster count with the
     * corpus: k = max(8, ceil(sqrt(n))) — the SemDeDup-paper regime, keeping
     * expected cluster size ~sqrt(n) so within-cluster pair counts grow
-    * linearly, not quadratically, with the corpus. The count() behind it is
-    * answered from parquet row-group metadata; training still collects only
-    * k x dim means (~sqrt(n) * dim — an 80 MB broadcast at n = 1e11,
-    * dim = 64).
+    * linearly, not quadratically, with the corpus. The count() behind it
+    * doubles as the checkpoint materialization the training loop needs
+    * anyway; training still collects only k x dim means (~sqrt(n) * dim —
+    * an 80 MB broadcast at n = 1e11, dim = 64).
     *
     * Shape at scale: cluster assignment is per-row against centroid
     * literals; candidate generation is an equi-join on (cluster, sub-cell)
