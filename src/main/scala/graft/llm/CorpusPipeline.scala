@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed training-corpus preparation run — the entry point a user
+  * of this library actually calls, chaining the individual operators in
+  * the order production pipelines run them:
+  *
+  *   1. QUALITY GATE  — [[TextOps.gopherRules]] (per-row, scan parallel)
+  *   2. PII SCRUB     — [[TextOps.redactPii]] (per-row; rewrites `text`)
+  *   3. EXACT DEDUP   — [[Dedup.exact]] (one value-hash shuffle)
+  *   4. NEAR DEDUP    — [[Dedup.dedupNearLsh]] (banded MinHash-LSH)
+  *   5. DECONTAM      — [[TextOps.decontaminate]] vs the eval corpus
+  *                      (shingle equi-join, optional)
+  *   6. MIX           — [[Mixing.sampleToTokenBudget]] per-source weights
+  *                      (optional)
+  *   7. PACK          — [[Packing.packSequences]] token-budget bins
+  *                      (two-level prefix sum)
+  *
+  * Order rationale: the cheap per-row gates run FIRST so the shuffling
+  * stages (dedup, decontamination) see the smallest possible corpus; PII
+  * scrub precedes dedup so redacted text is what gets fingerprinted (two
+  * docs differing only in emails ARE duplicates); packing runs last on
+  * the final doc set. Every stage is individually oracle- or spec-pinned;
+  * this wrapper adds only composition, no new semantics. Stage boundaries
+  * are plain DataFrames — callers can splice in their own stages (e.g.
+  * [[Dedup.semDedup]] on an embedding join, [[TextOps.repetitionStats]]
+  * thresholds) between any two steps.
+  *
+  * At 100 TB: stages 1-2 are whole-stage-codegen projections at scan
+  * parallelism; 3-5 shuffle only hashes/shingles (never payloads beyond
+  * the value-hash of step 3); 6 is a broadcast census; 7's sequential
+  * step is 1/8192nd of the corpus. Nothing collects to the driver.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      // gopher gate (defaults = TextOps.gopherRules defaults)
+      minWords: Int = 20,
+      maxWords: Int = 100000,
+      // near-dedup
+      nearDupTau: Double = 0.8,
+      shingleSize: Int = 3,
+      // decontamination n-gram size
+      decontamNgram: Int = 5,
+      // mixing: per-source weights toward a token budget (None = keep all)
+      mixWeights: Option[(Long, Map[String, Double])] = None,
+      // packing
+      packBudget: Long = 2048L)
+
+  /** documents (doc_id, text, source, ...) [+ eval corpus] -> packed,
+    * scrubbed, deduplicated, decontaminated training rows:
+    * (doc_id, source, text, n_tokens, bin, pos_in_bin). */
+  def prepare(
+      docs: DataFrame,
+      evalCorpus: Option[DataFrame] = None,
+      cfg: Config = Config()): DataFrame = {
+    // 1. quality gate: keep only docs passing every Gopher rule
+    val quality = TextOps.gopherRules(docs, minWords = cfg.minWords, maxWords = cfg.maxWords)
+      .filter(col("keep")).select("doc_id")
+    val gated = docs.join(quality, Seq("doc_id"), "left_semi")
+
+    // 2. PII scrub — the redacted text REPLACES the raw text for every
+    // downstream stage (fingerprints, shingles, packing all see clean text)
+    val scrubbed = TextOps.redactPii(gated, "text")
+      .drop("text", "n_email", "n_ipv4", "n_phone")
+      .withColumnRenamed("redacted", "text")
+
+    // 3 + 4. exact then near dedup (exact first: free removal of identical
+    // payloads before the LSH machinery runs)
+    val exact = Dedup.exact(scrubbed)
+    val deduped = Dedup.dedupNearLsh(exact, tau = cfg.nearDupTau,
+      shingleSize = cfg.shingleSize)
+
+    // 5. eval-set decontamination
+    val clean = evalCorpus match {
+      case Some(ev) => TextOps.decontaminate(deduped, ev, cfg.decontamNgram)
+      case None => deduped
+    }
+
+    // 6. mixing toward a token budget
+    val mixed = cfg.mixWeights match {
+      case Some((budget, weights)) =>
+        Mixing.sampleToTokenBudget(clean, budget, weights)
+      case None => clean
+    }
+
+    // 7. sequence packing
+    Packing.packSequences(
+      mixed.select(col("doc_id"), col("source"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      budget = cfg.packBudget)
+      .select("doc_id", "source", "text", "n_tokens", "bin", "pos_in_bin")
+  }
+}

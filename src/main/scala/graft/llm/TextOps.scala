@@ -345,10 +345,15 @@ object TextOps {
     train.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
-  /** Distinct train doc_ids sharing >= 1 n-gram with the eval corpus. */
+  /** Distinct train doc_ids sharing >= 1 n-gram with the eval corpus.
+    * The eval frame needs only (doc_id, text) — eval sets rarely carry a
+    * `source`, so one is synthesized for the shingle expansion if absent. */
   def contaminatedIds(train: DataFrame, eval_ : DataFrame, n: Int): DataFrame = {
+    val evalSrc =
+      if (eval_.columns.contains("source")) eval_
+      else eval_.withColumn("source", lit(""))
     val trainSh = shingleRows(train, n).select("doc_id", "shingle")
-    val evalSh = shingleRows(eval_, n).select(col("shingle").as("e_shingle")).distinct()
+    val evalSh = shingleRows(evalSrc, n).select(col("shingle").as("e_shingle")).distinct()
     trainSh
       .join(evalSh, trainSh("shingle") === evalSh("e_shingle"), "left_semi")
       .select("doc_id").distinct()

@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** End-to-end corpus preparation: one planted problem doc per stage, each
+  * caught by exactly the stage that owns it. */
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 24 words, 5 distinct stopwords, no dominant term -> passes the gate
+  private def base(i: Int): String =
+    "the tale of and to in " + (1 to 18).map(j => s"word${i}x$j").mkString(" ")
+
+  test("each planted problem doc is dropped by its stage; clean docs pack") {
+    val docs = Seq(
+      (1L, base(1)),                               // survives
+      (2L, base(2)),                               // survives
+      (3L, base(1)),                               // exact dup of 1 -> dropped
+      (4L, base(1) + " extraword"),                // near dup of 1 (J=22/23) -> dropped
+      (5L, "too short"),                           // gopher gate -> dropped
+      (6L, base(6) + " contact bob@x.com please"), // survives, email scrubbed
+      (7L, base(7)),                               // shares a 5-gram with eval -> dropped
+      (8L, base(8) + " mail alice@y.com"),         // survives (kept of the pair below)
+      (9L, base(8) + " mail carol@z.com"),         // DIFFERENT raw text, IDENTICAL after
+                                                   // scrub -> exact-dup dropped: proves
+                                                   // redaction runs before fingerprinting
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val eval_ = Seq((100L, "word7x1 word7x2 word7x3 word7x4 word7x5"))
+      .toDF("doc_id", "text")
+
+    val out = CorpusPipeline.prepare(docs, Some(eval_),
+      CorpusPipeline.Config(nearDupTau = 0.8, packBudget = 50L))
+      .orderBy("doc_id")
+    val rows = out.collect()
+
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L, 6L, 8L))
+    // the scrub rewrote the payload the pipeline carries forward
+    val t6 = rows(2).getAs[String]("text")
+    assert(t6.contains("<EMAIL>") && !t6.contains("bob@x.com"))
+    // packing: 0-based in-bin positions, bins non-decreasing in doc order,
+    // ~24-token docs against a 50-token budget must split across bins
+    val bins = rows.map(_.getAs[Long]("bin")).toSeq
+    assert(bins === bins.sorted)
+    assert(bins.last >= 1L, s"expected multiple bins, got $bins")
+    assert(rows.map(_.getAs[Int]("pos_in_bin")).forall(_ >= 0))
+    // deterministic end to end
+    val again = CorpusPipeline.prepare(docs, Some(eval_),
+      CorpusPipeline.Config(nearDupTau = 0.8, packBudget = 50L))
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("optional stages: no eval corpus, mixing toward a token budget") {
+    val docs = (1 to 40).map(i =>
+      (i.toLong, base(i), if (i % 2 == 0) "web" else "books"))
+      .toDF("doc_id", "text", "source")
+    // books weighted out entirely; web sampled toward ~half its tokens
+    val out = CorpusPipeline.prepare(docs, None,
+      CorpusPipeline.Config(mixWeights = Some((240L, Map("web" -> 1.0)))))
+    val srcs = out.select("source").distinct().as[String].collect().toSeq
+    assert(srcs === Seq("web"))
+    val kept = out.count()
+    assert(kept > 0 && kept < 20, s"expected a strict web subsample, got $kept")
+  }
+}
