@@ -239,8 +239,9 @@ object Dedup {
       .withColumn("nb", expr(VectorOps.normExprFor(e, "ne")))
     a.join(b, Seq("bucket", "cell"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos",
-        expr(VectorOps.dotExprFor(e, "qe", "ne")) / (col("na") * col("nb")))
+      .withColumn("cos", // zero-norm guard: -2 never verifies
+        when(col("na") * col("nb") === 0, lit(-2.0))
+          .otherwise(expr(VectorOps.dotExprFor(e, "qe", "ne")) / (col("na") * col("nb"))))
       .select("vec_a", "vec_b", "cos")
   }
 
@@ -265,7 +266,8 @@ object Dedup {
       .withColumn("nb", expr(VectorOps.normExprFor(emb, "ne")))
     val drop = a.join(c, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .filter(expr(VectorOps.dotExprFor(emb, "qe", "ne")) / (col("na") * col("nb")) >= tau)
+      .filter(col("na") * col("nb") =!= 0 &&
+        expr(VectorOps.dotExprFor(emb, "qe", "ne")) / (col("na") * col("nb")) >= tau)
       .select(col("vec_b").as("vec_id")).distinct()
       .localCheckpoint(true)
     emb.join(drop, Seq("vec_id"), "left_anti")

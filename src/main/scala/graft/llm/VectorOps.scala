@@ -56,13 +56,16 @@ object VectorOps {
       .withColumn("nn", expr(normExprFor(candidates, "ne")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     c.join(q, col("qid") =!= col("nid"))
-      // zero-norm vectors make dot/(qn*nn) = 0/0 = NaN, and NaN sorts
-      // ABOVE every real cosine in a desc order — rank them last (-2 <
-      // any true cosine) instead of letting them win every top-k slot.
-      // Same guard in ivfTopK/lshTopK; assignment-phase distances are
-      // guarded inside withRanks and the native kernel (dist = 2.0).
+      // zero-norm vectors: ANSI mode THROWS on the 0-divisor (it never
+      // reaches NaN), so the guard must short-circuit BEFORE the divide —
+      // CaseWhen evaluates the division only on the matched branch. Rank
+      // them last (-2 < any true cosine) instead of erroring the job or
+      // (non-ANSI) letting NaN win every top-k slot. Same guard in
+      // ivfTopK/lshTopK; assignment-phase distances are guarded inside
+      // withRanks and the native kernel (dist = 2.0).
       .withColumn("cos",
-        nanvl(expr(dotExprFor(candidates, "qe", "ne")) / (col("qn") * col("nn")), lit(-2.0)))
+        when(col("qn") * col("nn") === 0, lit(-2.0))
+          .otherwise(expr(dotExprFor(candidates, "qe", "ne")) / (col("qn") * col("nn"))))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"), col("rnk"), col("cos"))
@@ -77,7 +80,9 @@ object VectorOps {
     val b = sub.select(col("vec_id").as("vec_b"), col("embedding").as("ne"))
       .withColumn("nb", expr(normExprFor(sub, "ne")))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", expr(dotExprFor(sub, "qe", "ne")) / (col("na") * col("nb")))
+      .withColumn("cos", // zero-norm guard: -2 never verifies (see bruteForceTopK)
+        when(col("na") * col("nb") === 0, lit(-2.0))
+          .otherwise(expr(dotExprFor(sub, "qe", "ne")) / (col("na") * col("nb"))))
       .filter(col("cos") >= tau)
       .select("vec_a", "vec_b", "cos")
   }
@@ -253,8 +258,9 @@ object VectorOps {
       .select(col("vec_id").as("nid"), col("embedding").as("ne"), col("bucket"))
       .withColumn("nn", expr(normExprFor(e, "ne")))
       .join(q, col("bucket") === col("qbucket") && col("qid") =!= col("nid"))
-      .withColumn("cos", // NaN guard: see bruteForceTopK
-        nanvl(expr(dotExprFor(e, "qe", "ne")) / (col("qn") * col("nn")), lit(-2.0)))
+      .withColumn("cos", // zero-norm guard: see bruteForceTopK
+        when(col("qn") * col("nn") === 0, lit(-2.0))
+          .otherwise(expr(dotExprFor(e, "qe", "ne")) / (col("qn") * col("nn"))))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"), col("rnk"), col("cos"))
@@ -304,8 +310,9 @@ object VectorOps {
     cand
       .withColumn("nn", expr(normExprFor(emb, "ne")))
       .join(q, col("bucket") === col("qbucket") && col("qid") =!= col("nid"))
-      .withColumn("cos", // NaN guard: see bruteForceTopK
-        nanvl(expr(dotExprFor(emb, "qe", "ne")) / (col("qn") * col("nn")), lit(-2.0)))
+      .withColumn("cos", // zero-norm guard: see bruteForceTopK
+        when(col("qn") * col("nn") === 0, lit(-2.0))
+          .otherwise(expr(dotExprFor(emb, "qe", "ne")) / (col("qn") * col("nn"))))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"), col("rnk"), col("cos"))
