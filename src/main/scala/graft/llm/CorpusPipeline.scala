@@ -56,10 +56,9 @@ object CorpusPipeline {
       docs: DataFrame,
       evalCorpus: Option[DataFrame] = None,
       cfg: Config = Config()): DataFrame = {
-    // 1. quality gate: keep only docs passing every Gopher rule
-    val quality = TextOps.gopherRules(docs, minWords = cfg.minWords, maxWords = cfg.maxWords)
-      .filter(col("keep")).select("doc_id")
-    val gated = docs.join(quality, Seq("doc_id"), "left_semi")
+    // 1. quality gate: keep only docs passing every Gopher rule — the
+    // filter form (no semi-join): one codegen'd projection over the scan
+    val gated = TextOps.gopherGate(docs, minWords = cfg.minWords, maxWords = cfg.maxWords)
 
     // 2. PII scrub — the redacted text REPLACES the raw text for every
     // downstream stage (fingerprints, shingles, packing all see clean text)

@@ -74,4 +74,93 @@ object Mixing {
       .filter(hashKeep(col(idCol), col("__frac")))
       .drop("__src_tokens", "__frac")
   }
+
+  /** Deterministic train/val/test split: every row gets a `split` label,
+    * assigned by where its sampling hash falls among cumulative fraction
+    * thresholds (`floor(cumFrac * 2^32)`). Same guarantees as the sampler
+    * above — layout-independent, reproducible across engines, and STABLE
+    * UNDER CORPUS GROWTH: a document's split never changes when other
+    * documents arrive, which is the property that keeps yesterday's val
+    * set out of tomorrow's train set. Pure per-row projection — no
+    * shuffle at any scale. Fractions must sum to 1. */
+  def hashSplit(
+      docs: DataFrame,
+      splits: Seq[(String, Double)],
+      idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.floor(c * 4294967296.0))
+    val h = samplingHash(col(idCol))
+    val named = splits.map(_._1).zip(thresholds)
+    val splitCol = named.init.foldRight(lit(named.last._1): Column) {
+      case ((name, thr), rest) => when(h < lit(thr), lit(name)).otherwise(rest)
+    }
+    docs.withColumn("split", splitCol)
+  }
+
+  /** Curriculum staging: exact global `ntile(nStages)` in ascending
+    * `scoreCol` order (ties broken by `idCol`) — the "order the corpus
+    * easy-to-hard, cut it into equal stages" pass before curriculum
+    * training.
+    *
+    * A flat `ntile().over(Window.orderBy(score))` funnels the corpus
+    * through ONE task (and PlanAuditSpec rejects it). This computes the
+    * identical stage ids hierarchically, the [[graft.ops.Stitch]] /
+    * [[Packing]] two-level shape adapted to a VALUE-ordered key:
+    *
+    *   1. rows bucket by `floor(clamp(score) * scoreBuckets)` — monotone
+    *      in score, so bucket k's rows all precede bucket k+1's in the
+    *      global order; within-bucket ranks come from a window PARTITIONED
+    *      by bucket (parallel, O(rows/bucket) per task);
+    *   2. per-bucket counts (<= scoreBuckets+1 control rows, like IVF's
+    *      k x dim centroid fetch) are collected and turned into a literal
+    *      offset map — no global window, no driver data-path loop;
+    *   3. global rank = bucket offset + local rank; the exact ntile
+    *      arithmetic (first `N mod n` tiles get one extra row) maps rank
+    *      -> stage.
+    *
+    * `scoreCol` values are clamped into [lo, hi] for bucketing only —
+    * out-of-range scores still rank correctly (they pile into the edge
+    * buckets). Skew note: pathological corpora (all scores equal) put
+    * everything in one bucket; stage assignment stays correct, parallelism
+    * degrades to the flat form's — raise `scoreBuckets` or pre-normalize
+    * scores if a real corpus does this. */
+  def curriculumStages(
+      docs: DataFrame,
+      scoreCol: Column,
+      nStages: Int,
+      idCol: String = "doc_id",
+      lo: Double = 0.0,
+      hi: Double = 1.0,
+      scoreBuckets: Int = 256): DataFrame = {
+    require(nStages >= 1, "nStages must be >= 1")
+    require(hi > lo, "hi must exceed lo")
+    import org.apache.spark.sql.expressions.Window
+    val bucket = floor(
+      (least(greatest(scoreCol, lit(lo)), lit(hi)) - lit(lo))
+        / lit(hi - lo) * lit(scoreBuckets.toDouble)).cast("long")
+    val b = docs.withColumn("__sbkt", bucket)
+    // control-plane fetch: one (bucket, count) row per non-empty score
+    // bucket, <= scoreBuckets + 1 rows total
+    val counts = b.groupBy("__sbkt").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets = counts.scanLeft(0L)(_ + _._2).init
+    val offsetMap = typedlit(counts.map(_._1).zip(offsets).toMap)
+    val wLocal = Window.partitionBy("__sbkt").orderBy(scoreCol.asc, col(idCol).asc)
+    val ranked = b.withColumn("__rank",
+      element_at(offsetMap, col("__sbkt")) + row_number().over(wLocal))
+    // exact ntile(n) over N rows: the first r = N mod n tiles hold q+1 =
+    // N/n + 1 rows, the rest hold q (integer DIV — Column./ is double)
+    val q = total / nStages
+    val r = total % nStages
+    val stage =
+      if (q == 0) col("__rank") // N < n: ntile gives each row its own tile
+      else expr(
+        s"""CASE WHEN __rank <= ${r * (q + 1)}
+           |     THEN (__rank - 1) DIV ${q + 1}
+           |     ELSE $r + (__rank - 1 - ${r * (q + 1)}) DIV $q END + 1""".stripMargin)
+    ranked.withColumn("stage", stage.cast("int")).drop("__sbkt", "__rank")
+  }
 }

@@ -691,6 +691,35 @@ object TextOps {
       col("ok_words") && col("ok_word_len") && col("ok_stop") && col("ok_repetition"))
   }
 
+  /** Filter form of [[gopherRules]]: rows passing every rule, ALL input
+    * columns preserved, no join — a pure per-row gate, so it composes into
+    * STREAMING plans (a semi-join against gopherRules' stats frame would
+    * be a stream-stream join) and costs one codegen'd projection at any
+    * scale. Same rule arithmetic as gopherRules (shared spec pins the two
+    * to identical keep sets). */
+  def gopherGate(
+      docs: DataFrame,
+      minWords: Int = 20,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 2.0,
+      maxMeanWordLen: Double = 12.0,
+      minDistinctStop: Int = 2,
+      maxTopTermFrac: Double = 0.20): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val toks = tokens(col("text"))
+    val nWords = size(toks)
+    val meanLen = (length(col("text")) - (nWords - lit(1))).cast("double") / nWords
+    val distinctStop = size(array_intersect(toks, typedLit(stop)))
+    val topTermN =
+      if (hasFn(docs, "graft_repstats")) expr("graft_repstats(text, 1).top_count")
+      else gopherTopTermHof(toks)
+    docs.filter(
+      nWords >= minWords && nWords <= maxWords &&
+        meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+        distinctStop >= minDistinctStop &&
+        (topTermN.cast("double") / nWords) <= maxTopTermFrac)
+  }
+
   def langIdDF(docs: DataFrame): DataFrame = {
     val scored = langMarkers.zipWithIndex.map { case ((lang, words), idx) =>
       struct(

@@ -938,5 +938,121 @@ object LlmQueries {
              |SELECT top.doc_id, top_term, top_tfidf, tfidf_sum
              |FROM top JOIN sums USING (doc_id) WHERE rn = 1 ORDER BY doc_id""".stripMargin),
     ),
+
+    // ------------------------------------------------------------------
+    // Q51 — int8-quantized cosine top-k (similarity search over the 4x
+    // cheaper candidate representation): symmetric per-vector quantization
+    // (scale = max|x|/127), then brute-force top-5 where the integer dot
+    // is exact and the scales cancel in the cosine — no dequantize. The
+    // oracle replays the whole quantize->rank pipeline in list SQL; both
+    // engines round half-away-from-zero on doubles, so the int8 codes
+    // (and hence every downstream integer product) are bit-identical.
+    Declared(
+      "q51_quantized_topk",
+      (s, dir) => {
+        import s.implicits._
+        val q = graft.llm.Quantize.quantize(Tables.embeddings(s, dir))
+        graft.llm.Quantize.bruteForceTopKQuantized(q.filter($"vec_id" < 10), q, 5)
+          .orderBy("vec_id", "rnk")
+      },
+      Some("""WITH qq AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding,
+             |      x -> CAST(CASE WHEN qscale = 0.0 THEN 0.0
+             |                     ELSE round(CAST(x AS DOUBLE) / qscale) END AS BIGINT)) AS qe
+             |  FROM (
+             |    SELECT vec_id, embedding,
+             |      COALESCE(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 0.0)
+             |        / 127.0 AS qscale
+             |    FROM embeddings)),
+             |n AS (
+             |  SELECT vec_id, qe,
+             |    sqrt(CAST(list_sum(list_transform(qe, v -> v * v)) AS DOUBLE)) AS nrm
+             |  FROM qq),
+             |p AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+             |    CASE WHEN q.nrm * c.nrm = 0 THEN -2.0
+             |         ELSE CAST(list_sum(list_transform(generate_series(1, len(q.qe)),
+             |                            i -> q.qe[i] * c.qe[i])) AS DOUBLE)
+             |              / (q.nrm * c.nrm) END AS cos
+             |  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+             |SELECT qid AS vec_id, nid AS neighbor_id, CAST(rn AS INT) AS rnk, cos FROM (
+             |  SELECT qid, nid, cos,
+             |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+             |  FROM p)
+             |WHERE rn <= 5 ORDER BY vec_id, rnk""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q52 — deterministic train/val/test split (80/10/10 by the md5
+    // sampling hash — the same uint32(md5(doc_id)[0..8)) threshold scheme
+    // as q34's mixer, so a doc's split never changes as the corpus grows),
+    // reported as per-(split, source) exact-integer census rows.
+    Declared(
+      "q52_hash_split",
+      (s, dir) => {
+        import s.implicits._
+        graft.llm.Mixing.hashSplit(
+          Tables.documentsRaw(s, dir),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .groupBy("split", "source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(split($"text", " ")).cast("long")).as("sum_tokens"),
+            min("doc_id").as("min_doc_id"),
+            max("doc_id").as("max_doc_id"))
+          .orderBy("split", "source")
+      },
+      // floor(0.8 * 2^32) = 3435973836, floor(0.9 * 2^32) = 3865470566
+      Some("""WITH h AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+             |  FROM documents)
+             |SELECT CASE WHEN hv < 3435973836 THEN 'train'
+             |            WHEN hv < 3865470566 THEN 'val'
+             |            ELSE 'test' END AS split,
+             |  source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+             |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+             |FROM h GROUP BY 1, 2 ORDER BY split, source""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q53 — curriculum staging: exact global ntile(4) in ascending
+    // quality-score order (q24's score; ties by doc_id). The Spark side
+    // computes the identical stage ids WITHOUT a global window — score
+    // buckets + a <= 257-row control fetch + partitioned within-bucket
+    // ranks (Mixing.curriculumStages; PlanAuditSpec enforces the no-
+    // unpartitioned-window rule on this plan too). The oracle is DuckDB's
+    // built-in ntile, so the hash match proves the hierarchical rank
+    // reproduces the flat semantics row for row.
+    Declared(
+      "q53_curriculum",
+      (s, dir) => {
+        import s.implicits._
+        val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+        val docs = Tables.documentsRaw(s, dir)
+        val scored = docs.select(
+          $"doc_id",
+          ((TextOps.tokenCountInCol(docs, stop).cast("double")
+            / size(split($"text", " "))) * 0.3
+            + least(lit(1.0), size(split($"text", " ")) / 100.0) * 0.7)
+            .as("quality_score"))
+        graft.llm.Mixing.curriculumStages(scored, col("quality_score"), 4)
+          .select("doc_id", "quality_score", "stage")
+          .orderBy("doc_id")
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |         x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
+             |      / len(string_split(text, ' ')) * 0.3
+             |    + LEAST(1.0, CAST(len(string_split(text, ' ')) AS INT) / 100.0) * 0.7
+             |      AS quality_score
+             |  FROM documents)
+             |SELECT doc_id, quality_score,
+             |       CAST(ntile(4) OVER (ORDER BY quality_score, doc_id) AS INT) AS stage
+             |FROM s ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

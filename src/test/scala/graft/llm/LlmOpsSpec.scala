@@ -398,6 +398,59 @@ class LlmOpsSpec extends SparkSpec {
     assert(toks > 0 && math.abs(toks - budget) < budget) // right order of magnitude
   }
 
+  test("Mixing.hashSplit: exhaustive, disjoint, layout-independent, growth-stable") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labeled = Mixing.hashSplit(d, splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // every row labeled, only the declared labels
+    assert(labeled.size === d.count())
+    assert(labeled.values.toSet.subsetOf(Set("train", "val", "test")))
+    // layout independence
+    val re = Mixing.hashSplit(d.repartition(13), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(re === labeled)
+    // fractions track (80/10/10 +- sampling noise on 500 docs)
+    val n = labeled.size.toDouble
+    val byLabel = labeled.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(byLabel("train") / n - 0.8) < 0.08)
+    assert(byLabel.getOrElse("val", 0) > 0 && byLabel.getOrElse("test", 0) > 0)
+    // growth stability: a doc's split is unchanged when the corpus shrinks/grows
+    val half = Mixing.hashSplit(d.filter($"doc_id" % 2 === 0), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    half.foreach { case (id, s) => assert(labeled(id) === s) }
+    // the split column agrees with the sampler's keep sets (same hash): the
+    // train split IS the frac-0.8 stratified sample
+    val kept = Mixing.stratifiedSample(d, Map.empty, defaultFrac = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(labeled.filter(_._2 == "train").keySet === kept)
+  }
+
+  test("Mixing.curriculumStages: hierarchical rank == flat ntile, incl. edges") {
+    import org.apache.spark.sql.expressions.Window
+    // uneven N (not divisible by nStages), duplicate scores, out-of-range
+    // scores (clamped for bucketing only), plus the N < nStages edge
+    val rows = Seq(
+      (1L, 0.91), (2L, 0.13), (3L, 0.13), (4L, 0.55), (5L, -0.2), // < lo: clamps
+      (6L, 1.7), (7L, 0.55), (8L, 0.0), (9L, 0.42), (10L, 0.55),
+      (11L, 0.99), (12L, 0.77), (13L, 0.13),
+    ).toDF("doc_id", "score")
+    for (nStages <- Seq(1, 3, 4, 20)) { // 20 > N=13: one row per tile
+      val got = Mixing.curriculumStages(rows, $"score", nStages)
+        .select("doc_id", "stage").as[(Long, Int)].collect().toMap
+      val want = rows.coalesce(1)
+        .withColumn("stage", ntile(nStages).over(
+          Window.partitionBy(lit(1)).orderBy($"score".asc, $"doc_id".asc)))
+        .select("doc_id", "stage").as[(Long, Int)].collect().toMap
+      assert(got === want, s"nStages=$nStages")
+    }
+    // stages are contiguous in score order and balanced to within one row
+    val staged = Mixing.curriculumStages(rows, $"score", 4)
+      .select("stage").as[Int].collect()
+    val sizes = staged.groupBy(identity).view.mapValues(_.size).values.toSet
+    assert(sizes.max - sizes.min <= 1)
+  }
+
   test("bloom-pre-filtered decontamination equals the exact form") {
     // real corpus split: eval = doc_id % 50 == 0, train = the rest (the
     // q36 shape) — the bloom pre-filter must not change the answer
@@ -555,6 +608,16 @@ class LlmOpsSpec extends SparkSpec {
       .join(hof, "doc_id")
       .filter(col("top_term_frac") =!= col("hof_frac"))
     assert(both.isEmpty, "kernel and HOF top-term fractions diverged")
+    // the streaming-safe filter form keeps exactly gopherRules' keep set
+    // (here and on the real corpus)
+    assert(TextOps.gopherGate(docs).select("doc_id").as[Long].collect().toSet
+      === Set(1L))
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val keepSet = TextOps.gopherRules(real).filter(col("keep"))
+      .select("doc_id").as[Long].collect().toSet
+    val gateSet = TextOps.gopherGate(real)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gateSet === keepSet)
   }
 
   test("redactPii: counts taken before rewrite, email -> ip -> phone order") {
