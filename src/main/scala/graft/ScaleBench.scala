@@ -181,6 +181,28 @@ object ScaleBench {
     }
     println(s"""{"op":"seq_packing_1src","docs":$nPacked,"two_level_sec":$tPack,"flat_window_sec":$tPackFlat}""")
 
+    // curriculum staging on a large synthetic score frame — same story as
+    // packing: the flat global-order ntile window is ONE task over the
+    // whole corpus; the hierarchical form (score buckets + control fetch +
+    // partitioned ranks) keeps every heavy step parallel. Results must be
+    // identical (checksum of stage x id), wall time should diverge with
+    // row count.
+    val nCurr = sys.env.getOrElse("SPARK_GRAFT_CURR_ROWS", "10000000").toLong
+    val scored = spark.range(nCurr).toDF("doc_id")
+      .withColumn("score",
+        pmod(col("doc_id") * lit(2654435761L), lit(1000003L)).cast("double") / 1000003.0)
+      .localCheckpoint(true)
+    val (sumHier, tCurrHier) = timed {
+      graft.llm.Mixing.curriculumStages(scored, col("score"), 10)
+        .agg(sum(col("stage").cast("long") * col("doc_id"))).head().getLong(0)
+    }
+    val (sumFlat, tCurrFlat) = timed {
+      scored.withColumn("stage",
+          ntile(10).over(Window.orderBy(col("score").asc, col("doc_id").asc)))
+        .agg(sum(col("stage").cast("long") * col("doc_id"))).head().getLong(0)
+    }
+    println(s"""{"op":"curriculum","rows":$nCurr,"hier_sec":$tCurrHier,"flat_window_sec":$tCurrFlat,"equal":${sumHier == sumFlat}}""")
+
     spark.stop()
   }
 }

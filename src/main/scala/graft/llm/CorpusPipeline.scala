@@ -55,41 +55,86 @@ object CorpusPipeline {
   def prepare(
       docs: DataFrame,
       evalCorpus: Option[DataFrame] = None,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config()): DataFrame =
+    stages(docs, evalCorpus, cfg, identity).last._2
+
+  /** [[prepare]] plus the attrition report every production corpus run
+    * needs: (result, report) where report is one row per stage —
+    * (stage, n_docs, n_tokens) — in pipeline order. Stage boundaries are
+    * LAZILY localCheckpointed so evaluating the result and all eight
+    * censuses computes each stage once instead of recomputing the prefix
+    * per census; the checkpoint blocks live only as long as the session
+    * (for multi-day 100 TB runs, persist boundaries to a table instead). */
+  def prepareWithReport(
+      docs: DataFrame,
+      evalCorpus: Option[DataFrame] = None,
+      cfg: Config = Config()): (DataFrame, DataFrame) = {
+    val st = stages(docs, evalCorpus, cfg, _.localCheckpoint(false))
+    val report = st.map { case (name, df) =>
+      df.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
+          .as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    }.reduce(_ unionAll _)
+    (st.last._2, report)
+  }
+
+  /** The stage chain, each boundary passed through `tap` (identity for the
+    * plain composable form; a lazy localCheckpoint for the reporting form). */
+  private def stages(
+      docs: DataFrame,
+      evalCorpus: Option[DataFrame],
+      cfg: Config,
+      tap: DataFrame => DataFrame): Seq[(String, DataFrame)] = {
+    val input = tap(docs)
+
     // 1. quality gate: keep only docs passing every Gopher rule — the
     // filter form (no semi-join): one codegen'd projection over the scan
-    val gated = TextOps.gopherGate(docs, minWords = cfg.minWords, maxWords = cfg.maxWords)
+    val gated = tap(
+      TextOps.gopherGate(input, minWords = cfg.minWords, maxWords = cfg.maxWords))
 
     // 2. PII scrub — the redacted text REPLACES the raw text for every
     // downstream stage (fingerprints, shingles, packing all see clean text)
-    val scrubbed = TextOps.redactPii(gated, "text")
+    val scrubbed = tap(TextOps.redactPii(gated, "text")
       .drop("text", "n_email", "n_ipv4", "n_phone")
-      .withColumnRenamed("redacted", "text")
+      .withColumnRenamed("redacted", "text"))
 
     // 3 + 4. exact then near dedup (exact first: free removal of identical
     // payloads before the LSH machinery runs)
-    val exact = Dedup.exact(scrubbed)
-    val deduped = Dedup.dedupNearLsh(exact, tau = cfg.nearDupTau,
-      shingleSize = cfg.shingleSize)
+    val exact = tap(Dedup.exact(scrubbed))
+    val deduped = tap(Dedup.dedupNearLsh(exact, tau = cfg.nearDupTau,
+      shingleSize = cfg.shingleSize))
 
     // 5. eval-set decontamination
-    val clean = evalCorpus match {
+    val clean = tap(evalCorpus match {
       case Some(ev) => TextOps.decontaminate(deduped, ev, cfg.decontamNgram)
       case None => deduped
-    }
+    })
 
     // 6. mixing toward a token budget
-    val mixed = cfg.mixWeights match {
+    val mixed = tap(cfg.mixWeights match {
       case Some((budget, weights)) =>
         Mixing.sampleToTokenBudget(clean, budget, weights)
       case None => clean
-    }
+    })
 
     // 7. sequence packing
-    Packing.packSequences(
+    val packed = tap(Packing.packSequences(
       mixed.select(col("doc_id"), col("source"), col("text"),
         size(split(col("text"), " ")).cast("long").as("n_tokens")),
       budget = cfg.packBudget)
-      .select("doc_id", "source", "text", "n_tokens", "bin", "pos_in_bin")
+      .select("doc_id", "source", "text", "n_tokens", "bin", "pos_in_bin"))
+
+    Seq(
+      "0_input" -> input,
+      "1_quality_gate" -> gated,
+      "2_pii_scrub" -> scrubbed,
+      "3_exact_dedup" -> exact,
+      "4_near_dedup" -> deduped,
+      "5_decontam" -> clean,
+      "6_mixed" -> mixed,
+      "7_packed" -> packed,
+    )
   }
 }

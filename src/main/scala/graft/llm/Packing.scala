@@ -64,4 +64,30 @@ object Packing {
           .cast("int"))
       .drop("__bkt", "__local_before", "__bucket_before")
   }
+
+  /** Export packed rows as deterministic training shards: shard id =
+    * `bin DIV binsPerShard` per source, laid out as
+    * `path/source=<s>/shard=<k>/...parquet` with rows sorted by
+    * (bin, pos_in_bin) inside each file — the byte layout a data loader
+    * streams sequentially.
+    *
+    * `binsPerShard` is the file-size knob at scale: a shard holds
+    * ~`binsPerShard * packBudget` tokens, so pick it to land shards at
+    * your target object size (e.g. 64 bins x 2048 tokens ~ 128k tokens
+    * per shard file). The repartition is BY (source, shard) — each shard
+    * is assembled by one task and lands as one file, so shard count (not
+    * corpus size) bounds the writer's parallelism; downstream loaders get
+    * whole shards, never partial files. Deterministic: shard membership
+    * is pure arithmetic on `bin`, row order inside a file is the sort —
+    * a re-run writes byte-identical shards. */
+  def writeShards(packed: DataFrame, path: String, binsPerShard: Long = 64L): Unit = {
+    require(binsPerShard > 0, "binsPerShard must be positive")
+    packed
+      .withColumn("shard", expr(s"bin DIV $binsPerShard"))
+      .repartition(col("source"), col("shard"))
+      .sortWithinPartitions("source", "shard", "bin", "pos_in_bin")
+      .write.mode("overwrite")
+      .partitionBy("source", "shard")
+      .parquet(path)
+  }
 }

@@ -52,6 +52,46 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("prepareWithReport: stage censuses match the planted attrition exactly") {
+    val docs = Seq(
+      (1L, base(1)),                               // survives
+      (2L, base(2)),                               // survives
+      (3L, base(1)),                               // exact dup of 1
+      (4L, base(1) + " extraword"),                // near dup of 1
+      (5L, "too short"),                           // gate
+      (6L, base(6) + " contact bob@x.com please"), // survives scrubbed
+      (7L, base(7)),                               // decontaminated
+      (8L, base(8) + " mail alice@y.com"),         // survives
+      (9L, base(8) + " mail carol@z.com"),         // exact dup after scrub
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val eval_ = Seq((100L, "word7x1 word7x2 word7x3 word7x4 word7x5"))
+      .toDF("doc_id", "text")
+
+    val (out, report) = CorpusPipeline.prepareWithReport(docs, Some(eval_),
+      CorpusPipeline.Config(nearDupTau = 0.8, packBudget = 50L))
+    val byStage = report.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc counts: 9 in; gate kills 5; scrub keeps count; exact dedup kills
+    // 3 and 9 (9 only dups 8 AFTER scrub); near kills 4; decontam kills 7
+    assert(byStage("0_input")._1 === 9L)
+    assert(byStage("1_quality_gate")._1 === 8L)
+    assert(byStage("2_pii_scrub")._1 === 8L)
+    assert(byStage("3_exact_dedup")._1 === 6L)
+    assert(byStage("4_near_dedup")._1 === 5L)
+    assert(byStage("5_decontam")._1 === 4L)
+    assert(byStage("6_mixed")._1 === 4L) // no mixing configured: unchanged
+    assert(byStage("7_packed")._1 === 4L)
+    // token mass is monotone non-increasing across stages (scrub may
+    // shorten text, never lengthen counts)
+    val order = Seq("0_input", "1_quality_gate", "2_pii_scrub", "3_exact_dedup",
+      "4_near_dedup", "5_decontam", "6_mixed", "7_packed")
+    val toks = order.map(byStage(_)._2)
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b }, toks.toString)
+    // the result frame is the same survivors prepare() returns
+    assert(out.select("doc_id").orderBy("doc_id").as[Long].collect().toSeq
+      === Seq(1L, 2L, 6L, 8L))
+  }
+
   test("optional stages: no eval corpus, mixing toward a token budget") {
     val docs = (1 to 40).map(i =>
       (i.toLong, base(i), if (i % 2 == 0) "web" else "books"))

@@ -48,4 +48,37 @@ class PackingSpec extends SparkSpec {
     assert(first.getAs[Long]("bin") === 0L)
     assert(first.getAs[Int]("pos_in_bin") === 0)
   }
+
+  test("writeShards: lossless round trip, arithmetic shard ids, one file per shard") {
+    val docs = (0 until 400)
+      .map(i => (i.toLong, s"src${i % 2}", (i % 9 + 1).toLong))
+      .toDF("doc_id", "source", "n_tokens")
+    val packed = Packing.packSequences(docs, budget = 40, bucketWidth = 64)
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    Packing.writeShards(packed, dir, binsPerShard = 4)
+    val back = spark.read.parquet(dir)
+    // lossless: every packed row comes back exactly once (shard is derived)
+    val cols = Seq("doc_id", "source", "n_tokens", "bin", "pos_in_bin")
+    val a = packed.selectExpr(cols: _*)
+    val b = back.selectExpr(cols: _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // shard membership is pure arithmetic on bin
+    assert(back.filter(col("shard") =!= expr("bin DIV 4")).isEmpty)
+    // one parquet file per (source, shard) directory — whole-shard loads
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles().filter(_.isDirectory))
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${d.getName}: expected 1 file, got ${files.length}")
+    }
+    // rows inside a shard file are sorted by (bin, pos_in_bin): a
+    // sequential reader streams samples in training order
+    import spark.implicits._
+    shardDirs.foreach { d =>
+      val rows = spark.read.parquet(d.getAbsolutePath)
+        .select("bin", "pos_in_bin").as[(Long, Int)].collect().toSeq
+      assert(rows === rows.sortBy(identity), s"${d.getName} not sorted")
+    }
+  }
 }
