@@ -26,9 +26,9 @@ object SparkEntry {
     declared.map(d => d.name -> d.build).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops (q29
-    * multimodal stub codec, q33 iterative IVF training) -> driver records
-    * a rows-only check; those are covered by ScalaTest specs instead. */
+    * the same parquet tables — ALL 54 declared queries carry one (the
+    * iterative k-means queries q33/q47 replay their training as chained
+    * CTEs; QueriesSpec pins the no-oracle set to empty). */
   def oracleSql: Map[String, String] =
     declared.flatMap(d => d.oracle.map(d.name -> _)).toMap
 }

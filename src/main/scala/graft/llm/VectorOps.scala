@@ -190,16 +190,24 @@ object VectorOps {
       }.withColumn("__ranks", array_sort(array(scoredStructs(cs): _*)).getField("idx"))
 
   /** Deterministic k-means: seed centroids = the vectors with the smallest
-    * xxhash64(vec_id) (ties impossible on ids), refined by `iterations`
-    * Lloyd steps. Assignment is per-row against centroid literals (no
-    * shuffle); the mean update is one avg agg per dimension whose k x dim
-    * result is the only driver collect — never O(n). Callers pass an
-    * already-checkpointed frame (the loop makes `iterations`+1 passes). */
+    * md5 sampling hash of vec_id ([[Mixing.samplingHash]] — ties impossible
+    * on ids; md5 rather than xxhash64 so an external engine can reproduce
+    * the seed pick), refined by `iterations` Lloyd steps. Assignment is
+    * per-row against centroid literals (no shuffle); the mean update is one
+    * avg agg per dimension whose k x dim result is the only driver
+    * collect — never O(n). Each mean is rounded to 1e-6 via the
+    * floor(x*1e6 + 0.5) form (bit-deterministic given the same input,
+    * unlike decimal-string round): the quantum absorbs partial-agg
+    * ordering ulps, making the trained centroids reproducible run-to-run
+    * AND cross-engine (the q33 oracle replays this training in SQL); the
+    * <= 5e-7 per-component perturbation is immaterial for clustering.
+    * Callers pass an already-checkpointed frame (the loop makes
+    * `iterations`+1 passes). */
   private[llm] def trainCentroids(
       e: DataFrame, nCentroids: Int, iterations: Int): Seq[Seq[Double]] = {
     var centroids: Seq[Seq[Double]] =
       e.select(col("vec_id"), col("embedding"))
-        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .orderBy(Mixing.samplingHash(col("vec_id")), col("vec_id"))
         .limit(nCentroids)
         .collect()
         .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
@@ -209,7 +217,9 @@ object VectorOps {
       // tiny, collected to the driver to become the next round's literals).
       // Map-side partial aggregation over WIDE rows: vs the posexplode melt
       // this is one narrow stage pair instead of a k*dim-row exchange.
-      val dimAggs = (0 until dim).map(i => avg(col("embedding")(i).cast("double")).as(s"m$i"))
+      val dimAggs = (0 until dim).map(i =>
+        (floor(avg(col("embedding")(i).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as(s"m$i"))
       val means = withRanks(e, centroids)
         .withColumn("bucket", col("__ranks")(0))
         .groupBy("bucket")

@@ -28,6 +28,111 @@ object LlmQueries {
       |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
       |    FROM toks))""".stripMargin
 
+  /** DuckDB replay of [[graft.llm.VectorOps.ivfTopK]]'s ENTIRE pipeline —
+    * seeded k-means training (md5-hash seed pick, `iters` Lloyd rounds of
+    * cosine-distance assignment + per-dimension means rounded via
+    * floor(x*1e6+0.5)/1e6, empty clusters carrying the previous centroid),
+    * final bucket assignment, nProbe probing, and cosine top-k. Mirrors
+    * the Spark arithmetic op for op: same left-fold double dots (the
+    * list_sum/list_transform forms q20 proved bit-identical), same
+    * (distance, index) tie-breaks, same zero-norm sentinels (2.0 distance,
+    * -2.0 cosine). The 1e-6 mean quantum is what makes an iterative-
+    * training oracle possible at all: it absorbs the ulp-level
+    * aggregation-order differences between engines. */
+  private def pairCos(dim: Int) =
+    s"""CASE WHEN eq.vn * en.vn = 0 THEN -2.0
+       |     ELSE list_sum(list_transform(generate_series(1, $dim),
+       |            i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(en.embedding[i] AS DOUBLE)))
+       |          / (eq.vn * en.vn) END""".stripMargin
+
+  /** Shared k-means training CTE chain (seed pick -> `iters` Lloyd rounds
+    * -> `ranked`/`assigned` against the final centroids); see
+    * [[ivfOracleSql]] for the cross-engine arithmetic contract. */
+  private def kmeansCtes(nCentroids: Int, iters: Int, dim: Int): String = {
+    def cs(t: Int) =
+      s"""cs$t AS (
+         |  SELECT cidx, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS cn
+         |  FROM c$t),""".stripMargin
+    def dist(eAlias: String, sAlias: String) =
+      s"""CASE WHEN $sAlias.cn = 0 THEN 2.0 WHEN $eAlias.vn = 0 THEN 2.0
+         |     ELSE 1.0 - list_sum(list_transform(generate_series(1, $dim),
+         |            i -> CAST($eAlias.embedding[i] AS DOUBLE) * $sAlias.c[i]))
+         |          / ($eAlias.vn * $sAlias.cn) END""".stripMargin
+    val iterCtes = (1 to iters).map { t =>
+      s"""${cs(t - 1)}
+         |a$t AS (
+         |  SELECT vec_id, cidx FROM (
+         |    SELECT e.vec_id, s.cidx,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${dist("e", "s")}), s.cidx) AS rn
+         |    FROM e CROSS JOIN cs${t - 1} s)
+         |  WHERE rn = 1),
+         |m$t AS (
+         |  SELECT a.cidx, d.di,
+         |    floor(avg(CAST(e.embedding[d.di] AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS m
+         |  FROM a$t a JOIN e USING (vec_id) CROSS JOIN dims d
+         |  GROUP BY a.cidx, d.di),
+         |c$t AS (
+         |  SELECT p.cidx, COALESCE(n.c, p.c) AS c
+         |  FROM c${t - 1} p LEFT JOIN (
+         |    SELECT cidx, list(m ORDER BY di) AS c FROM m$t GROUP BY cidx) n
+         |    USING (cidx)),""".stripMargin
+    }.mkString("\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS vn
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, $dim)) AS di),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY hv, vec_id) - 1 AS cidx,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+       |  FROM (SELECT vec_id, embedding,
+       |          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+       |        FROM embeddings ORDER BY hv, vec_id LIMIT $nCentroids)),
+       |$iterCtes
+       |${cs(iters)}
+       |ranked AS (
+       |  SELECT e.vec_id, s.cidx,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY (${dist("e", "s")}), s.cidx) AS rn
+       |  FROM e CROSS JOIN cs$iters s),
+       |assigned AS (SELECT vec_id, cidx AS bucket FROM ranked WHERE rn = 1)""".stripMargin
+  }
+
+  private def ivfOracleSql(
+      nCentroids: Int, nProbe: Int, topK: Int, iters: Int, dim: Int): String =
+    s"""${kmeansCtes(nCentroids, iters, dim)},
+       |probes AS (
+       |  SELECT vec_id AS qid, cidx AS qbucket FROM ranked
+       |  WHERE rn <= $nProbe AND vec_id < 10),
+       |pairs AS (
+       |  SELECT p.qid, a.vec_id AS nid, ${pairCos(dim)} AS cos
+       |  FROM probes p
+       |  JOIN assigned a ON a.bucket = p.qbucket AND a.vec_id <> p.qid
+       |  JOIN e eq ON eq.vec_id = p.qid
+       |  JOIN e en ON en.vec_id = a.vec_id)
+       |SELECT qid AS vec_id, nid AS neighbor_id, CAST(rn AS INT) AS rnk, cos FROM (
+       |  SELECT qid, nid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+       |  FROM pairs)
+       |WHERE rn <= $topK ORDER BY vec_id, rnk""".stripMargin
+
+  /** DuckDB replay of [[graft.llm.Dedup.semDedup]] (fixed nCentroids, cap
+    * untriggered): same training chain as [[ivfOracleSql]], then the
+    * within-cluster a<b pair sweep — drop the higher id of any pair with
+    * cosine >= tau. */
+  private def semDedupOracleSql(nCentroids: Int, tau: Double, iters: Int, dim: Int): String =
+    s"""${kmeansCtes(nCentroids, iters, dim)},
+       |drops AS (
+       |  SELECT DISTINCT bq.vec_id FROM assigned ba
+       |  JOIN assigned bq ON ba.bucket = bq.bucket AND ba.vec_id < bq.vec_id
+       |  JOIN e eq ON eq.vec_id = ba.vec_id
+       |  JOIN e en ON en.vec_id = bq.vec_id
+       |  WHERE (${pairCos(dim)}) >= $tau)
+       |SELECT vec_id, label FROM embeddings
+       |WHERE vec_id NOT IN (SELECT vec_id FROM drops) ORDER BY vec_id""".stripMargin
+
   val all: Seq[Declared] = Seq(
     // ------------------------------------------------------------------
     // Q18 — exact dedup (D11): keep min-doc_id row per identical text,
@@ -605,17 +710,20 @@ object LlmQueries {
     // ------------------------------------------------------------------
     // Q33 — IVF ANN (the centroid-bucketed similarity-search scale path,
     // complementing q28's sign-LSH): deterministic seeded centroids + Lloyd
-    // refinement, nProbe nearest-centroid buckets per query. Rows-only by
-    // design: the iterative training loop has no single-SQL oracle; the
-    // spec pins full-probe == brute-force exactly and partial-probe
-    // containment/determinism.
+    // refinement, nProbe nearest-centroid buckets per query. Oracle-gated
+    // since the round-5 training changes (md5 seed hash + 1e-6 mean
+    // rounding): the oracle REPLAYS the full iterative training — seed
+    // pick, every Lloyd assignment/mean round, final assign, probe, rank —
+    // as chained CTEs ([[ivfOracleSql]]). The mean rounding is what makes
+    // this possible: it absorbs partial-aggregation ordering ulps, so both
+    // engines train bit-identical centroid literals.
     Declared(
       "q33_ann_ivf",
       (s, dir) => {
         VectorOps.ivfTopK(Tables.embeddings(s, dir), _ < 10, nCentroids = 8, nProbe = 3, k = 3)
           .orderBy("vec_id", "rnk")
       },
-      None,
+      Some(ivfOracleSql(nCentroids = 8, nProbe = 3, topK = 3, iters = 2, dim = 64)),
     ),
 
     // ------------------------------------------------------------------
@@ -792,11 +900,13 @@ object LlmQueries {
       (s, dir) => {
         // nCentroids pinned at 8 (not auto-k) so the declared rows stay
         // stable while the library default scales k with corpus size
-        graft.llm.Dedup.semDedup(Tables.embeddings(s, dir), tau = 0.92, nCentroids = 8)
+        graft.llm.Dedup.semDedup(Tables.embeddings(s, dir), tau = 0.4, nCentroids = 8)
           .select("vec_id", "label")
           .orderBy("vec_id")
       },
-      None,
+      // oracle-gated since the reproducible-training change — the same
+      // k-means CTE replay as q33, then the within-cluster pair sweep
+      Some(semDedupOracleSql(nCentroids = 8, tau = 0.4, iters = 2, dim = 64)),
     ),
 
     // ------------------------------------------------------------------

@@ -12,19 +12,22 @@ class QueriesSpec extends SparkSpec {
     val names = SparkEntry.declared.map(_.name)
     assert(names.distinct.size === names.size)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // Rows-only entries by design (no DuckDB oracle): q33 ann-ivf (iterative
-    // centroid training has no single-SQL oracle; spec-pinned against brute
-    // force) and q47 semdedup (trained k-means, likewise spec-pinned).
-    // q29 multimodal graduated to a full oracle in round 5 (real PPM codec).
-    // Everything else must carry an oracle — assert the exact set so a new
-    // oracle-less query is a deliberate decision, not an accident.
+    // EVERY declared query carries a DuckDB oracle as of late round 5: q29
+    // multimodal graduated with the real PPM codec, and q33 ann-ivf + q47
+    // semdedup graduated when the 1e-6 centroid-mean rounding made the
+    // iterative k-means training replayable as chained CTEs. Assert the
+    // empty set so a new oracle-less query is a deliberate decision (and a
+    // comment here), not an accident.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("q33_ann_ivf", "q47_semdedup"))
+    assert(rowsOnly === Set.empty[String])
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
   test("hash/sampling-flavored queries are run-to-run deterministic") {
-    for (name <- Seq("q20_cosine_topk", "q21_minhash_lsh", "q26_fingerprint", "q28_ann_lsh")) {
+    // q33 included: its trained centroids must be identical across two
+    // independent training runs (the 1e-6 mean rounding guarantees it)
+    for (name <- Seq("q20_cosine_topk", "q21_minhash_lsh", "q26_fingerprint",
+        "q28_ann_lsh", "q33_ann_ivf")) {
       val q = SparkEntry.queries(name)
       val a = q(spark, dir).collect().map(_.toString).toSeq
       val b = q(spark, dir).collect().map(_.toString).toSeq
