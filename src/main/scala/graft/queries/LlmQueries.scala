@@ -133,6 +133,106 @@ object LlmQueries {
        |SELECT vec_id, label FROM embeddings
        |WHERE vec_id NOT IN (SELECT vec_id FROM drops) ORDER BY vec_id""".stripMargin
 
+  /** DuckDB replay of [[graft.llm.Pq.pqTopK]] — `m` per-subspace L2 k-means
+    * training chains (same seed-pick/rounding discipline as [[kmeansCtes]];
+    * all subspaces share the one md5-picked seed row set, sliced), per-row
+    * nearest-code encoding, centroid-concatenation reconstruction, the ADC
+    * cosine shortlist (true stored norms), and the exact re-rank. Subvector
+    * elements are addressed as embedding[off + i] — no dialect-specific
+    * list slicing. */
+  private def pqOracleSql(
+      m: Int, nCodes: Int, topK: Int, refine: Int, iters: Int, dim: Int): String = {
+    val subDim = dim / m
+    def off(j: Int) = j * subDim
+    def l2(eAlias: String, j: Int, sAlias: String) =
+      s"""list_sum(list_transform(generate_series(1, $subDim),
+         |  i -> (CAST($eAlias.embedding[${off(j)} + i] AS DOUBLE) - $sAlias.c[i])
+         |     * (CAST($eAlias.embedding[${off(j)} + i] AS DOUBLE) - $sAlias.c[i])))""".stripMargin
+    val subspaceCtes = (0 until m).map { j =>
+      val train = (1 to iters).map { t =>
+        s"""s${j}a$t AS (
+           |  SELECT vec_id, cidx FROM (
+           |    SELECT e.vec_id, s.cidx,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY (${l2("e", j, "s")}), s.cidx) AS rn
+           |    FROM e CROSS JOIN s${j}c${t - 1} s)
+           |  WHERE rn = 1),
+           |s${j}m$t AS (
+           |  SELECT a.cidx, d.di,
+           |    floor(avg(CAST(e.embedding[${off(j)} + d.di] AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS m
+           |  FROM s${j}a$t a JOIN e USING (vec_id) CROSS JOIN sdims d
+           |  GROUP BY a.cidx, d.di),
+           |s${j}c$t AS (
+           |  SELECT p.cidx, COALESCE(n.c, p.c) AS c
+           |  FROM s${j}c${t - 1} p LEFT JOIN (
+           |    SELECT cidx, list(m ORDER BY di) AS c FROM s${j}m$t GROUP BY cidx) n
+           |    USING (cidx)),""".stripMargin
+      }.mkString("\n")
+      s"""s${j}c0 AS (
+         |  SELECT cidx, list_transform(generate_series(1, $subDim),
+         |           i -> CAST(embedding[${off(j)} + i] AS DOUBLE)) AS c
+         |  FROM seeds),
+         |$train
+         |s${j}code AS (
+         |  SELECT vec_id, cidx AS code FROM (
+         |    SELECT e.vec_id, s.cidx,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${l2("e", j, "s")}), s.cidx) AS rn
+         |    FROM e CROSS JOIN s${j}c$iters s)
+         |  WHERE rn = 1),""".stripMargin
+    }.mkString("\n")
+    val reconJoins = (0 until m).map(j =>
+      s"  JOIN s${j}code k$j ON k$j.vec_id = e.vec_id\n" +
+        s"  JOIN s${j}c$iters b$j ON b$j.cidx = k$j.code").mkString("\n")
+    val reconConcat = (0 until m).map(j => s"b$j.c").mkString(" || ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS vn
+       |  FROM embeddings),
+       |sdims AS (SELECT unnest(generate_series(1, $subDim)) AS di),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY hv, vec_id) - 1 AS cidx, embedding
+       |  FROM (SELECT vec_id, embedding,
+       |          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+       |        FROM embeddings ORDER BY hv, vec_id LIMIT $nCodes)),
+       |$subspaceCtes
+       |recon AS (
+       |  SELECT e.vec_id, $reconConcat AS approx
+       |  FROM e
+       |$reconJoins),
+       |adc AS (
+       |  SELECT q.vec_id AS qid, r.vec_id AS nid,
+       |    CASE WHEN q.vn * en.vn = 0 THEN -2.0
+       |         ELSE list_sum(list_transform(generate_series(1, $dim),
+       |                i -> CAST(q.embedding[i] AS DOUBLE) * r.approx[i]))
+       |              / (q.vn * en.vn) END AS adc
+       |  FROM e q
+       |  JOIN recon r ON r.vec_id <> q.vec_id
+       |  JOIN e en ON en.vec_id = r.vec_id
+       |  WHERE q.vec_id < 10),
+       |short AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS arnk
+       |    FROM adc)
+       |  WHERE arnk <= ${refine * topK}),
+       |xr AS (
+       |  SELECT s.qid, s.nid,
+       |    CASE WHEN eq.vn * en.vn = 0 THEN -2.0
+       |         ELSE list_sum(list_transform(generate_series(1, $dim),
+       |                i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(en.embedding[i] AS DOUBLE)))
+       |              / (eq.vn * en.vn) END AS cos
+       |  FROM short s
+       |  JOIN e eq ON eq.vec_id = s.qid
+       |  JOIN e en ON en.vec_id = s.nid)
+       |SELECT qid AS vec_id, nid AS neighbor_id, CAST(rn AS INT) AS rnk, cos FROM (
+       |  SELECT qid, nid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+       |  FROM xr)
+       |WHERE rn <= $topK ORDER BY vec_id, rnk""".stripMargin
+  }
+
   val all: Seq[Declared] = Seq(
     // ------------------------------------------------------------------
     // Q18 — exact dedup (D11): keep min-doc_id row per identical text,
@@ -1163,6 +1263,23 @@ object LlmQueries {
              |SELECT doc_id, quality_score,
              |       CAST(ntile(4) OVER (ORDER BY quality_score, doc_id) AS INT) AS stage
              |FROM s ORDER BY doc_id""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q54 — product-quantization ANN with exact re-rank: 8 per-subspace
+    // L2 codebooks (seeded + floor-rounded Lloyd — the reproducible-
+    // training discipline of q33), per-row code assignment, ADC cosine
+    // over reconstructed candidates with true stored norms, exact re-rank
+    // of the refine*k shortlist. The oracle replays ALL of it — 8 training
+    // chains, encode, reconstruct, ADC, re-rank — as generated CTEs.
+    Declared(
+      "q54_pq_topk",
+      (s, dir) => {
+        graft.llm.Pq.pqTopK(Tables.embeddings(s, dir), _ < 10,
+          m = 8, k = 3, nCodes = 16, refine = 4)
+          .orderBy("vec_id", "rnk")
+      },
+      Some(pqOracleSql(m = 8, nCodes = 16, topK = 3, refine = 4, iters = 2, dim = 64)),
     ),
   )
 }

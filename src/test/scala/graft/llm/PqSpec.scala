@@ -1,0 +1,80 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Product quantization: code shape/determinism, recall of the ADC +
+  * exact-re-rank pipeline against brute force, and the sampled-training
+  * scale path. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def recallAtK(got: Map[Long, Seq[Long]], want: Map[Long, Seq[Long]]): Double = {
+    val hits = want.toSeq.map { case (q, ws) =>
+      ws.count(got.getOrElse(q, Seq.empty).contains).toDouble / ws.size
+    }
+    hits.sum / hits.size
+  }
+
+  private def neighborsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.select("vec_id", "rnk", "neighbor_id").as[(Long, Int, Long)]
+      .collect().groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+
+  test("codes: m per vector, in [0, nCodes), more than one code in use") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val cbs = Pq.trainCodebooks(emb, m = 8, k = 16)
+    assert(cbs.size === 8 && cbs.forall(_.size === 16) && cbs.forall(_.forall(_.size === 8)))
+    val enc = Pq.encode(emb, cbs)
+    val codeStats = enc.select(
+      min(array_min(col("codes"))), max(array_max(col("codes"))),
+      min(size(col("codes"))), max(size(col("codes"))),
+      countDistinct(col("codes")(0))).collect()(0)
+    assert(codeStats.getInt(0) >= 0 && codeStats.getInt(1) <= 15)
+    assert(codeStats.getInt(2) === 8 && codeStats.getInt(3) === 8)
+    assert(codeStats.getLong(4) > 1L, "subspace 0 collapsed to a single code")
+  }
+
+  test("pqTopK: deterministic; refined recall beats ADC-only; tracks brute force") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val exact = neighborsOf(VectorOps.bruteForceTopK(emb.filter($"vec_id" < 10), emb, 3))
+    // these near-random synthetic embeddings are PQ's worst case (no
+    // cluster structure to exploit) — the measured recall curve is
+    // (nCodes=16,refine=4)=0.23 ... (64,8)=0.80 ... (64,16)=0.93, so the
+    // spec pins the 6-bit/refine-8 point with headroom
+    val pq = Pq.pqTopK(emb, _ < 10, m = 8, k = 3, nCodes = 64, refine = 8)
+    val pqN = neighborsOf(pq)
+    // determinism across two full train+encode+rank runs
+    val again = neighborsOf(Pq.pqTopK(emb, _ < 10, m = 8, k = 3, nCodes = 64, refine = 8))
+    assert(pqN === again)
+    // shape: 3 neighbors per query, exact cosines attached
+    assert(pqN.keySet === exact.keySet)
+    assert(pqN.values.forall(_.size === 3))
+    val r8 = recallAtK(pqN, exact)
+    // ADC-only (refine=1) must not beat the refined pipeline
+    val r1 = recallAtK(
+      neighborsOf(Pq.pqTopK(emb, _ < 10, m = 8, k = 3, nCodes = 64, refine = 1)), exact)
+    assert(r8 >= r1, s"refine hurt recall: $r8 < $r1")
+    assert(r8 >= 0.7, s"recall@3 too low: $r8") // measured 0.80
+    // the cos column is the EXACT cosine (re-rank output), so any neighbor
+    // shared with brute force must carry the identical double
+    val exactCos = VectorOps.bruteForceTopK(emb.filter($"vec_id" < 10), emb, 3)
+      .select("vec_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    pq.select("vec_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect().foreach { case (q, n, c) =>
+        exactCos.get((q, n)).foreach(ec => assert(ec === c, s"cos mismatch for ($q,$n)"))
+      }
+  }
+
+  test("sampled training (the 100 TB posture) still ranks and stays deterministic") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val a = neighborsOf(Pq.pqTopK(emb, _ < 10, m = 8, k = 3, trainFrac = 0.5))
+    val b = neighborsOf(Pq.pqTopK(emb, _ < 10, m = 8, k = 3, trainFrac = 0.5))
+    assert(a === b)
+    assert(a.values.forall(_.size === 3))
+  }
+}

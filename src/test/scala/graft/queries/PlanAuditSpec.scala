@@ -21,11 +21,14 @@ class PlanAuditSpec extends SparkSpec {
   /** Exact-pairwise BY DESIGN (documented small-side/sampled paths):
     * q20 broadcast brute-force cosine (non-equi on qid != nid),
     * q27 all-pairs on an id-sampled subset (vec_a < vec_b),
-    * q51 the int8-quantized twin of q20 (same broadcast non-equi shape).
+    * q51 the int8-quantized twin of q20 (same broadcast non-equi shape),
+    * q54 PQ's linear ADC scan (reads m codes + 1 norm per candidate — the
+    * compression IS the scan plan; IVF buckets compose on top at scale).
     * Their scale twins (q28 sign-LSH, q33 IVF) are equi-joins and stay
     * un-allowlisted. */
   private val pairwiseByDesign =
-    Set("q20_cosine_topk", "q27_embedding_neardup", "q51_quantized_topk")
+    Set("q20_cosine_topk", "q27_embedding_neardup", "q51_quantized_topk",
+      "q54_pq_topk")
 
   private def collectNodes(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {

@@ -24,10 +24,11 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("hash/sampling-flavored queries are run-to-run deterministic") {
-    // q33 included: its trained centroids must be identical across two
-    // independent training runs (the 1e-6 mean rounding guarantees it)
+    // q33/q54 included: their trained centroids/codebooks must be identical
+    // across two independent training runs (the 1e-6 mean rounding
+    // guarantees it)
     for (name <- Seq("q20_cosine_topk", "q21_minhash_lsh", "q26_fingerprint",
-        "q28_ann_lsh", "q33_ann_ivf")) {
+        "q28_ann_lsh", "q33_ann_ivf", "q54_pq_topk")) {
       val q = SparkEntry.queries(name)
       val a = q(spark, dir).collect().map(_.toString).toSeq
       val b = q(spark, dir).collect().map(_.toString).toSeq
