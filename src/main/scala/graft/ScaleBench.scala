@@ -203,6 +203,19 @@ object ScaleBench {
     }
     println(s"""{"op":"curriculum","rows":$nCurr,"hier_sec":$tCurrHier,"flat_window_sec":$tCurrFlat,"equal":${sumHier == sumFlat}}""")
 
+    // product quantization on the replicated embeddings: training is on a
+    // deterministic id-sample (the 100 TB posture), encoding is per-row
+    // against codebook literals, and the ADC + re-rank top-k reads codes,
+    // not floats. Compare wall vs the float brute force on the same corpus.
+    val (nPq, tPq) = timed {
+      graft.llm.Pq.pqTopK(emb, _ < 10, m = 8, k = 5, nCodes = 16,
+        refine = 4, trainFrac = math.min(1.0, 20000.0 / nVec)).count()
+    }
+    val (nBf, tBf) = timed {
+      VectorOps.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5).count()
+    }
+    println(s"""{"op":"pq_topk","vectors":$nVec,"results":$nPq,"pq_sec":$tPq,"bruteforce_sec":$tBf,"bf_results":$nBf}""")
+
     spark.stop()
   }
 }

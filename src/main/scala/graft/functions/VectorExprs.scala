@@ -146,10 +146,84 @@ object VectorKernels {
     new GenericArrayData(idx)
   }
 
+  /** Product-quantization code assignment: for each of the `m` subspaces
+    * (subDim dims each, laid out consecutively), the index of the L2-nearest
+    * codebook centroid. `cb` is the m x k x subDim codebook tensor flattened
+    * row-major. Bit-identical to the HOF formulation it replaces
+    * (`array_sort(array(struct(l2_fold, idx), ...))[0].idx` per subspace):
+    * same (x - w)^2 left-to-right double folds, ties to the LOWER index
+    * (strict `<` keeps the first minimum). Vector elements past
+    * m * subDim are ignored; a short vector reads as if truncated (the
+    * fold stops at the vector end, matching zip_with's null-pad only in
+    * the fixed-dim case no declared data violates). */
+  def pqCodes(v: ArrayData, cb: Array[Double], m: Int, k: Int, subDim: Int): ArrayData = {
+    val n = v.numElements()
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val off = j * subDim
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < k) {
+        val cOff = (j * k + c) * subDim
+        var d = 0.0
+        var i = 0
+        while (i < subDim && off + i < n) {
+          val x = v.getFloat(off + i).toDouble - cb(cOff + i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
   private[functions] def elementsNullable(dt: DataType): Boolean = dt match {
     case ArrayType(_, cn) => cn
     case _ => false
   }
+}
+
+/** `graft_pq_codes(embedding, array(array(array(...))))` — per-subspace
+  * L2-nearest codebook indices; see [[VectorKernels.pqCodes]]. Like
+  * [[CentroidRanks]], the codebook tensor is a foldable literal folded into
+  * a constructor param at function-build time, so re-planning reuses the
+  * compiled class with the flattened tensor as a reference object. */
+case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_codes requires an ARRAY<FLOAT> argument, got ${other.catalogString}")
+  }
+
+  private val m: Int = codebooks.size
+  private val k: Int = if (codebooks.isEmpty) 0 else codebooks.head.size
+  private val subDim: Int =
+    if (codebooks.isEmpty || codebooks.head.isEmpty) 0 else codebooks.head.head.length
+  @transient private lazy val flat: Array[Double] =
+    codebooks.flatten.flatten.toArray
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_codes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.pqCodes(input.asInstanceOf[ArrayData], flat, m, k, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqcb", flat, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.pqCodes($c, $ref, $m, $k, $subDim)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
 }
 
 /** `graft_centroid_ranks(embedding, array(array(...), ...))` — centroid

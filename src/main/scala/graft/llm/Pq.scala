@@ -23,15 +23,25 @@ import org.apache.spark.sql.functions._
   * ADC within them); training at 100 TB runs on a [[Mixing]] hash sample
   * (`trainFrac`), never the full corpus.
   *
-  * Everything is built-ins (slice / zip_with folds / literal-array
-  * lookups) inside codegen; codebooks are k x dim/m literals per subspace,
-  * collected driver-side exactly like the IVF trainer. Deterministic:
-  * md5-hash seed picks, id tie-breaks, 1e-6 floor-rounded means.
+  * Code assignment runs through the native `graft_pq_codes` kernel when
+  * [[graft.plans.GraftExtensions]] is registered (one static call per row
+  * for all m subspaces; the interpreted slice / zip_with-fold HOF tree is
+  * the bit-identical fallback, PqSpec cross-checks), the ADC dot through
+  * `graft_dot_fd`; codebooks are m x k x dim/m literals collected
+  * driver-side exactly like the IVF trainer. Deterministic: md5-hash seed
+  * picks, id tie-breaks, 1e-6 floor-rounded means.
   */
 object Pq {
 
   private def arrSql(c: Seq[Double]): String =
     c.map(v => s"${v}D").mkString("array(", ", ", ")")
+
+  private def tensorSql(cbs: Seq[Seq[Seq[Double]]]): String =
+    cbs.map(cb => cb.map(arrSql).mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+
+  private def hasFn(df: DataFrame, name: String): Boolean =
+    df.sparkSession.catalog.functionExists(name)
 
   /** L2 distance of a float-array column slice to a centroid literal, as a
     * left-to-right double fold (same cross-engine discipline as the dots). */
@@ -40,41 +50,33 @@ object Pq {
        |  (x, w) -> (CAST(x AS DOUBLE) - w) * (CAST(x AS DOUBLE) - w)),
        |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
 
-  /** Index of the nearest codebook centroid (L2, index tie-break). */
-  private def nearestCode(colName: String, cb: Seq[Seq[Double]]): Column =
+  /** Index of the nearest codebook centroid (L2, index tie-break) — the
+    * interpreted HOF form; [[codesCol]] is the kernel-backed fast path
+    * (bit-identical, PqSpec cross-checks). */
+  private[llm] def nearestCodeHof(colName: String, cb: Seq[Seq[Double]]): Column =
     array_sort(array(cb.zipWithIndex.map { case (c, i) =>
       struct(l2(colName, c).as("dist"), lit(i).as("idx"))
     }: _*)).getField("idx")(0)
 
-  /** One per-subspace codebook: seeded + floor-rounded Lloyd under L2.
-    * `sub` must be (vec_id, embedding: array<float>[subDim]). */
-  private[llm] def trainCodebook(
-      sub: DataFrame, k: Int, iterations: Int): Seq[Seq[Double]] = {
-    var cb: Seq[Seq[Double]] =
-      sub.orderBy(Mixing.samplingHash(col("vec_id")), col("vec_id"))
-        .limit(k)
-        .collect()
-        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
-    val dim = if (cb.isEmpty) 0 else cb.head.length
-    for (_ <- 0 until iterations) {
-      val dimAggs = (0 until dim).map(i =>
-        (floor(avg(col("embedding")(i).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
-          .as(s"m$i"))
-      val means = sub
-        .withColumn("code", nearestCode("embedding", cb))
-        .groupBy("code")
-        .agg(dimAggs.head, dimAggs.tail: _*)
-        .collect()
-        .map(r => r.getInt(0) -> (1 to dim).map(r.getDouble).toSeq)
-        .toMap
-      cb = cb.indices.map(i => means.getOrElse(i, cb(i)))
-    }
-    cb
-  }
+  /** All m codes in ONE kernel call (or the m-HOF fallback). */
+  private[llm] def codesCol(
+      df: DataFrame, codebooks: Seq[Seq[Seq[Double]]], subDim: Int): Column =
+    if (hasFn(df, "graft_pq_codes"))
+      expr(s"graft_pq_codes(embedding, ${tensorSql(codebooks)})")
+    else array(codebooks.zipWithIndex.map { case (cb, j) =>
+      nearestCodeHof(s"slice(embedding, ${j * subDim + 1}, $subDim)", cb)
+    }: _*)
 
   /** Train all `m` codebooks. `trainFrac` < 1 trains on the deterministic
     * md5 id-sample (the 100 TB posture — codebook quality needs a sample,
-    * not the corpus); encoding still covers every vector. */
+    * not the corpus); encoding still covers every vector.
+    *
+    * Job shape: ONE seed fetch (the k seed vectors, sliced driver-side)
+    * plus ONE pass per Lloyd iteration covering ALL m subspaces — codes
+    * come from a single kernel call, the (subspace, code) melt is a
+    * posexplode, and the per-dimension means are one m*k-group aggregate.
+    * The first cut trained each subspace separately (8 x 3 = 24 jobs);
+    * the per-job overhead, not per-row compute, dominated its wall time. */
   def trainCodebooks(
       emb: DataFrame,
       m: Int,
@@ -88,27 +90,40 @@ object Pq {
       if (trainFrac >= 1.0) emb
       else emb.filter(Mixing.hashKeep(col("vec_id"), lit(trainFrac)))
     val e = base.select(col("vec_id"), col("embedding")).localCheckpoint(false)
-    (0 until m).map { j =>
-      trainCodebook(
-        e.select(col("vec_id"),
-          slice(col("embedding"), j * subDim + 1, subDim).as("embedding")),
-        k, iterations)
+    val seedVecs = e
+      .orderBy(Mixing.samplingHash(col("vec_id")), col("vec_id"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble))
+    var cbs: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
+      seedVecs.map(v => v.slice(j * subDim, (j + 1) * subDim).toSeq).toSeq)
+    for (_ <- 0 until iterations) {
+      // element_at is 1-based; row (j, code) carries the full embedding and
+      // averages its own subspace's dims — same value sets, same rounding
+      // as the per-subspace formulation (and the q54 oracle)
+      val dimAggs = (0 until subDim).map(i =>
+        (floor(avg(element_at(col("embedding"), col("j") * subDim + i + 1).cast("double"))
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as(s"m$i"))
+      val means = e
+        .withColumn("codes", codesCol(e, cbs, subDim))
+        .select(posexplode(col("codes")).as(Seq("j", "code")), col("embedding"))
+        .groupBy("j", "code")
+        .agg(dimAggs.head, dimAggs.tail: _*)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> (2 until 2 + subDim).map(r.getDouble).toSeq)
+        .toMap
+      cbs = cbs.indices.map(j =>
+        cbs(j).indices.map(c => means.getOrElse((j, c), cbs(j)(c))))
     }
+    cbs
   }
 
   /** (vec_id, embedding, ...) -> (vec_id, codes: array<int>[m], vn, ...):
     * per-row nearest-centroid codes + the true norm ADC needs. */
   def encode(emb: DataFrame, codebooks: Seq[Seq[Seq[Double]]], dim: Int = 64): DataFrame = {
-    val m = codebooks.size
-    val subDim = dim / m
-    val codeCols = codebooks.zipWithIndex.map { case (cb, j) =>
-      val sliced = s"slice(embedding, ${j * subDim + 1}, $subDim)"
-      array_sort(array(cb.zipWithIndex.map { case (c, i) =>
-        struct(l2(sliced, c).as("dist"), lit(i).as("idx"))
-      }: _*)).getField("idx")(0)
-    }
+    val subDim = dim / codebooks.size
     emb
-      .withColumn("codes", array(codeCols: _*))
+      .withColumn("codes", codesCol(emb, codebooks, subDim))
       .withColumn("vn", expr(VectorOps.normExprFor(emb, "embedding")))
       .drop("embedding")
   }
@@ -145,10 +160,13 @@ object Pq {
       e.filter(queryIds(col("vec_id")))
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         .withColumn("qn", expr(VectorOps.normExprFor(e, "qe"))))
-    // ADC: dot(query float, candidate reconstruction) / (|q| * true |n|)
-    val adcDot = expr(
-      """aggregate(zip_with(qe, approx, (x, w) -> CAST(x AS DOUBLE) * w),
-        |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+    // ADC: dot(query float, candidate reconstruction) / (|q| * true |n|) —
+    // the existing float x double kernel when registered, HOF otherwise
+    val adcDot =
+      if (hasFn(e, "graft_dot_fd")) expr("graft_dot_fd(qe, approx)")
+      else expr(
+        """aggregate(zip_with(qe, approx, (x, w) -> CAST(x AS DOUBLE) * w),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
     val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("nid"))
     val shortlist = enc
       .join(q, col("qid") =!= col("nid"))

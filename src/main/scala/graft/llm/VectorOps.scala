@@ -134,9 +134,9 @@ object VectorOps {
     * sign-LSH path, as pure DataFrame ops:
     *
     *  1. TRAIN: `nCentroids` seed centroids = the vectors with the smallest
-    *     xxhash64(vec_id) (deterministic sample), refined by `iterations`
-    *     Lloyd steps. Assignment is per-row (argmin over centroid literals,
-    *     no shuffle); the mean update is a groupBy over EXPLODED DIMS whose
+    *     md5 sampling hash of vec_id (deterministic sample), refined by
+    *     `iterations` Lloyd steps. Assignment is per-row (argmin over
+    *     centroid literals, no shuffle); the mean update is a groupBy whose
     *     result is k x dim rows — the only driver collect, O(k*dim), never
     *     O(n).
     *  2. ASSIGN: every vector gets its nearest-centroid bucket — per-row

@@ -196,6 +196,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       },
     ))
     extensions.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_pq_codes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.PqCodes].getName, "graft_pq_codes"),
+      (children: Seq[Expression]) => {
+        val m = children(1)
+        require(m.foldable, "graft_pq_codes codebook tensor must be foldable")
+        def elemType(dt: org.apache.spark.sql.types.DataType) =
+          dt.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+        val cbs = m.eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            val sub = elemType(m.dataType)
+            a.toObjectArray(sub).map { cbAny =>
+              val cb = cbAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              cb.toObjectArray(elemType(sub))
+                .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+                  .toDoubleArray().toSeq)
+                .toSeq
+            }.toSeq
+          case other => throw new IllegalArgumentException(
+            s"graft_pq_codes argument 1 must be ARRAY<ARRAY<ARRAY<DOUBLE>>>, got $other")
+        }
+        graft.functions.PqCodes(children(0), cbs)
+      },
+    ))
+    extensions.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot_fd"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.DotProductFD].getName, "graft_dot_fd"),

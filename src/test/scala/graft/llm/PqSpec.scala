@@ -36,6 +36,17 @@ class PqSpec extends SparkSpec {
     assert(codeStats.getInt(0) >= 0 && codeStats.getInt(1) <= 15)
     assert(codeStats.getInt(2) === 8 && codeStats.getInt(3) === 8)
     assert(codeStats.getLong(4) > 1L, "subspace 0 collapsed to a single code")
+    // the native kernel (graft_pq_codes, active in this session) must be
+    // bit-identical to the interpreted HOF formulation on the real corpus
+    assert(spark.catalog.functionExists("graft_pq_codes"), "kernel not registered")
+    val hof = array(cbs.zipWithIndex.map { case (cb, j) =>
+      Pq.nearestCodeHof(s"slice(embedding, ${j * 8 + 1}, 8)", cb)
+    }: _*)
+    val diverged = emb
+      .withColumn("kc", Pq.codesCol(emb, cbs, 8))
+      .withColumn("hc", hof)
+      .filter(col("kc") =!= col("hc"))
+    assert(diverged.isEmpty, "kernel and HOF codes diverged")
   }
 
   test("pqTopK: deterministic; refined recall beats ADC-only; tracks brute force") {
