@@ -203,18 +203,25 @@ object ScaleBench {
     }
     println(s"""{"op":"curriculum","rows":$nCurr,"hier_sec":$tCurrHier,"flat_window_sec":$tCurrFlat,"equal":${sumHier == sumFlat}}""")
 
-    // product quantization on the replicated embeddings: training is on a
-    // deterministic id-sample (the 100 TB posture), encoding is per-row
-    // against codebook literals, and the ADC + re-rank top-k reads codes,
-    // not floats. Compare wall vs the float brute force on the same corpus.
-    val (nPq, tPq) = timed {
-      graft.llm.Pq.pqTopK(emb, _ < 10, m = 8, k = 5, nCodes = 16,
-        refine = 4, trainFrac = math.min(1.0, 20000.0 / nVec)).count()
+    // product quantization on the replicated embeddings, train and rank
+    // timed SEPARATELY: codebooks train ONCE on a deterministic id-sample
+    // and serve every query batch after (the production split), while the
+    // rank path — encode + ADC over codes + exact re-rank — is what scans
+    // the corpus per query batch. Locally rank CPU is comparable to brute
+    // force (same pair count, cheaper bytes); at 100 TB the candidate scan
+    // reads m codes + 1 norm instead of dim floats (~20x less IO), which
+    // is the term that dominates a real cluster.
+    val (cbsPq, tPqTrain) = timed {
+      graft.llm.Pq.trainCodebooks(emb, m = 8, k = 16,
+        trainFrac = math.min(1.0, 20000.0 / nVec))
+    }
+    val (nPq, tPqRank) = timed {
+      graft.llm.Pq.pqTopKWith(emb, _ < 10, cbsPq, k = 5, refine = 4).count()
     }
     val (nBf, tBf) = timed {
       VectorOps.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5).count()
     }
-    println(s"""{"op":"pq_topk","vectors":$nVec,"results":$nPq,"pq_sec":$tPq,"bruteforce_sec":$tBf,"bf_results":$nBf}""")
+    println(s"""{"op":"pq_topk","vectors":$nVec,"results":$nPq,"train_sec":$tPqTrain,"rank_sec":$tPqRank,"bruteforce_sec":$tBf,"bf_results":$nBf}""")
 
     spark.stop()
   }

@@ -36,10 +36,6 @@ object Pq {
   private def arrSql(c: Seq[Double]): String =
     c.map(v => s"${v}D").mkString("array(", ", ", ")")
 
-  private def tensorSql(cbs: Seq[Seq[Seq[Double]]]): String =
-    cbs.map(cb => cb.map(arrSql).mkString("array(", ", ", ")"))
-      .mkString("array(", ", ", ")")
-
   private def hasFn(df: DataFrame, name: String): Boolean =
     df.sparkSession.catalog.functionExists(name)
 
@@ -58,11 +54,16 @@ object Pq {
       struct(l2(colName, c).as("dist"), lit(i).as("idx"))
     }: _*)).getField("idx")(0)
 
-  /** All m codes in ONE kernel call (or the m-HOF fallback). */
+  /** All m codes in ONE kernel call (or the m-HOF fallback). The kernel
+    * call goes through `call_function` + `typedlit` — an `expr(...)` SQL
+    * string would embed the m x k x subDim tensor as ~20 KB of nested
+    * array(...) literals, and PARSING that string cost more than the
+    * training jobs it fed (measured 5.8 s of a 7.7 s pqTopK at 16k
+    * vectors; the typedlit form builds the Literal directly). */
   private[llm] def codesCol(
       df: DataFrame, codebooks: Seq[Seq[Seq[Double]]], subDim: Int): Column =
     if (hasFn(df, "graft_pq_codes"))
-      expr(s"graft_pq_codes(embedding, ${tensorSql(codebooks)})")
+      call_function("graft_pq_codes", col("embedding"), typedlit(codebooks))
     else array(codebooks.zipWithIndex.map { case (cb, j) =>
       nearestCodeHof(s"slice(embedding, ${j * subDim + 1}, $subDim)", cb)
     }: _*)
@@ -128,6 +129,17 @@ object Pq {
       .drop("embedding")
   }
 
+  /** The m codes as one string — a near-exact SEMANTIC identity key for an
+    * embedding: two vectors quantizing to the same cell in every subspace
+    * are near-duplicates at codebook resolution. This is the key the
+    * streaming embedding dedup
+    * ([[graft.streaming.EventStreamJobs.streamingEmbeddingDedup]]) holds in
+    * watermark-bounded state: codebooks are trained OFFLINE on a corpus
+    * sample and applied per-row here — no state beyond one entry per
+    * recent distinct cell. */
+  def codeSignature(df: DataFrame, codebooks: Seq[Seq[Seq[Double]]], dim: Int = 64): Column =
+    concat_ws(",", codesCol(df, codebooks, dim / codebooks.size).cast("array<string>"))
+
   /** Reconstructed (approximate) embedding from codes: per subspace, the
     * codebook centroid the code names — flatten of literal-array lookups. */
   private def reconstruct(codebooks: Seq[Seq[Seq[Double]]]): Column =
@@ -150,12 +162,32 @@ object Pq {
       iterations: Int = 2,
       dim: Int = 64,
       trainFrac: Double = 1.0): DataFrame = {
+    val e = emb.localCheckpoint(false)
+    pqTopKWith(e, queryIds,
+      trainCodebooks(e, m, nCodes, iterations, dim, trainFrac), k, refine, dim)
+  }
+
+  /** [[pqTopK]] against PRE-TRAINED codebooks — the production split
+    * (codebooks train once on a sample, rank many query batches; also what
+    * lets ScaleBench report train and rank cost separately). */
+  def pqTopKWith(
+      emb: DataFrame,
+      queryIds: Column => Column,
+      codebooks: Seq[Seq[Seq[Double]]],
+      k: Int,
+      refine: Int = 4,
+      dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb.localCheckpoint(false)
-    val codebooks = trainCodebooks(e, m, nCodes, iterations, dim, trainFrac)
+    // materialize the encoded candidates: without the barrier Catalyst
+    // collapses the encode/reconstruct projections INTO the query join and
+    // recomputes the per-ROW codes once per PAIR — measured 20 s vs 1.4 s
+    // brute force at 40k vectors; with it the ADC scan costs what it
+    // should (codes + one dot per pair)
     val enc = encode(e, codebooks, dim)
       .select(col("vec_id").as("nid"), col("codes"), col("vn").as("nn"))
       .withColumn("approx", reconstruct(codebooks))
+      .localCheckpoint(false)
     val q = broadcast(
       e.filter(queryIds(col("vec_id")))
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))

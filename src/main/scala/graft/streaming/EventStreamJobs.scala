@@ -99,6 +99,28 @@ object EventStreamJobs {
     * signature; docs too short to sign (< k tokens) fall back to
     * exact-text dedup (prefixed so a raw text can never alias a
     * signature string). */
+  /** Streaming EMBEDDING dedup — the vector twin of the text dedups above:
+    * admit the first vector per PQ code signature within the watermark
+    * horizon. Codebooks come from an OFFLINE [[graft.llm.Pq.trainCodebooks]]
+    * run (train batch on a corpus sample, apply streaming — the standard
+    * split for learned quantizers); the signature is a pure per-row
+    * projection, so the only state is one dedup entry per recent distinct
+    * code cell. Resolution is the codebook's: two vectors collide iff they
+    * quantize identically in EVERY subspace — near-exact semantic dedup,
+    * not a pair-level cosine threshold (that needs the batch
+    * [[graft.llm.Dedup]] paths over an accumulated corpus). */
+  def streamingEmbeddingDedup(
+      vecs: DataFrame,
+      tsCol: String,
+      watermark: String,
+      codebooks: Seq[Seq[Seq[Double]]],
+      dim: Int = 64): DataFrame =
+    vecs
+      .withColumn("__sig", graft.llm.Pq.codeSignature(vecs, codebooks, dim))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__sig")
+      .drop("__sig")
+
   def streamingNearExactDedup(
       docs: DataFrame,
       tsCol: String,

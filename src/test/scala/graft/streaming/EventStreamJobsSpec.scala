@@ -10,6 +10,7 @@ import graft.SparkSpec
 final case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 final case class Sched(fetched_at: Timestamp, next_shuffle_block_num: Long, payload: String)
 final case class StreamDoc(ts: Timestamp, doc_id: Long, text: String)
+final case class StreamVec(ts: Timestamp, vec_id: Long, embedding: Seq[Float])
 
 /** Streaming semantics of the watermarked window/dedup jobs, driven through
   * MemoryStream micro-batches including late data beyond the watermark. */
@@ -232,6 +233,48 @@ class EventStreamJobsSpec extends SparkSpec {
       val ids = spark.table("stream_neardedup").select("doc_id")
         .collect().map(_.getLong(0)).toSet
       assert(ids === Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
+  test("streaming embedding dedup suppresses vectors sharing a PQ cell") {
+    implicit val sqlCtx = spark.sqlContext
+    // codebooks trained OFFLINE on the real embeddings (the production
+    // split: batch training, streaming application)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cbs = graft.llm.Pq.trainCodebooks(emb, m = 8, k = 16)
+    // pick two corpus vectors with DIFFERENT signatures, plus a tiny
+    // perturbation of the first that provably shares its cell
+    val rows = emb.filter(org.apache.spark.sql.functions.col("vec_id").isin(0L, 1L))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val v0 = rows(0L)
+    val v0tweak = v0.updated(0, v0.head + 1e-4f)
+    val sigs = emb.filter(org.apache.spark.sql.functions.col("vec_id").isin(0L, 1L))
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        graft.llm.Pq.codeSignature(emb, cbs).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assume(sigs(0L) != sigs(1L), "corpus vectors 0/1 quantized identically — pick others")
+    val in = MemoryStream[StreamVec]
+    val q = EventStreamJobs.streamingEmbeddingDedup(
+        in.toDF(), "ts", watermark = "30 minutes", codebooks = cbs)
+      .writeStream.format("memory").queryName("stream_embdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        StreamVec(ts("2024-01-01 10:00:00"), 100, v0),
+        StreamVec(ts("2024-01-01 10:00:01"), 101, rows(1L)))
+      q.processAllAvailable()
+      in.addData(
+        StreamVec(ts("2024-01-01 10:05:00"), 102, v0),      // exact re-arrival
+        StreamVec(ts("2024-01-01 10:06:00"), 103, v0tweak)) // same PQ cell
+      q.processAllAvailable()
+      val ids = spark.table("stream_embdedup").select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      // 103 admitted only if the perturbation crossed a cell wall — check
+      val tweakSig = Seq((104L, v0tweak)).toDF("vec_id", "embedding")
+        .select(graft.llm.Pq.codeSignature(emb, cbs)).collect()(0).getString(0)
+      if (tweakSig == sigs(0L)) assert(ids === Set(100L, 101L))
+      else assert(ids === Set(100L, 101L, 103L))
     } finally q.stop()
   }
 
