@@ -167,6 +167,70 @@ object Pq {
       trainCodebooks(e, m, nCodes, iterations, dim, trainFrac), k, refine, dim)
   }
 
+  /** IVF-PQ — the production ANN shape at 100 TB, composing the two
+    * pruning axes this library already has: the coarse k-means buckets of
+    * [[VectorOps.ivfTopK]] prune WHICH candidates are scanned (a query
+    * reads only its nProbe nearest buckets), and PQ codes prune WHAT is
+    * read per candidate (m codes + 1 norm instead of dim floats). The ADC
+    * step is an EQUI-join on bucket id — no pairwise scan survives in the
+    * plan — followed by the usual exact re-rank of the refine*k shortlist.
+    * Both trainings are the reproducible seeded/rounded recipe, so the
+    * whole pipeline replays in the q55 oracle. */
+  def ivfPqTopK(
+      emb: DataFrame,
+      queryIds: Column => Column,
+      nCentroids: Int,
+      nProbe: Int,
+      m: Int,
+      k: Int,
+      nCodes: Int = 16,
+      refine: Int = 4,
+      iterations: Int = 2,
+      dim: Int = 64,
+      trainFrac: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.localCheckpoint(false)
+    val coarse = VectorOps.trainCentroids(e, nCentroids, iterations)
+    val codebooks = trainCodebooks(e, m, nCodes, iterations, dim, trainFrac)
+    val assigned = VectorOps.withRanks(e, coarse)
+      .withColumn("bucket", col("__ranks")(0))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    val enc = encode(assigned, codebooks, dim)
+      .select(col("vec_id").as("nid"), col("codes"), col("vn").as("nn"), col("bucket"))
+      .withColumn("approx", reconstruct(codebooks))
+      .localCheckpoint(false)
+    val q = broadcast(
+      VectorOps.withRanks(e.filter(queryIds(col("vec_id"))), coarse)
+        .select(
+          col("vec_id").as("qid"), col("embedding").as("qe"),
+          explode(slice(col("__ranks"), 1, nProbe)).as("qbucket"))
+        .withColumn("qn", expr(VectorOps.normExprFor(e, "qe"))))
+    val adcDot =
+      if (hasFn(e, "graft_dot_fd")) expr("graft_dot_fd(qe, approx)")
+      else expr(
+        """aggregate(zip_with(qe, approx, (x, w) -> CAST(x AS DOUBLE) * w),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("nid"))
+    val shortlist = enc
+      .join(q, col("bucket") === col("qbucket") && col("qid") =!= col("nid"))
+      .withColumn("adc",
+        when(col("qn") * col("nn") === 0, lit(-2.0))
+          .otherwise(adcDot / (col("qn") * col("nn"))))
+      .withColumn("arnk", row_number().over(wAdc))
+      .filter(col("arnk") <= refine * k)
+      .select("qid", "qe", "qn", "nid")
+    val wX = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    shortlist
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
+      .withColumn("nn", expr(VectorOps.normExprFor(e, "ne")))
+      .withColumn("cos",
+        when(col("qn") * col("nn") === 0, lit(-2.0))
+          .otherwise(expr(VectorOps.dotExprFor(e, "qe", "ne")) / (col("qn") * col("nn"))))
+      .withColumn("rnk", row_number().over(wX))
+      .filter(col("rnk") <= k)
+      .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"), col("rnk"), col("cos"))
+  }
+
   /** [[pqTopK]] against PRE-TRAINED codebooks — the production split
     * (codebooks train once on a sample, rank many query batches; also what
     * lets ScaleBench report train and rank cost separately). */

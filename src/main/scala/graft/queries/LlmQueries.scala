@@ -140,8 +140,11 @@ object LlmQueries {
     * cosine shortlist (true stored norms), and the exact re-rank. Subvector
     * elements are addressed as embedding[off + i] — no dialect-specific
     * list slicing. */
-  private def pqOracleSql(
-      m: Int, nCodes: Int, topK: Int, refine: Int, iters: Int, dim: Int): String = {
+  /** The per-subspace PQ training + encode + reconstruct CTE chain, shared
+    * by [[pqOracleSql]] (full-scan ADC) and [[ivfPqOracleSql]] (ADC within
+    * probed coarse buckets). Expects an `e` CTE (vec_id, embedding, vn) in
+    * scope; emits `sdims`/`seeds`/per-subspace chains/`recon`. */
+  private def pqChainsCtes(m: Int, nCodes: Int, iters: Int, dim: Int): String = {
     val subDim = dim / m
     def off(j: Int) = j * subDim
     def l2(eAlias: String, j: Int, sAlias: String) =
@@ -185,12 +188,7 @@ object LlmQueries {
       s"  JOIN s${j}code k$j ON k$j.vec_id = e.vec_id\n" +
         s"  JOIN s${j}c$iters b$j ON b$j.cidx = k$j.code").mkString("\n")
     val reconConcat = (0 until m).map(j => s"b$j.c").mkString(" || ")
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding,
-       |    sqrt(list_sum(list_transform(embedding,
-       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS vn
-       |  FROM embeddings),
-       |sdims AS (SELECT unnest(generate_series(1, $subDim)) AS di),
+    s"""sdims AS (SELECT unnest(generate_series(1, $subDim)) AS di),
        |seeds AS (
        |  SELECT row_number() OVER (ORDER BY hv, vec_id) - 1 AS cidx, embedding
        |  FROM (SELECT vec_id, embedding,
@@ -200,18 +198,13 @@ object LlmQueries {
        |recon AS (
        |  SELECT e.vec_id, $reconConcat AS approx
        |  FROM e
-       |$reconJoins),
-       |adc AS (
-       |  SELECT q.vec_id AS qid, r.vec_id AS nid,
-       |    CASE WHEN q.vn * en.vn = 0 THEN -2.0
-       |         ELSE list_sum(list_transform(generate_series(1, $dim),
-       |                i -> CAST(q.embedding[i] AS DOUBLE) * r.approx[i]))
-       |              / (q.vn * en.vn) END AS adc
-       |  FROM e q
-       |  JOIN recon r ON r.vec_id <> q.vec_id
-       |  JOIN e en ON en.vec_id = r.vec_id
-       |  WHERE q.vec_id < 10),
-       |short AS (
+       |$reconJoins)""".stripMargin
+  }
+
+  /** Shared ADC-shortlist -> exact-re-rank tail (from an `adc` CTE with
+    * (qid, nid, adc) to the final SELECT). */
+  private def adcRerankTail(topK: Int, refine: Int, dim: Int): String =
+    s"""short AS (
        |  SELECT qid, nid FROM (
        |    SELECT qid, nid,
        |      row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS arnk
@@ -231,7 +224,52 @@ object LlmQueries {
        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
        |  FROM xr)
        |WHERE rn <= $topK ORDER BY vec_id, rnk""".stripMargin
-  }
+
+  private def pqOracleSql(
+      m: Int, nCodes: Int, topK: Int, refine: Int, iters: Int, dim: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS vn
+       |  FROM embeddings),
+       |${pqChainsCtes(m, nCodes, iters, dim)},
+       |adc AS (
+       |  SELECT q.vec_id AS qid, r.vec_id AS nid,
+       |    CASE WHEN q.vn * en.vn = 0 THEN -2.0
+       |         ELSE list_sum(list_transform(generate_series(1, $dim),
+       |                i -> CAST(q.embedding[i] AS DOUBLE) * r.approx[i]))
+       |              / (q.vn * en.vn) END AS adc
+       |  FROM e q
+       |  JOIN recon r ON r.vec_id <> q.vec_id
+       |  JOIN e en ON en.vec_id = r.vec_id
+       |  WHERE q.vec_id < 10),
+       |${adcRerankTail(topK, refine, dim)}""".stripMargin
+
+  /** DuckDB replay of [[graft.llm.Pq.ivfPqTopK]]: the coarse k-means chain
+    * ([[kmeansCtes]] — buckets + per-query probe ranks) composed with the
+    * PQ chains ([[pqChainsCtes]]); ADC runs only where a candidate's
+    * bucket matches one of the query's nProbe nearest, then the exact
+    * re-rank. */
+  private def ivfPqOracleSql(
+      nCentroids: Int, nProbe: Int, m: Int, nCodes: Int,
+      topK: Int, refine: Int, iters: Int, dim: Int): String =
+    s"""${kmeansCtes(nCentroids, iters, dim)},
+       |${pqChainsCtes(m, nCodes, iters, dim)},
+       |probes AS (
+       |  SELECT vec_id AS qid, cidx AS qbucket FROM ranked
+       |  WHERE rn <= $nProbe AND vec_id < 10),
+       |adc AS (
+       |  SELECT p.qid, a.vec_id AS nid,
+       |    CASE WHEN q.vn * en.vn = 0 THEN -2.0
+       |         ELSE list_sum(list_transform(generate_series(1, $dim),
+       |                i -> CAST(q.embedding[i] AS DOUBLE) * r.approx[i]))
+       |              / (q.vn * en.vn) END AS adc
+       |  FROM probes p
+       |  JOIN assigned a ON a.bucket = p.qbucket AND a.vec_id <> p.qid
+       |  JOIN recon r ON r.vec_id = a.vec_id
+       |  JOIN e en ON en.vec_id = a.vec_id
+       |  JOIN e q ON q.vec_id = p.qid),
+       |${adcRerankTail(topK, refine, dim)}""".stripMargin
 
   val all: Seq[Declared] = Seq(
     // ------------------------------------------------------------------
@@ -1280,6 +1318,25 @@ object LlmQueries {
           .orderBy("vec_id", "rnk")
       },
       Some(pqOracleSql(m = 8, nCodes = 16, topK = 3, refine = 4, iters = 2, dim = 64)),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q55 — IVF-PQ ANN: the two pruning axes composed — coarse k-means
+    // buckets prune WHICH candidates a query scans (nProbe nearest
+    // buckets, an equi-join), PQ codes prune WHAT is read per candidate
+    // (m codes + 1 norm), exact re-rank on the shortlist. Both trainings
+    // are the reproducible seeded/rounded recipe, so the oracle replays
+    // the coarse chain (q33's) AND the 8 subspace chains (q54's), then
+    // bucket-scoped ADC + re-rank.
+    Declared(
+      "q55_ivf_pq",
+      (s, dir) => {
+        graft.llm.Pq.ivfPqTopK(Tables.embeddings(s, dir), _ < 10,
+          nCentroids = 8, nProbe = 3, m = 8, k = 3, nCodes = 16, refine = 4)
+          .orderBy("vec_id", "rnk")
+      },
+      Some(ivfPqOracleSql(nCentroids = 8, nProbe = 3, m = 8, nCodes = 16,
+        topK = 3, refine = 4, iters = 2, dim = 64)),
     ),
   )
 }

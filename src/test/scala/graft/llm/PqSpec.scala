@@ -81,6 +81,25 @@ class PqSpec extends SparkSpec {
       }
   }
 
+  test("ivfPqTopK: full probe degenerates to the PQ full scan; partial contained") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    // nProbe == nCentroids probes every bucket -> candidate set = corpus,
+    // and the codebooks train identically -> row-for-row equal to pqTopK
+    val full = Pq.ivfPqTopK(emb, _ < 10, nCentroids = 8, nProbe = 8, m = 8, k = 3)
+      .collect().map(_.toString).toSet
+    val flat = Pq.pqTopK(emb, _ < 10, m = 8, k = 3)
+      .collect().map(_.toString).toSet
+    assert(full === flat)
+    // partial probe returns k rows per query from a candidate subset;
+    // deterministic across runs
+    val part = Pq.ivfPqTopK(emb, _ < 10, nCentroids = 8, nProbe = 3, m = 8, k = 3)
+    val a = neighborsOf(part)
+    assert(a.values.forall(_.size === 3))
+    val b = neighborsOf(
+      Pq.ivfPqTopK(emb, _ < 10, nCentroids = 8, nProbe = 3, m = 8, k = 3))
+    assert(a === b)
+  }
+
   test("sampled training (the 100 TB posture) still ranks and stays deterministic") {
     val emb = graft.Tables.embeddings(spark, dir)
     val a = neighborsOf(Pq.pqTopK(emb, _ < 10, m = 8, k = 3, trainFrac = 0.5))
