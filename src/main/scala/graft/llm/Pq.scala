@@ -61,11 +61,12 @@ object Pq {
     * training jobs it fed (measured 5.8 s of a 7.7 s pqTopK at 16k
     * vectors; the typedlit form builds the Literal directly). */
   private[llm] def codesCol(
-      df: DataFrame, codebooks: Seq[Seq[Seq[Double]]], subDim: Int): Column =
+      df: DataFrame, codebooks: Seq[Seq[Seq[Double]]], subDim: Int,
+      colName: String = "embedding"): Column =
     if (hasFn(df, "graft_pq_codes"))
-      call_function("graft_pq_codes", col("embedding"), typedlit(codebooks))
+      call_function("graft_pq_codes", col(colName), typedlit(codebooks))
     else array(codebooks.zipWithIndex.map { case (cb, j) =>
-      nearestCodeHof(s"slice(embedding, ${j * subDim + 1}, $subDim)", cb)
+      nearestCodeHof(s"slice($colName, ${j * subDim + 1}, $subDim)", cb)
     }: _*)
 
   /** Train all `m` codebooks. `trainFrac` < 1 trains on the deterministic
@@ -187,17 +188,42 @@ object Pq {
       refine: Int = 4,
       iterations: Int = 2,
       dim: Int = 64,
-      trainFrac: Double = 1.0): DataFrame = {
+      trainFrac: Double = 1.0,
+      residual: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb.localCheckpoint(false)
     val coarse = VectorOps.trainCentroids(e, nCentroids, iterations)
-    val codebooks = trainCodebooks(e, m, nCodes, iterations, dim, trainFrac)
     val assigned = VectorOps.withRanks(e, coarse)
       .withColumn("bucket", col("__ranks")(0))
       .select(col("vec_id"), col("embedding"), col("bucket"))
-    val enc = encode(assigned, codebooks, dim)
-      .select(col("vec_id").as("nid"), col("codes"), col("vn").as("nn"), col("bucket"))
-      .withColumn("approx", reconstruct(codebooks))
+    // TRUE IVF-PQ (`residual = true`): codebooks quantize x - centroid[b]
+    // rather than raw x — residuals are smaller and better centered, so the
+    // same code budget spends its resolution where the information is.
+    // Reconstruction adds the centroid back (x^ = c_b + recon(codes)); the
+    // exact re-rank is unchanged, so full probe + full refine still
+    // degenerates to brute force EXACTLY (spec-pinned). The subtraction is
+    // double math cast back to float (deterministic IEEE, reproducible).
+    val coarseLit = typedlit(coarse)
+    val withVec = if (!residual) assigned.withColumn("__pqvec", col("embedding"))
+      else assigned.withColumn("__pqvec",
+        zip_with(col("embedding"), element_at(coarseLit, col("bucket") + 1),
+          (x, w) => (x.cast("double") - w).cast("float")))
+    val subDim = dim / m
+    val codebooks = trainCodebooks(
+      {
+        val base = if (trainFrac >= 1.0) withVec
+          else withVec.filter(Mixing.hashKeep(col("vec_id"), lit(trainFrac)))
+        base.select(col("vec_id"), col("__pqvec").as("embedding"))
+      }, m, nCodes, iterations, dim, trainFrac = 1.0)
+    val recons =
+      if (!residual) reconstruct(codebooks)
+      else zip_with(element_at(coarseLit, col("bucket") + 1), reconstruct(codebooks),
+        (c, r) => c + r)
+    val enc = withVec
+      .withColumn("codes", codesCol(withVec, codebooks, subDim, "__pqvec"))
+      .withColumn("nn", expr(VectorOps.normExprFor(withVec, "embedding")))
+      .select(col("vec_id").as("nid"), col("codes"), col("nn"), col("bucket"))
+      .withColumn("approx", recons)
       .localCheckpoint(false)
     val q = broadcast(
       VectorOps.withRanks(e.filter(queryIds(col("vec_id"))), coarse)

@@ -100,6 +100,26 @@ class PqSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("residual IVF-PQ: full probe + full refine == brute force exactly") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    // refine * k >= corpus size: the exact re-rank sees EVERY candidate, so
+    // whatever the (residual) codes scored, the output is brute force
+    val full = Pq.ivfPqTopK(emb, _ < 3, nCentroids = 8, nProbe = 8, m = 8, k = 3,
+      refine = 200, residual = true)
+      .collect().map(_.toString).toSet
+    val bf = VectorOps.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, 3)
+      .collect().map(_.toString).toSet
+    assert(full === bf)
+    // standard params: deterministic, k rows per query; residual ADC recall
+    // tracks the raw-vector form on this corpus (informational floor)
+    val res = neighborsOf(Pq.ivfPqTopK(emb, _ < 10,
+      nCentroids = 8, nProbe = 3, m = 8, k = 3, residual = true))
+    val res2 = neighborsOf(Pq.ivfPqTopK(emb, _ < 10,
+      nCentroids = 8, nProbe = 3, m = 8, k = 3, residual = true))
+    assert(res === res2)
+    assert(res.values.forall(_.size === 3))
+  }
+
   test("sampled training (the 100 TB posture) still ranks and stays deterministic") {
     val emb = graft.Tables.embeddings(spark, dir)
     val a = neighborsOf(Pq.pqTopK(emb, _ < 10, m = 8, k = 3, trainFrac = 0.5))
