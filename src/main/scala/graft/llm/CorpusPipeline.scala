@@ -7,16 +7,18 @@ import org.apache.spark.sql.functions._
   * of this library actually calls, chaining the individual operators in
   * the order production pipelines run them:
   *
-  *   1. QUALITY GATE  — [[TextOps.gopherRules]] (per-row, scan parallel)
-  *   2. PII SCRUB     — [[TextOps.redactPii]] (per-row; rewrites `text`)
-  *   3. EXACT DEDUP   — [[Dedup.exact]] (one value-hash shuffle)
-  *   4. NEAR DEDUP    — [[Dedup.dedupNearLsh]] (banded MinHash-LSH)
-  *   5. DECONTAM      — [[TextOps.decontaminate]] vs the eval corpus
-  *                      (shingle equi-join, optional)
-  *   6. MIX           — [[Mixing.sampleToTokenBudget]] per-source weights
-  *                      (optional)
-  *   7. PACK          — [[Packing.packSequences]] token-budget bins
-  *                      (two-level prefix sum)
+  *   1. QUALITY GATE    — [[TextOps.gopherGate]] (per-row, scan parallel)
+  *   2. PII SCRUB       — [[TextOps.redactPii]] (per-row; rewrites `text`)
+  *   3. EXACT DEDUP     — [[Dedup.exact]] (one value-hash shuffle)
+  *   4. NEAR DEDUP      — [[Dedup.dedupNearLsh]] (banded MinHash-LSH)
+  *   5. SEMANTIC DEDUP  — [[Dedup.semDedup]] over a supplied
+  *                        (doc_id, embedding) frame (optional)
+  *   6. DECONTAM        — [[TextOps.decontaminate]] vs the eval corpus
+  *                        (shingle equi-join, optional)
+  *   7. MIX             — [[Mixing.sampleToTokenBudget]] per-source weights
+  *                        (optional)
+  *   8. PACK            — [[Packing.packSequences]] token-budget bins
+  *                        (two-level prefix sum)
   *
   * Order rationale: the cheap per-row gates run FIRST so the shuffling
   * stages (dedup, decontamination) see the smallest possible corpus; PII
@@ -29,9 +31,10 @@ import org.apache.spark.sql.functions._
   * thresholds) between any two steps.
   *
   * At 100 TB: stages 1-2 are whole-stage-codegen projections at scan
-  * parallelism; 3-5 shuffle only hashes/shingles (never payloads beyond
-  * the value-hash of step 3); 6 is a broadcast census; 7's sequential
-  * step is 1/8192nd of the corpus. Nothing collects to the driver.
+  * parallelism; 3-6 shuffle only hashes/shingles/ids (never payloads
+  * beyond the value-hash of step 3; step 5's clustering collects k x dim
+  * centroid means like the IVF trainer); 7 is a broadcast census; 8's
+  * sequential step is 1/8192nd of the corpus.
   */
 object CorpusPipeline {
 
@@ -44,6 +47,9 @@ object CorpusPipeline {
       shingleSize: Int = 3,
       // decontamination n-gram size
       decontamNgram: Int = 5,
+      // semantic dedup (used only when an embeddings frame is supplied)
+      semDedupTau: Double = 0.95,
+      semDedupNCentroids: Int = 0, // 0 = auto-k ~ sqrt(n)
       // mixing: per-source weights toward a token budget (None = keep all)
       mixWeights: Option[(Long, Map[String, Double])] = None,
       // packing
@@ -55,8 +61,9 @@ object CorpusPipeline {
   def prepare(
       docs: DataFrame,
       evalCorpus: Option[DataFrame] = None,
-      cfg: Config = Config()): DataFrame =
-    stages(docs, evalCorpus, cfg, identity).last._2
+      cfg: Config = Config(),
+      embeddings: Option[DataFrame] = None): DataFrame =
+    stages(docs, evalCorpus, cfg, embeddings, identity).last._2
 
   /** [[prepare]] plus the attrition report every production corpus run
     * needs: (result, report) where report is one row per stage —
@@ -68,8 +75,9 @@ object CorpusPipeline {
   def prepareWithReport(
       docs: DataFrame,
       evalCorpus: Option[DataFrame] = None,
-      cfg: Config = Config()): (DataFrame, DataFrame) = {
-    val st = stages(docs, evalCorpus, cfg, _.localCheckpoint(false))
+      cfg: Config = Config(),
+      embeddings: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val st = stages(docs, evalCorpus, cfg, embeddings, _.localCheckpoint(false))
     val report = st.map { case (name, df) =>
       df.agg(
         count(lit(1)).as("n_docs"),
@@ -86,6 +94,7 @@ object CorpusPipeline {
       docs: DataFrame,
       evalCorpus: Option[DataFrame],
       cfg: Config,
+      embeddings: Option[DataFrame],
       tap: DataFrame => DataFrame): Seq[(String, DataFrame)] = {
     val input = tap(docs)
 
@@ -106,20 +115,37 @@ object CorpusPipeline {
     val deduped = tap(Dedup.dedupNearLsh(exact, tau = cfg.nearDupTau,
       shingleSize = cfg.shingleSize))
 
-    // 5. eval-set decontamination
-    val clean = tap(evalCorpus match {
-      case Some(ev) => TextOps.decontaminate(deduped, ev, cfg.decontamNgram)
+    // 5. SEMANTIC dedup (optional — runs when the caller supplies a
+    // (doc_id, embedding) frame): paraphrases and near-translations that
+    // share no n-grams survive the text dedups but collapse here. Only
+    // embeddings of still-surviving docs enter the clustering; a doc
+    // WITHOUT an embedding row is never dropped by this stage.
+    val semantic = tap(embeddings match {
+      case Some(ef) =>
+        val cur = ef.join(deduped.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+        val keptIds = Dedup.semDedup(cur, tau = cfg.semDedupTau,
+          nCentroids = cfg.semDedupNCentroids).select("vec_id")
+        val dropIds = cur.select("vec_id").join(keptIds, Seq("vec_id"), "left_anti")
+          .withColumnRenamed("vec_id", "doc_id")
+        deduped.join(dropIds, Seq("doc_id"), "left_anti")
       case None => deduped
     })
 
-    // 6. mixing toward a token budget
+    // 6. eval-set decontamination
+    val clean = tap(evalCorpus match {
+      case Some(ev) => TextOps.decontaminate(semantic, ev, cfg.decontamNgram)
+      case None => semantic
+    })
+
+    // 7. mixing toward a token budget
     val mixed = tap(cfg.mixWeights match {
       case Some((budget, weights)) =>
         Mixing.sampleToTokenBudget(clean, budget, weights)
       case None => clean
     })
 
-    // 7. sequence packing
+    // 8. sequence packing
     val packed = tap(Packing.packSequences(
       mixed.select(col("doc_id"), col("source"), col("text"),
         size(split(col("text"), " ")).cast("long").as("n_tokens")),
@@ -132,9 +158,10 @@ object CorpusPipeline {
       "2_pii_scrub" -> scrubbed,
       "3_exact_dedup" -> exact,
       "4_near_dedup" -> deduped,
-      "5_decontam" -> clean,
-      "6_mixed" -> mixed,
-      "7_packed" -> packed,
+      "5_semantic_dedup" -> semantic,
+      "6_decontam" -> clean,
+      "7_mixed" -> mixed,
+      "8_packed" -> packed,
     )
   }
 }

@@ -73,6 +73,31 @@ object Dedup {
     emb.join(drop, Seq("vec_id"), "left_anti")
   }
 
+  /** Cell-level embedding dedup via PQ code signatures — the batch twin of
+    * [[graft.streaming.EventStreamJobs.streamingEmbeddingDedup]] and the
+    * CHEAPEST semantic dedup in the family: after one codebook training
+    * (sample-sized) the whole pass is a per-row signature projection + one
+    * min-id groupBy on short strings — no pair generation at all. Two
+    * vectors collapse iff they quantize identically in EVERY subspace
+    * (resolution = the m x nCodes codebook, not a cosine threshold; use
+    * [[semDedup]]/[[dedupByEmbedding]] for threshold semantics). Keeps the
+    * lowest vec_id per occupied cell. */
+  def dedupByEmbeddingPq(
+      emb: DataFrame,
+      m: Int = 8,
+      nCodes: Int = 16,
+      iterations: Int = 2,
+      dim: Int = 64,
+      trainFrac: Double = 1.0): DataFrame = {
+    val e = emb.localCheckpoint(false)
+    val codebooks = Pq.trainCodebooks(e, m, nCodes, iterations, dim, trainFrac)
+    val w = Window.partitionBy("__cell").orderBy("vec_id")
+    e.withColumn("__cell", Pq.codeSignature(e, codebooks, dim))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__cell", "__rn")
+  }
+
   /** Connected components over verified near-dup pairs: every doc that
     * appears in a pair is labeled with the MINIMUM doc_id reachable through
     * the pair graph (the canonical duplicate-cluster id), plus the cluster

@@ -78,18 +78,39 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(byStage("2_pii_scrub")._1 === 8L)
     assert(byStage("3_exact_dedup")._1 === 6L)
     assert(byStage("4_near_dedup")._1 === 5L)
-    assert(byStage("5_decontam")._1 === 4L)
-    assert(byStage("6_mixed")._1 === 4L) // no mixing configured: unchanged
-    assert(byStage("7_packed")._1 === 4L)
+    assert(byStage("5_semantic_dedup")._1 === 5L) // no embeddings: unchanged
+    assert(byStage("6_decontam")._1 === 4L)
+    assert(byStage("7_mixed")._1 === 4L) // no mixing configured: unchanged
+    assert(byStage("8_packed")._1 === 4L)
     // token mass is monotone non-increasing across stages (scrub may
     // shorten text, never lengthen counts)
     val order = Seq("0_input", "1_quality_gate", "2_pii_scrub", "3_exact_dedup",
-      "4_near_dedup", "5_decontam", "6_mixed", "7_packed")
+      "4_near_dedup", "5_semantic_dedup", "6_decontam", "7_mixed", "8_packed")
     val toks = order.map(byStage(_)._2)
     assert(toks.zip(toks.tail).forall { case (a, b) => a >= b }, toks.toString)
     // the result frame is the same survivors prepare() returns
     assert(out.select("doc_id").orderBy("doc_id").as[Long].collect().toSeq
       === Seq(1L, 2L, 6L, 8L))
+  }
+
+  test("semantic dedup stage: paraphrases collapse, embedding-less docs survive") {
+    // docs 1 and 2 share NO n-grams (the text dedups keep both) but carry
+    // near-identical embeddings -> the semantic stage drops the higher id;
+    // doc 3 has an orthogonal embedding; doc 4 has NO embedding row
+    val docs = Seq(
+      (1L, base(1)), (2L, base(2)), (3L, base(3)), (4L, base(4)),
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val v = Seq.fill(8)(Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)).flatten
+    val v2 = v.updated(1, 0.01f)
+    val w = Seq.fill(8)(Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)).flatten
+    val emb = Seq((1L, v), (2L, v2), (3L, w)).toDF("doc_id", "embedding")
+    val out = CorpusPipeline.prepare(docs, None,
+      CorpusPipeline.Config(semDedupTau = 0.95, semDedupNCentroids = 1),
+      embeddings = Some(emb))
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 3L, 4L))
+    // without the embeddings frame, all four survive
+    val plain = CorpusPipeline.prepare(docs, None, CorpusPipeline.Config())
+    assert(plain.select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 3L, 4L))
   }
 
   test("optional stages: no eval corpus, mixing toward a token budget") {

@@ -531,6 +531,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(survivors === Set(1L, 3L, 5L, 6L)) // 2 (near-dup of 1) and 4 (== 3) dropped
   }
 
+  test("Dedup.dedupByEmbeddingPq: exact duplicates collapse to min id, cells respected") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // plant exact duplicates of vectors 0 and 1 under higher ids
+    val rows = emb.filter($"vec_id" < 2).select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    val planted = Seq((9001L, rows(0L), 0), (9002L, rows(1L), 0))
+      .toDF("vec_id", "embedding", "label")
+    val corpus = emb.unionByName(planted)
+    val out = Dedup.dedupByEmbeddingPq(corpus)
+    val kept = out.select("vec_id").as[Long].collect().toSet
+    // exact duplicates share every code -> the planted higher ids drop
+    assert(!kept.contains(9001L) && !kept.contains(9002L))
+    assert(kept.contains(0L) && kept.contains(1L))
+    // deterministic and layout-independent
+    val again = Dedup.dedupByEmbeddingPq(corpus.repartition(7))
+      .select("vec_id").as[Long].collect().toSet
+    assert(again === kept)
+    // agrees with the streaming twin's key: survivors have distinct cells
+    val cbs = Pq.trainCodebooks(corpus, 8, 16)
+    val sigs = out.select(Pq.codeSignature(out, cbs).as("s")).as[String].collect()
+    assert(sigs.toSet.size === sigs.length, "two survivors share a PQ cell")
+  }
+
   test("Dedup.dedupByEmbedding drops high-cosine vectors") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
