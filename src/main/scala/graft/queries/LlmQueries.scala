@@ -141,9 +141,11 @@ object LlmQueries {
     * elements are addressed as embedding[off + i] — no dialect-specific
     * list slicing. */
   /** The per-subspace PQ training + encode + reconstruct CTE chain, shared
-    * by [[pqOracleSql]] (full-scan ADC) and [[ivfPqOracleSql]] (ADC within
-    * probed coarse buckets). Expects an `e` CTE (vec_id, embedding, vn) in
-    * scope; emits `sdims`/`seeds`/per-subspace chains/`recon`. */
+    * by [[pqOracleSql]] (full-scan ADC), [[ivfPqOracleSql]] (ADC within
+    * probed coarse buckets) and [[ivfPqResidualOracleSql]] (chains over
+    * residuals). Expects a `pqsrc` CTE (vec_id, embedding) in scope — raw
+    * vectors or residuals, whichever the caller quantizes; emits
+    * `sdims`/`seeds`/per-subspace chains/`recon`. */
   private def pqChainsCtes(m: Int, nCodes: Int, iters: Int, dim: Int): String = {
     val subDim = dim / m
     def off(j: Int) = j * subDim
@@ -158,12 +160,12 @@ object LlmQueries {
            |    SELECT e.vec_id, s.cidx,
            |      row_number() OVER (PARTITION BY e.vec_id
            |        ORDER BY (${l2("e", j, "s")}), s.cidx) AS rn
-           |    FROM e CROSS JOIN s${j}c${t - 1} s)
+           |    FROM pqsrc e CROSS JOIN s${j}c${t - 1} s)
            |  WHERE rn = 1),
            |s${j}m$t AS (
            |  SELECT a.cidx, d.di,
            |    floor(avg(CAST(e.embedding[${off(j)} + d.di] AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS m
-           |  FROM s${j}a$t a JOIN e USING (vec_id) CROSS JOIN sdims d
+           |  FROM s${j}a$t a JOIN pqsrc e USING (vec_id) CROSS JOIN sdims d
            |  GROUP BY a.cidx, d.di),
            |s${j}c$t AS (
            |  SELECT p.cidx, COALESCE(n.c, p.c) AS c
@@ -181,7 +183,7 @@ object LlmQueries {
          |    SELECT e.vec_id, s.cidx,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY (${l2("e", j, "s")}), s.cidx) AS rn
-         |    FROM e CROSS JOIN s${j}c$iters s)
+         |    FROM pqsrc e CROSS JOIN s${j}c$iters s)
          |  WHERE rn = 1),""".stripMargin
     }.mkString("\n")
     val reconJoins = (0 until m).map(j =>
@@ -193,11 +195,11 @@ object LlmQueries {
        |  SELECT row_number() OVER (ORDER BY hv, vec_id) - 1 AS cidx, embedding
        |  FROM (SELECT vec_id, embedding,
        |          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS hv
-       |        FROM embeddings ORDER BY hv, vec_id LIMIT $nCodes)),
+       |        FROM pqsrc ORDER BY hv, vec_id LIMIT $nCodes)),
        |$subspaceCtes
        |recon AS (
        |  SELECT e.vec_id, $reconConcat AS approx
-       |  FROM e
+       |  FROM pqsrc e
        |$reconJoins)""".stripMargin
   }
 
@@ -232,6 +234,7 @@ object LlmQueries {
        |    sqrt(list_sum(list_transform(embedding,
        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS vn
        |  FROM embeddings),
+       |pqsrc AS (SELECT vec_id, embedding FROM embeddings),
        |${pqChainsCtes(m, nCodes, iters, dim)},
        |adc AS (
        |  SELECT q.vec_id AS qid, r.vec_id AS nid,
@@ -254,6 +257,7 @@ object LlmQueries {
       nCentroids: Int, nProbe: Int, m: Int, nCodes: Int,
       topK: Int, refine: Int, iters: Int, dim: Int): String =
     s"""${kmeansCtes(nCentroids, iters, dim)},
+       |pqsrc AS (SELECT vec_id, embedding FROM embeddings),
        |${pqChainsCtes(m, nCodes, iters, dim)},
        |probes AS (
        |  SELECT vec_id AS qid, cidx AS qbucket FROM ranked
@@ -267,6 +271,46 @@ object LlmQueries {
        |  FROM probes p
        |  JOIN assigned a ON a.bucket = p.qbucket AND a.vec_id <> p.qid
        |  JOIN recon r ON r.vec_id = a.vec_id
+       |  JOIN e en ON en.vec_id = a.vec_id
+       |  JOIN e q ON q.vec_id = p.qid),
+       |${adcRerankTail(topK, refine, dim)}""".stripMargin
+
+  /** DuckDB replay of [[graft.llm.Pq.ivfPqTopK]] with `residual = true` —
+    * the true IVF-PQ form: `pqsrc` becomes the per-row residual
+    * x - coarseCentroid[bucket] (double subtraction cast back to FLOAT,
+    * both engines IEEE round-to-nearest), the PQ chains train/encode over
+    * those residuals, and reconstruction adds the coarse centroid back
+    * before the bucket-scoped ADC. */
+  private def ivfPqResidualOracleSql(
+      nCentroids: Int, nProbe: Int, m: Int, nCodes: Int,
+      topK: Int, refine: Int, iters: Int, dim: Int): String =
+    s"""${kmeansCtes(nCentroids, iters, dim)},
+       |pqsrc AS (
+       |  SELECT e.vec_id,
+       |    list_transform(generate_series(1, $dim),
+       |      i -> CAST(CAST(e.embedding[i] AS DOUBLE) - c.c[i] AS FLOAT)) AS embedding
+       |  FROM e
+       |  JOIN assigned a ON a.vec_id = e.vec_id
+       |  JOIN cs$iters c ON c.cidx = a.bucket),
+       |${pqChainsCtes(m, nCodes, iters, dim)},
+       |reconr AS (
+       |  SELECT r.vec_id,
+       |    list_transform(generate_series(1, $dim), i -> c.c[i] + r.approx[i]) AS approx
+       |  FROM recon r
+       |  JOIN assigned a ON a.vec_id = r.vec_id
+       |  JOIN cs$iters c ON c.cidx = a.bucket),
+       |probes AS (
+       |  SELECT vec_id AS qid, cidx AS qbucket FROM ranked
+       |  WHERE rn <= $nProbe AND vec_id < 10),
+       |adc AS (
+       |  SELECT p.qid, a.vec_id AS nid,
+       |    CASE WHEN q.vn * en.vn = 0 THEN -2.0
+       |         ELSE list_sum(list_transform(generate_series(1, $dim),
+       |                i -> CAST(q.embedding[i] AS DOUBLE) * r.approx[i]))
+       |              / (q.vn * en.vn) END AS adc
+       |  FROM probes p
+       |  JOIN assigned a ON a.bucket = p.qbucket AND a.vec_id <> p.qid
+       |  JOIN reconr r ON r.vec_id = a.vec_id
        |  JOIN e en ON en.vec_id = a.vec_id
        |  JOIN e q ON q.vec_id = p.qid),
        |${adcRerankTail(topK, refine, dim)}""".stripMargin
@@ -1337,6 +1381,26 @@ object LlmQueries {
       },
       Some(ivfPqOracleSql(nCentroids = 8, nProbe = 3, m = 8, nCodes = 16,
         topK = 3, refine = 4, iters = 2, dim = 64)),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q56 — residual IVF-PQ (the true IVF-PQ form): the PQ codebooks
+    // quantize x - coarseCentroid[bucket] instead of raw vectors —
+    // residuals are smaller and better centered, so the same code budget
+    // spends its resolution where the information is — and reconstruction
+    // adds the centroid back before the ADC dot. The oracle swaps the
+    // chains' source CTE for the residual projection and re-centers the
+    // reconstruction; everything else is q55's replay.
+    Declared(
+      "q56_ivf_pq_residual",
+      (s, dir) => {
+        graft.llm.Pq.ivfPqTopK(Tables.embeddings(s, dir), _ < 10,
+          nCentroids = 8, nProbe = 3, m = 8, k = 3, nCodes = 16, refine = 4,
+          residual = true)
+          .orderBy("vec_id", "rnk")
+      },
+      Some(ivfPqResidualOracleSql(nCentroids = 8, nProbe = 3, m = 8,
+        nCodes = 16, topK = 3, refine = 4, iters = 2, dim = 64)),
     ),
   )
 }

@@ -28,7 +28,8 @@ class QueriesSpec extends SparkSpec {
     // across two independent training runs (the 1e-6 mean rounding
     // guarantees it)
     for (name <- Seq("q20_cosine_topk", "q21_minhash_lsh", "q26_fingerprint",
-        "q28_ann_lsh", "q33_ann_ivf", "q54_pq_topk", "q55_ivf_pq")) {
+        "q28_ann_lsh", "q33_ann_ivf", "q54_pq_topk", "q55_ivf_pq",
+        "q56_ivf_pq_residual")) {
       val q = SparkEntry.queries(name)
       val a = q(spark, dir).collect().map(_.toString).toSeq
       val b = q(spark, dir).collect().map(_.toString).toSeq
