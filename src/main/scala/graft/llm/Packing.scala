@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -79,13 +79,33 @@ object Packing {
     * corpus size) bounds the writer's parallelism; downstream loaders get
     * whole shards, never partial files. Deterministic: shard membership
     * is pure arithmetic on `bin`, row order inside a file is the sort —
-    * a re-run writes byte-identical shards. */
-  def writeShards(packed: DataFrame, path: String, binsPerShard: Long = 64L): Unit = {
+    * a re-run writes byte-identical shards.
+    *
+    * `shuffleSeed`: training loaders want pseudo-random SAMPLE order, not
+    * corpus order (sequential doc_id order correlates adjacent training
+    * batches). With a seed, bins inside each shard file are laid out in a
+    * seeded md5 permutation — each bin's rows stay contiguous (a bin IS
+    * one training sample), only the bin ORDER shuffles; combine with
+    * loader-side shard-order shuffling for a cheap two-level global
+    * shuffle, the standard WebDataset-style recipe. Still deterministic:
+    * same seed, same bytes. */
+  def writeShards(
+      packed: DataFrame,
+      path: String,
+      binsPerShard: Long = 64L,
+      shuffleSeed: Option[Long] = None): Unit = {
     require(binsPerShard > 0, "binsPerShard must be positive")
+    val order: Seq[Column] = shuffleSeed match {
+      case Some(seed) =>
+        Seq(col("source"), col("shard"),
+          md5(concat_ws("#", col("bin"), lit(seed))), col("bin"), col("pos_in_bin"))
+      case None =>
+        Seq(col("source"), col("shard"), col("bin"), col("pos_in_bin"))
+    }
     packed
       .withColumn("shard", expr(s"bin DIV $binsPerShard"))
       .repartition(col("source"), col("shard"))
-      .sortWithinPartitions("source", "shard", "bin", "pos_in_bin")
+      .sortWithinPartitions(order: _*)
       .write.mode("overwrite")
       .partitionBy("source", "shard")
       .parquet(path)

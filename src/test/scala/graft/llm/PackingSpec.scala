@@ -81,4 +81,39 @@ class PackingSpec extends SparkSpec {
       assert(rows === rows.sortBy(identity), s"${d.getName} not sorted")
     }
   }
+
+  test("writeShards with shuffleSeed: bins permute, stay contiguous, deterministic") {
+    import spark.implicits._
+    val docs = (0 until 400)
+      .map(i => (i.toLong, "only", (i % 9 + 1).toLong))
+      .toDF("doc_id", "source", "n_tokens")
+    val packed = Packing.packSequences(docs, budget = 20, bucketWidth = 64)
+    def fileBins(dir: String): Seq[Seq[Long]] = {
+      val shardDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles().filter(_.isDirectory)).sortBy(_.getName)
+      shardDirs.toSeq.map { d =>
+        spark.read.parquet(d.getAbsolutePath).select("bin").as[Long].collect().toSeq
+      }
+    }
+    val d1 = java.nio.file.Files.createTempDirectory("sh1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("sh2").toString
+    val d3 = java.nio.file.Files.createTempDirectory("sh3").toString
+    Packing.writeShards(packed, d1, binsPerShard = 16, shuffleSeed = Some(7L))
+    Packing.writeShards(packed, d2, binsPerShard = 16, shuffleSeed = Some(7L))
+    Packing.writeShards(packed, d3, binsPerShard = 16)
+    val (a, b, plain) = (fileBins(d1), fileBins(d2), fileBins(d3))
+    // deterministic: same seed -> identical layout
+    assert(a === b)
+    // same bin MEMBERSHIP per shard file, different ORDER than sorted
+    assert(a.map(_.sorted) === plain.map(_.sorted))
+    assert(a.exists(f => f != f.sorted), "seeded layout identical to sorted order")
+    // each bin's rows stay contiguous (one run per bin)
+    a.foreach { f =>
+      val runs = f.foldLeft(Vector.empty[Long]) {
+        case (acc, bin) if acc.lastOption.contains(bin) => acc
+        case (acc, bin) => acc :+ bin
+      }
+      assert(runs.distinct.size === runs.size, "a bin appears in two runs (split sample)")
+    }
+  }
 }
