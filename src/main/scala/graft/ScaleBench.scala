@@ -223,6 +223,28 @@ object ScaleBench {
     }
     println(s"""{"op":"pq_topk","vectors":$nVec,"results":$nPq,"train_sec":$tPqTrain,"rank_sec":$tPqRank,"bruteforce_sec":$tBf,"bf_results":$nBf}""")
 
+    // the claim behind PQ — candidate SCAN BYTES — measured on disk: the
+    // float corpus vs the encoded (tinyint codes + float norm) corpus,
+    // both snappy parquet. This byte ratio is what a 100 TB ANN scan
+    // actually pays; local CPU comparisons can't show it.
+    def dirBytes(p: java.nio.file.Path): Long = {
+      val it = java.nio.file.Files.walk(p).iterator()
+      var total = 0L
+      while (it.hasNext) { val f = it.next(); if (java.nio.file.Files.isRegularFile(f)) total += java.nio.file.Files.size(f) }
+      total
+    }
+    val tmpPq = java.nio.file.Files.createTempDirectory("pq_bytes")
+    emb.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$tmpPq/floats")
+    graft.llm.Pq.encode(emb, cbsPq)
+      .select(col("vec_id"),
+        col("codes").cast("array<tinyint>").as("codes"),
+        col("vn").cast("float").as("vn"))
+      .write.mode("overwrite").parquet(s"$tmpPq/codes")
+    val fb = dirBytes(java.nio.file.Paths.get(s"$tmpPq/floats"))
+    val cb = dirBytes(java.nio.file.Paths.get(s"$tmpPq/codes"))
+    println(s"""{"op":"pq_scan_bytes","vectors":$nVec,"float_bytes":$fb,"code_bytes":$cb,"ratio":${fb.toDouble / cb}}""")
+
     spark.stop()
   }
 }
