@@ -71,6 +71,22 @@ object VectorOps {
       .select(col("qid").as("vec_id"), col("nid").as("neighbor_id"), col("rnk"), col("cos"))
   }
 
+  /** Matryoshka-style truncated retrieval: rank by cosine over only the
+    * FIRST `d` dimensions. Matryoshka-trained embeddings front-load
+    * information, so truncation buys a dim/d scan-and-compute reduction at
+    * modest recall cost — the standard cheap first stage before full-dim
+    * re-ranking (compose: truncatedTopK for a shortlist, bruteForceTopK on
+    * it). Implemented as a projection of both sides to `slice(embedding,
+    * 1, d)` feeding the SAME ranking machinery (same guards, ties,
+    * kernels); d = dim degenerates to [[bruteForceTopK]] exactly. */
+  def truncatedTopK(
+      queries: DataFrame, candidates: DataFrame, d: Int, k: Int): DataFrame = {
+    require(d >= 1, "d must be >= 1")
+    def cut(df: DataFrame) =
+      df.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+    bruteForceTopK(cut(queries), cut(candidates), k)
+  }
+
   /** All-pairs cosine >= tau within an id-sampled subset (exact near-dup on
     * embeddings). Output: (vec_a, vec_b, cos), vec_a < vec_b. */
   def cosineNearDupPairs(emb: DataFrame, sampleMod: Int, tau: Double): DataFrame = {

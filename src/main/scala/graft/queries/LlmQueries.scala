@@ -1402,5 +1402,38 @@ object LlmQueries {
       Some(ivfPqResidualOracleSql(nCentroids = 8, nProbe = 3, m = 8,
         nCodes = 16, topK = 3, refine = 4, iters = 2, dim = 64)),
     ),
+
+    // ------------------------------------------------------------------
+    // Q57 — Matryoshka truncated retrieval: cosine top-5 over only the
+    // first 16 of 64 dimensions (the cheap first stage before full-dim
+    // re-rank; 4x less scan+compute per candidate). Same ranking
+    // machinery as q20 over sliced vectors; the oracle mirrors the slice
+    // with a shortened generate_series.
+    Declared(
+      "q57_matryoshka_topk",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        VectorOps.truncatedTopK(emb.filter($"vec_id" < 10), emb, d = 16, k = 5)
+          .orderBy("vec_id", "rnk")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding,
+             |    sqrt(list_sum(list_transform(generate_series(1, 16),
+             |         i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS vn
+             |  FROM embeddings),
+             |p AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+             |    CASE WHEN q.vn * c.vn = 0 THEN -2.0
+             |         ELSE list_sum(list_transform(generate_series(1, 16),
+             |                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+             |              / (q.vn * c.vn) END AS cos
+             |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+             |SELECT qid AS vec_id, nid AS neighbor_id, CAST(rn AS INT) AS rnk, cos FROM (
+             |  SELECT qid, nid, cos,
+             |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+             |  FROM p)
+             |WHERE rn <= 5 ORDER BY vec_id, rnk""".stripMargin),
+    ),
   )
 }

@@ -531,6 +531,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(survivors === Set(1L, 3L, 5L, 6L)) // 2 (near-dup of 1) and 4 (== 3) dropped
   }
 
+  test("truncatedTopK: d = dim degenerates to brute force; shortlist composes") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter($"vec_id" < 5)
+    val full = VectorOps.truncatedTopK(q, emb, d = 64, k = 3)
+      .collect().map(_.toString).toSet
+    val bf = VectorOps.bruteForceTopK(q, emb, 3).collect().map(_.toString).toSet
+    assert(full === bf)
+    // the two-stage compose: truncated shortlist -> full-dim re-rank
+    // returns k rows per query and only ids from the shortlist
+    val short = VectorOps.truncatedTopK(q, emb, d = 16, k = 12)
+      .select($"vec_id".as("qid2"), $"neighbor_id")
+    val shortIds = short.as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val rerank = VectorOps.bruteForceTopK(
+      q, emb.join(short.select($"neighbor_id".as("vec_id")).distinct(), Seq("vec_id"), "left_semi"), 3)
+    rerank.select("vec_id", "neighbor_id").as[(Long, Long)].collect().foreach {
+      case (qid, nid) => assert(shortIds.values.exists(_.contains(nid)), s"($qid,$nid) outside shortlist")
+    }
+  }
+
   test("Dedup.dedupByEmbeddingPq: exact duplicates collapse to min id, cells respected") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     // plant exact duplicates of vectors 0 and 1 under higher ids

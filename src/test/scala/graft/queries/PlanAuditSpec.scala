@@ -23,12 +23,13 @@ class PlanAuditSpec extends SparkSpec {
     * q27 all-pairs on an id-sampled subset (vec_a < vec_b),
     * q51 the int8-quantized twin of q20 (same broadcast non-equi shape),
     * q54 PQ's linear ADC scan (reads m codes + 1 norm per candidate — the
-    * compression IS the scan plan; IVF buckets compose on top at scale).
-    * Their scale twins (q28 sign-LSH, q33 IVF) are equi-joins and stay
-    * un-allowlisted. */
+    * compression IS the scan plan; IVF buckets compose on top at scale),
+    * q57 the matryoshka-truncated twin of q20 (4x cheaper linear scan).
+    * Their scale twins (q28 sign-LSH, q33 IVF, q55/q56 IVF-PQ) are
+    * equi-joins and stay un-allowlisted. */
   private val pairwiseByDesign =
     Set("q20_cosine_topk", "q27_embedding_neardup", "q51_quantized_topk",
-      "q54_pq_topk")
+      "q54_pq_topk", "q57_matryoshka_topk")
 
   private def collectNodes(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {
