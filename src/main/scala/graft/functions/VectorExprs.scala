@@ -153,11 +153,15 @@ object VectorKernels {
     * (`array_sort(array(struct(l2_fold, idx), ...))[0].idx` per subspace):
     * same (x - w)^2 left-to-right double folds, ties to the LOWER index
     * (strict `<` keeps the first minimum). Vector elements past
-    * m * subDim are ignored; a short vector reads as if truncated (the
-    * fold stops at the vector end, matching zip_with's null-pad only in
-    * the fixed-dim case no declared data violates). */
+    * m * subDim are ignored; a vector SHORTER than m * subDim throws —
+    * silently truncating here while the HOF fallback null-pads via
+    * zip_with would yield different codes on malformed data, so both
+    * paths fail loudly instead. */
   def pqCodes(v: ArrayData, cb: Array[Double], m: Int, k: Int, subDim: Int): ArrayData = {
     val n = v.numElements()
+    if (n < m * subDim)
+      throw new IllegalArgumentException(
+        s"graft_pq_codes: embedding has $n elements, needs m*subDim = ${m * subDim}")
     val codes = new Array[Int](m)
     var j = 0
     while (j < m) {

@@ -140,7 +140,10 @@ object Mixing {
     val bucket = floor(
       (least(greatest(scoreCol, lit(lo)), lit(hi)) - lit(lo))
         / lit(hi - lo) * lit(scoreBuckets.toDouble)).cast("long")
-    val b = docs.withColumn("__sbkt", bucket)
+    // Sever lineage before the two passes (driver-side count fetch, then
+    // the ranked pass): a nondeterministic upstream would otherwise make
+    // the literal offset map disagree with the second pass.
+    val b = docs.withColumn("__sbkt", bucket).localCheckpoint(false)
     // control-plane fetch: one (bucket, count) row per non-empty score
     // bucket, <= scoreBuckets + 1 rows total
     val counts = b.groupBy("__sbkt").agg(count(lit(1)).as("__n"))

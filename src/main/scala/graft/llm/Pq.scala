@@ -65,9 +65,16 @@ object Pq {
       colName: String = "embedding"): Column =
     if (hasFn(df, "graft_pq_codes"))
       call_function("graft_pq_codes", col(colName), typedlit(codebooks))
-    else array(codebooks.zipWithIndex.map { case (cb, j) =>
-      nearestCodeHof(s"slice($colName, ${j * subDim + 1}, $subDim)", cb)
-    }: _*)
+    else {
+      // Match the kernel's short-vector behavior: fail loudly instead of
+      // letting zip_with null-pad into silently different codes.
+      val need = codebooks.size * subDim
+      val guard = assert_true(size(col(colName)) >= lit(need),
+        lit(s"graft_pq_codes: embedding shorter than m*subDim = $need"))
+      when(guard.isNull, array(codebooks.zipWithIndex.map { case (cb, j) =>
+        nearestCodeHof(s"slice($colName, ${j * subDim + 1}, $subDim)", cb)
+      }: _*))
+    }
 
   /** Train all `m` codebooks. `trainFrac` < 1 trains on the deterministic
     * md5 id-sample (the 100 TB posture — codebook quality needs a sample,
@@ -129,6 +136,46 @@ object Pq {
       .withColumn("vn", expr(VectorOps.normExprFor(emb, "embedding")))
       .drop("embedding")
   }
+
+  /** COLUMNAR code layout — the on-disk shape for a 100 TB ADC scan.
+    *
+    * [[encode]]'s `codes: array<tinyint>` is row-oriented inside parquet:
+    * every element drags repetition/definition levels, and one column
+    * chunk interleaves all m subspaces, so dictionary/RLE can't exploit
+    * the per-subspace value distribution — PERF.md measured the on-disk
+    * scan-byte win diluted to ~9.7x vs the ~21x raw ratio. This layout
+    * splits the codes into one TINYINT COLUMN PER SUBSPACE (`c0..c{m-1}`):
+    * parquet column-chunks each subspace separately, each chunk holds at
+    * most k distinct values (dictionary + RLE/bit-packing: ~log2(k) bits
+    * per code), and a within-partition sort by (c0, c1, ...) turns the
+    * leading subspaces into long RLE runs. `vn` stays float32 (ADC divides
+    * by it; re-rank uses exact embeddings, so float precision only
+    * perturbs shortlist near-ties the refine margin absorbs). The sort is
+    * sortWithinPartitions — NO shuffle; row order is semantically free
+    * because `vec_id` rides along.
+    *
+    * Layout only: [[codesFromColumnar]] restores [[encode]]'s shape with
+    * BIT-IDENTICAL codes (spec-pinned), so every ranking path — and the
+    * q54/q55/q56 oracles — is layout-agnostic. */
+  def encodeColumnar(
+      emb: DataFrame, codebooks: Seq[Seq[Seq[Double]]], dim: Int = 64): DataFrame = {
+    val m = codebooks.size
+    val cols = col("vec_id") +:
+      (0 until m).map(j => col("codes")(j).cast("tinyint").as(s"c$j")) :+
+      col("vn").cast("float").as("vn")
+    encode(emb, codebooks, dim)
+      .select(cols: _*)
+      .sortWithinPartitions((0 until m).map(j => col(s"c$j")): _*)
+  }
+
+  /** Inverse of [[encodeColumnar]]: back to the (vec_id, codes, vn) shape
+    * [[pqTopKWithCodes]] consumes. Codes roundtrip bit-identically; vn
+    * widens float32 -> double. */
+  def codesFromColumnar(df: DataFrame, m: Int): DataFrame =
+    df.select(
+      col("vec_id"),
+      array((0 until m).map(j => col(s"c$j").cast("int")): _*).as("codes"),
+      col("vn").cast("double").as("vn"))
 
   /** The m codes as one string — a near-exact SEMANTIC identity key for an
     * embedding: two vectors quantizing to the same cell in every subspace
@@ -267,14 +314,33 @@ object Pq {
       k: Int,
       refine: Int = 4,
       dim: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = emb.localCheckpoint(false)
+    pqTopKWithCodes(e, encode(e, codebooks, dim), queryIds, codebooks, k, refine)
+  }
+
+  /** The ADC rank + exact re-rank core against a PRE-ENCODED codes frame
+    * (vec_id, codes, vn) — either [[encode]]'s output or a stored table in
+    * the [[encodeColumnar]] layout read back through [[codesFromColumnar]].
+    * This is the 100 TB production split: codes live on disk in the
+    * columnar layout, the scan reads m code chunks + one norm per
+    * candidate, and only the refine*k shortlist ever touches the float
+    * corpus. `emb` supplies queries and the exact re-rank; pass a stable
+    * (checkpointed / table-backed) frame, as it is scanned twice. */
+  def pqTopKWithCodes(
+      emb: DataFrame,
+      encoded: DataFrame,
+      queryIds: Column => Column,
+      codebooks: Seq[Seq[Seq[Double]]],
+      k: Int,
+      refine: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb
     // materialize the encoded candidates: without the barrier Catalyst
     // collapses the encode/reconstruct projections INTO the query join and
     // recomputes the per-ROW codes once per PAIR — measured 20 s vs 1.4 s
     // brute force at 40k vectors; with it the ADC scan costs what it
     // should (codes + one dot per pair)
-    val enc = encode(e, codebooks, dim)
+    val enc = encoded
       .select(col("vec_id").as("nid"), col("codes"), col("vn").as("nn"))
       .withColumn("approx", reconstruct(codebooks))
       .localCheckpoint(false)

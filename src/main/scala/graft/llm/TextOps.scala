@@ -644,6 +644,44 @@ object TextOps {
       array_distinct(toks),
       w => aggregate(toks, lit(0), (acc, x) => acc + when(x === w, 1).otherwise(0))))
 
+  /** The four Gopher signal columns (word count, mean word length,
+    * distinct stopwords, top-term fraction) over a `text` column — the
+    * single definition both [[gopherRules]] and [[gopherGate]] build on,
+    * so the stop list and signal arithmetic cannot drift between the
+    * two forms. */
+  private case class GopherSignals(
+      nWords: Column, meanWordLen: Column, nStopDistinct: Column, topTermFrac: Column)
+
+  private def gopherSignals(docs: DataFrame): GopherSignals = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val toks = tokens(col("text"))
+    val nWords = size(toks)
+    // mean word length from char counts (spaces = words-1), not a HOF
+    // re-walk of the array
+    val meanLen = (length(col("text")) - (nWords - lit(1))).cast("double") / nWords
+    val distinctStop = size(array_intersect(toks, typedLit(stop)))
+    // top-term count through the one-pass graft_repstats kernel (n=1:
+    // unigrams) — the interpreted nested-HOF fallback is O(distinct *
+    // tokens) per row and exists only for sessions without the extension
+    // (spec cross-checks the two bit-identically)
+    val topTermN =
+      if (hasFn(docs, "graft_repstats")) expr("graft_repstats(text, 1).top_count")
+      else gopherTopTermHof(toks)
+    GopherSignals(nWords, meanLen, distinctStop, topTermN.cast("double") / nWords)
+  }
+
+  /** The four per-rule keep predicates over a [[GopherSignals]] — shared
+    * rule arithmetic for [[gopherRules]] and [[gopherGate]]. */
+  private def gopherKeepRules(
+      s: GopherSignals,
+      minWords: Int, maxWords: Int,
+      minMeanWordLen: Double, maxMeanWordLen: Double,
+      minDistinctStop: Int, maxTopTermFrac: Double): Seq[Column] = Seq(
+    s.nWords >= minWords && s.nWords <= maxWords,
+    s.meanWordLen >= minMeanWordLen && s.meanWordLen <= maxMeanWordLen,
+    s.nStopDistinct >= minDistinctStop,
+    s.topTermFrac <= maxTopTermFrac)
+
   /** Gopher-style quality gate (Rae et al. 2021 rules, the subset whose
     * signals exist in a whitespace corpus): word-count bounds, mean word
     * length bounds, min distinct stopwords, max single-term dominance
@@ -660,33 +698,23 @@ object TextOps {
       maxMeanWordLen: Double = 12.0,
       minDistinctStop: Int = 2,
       maxTopTermFrac: Double = 0.20): DataFrame = {
-    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
-    val toks = tokens(col("text"))
-    val nWords = size(toks)
-    // mean word length from char counts (spaces = words-1), not a HOF
-    // re-walk of the array
-    val meanLen = (length(col("text")) - (nWords - lit(1))).cast("double") / nWords
-    val distinctStop = size(array_intersect(toks, typedLit(stop)))
-    // top-term count through the one-pass graft_repstats kernel (n=1:
-    // unigrams) — the interpreted nested-HOF fallback is O(distinct *
-    // tokens) per row and exists only for sessions without the extension
-    // (spec cross-checks the two bit-identically)
-    val topTermN =
-      if (hasFn(docs, "graft_repstats")) expr("graft_repstats(text, 1).top_count")
-      else gopherTopTermHof(toks)
+    val s = gopherSignals(docs)
+    val named = GopherSignals(
+      col("n_words"), col("mean_word_len"), col("n_stop_distinct"), col("top_term_frac"))
+    val rules = gopherKeepRules(named, minWords, maxWords,
+      minMeanWordLen, maxMeanWordLen, minDistinctStop, maxTopTermFrac)
     docs.select(
       col("doc_id"),
-      nWords.as("n_words"),
-      meanLen.as("mean_word_len"),
-      distinctStop.as("n_stop_distinct"),
-      (topTermN.cast("double") / nWords).as("top_term_frac"),
+      s.nWords.as("n_words"),
+      s.meanWordLen.as("mean_word_len"),
+      s.nStopDistinct.as("n_stop_distinct"),
+      s.topTermFrac.as("top_term_frac"),
     ).select(
       col("*"),
-      (col("n_words") >= minWords && col("n_words") <= maxWords).as("ok_words"),
-      (col("mean_word_len") >= minMeanWordLen &&
-        col("mean_word_len") <= maxMeanWordLen).as("ok_word_len"),
-      (col("n_stop_distinct") >= minDistinctStop).as("ok_stop"),
-      (col("top_term_frac") <= maxTopTermFrac).as("ok_repetition"),
+      rules(0).as("ok_words"),
+      rules(1).as("ok_word_len"),
+      rules(2).as("ok_stop"),
+      rules(3).as("ok_repetition"),
     ).withColumn("keep",
       col("ok_words") && col("ok_word_len") && col("ok_stop") && col("ok_repetition"))
   }
@@ -695,8 +723,9 @@ object TextOps {
     * columns preserved, no join — a pure per-row gate, so it composes into
     * STREAMING plans (a semi-join against gopherRules' stats frame would
     * be a stream-stream join) and costs one codegen'd projection at any
-    * scale. Same rule arithmetic as gopherRules (shared spec pins the two
-    * to identical keep sets). */
+    * scale. Built on the same [[gopherSignals]]/[[gopherKeepRules]] as
+    * gopherRules, so the two forms cannot drift (spec additionally pins
+    * identical keep sets). */
   def gopherGate(
       docs: DataFrame,
       minWords: Int = 20,
@@ -705,19 +734,9 @@ object TextOps {
       maxMeanWordLen: Double = 12.0,
       minDistinctStop: Int = 2,
       maxTopTermFrac: Double = 0.20): DataFrame = {
-    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
-    val toks = tokens(col("text"))
-    val nWords = size(toks)
-    val meanLen = (length(col("text")) - (nWords - lit(1))).cast("double") / nWords
-    val distinctStop = size(array_intersect(toks, typedLit(stop)))
-    val topTermN =
-      if (hasFn(docs, "graft_repstats")) expr("graft_repstats(text, 1).top_count")
-      else gopherTopTermHof(toks)
-    docs.filter(
-      nWords >= minWords && nWords <= maxWords &&
-        meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
-        distinctStop >= minDistinctStop &&
-        (topTermN.cast("double") / nWords) <= maxTopTermFrac)
+    val rules = gopherKeepRules(gopherSignals(docs), minWords, maxWords,
+      minMeanWordLen, maxMeanWordLen, minDistinctStop, maxTopTermFrac)
+    docs.filter(rules.reduce(_ && _))
   }
 
   def langIdDF(docs: DataFrame): DataFrame = {

@@ -99,6 +99,22 @@ object EventStreamJobs {
     * signature; docs too short to sign (< k tokens) fall back to
     * exact-text dedup (prefixed so a raw text can never alias a
     * signature string). */
+  def streamingNearExactDedup(
+      docs: DataFrame,
+      tsCol: String,
+      watermark: String,
+      k: Int = 3,
+      numHashes: Int = 16): DataFrame = {
+    val sig = graft.llm.TextOps.minhashSigCol(docs, k, numHashes)
+    docs
+      .withColumn("__sig",
+        when(sig.isNotNull, concat_ws("#", sig))
+          .otherwise(concat(lit("raw:"), col("text"))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__sig")
+      .drop("__sig")
+  }
+
   /** Streaming EMBEDDING dedup — the vector twin of the text dedups above:
     * admit the first vector per PQ code signature within the watermark
     * horizon. Codebooks come from an OFFLINE [[graft.llm.Pq.trainCodebooks]]
@@ -120,22 +136,6 @@ object EventStreamJobs {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__sig")
       .drop("__sig")
-
-  def streamingNearExactDedup(
-      docs: DataFrame,
-      tsCol: String,
-      watermark: String,
-      k: Int = 3,
-      numHashes: Int = 16): DataFrame = {
-    val sig = graft.llm.TextOps.minhashSigCol(docs, k, numHashes)
-    docs
-      .withColumn("__sig",
-        when(sig.isNotNull, concat_ws("#", sig))
-          .otherwise(concat(lit("raw:"), col("text"))))
-      .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("__sig")
-      .drop("__sig")
-  }
 
   /** Streaming trending terms, stage 1: watermarked tumbling-window token
     * counts over a document stream — the stateful half of the standard

@@ -120,6 +120,39 @@ class PqSpec extends SparkSpec {
     assert(res.values.forall(_.size === 3))
   }
 
+  test("columnar layout: lossless codes roundtrip; ranking is layout-agnostic") {
+    val emb = graft.Tables.embeddings(spark, dir).localCheckpoint(false)
+    val cbs = Pq.trainCodebooks(emb, m = 8, k = 16)
+    val enc = Pq.encode(emb, cbs).localCheckpoint(false)
+    val colr = Pq.encodeColumnar(emb, cbs)
+    // the shape parquet column-chunks: one tinyint column per subspace
+    assert(colr.schema.fields.count(_.dataType ==
+      org.apache.spark.sql.types.ByteType) === 8)
+    val tmp = java.nio.file.Files.createTempDirectory("pq_columnar")
+    try {
+      colr.write.mode("overwrite").parquet(tmp.toString)
+      val back = Pq.codesFromColumnar(spark.read.parquet(tmp.toString), 8)
+        .localCheckpoint(false)
+      assert(back.count() === enc.count())
+      // codes survive the parquet roundtrip bit-identically
+      val joined = enc.select(col("vec_id"), col("codes").as("rc"))
+        .join(back.select(col("vec_id"), col("codes").as("cc")), Seq("vec_id"))
+      assert(joined.filter(col("rc") =!= col("cc")).isEmpty,
+        "columnar roundtrip changed codes")
+      // ADC + exact re-rank through the stored columnar table == through
+      // encode() directly: the layout is invisible to ranking
+      val direct = Pq.pqTopKWithCodes(emb, enc, _ < 10, cbs, k = 3, refine = 8)
+        .collect().map(_.toString).toSet
+      val viaCol = Pq.pqTopKWithCodes(emb, back, _ < 10, cbs, k = 3, refine = 8)
+        .collect().map(_.toString).toSet
+      assert(direct === viaCol)
+    } finally {
+      val files = java.nio.file.Files.walk(tmp)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()
+      while (files.hasNext) java.nio.file.Files.deleteIfExists(files.next())
+    }
+  }
+
   test("sampled training (the 100 TB posture) still ranks and stays deterministic") {
     val emb = graft.Tables.embeddings(spark, dir)
     val a = neighborsOf(Pq.pqTopK(emb, _ < 10, m = 8, k = 3, trainFrac = 0.5))
