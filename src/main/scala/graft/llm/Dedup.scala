@@ -105,27 +105,114 @@ object Dedup {
     * pairwise drop above (greedy collapses transitive chains implicitly;
     * this materializes them, which audits and per-cluster sampling need).
     *
-    * Algorithm: min-label propagation WITH pointer jumping. labels(v)
-    * starts at min(v, direct neighbors); each round takes the min over
-    * v's own label and its neighbors' labels (one equi-join edges⋈labels
-    * + one groupBy(doc), both keyed by doc id), then compresses paths by
-    * one pointer jump — label(v) <- label(label(v)) (a self-join of the
-    * label table against itself: a label is always the id of a vertex in
-    * the same component, so the jump stays in-component and only
-    * decreases). Propagation alone needs O(diameter) rounds — a 64-deep
-    * chain measured 64 rounds / 70 s at 875 k edges; with jumping the
-    * same chain converges in 6 rounds / ~21 s (ScaleBench dup_clusters
-    * probe — the jump adds one self-join shuffle per round, ~3x the
-    * per-round cost, but rounds drop from O(diameter) to O(log)). A
-    * fixpoint check per round costs one tiny action; each round's result
-    * is localCheckpoint'ed or the plan would double per iteration. At
-    * 100 TB the edge frame is a tiny fraction of the corpus (verified
-    * pairs only).
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR (the MapReduce CC
+    * recipe of Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) over the edge frame itself — no separate label
+    * table. Each round:
+    *
+    *  - large-star: every node u looks at its FULL neighborhood and
+    *    re-attaches each strictly-larger neighbor to
+    *    m = min(N(u) ∪ {u}) — one groupBy(node) for the mins + one
+    *    equi-join to rewrite edges;
+    *  - small-star: every node looks at its smaller neighbors only
+    *    (exactly the canonical (hi, lo) edge form, no explode needed)
+    *    and attaches itself and all of them to their min — one
+    *    groupBy(hi) + one equi-join.
+    *
+    * Both operations strictly decrease the sum of the edges' smaller
+    * endpoints until the graph is a union of min-rooted stars, so a
+    * round in which the edge set is unchanged certifies convergence, and
+    * the final edges ARE the labels: (member, component-min). Rounds are
+    * O(log n) INDEPENDENT of component diameter — the property the
+    * previous min-label-propagation + pointer-jumping form (kept as
+    * [[duplicateClustersPropagation]], differentially spec-pinned) only
+    * had in its jump term: measured star rounds on path graphs (the
+    * diameter-adversarial case) are 7 / 11 / 15 for 41 / 1,001 / 10,001
+    * nodes ~ log2(n) + 2, spec-pinned at <= 2·log2(n), where propagation
+    * alone would need diameter rounds. Per round: 2 groupBys + 2 equi-joins, all keyed by
+    * node id; each result is localCheckpoint'ed or the plan would double
+    * per iteration. At 100 TB the edge frame is a tiny fraction of the
+    * corpus (verified pairs only), and the star rewrites never grow it:
+    * every emitted edge replaces an input edge.
     *
     * Input: (doc_a, doc_b) pairs, doc_a < doc_b (extra columns ignored).
     * Output: (doc_id, cluster_id, cluster_size), one row per doc present
     * in at least one pair; cluster_size >= 2 by construction. */
-  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
+    duplicateClustersCounted(pairs, maxRounds)._1
+
+  /** [[duplicateClusters]] plus the number of star rounds it took — the
+    * observable the round-complexity spec pins (a 10k-node path must
+    * converge within ~2·log2(n) rounds). */
+  private[llm] def duplicateClustersCounted(
+      pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    // canonical star-edge form: (hi, lo), hi > lo
+    var edges = pairs
+      .select(
+        greatest(col("doc_a"), col("doc_b")).as("hi"),
+        least(col("doc_a"), col("doc_b")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint(true) // scanned every round — sever lineage once
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // LARGE-STAR: m over the FULL neighborhood (both directions), then
+      // each strictly-larger neighbor re-attaches to m. m <= x < nbr, so
+      // the (nbr, m) output keeps the hi > lo invariant and no self-loops
+      // arise.
+      val bidir = edges.select(col("hi").as("x"), col("lo").as("nbr"))
+        .union(edges.select(col("lo").as("x"), col("hi").as("nbr")))
+      val lmins = bidir.groupBy("x").agg(min("nbr").as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      val afterLarge = bidir.filter(col("nbr") > col("x"))
+        .join(lmins, "x")
+        .select(col("nbr").as("hi"), col("m").as("lo"))
+        .distinct()
+        .localCheckpoint(false) // scanned 3x below (mins, join, union)
+      // SMALL-STAR: the canonical form already keys every edge at its
+      // larger endpoint, so the "smaller neighbors" view is the frame
+      // itself; center hi and each smaller neighbor except the min m
+      // re-attach to m.
+      val smins = afterLarge.groupBy("hi").agg(min("lo").as("m"))
+      val afterSmall = afterLarge.join(smins, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(smins.select(col("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint(false) // materialized by the fixpoint probe
+      // fixpoint: edge set unchanged across the round. Neither operation
+      // ever increases the smaller-endpoint sum, so an L∘S fixpoint is a
+      // fixpoint of both — no oscillation can alias as convergence.
+      converged = afterSmall.count() == edges.count() &&
+        afterSmall.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
+      edges = afterSmall
+      round += 1
+    }
+    // Returning unconverged labels would hand the caller WRONG cluster ids
+    // with no signal — fail loudly instead. Star rounds are O(log n), so
+    // hitting this means maxRounds is set far too low for the graph, not
+    // that the algorithm is stuck.
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters: labels not converged after $maxRounds rounds — " +
+        "raise maxRounds (star rounds needed ~ 2 * log2 of the largest cluster size)")
+    // converged edges are min-rooted stars: (member, component-min)
+    val labels = edges.select(col("hi").as("doc_id"), col("lo").as("cluster_id"))
+      .union(edges.select(col("lo").as("doc_id"), col("lo").as("cluster_id")))
+      .distinct()
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).cast("int").as("cluster_size"))
+    (labels.join(sizes, "cluster_id")
+      .select("doc_id", "cluster_id", "cluster_size"), round)
+  }
+
+  /** The previous [[duplicateClusters]] algorithm — min-label propagation
+    * with one pointer jump per round (rounds ~ O(log diameter), but each
+    * round carries a label-table self-join the star form doesn't need).
+    * Kept as the differential baseline: the spec pins star labels ==
+    * propagation labels on random multi-component graphs. */
+  private[llm] def duplicateClustersPropagation(
+      pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
@@ -166,13 +253,8 @@ object Dedup {
       labels = next
       round += 1
     }
-    // Returning unconverged labels would hand the caller WRONG cluster ids
-    // with no signal — fail loudly instead. With pointer jumping rounds
-    // are O(log diameter), so hitting this means maxRounds is set far too
-    // low for the graph, not that the algorithm is stuck.
     if (!converged) throw new IllegalStateException(
-      s"duplicateClusters: labels not converged after $maxRounds rounds — " +
-        "raise maxRounds (rounds needed ~ log2 of the largest cluster's diameter)")
+      s"duplicateClustersPropagation: labels not converged after $maxRounds rounds")
     val sizes = labels.groupBy("cluster_id")
       .agg(count(lit(1)).cast("int").as("cluster_size"))
     labels.join(sizes, "cluster_id")

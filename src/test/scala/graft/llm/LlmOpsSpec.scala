@@ -609,9 +609,9 @@ class LlmOpsSpec extends SparkSpec {
     assert(again === out)
   }
 
-  test("duplicateClusters: jumping converges deep chains; exhaustion fails loudly") {
-    // a 40-deep path: plain min-label propagation needs ~40 rounds, pointer
-    // jumping O(log) — maxRounds=8 must suffice
+  test("duplicateClusters: star rounds converge deep chains; exhaustion fails loudly") {
+    // a 40-deep path: plain min-label propagation needs ~40 rounds; the
+    // large-star/small-star form is O(log n) — maxRounds=8 must suffice
     val chain = (0 until 40).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
     val out = Dedup.duplicateClusters(chain, maxRounds = 8)
       .select("doc_id", "cluster_id").as[(Long, Long)].collect()
@@ -622,6 +622,45 @@ class LlmOpsSpec extends SparkSpec {
       Dedup.duplicateClusters(chain, maxRounds = 1).collect()
     }
     assert(ex.getMessage.contains("not converged"))
+  }
+
+  test("duplicateClusters: 10k-deep path converges in <= 2*log2(n) star rounds") {
+    // THE adversarial case for label propagation (a mirror-of-mirror crawl
+    // chain): component diameter 10,000. Star rounds must be logarithmic
+    // in n, not linear in diameter — the gate is 2 * log2(10001) ~ 27.
+    val n = 10000
+    val path = spark.range(n)
+      .select(col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+    val bound = math.ceil(2 * math.log(n + 1.0) / math.log(2.0)).toInt
+    val (labels, rounds) = Dedup.duplicateClustersCounted(path, maxRounds = bound)
+    val stats = labels.agg(
+      count(lit(1)), countDistinct(col("cluster_id")),
+      min(col("cluster_id")), max(col("cluster_size"))).collect()(0)
+    assert(stats.getLong(0) === n + 1L)
+    assert(stats.getLong(1) === 1L, "path must collapse to one component")
+    assert(stats.getLong(2) === 0L)
+    assert(stats.getInt(3) === n + 1)
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+  }
+
+  test("duplicateClusters: star labels == propagation labels (differential)") {
+    // a multi-component random-ish graph: chains, cliques, a star, and a
+    // cycle — every shape that exercises min-routing differently
+    val edges = Seq.newBuilder[(Long, Long)]
+    edges ++= (100L until 140L).map(i => (i, i + 1))            // 41-chain
+    for (a <- 200L to 205L; b <- (a + 1) to 205L) edges += ((a, b)) // clique
+    edges ++= (301L to 320L).map(i => (300L, i))                 // star
+    edges ++= (400L until 410L).map(i => (i, i + 1)) += ((400L, 410L)) // cycle
+    edges += ((140L, 205L)) // bridge chain into clique
+    val pairs = edges.result().toDF("doc_a", "doc_b")
+    val star = Dedup.duplicateClusters(pairs)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Int)].collect().toSet
+    val prop = Dedup.duplicateClustersPropagation(pairs)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(star === prop)
+    assert(star.nonEmpty)
   }
 
   test("gopherRules: kernel top-term == HOF fallback; rules hand-check") {
