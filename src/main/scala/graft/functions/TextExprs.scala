@@ -172,6 +172,18 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Unicode NFC normalization (canonical composition). Fast path: text
+    * already in NFC (all ASCII is) returns the input UTF8String untouched
+    * — the isNormalized probe is a scan, not a rebuild. Mirrors DuckDB's
+    * `nfc_normalize`, which is what makes the normalized-fingerprint
+    * oracle (q58) cross-engine. */
+  def nfc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** (n_grams, n_distinct, top_count) over n-gram occurrences. */
   def repStats(text: UTF8String, n: Int): InternalRow = {
     val t = toks(text)
@@ -274,6 +286,24 @@ case class MinShingleMd5(child: Expression, k: Int) extends TextKernelExpr {
        """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinShingleMd5 =
+    copy(child = newChild)
+}
+
+/** `graft_nfc(text)` — Unicode NFC normalization; see [[TextKernels.nfc]].
+  * There is no pure-built-ins Spark fallback (no NFC function in the SQL
+  * surface), so consumers treat NFC as a no-op when the extension is
+  * absent — correct for ASCII corpora, documented at the call site. */
+case class NfcNormalize(child: Expression) extends TextKernelExpr {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }
 

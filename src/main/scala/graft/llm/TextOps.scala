@@ -26,6 +26,41 @@ object TextOps {
   private def hasFn(df: DataFrame, name: String): Boolean =
     df.sparkSession.catalog.functionExists(name)
 
+  /** Text normalization for the FINGERPRINT path (opt-in): Unicode NFC ->
+    * lowercase -> every non-letter/digit/whitespace run becomes one space
+    * -> whitespace collapse -> trim. Every dedup/decontam signature in
+    * this library (shingles, minhash, simhash, chunk hashes) is otherwise
+    * case/punctuation/unicode-form sensitive — "Hello, World!" and
+    * "hello world" would not even be CANDIDATES. Running fingerprints
+    * over the normalized text (keep the RAW text for output — see
+    * [[normalized]]) is the standard corpus-dedup practice; the pattern
+    * mirrors the reference's own normalize-before-key discipline
+    * (block_follower_job.rb:39-43 normalizes op types before keying).
+    *
+    * Per-row, no shuffle, codegen'd end to end. Cross-engine: DuckDB
+    * replays it as `trim(regexp_replace(regexp_replace(lower(
+    * nfc_normalize(text)), '[^\p{L}\p{N}\s]+', ' ', 'g'), '\s+', ' ',
+    * 'g'))` — q58's oracle pins the equivalence on real data. NFC runs
+    * through the `graft_nfc` kernel; without the extension it degrades to
+    * identity (ASCII text is always NFC-normal, so only pre-composed vs
+    * combining accent forms would diverge). */
+  def normalizeText(df: DataFrame, text: Column): Column = {
+    val nfc = if (hasFn(df, "graft_nfc")) call_function("graft_nfc", text) else text
+    trim(regexp_replace(
+      regexp_replace(lower(nfc), "[^\\p{L}\\p{N}\\s]+", " "),
+      "\\s+", " "))
+  }
+
+  /** Opt-in pre-fingerprint normalization STAGE: `textCol` is replaced by
+    * its [[normalizeText]] form and the original survives as `raw_text`,
+    * so every downstream fingerprint op (shingleArrays, lshNearDupPairs,
+    * simhash, decontamination) keys on normalized text with zero changes,
+    * while emit paths can still surface the raw document. */
+  def normalized(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("raw_text", col(textCol))
+      .withColumn(textCol, normalizeText(docs, col(textCol)))
+
   /** Distinct k-shingle array of `text`, first-occurrence order; empty for
     * docs shorter than k tokens. Native kernel when registered; HOF
     * formulation otherwise (bit-identical, spec-pinned). */

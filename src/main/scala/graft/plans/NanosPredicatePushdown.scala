@@ -164,6 +164,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       },
     ))
     extensions.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => graft.functions.NfcNormalize(children(0)),
+    ))
+    extensions.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_chunk_hashes"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.ChunkHashes].getName, "graft_chunk_hashes"),

@@ -1435,5 +1435,65 @@ object LlmQueries {
              |  FROM p)
              |WHERE rn <= 5 ORDER BY vec_id, rnk""".stripMargin),
     ),
+
+    // ------------------------------------------------------------------
+    // Q58 — normalized near-dup (the opt-in pre-fingerprint normalization
+    // stage): a planted case/punctuation-variant corpus (each doc_id < 100
+    // also appears as doc_id + 1000000 with upper-cased text and trailing
+    // punctuation) goes through TextOps.normalized (NFC -> lower -> punct
+    // strip -> whitespace collapse) BEFORE shingling, so every planted
+    // variant pair surfaces at jaccard 1.0 — raw fingerprints would not
+    // even make them candidates. Oracle mirrors the normalization with
+    // nfc_normalize/lower/regexp_replace and replays the q19 jaccard CTE.
+    Declared(
+      "q58_normalized_neardup",
+      (s, dir) => {
+        val base = Tables.documentsRaw(s, dir)
+          .filter(col("doc_id") < 100)
+          .select("doc_id", "source", "text")
+        val variants = base.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          col("source"),
+          concat(upper(col("text")), lit(" !!")).as("text"))
+        val corpus = TextOps.normalized(base.unionByName(variants))
+        val sh = TextOps.shingleArrays(corpus, 3).localCheckpoint(false)
+        TextOps.jaccardPairs(sh, sameSourceOnly = false)
+          .filter(col("jaccard") >= 0.8)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, source, text FROM documents WHERE doc_id < 100),
+             |rawc AS (
+             |  SELECT doc_id, source, text FROM base
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, source, upper(text) || ' !!' FROM base),
+             |corpus AS (
+             |  SELECT doc_id, source,
+             |    trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+             |         '[^\p{L}\p{N}\s]+', ' ', 'g'), '\s+', ' ', 'g')) AS text
+             |  FROM rawc),
+             |toks AS (
+             |  SELECT doc_id, source, string_split(text, ' ') AS t FROM corpus
+             |  WHERE len(string_split(text, ' ')) >= 3),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, source, shingle FROM (
+             |    SELECT doc_id, source,
+             |           unnest(list_transform(generate_series(1, len(t) - 2),
+             |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+             |    FROM toks)),
+             |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |       CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard
+             |FROM pairs
+             |JOIN cnt ca ON pairs.doc_a = ca.doc_id
+             |JOIN cnt cb ON pairs.doc_b = cb.doc_id
+             |WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.8
+             |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
   )
 }

@@ -663,6 +663,49 @@ class LlmOpsSpec extends SparkSpec {
     assert(star.nonEmpty)
   }
 
+  test("normalizeText: case/punct/unicode-form variants collapse to one form") {
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello world"),
+      (3L, "HELLO   world"),
+      (4L, "café au lait"),        // precomposed e-acute
+      (5L, "café au lait"),       // e + combining acute (NFD form)
+      (6L, "  spaced   out\ttabs  "),
+    ).toDF("doc_id", "text")
+    val out = docs
+      .withColumn("norm", TextOps.normalizeText(docs, col("text")))
+      .select("doc_id", "norm").as[(Long, String)].collect().toMap
+    assert(out(1L) === "hello world")
+    assert(out(2L) === "hello world")
+    assert(out(3L) === "hello world")
+    // NFC through the kernel: combining-accent form composes to the same
+    // string as the precomposed form
+    assert(spark.catalog.functionExists("graft_nfc"), "kernel not registered")
+    assert(out(4L) === out(5L))
+    assert(out(6L) === "spaced out tabs")
+  }
+
+  test("normalized: variant corpus near-dup pairs are a superset of raw pairs") {
+    // planted variants: same text up to case + punctuation. Raw shingles
+    // see entirely different token sets; normalized shingles are identical.
+    val docs = Seq(
+      (1L, "a", "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "a", "The QUICK brown fox, jumps over the lazy dog tonight!!"),
+      (3L, "a", "completely unrelated text about spark query planning"),
+    ).toDF("doc_id", "source", "text")
+    def pairsOf(d: org.apache.spark.sql.DataFrame) =
+      TextOps.jaccardPairs(TextOps.shingleArrays(d, 3), sameSourceOnly = false)
+        .filter(col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val raw = pairsOf(docs)
+    val norm = pairsOf(TextOps.normalized(docs))
+    assert(raw.subsetOf(norm), s"normalization lost raw pairs: $raw vs $norm")
+    assert(norm.contains((1L, 2L)), "case/punct variant must surface normalized")
+    assert(!raw.contains((1L, 2L)), "raw fingerprints should miss the variant (fixture)")
+    // the raw text survives the stage for emit paths
+    assert(TextOps.normalized(docs).columns.contains("raw_text"))
+  }
+
   test("gopherRules: kernel top-term == HOF fallback; rules hand-check") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over a lazy dog and runs to all of " +
