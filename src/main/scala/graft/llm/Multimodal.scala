@@ -341,6 +341,83 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class ImagePhash(media_id: Long, phash: String)
+
+  /** aHash-style PERCEPTUAL image hash: decode -> nearest-neighbor
+    * resample onto an 8x8 luminance grid (same index arithmetic as
+    * [[resizeImage]]) -> threshold each cell against the grid mean -> 64
+    * bits. Returned as a '0'/'1' string: the oracle must replay the hash
+    * bit for bit, and a signed-64 representation is not portable (DuckDB
+    * errors on `1::BIGINT << 63`; the simhash kernels sidestep the same
+    * trap by using 60 bits). The threshold compares `64 * lum > total`
+    * in exact integer arithmetic — no mean division, no float anywhere,
+    * so the hash is bit-identical across engines by construction.
+    *
+    * Computed inside the per-partition decode pass (payload bytes never
+    * hit the driver); at 100 TB the hash is 8 bytes of state per image
+    * against megabyte payloads — the classic fingerprint-then-discard
+    * shape. */
+  def imagePhash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { m =>
+        val img = PpmCodec.decode(m.payload)
+        val lums = new Array[Long](64)
+        var j = 0
+        while (j < 64) {
+          val sy = (j / 8) * img.height / 8
+          val sx = (j % 8) * img.width / 8
+          val p = (sy * img.width + sx) * 3
+          lums(j) = (img.pixels(p) & 0xff) + (img.pixels(p + 1) & 0xff) +
+            (img.pixels(p + 2) & 0xff)
+          j += 1
+        }
+        val total = lums.sum
+        val sb = new java.lang.StringBuilder(64)
+        j = 0
+        while (j < 64) { sb.append(if (64L * lums(j) > total) '1' else '0'); j += 1 }
+        ImagePhash(m.media_id, sb.toString)
+      }
+    }.toDF()
+  }
+
+  /** Banded near-dup pairs over perceptual hashes — the simhash-LSH
+    * recipe applied to images: split each 64-bit phash into `nBands`
+    * bands, a candidate pair must collide on a FULL band (guaranteed for
+    * any pair within `64/nBands - 1` bit flips per band; lossless for
+    * hamming <= nBands - 1 by pigeonhole), then verify exact hamming <=
+    * `maxHamming` on candidates only. Same 100 TB shape as the text
+    * simhash path: per-row hashes, band-key equi-join, no pairwise scan
+    * — a hot band bucket (e.g. all-padding rasters hashing alike) is the
+    * same skew the LSH bucket caps handle.
+    *
+    * Input: [[imagePhash]] output (checkpoint it — both join sides scan
+    * it). Output: (media_a, media_b, hamming), media_a < media_b. */
+  def phashNearDupPairs(
+      phashes: DataFrame, nBands: Int = 4, maxHamming: Int = 8): DataFrame = {
+    require(64 % nBands == 0, s"nBands $nBands must divide 64")
+    val bandLen = 64 / nBands
+    val bands = phashes.select(
+      col("media_id"), col("phash"),
+      posexplode(array((0 until nBands).map(b =>
+        substring(col("phash"), b * bandLen + 1, bandLen)): _*)).as(Seq("bi", "bv")))
+    val a = bands.select(
+      col("media_id").as("media_a"), col("phash").as("pa"), col("bi"), col("bv"))
+    val b = bands.select(
+      col("media_id").as("media_b"), col("phash").as("pb"), col("bi"), col("bv"))
+    a.join(b, Seq("bi", "bv"))
+      .filter(col("media_a") < col("media_b"))
+      .select("media_a", "media_b", "pa", "pb")
+      .distinct()
+      .withColumn("hamming", expr(
+        """aggregate(transform(sequence(1, 64),
+          |  i -> IF(substring(pa, i, 1) = substring(pb, i, 1), 0, 1)),
+          |  0, (acc, v) -> acc + v)""".stripMargin).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("media_a", "media_b", "hamming")
+  }
+
   /** Deterministic frame-sampling analog: every `stride`-th byte of the
     * payload as a "frame", limited to `maxFrames` — the access pattern a
     * video frame-sampler has (seek + slice), kept executor-side. */

@@ -1495,5 +1495,77 @@ object LlmQueries {
              |WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.8
              |ORDER BY doc_a, doc_b""".stripMargin),
     ),
+
+    // ------------------------------------------------------------------
+    // Q59 — multimodal near-dup: perceptual-hash image dedup consuming
+    // the REAL PPM codec. Planted variants (each doc_id < 100 re-encoded
+    // with 3 bytes appended) decode to near-identical rasters; the
+    // aHash-style 8x8 mean-threshold hash (exact integer arithmetic, bit
+    // string — see Multimodal.imagePhash) feeds the simhash-LSH banding:
+    // 4x16-bit band collision -> exact hamming <= 8 verification. The
+    // oracle recomputes the hash from text bytes (hex-of-blob, the q29
+    // discipline): same NN-resize index arithmetic, same 64*lum > total
+    // threshold, same banding + hamming — hash-verified end to end.
+    Declared(
+      "q59_image_phash_neardup",
+      (s, dir) => {
+        val base = Tables.documentsRaw(s, dir)
+          .filter(col("doc_id") < 100)
+          .select("doc_id", "text")
+        val variants = base.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" !!")).as("text"))
+        val media = graft.llm.Multimodal.asMedia(base.unionByName(variants))
+        val ph = graft.llm.Multimodal.imagePhash(media).localCheckpoint(false)
+        graft.llm.Multimodal.phashNearDupPairs(ph, nBands = 4, maxHamming = 8)
+          .orderBy("media_a", "media_b")
+      },
+      Some("""WITH basec AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 100),
+             |rawc AS (
+             |  SELECT doc_id, text FROM basec
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text || ' !!' FROM basec),
+             |b AS (
+             |  SELECT doc_id, hex(encode(text)) AS hx,
+             |         octet_length(encode(text)) AS n
+             |  FROM rawc),
+             |d AS (
+             |  SELECT doc_id, n,
+             |    CAST(GREATEST(1, (n + 47) // 48) AS BIGINT) AS h,
+             |    list_transform(generate_series(1, CAST(n AS INT)),
+             |      i -> CAST(('0x' || substr(hx, (i-1)*2+1, 2)) AS BIGINT)) AS bytes
+             |  FROM b),
+             |lum AS (
+             |  SELECT doc_id,
+             |    list_transform(generate_series(0, 63), j ->
+             |      list_sum(list_transform(generate_series(1, 3), c ->
+             |        CASE WHEN ((((j // 8) * h) // 8) * 16 + (j % 8) * 2) * 3 + c <= n
+             |             THEN bytes[CAST(((((j // 8) * h) // 8) * 16 + (j % 8) * 2) * 3 + c AS INT)]
+             |             ELSE 0 END))) AS lums
+             |  FROM d),
+             |ph AS (
+             |  SELECT doc_id,
+             |    array_to_string(list_transform(generate_series(1, 64), j ->
+             |      CASE WHEN 64 * lums[j] > list_sum(lums) THEN '1' ELSE '0' END),
+             |      '') AS phash
+             |  FROM lum),
+             |bands AS (
+             |  SELECT doc_id, phash, bi, substr(phash, bi * 16 + 1, 16) AS bv
+             |  FROM ph, (SELECT unnest(generate_series(0, 3)) AS bi)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
+             |                  a.phash AS pa, b.phash AS pb
+             |  FROM bands a JOIN bands b
+             |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+             |ham AS (
+             |  SELECT media_a, media_b,
+             |    list_sum(list_transform(generate_series(1, 64),
+             |      i -> CASE WHEN substr(pa, i, 1) <> substr(pb, i, 1)
+             |                THEN 1 ELSE 0 END)) AS hm
+             |  FROM cand)
+             |SELECT media_a, media_b, CAST(hm AS INT) AS hamming
+             |FROM ham WHERE hm <= 8 ORDER BY media_a, media_b""".stripMargin),
+    ),
   )
 }

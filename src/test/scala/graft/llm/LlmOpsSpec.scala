@@ -931,4 +931,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(dw.samples.toSeq ===
       "hor".getBytes("UTF-8").map(b => (((b & 0xff) - 128) * 256).toShort).toSeq)
   }
+
+  test("imagePhash + phashNearDupPairs: variants pair up, unrelated don't") {
+    // 1/2: same long text up to 3 appended bytes -> near-identical rasters
+    // -> tiny hamming. 3: unrelated content. 4: exact copy of 1 -> hamming 0.
+    val baseText = ("the quick brown fox jumps over the lazy dog " * 8).trim
+    val d = Seq(
+      (1L, baseText),
+      (2L, baseText + " !!"),
+      (3L, "z" * 300),
+      (4L, baseText),
+    ).toDF("doc_id", "text")
+    val ph = Multimodal.imagePhash(Multimodal.asMedia(d)).localCheckpoint(false)
+    val hashes = ph.as[(Long, String)].collect().toMap
+    assert(hashes.values.forall(h => h.length === 64 && h.forall(c => c == '0' || c == '1')))
+    assert(hashes(1L) === hashes(4L), "identical payloads must hash identically")
+    val pairs = Multimodal.phashNearDupPairs(ph, nBands = 4, maxHamming = 8)
+      .as[(Long, Long, Int)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs.get((1L, 4L)) === Some(0))
+    assert(pairs.contains((1L, 2L)), "appended-bytes variant must pair")
+    assert(pairs((1L, 2L)) <= 8)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "unrelated raster must not pass the hamming gate")
+    // determinism
+    val again = Multimodal.phashNearDupPairs(ph, nBands = 4, maxHamming = 8)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(again === pairs)
+  }
 }
