@@ -19,12 +19,24 @@ import org.apache.spark.sql.SparkSession
   * query rather than the query. A failing query is recorded in an `"errors"`
   * map and the process exits non-zero — a broken query must look broken, not
   * fast.
+  *
+  * Each query runs `SPARK_GRAFT_BENCH_ROUNDS` (default 3) times and the
+  * reported time is the MEDIAN: the container's ~2x load spread made
+  * single-shot round-over-round comparison noise-dominated (PERF.md's
+  * r4/r5 per-query table needed a caveat to be readable). Every run
+  * rebuilds the query from scratch (fresh plan, fresh localCheckpoints,
+  * full compute) — only session-level warmth (codegen cache, parquet
+  * footers, JIT) carries over, which is the steady state a long-lived
+  * cluster session sees anyway; the median additionally sheds the
+  * first-run plan-compile overhead that dominated the iterative-training
+  * queries locally. `"runs"` in the output records the rounds used.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,13 +52,23 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     var errors = Vector.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch {
-        case e: Throwable =>
-          errors :+= name -> e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+      var times = Vector.empty[Double]
+      var failed = false
+      var r = 0
+      while (r < rounds && !failed) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          times :+= (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            failed = true
+            errors :+= name -> e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+            times :+= (System.nanoTime() - t0) / 1e9 // broken must not look fast
+        }
+        r += 1
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.sorted.apply(times.size / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -54,7 +76,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$rounds,"sf":"$sfDir"}"""
     Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
     println(line)
     spark.stop()
