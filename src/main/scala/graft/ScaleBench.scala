@@ -108,10 +108,11 @@ object ScaleBench {
 
     // duplicate-cluster connected components on a synthetic graph:
     // star components of size 8 (the shallow shape real duplicate
-    // clusters take — converge on the fused init round) PLUS one 64-deep
-    // chain (the adversarial diameter that forces the propagation loop).
-    // Wall time should track edge count x rounds; rounds are bounded by
-    // the CHAIN, not the million shallow components.
+    // clusters take) PLUS one 4096-deep chain — the diameter adversary
+    // that would cost propagation 4096 rounds; the large-star/small-star
+    // algorithm pays ~log2(n) rounds bounded by the CHAIN, not the
+    // million shallow components. Wall time should track edge count x
+    // rounds.
     val starSize = 8
     val nEdgeRows = sys.env.getOrElse("SPARK_GRAFT_CC_EDGES", "1000000").toLong
     val stars = spark.range(nEdgeRows).toDF("i")
@@ -120,7 +121,7 @@ object ScaleBench {
         (col("i") - pmod(col("i"), lit(starSize))).as("doc_a"),
         col("i").as("doc_b"))
     val chainBase = nEdgeRows + 1000L
-    val chain = spark.range(64).toDF("j")
+    val chain = spark.range(4096).toDF("j")
       .select((col("j") + chainBase).as("doc_a"), (col("j") + chainBase + 1).as("doc_b"))
     val ccEdges = stars.unionByName(chain).localCheckpoint(true)
     val nEdges = ccEdges.count()
@@ -203,6 +204,56 @@ object ScaleBench {
     }
     println(s"""{"op":"curriculum","rows":$nCurr,"hier_sec":$tCurrHier,"flat_window_sec":$tCurrFlat,"equal":${sumHier == sumFlat}}""")
 
+    // hash split on a large synthetic corpus: a pure per-row projection
+    // (zero shuffle at any scale), so wall time is the scan; the check
+    // that MATTERS is growth stability — every id in the half-corpus gets
+    // the SAME split after the corpus doubles (the property that keeps
+    // yesterday's val set out of tomorrow's train set). Fixed point:
+    // mismatches must be exactly 0.
+    val nSplit = sys.env.getOrElse("SPARK_GRAFT_SPLIT_ROWS", "10000000").toLong
+    val splitCorpus = spark.range(nSplit).toDF("doc_id").localCheckpoint(true)
+    val fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val (splitCounts, tSplit) = timed {
+      graft.llm.Mixing.hashSplit(splitCorpus, fractions)
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val halfAssign = graft.llm.Mixing
+      .hashSplit(splitCorpus.filter(col("doc_id") < nSplit / 2), fractions)
+      .select(col("doc_id"), col("split").as("half_split"))
+    val nUnstable = graft.llm.Mixing.hashSplit(splitCorpus, fractions)
+      .join(halfAssign, "doc_id")
+      .filter(col("split") =!= col("half_split"))
+      .count()
+    println(s"""{"op":"hash_split","rows":$nSplit,"train":${splitCounts.getOrElse("train", 0L)},"val":${splitCounts.getOrElse("val", 0L)},"test":${splitCounts.getOrElse("test", 0L)},"growth_unstable":$nUnstable,"sec":$tSplit}""")
+
+    // seeded training-shard export on the packed one-source corpus: the
+    // write is repartition(source, shard) + per-shard sort — every heavy
+    // step parallel per shard, the intra-shard shuffle a per-row md5.
+    // Fixed point: the shard layout preserves the row multiset exactly
+    // (count + doc_id checksum), shard count = ceil(bins/binsPerShard).
+    val packedForWrite = graft.llm.Packing.packSequences(oneSrc, budget = 2048)
+      .localCheckpoint(true)
+    val inStats = packedForWrite
+      .agg(count(lit(1)), sum("doc_id"), (max("bin") + 1).as("bins")).head()
+    val tmpShards = java.nio.file.Files.createTempDirectory("shards_probe")
+    try {
+      val (_, tShard) = timed {
+        graft.llm.Packing.writeShards(
+          packedForWrite, s"$tmpShards/out", binsPerShard = 64L, shuffleSeed = Some(42L))
+      }
+      val back = spark.read.parquet(s"$tmpShards/out")
+      val outStats = back.agg(count(lit(1)), sum("doc_id")).head()
+      val nShards = back.select("source", "shard").distinct().count()
+      val wantShards = (inStats.getLong(2) + 63L) / 64L
+      println(s"""{"op":"write_shards","rows":${inStats.getLong(0)},"shards":$nShards,"multiset_ok":${inStats.getLong(0) == outStats.getLong(0) && inStats.getLong(1) == outStats.getLong(1)},"shards_ok":${nShards == wantShards},"sec":$tShard}""")
+    } finally {
+      val files = java.nio.file.Files.walk(tmpShards)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator()
+      while (files.hasNext) java.nio.file.Files.deleteIfExists(files.next())
+    }
+
     // product quantization on the replicated embeddings, train and rank
     // timed SEPARATELY: codebooks train ONCE on a deterministic id-sample
     // and serve every query batch after (the production split), while the
@@ -222,6 +273,48 @@ object ScaleBench {
       VectorOps.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5).count()
     }
     println(s"""{"op":"pq_topk","vectors":$nVec,"results":$nPq,"train_sec":$tPqTrain,"rank_sec":$tPqRank,"bruteforce_sec":$tBf,"bf_results":$nBf}""")
+
+    // streaming embedding dedup over the replicated (duplicate-HEAVY:
+    // every vector occurs factor x) corpus, as a REAL streaming run: the
+    // corpus is staged to parquet and consumed through the file streaming
+    // source (executor-side reads — no driver-side MemoryStream data
+    // path), codebooks come from the offline training above (the
+    // batch-train/stream-apply split). Fixed point: survivors across all
+    // micro-batches == the 1x corpus's distinct code-signature count —
+    // replicas quantize identically, so the state (one entry per distinct
+    // cell) must admit each cell exactly once no matter the factor.
+    val tmpStream = java.nio.file.Files.createTempDirectory("stream_dedup_probe")
+    try {
+      emb.select(col("vec_id"), col("embedding"),
+          expr("timestamp_micros(vec_id)").as("ts"))
+        .write.mode("overwrite").parquet(s"$tmpStream/in")
+      val distinctCells = graft.llm.Pq
+        .encode(Tables.embeddings(spark, sfDir), cbsPq)
+        .select("codes").distinct().count()
+      val survivors = new java.util.concurrent.atomic.AtomicLong(0L)
+      val (_, tStream) = timed {
+        val in = spark.readStream
+          .schema(spark.read.parquet(s"$tmpStream/in").schema)
+          .parquet(s"$tmpStream/in")
+        val q = graft.streaming.EventStreamJobs
+          .streamingEmbeddingDedup(in, "ts", "1 hour", cbsPq)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$tmpStream/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            survivors.addAndGet(batch.count()); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      println(s"""{"op":"streaming_embedding_dedup","vectors":$nVec,"survivors":${survivors.get()},"distinct_cells":$distinctCells,"survivors_constant":${survivors.get() == distinctCells},"sec":$tStream}""")
+    } finally {
+      val files = java.nio.file.Files.walk(tmpStream)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator()
+      while (files.hasNext) java.nio.file.Files.deleteIfExists(files.next())
+    }
 
     // the claim behind PQ — candidate SCAN BYTES — measured on disk: the
     // float corpus vs the encoded (tinyint codes + float norm) corpus,
