@@ -254,6 +254,22 @@ object ScaleBench {
       while (files.hasNext) java.nio.file.Files.deleteIfExists(files.next())
     }
 
+    // perceptual-hash image near-dup over the replicated corpus: 100k
+    // REAL PPM images (decode + 8x8 aHash per partition), banded pair
+    // generation through the capped bucket machinery. Duplicate-HEAVY
+    // worst case: every raster occurs factor x, so each distinct-raster
+    // band bucket holds >= factor colliding images, and the all-padding
+    // zero band is the boilerplate hot bucket the cap must bound. The
+    // numbers to watch: pair count bounded (no O(n^2) blowup), wall
+    // tracking the decode scan.
+    val ((nPhPairs, nPhZero), tPhash) = timed {
+      val ph = graft.llm.Multimodal.imagePhash(
+        graft.llm.Multimodal.asMedia(docs)).localCheckpoint(true)
+      val pairs = graft.llm.Multimodal.phashNearDupPairs(ph).localCheckpoint(false)
+      (pairs.count(), pairs.filter(col("hamming") === 0).count())
+    }
+    println(s"""{"op":"phash_near_dup","images":$nDocs,"pairs":$nPhPairs,"hamming0_pairs":$nPhZero,"sec":$tPhash}""")
+
     // product quantization on the replicated embeddings, train and rank
     // timed SEPARATELY: codebooks train ONCE on a deterministic id-sample
     // and serve every query batch after (the production split), while the

@@ -385,37 +385,41 @@ object Multimodal {
   /** Banded near-dup pairs over perceptual hashes — the simhash-LSH
     * recipe applied to images: split each 64-bit phash into `nBands`
     * bands, a candidate pair must collide on a FULL band (guaranteed for
-    * any pair within `64/nBands - 1` bit flips per band; lossless for
-    * hamming <= nBands - 1 by pigeonhole), then verify exact hamming <=
-    * `maxHamming` on candidates only. Same 100 TB shape as the text
-    * simhash path: per-row hashes, band-key equi-join, no pairwise scan
-    * — a hot band bucket (e.g. all-padding rasters hashing alike) is the
-    * same skew the LSH bucket caps handle.
+    * any pair within `nBands - 1` total bit flips by pigeonhole), then
+    * verify exact hamming <= `maxHamming` on candidates only. Candidate
+    * generation runs through [[TextOps.bucketPairs]] — the same
+    * within-bucket pair generator + bucket-size skew cap as the text LSH
+    * path, because images have the same boilerplate hazard: all-padding
+    * rasters all hash bands to zero, and that one bucket would otherwise
+    * fan out O(bucket^2) pairs. Dropping a >cap bucket is sound for the
+    * same reason as in text LSH: a band shared by that many images
+    * carries no discriminating signal, and true near-dups still collide
+    * on their rarer bands.
     *
-    * Input: [[imagePhash]] output (checkpoint it — both join sides scan
-    * it). Output: (media_a, media_b, hamming), media_a < media_b. */
+    * Input: [[imagePhash]] output (checkpoint it — it is scanned by the
+    * band melt and both hash-lookup joins). Output:
+    * (media_a, media_b, hamming), media_a < media_b. */
   def phashNearDupPairs(
-      phashes: DataFrame, nBands: Int = 4, maxHamming: Int = 8): DataFrame = {
+      phashes: DataFrame,
+      nBands: Int = 4,
+      maxHamming: Int = 8,
+      maxBucketSize: Int = TextOps.DefaultMaxBucketSize): DataFrame = {
     require(64 % nBands == 0, s"nBands $nBands must divide 64")
     val bandLen = 64 / nBands
     val bands = phashes.select(
-      col("media_id"), col("phash"),
+      col("media_id").as("doc_id"),
       posexplode(array((0 until nBands).map(b =>
-        substring(col("phash"), b * bandLen + 1, bandLen)): _*)).as(Seq("bi", "bv")))
-    val a = bands.select(
-      col("media_id").as("media_a"), col("phash").as("pa"), col("bi"), col("bv"))
-    val b = bands.select(
-      col("media_id").as("media_b"), col("phash").as("pb"), col("bi"), col("bv"))
-    a.join(b, Seq("bi", "bv"))
-      .filter(col("media_a") < col("media_b"))
-      .select("media_a", "media_b", "pa", "pb")
-      .distinct()
+        substring(col("phash"), b * bandLen + 1, bandLen)): _*)).as(Seq("band", "sig")))
+    val pairs = TextOps.bucketPairs(bands, maxBucketSize)
+    val pa = phashes.select(col("media_id").as("doc_a"), col("phash").as("pa"))
+    val pb = phashes.select(col("media_id").as("doc_b"), col("phash").as("pb"))
+    pairs.join(pa, "doc_a").join(pb, "doc_b")
       .withColumn("hamming", expr(
         """aggregate(transform(sequence(1, 64),
           |  i -> IF(substring(pa, i, 1) = substring(pb, i, 1), 0, 1)),
           |  0, (acc, v) -> acc + v)""".stripMargin).cast("int"))
       .filter(col("hamming") <= maxHamming)
-      .select("media_a", "media_b", "hamming")
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
   }
 
   /** Deterministic frame-sampling analog: every `stride`-th byte of the
