@@ -50,8 +50,15 @@ object Bench {
     // first measured query doesn't absorb ~5s of one-time init.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // Optional comma-separated query filter for local iteration on one
+    // query's timing; the driver never sets it, so round artifacts always
+    // cover the full declared set.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     var errors = Vector.empty[(String, String)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var times = Vector.empty[Double]
       var failed = false
       var r = 0

@@ -120,9 +120,14 @@ object Dedup {
     *    groupBy(hi) + one equi-join.
     *
     * Both operations strictly decrease the sum of the edges' smaller
-    * endpoints until the graph is a union of min-rooted stars, so a
-    * round in which the edge set is unchanged certifies convergence, and
-    * the final edges ARE the labels: (member, component-min). Rounds are
+    * endpoints until the graph is a union of min-rooted stars. Convergence
+    * is detected STRUCTURALLY in one action per round: the edge set is a
+    * star forest iff every `hi` carries exactly one edge and no `lo` ever
+    * appears as a `hi` — and because the star rewrites preserve connected
+    * components and keep `hi > lo`, a star forest here is necessarily
+    * min-rooted per component, i.e. the final answer (one round earlier,
+    * and one job per round cheaper, than re-checking edge-set equality).
+    * The final edges ARE the labels: (member, component-min). Rounds are
     * O(log n) INDEPENDENT of component diameter — the property the
     * previous min-label-propagation + pointer-jumping form (kept as
     * [[duplicateClustersPropagation]], differentially spec-pinned) only
@@ -180,12 +185,17 @@ object Dedup {
         .select(col("lo").as("hi"), col("m").as("lo"))
         .union(smins.select(col("hi"), col("m").as("lo")))
         .distinct()
-        .localCheckpoint(false) // materialized by the fixpoint probe
-      // fixpoint: edge set unchanged across the round. Neither operation
-      // ever increases the smaller-endpoint sum, so an L∘S fixpoint is a
-      // fixpoint of both — no oscillation can alias as convergence.
-      converged = afterSmall.count() == edges.count() &&
-        afterSmall.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
+        .localCheckpoint(false) // materialized by the convergence probe
+      // structural convergence: star forest iff no hi has two edges and no
+      // lo is itself a hi. Components are preserved by both rewrites and
+      // hi > lo always, so a star forest IS the min-rooted answer — no
+      // need to burn a confirming round on edge-set equality. Both
+      // violation frames union into a single isEmpty action.
+      val multiHi = afterSmall.groupBy("hi").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(col("hi").as("v"))
+      val loIsHi = afterSmall.select(col("lo").as("v"))
+        .join(afterSmall.select(col("hi").as("v")), Seq("v"), "left_semi")
+      converged = multiHi.union(loIsHi).isEmpty
       edges = afterSmall
       round += 1
     }
