@@ -45,6 +45,14 @@ object CorpusPipeline {
       // near-dedup
       nearDupTau: Double = 0.8,
       shingleSize: Int = 3,
+      // fingerprint normalization (opt-in): near-dedup and decontamination
+      // key on [[TextOps.normalizeText]]'d text (NFC, lowercase,
+      // punctuation -> space, whitespace collapse) while every stage
+      // boundary and the final output still carry the raw (scrubbed) text.
+      // Case/punctuation/unicode-form variants of a document thereby
+      // become near-dup candidates; q58 pins the normalization itself
+      // cross-engine. Exact dedup stays byte-exact by design.
+      normalizeFingerprints: Boolean = false,
       // decontamination n-gram size
       decontamNgram: Int = 5,
       // semantic dedup (used only when an embeddings frame is supplied)
@@ -109,11 +117,23 @@ object CorpusPipeline {
       .drop("text", "n_email", "n_ipv4", "n_phone")
       .withColumnRenamed("redacted", "text"))
 
+    // fingerprint-path normalization (opt-in): `fp` swaps the text the
+    // dedup/decontam machinery fingerprints for its normalized form
+    // (raw survives as `raw_text`); `unfp` restores the raw text on the
+    // way out so stage boundaries and the final output are normalization-
+    // free. Both are identity when the flag is off.
+    val fp: DataFrame => DataFrame =
+      if (cfg.normalizeFingerprints) TextOps.normalized(_) else identity
+    val unfp: DataFrame => DataFrame =
+      if (cfg.normalizeFingerprints)
+        _.withColumn("text", col("raw_text")).drop("raw_text")
+      else identity
+
     // 3 + 4. exact then near dedup (exact first: free removal of identical
     // payloads before the LSH machinery runs)
     val exact = tap(Dedup.exact(scrubbed))
-    val deduped = tap(Dedup.dedupNearLsh(exact, tau = cfg.nearDupTau,
-      shingleSize = cfg.shingleSize))
+    val deduped = tap(unfp(Dedup.dedupNearLsh(fp(exact), tau = cfg.nearDupTau,
+      shingleSize = cfg.shingleSize)))
 
     // 5. SEMANTIC dedup (optional — runs when the caller supplies a
     // (doc_id, embedding) frame): paraphrases and near-translations that
@@ -132,9 +152,11 @@ object CorpusPipeline {
       case None => deduped
     })
 
-    // 6. eval-set decontamination
+    // 6. eval-set decontamination (both sides normalized under the flag —
+    // an eval passage must match however the training doc cases/punctuates)
     val clean = tap(evalCorpus match {
-      case Some(ev) => TextOps.decontaminate(semantic, ev, cfg.decontamNgram)
+      case Some(ev) =>
+        unfp(TextOps.decontaminate(fp(semantic), fp(ev), cfg.decontamNgram))
       case None => semantic
     })
 

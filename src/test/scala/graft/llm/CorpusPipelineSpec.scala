@@ -113,6 +113,38 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(plain.select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 3L, 4L))
   }
 
+  test("normalizeFingerprints: case/punct variants dedup + decontaminate; raw text survives") {
+    // doc 2 is doc 1 with its content words UPPERCASED and comma-joined,
+    // plus one extra word: byte-distinct (survives exact dedup), zero
+    // shared raw shingles (survives raw near-dedup), a J=22/23 near-dup
+    // after normalization. Stopwords stay lowercase so the gopher gate
+    // keeps it either way.
+    val variant = "the tale of and to in " +
+      (1 to 18).map(j => s"WORD1X$j,").mkString(" ") + " extraword"
+    // doc 3's 5-gram appears in the eval set uppercased: contaminated
+    // only under normalized fingerprints
+    val docs = Seq(
+      (1L, base(1)),
+      (2L, variant),
+      (3L, base(3)),
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val eval_ = Seq((100L, "WORD3X1 WORD3X2 WORD3X3 WORD3X4 WORD3X5"))
+      .toDF("doc_id", "text")
+
+    val raw = CorpusPipeline.prepare(docs, Some(eval_),
+      CorpusPipeline.Config(nearDupTau = 0.8))
+    assert(raw.select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+
+    val norm = CorpusPipeline.prepare(docs, Some(eval_),
+      CorpusPipeline.Config(nearDupTau = 0.8, normalizeFingerprints = true))
+      .orderBy("doc_id")
+    val rows = norm.collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L))
+    // the output carries the RAW text and no normalization residue
+    assert(rows(0).getAs[String]("text") === base(1))
+    assert(!norm.columns.contains("raw_text"))
+  }
+
   test("optional stages: no eval corpus, mixing toward a token budget") {
     val docs = (1 to 40).map(i =>
       (i.toLong, base(i), if (i % 2 == 0) "web" else "books"))
