@@ -170,11 +170,14 @@ object Dedup {
         .union(edges.select(col("lo").as("x"), col("hi").as("nbr")))
       val lmins = bidir.groupBy("x").agg(min("nbr").as("mn"))
         .select(col("x"), least(col("x"), col("mn")).as("m"))
+      // NO distinct here: duplicates (two neighbors of `nbr` sharing one
+      // min) survive into small-star, whose groupBy/join are set-identical
+      // on multisets and whose own distinct restores canonical form — the
+      // dedup shuffle per round buys nothing.
       val afterLarge = bidir.filter(col("nbr") > col("x"))
         .join(lmins, "x")
         .select(col("nbr").as("hi"), col("m").as("lo"))
-        .distinct()
-        .localCheckpoint(false) // scanned 3x below (mins, join, union)
+        .localCheckpoint(false) // scanned 2x below (mins, join)
       // SMALL-STAR: the canonical form already keys every edge at its
       // larger endpoint, so the "smaller neighbors" view is the frame
       // itself; center hi and each smaller neighbor except the min m
@@ -189,13 +192,15 @@ object Dedup {
       // structural convergence: star forest iff no hi has two edges and no
       // lo is itself a hi. Components are preserved by both rewrites and
       // hi > lo always, so a star forest IS the min-rooted answer — no
-      // need to burn a confirming round on edge-set equality. Both
-      // violation frames union into a single isEmpty action.
-      val multiHi = afterSmall.groupBy("hi").agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).select(col("hi").as("v"))
-      val loIsHi = afterSmall.select(col("lo").as("v"))
-        .join(afterSmall.select(col("hi").as("v")), Seq("v"), "left_semi")
-      converged = multiHi.union(loIsHi).isEmpty
+      // need to burn a confirming round on edge-set equality. ONE
+      // aggregation over the endpoint roles detects both violations
+      // (hi-degree > 1, or a node playing both roles) — no self-join.
+      converged = afterSmall.select(col("hi").as("v"), lit(1).as("isHi"))
+        .union(afterSmall.select(col("lo").as("v"), lit(0).as("isHi")))
+        .groupBy("v")
+        .agg(sum("isHi").as("nHi"), count(lit(1)).as("deg"))
+        .filter(col("nHi") > 1 || (col("nHi") >= 1 && col("deg") > col("nHi")))
+        .isEmpty
       edges = afterSmall
       round += 1
     }
