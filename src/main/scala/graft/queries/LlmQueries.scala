@@ -1710,5 +1710,176 @@ object LlmQueries {
              |       CAST(nt AS BIGINT) AS n_tokens
              |FROM census ORDER BY stage""".stripMargin),
     ),
+
+    // ------------------------------------------------------------------
+    // Q61 — the composed pipeline under OPT-IN FINGERPRINT NORMALIZATION
+    // (Config.normalizeFingerprints): each doc_id < 150 gets a planted
+    // variant with a comma appended to every token of >= 4 chars. The
+    // Gopher stopwords are all <= 3 chars, so a variant passes the gate
+    // IFF its base does (same word count, stopword count and token
+    // frequency profile); it is byte-distinct (survives exact dedup) and
+    // shares almost no RAW 3-shingles with its base — but normalization
+    // strips the commas, so under the flag every variant is a J=1 near-dup
+    // of its base and drops at stage 4. The eval corpus is the first 20
+    // VARIANT texts: zero raw 5-gram overlap with the surviving base
+    // docs, total overlap after both-sides normalization — decontam
+    // attrition that fires ONLY under the flag. Output = the attrition
+    // census; n_tokens counts the RAW (unfp-restored) text, so the
+    // report doubles as a pin that normalization never leaks past the
+    // fingerprint path.
+    Declared(
+      "q61_corpus_pipeline_norm",
+      (s, dir) => {
+        val base = Tables.documentsRaw(s, dir)
+          .filter(col("doc_id") < 150)
+          .select("doc_id", "source", "text")
+        val variants = base.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          col("source"),
+          regexp_replace(col("text"), "(\\S{4,})", "$1,").as("text"))
+        val eval_ = variants.filter(col("doc_id") < 1000020L)
+          .select("doc_id", "text")
+        val (_, report) = graft.llm.CorpusPipeline.prepareWithReport(
+          base.unionByName(variants), Some(eval_),
+          graft.llm.CorpusPipeline.Config(normalizeFingerprints = true))
+        report.orderBy("stage")
+      },
+      Some(s"""WITH basec AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 150),
+             |input AS (
+             |  SELECT doc_id, text FROM basec
+             |  UNION ALL
+             |  SELECT doc_id + 1000000,
+             |         regexp_replace(text, '(\\S{4,})', '\\1,', 'g') FROM basec),
+             |gs AS (
+             |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+             |         CAST(len(string_split(text, ' ')) AS INT) AS n_words
+             |  FROM input),
+             |gated AS (
+             |  SELECT doc_id, text FROM (
+             |    SELECT doc_id, text, n_words,
+             |      CAST(length(text) - (n_words - 1) AS DOUBLE) / n_words AS mwl,
+             |      len(list_intersect(toks, ['the','a','of','and','to','in','is'])) AS nstop,
+             |      CAST(list_max(list_transform(list_distinct(toks),
+             |        w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE) / n_words AS ttf
+             |    FROM gs)
+             |  WHERE n_words >= 20 AND n_words <= 100000
+             |    AND mwl >= 2.0 AND mwl <= 12.0 AND nstop >= 2 AND ttf <= 0.20),
+             |scrubbed AS (
+             |  SELECT doc_id,
+             |    regexp_replace(regexp_replace(regexp_replace(text,
+             |      '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+             |      '${TextOps.Ipv4Re}', '<IP>', 'g'),
+             |      '${TextOps.PhoneRe}', '<PHONE>', 'g') AS text
+             |  FROM gated),
+             |exact AS (
+             |  SELECT doc_id, text FROM (
+             |    SELECT doc_id, text,
+             |           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             |    FROM scrubbed)
+             |  WHERE rn = 1),
+             |nrm AS (
+             |  SELECT doc_id,
+             |    trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+             |         '[^\\p{L}\\p{N}\\s]+', ' ', 'g'), '\\s+', ' ', 'g')) AS text
+             |  FROM exact),
+             |toks3 AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM nrm
+             |  WHERE len(string_split(text, ' ')) >= 3),
+             |sh3 AS (
+             |  SELECT DISTINCT doc_id, shingle FROM (
+             |    SELECT doc_id,
+             |           unnest(list_transform(generate_series(1, len(t) - 2),
+             |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+             |    FROM toks3)),
+             |hs AS (
+             |  SELECT doc_id,
+             |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+             |         ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+             |  FROM sh3),
+             |sigs AS (
+             |  SELECT doc_id, ks.k AS k, MIN((h1 + ks.k * h2) % 4294967311) AS sig
+             |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+             |  GROUP BY doc_id, ks.k),
+             |bands AS (
+             |  SELECT doc_id, k // 2 AS band,
+             |         string_agg(sig::VARCHAR, '#' ORDER BY k) AS band_key
+             |  FROM sigs GROUP BY doc_id, band),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+             |cnt3 AS (SELECT doc_id, COUNT(*) AS n FROM sh3 GROUP BY doc_id),
+             |common AS (
+             |  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+             |  FROM cand c
+             |  JOIN sh3 sa ON sa.doc_id = c.doc_a
+             |  JOIN sh3 sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+             |  GROUP BY 1, 2),
+             |dropb AS (
+             |  SELECT DISTINCT doc_b FROM common
+             |  JOIN cnt3 ca ON common.doc_a = ca.doc_id
+             |  JOIN cnt3 cb ON common.doc_b = cb.doc_id
+             |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.8),
+             |deduped AS (
+             |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_b FROM dropb)),
+             |dnrm AS (
+             |  SELECT doc_id,
+             |    trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+             |         '[^\\p{L}\\p{N}\\s]+', ' ', 'g'), '\\s+', ' ', 'g')) AS text
+             |  FROM deduped),
+             |toks5 AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM dnrm
+             |  WHERE len(string_split(text, ' ')) >= 5),
+             |tsh5 AS (
+             |  SELECT DISTINCT doc_id, shingle FROM (
+             |    SELECT doc_id,
+             |           unnest(list_transform(generate_series(1, len(t) - 4),
+             |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+             |                  || t[i+3] || ' ' || t[i+4])) AS shingle
+             |    FROM toks5)),
+             |epre AS (
+             |  SELECT regexp_replace(text, '(\\S{4,})', '\\1,', 'g') AS text
+             |  FROM basec WHERE doc_id < 20),
+             |enrm AS (
+             |  SELECT trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+             |         '[^\\p{L}\\p{N}\\s]+', ' ', 'g'), '\\s+', ' ', 'g')) AS text
+             |  FROM epre),
+             |etoks5 AS (
+             |  SELECT string_split(text, ' ') AS t FROM enrm
+             |  WHERE len(string_split(text, ' ')) >= 5),
+             |esh5 AS (
+             |  SELECT DISTINCT shingle FROM (
+             |    SELECT unnest(list_transform(generate_series(1, len(t) - 4),
+             |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+             |                  || t[i+3] || ' ' || t[i+4])) AS shingle
+             |    FROM etoks5)),
+             |contam AS (SELECT DISTINCT doc_id FROM tsh5 JOIN esh5 USING (shingle)),
+             |clean AS (
+             |  SELECT * FROM deduped
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+             |census AS (
+             |  SELECT '0_input' AS stage, COUNT(*) AS n_docs,
+             |         COALESCE(SUM(len(string_split(text, ' '))), 0) AS nt FROM input
+             |  UNION ALL SELECT '1_quality_gate', COUNT(*),
+             |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM gated
+             |  UNION ALL SELECT '2_pii_scrub', COUNT(*),
+             |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM scrubbed
+             |  UNION ALL SELECT '3_exact_dedup', COUNT(*),
+             |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM exact
+             |  UNION ALL SELECT '4_near_dedup', COUNT(*),
+             |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM deduped
+             |  UNION ALL SELECT '5_semantic_dedup', COUNT(*),
+             |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM deduped
+             |  UNION ALL SELECT '6_decontam', COUNT(*),
+             |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM clean
+             |  UNION ALL SELECT '7_mixed', COUNT(*),
+             |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM clean
+             |  UNION ALL SELECT '8_packed', COUNT(*),
+             |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM clean)
+             |SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+             |       CAST(nt AS BIGINT) AS n_tokens
+             |FROM census ORDER BY stage""".stripMargin),
+    ),
   )
 }
