@@ -31,10 +31,11 @@ import org.apache.spark.sql.functions._
   * thresholds) between any two steps.
   *
   * At 100 TB: stages 1-2 are whole-stage-codegen projections at scan
-  * parallelism; 3-6 shuffle only hashes/shingles/ids (never payloads
-  * beyond the value-hash of step 3; step 5's clustering collects k x dim
-  * centroid means like the IVF trainer); 7 is a broadcast census; 8's
-  * sequential step is 1/8192nd of the corpus.
+  * parallelism; 3-6 shuffle only hashes/shingles/ids — never payloads
+  * (step 3 runs [[Dedup.exactByHash]], so even exact dedup moves only
+  * (doc_id, digest) pairs; step 5's clustering collects k x dim centroid
+  * means like the IVF trainer); 7 is a broadcast census; 8's sequential
+  * step is 1/8192nd of the corpus.
   */
 object CorpusPipeline {
 
@@ -130,8 +131,9 @@ object CorpusPipeline {
       else identity
 
     // 3 + 4. exact then near dedup (exact first: free removal of identical
-    // payloads before the LSH machinery runs)
-    val exact = tap(Dedup.exact(scrubbed))
+    // payloads before the LSH machinery runs). Hash form: the dedup
+    // shuffle carries (doc_id, digest) only, never the text payload.
+    val exact = tap(Dedup.exactByHash(scrubbed))
     val deduped = tap(unfp(Dedup.dedupNearLsh(fp(exact), tau = cfg.nearDupTau,
       shingleSize = cfg.shingleSize)))
 

@@ -18,11 +18,31 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup on a column (default `text`): keep the min-doc_id row per
-    * identical value. Hash-partitioned by the value — one shuffle. */
+    * identical value. Hash-partitioned by the value — one shuffle, but the
+    * shuffled rows CARRY the value column; at corpus scale prefer
+    * [[exactByHash]], which moves only ids and 16-byte digests. Kept as
+    * the byte-equality reference form (and the shape the oracles state). */
   def exact(docs: DataFrame, on: String = "text"): DataFrame = {
     val w = Window.partitionBy(on).orderBy("doc_id")
     docs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** [[exact]] via 128-bit content digest: the dedup shuffle moves only
+    * (doc_id, md5-of-value) — the payload never enters an exchange — and
+    * survivors return through a doc_id-keyed anti-join, the partitioning
+    * every downstream dedup stage reuses. Result-identical to [[exact]]
+    * barring an md5 collision (~2^-64 odds at 1e12 docs; the standard
+    * content-defined-dedup tradeoff), spec-pinned equal on randomized
+    * duplicate-heavy corpora. The form [[CorpusPipeline]] runs. */
+  def exactByHash(docs: DataFrame, on: String = "text"): DataFrame = {
+    val w = Window.partitionBy("__h").orderBy("doc_id")
+    val drop = docs.select(col("doc_id"), md5(col(on).cast("binary")).as("__h"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select("doc_id")
+      .localCheckpoint(true)
+    docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
   /** Near-dup pairs via MinHash LSH banding + exact-Jaccard verification

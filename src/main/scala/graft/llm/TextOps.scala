@@ -525,6 +525,46 @@ object TextOps {
     s"""transform(sequence(0, cast(ceil(size(split(text, ' ')) / ${w}.0D) as int) - 1),
        |  i -> md5(concat_ws(' ', slice(split(text, ' '), i * $w + 1, $w))))""".stripMargin)
 
+  /** RefinedWeb/CCNet-style BOILERPLATE REMOVAL — the rewrite counterpart
+    * of [[passageStats]]: every `w`-token chunk (same positional chunking,
+    * same md5 key) occurring in >= `minDocs` DISTINCT documents is removed
+    * from EVERY document, and each document's surviving chunks are
+    * re-joined in position order. A chunk repeated only WITHIN one doc is
+    * kept (use [[repetitionStats]] for intra-doc repetition). Every input
+    * doc returns a row — a fully-boilerplate doc comes back with text ''
+    * and n_removed == n_chunks.
+    *
+    * Shape at scale: the duplicate-chunk census shuffles (md5, doc_id)
+    * pairs only; chunk text moves in exactly one corpus-order shuffle
+    * (the doc_id reassembly groupBy — unavoidable for a rewrite), with
+    * the dup-set join AQE-broadcastable whenever boilerplate is sparse. */
+  def removeDuplicatedPassages(
+      docs: DataFrame, w: Int = 20, minDocs: Int = 2): DataFrame = {
+    val chunkArr = expr(
+      s"""transform(sequence(0, cast(ceil(size(split(text, ' ')) / ${w}.0D) as int) - 1),
+         |  i -> concat_ws(' ', slice(split(text, ' '), i * $w + 1, $w)))""".stripMargin)
+    val chunks = docs
+      .select(col("doc_id"), posexplode(chunkArr).as(Seq("pos", "chunk")))
+      .withColumn("h", md5(col("chunk").cast("binary")))
+      .localCheckpoint(false) // feeds the census AND the rewrite join
+    val dup = chunks.select("h", "doc_id").groupBy("h")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"), lit(1).as("__dup"))
+    chunks.join(dup, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).cast("int")
+          .as("n_removed"),
+        // collect_list skips the nulls the when() leaves on dup chunks;
+        // array_sort on (pos, chunk) structs restores position order
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("__dup").isNull, struct(col("pos"), col("chunk"))))),
+          x => x.getField("chunk"))).as("text"))
+  }
+
   def passageStats(docs: DataFrame, w: Int = 20): DataFrame = {
     // chunks feeds the df groupBy AND the join: hash the corpus once
     val chunks = docs.select(

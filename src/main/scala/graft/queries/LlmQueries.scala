@@ -1881,5 +1881,55 @@ object LlmQueries {
              |       CAST(nt AS BIGINT) AS n_tokens
              |FROM census ORDER BY stage""".stripMargin),
     ),
+
+    // ------------------------------------------------------------------
+    // Q62 — boilerplate removal (RefinedWeb/CCNet-style passage-level
+    // REWRITE): a constant 20-token boilerplate line is PREPENDED to every
+    // doc (so chunk 0 is exactly the boilerplate in every document —
+    // aligned by construction); removeDuplicatedPassages drops every
+    // 20-token chunk whose md5 occurs in >= 2 distinct docs and re-joins
+    // the survivors in position order. The oracle replays the positional
+    // chunking, the md5 census, and the ordered string_agg reassembly —
+    // pinning chunk alignment, the distinct-doc threshold, AND the
+    // rewrite itself (text content hashes cross-engine). Bounded to 200
+    // docs at any SF.
+    Declared(
+      "q62_remove_dup_passages",
+      (s, dir) => {
+        val bp = (1 to 20).map(i => s"bp$i").mkString(" ")
+        val docs = Tables.documentsRaw(s, dir)
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"), concat(lit(bp + " "), col("text")).as("text"))
+        TextOps.removeDuplicatedPassages(docs, w = 20, minDocs = 2)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH pre AS (
+             |  SELECT doc_id,
+             |    '${(1 to 20).map(i => s"bp$i").mkString(" ")} ' || text AS text
+             |  FROM documents WHERE doc_id < 200),
+             |toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM pre),
+             |chunks AS (
+             |  SELECT doc_id, u['pos'] AS pos, u['chunk'] AS chunk FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(
+             |        generate_series(0, CAST(ceil(len(t) / 20.0) AS INT) - 1),
+             |        i -> {'pos': i,
+             |              'chunk': array_to_string(t[i*20+1:i*20+20], ' ')})) AS u
+             |    FROM toks)),
+             |dup AS (
+             |  SELECT md5(chunk) AS h
+             |  FROM chunks GROUP BY 1
+             |  HAVING COUNT(DISTINCT doc_id) >= 2)
+             |SELECT c.doc_id,
+             |  CAST(COUNT(*) AS INT) AS n_chunks,
+             |  CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+             |    AS n_removed,
+             |  COALESCE(string_agg(CASE WHEN d.h IS NULL THEN c.chunk END,
+             |                      ' ' ORDER BY c.pos), '') AS text
+             |FROM chunks c LEFT JOIN dup d ON md5(c.chunk) = d.h
+             |GROUP BY c.doc_id
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

@@ -525,6 +525,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(out === Set(1L, 2L, 3L, 5L, 6L)) // doc 4 (== doc 3) dropped
   }
 
+  test("removeDuplicatedPassages: cross-doc chunks drop, intra-doc repeats stay") {
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")   // one aligned chunk
+    val rep = (1 to 20).map(i => s"x$i").mkString(" ")      // intra-doc repeat
+    val corpus = Seq(
+      (1L, s"$shared tail1 a b"),
+      (2L, s"$shared tail2 c d"),
+      (3L, s"$rep $rep lonely tail"),
+      (4L, shared), // fully boilerplate
+    ).toDF("doc_id", "text")
+    val out = TextOps.removeDuplicatedPassages(corpus, w = 20, minDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_chunks", "n_removed", "text")
+      .as[(Long, Int, Int, String)].collect()
+    assert(out(0) === ((1L, 2, 1, "tail1 a b")))
+    assert(out(1) === ((2L, 2, 1, "tail2 c d")))
+    // doc 3: chunk repeated twice WITHIN the doc only — kept intact
+    assert(out(2) === ((3L, 3, 0, s"$rep $rep lonely tail")))
+    // doc 4: everything was boilerplate — row survives, text empties
+    assert(out(3) === ((4L, 1, 1, "")))
+  }
+
+  test("Dedup.exactByHash == Dedup.exact on a randomized duplicate-heavy corpus") {
+    // 300 docs drawn from 60 distinct texts — every survivor set must agree
+    // with the byte-equality reference row for row, and the full surviving
+    // frames (all columns) must match
+    val rnd = new scala.util.Random(1234)
+    val corpus = (1 to 300).map { i =>
+      (i.toLong, s"dup text body number ${rnd.nextInt(60)}", s"s${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val ref = Dedup.exact(corpus).collect().map(_.toString).toSet
+    val hashed = Dedup.exactByHash(corpus).collect().map(_.toString).toSet
+    assert(hashed === ref)
+    assert(Dedup.exactByHash(corpus).columns.toSeq === corpus.columns.toSeq)
+  }
+
   test("Dedup.dedupNearLsh drops exact AND near duplicates of lower ids") {
     val survivors = Dedup.dedupNearLsh(docs, tau = 0.4)
       .select("doc_id").as[Long].collect().toSet
