@@ -56,6 +56,12 @@ object ScaleBench {
     val (nExact, tExact) = timed { Dedup.exact(docs).count() }
     println(s"""{"op":"dedup_exact","docs":$nDocs,"survivors":$nExact,"sec":$tExact}""")
 
+    // payload-free exact dedup: must land on the SAME survivor count as
+    // the byte-equality form — the fixed point the md5-collision argument
+    // rests on — while shuffling only (doc_id, digest) pairs
+    val (nExactH, tExactH) = timed { Dedup.exactByHash(docs).count() }
+    println(s"""{"op":"dedup_exact_hash","docs":$nDocs,"survivors":$nExactH,"survivors_match":${nExactH == nExact},"sec":$tExactH}""")
+
     val emb = replicate(Tables.embeddings(spark, sfDir), "vec_id", factor)
       .localCheckpoint(true)
     val nVec = emb.count()
@@ -137,6 +143,20 @@ object ScaleBench {
       TextOps.passageStats(docs, 20).agg(sum("n_dup_passages")).head().getLong(0)
     }
     println(s"""{"op":"passage_dedup","docs":$nDocs,"dup_passages":$nPass,"sec":$tPass}""")
+
+    // boilerplate rewrite under duplicate-heavy replication: every chunk
+    // occurs factor x across disjoint-id copies, so EVERY chunk must be
+    // removed — all rows survive with empty text (the all-boilerplate
+    // fixed point), and n_removed must sweep the full chunk census
+    val (rw, tRw) = timed {
+      val agg = TextOps.removeDuplicatedPassages(docs, 20).agg(
+        count(lit(1)),
+        sum(when(col("text") =!= "", 1L).otherwise(0L)),
+        sum(col("n_removed").cast("long")),
+        sum(col("n_chunks").cast("long"))).head()
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
+    }
+    println(s"""{"op":"remove_dup_passages","docs":$nDocs,"rows":${rw._1},"all_rewritten":${rw._1 == nDocs && rw._2 == 0L && rw._3 == rw._4},"sec":$tRw}""")
 
     // SemDeDup over replicated embeddings: the within-cluster join is
     // quadratic in cluster SIZE, so k must scale with n (the SemDeDup
