@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   *
   *   1. QUALITY GATE    — [[TextOps.gopherGate]] (per-row, scan parallel)
   *   2. PII SCRUB       — [[TextOps.redactPii]] (per-row; rewrites `text`)
-  *   3. EXACT DEDUP     — [[Dedup.exact]] (one value-hash shuffle)
+  *   2b. PASSAGE SCRUB  — [[TextOps.removeDuplicatedPassages]] (optional:
+  *                        cross-doc boilerplate stripped before any
+  *                        fingerprint sees it)
+  *   3. EXACT DEDUP     — [[Dedup.exactByHash]] (digest-only shuffle)
   *   4. NEAR DEDUP      — [[Dedup.dedupNearLsh]] (banded MinHash-LSH)
   *   5. SEMANTIC DEDUP  — [[Dedup.semDedup]] over a supplied
   *                        (doc_id, embedding) frame (optional)
@@ -54,6 +57,13 @@ object CorpusPipeline {
       // become near-dup candidates; q58 pins the normalization itself
       // cross-engine. Exact dedup stays byte-exact by design.
       normalizeFingerprints: Boolean = false,
+      // boilerplate passage removal (opt-in): Some((w, minDocs)) inserts a
+      // [[TextOps.removeDuplicatedPassages]] stage between PII scrub and
+      // exact dedup — w-token chunks occurring in >= minDocs distinct docs
+      // are stripped BEFORE any fingerprinting (shared boilerplate
+      // inflates every similarity signal downstream). Docs whose text
+      // empties entirely are dropped at this stage.
+      removeDupPassages: Option[(Int, Int)] = None,
       // decontamination n-gram size
       decontamNgram: Int = 5,
       // semantic dedup (used only when an embeddings frame is supplied)
@@ -118,6 +128,19 @@ object CorpusPipeline {
       .drop("text", "n_email", "n_ipv4", "n_phone")
       .withColumnRenamed("redacted", "text"))
 
+    // 2b. optional boilerplate removal: rewrite text with cross-doc
+    // duplicated passages stripped, preserving every non-text column via
+    // a doc_id equi-join (the op itself returns only the rewrite); docs
+    // reduced to nothing but boilerplate are dropped
+    val descrubbed = cfg.removeDupPassages match {
+      case Some((w, minDocs)) =>
+        val rewritten = TextOps.removeDuplicatedPassages(scrubbed, w, minDocs)
+          .filter(col("text") =!= "")
+          .select("doc_id", "text")
+        tap(scrubbed.drop("text").join(rewritten, Seq("doc_id")))
+      case None => scrubbed
+    }
+
     // fingerprint-path normalization (opt-in): `fp` swaps the text the
     // dedup/decontam machinery fingerprints for its normalized form
     // (raw survives as `raw_text`); `unfp` restores the raw text on the
@@ -133,7 +156,7 @@ object CorpusPipeline {
     // 3 + 4. exact then near dedup (exact first: free removal of identical
     // payloads before the LSH machinery runs). Hash form: the dedup
     // shuffle carries (doc_id, digest) only, never the text payload.
-    val exact = tap(Dedup.exactByHash(scrubbed))
+    val exact = tap(Dedup.exactByHash(descrubbed))
     val deduped = tap(unfp(Dedup.dedupNearLsh(fp(exact), tau = cfg.nearDupTau,
       shingleSize = cfg.shingleSize)))
 
@@ -180,12 +203,15 @@ object CorpusPipeline {
       "0_input" -> input,
       "1_quality_gate" -> gated,
       "2_pii_scrub" -> scrubbed,
-      "3_exact_dedup" -> exact,
-      "4_near_dedup" -> deduped,
-      "5_semantic_dedup" -> semantic,
-      "6_decontam" -> clean,
-      "7_mixed" -> mixed,
-      "8_packed" -> packed,
-    )
+    ) ++
+      cfg.removeDupPassages.map(_ => "2b_passage_scrub" -> descrubbed).toSeq ++
+      Seq(
+        "3_exact_dedup" -> exact,
+        "4_near_dedup" -> deduped,
+        "5_semantic_dedup" -> semantic,
+        "6_decontam" -> clean,
+        "7_mixed" -> mixed,
+        "8_packed" -> packed,
+      )
   }
 }

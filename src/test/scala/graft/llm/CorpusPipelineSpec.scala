@@ -145,6 +145,35 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(!norm.columns.contains("raw_text"))
   }
 
+  test("removeDupPassages stage: boilerplate strips before dedup; empty docs drop") {
+    // shared 20-token prefix = EXACTLY chunk 0 of every doc (aligned by
+    // construction); unique 20-token tails keep docs 1-3 distinct; doc 4
+    // is pure boilerplate and must vanish at the 2b stage
+    val bp = "the a of and to in " +
+      (1 to 14).map(j => s"boiler$j").mkString(" ")
+    val docs = Seq(
+      (1L, s"$bp " + (1 to 20).map(j => s"t1x$j").mkString(" ")),
+      (2L, s"$bp " + (1 to 20).map(j => s"t2x$j").mkString(" ")),
+      (3L, s"$bp " + (1 to 20).map(j => s"t3x$j").mkString(" ")),
+      (4L, bp),
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val (result, report) = CorpusPipeline.prepareWithReport(docs, None,
+      CorpusPipeline.Config(removeDupPassages = Some((20, 2))))
+    val census = report.collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(census("2_pii_scrub") === 4L)
+    assert(census("2b_passage_scrub") === 3L) // doc 4 emptied and dropped
+    assert(census("8_packed") === 3L)
+    val rows = result.orderBy("doc_id").collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L, 3L))
+    // the boilerplate chunk is gone from every surviving text
+    assert(rows.forall(!_.getAs[String]("text").contains("boiler1")))
+    assert(rows(0).getAs[String]("text") === (1 to 20).map(j => s"t1x$j").mkString(" "))
+    // default config still reports 9 stages (no 2b)
+    val (_, plainReport) = CorpusPipeline.prepareWithReport(docs, None)
+    assert(plainReport.count() === 9L)
+  }
+
   test("optional stages: no eval corpus, mixing toward a token budget") {
     val docs = (1 to 40).map(i =>
       (i.toLong, base(i), if (i % 2 == 0) "web" else "books"))
