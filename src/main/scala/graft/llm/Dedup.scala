@@ -82,6 +82,59 @@ object Dedup {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** INCREMENTAL near-dedup — the production daily-ingest case: dedup an
+    * incoming batch against a STANDING corpus without ever re-deduping the
+    * corpus against itself. An incoming doc is dropped when it is a
+    * verified near-dup (jaccard >= tau) of ANY standing doc (id order
+    * irrelevant — the standing corpus always wins) or of a LOWER-id
+    * incoming doc (the same greedy policy as [[dedupNearLsh]]). Returns
+    * the surviving incoming rows; the standing frame is never modified.
+    * doc_ids must be disjoint across the two frames.
+    *
+    * Shape at scale: both sides project per-row band keys
+    * ([[TextOps.bandRowsDF]] — no corpus shuffle); candidate generation is
+    * one band-key groupBy emitting pairs ONLY for incoming docs
+    * ([[TextOps.incrementalBucketPairs]] — a standing-heavy bucket does
+    * zero standing x standing work, the term that dominates when the
+    * corpus dwarfs the batch); verification computes shingle sets for
+    * candidate docs only (semi-join). When the standing ids all precede
+    * the incoming ids this is result-identical to running [[dedupNearLsh]]
+    * over the union and keeping the incoming survivors (spec-pinned), at
+    * a fraction of the candidate work. */
+  def dedupNearLshIncremental(
+      incoming: DataFrame,
+      standing: DataFrame,
+      tau: Double,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bandRows: Int = 2,
+      maxBucketSize: Int = TextOps.DefaultMaxBucketSize): DataFrame = {
+    val bi = TextOps.bandRowsDF(incoming, shingleSize, numHashes, bandRows)
+      .withColumn("inc", lit(1L))
+    val bs = TextOps.bandRowsDF(standing, shingleSize, numHashes, bandRows)
+      .withColumn("inc", lit(0L))
+    val pairs = TextOps.incrementalBucketPairs(bi.unionByName(bs), maxBucketSize)
+      .localCheckpoint(false)
+    val candIds = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val corpus = standing.select("doc_id", "text")
+      .unionByName(incoming.select("doc_id", "text"))
+    val sets = corpus.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), TextOps.shingleCol(corpus, shingleSize).as("sset"))
+      .withColumn("n", size(col("sset")).cast("long"))
+      .localCheckpoint(false)
+    val drop = pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa"),
+        col("n").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb"),
+        col("n").as("nb")), Seq("doc_b"))
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .filter(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= tau)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .localCheckpoint(true)
+    incoming.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   /** Embedding-space near-dedup: drop vectors whose cosine to a lower-id
     * vector meets tau — [[VectorOps.cosineNearDupPairs]] over the full frame
     * (sampleMod=1). EXACT but pairwise (O(n^2) non-equi join): small

@@ -176,6 +176,29 @@ object TextOps {
     * from the sorted doc-id list (doc_a < doc_b by construction) instead of
     * via a melted self-join: one small shuffle on the band key, no join, and
     * the bucket-size skew cap falls out of a plain size() filter. */
+  /** Bucket pairs for INCREMENTAL dedup: `bands` carries an `inc` flag
+    * (1L = incoming batch, 0L = standing corpus; doc_ids must be disjoint
+    * across the two). Pairs are generated ONLY for incoming docs — each
+    * incoming doc against every standing bucket-mate (id order does NOT
+    * matter: the standing corpus always wins) and against strictly
+    * lower-id incoming bucket-mates (the within-batch greedy policy) — so
+    * a standing-heavy bucket emits ZERO standing x standing work, the
+    * term that dominates when the standing corpus dwarfs the daily batch.
+    * Output: (doc_a, doc_b) with doc_b always incoming. */
+  def incrementalBucketPairs(bands: DataFrame, maxBucketSize: Int): DataFrame =
+    bands.groupBy("band", "sig")
+      .agg(collect_list(struct(col("doc_id"), col("inc"))).as("items"))
+      .filter(size(col("items")) >= 2 &&
+        size(col("items")) <= maxBucketSize &&
+        expr("exists(items, x -> x.inc = 1L)"))
+      .select(explode(expr(
+        """flatten(transform(
+          |  filter(items, x -> x.inc = 1L),
+          |  x -> transform(filter(items, a -> a.inc = 0L OR a.doc_id < x.doc_id),
+          |                 a -> named_struct('doc_a', a.doc_id, 'doc_b', x.doc_id))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+
   def bucketPairs(bands: DataFrame, maxBucketSize: Int): DataFrame =
     bands.groupBy("band", "sig")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -186,6 +209,17 @@ object TextOps {
           |            b -> named_struct('doc_a', a, 'doc_b', b))))""".stripMargin)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
+
+  /** Per-row LSH band-key rows (doc_id, band, sig) — the signature melt
+    * shared by [[lshNearDupPairs]] and the incremental dedup path. Per-row
+    * kernel signatures, no corpus shuffle. */
+  def bandRowsDF(docs: DataFrame, k: Int, numHashes: Int, bandRows: Int): DataFrame = {
+    require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
+    val nBands = numHashes / bandRows
+    minhashSigDF(docs, k, numHashes)
+      .select(col("doc_id"),
+        posexplode(array(bandKeyCols(nBands, bandRows): _*)).as(Seq("band", "sig")))
+  }
 
   /** Band-key columns over signature array column `sig`: bandRows
     * consecutive signature values joined with '#' (numbers need a separator
@@ -228,10 +262,7 @@ object TextOps {
     * Output: (doc_a, doc_b, common, na, nb, jaccard), doc_a < doc_b. */
   def lshNearDupPairs(docs: DataFrame, k: Int, numHashes: Int, bandRows: Int,
                       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
-    val nBands = numHashes / bandRows
-    val bands = minhashSigDF(docs, k, numHashes)
-      .select(col("doc_id"), posexplode(array(bandKeyCols(nBands, bandRows): _*)).as(Seq("band", "sig")))
+    val bands = bandRowsDF(docs, k, numHashes, bandRows)
     // pairs and the candidate doc sets are consumed by multiple joins within
     // this one returned plan: lazy localCheckpoint, not cache() — storage is
     // freed when the plan becomes unreachable (GC + ContextCleaner), a plain

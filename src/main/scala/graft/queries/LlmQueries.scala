@@ -1931,5 +1931,61 @@ object LlmQueries {
              |GROUP BY c.doc_id
              |ORDER BY doc_id""".stripMargin),
     ),
+
+    // ------------------------------------------------------------------
+    // Q63 — INCREMENTAL near-dedup (the daily-ingest case): the corpus is
+    // split into a standing half (doc_id < 250) and an incoming batch
+    // (doc_id >= 250); an incoming doc survives unless it near-dups
+    // (tau=0.5) ANY standing doc or a lower-id incoming doc. The Spark
+    // side generates candidates only FOR incoming docs (zero standing x
+    // standing work — TextOps.incrementalBucketPairs); the oracle replays
+    // the full q43 pair chain and keeps drops with doc_b in the incoming
+    // range — result-identical because standing ids all precede incoming
+    // ids here (the differential spec pins the general equivalence).
+    Declared(
+      "q63_incremental_dedup",
+      (s, dir) => {
+        val all = Tables.documents(s, dir)
+        val standing = all.filter(col("doc_id") < 250)
+        val incoming = all.filter(col("doc_id") >= 250)
+        graft.llm.Dedup.dedupNearLshIncremental(incoming, standing, tau = 0.5)
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some(shingleCte +
+        """,
+          |hs AS (
+          |  SELECT doc_id,
+          |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+          |         ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+          |  FROM sh),
+          |sigs AS (
+          |  SELECT doc_id, ks.k AS k, MIN((h1 + ks.k * h2) % 4294967311) AS sig
+          |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+          |  GROUP BY doc_id, ks.k),
+          |bands AS (
+          |  SELECT doc_id, k // 2 AS band, string_agg(sig::VARCHAR, '#' ORDER BY k) AS band_key
+          |  FROM sigs GROUP BY doc_id, band),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          |common AS (
+          |  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+          |  FROM cand c
+          |  JOIN sh sa ON sa.doc_id = c.doc_a
+          |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          |  GROUP BY 1, 2),
+          |dropb AS (
+          |  SELECT DISTINCT doc_b FROM common
+          |  JOIN cnt ca ON common.doc_a = ca.doc_id
+          |  JOIN cnt cb ON common.doc_b = cb.doc_id
+          |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5
+          |    AND doc_b >= 250)
+          |SELECT doc_id, source FROM documents
+          |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_b FROM dropb)
+          |ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

@@ -525,6 +525,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(out === Set(1L, 2L, 3L, 5L, 6L)) // doc 4 (== doc 3) dropped
   }
 
+  test("dedupNearLshIncremental: standing wins at any id order; batch greedy by id") {
+    val body = (1 to 30).map(j => s"w$j").mkString(" ")
+    val other = (1 to 30).map(j => s"z$j").mkString(" ")
+    // standing doc 100 has a HIGHER id than incoming 5 — must still win
+    val standing = Seq((100L, body)).toDF("doc_id", "text")
+      .withColumn("source", lit("s"))
+    val incoming = Seq(
+      (5L, body + " w31"),    // near-dup of standing 100 -> drops
+      (6L, other),            // novel -> survives
+      (7L, other + " z31"),   // near-dup of LOWER-id incoming 6 -> drops
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val out = Dedup.dedupNearLshIncremental(incoming, standing, tau = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(6L))
+  }
+
+  test("dedupNearLshIncremental == union dedupNearLsh when standing ids precede") {
+    val rnd = new scala.util.Random(77)
+    def doc(seed: Int): String =
+      (1 to 25).map(j => s"t${seed}x$j").mkString(" ")
+    // 40 base texts; standing = ids 0-59, incoming = ids 1000+, with
+    // near-dups planted across the boundary and inside the batch
+    val standing = (0 until 60).map(i => (i.toLong, doc(rnd.nextInt(40))))
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+    val incoming = (0 until 60).map(i => (1000L + i, doc(rnd.nextInt(40))))
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+    val inc = Dedup.dedupNearLshIncremental(incoming, standing, tau = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    val viaUnion = Dedup.dedupNearLsh(standing.unionByName(incoming), tau = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+      .filter(_ >= 1000L)
+    assert(inc === viaUnion)
+    assert(inc.nonEmpty && inc.size < 60) // non-vacuous: some dropped, some kept
+  }
+
   test("removeDuplicatedPassages: cross-doc chunks drop, intra-doc repeats stay") {
     val shared = (1 to 20).map(i => s"s$i").mkString(" ")   // one aligned chunk
     val rep = (1 to 20).map(i => s"x$i").mkString(" ")      // intra-doc repeat
