@@ -62,6 +62,19 @@ object ScaleBench {
     val (nExactH, tExactH) = timed { Dedup.exactByHash(docs).count() }
     println(s"""{"op":"dedup_exact_hash","docs":$nDocs,"survivors":$nExactH,"survivors_match":${nExactH == nExact},"sec":$tExactH}""")
 
+    // incremental dedup: a batch that replicates corpus CONTENT (fresh
+    // ids) must be annihilated against the standing corpus — survivors
+    // == 0 exactly — and the candidate work is batch-shaped, not
+    // corpus-shaped (pairs form only around incoming docs)
+    val batch = Tables.documents(spark, sfDir)
+      .withColumn("doc_id", col("doc_id") + lit(900000000L))
+      .localCheckpoint(true)
+    val nBatch = batch.count()
+    val (nIncSurv, tInc) = timed {
+      Dedup.dedupNearLshIncremental(batch, docs, tau = 0.5).count()
+    }
+    println(s"""{"op":"incremental_dedup","standing":$nDocs,"batch":$nBatch,"survivors":$nIncSurv,"all_dropped":${nIncSurv == 0L},"sec":$tInc}""")
+
     val emb = replicate(Tables.embeddings(spark, sfDir), "vec_id", factor)
       .localCheckpoint(true)
     val nVec = emb.count()

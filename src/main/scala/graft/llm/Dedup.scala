@@ -82,6 +82,32 @@ object Dedup {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** INCREMENTAL exact dedup — [[exactByHash]]'s batch-vs-corpus form:
+    * drop every incoming doc whose content digest already exists in the
+    * standing corpus (id order irrelevant), then keep the min-id row per
+    * digest within the batch. Returns surviving incoming rows only. The
+    * standing side reduces to a digest projection — at 100 TB the daily
+    * run reads the corpus' digest column (or a precomputed digest table)
+    * and shuffles 16-byte digests, never text. */
+  def exactIncremental(
+      incoming: DataFrame,
+      standing: DataFrame,
+      on: String = "text"): DataFrame = {
+    val dig = md5(col(on).cast("binary"))
+    val seen = standing.select(dig.as("__h")).distinct()
+    val w = Window.partitionBy("__h").orderBy("doc_id")
+    val drop = incoming.select(col("doc_id"), dig.as("__h"))
+      .join(seen, Seq("__h"), "left_semi")
+      .select("doc_id")
+      .union(incoming.select(col("doc_id"), dig.as("__h"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > 1)
+        .select("doc_id"))
+      .distinct()
+      .localCheckpoint(true)
+    incoming.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   /** INCREMENTAL near-dedup — the production daily-ingest case: dedup an
     * incoming batch against a STANDING corpus without ever re-deduping the
     * corpus against itself. An incoming doc is dropped when it is a

@@ -525,6 +525,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(out === Set(1L, 2L, 3L, 5L, 6L)) // doc 4 (== doc 3) dropped
   }
 
+  test("exactIncremental: standing digests drop incoming; batch min-id wins") {
+    val standing = Seq((100L, "alpha"), (101L, "beta")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "alpha"),  // already in standing (higher standing id) -> drops
+      (2L, "gamma"),  // novel -> survives
+      (3L, "gamma"),  // batch dup of 2 -> drops
+      (4L, "delta"),  // novel -> survives
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(incoming, standing)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(2L, 4L))
+  }
+
   test("dedupNearLshIncremental: standing wins at any id order; batch greedy by id") {
     val body = (1 to 30).map(j => s"w$j").mkString(" ")
     val other = (1 to 30).map(j => s"z$j").mkString(" ")
