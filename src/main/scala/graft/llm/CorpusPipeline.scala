@@ -107,6 +107,50 @@ object CorpusPipeline {
     (st.last._2, report)
   }
 
+  /** [[prepare]]'s INCREMENTAL form — the daily-ingest run: prepare an
+    * incoming batch AGAINST an already-prepared standing corpus. Stages
+    * 1-2 (gate, scrub) run per-row on the batch only; exact and near
+    * dedup run batch-vs-standing ([[Dedup.exactIncremental]],
+    * [[Dedup.dedupNearLshIncremental]] — candidate work is batch-shaped,
+    * the standing corpus contributes a digest/signature projection and is
+    * never modified); decontamination and packing run on the surviving
+    * batch rows. `standing` must already be prepared (gated, scrubbed,
+    * deduped — i.e. a previous [[prepare]] output or the corpus that
+    * output was appended to); doc_ids must be disjoint from the batch.
+    * Returns packed batch rows (the [[prepare]] shape) — append them to
+    * the standing corpus to complete the ingest cycle. */
+  def prepareIncremental(
+      incoming: DataFrame,
+      standing: DataFrame,
+      evalCorpus: Option[DataFrame] = None,
+      cfg: Config = Config()): DataFrame = {
+    val gated = TextOps.gopherGate(incoming,
+      minWords = cfg.minWords, maxWords = cfg.maxWords)
+    val scrubbed = TextOps.redactPii(gated, "text")
+      .drop("text", "n_email", "n_ipv4", "n_phone")
+      .withColumnRenamed("redacted", "text")
+    val fp: DataFrame => DataFrame =
+      if (cfg.normalizeFingerprints) TextOps.normalized(_) else identity
+    val unfp: DataFrame => DataFrame =
+      if (cfg.normalizeFingerprints)
+        _.withColumn("text", col("raw_text")).drop("raw_text")
+      else identity
+    val exact = Dedup.exactIncremental(scrubbed, standing)
+    val deduped = unfp(Dedup.dedupNearLshIncremental(
+      fp(exact), fp(standing), tau = cfg.nearDupTau,
+      shingleSize = cfg.shingleSize))
+    val clean = evalCorpus match {
+      case Some(ev) =>
+        unfp(TextOps.decontaminate(fp(deduped), fp(ev), cfg.decontamNgram))
+      case None => deduped
+    }
+    Packing.packSequences(
+      clean.select(col("doc_id"), col("source"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      budget = cfg.packBudget)
+      .select("doc_id", "source", "text", "n_tokens", "bin", "pos_in_bin")
+  }
+
   /** The stage chain, each boundary passed through `tap` (identity for the
     * plain composable form; a lazy localCheckpoint for the reporting form). */
   private def stages(

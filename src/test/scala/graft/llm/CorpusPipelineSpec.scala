@@ -174,6 +174,30 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(plainReport.count() === 9L)
   }
 
+  test("prepareIncremental: batch dedups against the standing corpus, not itself") {
+    // standing = an already-prepared corpus of two docs
+    val standing = Seq((1L, base(1)), (2L, base(2)))
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+    val incoming = Seq(
+      (10L, base(1)),                 // exact dup of STANDING 1 -> drops
+      (11L, base(2) + " extraword"),  // near dup of STANDING 2 -> drops
+      (12L, base(12)),                // novel -> survives
+      (13L, base(12) + " extraword"), // near dup of lower-id BATCH 12 -> drops
+      (14L, base(14)),                // shares a 5-gram with eval -> drops
+      (15L, "too short"),             // gate -> drops
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val eval_ = Seq((100L, "word14x1 word14x2 word14x3 word14x4 word14x5"))
+      .toDF("doc_id", "text")
+
+    val out = CorpusPipeline.prepareIncremental(incoming, standing, Some(eval_),
+      CorpusPipeline.Config(nearDupTau = 0.8))
+      .orderBy("doc_id")
+    assert(out.select("doc_id").as[Long].collect().toSeq === Seq(12L))
+    // the survivor is packed with the prepare() output shape
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "source", "text", "n_tokens", "bin", "pos_in_bin"))
+  }
+
   test("optional stages: no eval corpus, mixing toward a token budget") {
     val docs = (1 to 40).map(i =>
       (i.toLong, base(i), if (i % 2 == 0) "web" else "books"))
