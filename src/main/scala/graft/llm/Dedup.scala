@@ -466,6 +466,44 @@ object Dedup {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** [[dedupByEmbeddingLsh]]'s batch-vs-corpus form — the embedding twin
+    * of [[dedupNearLshIncremental]]: drop every incoming vector whose
+    * cosine to ANY standing vector (id order irrelevant) or to a lower-id
+    * incoming vector meets tau, with candidates restricted to shared
+    * sign-LSH buckets via the same [[TextOps.incrementalBucketPairs]]
+    * generator (bucket id as the band key) — a standing-heavy bucket does
+    * zero standing x standing work. Returns surviving incoming rows; the
+    * standing frame is never modified; vec_ids must be disjoint. Same
+    * approximation contract as [[dedupByEmbeddingLsh]]: cross-bucket
+    * pairs are missed, nPlanes=0 degenerates to the exact form. */
+  def dedupByEmbeddingLshIncremental(
+      incoming: DataFrame,
+      standing: DataFrame,
+      tau: Double,
+      nPlanes: Int = 4,
+      dim: Int = 64,
+      maxBucketSize: Int = TextOps.DefaultMaxBucketSize): DataFrame = {
+    def bands(df: DataFrame, inc: Long) =
+      VectorOps.hyperplaneBuckets(df, nPlanes, dim)
+        .select(col("vec_id").as("doc_id"), lit(0).as("band"),
+          col("bucket").cast("string").as("sig"), lit(inc).as("inc"))
+    val pairs = TextOps.incrementalBucketPairs(
+      bands(incoming, 1L).unionByName(bands(standing, 0L)), maxBucketSize)
+      .localCheckpoint(false)
+    val corpus = standing.select("vec_id", "embedding")
+      .unionByName(incoming.select("vec_id", "embedding"))
+    val a = corpus.select(col("vec_id").as("doc_a"), col("embedding").as("qe"))
+      .withColumn("na", expr(VectorOps.normExprFor(corpus, "qe")))
+    val b = corpus.select(col("vec_id").as("doc_b"), col("embedding").as("ne"))
+      .withColumn("nb", expr(VectorOps.normExprFor(corpus, "ne")))
+    val drop = pairs.join(a, "doc_a").join(b, "doc_b")
+      .filter(col("na") * col("nb") =!= 0 &&
+        expr(VectorOps.dotExprFor(corpus, "qe", "ne")) / (col("na") * col("nb")) >= tau)
+      .select(col("doc_b").as("vec_id")).distinct()
+      .localCheckpoint(true)
+    incoming.join(drop, Seq("vec_id"), "left_anti")
+  }
+
   /** The 100 TB embedding-dedup path: candidate pairs restricted to
     * sign-LSH hyperplane buckets (equi-join on bucket id — no cross
     * product), cosine-verified >= tau, greedy lower-id survivor policy.

@@ -573,6 +573,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(inc.nonEmpty && inc.size < 60) // non-vacuous: some dropped, some kept
   }
 
+  test("dedupByEmbeddingLshIncremental == union form; standing wins at any id order") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val standing = emb.filter($"vec_id" < 200)
+    // incoming: fresh vectors PLUS exact copies of 30 standing vectors at
+    // high ids — the copies must drop, bucket-identical by construction
+    val incoming = emb.filter($"vec_id" >= 200 && $"vec_id" < 400)
+      .unionByName(emb.filter($"vec_id" < 30)
+        .withColumn("vec_id", $"vec_id" + 1000000L))
+    val inc = Dedup.dedupByEmbeddingLshIncremental(incoming, standing, tau = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    val viaUnion = Dedup.dedupByEmbeddingLsh(
+      standing.unionByName(incoming), tau = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+      .filter(id => id >= 200L)
+    assert(inc === viaUnion)
+    // every planted copy dropped; non-vacuous survivors remain
+    assert(inc.forall(_ < 1000000L) && inc.nonEmpty)
+    // standing wins regardless of id order: a standing vector with a
+    // HIGHER id than the incoming copy still knocks the copy out
+    val hiStanding = emb.filter($"vec_id" < 10)
+      .withColumn("vec_id", $"vec_id" + 5000000L)
+    val loIncoming = emb.filter($"vec_id" < 10)
+      .withColumn("vec_id", $"vec_id" + 100L)
+    val survivors = Dedup.dedupByEmbeddingLshIncremental(
+      loIncoming, hiStanding, tau = 0.95).count()
+    assert(survivors === 0L)
+  }
+
   test("removeDuplicatedPassages: cross-doc chunks drop, intra-doc repeats stay") {
     val shared = (1 to 20).map(i => s"s$i").mkString(" ")   // one aligned chunk
     val rep = (1 to 20).map(i => s"x$i").mkString(" ")      // intra-doc repeat
