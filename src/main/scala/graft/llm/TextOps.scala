@@ -556,6 +556,78 @@ object TextOps {
     s"""transform(sequence(0, cast(ceil(size(split(text, ' ')) / ${w}.0D) as int) - 1),
        |  i -> md5(concat_ws(' ', slice(split(text, ' '), i * $w + 1, $w))))""".stripMargin)
 
+  /** BPE merge-table learning — tokenizer TRAINING, the third leg next to
+    * token counting (q25) and vocabulary construction (q38). Classic
+    * word-level BPE (Sennrich et al. 2016, learn_bpe): words split to
+    * character symbols; each round counts adjacent symbol pairs weighted
+    * by word frequency (zip-overlap counting, the reference algorithm),
+    * merges the most frequent pair — ties broken by (left, right)
+    * ascending for determinism — and rewrites the vocabulary greedily
+    * left-to-right (non-overlapping: a symbol merged this round does not
+    * re-merge within the round). Stops early when no adjacent pair
+    * remains.
+    *
+    * Shape at scale: ONE corpus pass builds the (word, freq) vocab; every
+    * round after that runs on the VOCAB table — corpus-size-independent —
+    * as one map-side-combinable pair-count aggregate, a 1-ROW driver
+    * fetch (the argmax pair), and a per-row rewrite against literals.
+    * The rewrite fold is pure built-ins (aggregate over the symbol
+    * array), codegen-friendly, no UDF.
+    *
+    * Returns the ordered merge table (round, left, right, pair_freq) —
+    * the artifact a tokenizer ships. */
+  def learnBpeMerges(docs: DataFrame, numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def q(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
+    var vocab = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      // explicit substring indexing: split(word, '') keeps a trailing ''
+      // under Spark's limit = -1 semantics
+      .select(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("syms"), col("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    var round = 0
+    while (round < numMerges && !exhausted) {
+      val best = vocab
+        // single-symbol words carry no pairs (and sequence(1, 0) DESCENDS
+        // in Spark — it must never be built)
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] as l, syms[i] as r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("pf"))
+        .orderBy(col("pf").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, pf) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((round, l, r, pf))
+        // greedy left-to-right rewrite: fold state = (emitted, pending);
+        // a merge emits l||r and clears pending so it cannot chain
+        vocab = vocab.select(expr(
+          s"""aggregate(syms,
+             |  named_struct('acc', cast(array() as array<string>), 'prev', cast(null as string)),
+             |  (st, s) -> if(st.prev = '${q(l)}' and s = '${q(r)}',
+             |    named_struct('acc', concat(st.acc, array('${q(l + r)}')),
+             |                 'prev', cast(null as string)),
+             |    named_struct('acc',
+             |      if(st.prev is null, st.acc, concat(st.acc, array(st.prev))),
+             |      'prev', s)),
+             |  st -> if(st.prev is null, st.acc, concat(st.acc, array(st.prev))))"""
+            .stripMargin).as("syms"), col("freq"))
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("round", "left", "right", "pair_freq")
+  }
+
   /** RefinedWeb/CCNet-style BOILERPLATE REMOVAL — the rewrite counterpart
     * of [[passageStats]]: every `w`-token chunk (same positional chunking,
     * same md5 key) occurring in >= `minDocs` DISTINCT documents is removed

@@ -1987,5 +1987,84 @@ object LlmQueries {
           |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_b FROM dropb)
           |ORDER BY doc_id""".stripMargin),
     ),
+
+    // ------------------------------------------------------------------
+    // Q64 — BPE merge-table learning (tokenizer TRAINING) with the FULL
+    // iterative training replayed in DuckDB — the k-means training-replay
+    // discipline applied to BPE: per round, a pair-frequency census over
+    // the vocab (argmax with (freq DESC, left, right) tie-break) and the
+    // greedy left-to-right non-overlapping rewrite. The Spark rewrite is
+    // an aggregate() fold with (emitted, pending) state; the oracle
+    // encodes the SAME fold into list_reduce with a chr(31)-separated
+    // (done, pending) string state and chr(30)-joined emitted symbols —
+    // separators that cannot occur in the alnum corpus. 6 rounds over
+    // the doc_id < 100 vocabulary; the resulting merge table (the
+    // artifact a tokenizer ships) must hash-match column for column.
+    Declared(
+      "q64_bpe_merges",
+      (s, dir) => {
+        TextOps.learnBpeMerges(
+          Tables.documentsRaw(s, dir).filter(col("doc_id") < 100), 6)
+          .orderBy("round")
+      },
+      Some(bpeOracle(6)),
+    ),
   )
+
+  /** DuckDB replay of [[TextOps.learnBpeMerges]]: v0 = the char-split
+    * vocab of doc_id < 100; each round r appends CTEs b{r} (argmax pair of
+    * v{r}) and v{r+1} (the greedy rewrite of v{r} by b{r}). */
+  private def bpeOracle(numMerges: Int): String = {
+    // fold state = done || chr(31) || pending, done symbols chr(30)-joined
+    val sb = new StringBuilder
+    sb.append(
+      """WITH v0 AS (
+        |  SELECT list_transform(generate_series(1, CAST(length(word) AS INT)),
+        |           i -> substr(word, i, 1)) AS syms,
+        |         CAST(freq AS BIGINT) AS freq
+        |  FROM (
+        |    SELECT word, COUNT(*) AS freq FROM (
+        |      SELECT unnest(string_split(text, ' ')) AS word
+        |      FROM documents WHERE doc_id < 100)
+        |    WHERE length(word) > 0 GROUP BY word))""".stripMargin)
+    for (r <- 0 until numMerges) {
+      sb.append(s""",
+        |b$r AS (
+        |  SELECT u['l'] AS l, u['r'] AS r, SUM(freq) AS pf FROM (
+        |    SELECT freq,
+        |      unnest(list_transform(generate_series(1, CAST(len(syms) AS INT) - 1),
+        |        i -> {'l': syms[i], 'r': syms[i+1]})) AS u
+        |    FROM v$r WHERE len(syms) >= 2)
+        |  GROUP BY 1, 2
+        |  ORDER BY pf DESC, l, r LIMIT 1)""".stripMargin)
+      if (r < numMerges - 1) sb.append(s""",
+        |v${r + 1} AS (
+        |  SELECT
+        |    string_split(
+        |      ltrim(
+        |        split_part(folded, chr(31), 1) ||
+        |        CASE WHEN split_part(folded, chr(31), 2) = '' THEN ''
+        |             ELSE chr(30) || split_part(folded, chr(31), 2) END,
+        |        chr(30)),
+        |      chr(30)) AS syms,
+        |    freq
+        |  FROM (
+        |    SELECT freq,
+        |      list_reduce(list_prepend(chr(31), syms), (acc, s) ->
+        |        CASE WHEN split_part(acc, chr(31), 2) = b$r.l AND s = b$r.r
+        |          THEN split_part(acc, chr(31), 1) || chr(30) || b$r.l || b$r.r || chr(31)
+        |          ELSE CASE WHEN split_part(acc, chr(31), 2) = ''
+        |            THEN split_part(acc, chr(31), 1) || chr(31) || s
+        |            ELSE split_part(acc, chr(31), 1) || chr(30) ||
+        |                 split_part(acc, chr(31), 2) || chr(31) || s
+        |          END
+        |        END) AS folded
+        |    FROM v$r CROSS JOIN b$r))""".stripMargin)
+    }
+    sb.append("\n" + (0 until numMerges).map(r =>
+      s"""SELECT $r AS round, l AS "left", r AS "right", CAST(pf AS BIGINT) AS pair_freq FROM b$r""")
+      .mkString("\nUNION ALL "))
+    sb.append("\nORDER BY round")
+    sb.toString
+  }
 }

@@ -573,6 +573,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(inc.nonEmpty && inc.size < 60) // non-vacuous: some dropped, some kept
   }
 
+  test("learnBpeMerges: hand-computed merge sequence, greedy rewrite, early stop") {
+    // freq: low 5, lower 2, newest 6, widest 3 — by hand:
+    //   round 0: (e,s)=9 ties (s,t)=9, lexicographic -> (e,s)
+    //   round 1: (es,t)=9
+    //   round 2: (l,o)=7 ties (o,w)=7 -> (l,o)
+    //   round 3: (lo,w)=7
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = TextOps.learnBpeMerges(docs, 4)
+      .orderBy("round")
+      .select("round", "left", "right", "pair_freq")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges === Seq(
+      (0, "e", "s", 9L), (1, "es", "t", 9L),
+      (2, "l", "o", 7L), (3, "lo", "w", 7L)))
+    // greedy non-overlap: "aaaa" merges (a,a) twice per word, not three
+    // times — zip counting sees 3, the rewrite leaves exactly 2 symbols
+    val aa = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val m2 = TextOps.learnBpeMerges(aa, 2)
+      .orderBy("round")
+      .select("left", "right", "pair_freq").as[(String, String, Long)].collect().toSeq
+    assert(m2 === Seq(("a", "a", 6L), ("aa", "aa", 2L)))
+    // early stop: single-char words run out of pairs
+    val tiny = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    assert(TextOps.learnBpeMerges(tiny, 5).count() === 0L)
+  }
+
   test("dedupByEmbeddingLshIncremental == union form; standing wins at any id order") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val standing = emb.filter($"vec_id" < 200)
