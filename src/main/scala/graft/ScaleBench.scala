@@ -75,6 +75,23 @@ object ScaleBench {
     }
     println(s"""{"op":"incremental_dedup","standing":$nDocs,"batch":$nBatch,"survivors":$nIncSurv,"all_dropped":${nIncSurv == 0L},"sec":$tInc}""")
 
+    // BPE merge learning: uniform factor-x replication multiplies every
+    // word frequency by the factor, so the merge SEQUENCE must be
+    // bit-identical to the base corpus' and every pair_freq exactly
+    // factor x — the vocab-bound-training invariant in one fixed point
+    val baseDocs = Tables.documents(spark, sfDir)
+    val (bpeOk, tBpe) = timed {
+      val base = TextOps.learnBpeMerges(baseDocs, 8)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      val repl = TextOps.learnBpeMerges(docs, 8)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      base.length == repl.length && base.zip(repl).forall {
+        case ((br, bl, brr, bf), (rr, rl, rrr, rf)) =>
+          br == rr && bl == rl && brr == rrr && rf == bf * factor
+      }
+    }
+    println(s"""{"op":"bpe_merges","docs":$nDocs,"rounds":8,"sequence_and_freq_scale_exact":$bpeOk,"sec":$tBpe}""")
+
     val emb = replicate(Tables.embeddings(spark, sfDir), "vec_id", factor)
       .localCheckpoint(true)
     val nVec = emb.count()

@@ -628,6 +628,41 @@ object TextOps {
     merges.toSeq.toDF("round", "left", "right", "pair_freq")
   }
 
+  /** Apply a learned BPE merge table ([[learnBpeMerges]] output, ordered
+    * by round) to the corpus: every word is char-split and each merge is
+    * replayed in order with the same greedy left-to-right fold the
+    * trainer used. Returns docs plus `bpe_tokens` (the per-doc token
+    * array, words flattened in order) and `n_bpe_tokens`. Per-row, no
+    * shuffle: the merge table rides along as an array literal (a merge
+    * table is tokenizer-sized — tens of k at most — and the fold nests
+    * HOF lambdas, no UDF). */
+  def applyBpe(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    def q(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
+    val mergeArr = merges
+      .map { case (l, r) => s"named_struct('l', '${q(l)}', 'r', '${q(r)}')" }
+      .mkString("array(", ", ", ")")
+    val tokensExpr =
+      s"""flatten(transform(filter(split(text, ' '), w -> length(w) > 0), w ->
+         |  aggregate(
+         |    $mergeArr,
+         |    transform(sequence(1, length(w)), i -> substring(w, i, 1)),
+         |    (cur, m) ->
+         |      aggregate(cur,
+         |        named_struct('acc', cast(array() as array<string>),
+         |                     'prev', cast(null as string)),
+         |        (st, s) -> if(st.prev = m.l and s = m.r,
+         |          named_struct('acc', concat(st.acc, array(concat(m.l, m.r))),
+         |                       'prev', cast(null as string)),
+         |          named_struct('acc',
+         |            if(st.prev is null, st.acc, concat(st.acc, array(st.prev))),
+         |            'prev', s)),
+         |        st -> if(st.prev is null, st.acc, concat(st.acc, array(st.prev)))))))"""
+        .stripMargin
+    docs
+      .withColumn("bpe_tokens", expr(tokensExpr))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")))
+  }
+
   /** RefinedWeb/CCNet-style BOILERPLATE REMOVAL — the rewrite counterpart
     * of [[passageStats]]: every `w`-token chunk (same positional chunking,
     * same md5 key) occurring in >= `minDocs` DISTINCT documents is removed

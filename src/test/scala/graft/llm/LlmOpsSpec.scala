@@ -599,6 +599,16 @@ class LlmOpsSpec extends SparkSpec {
     // early stop: single-char words run out of pairs
     val tiny = Seq((1L, "a b a b")).toDF("doc_id", "text")
     assert(TextOps.learnBpeMerges(tiny, 5).count() === 0L)
+
+    // applyBpe replays the learned table in order: all 4 merges give
+    // "low" = low (l,o then lo,w), "lower" = low|e|r, "newest" = n|e|w|est
+    val learned = merges.map { case (_, l, r, _) => (l, r) }
+    val enc = TextOps.applyBpe(
+      Seq((1L, "low lower newest")).toDF("doc_id", "text"), learned)
+      .select("bpe_tokens", "n_bpe_tokens")
+      .as[(Seq[String], Int)].collect().head
+    assert(enc._1 === Seq("low", "low", "e", "r", "n", "e", "w", "est"))
+    assert(enc._2 === 8)
   }
 
   test("dedupByEmbeddingLshIncremental == union form; standing wins at any id order") {
