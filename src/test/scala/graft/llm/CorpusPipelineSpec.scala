@@ -198,6 +198,27 @@ class CorpusPipelineSpec extends SparkSpec {
       Seq("doc_id", "source", "text", "n_tokens", "bin", "pos_in_bin"))
   }
 
+  test("prepareIncremental honors normalizeFingerprints against the standing corpus") {
+    // the incoming doc is the standing doc with content words UPPERCASED
+    // and comma-joined: raw fingerprints miss it, normalized ones hit
+    val standing = Seq((1L, base(1)))
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+    val variant = "the tale of and to in " +
+      (1 to 18).map(j => s"WORD1X$j,").mkString(" ") + " extraword"
+    val incoming = Seq((10L, variant), (11L, base(11)))
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+
+    val raw = CorpusPipeline.prepareIncremental(incoming, standing,
+      cfg = CorpusPipeline.Config(nearDupTau = 0.8))
+    assert(raw.select("doc_id").as[Long].collect().toSet === Set(10L, 11L))
+
+    val norm = CorpusPipeline.prepareIncremental(incoming, standing,
+      cfg = CorpusPipeline.Config(nearDupTau = 0.8, normalizeFingerprints = true))
+    assert(norm.select("doc_id").as[Long].collect().toSet === Set(11L))
+    // raw text (not the normalized form) is what survives to the output
+    assert(norm.select("text").as[String].collect().head === base(11))
+  }
+
   test("optional stages: no eval corpus, mixing toward a token budget") {
     val docs = (1 to 40).map(i =>
       (i.toLong, base(i), if (i % 2 == 0) "web" else "books"))

@@ -525,6 +525,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(out === Set(1L, 2L, 3L, 5L, 6L)) // doc 4 (== doc 3) dropped
   }
 
+  test("incrementalBucketPairs: incoming-only pair gen, cap, standing-only silence") {
+    // band buckets: b1 = {standing 1, 2; incoming 10, 11}, b2 = {standing
+    // 3, 4} (no incoming -> NO pairs), b3 = {incoming 20, standing 30}
+    // (standing id HIGHER than incoming -> pair still emitted)
+    val bands = Seq(
+      (1L, 0, "b1", 0L), (2L, 0, "b1", 0L), (10L, 0, "b1", 1L), (11L, 0, "b1", 1L),
+      (3L, 0, "b2", 0L), (4L, 0, "b2", 0L),
+      (20L, 0, "b3", 1L), (30L, 0, "b3", 0L),
+    ).toDF("doc_id", "band", "sig", "inc")
+    val pairs = TextOps.incrementalBucketPairs(bands, maxBucketSize = 100)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set(
+      (1L, 10L), (2L, 10L),            // incoming 10 vs both standing
+      (1L, 11L), (2L, 11L), (10L, 11L), // incoming 11 vs standing + lower inc
+      (30L, 20L),                       // standing wins though 30 > 20
+    ))
+    // the bucket cap silences oversized buckets entirely
+    assert(TextOps.incrementalBucketPairs(bands, maxBucketSize = 3)
+      .filter($"doc_b" === 10L || $"doc_b" === 11L).count() === 0L)
+  }
+
   test("exactIncremental: standing digests drop incoming; batch min-id wins") {
     val standing = Seq((100L, "alpha"), (101L, "beta")).toDF("doc_id", "text")
     val incoming = Seq(
