@@ -575,7 +575,14 @@ object TextOps {
     * array), codegen-friendly, no UDF.
     *
     * Returns the ordered merge table (round, left, right, pair_freq) —
-    * the artifact a tokenizer ships. */
+    * the artifact a tokenizer ships.
+    *
+    * Regime note: each round is a Spark job, so this form suits demo /
+    * audit merge counts (tens to hundreds). A production 32k-merge train
+    * should COLLECT the (word, freq) vocab — vocab-bound, a few MB — and
+    * run the merge loop driver-side on it; the corpus-sized work (the one
+    * vocab-building pass) is identical either way, and the per-round
+    * argmax/rewrite over an in-memory vocab is microseconds, not a job. */
   def learnBpeMerges(docs: DataFrame, numMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -633,9 +640,11 @@ object TextOps {
     * replayed in order with the same greedy left-to-right fold the
     * trainer used. Returns docs plus `bpe_tokens` (the per-doc token
     * array, words flattened in order) and `n_bpe_tokens`. Per-row, no
-    * shuffle: the merge table rides along as an array literal (a merge
-    * table is tokenizer-sized — tens of k at most — and the fold nests
-    * HOF lambdas, no UDF). */
+    * shuffle: the merge table rides along as an array literal (the fold
+    * nests HOF lambdas, no UDF). Regime note: expr() PARSE cost grows
+    * with the literal — fine for hundreds of merges; a full 32k-merge
+    * tokenizer should switch to typedlit for the table (the PERF.md
+    * large-literal discipline) or a broadcast-map kernel Expression. */
   def applyBpe(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     def q(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
     val mergeArr = merges
