@@ -635,25 +635,142 @@ object TextOps {
     merges.toSeq.toDF("round", "left", "right", "pair_freq")
   }
 
+  /** Code-point split of `w` — matches `substring(word, i, 1)` over
+    * `length(word)` (both count code points, not UTF-16 units). */
+  private def splitChars(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  /** Unsigned UTF-8 byte comparison — the collation Spark's string
+    * ORDER BY uses (UTF8String.compareTo), so the driver-side argmax
+    * tie-break is bit-identical to the distributed `orderBy(l, r)`. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Greedy left-to-right non-overlapping (l, r) merge — the driver-side
+    * twin of the `aggregate()` fold in [[learnBpeMerges]]: a merged
+    * symbol never re-merges within the pass. */
+  private def rewriteWord(
+      syms: Array[String], l: String, r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** PRODUCTION-regime BPE training — the same algorithm as
+    * [[learnBpeMerges]] (zip-overlap pair counts weighted by word freq,
+    * (freq DESC, left, right) argmax, greedy non-overlapping rewrite)
+    * with the merge loop run DRIVER-SIDE over the collected (word, freq)
+    * vocab. The corpus-sized work — the one vocab-building pass — is the
+    * identical Spark aggregate; everything after it is in-memory, so a
+    * 32k-merge train is ONE Spark job plus microsecond rounds instead of
+    * 32k jobs. The collect is vocab-bound (distinct words, a few MB at
+    * web scale), the same control-plane-fetch discipline as the k-means
+    * centroid collects in [[graft.llm.VectorOps]].
+    *
+    * Pair counts update incrementally: a pair -> word-ids inverted index
+    * limits each round's rescan to the words that actually contain the
+    * merged pair (the standard fast-BPE bookkeeping); stale index
+    * entries are benign because the subtract/rewrite/re-add per word is
+    * an exact identity for a word the pair has already left.
+    *
+    * Returns the identical (round, left, right, pair_freq) frame —
+    * spec-pinned equal to [[learnBpeMerges]] on randomized corpora and
+    * hash-matched against the same DuckDB training replay (q67 runs this
+    * form against q64's oracle). */
+  def learnBpeMergesCollected(docs: DataFrame, numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab: Array[(Array[String], Long)] = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect()
+      .map { case (w, f) => (splitChars(w), f) }
+    val words = vocab.map(_._1)
+    val freqs = vocab.map(_._2)
+    val pairCounts =
+      scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords =
+      scala.collection.mutable.HashMap.empty[(String, String),
+        scala.collection.mutable.Set[Int]]
+    def tally(i: Int, sign: Long, index: Boolean): Unit = {
+      val s = words(i); val f = freqs(i) * sign
+      var j = 0
+      while (j + 1 < s.length) {
+        val p = (s(j), s(j + 1))
+        val c = pairCounts.getOrElse(p, 0L) + f
+        if (c == 0L) pairCounts.remove(p) else pairCounts(p) = c
+        if (index)
+          pairWords.getOrElseUpdate(
+            p, scala.collection.mutable.Set.empty) += i
+        j += 1
+      }
+    }
+    words.indices.foreach(tally(_, 1L, index = true))
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 0
+    while (round < numMerges && pairCounts.nonEmpty) {
+      var bl: String = null; var br: String = null; var bf = Long.MinValue
+      pairCounts.foreach { case ((l, r), f) =>
+        if (f > bf ||
+            (f == bf && (utf8Lt(l, bl) || (l == bl && utf8Lt(r, br))))) {
+          bl = l; br = r; bf = f
+        }
+      }
+      merges += ((round, bl, br, bf))
+      val affected = pairWords.remove((bl, br))
+        .getOrElse(scala.collection.mutable.Set.empty[Int])
+      affected.foreach { i =>
+        tally(i, -1L, index = false)
+        words(i) = rewriteWord(words(i), bl, br)
+        tally(i, 1L, index = true)
+      }
+      round += 1
+    }
+    merges.toSeq.toDF("round", "left", "right", "pair_freq")
+  }
+
   /** Apply a learned BPE merge table ([[learnBpeMerges]] output, ordered
     * by round) to the corpus: every word is char-split and each merge is
     * replayed in order with the same greedy left-to-right fold the
     * trainer used. Returns docs plus `bpe_tokens` (the per-doc token
     * array, words flattened in order) and `n_bpe_tokens`. Per-row, no
-    * shuffle: the merge table rides along as an array literal (the fold
-    * nests HOF lambdas, no UDF). Regime note: expr() PARSE cost grows
-    * with the literal — fine for hundreds of merges; a full 32k-merge
-    * tokenizer should switch to typedlit for the table (the PERF.md
-    * large-literal discipline) or a broadcast-map kernel Expression. */
+    * shuffle: the merge table rides along as ONE typedlit array literal
+    * (the PERF.md large-literal discipline, same as the PQ codebook
+    * tensor at [[graft.llm.Pq.codesCol]]) — the expr() string only names
+    * it, so PARSE cost is constant in the merge count and a full
+    * 32k-merge production table costs one Literal, not a 32k-element
+    * SQL string. The fold nests HOF lambdas, no UDF. */
   def applyBpe(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    def q(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
-    val mergeArr = merges
-      .map { case (l, r) => s"named_struct('l', '${q(l)}', 'r', '${q(r)}')" }
-      .mkString("array(", ", ", ")")
+    val mergesLit = typedlit(merges).cast("array<struct<l:string,r:string>>")
     val tokensExpr =
       s"""flatten(transform(filter(split(text, ' '), w -> length(w) > 0), w ->
          |  aggregate(
-         |    $mergeArr,
+         |    __graft_bpe_merges,
          |    transform(sequence(1, length(w)), i -> substring(w, i, 1)),
          |    (cur, m) ->
          |      aggregate(cur,
@@ -668,8 +785,10 @@ object TextOps {
          |        st -> if(st.prev is null, st.acc, concat(st.acc, array(st.prev)))))))"""
         .stripMargin
     docs
+      .withColumn("__graft_bpe_merges", mergesLit)
       .withColumn("bpe_tokens", expr(tokensExpr))
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")))
+      .drop("__graft_bpe_merges")
   }
 
   /** RefinedWeb/CCNet-style BOILERPLATE REMOVAL — the rewrite counterpart

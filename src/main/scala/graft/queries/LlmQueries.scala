@@ -2009,6 +2009,22 @@ object LlmQueries {
       },
       Some(bpeOracle(6)),
     ),
+
+    // ------------------------------------------------------------------
+    // Q67 — the PRODUCTION-regime BPE trainer (driver-side merge loop
+    // over the collected vocab, ONE Spark job) run against the very same
+    // DuckDB training replay as q64: the two forms must produce the
+    // bit-identical merge table, and the oracle pins the collected
+    // form's correctness cross-engine, not just cross-form.
+    Declared(
+      "q67_bpe_merges_collected",
+      (s, dir) => {
+        TextOps.learnBpeMergesCollected(
+          Tables.documentsRaw(s, dir).filter(col("doc_id") < 100), 6)
+          .orderBy("round")
+      },
+      Some(bpeOracle(6)),
+    ),
   )
 
   /** DuckDB replay of [[TextOps.learnBpeMerges]]: v0 = the char-split

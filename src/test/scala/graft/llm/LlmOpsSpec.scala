@@ -559,6 +559,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(out === Set(2L, 4L))
   }
 
+  test("exactIncremental: NULL text matches exact()'s null grouping") {
+    val standing = Seq((100L, null), (101L, "beta"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, null),    // standing NULL wins -> drops
+      (2L, null),    // batch dup of a dropped null -> drops
+      (3L, "gamma"), // novel -> survives
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(incoming, standing)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(3L))
+    // and with no standing null, the batch window groups nulls like exact()
+    val out2 = Dedup.exactIncremental(incoming, standing.filter($"text".isNotNull))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out2 === Set(1L, 3L))
+  }
+
   test("dedupNearLshIncremental: standing wins at any id order; batch greedy by id") {
     val body = (1 to 30).map(j => s"w$j").mkString(" ")
     val other = (1 to 30).map(j => s"z$j").mkString(" ")
@@ -630,6 +647,74 @@ class LlmOpsSpec extends SparkSpec {
       .as[(Seq[String], Int)].collect().head
     assert(enc._1 === Seq("low", "low", "e", "r", "n", "e", "w", "est"))
     assert(enc._2 === 8)
+  }
+
+  test("learnBpeMergesCollected == learnBpeMerges on randomized corpora") {
+    val rnd = new scala.util.Random(64)
+    for (trial <- 0 until 3) {
+      // random words over a small alphabet force heavy pair collisions,
+      // ties, overlapping runs (aaa...), and early exhaustion paths
+      val words = Seq.fill(40)(
+        (0 until (1 + rnd.nextInt(7))).map(_ => ('a' + rnd.nextInt(4)).toChar)
+          .mkString)
+      val docs = (0 until 20).map { i =>
+        (i.toLong, Seq.fill(8)(words(rnd.nextInt(words.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val dist = TextOps.learnBpeMerges(docs, 15)
+        .orderBy("round")
+        .select("round", "left", "right", "pair_freq")
+        .as[(Int, String, String, Long)].collect().toSeq
+      val coll = TextOps.learnBpeMergesCollected(docs, 15)
+        .orderBy("round")
+        .select("round", "left", "right", "pair_freq")
+        .as[(Int, String, String, Long)].collect().toSeq
+      assert(coll === dist, s"trial $trial")
+    }
+  }
+
+  test("learnBpeMergesCollected: 1k merges in O(1) Spark jobs, prefix-stable") {
+    // a corpus rich enough to sustain >= 1000 merges: 600 distinct
+    // 10-char words over 12 letters (max merges ~ sum(len-1) = 5400)
+    val rnd = new scala.util.Random(7)
+    val words = (0 until 600).map(_ =>
+      (0 until 10).map(_ => ('a' + rnd.nextInt(12)).toChar).mkString).distinct
+    val docs = words.grouped(60).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    val coll =
+      try {
+        val out = TextOps.learnBpeMergesCollected(docs, 1000)
+          .orderBy("round")
+          .select("round", "left", "right", "pair_freq")
+          .as[(Int, String, String, Long)].collect().toSeq
+        Thread.sleep(1000) // listener bus is async; let job-start events drain
+        out
+      } finally spark.sparkContext.removeSparkListener(listener)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(coll.size === 1000)
+    // the ONLY distributed work is the vocab pass + the final toDF
+    // collect in this assertion — a production 32k-merge train would
+    // run the same handful of jobs (AQE stages the vocab aggregate, the
+    // orderBy adds a range-sample). Distributed form: one job PER merge,
+    // i.e. >= 1000 here.
+    assert(jobs <= 8, s"expected O(1) Spark jobs, saw $jobs")
+    assert(secs < 30.0, s"1k merges took $secs s — driver loop regressed")
+    // greedy BPE is prefix-stable: the first k merges of a longer train
+    // equal a k-merge train — so the distributed form at 25 merges must
+    // match the collected form's 25-merge prefix exactly
+    val dist = TextOps.learnBpeMerges(docs, 25)
+      .orderBy("round")
+      .select("round", "left", "right", "pair_freq")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(coll.take(25) === dist)
   }
 
   test("dedupByEmbeddingLshIncremental == union form; standing wins at any id order") {
