@@ -75,7 +75,10 @@ object Bench {
         }
         r += 1
       }
-      name -> times.sorted.apply(times.size / 2)
+      // A failed query reports the FAILED round's time, not a median mixed
+      // with earlier successful rounds — a flaky query must not publish a
+      // normal-looking number (the error map + non-zero exit still flag it).
+      name -> (if (failed) times.last else times.sorted.apply(times.size / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -84,8 +87,16 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$rounds,"sf":"$sfDir"}"""
+    // The driver's BENCH artifact keeps only the last ~4 KB of stdout; the
+    // full line's FRONT fell off in round 6 (`parsed: null`). Print the
+    // full line first, then a compact self-contained headline LAST so any
+    // tail window ends with a parseable line carrying the totals; the full
+    // per-query map is always in bench_result.json.
+    val headline =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"nerr":${errors.size},"runs":$rounds,"sf":"$sfDir","detail":"$outPath"}"""
     Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
     println(line)
+    println(headline)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

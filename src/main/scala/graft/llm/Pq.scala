@@ -65,16 +65,23 @@ object Pq {
       colName: String = "embedding"): Column =
     if (hasFn(df, "graft_pq_codes"))
       call_function("graft_pq_codes", col(colName), typedlit(codebooks))
-    else {
-      // Match the kernel's short-vector behavior: fail loudly instead of
-      // letting zip_with null-pad into silently different codes.
-      val need = codebooks.size * subDim
-      val guard = assert_true(size(col(colName)) >= lit(need),
-        lit(s"graft_pq_codes: embedding shorter than m*subDim = $need"))
+    else codesColHof(codebooks, subDim, colName)
+
+  /** The interpreted HOF fallback for [[codesCol]] — must match the
+    * kernel: fail loudly on a present-but-short vector instead of letting
+    * zip_with null-pad into silently different codes, but pass a NULL
+    * embedding through as NULL codes (the kernel's null-safe eval). */
+  private[llm] def codesColHof(
+      codebooks: Seq[Seq[Seq[Double]]], subDim: Int,
+      colName: String = "embedding"): Column = {
+    val need = codebooks.size * subDim
+    val guard = assert_true(size(col(colName)) >= lit(need),
+      lit(s"graft_pq_codes: embedding shorter than m*subDim = $need"))
+    when(col(colName).isNotNull,
       when(guard.isNull, array(codebooks.zipWithIndex.map { case (cb, j) =>
         nearestCodeHof(s"slice($colName, ${j * subDim + 1}, $subDim)", cb)
-      }: _*))
-    }
+      }: _*)))
+  }
 
   /** Train all `m` codebooks. `trainFrac` < 1 trains on the deterministic
     * md5 id-sample (the 100 TB posture — codebook quality needs a sample,
@@ -160,6 +167,11 @@ object Pq {
   def encodeColumnar(
       emb: DataFrame, codebooks: Seq[Seq[Seq[Double]]], dim: Int = 64): DataFrame = {
     val m = codebooks.size
+    // codes are stored SIGNED tinyint: k > 128 centroids would wrap
+    // negative and break the documented bit-identical roundtrip
+    require(codebooks.forall(_.size <= 128),
+      s"encodeColumnar: k > 128 wraps signed tinyint codes " +
+        s"(max k here ${codebooks.map(_.size).max}); use smallint or the row layout")
     val cols = col("vec_id") +:
       (0 until m).map(j => col("codes")(j).cast("tinyint").as(s"c$j")) :+
       col("vn").cast("float").as("vn")

@@ -49,6 +49,36 @@ class PqSpec extends SparkSpec {
     assert(diverged.isEmpty, "kernel and HOF codes diverged")
   }
 
+  test("codes: NULL embedding -> NULL codes on kernel AND HOF fallback; short throws") {
+    val cbs = Seq.fill(2)(Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)))
+    val df = Seq(
+      (1L, Some(Seq(0.1f, 0.2f, 0.9f, 0.8f))),
+      (2L, None: Option[Seq[Float]]),
+    ).toDF("vec_id", "embedding")
+    val both = df
+      .withColumn("kc", Pq.codesCol(df, cbs, 2))
+      .withColumn("hc", Pq.codesColHof(cbs, 2))
+      .orderBy("vec_id")
+      .select("kc", "hc").collect()
+    assert(both(0).getSeq[Int](0) === both(0).getSeq[Int](1))
+    assert(both(1).isNullAt(0) && both(1).isNullAt(1))
+    // a present-but-short vector still fails loudly on the fallback path
+    val short = Seq((3L, Seq(0.1f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      short.withColumn("hc", Pq.codesColHof(cbs, 2)).collect()
+    }
+    assert(e.getMessage.contains("shorter than m*subDim"))
+  }
+
+  test("encodeColumnar rejects k > 128 (signed-tinyint wrap)") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val big = Seq.fill(8)((0 until 129).map(i => Seq.fill(8)(i.toDouble)).toSeq)
+    val e = intercept[IllegalArgumentException] {
+      Pq.encodeColumnar(emb, big)
+    }
+    assert(e.getMessage.contains("tinyint"))
+  }
+
   test("pqTopK: deterministic; refined recall beats ADC-only; tracks brute force") {
     val emb = graft.Tables.embeddings(spark, dir)
     val exact = neighborsOf(VectorOps.bruteForceTopK(emb.filter($"vec_id" < 10), emb, 3))
