@@ -118,12 +118,24 @@ object CorpusPipeline {
     * deduped — i.e. a previous [[prepare]] output or the corpus that
     * output was appended to); doc_ids must be disjoint from the batch.
     * Returns packed batch rows (the [[prepare]] shape) — append them to
-    * the standing corpus to complete the ingest cycle. */
+    * the standing corpus to complete the ingest cycle.
+    *
+    * `embeddings` (optional) adds the SEMANTIC stage in its batch
+    * position (after near dedup, before decontam): one (doc_id,
+    * embedding) frame covering batch and standing docs; batch survivors
+    * are [[Dedup.semDedupIncremental]]'d against the standing corpus
+    * under `centroids` — pass the standing run's persisted centroids to
+    * freeze cluster geometry across ingests (None re-trains on the
+    * standing embeddings via [[Dedup.semDedupCentroids]], deterministic
+    * but one extra Lloyd run per ingest). A doc without an embedding row
+    * is never dropped by this stage. */
   def prepareIncremental(
       incoming: DataFrame,
       standing: DataFrame,
       evalCorpus: Option[DataFrame] = None,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config(),
+      embeddings: Option[DataFrame] = None,
+      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val gated = TextOps.gopherGate(incoming,
       minWords = cfg.minWords, maxWords = cfg.maxWords)
     val scrubbed = TextOps.redactPii(gated, "text")
@@ -139,10 +151,26 @@ object CorpusPipeline {
     val deduped = unfp(Dedup.dedupNearLshIncremental(
       fp(exact), fp(standing), tau = cfg.nearDupTau,
       shingleSize = cfg.shingleSize))
+    val semantic = embeddings match {
+      case Some(ef) =>
+        val inc = ef.join(deduped.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+        val stand = ef.join(standing.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+          .localCheckpoint(false)
+        val cs = centroids.getOrElse(
+          Dedup.semDedupCentroids(stand, cfg.semDedupNCentroids))
+        val dropIds = inc.select("vec_id")
+          .join(Dedup.semDedupIncremental(inc, stand, cs, cfg.semDedupTau)
+            .select("vec_id"), Seq("vec_id"), "left_anti")
+          .withColumnRenamed("vec_id", "doc_id")
+        deduped.join(dropIds, Seq("doc_id"), "left_anti")
+      case None => deduped
+    }
     val clean = evalCorpus match {
       case Some(ev) =>
-        unfp(TextOps.decontaminate(fp(deduped), fp(ev), cfg.decontamNgram))
-      case None => deduped
+        unfp(TextOps.decontaminate(fp(semantic), fp(ev), cfg.decontamNgram))
+      case None => semantic
     }
     Packing.packSequences(
       clean.select(col("doc_id"), col("source"), col("text"),

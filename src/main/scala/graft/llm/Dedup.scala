@@ -93,7 +93,11 @@ object Dedup {
       incoming: DataFrame,
       standing: DataFrame,
       on: String = "text"): DataFrame = {
-    val dig = md5(col(on).cast("binary"))
+    // NULL values digest to a sentinel (not an md5 hex string, so no
+    // collision) so a standing NULL drops an incoming NULL through the
+    // semi-join — matching exact()/exactByHash(), whose window
+    // partitioning groups NULLs together.
+    val dig = coalesce(md5(col(on).cast("binary")), lit("<null>"))
     val seen = standing.select(dig.as("__h")).distinct()
     val w = Window.partitionBy("__h").orderBy("doc_id")
     val drop = incoming.select(col("doc_id"), dig.as("__h"))
@@ -416,10 +420,7 @@ object Dedup {
       iterations: Int = 2,
       maxClusterSize: Int = DefaultMaxClusterSize): DataFrame = {
     val e = emb.localCheckpoint(false)
-    val k =
-      if (nCentroids > 0) nCentroids
-      else math.max(8, math.ceil(math.sqrt(e.count().toDouble)).toInt)
-    val centroids = VectorOps.trainCentroids(e, k, iterations)
+    val centroids = semDedupCentroids(e, nCentroids, iterations)
     val assigned = VectorOps.withRanks(e, centroids)
       .withColumn("bucket", col("__ranks")(0))
       .select(col("vec_id"), col("embedding"), col("bucket"))
@@ -428,6 +429,89 @@ object Dedup {
       .select(col("vec_b").as("vec_id")).distinct()
       .localCheckpoint(true)
     emb.join(drop, Seq("vec_id"), "left_anti")
+  }
+
+  /** The k-means run behind [[semDedup]], exposed so an incremental ingest
+    * can FREEZE a standing run's centroids ([[semDedupIncremental]]):
+    * `nCentroids = 0` applies the same auto-k = max(8, ceil(sqrt(n)))
+    * regime, and training is deterministic (md5-hash seed pick + Lloyd
+    * steps), so re-training on an identical frame reproduces the run.
+    * Collects k x dim doubles — control-plane sized. Callers reusing
+    * `emb` afterwards should pass a materialized (checkpointed) frame. */
+  def semDedupCentroids(
+      emb: DataFrame, nCentroids: Int = 0, iterations: Int = 2): Seq[Seq[Double]] = {
+    val k =
+      if (nCentroids > 0) nCentroids
+      else math.max(8, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    VectorOps.trainCentroids(emb, k, iterations)
+  }
+
+  /** [[semDedup]]'s batch-vs-corpus form — the daily-ingest case the
+    * round-6 incremental family left open: dedup incoming vectors against
+    * a STANDING corpus under SemDeDup semantics WITHOUT re-clustering the
+    * corpus. The standing run's centroids arrive FROZEN (train once via
+    * [[semDedupCentroids]], persist, reuse every ingest); both sides are
+    * assigned per-row against the centroid literals, and candidate pairs
+    * are generated ONLY for incoming docs ([[TextOps.incrementalBucketPairs]]
+    * with the (cluster, sub-cell) id as the band key) — an incoming doc is
+    * dropped when its cosine to ANY standing cell-mate (id order
+    * irrelevant: the standing corpus always wins) or to a LOWER-id
+    * incoming cell-mate meets tau. Returns surviving incoming rows; the
+    * standing frame is never modified; vec_ids must be disjoint.
+    *
+    * The hot-cluster census runs over the UNION occupancy (standing +
+    * incoming), so sub-cell splits are identical to what the batch form
+    * would compute on the union — when standing ids precede incoming ids
+    * and the centroids come from the union's own deterministic training,
+    * this is result-identical to [[semDedup]] over the union restricted
+    * to incoming survivors (spec-pinned). Same approximation contract as
+    * [[semDedup]]: pairs split across clusters (or sub-cells) are missed.
+    *
+    * Shape at scale: standing contributes one per-row assignment
+    * projection + its half of the (cluster, cell) groupBy — zero
+    * standing x standing pair work, so the ingest costs O(batch x
+    * cell-mates), not O(corpus). */
+  def semDedupIncremental(
+      incoming: DataFrame,
+      standing: DataFrame,
+      centroids: Seq[Seq[Double]],
+      tau: Double,
+      maxClusterSize: Int = DefaultMaxClusterSize): DataFrame = {
+    def assign(df: DataFrame, inc: Long) = {
+      val e = df.select(col("vec_id"), col("embedding"))
+      VectorOps.withRanks(e, centroids)
+        .withColumn("bucket", col("__ranks")(0))
+        .select(col("vec_id"), col("bucket"), lit(inc).as("inc"))
+    }
+    val all = assign(standing, 0L).unionByName(assign(incoming, 1L))
+      .localCheckpoint(false)
+    // census + sub-cell split: the same hot-cluster discipline as
+    // semDedupCandidates, over the union occupancy
+    val hot = all.groupBy("bucket").agg(count(lit(1)).as("csize"))
+      .filter(col("csize") > maxClusterSize)
+    val celled = all.join(broadcast(hot), Seq("bucket"), "left")
+      .withColumn("cell",
+        when(col("csize").isNull, lit(0L))
+          .otherwise(pmod(xxhash64(col("vec_id")),
+            ceil(col("csize") / maxClusterSize).cast("long"))))
+    val bands = celled.select(
+      col("vec_id").as("doc_id"), lit(0).as("band"),
+      concat_ws("#", col("bucket"), col("cell")).as("sig"), col("inc"))
+    // no silencing cap: the sub-cell split already bounds every band key
+    val pairs = TextOps.incrementalBucketPairs(bands, Int.MaxValue)
+      .localCheckpoint(false)
+    val corpus = standing.select("vec_id", "embedding")
+      .unionByName(incoming.select("vec_id", "embedding"))
+    val a = corpus.select(col("vec_id").as("doc_a"), col("embedding").as("qe"))
+      .withColumn("na", expr(VectorOps.normExprFor(corpus, "qe")))
+    val b = corpus.select(col("vec_id").as("doc_b"), col("embedding").as("ne"))
+      .withColumn("nb", expr(VectorOps.normExprFor(corpus, "ne")))
+    val drop = pairs.join(a, "doc_a").join(b, "doc_b")
+      .filter(col("na") * col("nb") =!= 0 &&
+        expr(VectorOps.dotExprFor(corpus, "qe", "ne")) / (col("na") * col("nb")) >= tau)
+      .select(col("doc_b").as("vec_id")).distinct()
+      .localCheckpoint(true)
+    incoming.join(drop, Seq("vec_id"), "left_anti")
   }
 
   /** Within-cluster candidate pairs (vec_a < vec_b, with their cosine),

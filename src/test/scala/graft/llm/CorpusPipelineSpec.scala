@@ -198,6 +198,33 @@ class CorpusPipelineSpec extends SparkSpec {
       Seq("doc_id", "source", "text", "n_tokens", "bin", "pos_in_bin"))
   }
 
+  test("prepareIncremental semantic stage: batch paraphrase of a standing doc drops") {
+    val standing = Seq((1L, base(1)))
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+    val incoming = Seq(
+      (20L, base(20)), // paraphrase of standing 1 (by embedding) -> drops
+      (21L, base(21)), // distinct embedding -> survives
+      (22L, base(22)), // no embedding row -> never dropped by this stage
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val v = Seq.fill(8)(1.0f)
+    val o = (0 until 8).map(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val emb = Seq((1L, v), (20L, v), (21L, o)).toDF("doc_id", "embedding")
+
+    // without embeddings the whole batch survives (no shared n-grams)
+    val plain = CorpusPipeline.prepareIncremental(incoming, standing)
+    assert(plain.select("doc_id").as[Long].collect().toSet === Set(20L, 21L, 22L))
+    val out = CorpusPipeline.prepareIncremental(incoming, standing,
+      cfg = CorpusPipeline.Config(semDedupTau = 0.95, semDedupNCentroids = 1),
+      embeddings = Some(emb))
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(21L, 22L))
+    // frozen centroids (the persisted-across-ingests path) agree
+    val frozen = CorpusPipeline.prepareIncremental(incoming, standing,
+      cfg = CorpusPipeline.Config(semDedupTau = 0.95, semDedupNCentroids = 1),
+      embeddings = Some(emb),
+      centroids = Some(Seq(Seq.fill(8)(0.5))))
+    assert(frozen.select("doc_id").as[Long].collect().toSet === Set(21L, 22L))
+  }
+
   test("prepareIncremental honors normalizeFingerprints against the standing corpus") {
     // the incoming doc is the standing doc with content words UPPERCASED
     // and comma-joined: raw fingerprints miss it, normalized ones hit

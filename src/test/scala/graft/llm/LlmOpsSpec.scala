@@ -1087,6 +1087,56 @@ class LlmOpsSpec extends SparkSpec {
     assert(exact.subsetOf(auto))
   }
 
+  test("semDedupIncremental == batch semDedup restricted to incoming; standing wins") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val standing = emb.filter($"vec_id" < 300).localCheckpoint(false)
+    val incoming = emb.filter($"vec_id" >= 300 && $"vec_id" < 500)
+    val union = standing.unionByName(incoming).localCheckpoint(false)
+    // centroids from the union's own deterministic training = exactly the
+    // centroids batch semDedup(union) trains internally
+    for (tau <- Seq(0.4, 0.6)) {
+      val cs = Dedup.semDedupCentroids(union, nCentroids = 8)
+      val batchInc = Dedup.semDedup(union, tau = tau, nCentroids = 8)
+        .filter($"vec_id" >= 300)
+        .select("vec_id").as[Long].collect().toSet
+      val incr = Dedup.semDedupIncremental(incoming, standing, cs, tau = tau)
+        .select("vec_id").as[Long].collect().toSet
+      assert(incr === batchInc, s"tau=$tau")
+    }
+    // standing always wins, even when its ids are HIGHER than the batch's
+    val vec = Seq.fill(8)(1.0f)
+    val other = (0 until 8).map(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val stand2 = Seq((100L, vec)).toDF("vec_id", "embedding")
+    val inc2 = Seq(
+      (5L, vec),   // cosine 1 vs standing 100 -> drops despite lower id
+      (6L, other), // novel -> survives
+      (7L, other), // dup of LOWER-id incoming 6 -> drops
+    ).toDF("vec_id", "embedding")
+    val cs2 = Dedup.semDedupCentroids(
+      stand2.unionByName(inc2), nCentroids = 1)
+    val out2 = Dedup.semDedupIncremental(inc2, stand2, cs2, tau = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out2 === Set(6L))
+    // hot-cluster guard: degenerate identical-vector corpus stays bounded
+    // (sub-cells), min-id incoming survivors only where no standing mate
+    val standHot = (0 until 100).map(i => (i.toLong, vec))
+      .toDF("vec_id", "embedding")
+    val incHot = (100 until 200).map(i => (i.toLong, vec))
+      .toDF("vec_id", "embedding")
+    val unionHot = standHot.unionByName(incHot)
+    val csHot = Dedup.semDedupCentroids(unionHot, nCentroids = 1)
+    val outHot = Dedup.semDedupIncremental(
+      incHot, standHot, csHot, tau = 0.9, maxClusterSize = 50)
+      .select("vec_id").as[Long].collect().toSet
+    // census runs over union occupancy, so sub-cells match the batch run's
+    val batchHot = Dedup.semDedup(
+      unionHot, tau = 0.9, nCentroids = 1, maxClusterSize = 50)
+      .filter($"vec_id" >= 100)
+      .select("vec_id").as[Long].collect().toSet
+    assert(outHot === batchHot)
+    assert(outHot.size <= 4, "at most one survivor per hash sub-cell")
+  }
+
   test("semDedup hot-cluster guard bounds candidates on a degenerate corpus") {
     // 200 identical vectors -> ONE cluster: the worst case the cap exists
     // for. Uncapped, candidate pairs are all-pairs C(200,2) = 19900.
