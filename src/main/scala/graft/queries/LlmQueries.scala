@@ -15,6 +15,13 @@ import graft.llm.{TextOps, VectorOps}
   */
 object LlmQueries {
 
+  /** The constant PII plant q60/q65 append to every doc: constant, so
+    * identical docs stay identical after scrubbing and the exact-dedup
+    * interaction is exercised. (Declared BEFORE `all`: the oracle strings
+    * interpolate it at object init.) */
+  private val PiiSuffix =
+    " reach me at user@mail.example.com or 10.0.0.1 call 555-123-4567"
+
   /** Shared oracle CTE: per-doc DISTINCT 3-gram shingles (1-based DuckDB
     * list indexing; Spark side uses 0-based `transform(sequence(...))`). */
   private val shingleCte =
@@ -2025,7 +2032,203 @@ object LlmQueries {
       },
       Some(bpeOracle(6)),
     ),
+
+    // ------------------------------------------------------------------
+    // Q65 — the composed INCREMENTAL pipeline oracle-gated end to end:
+    // [[graft.llm.CorpusPipeline.prepareIncremental]] running the full
+    // daily-ingest chain (gate -> PII scrub -> incremental exact dedup ->
+    // incremental LSH near-dedup -> decontam -> pack) against a standing
+    // corpus that is ITSELF the q60 batch pipeline's output over
+    // doc_id < 250 (gate -> scrub -> exact -> near -> pack). Incoming =
+    // doc_id >= 250 with the constant PII suffix, PLUS four planted
+    // replicas: copies of standing docs 0/1/2 (dropped by the
+    // vs-standing digest leg of exactIncremental) and of incoming doc
+    // 300 (dropped by the within-batch window leg). The eval corpus is
+    // the RAW text of docs 250-269, so decontamination fires on interior
+    // 5-grams of the scrubbed survivors. At sf0.01 every stage attrits:
+    // gate 254->162, exact -4 (the replicas), near-dedup -10 (cross-
+    // range J>=0.8 pairs), decontam -14, 134 packed rows out. This pins
+    // the incremental stage INTERACTIONS cross-engine (standing text is
+    // the PREPARED text, batch fingerprints meet standing fingerprints,
+    // packing sees only final survivors), not just the per-op
+    // differentials the specs cover.
+    Declared(
+      "q65_prepare_incremental",
+      (s, dir) => {
+        val all = Tables.documentsRaw(s, dir)
+        def plant(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("text", concat(col("text"), lit(PiiSuffix)))
+        val standing = graft.llm.CorpusPipeline.prepare(
+          plant(all.filter(col("doc_id") < 250))
+            .select("doc_id", "source", "text"))
+        val replicas = plant(all.filter(col("doc_id").isin(0L, 1L, 2L, 300L)))
+          .withColumn("doc_id", col("doc_id") + 10000L)
+        val incoming = plant(all.filter(col("doc_id") >= 250))
+          .unionByName(replicas)
+          .select("doc_id", "source", "text")
+        val eval_ = all.filter(col("doc_id") >= 250 && col("doc_id") < 270)
+          .select("doc_id", "text")
+        graft.llm.CorpusPipeline.prepareIncremental(incoming, standing, Some(eval_))
+          .orderBy("doc_id")
+      },
+      Some(prepareIncrementalOracle),
+    ),
   )
+
+  /** DuckDB replay of [[graft.llm.CorpusPipeline.prepareIncremental]]
+    * (q65): the q60 fragments (gopher gate, PII scrub, minhash-LSH
+    * near-dedup, 5-gram decontam, q40 packing) recomposed into the
+    * standing-build chain + the batch-vs-standing incremental chain.
+    * Standing ids all precede incoming ids, so the incremental near-dedup
+    * ("drop incoming on J>=tau vs any standing doc or lower-id incoming")
+    * is exactly the doc_a < doc_b band join filtered to incoming doc_b. */
+  private def prepareIncrementalOracle: String = {
+    // gopher gate: same rules/thresholds as TextOps.gopherGate defaults
+    def gate(src: String, out: String) =
+      s"""${out}_gs AS (
+         |  SELECT doc_id, source, text, string_split(text, ' ') AS toks,
+         |         CAST(len(string_split(text, ' ')) AS INT) AS n_words
+         |  FROM $src),
+         |$out AS (
+         |  SELECT doc_id, source, text FROM (
+         |    SELECT doc_id, source, text, n_words,
+         |      CAST(length(text) - (n_words - 1) AS DOUBLE) / n_words AS mwl,
+         |      len(list_intersect(toks, ['the','a','of','and','to','in','is'])) AS nstop,
+         |      CAST(list_max(list_transform(list_distinct(toks),
+         |        w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE) / n_words AS ttf
+         |    FROM ${out}_gs)
+         |  WHERE n_words >= 20 AND n_words <= 100000
+         |    AND mwl >= 2.0 AND mwl <= 12.0 AND nstop >= 2 AND ttf <= 0.20)""".stripMargin
+    def scrub(src: String, out: String) =
+      s"""$out AS (
+         |  SELECT doc_id, source,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+         |      '${TextOps.Ipv4Re}', '<IP>', 'g'),
+         |      '${TextOps.PhoneRe}', '<PHONE>', 'g') AS text
+         |  FROM $src)""".stripMargin
+    // minhash-LSH candidates + verified common-shingle counts over a
+    // (doc_id, text) set: 3-shingles, 16 hashes, bands of 2 (q60's form)
+    def lsh(src: String, p: String) =
+      s"""${p}tok3 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM $src
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |${p}sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id,
+         |           unnest(list_transform(generate_series(1, len(t) - 2),
+         |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+         |    FROM ${p}tok3)),
+         |${p}hs AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+         |         ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+         |  FROM ${p}sh),
+         |${p}sigs AS (
+         |  SELECT doc_id, ks.k AS k, MIN((h1 + ks.k * h2) % 4294967311) AS sig
+         |  FROM ${p}hs CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+         |  GROUP BY doc_id, ks.k),
+         |${p}bands AS (
+         |  SELECT doc_id, k // 2 AS band,
+         |         string_agg(sig::VARCHAR, '#' ORDER BY k) AS band_key
+         |  FROM ${p}sigs GROUP BY doc_id, band),
+         |${p}cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ${p}bands a JOIN ${p}bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |${p}cnt AS (SELECT doc_id, COUNT(*) AS n FROM ${p}sh GROUP BY doc_id),
+         |${p}common AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+         |  FROM ${p}cand c
+         |  JOIN ${p}sh sa ON sa.doc_id = c.doc_a
+         |  JOIN ${p}sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH sbase AS (
+       |  SELECT doc_id, source, text || '$PiiSuffix' AS text
+       |  FROM documents WHERE doc_id < 250),
+       |${gate("sbase", "sgated")},
+       |${scrub("sgated", "sscrub")},
+       |sexact AS (
+       |  SELECT doc_id, source, text FROM (
+       |    SELECT doc_id, source, text,
+       |           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |    FROM sscrub)
+       |  WHERE rn = 1),
+       |${lsh("sexact", "s")},
+       |sdropb AS (
+       |  SELECT DISTINCT doc_b FROM scommon
+       |  JOIN scnt ca ON scommon.doc_a = ca.doc_id
+       |  JOIN scnt cb ON scommon.doc_b = cb.doc_id
+       |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.8),
+       |standing AS (
+       |  SELECT doc_id, source, text FROM sexact
+       |  WHERE doc_id NOT IN (SELECT doc_b FROM sdropb)),
+       |ibase AS (
+       |  SELECT doc_id, source, text || '$PiiSuffix' AS text
+       |  FROM documents WHERE doc_id >= 250
+       |  UNION ALL
+       |  SELECT doc_id + 10000, source, text || '$PiiSuffix'
+       |  FROM documents WHERE doc_id IN (0, 1, 2, 300)),
+       |${gate("ibase", "igated")},
+       |${scrub("igated", "iscrub")},
+       |iexact AS (
+       |  SELECT doc_id, source, text FROM (
+       |    SELECT doc_id, source, text,
+       |           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |    FROM iscrub
+       |    WHERE text NOT IN (SELECT text FROM standing))
+       |  WHERE rn = 1),
+       |ucorpus AS (
+       |  SELECT doc_id, text FROM standing
+       |  UNION ALL
+       |  SELECT doc_id, text FROM iexact),
+       |${lsh("ucorpus", "u")},
+       |udropb AS (
+       |  SELECT DISTINCT doc_b FROM ucommon
+       |  JOIN ucnt ca ON ucommon.doc_a = ca.doc_id
+       |  JOIN ucnt cb ON ucommon.doc_b = cb.doc_id
+       |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.8
+       |    AND doc_b >= 250),
+       |ided AS (
+       |  SELECT * FROM iexact WHERE doc_id NOT IN (SELECT doc_b FROM udropb)),
+       |itok5 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM ided
+       |  WHERE len(string_split(text, ' ')) >= 5),
+       |ish5 AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(generate_series(1, len(t) - 4),
+       |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+       |                  || t[i+3] || ' ' || t[i+4])) AS shingle
+       |    FROM itok5)),
+       |etok5 AS (
+       |  SELECT string_split(text, ' ') AS t FROM documents
+       |  WHERE doc_id >= 250 AND doc_id < 270
+       |    AND len(string_split(text, ' ')) >= 5),
+       |esh5 AS (
+       |  SELECT DISTINCT shingle FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(t) - 4),
+       |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+       |                  || t[i+3] || ' ' || t[i+4])) AS shingle
+       |    FROM etok5)),
+       |contam AS (SELECT DISTINCT doc_id FROM ish5 JOIN esh5 USING (shingle)),
+       |iclean AS (
+       |  SELECT * FROM ided WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |pt AS (
+       |  SELECT doc_id, source, text,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM iclean),
+       |pc AS (
+       |  SELECT *,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+       |  FROM pt),
+       |pb AS (SELECT *, CAST(tok_before // 2048 AS BIGINT) AS bin FROM pc)
+       |SELECT doc_id, source, text, n_tokens, bin,
+       |       CAST(row_number() OVER (PARTITION BY source, bin ORDER BY doc_id) - 1 AS INT)
+       |         AS pos_in_bin
+       |FROM pb ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB replay of [[TextOps.learnBpeMerges]]: v0 = the char-split
     * vocab of doc_id < 100; each round r appends CTEs b{r} (argmax pair of
