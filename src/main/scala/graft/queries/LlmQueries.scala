@@ -2073,6 +2073,75 @@ object LlmQueries {
       },
       Some(prepareIncrementalOracle),
     ),
+
+    // ------------------------------------------------------------------
+    // Q66 — multimodal near-dup, audio leg: energy-envelope perceptual
+    // hash over REAL PCM16 WAV clips (Multimodal.audioPhash — 64
+    // start-anchored frames, active-mean exact-integer threshold;
+    // frameLen=1 because the synthetic clips are a few hundred samples),
+    // through the same 4x16-bit banding + hamming <= 8 verification as
+    // the image leg (q59). Planted variants overwrite 3 interior chars
+    // (chars 11-13) of each doc_id < 100 clip: a localized sample edit
+    // that flips only the touched frames' bits (median hamming 1), the
+    // near-dup signal the banding is built for. The oracle recomputes the
+    // hash from hex-of-blob text bytes (sample_i = (byte_i - 128) * 256,
+    // the q50 decode identity) — hash-verified end to end.
+    Declared(
+      "q66_audio_phash_neardup",
+      (s, dir) => {
+        val base = Tables.documentsRaw(s, dir)
+          .filter(col("doc_id") < 100)
+          .select("doc_id", "text")
+        val variants = base.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 10), lit("~~~"),
+            expr("substring(text, 14)")).as("text"))
+        val media = graft.llm.Multimodal.asWavMedia(base.unionByName(variants))
+        val ph = graft.llm.Multimodal.audioPhash(media, frameLen = 1)
+          .localCheckpoint(false)
+        graft.llm.Multimodal.phashNearDupPairs(ph, nBands = 4, maxHamming = 8)
+          .orderBy("media_a", "media_b")
+      },
+      Some("""WITH basec AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 100),
+             |rawc AS (
+             |  SELECT doc_id, text FROM basec
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, substr(text, 1, 10) || '~~~' || substr(text, 14)
+             |  FROM basec),
+             |b AS (
+             |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+             |  FROM rawc),
+             |env AS (
+             |  SELECT doc_id, CAST(LEAST(64, n) AS BIGINT) AS nact,
+             |    list_transform(generate_series(1, 64), i ->
+             |      CASE WHEN i <= n
+             |           THEN abs((CAST(('0x' || substr(hx, (i-1)*2+1, 2)) AS BIGINT) - 128) * 256)
+             |           ELSE 0 END) AS energies
+             |  FROM b),
+             |ph AS (
+             |  SELECT doc_id,
+             |    array_to_string(list_transform(generate_series(1, 64), j ->
+             |      CASE WHEN nact * energies[j] > list_sum(energies) THEN '1' ELSE '0' END),
+             |      '') AS phash
+             |  FROM env),
+             |bands AS (
+             |  SELECT doc_id, phash, bi, substr(phash, bi * 16 + 1, 16) AS bv
+             |  FROM ph, (SELECT unnest(generate_series(0, 3)) AS bi)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
+             |                  a.phash AS pa, b.phash AS pb
+             |  FROM bands a JOIN bands b
+             |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+             |ham AS (
+             |  SELECT media_a, media_b,
+             |    list_sum(list_transform(generate_series(1, 64),
+             |      i -> CASE WHEN substr(pa, i, 1) <> substr(pb, i, 1)
+             |                THEN 1 ELSE 0 END)) AS hm
+             |  FROM cand)
+             |SELECT media_a, media_b, CAST(hm AS INT) AS hamming
+             |FROM ham WHERE hm <= 8 ORDER BY media_a, media_b""".stripMargin),
+    ),
   )
 
   /** DuckDB replay of [[graft.llm.CorpusPipeline.prepareIncremental]]

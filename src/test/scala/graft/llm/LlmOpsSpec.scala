@@ -1264,4 +1264,50 @@ class LlmOpsSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
     assert(again === pairs)
   }
+
+  test("audioPhash: anchored window, active-mean threshold, gain invariance") {
+    val baseText = ("the quick brown fox jumps over the lazy dog " * 4).trim
+    val d = Seq(
+      (1L, baseText),
+      (2L, baseText + " trailing tail beyond the anchored window"),
+      (3L, baseText.substring(0, 10) + "~~~" + baseText.substring(13)),
+      (4L, "unrelated content entirely different from the fox sentence etc"),
+      (5L, "shortclip"), // 9 samples < 64: active-mean regime
+    ).toDF("doc_id", "text")
+    val ph = Multimodal.audioPhash(Multimodal.asWavMedia(d), frameLen = 1)
+      .localCheckpoint(false)
+    val hashes = ph.as[(Long, String)].collect().toMap
+    assert(hashes.values.forall(h => h.length === 64 && h.forall(c => c == '0' || c == '1')))
+    // appended tail lands beyond the 64-sample window -> identical hash
+    assert(hashes(1L) === hashes(2L), "append-beyond-window must not change the hash")
+    // interior 3-char edit flips only the touched frames (plus threshold ties)
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(hamming(hashes(1L), hashes(3L)) <= 8)
+    assert(hamming(hashes(1L), hashes(4L)) > 8, "unrelated clips must differ")
+    // short clip: frames past the clip are zero bits (active-mean keeps
+    // the real frames from collapsing to all-ones against a zero-padded mean)
+    assert(hashes(5L).drop(9).forall(_ == '0'))
+    assert(hashes(5L).take(9).contains('1'))
+    // uniform re-gain hashes identically: threshold is scale-free
+    val spark2 = d.sparkSession
+    import spark2.implicits._
+    val samples = baseText.getBytes("UTF-8").map(b => (((b & 0xff) - 128) * 256).toShort)
+    def media(id: Long, s: Array[Short]) = {
+      val p = Multimodal.WavCodec.encode(s, 8000)
+      Multimodal.MediaRecord(id, Multimodal.WavCodec.Mime, p.length.toLong, p)
+    }
+    val gained = Seq(
+      media(10L, samples),
+      media(11L, samples.map(v => (v / 2).toShort)),
+    ).toDF()
+    val gh = Multimodal.audioPhash(gained, frameLen = 1)
+      .as[(Long, String)].collect().toMap
+    assert(gh(10L) === gh(11L), "uniform gain must not change the hash")
+    // banding end to end: the interior-edit variant pairs, unrelated doesn't
+    val pairs = Multimodal.phashNearDupPairs(ph, nBands = 4, maxHamming = 8)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs.get((1L, 2L)) === Some(0))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
 }
