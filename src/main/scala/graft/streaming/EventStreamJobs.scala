@@ -13,6 +13,12 @@ final case class SessionState(start: Long, last: Long, n: Long)
 final case class ClosedSession(
     user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
 
+/** Streaming MinHash-band dedup types (see
+  * [[EventStreamJobs.streamingBandCollisions]]). */
+final case class BandRow(ts: Timestamp, doc_id: Long, band: Int, sig: String)
+final case class BandAnchor(anchor_doc: Long, last: Long)
+final case class BandCollision(doc_a: Long, doc_b: Long, band: Int, ts: Timestamp)
+
 /** Streaming analytics over the `events` stream shape (F6/F7): watermarked
   * tumbling/session windows and streaming dedup — the Structured Streaming
   * twins of the batch queries Q14/Q15/Q5 and the schedule dedup D3.
@@ -113,6 +119,94 @@ object EventStreamJobs {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__sig")
       .drop("__sig")
+  }
+
+  /** Streaming MINHASH-BAND near-dup — the missing leg between
+    * [[streamingNearExactDedup]] (full-signature equality: collapses only
+    * (near-)identical shingle sets) and the batch pair pipeline
+    * ([[graft.llm.TextOps.lshNearDupPairs]]): per-band LSH collision
+    * detection with custom state, so the intake path surfaces
+    * PARTIAL-signature matches — true near-dups at banding resolution —
+    * without a batch pass over an accumulated corpus.
+    *
+    * Each doc melts to `numHashes / bandRows` band-key rows (per-row
+    * native signatures, [[graft.llm.TextOps.bandRowsDF]] — the identical
+    * banding the batch path uses, so a pair this stream surfaces is
+    * exactly a pair the batch LSH would candidate). State per band key =
+    * the ANCHOR (first-admitted) doc_id + last collision time — the
+    * band-key -> min-doc map of the batch bucket machinery, kept
+    * incrementally: every later doc colliding on that key emits
+    * (doc_a = anchor, doc_b = newcomer, band, ts). State expires once the
+    * event-time watermark passes `last + horizonMs` (sliding horizon:
+    * a key that keeps colliding stays hot), so state is bounded by the
+    * recent distinct-band-key count and runs on RocksDB unchanged.
+    *
+    * Honest scope: output is CANDIDATE pairs (>= 1 full-band collision),
+    * deduplicated per key but possibly repeated across bands/batches —
+    * downstream either treats any collision as a drop signal (the
+    * standard streaming approximation: `foreachBatch` anti-join on
+    * distinct doc_b) or exact-verifies candidates with
+    * [[graft.llm.TextOps.verifyPairs]] semantics over the doc store.
+    * Docs with < k tokens produce no bands (cannot near-dup at shingle
+    * resolution); route them through [[streamingExactDedup]]. */
+  def streamingBandCollisions(
+      docs: DataFrame,
+      tsCol: String,
+      watermark: String,
+      horizonMs: Long,
+      k: Int = 3,
+      numHashes: Int = 16,
+      bandRows: Int = 2): Dataset[BandCollision] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    def stateFn(
+        key: String,
+        rows: Iterator[BandRow],
+        state: GroupState[BandAnchor]): Iterator[BandCollision] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        // arrival order within the batch: event time, then doc_id — the
+        // deterministic "first doc wins" anchor the batch bucket path's
+        // min-id policy degenerates to under in-order arrival
+        val sorted = rows.toVector.sortBy(r => (r.ts.getTime, r.doc_id))
+        var cur = state.getOption
+        var out = Vector.empty[BandCollision]
+        sorted.foreach { r =>
+          cur match {
+            case Some(a) =>
+              if (r.doc_id != a.anchor_doc)
+                out :+= BandCollision(a.anchor_doc, r.doc_id, r.band, r.ts)
+              cur = Some(BandAnchor(a.anchor_doc, math.max(a.last, r.ts.getTime)))
+            case None =>
+              cur = Some(BandAnchor(r.doc_id, r.ts.getTime))
+          }
+        }
+        cur.foreach { a =>
+          state.update(a)
+          state.setTimeoutTimestamp(a.last + horizonMs)
+        }
+        out.iterator
+      }
+    }
+
+    val sigCol = graft.llm.TextOps.minhashSigCol(docs, k, numHashes)
+    val nBands = numHashes / bandRows
+    require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
+    val bandKeys = (0 until nBands).map { b =>
+      concat_ws("#", (0 until bandRows).map(r => col("__sig")(b * bandRows + r)): _*)
+    }
+    docs
+      .withColumn("__sig", sigCol)
+      .filter(col("__sig").isNotNull)
+      .select(col(tsCol).as("ts"), col("doc_id"), col("__sig"))
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("doc_id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "sig")))
+      .as[BandRow]
+      .groupByKey(r => s"${r.band}#${r.sig}")
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(stateFn)
   }
 
   /** Streaming EMBEDDING dedup — the vector twin of the text dedups above:

@@ -236,6 +236,92 @@ class EventStreamJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming band collisions surface partial-signature near-dups") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamDoc]
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = "the quick brown fox jumps over the lazy dog again and often"
+    val q = EventStreamJobs.streamingBandCollisions(
+        in.toDF(), tsCol = "ts", watermark = "30 minutes",
+        horizonMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("band_collisions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(StreamDoc(ts("2024-01-01 10:00:00"), 1, base))
+      q.processAllAvailable()
+      in.addData(
+        StreamDoc(ts("2024-01-01 10:05:00"), 2, base),  // exact dup: every band
+        StreamDoc(ts("2024-01-01 10:06:00"), 3, near),  // near-dup: some bands
+        StreamDoc(ts("2024-01-01 10:07:00"), 4, "completely unrelated content with other words entirely"))
+      q.processAllAvailable()
+      val got = spark.table("band_collisions")
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got.contains((1L, 2L)), "exact dup must collide")
+      assert(got.contains((1L, 3L)),
+        "near-dup sharing most shingles must collide on some band")
+      assert(!got.exists { case (a, b) => a == 4L || b == 4L },
+        "unrelated doc must not collide")
+      // full-signature count for the exact dup: all nBands collide
+      val n12 = spark.table("band_collisions")
+        .filter($"doc_a" === 1L && $"doc_b" === 2L).count()
+      assert(n12 === 8L, s"exact dup should collide on all 8 bands, got $n12")
+      // expiry: advance the watermark past the horizon; the band anchors
+      // for doc 1 expire, so a twin arriving later re-anchors instead of
+      // pairing with the long-gone doc 1
+      in.addData(StreamDoc(ts("2024-01-02 00:00:00"), 9, "watermark advancer text payload"))
+      q.processAllAvailable()
+      in.addData(StreamDoc(ts("2024-01-02 00:01:00"), 5, base))
+      q.processAllAvailable()
+      in.addData(StreamDoc(ts("2024-01-02 00:02:00"), 6, base))
+      q.processAllAvailable()
+      val late = spark.table("band_collisions")
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(!late.contains((1L, 5L)), "expired anchor must not pair")
+      assert(late.contains((5L, 6L)), "re-anchored key must pair new twins")
+    } finally q.stop()
+  }
+
+  test("streaming band collisions run on RocksDB with identical results") {
+    implicit val sqlCtx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    EventStreamJobs.withRocksDbState(spark)
+    val ck = java.nio.file.Files.createTempDirectory("rocks-band-ck").toString
+    try {
+      val in = MemoryStream[StreamDoc]
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      val q = EventStreamJobs.streamingBandCollisions(
+          in.toDF(), tsCol = "ts", watermark = "30 minutes",
+          horizonMs = 30L * 60 * 1000)
+        .writeStream.format("memory").queryName("band_rocks")
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData(StreamDoc(ts("2024-01-01 10:00:00"), 1, base))
+        q.processAllAvailable()
+        in.addData(StreamDoc(ts("2024-01-01 10:05:00"), 2, base))
+        q.processAllAvailable()
+        val got = spark.table("band_rocks")
+          .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+        assert(got === Set((1L, 2L)))
+        assert(spark.table("band_rocks").count() === 8L)
+      } finally q.stop()
+      val stateFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(ck, "state"))
+        .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      val names = scala.jdk.CollectionConverters.IteratorHasAsScala(stateFiles)
+        .asScala.map(_.getFileName.toString).toVector
+      assert(names.exists(n => n.endsWith(".changelog") || n.endsWith(".zip")),
+        s"no RocksDB state artifacts under $ck: $names")
+      assert(!names.exists(_.endsWith(".delta")), "HDFS provider files present")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage")
+    }
+  }
+
   test("streaming embedding dedup suppresses vectors sharing a PQ cell") {
     implicit val sqlCtx = spark.sqlContext
     // codebooks trained OFFLINE on the real embeddings (the production
