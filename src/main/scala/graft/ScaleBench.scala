@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, TextOps, VectorOps}
+import graft.llm.{CorpusPipeline, Dedup, TextOps, VectorOps}
 
 /** Empirical scale probe for the 100 TB-posture claims:
   * `runMain graft.ScaleBench [factor]` replicates the sf0.1 documents /
@@ -74,6 +74,32 @@ object ScaleBench {
       Dedup.dedupNearLshIncremental(batch, docs, tau = 0.5).count()
     }
     println(s"""{"op":"incremental_dedup","standing":$nDocs,"batch":$nBatch,"survivors":$nIncSurv,"all_dropped":${nIncSurv == 0L},"sec":$tInc}""")
+
+    // composed incremental pipeline: standing corpus = a full prepare()
+    // run; the batch replicates the PREPARED standing text under fresh
+    // ids (factor-capped x), so every batch doc is an exact duplicate of
+    // a standing doc and the daily-ingest run must annihilate it —
+    // survivors == 0 EXACTLY (the gate passes prepared text, PII scrub
+    // is idempotent on redacted text, and the incremental exact dedup's
+    // digest semi-join sweeps the rest). Wall is compared against the
+    // full re-prepare of standing+batch: the incremental form does
+    // batch-shaped candidate work, the re-prepare pays corpus-shaped
+    // near-dup all over again — the gap is the daily-ingest win.
+    val standingPrep = CorpusPipeline.prepare(Tables.documents(spark, sfDir))
+      .select("doc_id", "source", "text").localCheckpoint(true)
+    val nStandPrep = standingPrep.count()
+    val incFactor = math.min(factor, 5)
+    val incBatch = replicate(standingPrep, "doc_id", incFactor)
+      .withColumn("doc_id", col("doc_id") + lit(900000000L))
+      .localCheckpoint(true)
+    val nIncBatch = incBatch.count()
+    val (nPrepSurv, tPrepInc) = timed {
+      CorpusPipeline.prepareIncremental(incBatch, standingPrep).count()
+    }
+    val (_, tPrepFull) = timed {
+      CorpusPipeline.prepare(standingPrep.unionByName(incBatch)).count()
+    }
+    println(s"""{"op":"prepare_incremental","standing":$nStandPrep,"batch":$nIncBatch,"survivors":$nPrepSurv,"all_dropped":${nPrepSurv == 0L},"incremental_sec":$tPrepInc,"full_reprepare_sec":$tPrepFull}""")
 
     // BPE merge learning: uniform factor-x replication multiplies every
     // word frequency by the factor, so the merge SEQUENCE must be

@@ -5,11 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's parquet
-  * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it as a raw
-  * nanosecond Long via `spark.sql.legacy.parquet.nanosAsLong` and truncate
-  * ns -> us ourselves. DuckDB (the correctness oracle) truncates the same way
-  * at read time, so both engines see identical microsecond timestamps.
+  * `events.ts` has shipped in two encodings across driver generations:
+  * parquet TIMESTAMP(NANOS) — which Spark's parquet reader rejects outright
+  * ([PARQUET_TYPE_ILLEGAL]), so we read the raw nanosecond Long via
+  * `spark.sql.legacy.parquet.nanosAsLong` and truncate ns -> us ourselves —
+  * and plain TIMESTAMP(MICROS) (no UTC adjustment), which Spark surfaces as
+  * TIMESTAMP_NTZ. [[events]] sniffs the read schema and normalizes both to
+  * session-zone TimestampType microseconds; DuckDB (the correctness oracle)
+  * reads either encoding to the same wall-clock microsecond values, so both
+  * engines see identical timestamps whichever file generation is on disk.
   */
 object Tables {
 
@@ -55,12 +59,22 @@ object Tables {
   def documentsRaw(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
 
-  /** `ts` arrives as TIMESTAMP(NANOS); surfaced as TimestampType truncated to
-    * microseconds (floor division — positive epoch values, so floor == trunc,
-    * matching DuckDB's ns->us read-time truncation). */
+  /** `ts` surfaced as session-zone TimestampType microseconds whatever the
+    * file encoding: TIMESTAMP(NANOS) reads as a raw Long (legacy
+    * nanosAsLong) and is floor-divided ns -> us (positive epoch values, so
+    * floor == trunc, matching DuckDB's read-time truncation); TIMESTAMP
+    * (MICROS, no UTC adjustment) reads as TIMESTAMP_NTZ and is cast —
+    * wall-clock preserving under the UTC session zone every entry point
+    * sets. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 }
