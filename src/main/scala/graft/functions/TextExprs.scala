@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -184,6 +184,29 @@ object TextKernels {
       java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
   }
 
+  /** |distinct(a) ∩ distinct(b)| over two string arrays — equals
+    * `size(array_intersect(a, b))` for arrays without null elements (the
+    * shingle-set contract), WITHOUT materializing the intersection array:
+    * one hash set over the smaller side, one membership probe per element
+    * of the larger. The LSH verify join runs this once per candidate pair —
+    * at a skewed band bucket (thousands of docs sharing boilerplate
+    * shingles) the pair count is quadratic in the bucket, so the per-pair
+    * constant IS the verify stage's cost. */
+  def intersectSize(a: ArrayData, b: ArrayData): Long = {
+    val (small, large) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val ns = small.numElements()
+    val set = new java.util.HashSet[UTF8String](ns * 2)
+    var i = 0
+    while (i < ns) { set.add(small.getUTF8String(i)); i += 1 }
+    var count = 0L
+    val nl = large.numElements()
+    var j = 0
+    // remove-on-hit counts each distinct common element once even when the
+    // larger side carries duplicates (array_intersect dedups both sides)
+    while (j < nl) { if (set.remove(large.getUTF8String(j))) count += 1; j += 1 }
+    count
+  }
+
   /** (n_grams, n_distinct, top_count) over n-gram occurrences. */
   def repStats(text: UTF8String, n: Int): InternalRow = {
     val t = toks(text)
@@ -338,4 +361,31 @@ case class RepStats(child: Expression, n: Int) extends TextKernelExpr {
 
   override protected def withNewChildInternal(newChild: Expression): RepStats =
     copy(child = newChild)
+}
+
+/** `graft_isect_size(a, b)` — |distinct(a) ∩ distinct(b)| of two string
+  * arrays as a BIGINT; equals `size(array_intersect(a, b))` for arrays
+  * without null elements. See [[TextKernels.intersectSize]]. */
+case class IntersectSize(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_isect_size requires (ARRAY<STRING>, ARRAY<STRING>) arguments, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_isect_size"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.intersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextKernels.intersectSize($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectSize =
+    copy(left = newLeft, right = newRight)
 }

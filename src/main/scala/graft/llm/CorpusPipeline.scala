@@ -82,7 +82,8 @@ object CorpusPipeline {
       evalCorpus: Option[DataFrame] = None,
       cfg: Config = Config(),
       embeddings: Option[DataFrame] = None): DataFrame =
-    stages(docs, evalCorpus, cfg, embeddings, identity).last._2
+    stages(docs, evalCorpus, cfg, embeddings, identity,
+      materializeScrub = true).last._2
 
   /** [[prepare]] plus the attrition report every production corpus run
     * needs: (result, report) where report is one row per stage —
@@ -128,7 +129,22 @@ object CorpusPipeline {
     * freeze cluster geometry across ingests (None re-trains on the
     * standing embeddings via [[Dedup.semDedupCentroids]], deterministic
     * but one extra Lloyd run per ingest). A doc without an embedding row
-    * is never dropped by this stage. */
+    * is never dropped by this stage.
+    *
+    * Stage parity with [[prepare]]: `cfg.removeDupPassages` inserts the
+    * 2b passage scrub in its batch position (census over batch PLUS
+    * standing via [[TextOps.removeDuplicatedPassagesAgainst]] — only
+    * batch rows rewritten) and `cfg.mixWeights` the stage-7 mix (census
+    * widened over the standing corpus so fractions match one batch pass;
+    * only batch rows filtered — monotone hash membership keeps the
+    * two-step sample consistent with the batch form).
+    *
+    * The standing frame is referenced by three legs (exact digests, LSH
+    * band rows, the semantic doc_id set — plus 2b/7 censuses when
+    * enabled), so it is lazily localCheckpointed ONCE here: a caller
+    * passing a derived DAG (e.g. a fresh [[prepare]] output) pays one
+    * evaluation, not one per leg. At 100 TB standing is a materialized
+    * table and the checkpoint is a cheap re-cache of its scan. */
   def prepareIncremental(
       incoming: DataFrame,
       standing: DataFrame,
@@ -136,32 +152,47 @@ object CorpusPipeline {
       cfg: Config = Config(),
       embeddings: Option[DataFrame] = None,
       centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    val stand = standing.localCheckpoint(false)
     val gated = TextOps.gopherGate(incoming,
       minWords = cfg.minWords, maxWords = cfg.maxWords)
     val scrubbed = TextOps.redactPii(gated, "text")
       .drop("text", "n_email", "n_ipv4", "n_phone")
       .withColumnRenamed("redacted", "text")
+    // The scrubbed batch is the other multiply-referenced frame: the exact
+    // leg (digests + anti-join), the LSH leg (band rows + corpus shingle
+    // sets), and the surviving-row chain each evaluate it — without a
+    // barrier every leg re-runs the scan + gate + PII regexes. One lazy
+    // localCheckpoint, same rationale as `stand` above.
+    val descrubbed = (cfg.removeDupPassages match {
+      case Some((w, minDocs)) =>
+        val rewritten = TextOps.removeDuplicatedPassagesAgainst(
+          scrubbed, stand, w, minDocs)
+          .filter(col("text") =!= "")
+          .select("doc_id", "text")
+        scrubbed.drop("text").join(rewritten, Seq("doc_id"))
+      case None => scrubbed
+    }).localCheckpoint(false)
     val fp: DataFrame => DataFrame =
       if (cfg.normalizeFingerprints) TextOps.normalized(_) else identity
     val unfp: DataFrame => DataFrame =
       if (cfg.normalizeFingerprints)
         _.withColumn("text", col("raw_text")).drop("raw_text")
       else identity
-    val exact = Dedup.exactIncremental(scrubbed, standing)
+    val exact = Dedup.exactIncremental(descrubbed, stand)
     val deduped = unfp(Dedup.dedupNearLshIncremental(
-      fp(exact), fp(standing), tau = cfg.nearDupTau,
+      fp(exact), fp(stand), tau = cfg.nearDupTau,
       shingleSize = cfg.shingleSize))
     val semantic = embeddings match {
       case Some(ef) =>
         val inc = ef.join(deduped.select("doc_id"), Seq("doc_id"), "left_semi")
           .select(col("doc_id").as("vec_id"), col("embedding"))
-        val stand = ef.join(standing.select("doc_id"), Seq("doc_id"), "left_semi")
+        val standVecs = ef.join(stand.select("doc_id"), Seq("doc_id"), "left_semi")
           .select(col("doc_id").as("vec_id"), col("embedding"))
           .localCheckpoint(false)
         val cs = centroids.getOrElse(
-          Dedup.semDedupCentroids(stand, cfg.semDedupNCentroids))
+          Dedup.semDedupCentroids(standVecs, cfg.semDedupNCentroids))
         val dropIds = inc.select("vec_id")
-          .join(Dedup.semDedupIncremental(inc, stand, cs, cfg.semDedupTau)
+          .join(Dedup.semDedupIncremental(inc, standVecs, cs, cfg.semDedupTau)
             .select("vec_id"), Seq("vec_id"), "left_anti")
           .withColumnRenamed("vec_id", "doc_id")
         deduped.join(dropIds, Seq("doc_id"), "left_anti")
@@ -172,21 +203,35 @@ object CorpusPipeline {
         unfp(TextOps.decontaminate(fp(semantic), fp(ev), cfg.decontamNgram))
       case None => semantic
     }
+    val mixed = cfg.mixWeights match {
+      case Some((budget, weights)) =>
+        Mixing.sampleToTokenBudget(clean, budget, weights,
+          censusOver = Some(clean.select("source", "text")
+            .unionByName(stand.select("source", "text"))))
+      case None => clean
+    }
     Packing.packSequences(
-      clean.select(col("doc_id"), col("source"), col("text"),
+      mixed.select(col("doc_id"), col("source"), col("text"),
         size(split(col("text"), " ")).cast("long").as("n_tokens")),
       budget = cfg.packBudget)
       .select("doc_id", "source", "text", "n_tokens", "bin", "pos_in_bin")
   }
 
   /** The stage chain, each boundary passed through `tap` (identity for the
-    * plain composable form; a lazy localCheckpoint for the reporting form). */
+    * plain composable form; a lazy localCheckpoint for the reporting form).
+    *
+    * `materializeScrub` lazily localCheckpoints the post-scrub boundary in
+    * the PLAIN form: the dedup stages' eager drop sets and the surviving-
+    * row chain each evaluate that prefix (scan + gate + PII regexes) —
+    * one barrier makes them all read cached rows. The reporting form taps
+    * every boundary with a checkpoint already, so it passes false. */
   private def stages(
       docs: DataFrame,
       evalCorpus: Option[DataFrame],
       cfg: Config,
       embeddings: Option[DataFrame],
-      tap: DataFrame => DataFrame): Seq[(String, DataFrame)] = {
+      tap: DataFrame => DataFrame,
+      materializeScrub: Boolean = false): Seq[(String, DataFrame)] = {
     val input = tap(docs)
 
     // 1. quality gate: keep only docs passing every Gopher rule — the
@@ -204,7 +249,7 @@ object CorpusPipeline {
     // duplicated passages stripped, preserving every non-text column via
     // a doc_id equi-join (the op itself returns only the rewrite); docs
     // reduced to nothing but boilerplate are dropped
-    val descrubbed = cfg.removeDupPassages match {
+    val descrubbedRaw = cfg.removeDupPassages match {
       case Some((w, minDocs)) =>
         val rewritten = TextOps.removeDuplicatedPassages(scrubbed, w, minDocs)
           .filter(col("text") =!= "")
@@ -212,6 +257,8 @@ object CorpusPipeline {
         tap(scrubbed.drop("text").join(rewritten, Seq("doc_id")))
       case None => scrubbed
     }
+    val descrubbed =
+      if (materializeScrub) descrubbedRaw.localCheckpoint(false) else descrubbedRaw
 
     // fingerprint-path normalization (opt-in): `fp` swaps the text the
     // dedup/decontam machinery fingerprints for its normalized form

@@ -75,7 +75,8 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 16,
       bandRows: Int = 2): DataFrame = {
-    val drop = TextOps.lshNearDupPairs(docs, shingleSize, numHashes, bandRows)
+    val drop = TextOps.lshNearDupPairs(docs, shingleSize, numHashes, bandRows,
+      tauPrefilter = Some(tau))
       .filter(col("jaccard") >= tau)
       .select(col("doc_b").as("doc_id")).distinct()
       .localCheckpoint(true)
@@ -139,11 +140,18 @@ object Dedup {
       numHashes: Int = 16,
       bandRows: Int = 2,
       maxBucketSize: Int = TextOps.DefaultMaxBucketSize): DataFrame = {
-    val bi = TextOps.bandRowsDF(incoming, shingleSize, numHashes, bandRows)
+    val bi = TextOps.bandRowsSizedDF(incoming, shingleSize, numHashes, bandRows)
       .withColumn("inc", lit(1L))
-    val bs = TextOps.bandRowsDF(standing, shingleSize, numHashes, bandRows)
+    val bs = TextOps.bandRowsSizedDF(standing, shingleSize, numHashes, bandRows)
       .withColumn("inc", lit(0L))
-    val pairs = TextOps.incrementalBucketPairs(bi.unionByName(bs), maxBucketSize)
+    // the sound tau size bound runs INSIDE pair emission
+    // ([[TextOps.incrementalBucketPairsSized]]): a boilerplate-skewed band
+    // bucket emits a pair frame quadratic in the bucket, and most of it
+    // dies on the (na, nb) check before the distinct() shuffle or any
+    // shingle array copy — results identical to the unsized form, since a
+    // size-culled pair cannot reach jaccard >= tau (spec-pinned)
+    val pairs = TextOps.incrementalBucketPairsSized(
+      bi.unionByName(bs), maxBucketSize, tau)
       .localCheckpoint(false)
     val candIds = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
@@ -151,14 +159,11 @@ object Dedup {
       .unionByName(incoming.select("doc_id", "text"))
     val sets = corpus.join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), TextOps.shingleCol(corpus, shingleSize).as("sset"))
-      .withColumn("n", size(col("sset")).cast("long"))
       .localCheckpoint(false)
     val drop = pairs
-      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa"),
-        col("n").as("na")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb"),
-        col("n").as("nb")), Seq("doc_b"))
-      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb")), Seq("doc_b"))
+      .withColumn("common", TextOps.isectSize(corpus, col("sa"), col("sb")))
       .filter(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= tau)
       .select(col("doc_b").as("doc_id")).distinct()
       .localCheckpoint(true)

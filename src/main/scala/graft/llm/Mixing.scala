@@ -57,13 +57,20 @@ object Mixing {
       weights: Map[String, Double],
       idCol: String = "doc_id",
       sourceCol: String = "source",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      censusOver: Option[DataFrame] = None): DataFrame = {
     val wSum = weights.values.sum
     require(wSum > 0, "weights must not all be zero")
     val weightCol = weights.foldLeft(lit(0.0)) { case (acc, (src, w)) =>
       when(col(sourceCol) === src, lit(w)).otherwise(acc)
     }
-    val census = docs
+    // `censusOver` widens the token census beyond the sampled frame — the
+    // incremental-pipeline case, where the fraction must reflect the
+    // standing corpus plus the increment while only increment rows are
+    // filtered. Monotone hash membership makes the two-step (standing
+    // sampled at its prepare time, increment sampled now under the wider
+    // census) consistent with one batch pass at the same fractions.
+    val census = censusOver.getOrElse(docs)
       .groupBy(sourceCol)
       .agg(sum(size(split(col(textCol), " ")).cast("long")).as("__src_tokens"))
     val withFrac = docs

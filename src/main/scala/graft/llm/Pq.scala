@@ -83,6 +83,47 @@ object Pq {
       }: _*)))
   }
 
+  /** m codebooks seeded from full-dim seed vectors (each seed sliced into
+    * its per-subspace initial centroid). */
+  private def seedCodebooks(
+      seeds: Seq[Seq[Double]], m: Int, subDim: Int): Seq[Seq[Seq[Double]]] =
+    (0 until m).map(j =>
+      seeds.map(v => v.slice(j * subDim, (j + 1) * subDim)))
+
+  /** The per-subspace avg aggregates of one PQ Lloyd pass — same rounding
+    * discipline as the coarse trainer (and the q54 oracle replay). */
+  private def pqDimAggs(subDim: Int): Seq[Column] =
+    (0 until subDim).map(i =>
+      (floor(avg(element_at(col("embedding"), col("j") * subDim + i + 1).cast("double"))
+        * lit(1e6) + lit(0.5)) / lit(1e6)).as(s"m$i"))
+
+  /** The Lloyd loop of [[trainCodebooks]] from pre-built initial codebooks,
+    * over a frame the CALLER has materialized (the loop makes `iterations`
+    * passes). Lets [[pqTopK]] / [[ivfPqTopK]] skip the public entry's
+    * defensive checkpoint and seed job when they already hold both. */
+  private[llm] def codebookLloyd(
+      e: DataFrame, init: Seq[Seq[Seq[Double]]], subDim: Int,
+      iterations: Int): Seq[Seq[Seq[Double]]] = {
+    var cbs = init
+    for (_ <- 0 until iterations) {
+      // element_at is 1-based; row (j, code) carries the full embedding and
+      // averages its own subspace's dims — same value sets, same rounding
+      // as the per-subspace formulation (and the q54 oracle)
+      val dimAggs = pqDimAggs(subDim)
+      val means = e
+        .withColumn("codes", codesCol(e, cbs, subDim))
+        .select(posexplode(col("codes")).as(Seq("j", "code")), col("embedding"))
+        .groupBy("j", "code")
+        .agg(dimAggs.head, dimAggs.tail: _*)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> (2 until 2 + subDim).map(r.getDouble).toSeq)
+        .toMap
+      cbs = cbs.indices.map(j =>
+        cbs(j).indices.map(c => means.getOrElse((j, c), cbs(j)(c))))
+    }
+    cbs
+  }
+
   /** Train all `m` codebooks. `trainFrac` < 1 trains on the deterministic
     * md5 id-sample (the 100 TB posture — codebook quality needs a sample,
     * not the corpus); encoding still covers every vector.
@@ -106,33 +147,80 @@ object Pq {
       if (trainFrac >= 1.0) emb
       else emb.filter(Mixing.hashKeep(col("vec_id"), lit(trainFrac)))
     val e = base.select(col("vec_id"), col("embedding")).localCheckpoint(false)
-    val seedVecs = e
-      .orderBy(Mixing.samplingHash(col("vec_id")), col("vec_id"))
-      .limit(k)
-      .collect()
-      .map(_.getSeq[Float](1).map(_.toDouble))
-    var cbs: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
-      seedVecs.map(v => v.slice(j * subDim, (j + 1) * subDim).toSeq).toSeq)
+    codebookLloyd(e, seedCodebooks(VectorOps.seedRows(e, k), m, subDim),
+      subDim, iterations)
+  }
+
+  /** FUSED IVF + PQ training for the non-residual case — the two
+    * optimizations are independent (coarse k-means clusters raw vectors; PQ
+    * codebooks quantize the same raw vectors), so their Lloyd recipes can
+    * share jobs without changing a single trained value:
+    *
+    *  - ONE seed job: both seed sets are prefixes of the same
+    *    (samplingHash, vec_id) ordering ([[VectorOps.seedRows]]).
+    *  - ONE job per Lloyd iteration instead of two: the coarse bucket means
+    *    and the PQ (subspace, code) means are computed as two independent
+    *    aggregate branches of a single `unionByName` (normalized to
+    *    (kind, g1, g2, means)) and collected together. Each branch is the
+    *    exact per-iteration plan of its separate trainer — same grouping,
+    *    same rounding, same checkpointed input partitions — so the fused
+    *    results are bit-identical (spec-pinned against the sequential
+    *    form on real data).
+    *
+    * At sf0.1 this halves the training job count, which IS the cost there
+    * (per-job plan compile + schedule, not per-row compute — PERF.md); at
+    * 100 TB it halves the number of passes over the training sample. */
+  private[llm] def trainIvfPqJoint(
+      e: DataFrame,
+      nCentroids: Int,
+      m: Int,
+      nCodes: Int,
+      iterations: Int,
+      dim: Int): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    val subDim = dim / m
+    val seeds = VectorOps.seedRows(e, math.max(nCentroids, nCodes))
+    var coarse: Seq[Seq[Double]] = seeds.take(nCentroids)
+    var cbs = seedCodebooks(seeds.take(nCodes), m, subDim)
     for (_ <- 0 until iterations) {
-      // element_at is 1-based; row (j, code) carries the full embedding and
-      // averages its own subspace's dims — same value sets, same rounding
-      // as the per-subspace formulation (and the q54 oracle)
-      val dimAggs = (0 until subDim).map(i =>
-        (floor(avg(element_at(col("embedding"), col("j") * subDim + i + 1).cast("double"))
-          * lit(1e6) + lit(0.5)) / lit(1e6)).as(s"m$i"))
-      val means = e
+      val coarseAggs = (0 until dim).map(i =>
+        (floor(avg(col("embedding")(i).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as(s"m$i"))
+      val coarseMeans = VectorOps.withRanks(e, coarse)
+        .withColumn("bucket", col("__ranks")(0))
+        .groupBy("bucket")
+        .agg(coarseAggs.head, coarseAggs.tail: _*)
+        .select(lit(0).as("kind"), col("bucket").as("g1"), lit(0).as("g2"),
+          array((0 until dim).map(i => col(s"m$i")): _*).as("means"))
+      val dimAggs = pqDimAggs(subDim)
+      val pqMeans = e
         .withColumn("codes", codesCol(e, cbs, subDim))
         .select(posexplode(col("codes")).as(Seq("j", "code")), col("embedding"))
         .groupBy("j", "code")
         .agg(dimAggs.head, dimAggs.tail: _*)
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> (2 until 2 + subDim).map(r.getDouble).toSeq)
-        .toMap
+        .select(lit(1).as("kind"), col("j").as("g1"), col("code").as("g2"),
+          array((0 until subDim).map(i => col(s"m$i")): _*).as("means"))
+      val rows = coarseMeans.unionByName(pqMeans).collect()
+      val cMap = rows.filter(_.getInt(0) == 0)
+        .map(r => r.getInt(1) -> r.getSeq[Double](3).toSeq).toMap
+      val pMap = rows.filter(_.getInt(0) == 1)
+        .map(r => (r.getInt(1), r.getInt(2)) -> r.getSeq[Double](3).toSeq).toMap
+      coarse = coarse.indices.map(i => cMap.getOrElse(i, coarse(i)))
       cbs = cbs.indices.map(j =>
-        cbs(j).indices.map(c => means.getOrElse((j, c), cbs(j)(c))))
+        cbs(j).indices.map(c => pMap.getOrElse((j, c), cbs(j)(c))))
     }
-    cbs
+    (coarse, cbs)
   }
+
+  /** Already-materialized frames (a localCheckpoint's LogicalRDD) pass
+    * through; anything else gets the defensive checkpoint. Keeps the
+    * public compose-from-parts entries safe to call directly while letting
+    * [[pqTopK]] -> [[pqTopKWith]] chains avoid re-materializing the same
+    * frame (a full extra pass per redundant checkpoint). */
+  private def materialized(df: DataFrame): DataFrame =
+    df.queryExecution.logical match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df
+      case _ => df.localCheckpoint(false)
+    }
 
   /** (vec_id, embedding, ...) -> (vec_id, codes: array<int>[m], vn, ...):
     * per-row nearest-centroid codes + the true norm ADC needs. */
@@ -222,9 +310,53 @@ object Pq {
       iterations: Int = 2,
       dim: Int = 64,
       trainFrac: Double = 1.0): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
     val e = emb.localCheckpoint(false)
-    pqTopKWith(e, queryIds,
-      trainCodebooks(e, m, nCodes, iterations, dim, trainFrac), k, refine, dim)
+    // full-corpus training reuses e directly (one materialize, one seed
+    // job, `iterations` passes — no inner re-checkpoint); the sampled path
+    // keeps trainCodebooks' own checkpoint of the filtered frame
+    val cbs =
+      if (trainFrac >= 1.0) {
+        val subDim = dim / m
+        codebookLloyd(e.select(col("vec_id"), col("embedding")),
+          seedCodebooks(VectorOps.seedRows(e, nCodes), m, subDim),
+          subDim, iterations)
+      } else trainCodebooks(e, m, nCodes, iterations, dim, trainFrac)
+    pqTopKWith(e, queryIds, cbs, k, refine, dim)
+  }
+
+  /** Residual IVF-PQ training with a SHARED seed job: coarse seeds and PQ
+    * seed rows are prefixes of the same (samplingHash, vec_id) ordering,
+    * and the PQ seeds' residual vectors (x - coarse[bucket]) are computed
+    * DRIVER-SIDE from the fetched rows — the bucket pick via
+    * [[VectorOps.nearestCentroid]] (bit-identical replica of the executed
+    * assignment) and the subtraction the same double-minus-double
+    * cast-to-float as the `__pqvec` projection. The codebook Lloyd passes
+    * re-derive the residual projection per pass from the materialized
+    * frame (per-row work; at real scale use `trainFrac` < 1, which takes
+    * the legacy checkpointed-sample path). Spec-pinned equal to the
+    * sequential two-job-per-step form on real data. */
+  private[llm] def trainIvfPqResidual(
+      e: DataFrame,
+      nCentroids: Int,
+      m: Int,
+      nCodes: Int,
+      iterations: Int,
+      dim: Int): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    val subDim = dim / m
+    val seeds = VectorOps.seedRows(e, math.max(nCentroids, nCodes))
+    val coarse = VectorOps.trainCentroidsFrom(e, seeds.take(nCentroids), iterations)
+    val pqSeeds = seeds.take(nCodes).map { v =>
+      val b = VectorOps.nearestCentroid(v, coarse)
+      v.zip(coarse(b)).map { case (x, w) => (x - w).toFloat.toDouble }
+    }
+    val coarseLit = typedlit(coarse)
+    val resid = VectorOps.withRanks(e, coarse)
+      .withColumn("bucket", col("__ranks")(0))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), element_at(coarseLit, col("bucket") + 1),
+          (x, w) => (x.cast("double") - w).cast("float")).as("embedding"))
+    (coarse, codebookLloyd(resid, seedCodebooks(pqSeeds, m, subDim), subDim, iterations))
   }
 
   /** IVF-PQ — the production ANN shape at 100 TB, composing the two
@@ -250,8 +382,18 @@ object Pq {
       trainFrac: Double = 1.0,
       residual: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = emb.localCheckpoint(false)
-    val coarse = VectorOps.trainCentroids(e, nCentroids, iterations)
+    val e = materialized(emb)
+    // Full-corpus training (the declared-query shape) runs through the
+    // job-fused trainers: one shared seed fetch, and — non-residual — one
+    // combined job per Lloyd iteration. Sampled training (trainFrac < 1)
+    // keeps the legacy two-step shape: the PQ sample is a different frame,
+    // so there is nothing to fuse.
+    val trainedOpt: Option[(Seq[Seq[Double]], Seq[Seq[Seq[Double]]])] =
+      if (trainFrac < 1.0) None
+      else if (residual) Some(trainIvfPqResidual(e, nCentroids, m, nCodes, iterations, dim))
+      else Some(trainIvfPqJoint(e, nCentroids, m, nCodes, iterations, dim))
+    val coarse = trainedOpt.map(_._1)
+      .getOrElse(VectorOps.trainCentroids(e, nCentroids, iterations))
     val assigned = VectorOps.withRanks(e, coarse)
       .withColumn("bucket", col("__ranks")(0))
       .select(col("vec_id"), col("embedding"), col("bucket"))
@@ -268,12 +410,10 @@ object Pq {
         zip_with(col("embedding"), element_at(coarseLit, col("bucket") + 1),
           (x, w) => (x.cast("double") - w).cast("float")))
     val subDim = dim / m
-    val codebooks = trainCodebooks(
-      {
-        val base = if (trainFrac >= 1.0) withVec
-          else withVec.filter(Mixing.hashKeep(col("vec_id"), lit(trainFrac)))
-        base.select(col("vec_id"), col("__pqvec").as("embedding"))
-      }, m, nCodes, iterations, dim, trainFrac = 1.0)
+    val codebooks = trainedOpt.map(_._2).getOrElse(trainCodebooks(
+      withVec.filter(Mixing.hashKeep(col("vec_id"), lit(trainFrac)))
+        .select(col("vec_id"), col("__pqvec").as("embedding")),
+      m, nCodes, iterations, dim, trainFrac = 1.0))
     val recons =
       if (!residual) reconstruct(codebooks)
       else zip_with(element_at(coarseLit, col("bucket") + 1), reconstruct(codebooks),
@@ -326,7 +466,7 @@ object Pq {
       k: Int,
       refine: Int = 4,
       dim: Int = 64): DataFrame = {
-    val e = emb.localCheckpoint(false)
+    val e = materialized(emb)
     pqTopKWithCodes(e, encode(e, codebooks, dim), queryIds, codebooks, k, refine)
   }
 

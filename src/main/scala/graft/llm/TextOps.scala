@@ -79,6 +79,17 @@ object TextOps {
   def hofShingleCol(k: Int): Column =
     expr(s"CASE WHEN size(split(text, ' ')) >= $k THEN ${hofShingleSql(k)} ELSE array() END")
 
+  /** |distinct(a) ∩ distinct(b)| as BIGINT — the codegen'd
+    * `graft_isect_size` kernel when registered (one hash-set probe pass,
+    * no intersection array materialized), else
+    * `size(array_intersect(a, b))`. Bit-identical for null-free string
+    * arrays (the shingle-set contract); spec-pinned. The verify joins run
+    * this once per candidate pair, which makes it THE per-pair constant
+    * at a skewed band bucket. */
+  private[llm] def isectSize(df: DataFrame, a: Column, b: Column): Column =
+    if (hasFn(df, "graft_isect_size")) call_function("graft_isect_size", a, b)
+    else size(array_intersect(a, b)).cast("long")
+
   /** (doc_id, source, sset, n) — per-doc distinct shingle set and its size,
     * computed per row (no shuffle). Docs shorter than k tokens are dropped. */
   def shingleArrays(docs: DataFrame, k: Int): DataFrame =
@@ -199,6 +210,53 @@ object TextOps {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
 
+  /** [[incrementalBucketPairs]] with the sound size bound applied DURING
+    * pair emission: band rows carry each doc's distinct-shingle count `n`
+    * ([[bandRowsSizedDF]]), and a pair whose sizes cannot reach
+    * `jaccard >= tau` (min < tau * max ⟹ J < tau) is never emitted —
+    * at a boilerplate-skewed bucket (thousands of docs whose band minhashes
+    * come from shared suffix/header shingles) this kills the quadratic
+    * pair bulk inside the bucket aggregate, before the distinct() shuffle
+    * and the verify joins ever see it. Emits (doc_a, doc_b, na, nb), so
+    * the verify join needs no size lookup either. Post-`jaccard >= tau`
+    * results are identical to the unsized form (spec-pinned). */
+  def incrementalBucketPairsSized(
+      bands: DataFrame, maxBucketSize: Int, tau: Double): DataFrame =
+    bands.groupBy("band", "sig")
+      .agg(collect_list(struct(col("doc_id"), col("inc"), col("n"))).as("items"))
+      .filter(size(col("items")) >= 2 &&
+        size(col("items")) <= maxBucketSize &&
+        expr("exists(items, x -> x.inc = 1L)"))
+      .select(explode(expr(
+        s"""flatten(transform(
+           |  filter(items, x -> x.inc = 1L),
+           |  x -> transform(
+           |    filter(items, a -> (a.inc = 0L OR a.doc_id < x.doc_id)
+           |                       AND least(a.n, x.n) >= $tau * greatest(a.n, x.n)),
+           |    a -> named_struct('doc_a', a.doc_id, 'doc_b', x.doc_id,
+           |                      'na', a.n, 'nb', x.n))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
+      .distinct()
+
+  /** [[bucketPairs]]' size-aware twin (see [[incrementalBucketPairsSized]]):
+    * within-corpus pairs, doc_a < doc_b, size-incompatible pairs never
+    * emitted, (na, nb) riding along. */
+  def bucketPairsSized(bands: DataFrame, maxBucketSize: Int, tau: Double): DataFrame =
+    bands.groupBy("band", "sig")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+      .select(explode(expr(
+        s"""flatten(transform(ids, (a, i) ->
+           |  transform(
+           |    filter(slice(ids, i + 2, size(ids) - i - 1),
+           |           b -> least(a.n, b.n) >= $tau * greatest(a.n, b.n)),
+           |    b -> named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
+           |                      'na', a.n, 'nb', b.n))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
+      .distinct()
+
   def bucketPairs(bands: DataFrame, maxBucketSize: Int): DataFrame =
     bands.groupBy("band", "sig")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -218,6 +276,21 @@ object TextOps {
     val nBands = numHashes / bandRows
     minhashSigDF(docs, k, numHashes)
       .select(col("doc_id"),
+        posexplode(array(bandKeyCols(nBands, bandRows): _*)).as(Seq("band", "sig")))
+  }
+
+  /** [[bandRowsDF]] + each doc's distinct-shingle count `n` riding along
+    * (one extra per-row kernel pass over the text — per-doc, never
+    * per-pair) — the input shape of the size-aware pair emissions. */
+  def bandRowsSizedDF(docs: DataFrame, k: Int, numHashes: Int, bandRows: Int): DataFrame = {
+    require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
+    val nBands = numHashes / bandRows
+    docs
+      .select(col("doc_id"),
+        minhashSigCol(docs, k, numHashes).as("sig"),
+        size(shingleCol(docs, k)).cast("long").as("n"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("n"),
         posexplode(array(bandKeyCols(nBands, bandRows): _*)).as(Seq("band", "sig")))
   }
 
@@ -261,23 +334,44 @@ object TextOps {
     * 100 TB nothing corpus-sized is ever exchanged.
     * Output: (doc_a, doc_b, common, na, nb, jaccard), doc_a < doc_b. */
   def lshNearDupPairs(docs: DataFrame, k: Int, numHashes: Int, bandRows: Int,
-                      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val bands = bandRowsDF(docs, k, numHashes, bandRows)
+                      maxBucketSize: Int = DefaultMaxBucketSize,
+                      tauPrefilter: Option[Double] = None): DataFrame = {
     // pairs and the candidate doc sets are consumed by multiple joins within
     // this one returned plan: lazy localCheckpoint, not cache() — storage is
     // freed when the plan becomes unreachable (GC + ContextCleaner), a plain
     // cache() with no caller-side handle would leak for the session lifetime.
-    val pairs = bucketPairs(bands, maxBucketSize).localCheckpoint(false)
+    //
+    // With `tauPrefilter` (the [[graft.llm.Dedup.dedupNearLsh]] path), the
+    // sound size bound J >= tau ⟹ min(na,nb) >= tau * max(na,nb) is
+    // applied DURING bucket pair emission ([[bucketPairsSized]]): a skewed
+    // band bucket (shared boilerplate shingles minhashing identically for
+    // thousands of docs) emits a pair frame quadratic in the bucket, and
+    // most of it dies on the cheap size check before the distinct()
+    // shuffle or any shingle array copy. Pairs that cannot reach
+    // `jaccard >= tau` are the only ones missing from the output, so
+    // post-threshold results are identical (spec-pinned).
+    val pairs = (tauPrefilter match {
+      case Some(tau) =>
+        bucketPairsSized(bandRowsSizedDF(docs, k, numHashes, bandRows), maxBucketSize, tau)
+      case None => bucketPairs(bandRowsDF(docs, k, numHashes, bandRows), maxBucketSize)
+    }).localCheckpoint(false)
     val candIds = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val sets = docs.join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingleCol(docs, k).as("sset"))
       .withColumn("n", size(col("sset")).cast("long"))
       .localCheckpoint(false)
-    pairs
-      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa"), col("n").as("na")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb"), col("n").as("nb")), Seq("doc_b"))
-      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+    // sized pairs already carry (na, nb); the unsized path looks them up
+    // from the candidate sets frame as before
+    val withSizes =
+      if (tauPrefilter.isDefined) pairs
+      else pairs
+        .join(sets.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+    withSizes
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb")), Seq("doc_b"))
+      .withColumn("common", isectSize(docs, col("sa"), col("sb")))
       .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
   }
@@ -293,7 +387,7 @@ object TextOps {
     cand
       .join(docSets.select(col("doc_id").as("doc_a"), col("sset").as("sa"), col("n").as("na")), "doc_a")
       .join(docSets.select(col("doc_id").as("doc_b"), col("sset").as("sb"), col("n").as("nb")), "doc_b")
-      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("common", isectSize(cand, col("sa"), col("sb")))
       .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
   }
@@ -496,16 +590,20 @@ object TextOps {
     val trainSets = train
       .join(cand.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingleCol(train, k).as("ts"))
+      .withColumn("tn", size(col("ts")).cast("long"))
     val otherSets = other
       .join(cand.select(col("o_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("o_id"), shingleCol(other, k).as("os"))
+      .withColumn("on", size(col("os")).cast("long"))
+    // sound size prefilter (J >= tau ⟹ min >= tau * max) ahead of the
+    // intersect kernel — same results, no intersect for mismatched sizes
     cand
       .join(trainSets, Seq("doc_id"))
       .join(otherSets, Seq("o_id"))
-      .filter(
-        size(array_intersect(col("ts"), col("os"))).cast("double")
-          / (size(col("ts")) + size(col("os"))
-             - size(array_intersect(col("ts"), col("os")))) >= tau)
+      .filter(least(col("tn"), col("on")) >= lit(tau) * greatest(col("tn"), col("on")))
+      .withColumn("common", isectSize(train, col("ts"), col("os")))
+      .filter(col("common").cast("double")
+        / (col("tn") + col("on") - col("common")) >= tau)
       .select("doc_id").distinct()
   }
 
@@ -825,6 +923,45 @@ object TextOps {
           .as("n_removed"),
         // collect_list skips the nulls the when() leaves on dup chunks;
         // array_sort on (pos, chunk) structs restores position order
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("__dup").isNull, struct(col("pos"), col("chunk"))))),
+          x => x.getField("chunk"))).as("text"))
+  }
+
+  /** [[removeDuplicatedPassages]]'s INCREMENTAL form: the duplicate-chunk
+    * census counts distinct docs across `docs` PLUS `reference` (doc_ids
+    * must be disjoint — the [[CorpusPipeline.prepareIncremental]]
+    * contract), but only `docs` rows are rewritten. Boilerplate an
+    * incoming doc shares with the standing corpus is stripped exactly as
+    * one batch pass over the union would strip it, without touching (or
+    * reassembling) the standing side: `reference` contributes only
+    * (hash, doc_id) census rows — no chunk text, no reassembly groupBy —
+    * so the rewrite work stays increment-shaped at any standing size. */
+  def removeDuplicatedPassagesAgainst(
+      docs: DataFrame, reference: DataFrame,
+      w: Int = 20, minDocs: Int = 2): DataFrame = {
+    val chunkArr = expr(
+      s"""transform(sequence(0, cast(ceil(size(split(text, ' ')) / ${w}.0D) as int) - 1),
+         |  i -> concat_ws(' ', slice(split(text, ' '), i * $w + 1, $w)))""".stripMargin)
+    val chunks = docs
+      .select(col("doc_id"), posexplode(chunkArr).as(Seq("pos", "chunk")))
+      .withColumn("h", md5(col("chunk").cast("binary")))
+      .localCheckpoint(false) // feeds the census AND the rewrite join
+    val refHashes = reference
+      .select(col("doc_id"), explode(chunkArr).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk").cast("binary")).as("h"))
+    val dup = chunks.select("h", "doc_id").unionByName(refHashes.select("h", "doc_id"))
+      .groupBy("h")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"), lit(1).as("__dup"))
+    chunks.join(dup, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).cast("int")
+          .as("n_removed"),
         concat_ws(" ", transform(
           array_sort(collect_list(
             when(col("__dup").isNull, struct(col("pos"), col("chunk"))))),

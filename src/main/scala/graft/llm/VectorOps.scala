@@ -205,6 +205,43 @@ object VectorOps {
         case (d, (c, i)) => d.withColumn(s"__c$i", typedLit(c))
       }.withColumn("__ranks", array_sort(array(scoredStructs(cs): _*)).getField("idx"))
 
+  /** The `n` deterministic seed vectors — the rows with the smallest
+    * (md5 sampling hash, vec_id), exactly the ordering every trainer here
+    * uses. ONE fetch of max(k_coarse, k_pq) rows serves BOTH trainings in
+    * the fused IVF-PQ path ([[Pq.ivfPqTopK]]): the coarse seeds are the
+    * first `nCentroids` rows and the PQ seeds the first `nCodes` of the
+    * SAME prefix, so sharing the job changes nothing about the values. */
+  private[llm] def seedRows(e: DataFrame, n: Int): Seq[Seq[Double]] =
+    e.select(col("vec_id"), col("embedding"))
+      .orderBy(Mixing.samplingHash(col("vec_id")), col("vec_id"))
+      .limit(n)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+
+  /** DRIVER-SIDE replica of [[withRanks]]' rank-0 pick (nearest centroid by
+    * cosine distance, index tie-break) for a single vector already widened
+    * float->double. Bit-identical arithmetic by construction: the dot and
+    * norm are the same left-to-right double folds as [[scoredStructs]] /
+    * the native kernel (exact float->double widening, sequential
+    * accumulation), cNorm is the same Scala sum-of-squares, and zero norms
+    * score the max distance 2.0. Used to derive residual PQ seed vectors
+    * without an extra Spark job ([[Pq.ivfPqTopK]] residual path); the spec
+    * pins it against the executed assignment on real data. */
+  private[llm] def nearestCentroid(v: Seq[Double], cs: Seq[Seq[Double]]): Int = {
+    val vn = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+    var best = 0
+    var bestDist = Double.MaxValue
+    for (i <- cs.indices) {
+      val c = cs(i)
+      val cNorm = math.sqrt(c.map(x => x * x).sum)
+      val dist =
+        if (cNorm == 0 || vn == 0) 2.0
+        else 1.0 - v.zip(c).foldLeft(0.0) { case (a, (x, w)) => a + x * w } / (vn * cNorm)
+      if (dist < bestDist) { bestDist = dist; best = i }
+    }
+    best
+  }
+
   /** Deterministic k-means: seed centroids = the vectors with the smallest
     * md5 sampling hash of vec_id ([[Mixing.samplingHash]] — ties impossible
     * on ids; md5 rather than xxhash64 so an external engine can reproduce
@@ -220,13 +257,15 @@ object VectorOps {
     * Callers pass an already-checkpointed frame (the loop makes
     * `iterations`+1 passes). */
   private[llm] def trainCentroids(
-      e: DataFrame, nCentroids: Int, iterations: Int): Seq[Seq[Double]] = {
-    var centroids: Seq[Seq[Double]] =
-      e.select(col("vec_id"), col("embedding"))
-        .orderBy(Mixing.samplingHash(col("vec_id")), col("vec_id"))
-        .limit(nCentroids)
-        .collect()
-        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      e: DataFrame, nCentroids: Int, iterations: Int): Seq[Seq[Double]] =
+    trainCentroidsFrom(e, seedRows(e, nCentroids), iterations)
+
+  /** The Lloyd loop of [[trainCentroids]] from pre-fetched seed vectors —
+    * lets the fused IVF-PQ trainer share one seed job across both
+    * trainings. Identical per-iteration plans and rounding. */
+  private[llm] def trainCentroidsFrom(
+      e: DataFrame, init: Seq[Seq[Double]], iterations: Int): Seq[Seq[Double]] = {
+    var centroids: Seq[Seq[Double]] = init
     val dim = if (centroids.isEmpty) 0 else centroids.head.length
     for (_ <- 0 until iterations) {
       // per-bucket mean, one avg agg per dimension (k x dim result values —

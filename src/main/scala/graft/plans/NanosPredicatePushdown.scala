@@ -234,6 +234,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.DotProductFD(children(0), children(1)),
     ))
     extensions.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_isect_size"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.IntersectSize].getName, "graft_isect_size"),
+      (children: Seq[Expression]) =>
+        graft.functions.IntersectSize(children(0), children(1)),
+    ))
+    extensions.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash64"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.SimHash64].getName, "graft_simhash64"),

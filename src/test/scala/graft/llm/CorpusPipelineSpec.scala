@@ -246,6 +246,70 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(norm.select("text").as[String].collect().head === base(11))
   }
 
+  test("prepareIncremental stage parity: 2b + mixing == batch-on-union for incoming survivors") {
+    // Differential: with removeDupPassages AND mixWeights on, the
+    // incremental form must keep exactly the incoming rows (same text,
+    // same token counts) that a full batch prepare() over standing+incoming
+    // keeps — standing docs here are clean (no internal boilerplate, no
+    // near-dups, all pass the gate) so they ride through the batch run
+    // unchanged and the two censuses (2b chunk census, stage-7 token
+    // census) see identical corpora. Bins are excluded: packing is
+    // batch-scoped by design.
+    val standing = (1 to 6).map(i => (i.toLong, base(i), "web"))
+      .toDF("doc_id", "text", "source")
+    // boilerplate = exactly one aligned 20-token chunk, shared by >= 2
+    // INCOMING docs (never with standing)
+    val bp = "the a of and to in " + (1 to 14).map(j => s"inboiler$j").mkString(" ")
+    val incoming = (
+      (10 to 15).map(i => (i.toLong, base(i * 7), "web")) ++ Seq(
+        (20L, s"$bp " + (1 to 20).map(j => s"u20x$j").mkString(" "), "web"),
+        (21L, s"$bp " + (1 to 20).map(j => s"u21x$j").mkString(" "), "web"),
+        (22L, bp, "web"), // pure boilerplate -> empties and drops at 2b
+      )).toDF("doc_id", "text", "source")
+    val cfg = CorpusPipeline.Config(
+      removeDupPassages = Some((20, 2)),
+      // budget ~ half the union's tokens so the mix frac lands in (0, 1)
+      // and membership decisions actually bite
+      mixWeights = Some((170L, Map("web" -> 1.0))))
+    val inc = CorpusPipeline.prepareIncremental(incoming, standing, None, cfg)
+      .select("doc_id", "text", "n_tokens")
+    val batch = CorpusPipeline.prepare(standing.unionByName(incoming), None, cfg)
+      .filter(col("doc_id") >= 10L)
+      .select("doc_id", "text", "n_tokens")
+    val incRows = inc.as[(Long, String, Long)].collect().toSet
+    val batchRows = batch.as[(Long, String, Long)].collect().toSet
+    assert(incRows === batchRows)
+    assert(incRows.nonEmpty, "differential vacuous: no incoming survivor")
+    assert(incRows.size < 9, "differential vacuous: mixing dropped nothing")
+    assert(!incRows.exists(_._1 == 22L), "pure-boilerplate doc must drop at 2b")
+    // the shared chunk is stripped from the survivors that carried it
+    assert(incRows.filter(r => r._1 == 20L || r._1 == 21L)
+      .forall(!_._2.contains("inboiler1")))
+  }
+
+  test("prepareIncremental 2b: boilerplate shared with the STANDING corpus strips") {
+    // one incoming doc shares its leading chunk with one standing doc —
+    // the union census reaches minDocs=2 across the boundary, so the
+    // incremental form strips it from the incoming doc (the standing side
+    // is never rewritten, only censused)
+    val bp = "the a of and to in " + (1 to 14).map(j => s"stboiler$j").mkString(" ")
+    val standing = Seq(
+      (1L, s"$bp " + (1 to 20).map(j => s"s1x$j").mkString(" "), "web"),
+      (2L, base(2), "web"),
+    ).toDF("doc_id", "text", "source")
+    val incoming = Seq(
+      (10L, s"$bp " + (1 to 20).map(j => s"u10x$j").mkString(" "), "web"),
+      (11L, base(11), "web"),
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusPipeline.prepareIncremental(incoming, standing, None,
+      CorpusPipeline.Config(removeDupPassages = Some((20, 2))))
+      .orderBy("doc_id").select("doc_id", "text")
+      .as[(Long, String)].collect()
+    assert(out.map(_._1).toSeq === Seq(10L, 11L))
+    assert(out(0)._2 === (1 to 20).map(j => s"u10x$j").mkString(" "))
+    assert(out(1)._2 === base(11))
+  }
+
   test("optional stages: no eval corpus, mixing toward a token budget") {
     val docs = (1 to 40).map(i =>
       (i.toLong, base(i), if (i % 2 == 0) "web" else "books"))

@@ -49,6 +49,40 @@ class PqSpec extends SparkSpec {
     assert(diverged.isEmpty, "kernel and HOF codes diverged")
   }
 
+  test("trainIvfPqJoint: fused-job training == sequential trainings, bit for bit") {
+    // the fused trainer shares one seed job and one aggregate job per Lloyd
+    // iteration across the coarse and PQ trainings; on the real corpus its
+    // outputs must equal the separate trainers' EXACTLY (same seeds, same
+    // per-branch plans, same rounding)
+    val e = graft.Tables.embeddings(spark, dir).localCheckpoint(false)
+    val (coarseJ, cbsJ) = Pq.trainIvfPqJoint(e, nCentroids = 8, m = 8,
+      nCodes = 16, iterations = 2, dim = 64)
+    val coarseS = VectorOps.trainCentroids(e, 8, 2)
+    val cbsS = Pq.trainCodebooks(e, m = 8, k = 16, iterations = 2, dim = 64)
+    assert(coarseJ === coarseS)
+    assert(cbsJ === cbsS)
+  }
+
+  test("trainIvfPqResidual: driver-side residual seeds == executed-plan seeds, bit for bit") {
+    // the residual trainer computes PQ seed residuals on the driver
+    // (nearestCentroid replica + double-minus-double cast float); compare
+    // against the legacy form that ran the __pqvec projection and seed
+    // fetch as Spark jobs
+    val e = graft.Tables.embeddings(spark, dir).localCheckpoint(false)
+    val (coarse, cbsFused) = Pq.trainIvfPqResidual(e, nCentroids = 8, m = 8,
+      nCodes = 16, iterations = 2, dim = 64)
+    assert(coarse === VectorOps.trainCentroids(e, 8, 2))
+    val coarseLit = typedLit(coarse)
+    val legacyResid = VectorOps.withRanks(e, coarse)
+      .withColumn("bucket", col("__ranks")(0))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), element_at(coarseLit, col("bucket") + 1),
+          (x, w) => (x.cast("double") - w).cast("float")).as("embedding"))
+    val cbsLegacy = Pq.trainCodebooks(legacyResid, m = 8, k = 16,
+      iterations = 2, dim = 64)
+    assert(cbsFused === cbsLegacy)
+  }
+
   test("codes: NULL embedding -> NULL codes on kernel AND HOF fallback; short throws") {
     val cbs = Seq.fill(2)(Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)))
     val df = Seq(
