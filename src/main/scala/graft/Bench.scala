@@ -47,9 +47,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (executor pool, codegen, parquet footer cache) so the
-    // first measured query doesn't absorb ~5s of one-time init.
+    // first measured query doesn't absorb ~5s of one-time init. The warmup
+    // wall time is REPORTED (`warmup_sec`): it is a fixed-work probe, so a
+    // load-contaminated container shows up as an inflated warmup before
+    // anyone has to cross-reference per-query history (the round-7 artifact
+    // was ~2x load noise and only a judge re-run proved it).
+    val w0 = System.nanoTime()
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val warmupSec = (System.nanoTime() - w0) / 1e9
     // Optional comma-separated query filter for local iteration on one
     // query's timing; the driver never sets it, so round artifacts always
     // cover the full declared set.
@@ -78,22 +84,28 @@ object Bench {
       // A failed query reports the FAILED round's time, not a median mixed
       // with earlier successful rounds — a flaky query must not publish a
       // normal-looking number (the error map + non-zero exit still flag it).
-      name -> (if (failed) times.last else times.sorted.apply(times.size / 2))
+      val rep = if (failed) times.last else times.sorted.apply(times.size / 2)
+      (name, rep, times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query (min, median, max) across rounds: a quiet run has a tight
+    // spread; load contamination shows as max >> min without a re-run
+    val spread = results.map { case (k, rep, ts) =>
+      "\"" + k + "\":[" + ts.min + "," + rep + "," + ts.max + "]"
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$rounds,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"warmup_sec":$warmupSec,"errors":$errJson,"runs":$rounds,"sf":"$sfDir"}"""
     // The driver's BENCH artifact keeps only the last ~4 KB of stdout; the
     // full line's FRONT fell off in round 6 (`parsed: null`). Print the
     // full line first, then a compact self-contained headline LAST so any
     // tail window ends with a parseable line carrying the totals; the full
     // per-query map is always in bench_result.json.
     val headline =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"nerr":${errors.size},"runs":$rounds,"sf":"$sfDir","detail":"$outPath"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"nerr":${errors.size},"runs":$rounds,"warmup_sec":$warmupSec,"sf":"$sfDir","detail":"$outPath"}"""
     Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
     println(line)
     println(headline)
