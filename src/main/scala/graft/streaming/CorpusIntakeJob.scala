@@ -51,4 +51,63 @@ object CorpusIntakeJob {
     else
       EventStreamJobs.streamingExactDedup(scrubbed, tsCol, watermark)
   }
+
+  /** The NEAR-DUP dedup option — stage 3 as banded-LSH collision dedup
+    * ([[EventStreamJobs.streamingBandVerdicts]]) instead of signature
+    * equality: a doc colliding on ANY full band with a recently-admitted
+    * anchor is dropped, which catches the partial-signature near-dups
+    * [[intake]]'s `nearExact` form admits. Gate and scrub run per-row
+    * ahead of fingerprinting exactly like [[intake]] (PII-only diffs ARE
+    * duplicates; the gate's `minWords` also guarantees every surviving
+    * doc is signable at shingle size `k`).
+    *
+    * Returns the per-(doc, band) VERDICT stream. Admission is a per-batch
+    * roll-up, because all of a doc's band rows land in one micro-batch —
+    * compose with `foreachBatch`, anti-joining the batch against its own
+    * distinct colliding doc ids via [[admittedDocs]]:
+    *
+    * {{{
+    * CorpusIntakeJob.intakeNearDup(docs, "ts", "30 minutes", horizonMs)
+    *   .writeStream.outputMode("append")
+    *   .foreachBatch { (b: Dataset[Row], _: Long) =>
+    *     sink(CorpusIntakeJob.admittedDocs(b))
+    *   }.start()
+    * }}}
+    *
+    * `verifyTau = Some(tau)` exact-verifies each collision against the
+    * anchor doc's text (Jaccard >= tau over distinct k-shingles — the
+    * [[graft.llm.TextOps.verifyPairs]] criterion) before it counts as a
+    * drop signal, trading a little state width (the anchor text) for
+    * banding's false-positive rate. Output columns are (ts, doc_id, text,
+    * band, dropped); passthrough columns beyond `text` rejoin from the
+    * doc store downstream by doc_id. */
+  def intakeNearDup(
+      docs: DataFrame,
+      tsCol: String,
+      watermark: String,
+      horizonMs: Long,
+      verifyTau: Option[Double] = None,
+      minWords: Int = 20,
+      maxWords: Int = 100000,
+      k: Int = 3,
+      numHashes: Int = 16,
+      bandRows: Int = 2): DataFrame = {
+    val gated = TextOps.gopherGate(docs, minWords = minWords, maxWords = maxWords)
+    val scrubbed = TextOps.redactPii(gated, "text")
+      .drop("text", "n_email", "n_ipv4", "n_phone")
+      .withColumnRenamed("redacted", "text")
+    EventStreamJobs.streamingBandVerdicts(
+      scrubbed, tsCol, watermark, horizonMs, verifyTau, k, numHashes, bandRows)
+      .toDF()
+  }
+
+  /** Batch-side roll-up for [[intakeNearDup]]'s foreachBatch: collapse a
+    * verdict micro-batch to its ADMITTED docs — distinct (ts, doc_id,
+    * text) anti-joined against the batch's distinct colliding doc ids
+    * ("dropped on ANY band" ⟹ dropped). */
+  def admittedDocs(verdicts: DataFrame): DataFrame = {
+    val dropIds = verdicts.filter(col("dropped")).select("doc_id").distinct()
+    verdicts.select("ts", "doc_id", "text").distinct()
+      .join(dropIds, Seq("doc_id"), "left_anti")
+  }
 }

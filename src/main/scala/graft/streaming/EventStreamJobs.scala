@@ -19,6 +19,15 @@ final case class BandRow(ts: Timestamp, doc_id: Long, band: Int, sig: String)
 final case class BandAnchor(anchor_doc: Long, last: Long)
 final case class BandCollision(doc_a: Long, doc_b: Long, band: Int, ts: Timestamp)
 
+/** Streaming near-dup INTAKE types (see
+  * [[EventStreamJobs.streamingBandVerdicts]]): band rows carrying the doc
+  * payload, anchors that remember the anchor doc's text (for in-state
+  * exact verification), and the per-(doc, band) admit/drop verdict. */
+final case class BandDocRow(ts: Timestamp, doc_id: Long, text: String, band: Int, sig: String)
+final case class BandAnchorDoc(anchor_doc: Long, text: String, last: Long)
+final case class DocBandVerdict(
+    ts: Timestamp, doc_id: Long, text: String, band: Int, dropped: Boolean)
+
 /** Streaming analytics over the `events` stream shape (F6/F7): watermarked
   * tumbling/session windows and streaming dedup — the Structured Streaming
   * twins of the batch queries Q14/Q15/Q5 and the schedule dedup D3.
@@ -204,6 +213,103 @@ object EventStreamJobs {
       .select(col("ts"), col("doc_id"),
         posexplode(array(bandKeys: _*)).as(Seq("band", "sig")))
       .as[BandRow]
+      .groupByKey(r => s"${r.band}#${r.sig}")
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(stateFn)
+  }
+
+  /** Plain-Scala exact-Jaccard between two docs' DISTINCT k-shingle sets —
+    * [[graft.llm.TextOps.verifyPairs]] semantics (J = common / (na + nb -
+    * common) over distinct k-token shingles of split(text, ' ')) evaluated
+    * inside the state function, where no DataFrame machinery exists. */
+  private def jaccardK(a: String, b: String, k: Int): Double = {
+    def sh(s: String): Set[String] = {
+      val t = s.split(" ", -1)
+      if (t.length < k) Set.empty
+      else (0 to t.length - k).map(i => t.slice(i, i + k).mkString(" ")).toSet
+    }
+    val sa = sh(a)
+    val sb = sh(b)
+    val common = (sa & sb).size
+    if (sa.isEmpty || sb.isEmpty) 0.0
+    else common.toDouble / (sa.size + sb.size - common)
+  }
+
+  /** [[streamingBandCollisions]] recast as an ADMISSION stream — the shape
+    * the near-dup intake option composes over ([[CorpusIntakeJob
+    * .intakeNearDup]]): every (doc, band) row comes back with a verdict
+    * instead of only collisions, so a per-batch roll-up can decide
+    * admission without a second pass over the doc stream (a doc's
+    * `numHashes / bandRows` band rows all derive from one input row, so
+    * they land in the same micro-batch and the "dropped on ANY band" OR is
+    * batch-local — [[CorpusIntakeJob.admittedDocs]]).
+    *
+    * Identical banding and anchor policy to [[streamingBandCollisions]]
+    * (first doc per band key anchors; watermark-expired sliding horizon).
+    * `verifyTau = None` treats any full-band collision as a drop signal
+    * (the standard streaming approximation); `Some(tau)` EXACT-VERIFIES
+    * in-state against the anchor doc's text with [[jaccardK]] — the state
+    * then carries one doc text per live band key (bounded, RocksDB-backed
+    * at scale; the batch path's equivalent is the shingle-set join, here
+    * it is a per-collision in-memory Jaccard). A failed verification
+    * leaves the anchor unchanged and admits the row for that band. */
+  def streamingBandVerdicts(
+      docs: DataFrame,
+      tsCol: String,
+      watermark: String,
+      horizonMs: Long,
+      verifyTau: Option[Double] = None,
+      k: Int = 3,
+      numHashes: Int = 16,
+      bandRows: Int = 2): Dataset[DocBandVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
+
+    def stateFn(
+        key: String,
+        rows: Iterator[BandDocRow],
+        state: GroupState[BandAnchorDoc]): Iterator[DocBandVerdict] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val sorted = rows.toVector.sortBy(r => (r.ts.getTime, r.doc_id))
+        var cur = state.getOption
+        var out = Vector.empty[DocBandVerdict]
+        sorted.foreach { r =>
+          cur match {
+            case Some(a) =>
+              val dropped = r.doc_id != a.anchor_doc &&
+                verifyTau.forall(tau => jaccardK(a.text, r.text, k) >= tau)
+              out :+= DocBandVerdict(r.ts, r.doc_id, r.text, r.band, dropped)
+              cur = Some(a.copy(last = math.max(a.last, r.ts.getTime)))
+            case None =>
+              out :+= DocBandVerdict(r.ts, r.doc_id, r.text, r.band, dropped = false)
+              cur = Some(BandAnchorDoc(r.doc_id, r.text, r.ts.getTime))
+          }
+        }
+        cur.foreach { a =>
+          state.update(a)
+          state.setTimeoutTimestamp(a.last + horizonMs)
+        }
+        out.iterator
+      }
+    }
+
+    val sigCol = graft.llm.TextOps.minhashSigCol(docs, k, numHashes)
+    val nBands = numHashes / bandRows
+    val bandKeys = (0 until nBands).map { b =>
+      concat_ws("#", (0 until bandRows).map(r => col("__sig")(b * bandRows + r)): _*)
+    }
+    docs
+      .withColumn("__sig", sigCol)
+      .filter(col("__sig").isNotNull) // < k tokens: unsignable (the intake's
+      // gate admits nothing that short — route raw streams' short docs
+      // through streamingExactDedup)
+      .select(col(tsCol).as("ts"), col("doc_id"), col("text"), col("__sig"))
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("doc_id"), col("text"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "sig")))
+      .as[BandDocRow]
       .groupByKey(r => s"${r.band}#${r.sig}")
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(stateFn)

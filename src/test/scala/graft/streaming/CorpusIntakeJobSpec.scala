@@ -62,6 +62,98 @@ class CorpusIntakeJobSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  private def runNearDupIntake(
+      verifyTau: Option[Double],
+      checkpoint: Option[String] = None)(
+      feed: (MemoryStream[StreamDoc], org.apache.spark.sql.streaming.StreamingQuery) => Unit)
+    : Set[Long] = {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamDoc]
+    val admitted = scala.collection.mutable.Set.empty[Long]
+    val verdicts = CorpusIntakeJob.intakeNearDup(in.toDF(), "ts",
+      watermark = "1 hour", horizonMs = 60L * 60 * 1000, verifyTau = verifyTau)
+    val writer = verdicts.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        admitted.synchronized {
+          admitted ++= CorpusIntakeJob.admittedDocs(b)
+            .select("doc_id").as[Long].collect()
+        }
+        ()
+      }
+    val q = checkpoint.fold(writer)(ck => writer.option("checkpointLocation", ck)).start()
+    try feed(in, q) finally q.stop()
+    admitted.toSet
+  }
+
+  test("intakeNearDup: partial-signature near-dups drop end-to-end; scrub precedes banding") {
+    val admitted = runNearDupIntake(verifyTau = None) { (in, q) =>
+      in.addData(
+        StreamDoc(ts("2024-01-01 10:00:00"), 1, goodText),
+        StreamDoc(ts("2024-01-01 10:00:01"), 2, "too short")) // gate drops
+      q.processAllAvailable()
+      in.addData(
+        // near-dup of doc 1 (one appended word, J ~ 0.96): full-signature
+        // equality would ADMIT this — the banded path must drop it
+        StreamDoc(ts("2024-01-01 10:05:00"), 3, goodText + " appended"),
+        StreamDoc(ts("2024-01-01 10:05:01"), 4,
+          piiBase + " bob@example.com for details"),
+        // differs from doc 4 ONLY in the email: post-scrub texts identical,
+        // so every band collides (scrub-before-fingerprint, within-batch)
+        StreamDoc(ts("2024-01-01 10:05:02"), 5,
+          piiBase + " eve@other.org for details"),
+        StreamDoc(ts("2024-01-01 10:05:03"), 6, otherText)) // novel: admitted
+      q.processAllAvailable()
+    }
+    assert(admitted === Set(1L, 4L, 6L))
+  }
+
+  test("intakeNearDup verifyTau: sub-tau collisions are admitted, true dups still drop") {
+    val admitted = runNearDupIntake(verifyTau = Some(0.99)) { (in, q) =>
+      in.addData(StreamDoc(ts("2024-01-01 10:00:00"), 1, goodText))
+      q.processAllAvailable()
+      in.addData(
+        // bands collide (J ~ 0.96) but the exact verification rejects the
+        // drop at tau = 0.99 -> admitted
+        StreamDoc(ts("2024-01-01 10:05:00"), 2, goodText + " appended"),
+        // byte-identical twin: J = 1.0 -> dropped
+        StreamDoc(ts("2024-01-01 10:05:01"), 3, goodText))
+      q.processAllAvailable()
+    }
+    assert(admitted === Set(1L, 2L))
+  }
+
+  test("intakeNearDup runs on RocksDB with identical admissions and state artifacts") {
+    import scala.jdk.CollectionConverters._
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    EventStreamJobs.withRocksDbState(spark)
+    val ck = java.nio.file.Files.createTempDirectory("rocks-intake-ck").toString
+    try {
+      val admitted = runNearDupIntake(verifyTau = None, checkpoint = Some(ck)) { (in, q) =>
+        in.addData(StreamDoc(ts("2024-01-01 10:00:00"), 1, goodText))
+        q.processAllAvailable()
+        in.addData(
+          StreamDoc(ts("2024-01-01 10:05:00"), 3, goodText + " appended"),
+          StreamDoc(ts("2024-01-01 10:05:01"), 6, otherText))
+        q.processAllAvailable()
+      }
+      assert(admitted === Set(1L, 6L))
+      // non-vacuous: the checkpoint must hold RocksDB artifacts (changelog /
+      // snapshot zips), and none of the HDFS provider's .delta files
+      val names = java.nio.file.Files.walk(java.nio.file.Paths.get(ck, "state"))
+        .iterator().asScala.map(_.getFileName.toString).toVector
+      assert(names.exists(n => n.endsWith(".changelog") || n.endsWith(".zip")),
+        s"no RocksDB state artifacts under $ck: $names")
+      assert(!names.exists(_.endsWith(".delta")), "HDFS provider files present")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage")
+    }
+  }
+
   test("intake: exact mode dedups on redacted text; distinct texts all pass") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamDoc]
