@@ -22,10 +22,20 @@ object ScaleBench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  def replicate(df: DataFrame, idCol: String, factor: Int): DataFrame =
+  /** Factor-x id-shifted replication. The per-copy stride assumes base ids
+    * stay below it — a larger testdata generation would otherwise make
+    * replicas silently collide and corrupt every fixed-point probe
+    * (survivors==0, frequency-scaling), so the bound is ASSERTED here
+    * (one max() over the id column, driver-side scalar). */
+  def replicate(df: DataFrame, idCol: String, factor: Int): DataFrame = {
+    val stride = 10000000L
+    val maxId = df.agg(max(col(idCol))).head().getLong(0)
+    require(maxId < stride,
+      s"replicate: max($idCol) = $maxId >= stride $stride — replicas would collide")
     (0 until factor)
-      .map(i => df.withColumn(idCol, col(idCol) + lit(i.toLong * 10000000L)))
+      .map(i => df.withColumn(idCol, col(idCol) + lit(i.toLong * stride)))
       .reduce(_ unionByName _)
+  }
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(20)

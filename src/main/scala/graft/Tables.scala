@@ -74,7 +74,12 @@ object Tables {
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case _: org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => df
+      case _: org.apache.spark.sql.types.TimestampType => df
+      // any OTHER encoding a future testdata generation introduces (e.g.
+      // TIMESTAMP(MILLIS), int32 seconds) must fail HERE at load, not
+      // silently diverge from the DuckDB oracle at verdict time
+      case other => throw new IllegalStateException(
+        s"events.ts: unhandled parquet encoding $other — extend Tables.events")
     }
   }
 }

@@ -28,6 +28,14 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * (x-1, x+1)). The added bound is a plain long comparison on the scan
   * column, which the parquet source pushes down. Registered through
   * [[GraftExtensions]]: `spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * Scope note: this rule matches ONLY the nanos-era Long shape. The
+  * TIMESTAMP(MICROS) file generation reads as TIMESTAMP_NTZ and goes
+  * through `cast(ts as timestamp)` (Tables.events), where Spark's own
+  * optimizer pushes the bound through the cast natively under the UTC
+  * session zone — NanosPredicatePushdownSpec pins that path with a twin
+  * test, so row-group pruning is asserted for BOTH encodings without this
+  * rule growing an NTZ arm.
   */
 object NanosPredicatePushdown extends Rule[LogicalPlan] with PredicateHelper {
 
