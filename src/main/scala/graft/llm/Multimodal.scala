@@ -483,4 +483,116 @@ object Multimodal {
         s"""transform(sequence(0, least(int(n_bytes / $stride), ${maxFrames - 1})),
            |  i -> substring(payload, i * $stride + 1, 1))""".stripMargin).as("frames"),
     )
+
+  final case class Gvid(width: Int, height: Int, nFrames: Int, frames: Array[Byte])
+
+  /** Minimal uncompressed grayscale video container — the video leg's
+    * [[PpmCodec]] analog: ascii header `GV1\n<width> <height> <nFrames>\n`
+    * followed by `nFrames` raw `width*height`-byte luma rasters. The shape
+    * of every raw-frame interchange format (Y4M without chroma); a real
+    * production column would hold H.264/VP9 bytes and the decode step
+    * would call a native decoder — everything downstream of the frame
+    * buffer (sampling, hashing, banding) is codec-agnostic. */
+  object GvidCodec {
+    val Mime = "video/x-graft-raw"
+
+    def encode(width: Int, height: Int, frames: Array[Byte]): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dims ${width}x$height")
+      val fsize = width * height
+      require(frames.length % fsize == 0 && frames.length > 0,
+        s"frame buffer ${frames.length} not a positive multiple of $fsize")
+      val header = s"GV1\n$width $height ${frames.length / fsize}\n".getBytes(UTF_8)
+      val out = new Array[Byte](header.length + frames.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(frames, 0, out, header.length, frames.length)
+      out
+    }
+
+    def decode(bytes: Array[Byte]): Gvid = {
+      def fail(msg: String) = throw new IllegalArgumentException(s"GVID: $msg")
+      if (bytes.length < 4 || bytes(0) != 'G' || bytes(1) != 'V' ||
+        bytes(2) != '1' || bytes(3) != '\n') fail("bad magic (want GV1)")
+      var i = 4
+      def readInt(what: String): Int = {
+        while (i < bytes.length && (bytes(i) == ' ' || bytes(i) == '\n')) i += 1
+        if (i >= bytes.length || bytes(i) < '0' || bytes(i) > '9') fail(s"expected $what digit")
+        var v = 0
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+          v = v * 10 + (bytes(i) - '0')
+          if (v > 0x7fffffff / 16) fail(s"$what overflow")
+          i += 1
+        }
+        v
+      }
+      val w = readInt("width")
+      val h = readInt("height")
+      val n = readInt("nFrames")
+      if (i >= bytes.length || bytes(i) != '\n') fail("missing raster separator")
+      i += 1
+      if (w <= 0 || h <= 0 || n <= 0) fail(s"bad geometry ${w}x$h x$n")
+      val need = w * h * n
+      if (bytes.length - i < need) fail(s"truncated frames: ${bytes.length - i} < $need")
+      Gvid(w, h, n, java.util.Arrays.copyOfRange(bytes, i, i + need))
+    }
+  }
+
+  /** documents -> media table of REAL GVID clips: text UTF-8 bytes chunked
+    * into `width x height` grayscale frames, zero-padded to a whole frame
+    * count — the video analog of [[asMedia]]/[[asWavMedia]], so the oracle
+    * recomputes every decoded stat from the text column. */
+  def asVideoMedia(documents: DataFrame, width: Int = 4, height: Int = 4): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val fsize = width * height
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val tb = text.getBytes(UTF_8)
+          val n = math.max(1, (tb.length + fsize - 1) / fsize)
+          val payload = GvidCodec.encode(width, height,
+            java.util.Arrays.copyOf(tb, n * fsize))
+          MediaRecord(id, GvidCodec.Mime, payload.length.toLong, payload)
+        }
+      }.toDF()
+  }
+
+  /** Frame-sampled PERCEPTUAL video hash — the [[sampleFrames]] access
+    * pattern fused with the [[audioPhash]] energy-envelope recipe: decode,
+    * take frames 0, stride, 2*stride, ... (up to 64 — a sampler never
+    * touches every frame of a long clip), per-frame energy = exact integer
+    * sum of luma bytes, threshold against the mean over ACTIVE (within-
+    * clip) sampled frames with the same division-free `nActive * e_j >
+    * total` form, 64 bits as a '0'/'1' string. Start-anchored like the
+    * audio grid, so appended trailing frames never re-bin existing ones;
+    * a uniformly re-gained (brightness-scaled) copy hashes identically
+    * for the same scale-free reason. Feed straight to
+    * [[phashNearDupPairs]] — banding is representation-agnostic. */
+  def videoPhash(media: DataFrame, stride: Int = 1): DataFrame = {
+    require(stride > 0, s"stride $stride must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { m =>
+        val v = GvidCodec.decode(m.payload)
+        val fsize = v.width * v.height
+        val energies = new Array[Long](64)
+        var j = 0
+        while (j < 64) {
+          val f = j.toLong * stride
+          if (f < v.nFrames) {
+            val off = (f * fsize).toInt
+            var b = 0
+            while (b < fsize) { energies(j) += (v.frames(off + b) & 0xffL); b += 1 }
+          }
+          j += 1
+        }
+        val total = energies.sum
+        val nActive = math.min(64L, (v.nFrames + stride - 1L) / stride)
+        val sb = new java.lang.StringBuilder(64)
+        j = 0
+        while (j < 64) { sb.append(if (nActive * energies(j) > total) '1' else '0'); j += 1 }
+        ImagePhash(m.media_id, sb.toString)
+      }
+    }.toDF()
+  }
 }

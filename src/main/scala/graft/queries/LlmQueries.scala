@@ -2142,6 +2142,82 @@ object LlmQueries {
              |SELECT media_a, media_b, CAST(hm AS INT) AS hamming
              |FROM ham WHERE hm <= 8 ORDER BY media_a, media_b""".stripMargin),
     ),
+
+    // ------------------------------------------------------------------
+    // Q68 — multimodal near-dup, video leg: frame-sampled energy hash
+    // over REAL GVID clips (Multimodal.videoPhash — 2x1-luma frames,
+    // every 2nd frame sampled up to 64, per-frame exact-integer byte-sum
+    // energy, active-mean threshold; the 256-byte window covers most
+    // docs fully, so the hash is dense — a wider frame/stride left bits
+    // 17-64 zero for EVERY clip and half the corpus "collided"), through
+    // the same 4x16-bit banding + hamming <= 8 verification as the image
+    // (q59) and audio (q66) legs. Planted variants overwrite 3 interior
+    // chars (chars 11-13) of each doc_id < 100 clip: bytes 11-12 land in
+    // UNSAMPLED frame 5 and byte 13 in sampled frame 6 — at most one bit
+    // flips, and the sampler's skip is load-bearing in the expected
+    // output. The oracle recomputes the hash from hex-of-blob text bytes
+    // (sampled frame j's energy = unsigned-byte sum of its 2-byte window
+    // at offset (j-1)*4, zero-padded past the text — the GVID encode
+    // identity) — hash-verified end to end.
+    Declared(
+      "q68_video_phash_neardup",
+      (s, dir) => {
+        val base = Tables.documentsRaw(s, dir)
+          .filter(col("doc_id") < 100)
+          .select("doc_id", "text")
+        val variants = base.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 10), lit("~~~"),
+            expr("substring(text, 14)")).as("text"))
+        val media = graft.llm.Multimodal.asVideoMedia(
+          base.unionByName(variants), width = 2, height = 1)
+        val ph = graft.llm.Multimodal.videoPhash(media, stride = 2)
+          .localCheckpoint(false)
+        graft.llm.Multimodal.phashNearDupPairs(ph, nBands = 4, maxHamming = 8)
+          .orderBy("media_a", "media_b")
+      },
+      Some("""WITH basec AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 100),
+             |rawc AS (
+             |  SELECT doc_id, text FROM basec
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, substr(text, 1, 10) || '~~~' || substr(text, 14)
+             |  FROM basec),
+             |b AS (
+             |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+             |  FROM rawc),
+             |env AS (
+             |  SELECT doc_id,
+             |    LEAST(64, (GREATEST(1, (n + 1) // 2) + 1) // 2) AS nact,
+             |    list_transform(generate_series(1, 64), j ->
+             |      list_sum(list_transform(generate_series(1, 2), bb ->
+             |        CASE WHEN (j-1)*4 + bb <= n
+             |             THEN CAST(('0x' || substr(hx, ((j-1)*4 + bb - 1)*2 + 1, 2)) AS BIGINT)
+             |             ELSE 0 END))) AS energies
+             |  FROM b),
+             |ph AS (
+             |  SELECT doc_id,
+             |    array_to_string(list_transform(generate_series(1, 64), j ->
+             |      CASE WHEN nact * energies[j] > list_sum(energies) THEN '1' ELSE '0' END),
+             |      '') AS phash
+             |  FROM env),
+             |bands AS (
+             |  SELECT doc_id, phash, bi, substr(phash, bi * 16 + 1, 16) AS bv
+             |  FROM ph, (SELECT unnest(generate_series(0, 3)) AS bi)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
+             |                  a.phash AS pa, b.phash AS pb
+             |  FROM bands a JOIN bands b
+             |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+             |ham AS (
+             |  SELECT media_a, media_b,
+             |    list_sum(list_transform(generate_series(1, 64),
+             |      i -> CASE WHEN substr(pa, i, 1) <> substr(pb, i, 1)
+             |                THEN 1 ELSE 0 END)) AS hm
+             |  FROM cand)
+             |SELECT media_a, media_b, CAST(hm AS INT) AS hamming
+             |FROM ham WHERE hm <= 8 ORDER BY media_a, media_b""".stripMargin),
+    ),
   )
 
   /** DuckDB replay of [[graft.llm.CorpusPipeline.prepareIncremental]]

@@ -1310,4 +1310,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)))
     assert(!pairs.contains((1L, 4L)))
   }
+
+  test("videoPhash: stride sampling, append invariance, unsampled-frame blindness") {
+    // 2x1 frames (2 bytes), stride 2 -> 256-byte anchored window; base is
+    // 308 bytes, so all 64 sampled frames are active
+    val baseText = ("the quick brown fox jumps over the lazy dog " * 7).trim
+    val d = Seq(
+      (1L, baseText),
+      // appended tail beyond the 256-byte window: identical hash
+      (2L, baseText + " trailing content far beyond the anchored sampling window"),
+      // bytes 11-12 land in UNSAMPLED frame 5 (stride 2 samples even
+      // frames only): the edit is invisible to the hash
+      (3L, baseText.substring(0, 10) + "##" + baseText.substring(12)),
+      // byte 13 lands in SAMPLED frame 6: at most that one bit flips
+      (4L, baseText.substring(0, 12) + "#" + baseText.substring(13)),
+      (5L, "totally different material with other words and rhythms present here"),
+    ).toDF("doc_id", "text")
+    val ph = Multimodal.videoPhash(
+      Multimodal.asVideoMedia(d, width = 2, height = 1), stride = 2)
+      .localCheckpoint(false)
+    val hashes = ph.as[(Long, String)].collect().toMap
+    assert(hashes.values.forall(h => h.length === 64 && h.forall(c => c == '0' || c == '1')))
+    assert(hashes(1L) === hashes(2L), "append-beyond-window must not change the hash")
+    assert(hashes(1L) === hashes(3L), "edit inside an unsampled frame must be invisible")
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(hamming(hashes(1L), hashes(4L)) <= 1, "sampled-frame edit flips at most its bit")
+    assert(hamming(hashes(1L), hashes(5L)) > 8, "unrelated clips must differ")
+    val pairs = Multimodal.phashNearDupPairs(ph, nBands = 4, maxHamming = 8)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs.get((1L, 2L)) === Some(0))
+    assert(pairs.get((1L, 3L)) === Some(0))
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.contains((1L, 5L)))
+  }
 }

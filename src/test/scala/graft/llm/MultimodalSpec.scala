@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.llm.Multimodal.{PpmCodec, WavCodec}
+import graft.llm.Multimodal.{GvidCodec, PpmCodec, WavCodec}
 
 /** Pure-JVM codec tests — no Spark. The DataFrame-level plumbing is covered
   * by LlmOpsSpec ("multimodal media frames decode ...") and the q29/q50
@@ -78,5 +78,23 @@ class MultimodalSpec extends AnyFunSuite {
     // data chunk size overruns the file
     val overrun = ok.clone(); overrun(40) = 99
     assertThrows[IllegalArgumentException](WavCodec.decode(overrun))
+  }
+
+  test("GVID round-trip: dims, frame count, and frame bytes survive") {
+    val frames = Array.tabulate(3 * 4)(i => (i * 11).toByte) // 3 frames of 2x2
+    val v = GvidCodec.decode(GvidCodec.encode(2, 2, frames))
+    assert((v.width, v.height, v.nFrames) === (2, 2, 3))
+    assert(v.frames.toSeq === frames.toSeq)
+  }
+
+  test("GVID decode rejects malformed input loudly") {
+    val ok = GvidCodec.encode(2, 1, Array.fill(4)(7.toByte))
+    val badMagic = ok.clone(); badMagic(2) = '2'
+    assertThrows[IllegalArgumentException](GvidCodec.decode(badMagic))
+    assertThrows[IllegalArgumentException](GvidCodec.decode(ok.dropRight(1)))
+    assertThrows[IllegalArgumentException](
+      GvidCodec.decode("GV1\n0 1 1\n".getBytes(UTF_8)))
+    assertThrows[IllegalArgumentException](
+      GvidCodec.encode(2, 1, Array.fill(3)(0.toByte))) // not a whole frame
   }
 }
