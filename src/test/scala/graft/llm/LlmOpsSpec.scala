@@ -36,6 +36,51 @@ class LlmOpsSpec extends SparkSpec {
     assert(!verified.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("graft_isect_size kernel == size(array_intersect) on real shingle sets") {
+    // every cross pair of 40 real docs' shingle arrays (includes empty
+    // sets and heavy-overlap pairs); the kernel must be bit-identical to
+    // the built-ins fallback the extension-less path uses
+    assert(spark.catalog.functionExists("graft_isect_size"), "kernel not registered")
+    val d = Tables.documentsRaw(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 40)
+    val sets = d.select(col("doc_id"), TextOps.shingleCol(d, 3).as("s"))
+      .localCheckpoint(false)
+    val diverged = sets.select(col("doc_id").as("ida"), col("s").as("sa"))
+      .crossJoin(sets.select(col("doc_id").as("idb"), col("s").as("sb")))
+      .withColumn("kc", call_function("graft_isect_size", col("sa"), col("sb")))
+      .withColumn("hc", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .filter(col("kc") =!= col("hc"))
+    assert(diverged.isEmpty, "kernel and array_intersect counts diverged")
+  }
+
+  test("sized pair emission == unsized pairs + post-filter (tau size bound soundness)") {
+    // the size-aware bucket emission may only drop pairs that cannot
+    // reach jaccard >= tau; over the real corpus the final verified drop
+    // sets must be IDENTICAL
+    val d = Tables.documentsRaw(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 300).select("doc_id", "text")
+    val tau = 0.8
+    val sizedPairs = TextOps.bucketPairsSized(
+      TextOps.bandRowsSizedDF(d, 3, 16, 2), 100000, tau)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val unsized = TextOps.bucketPairs(TextOps.bandRowsDF(d, 3, 16, 2), 100000)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(sizedPairs.subsetOf(unsized), "sized emission invented a pair")
+    // pairs culled by the size bound must all fail jaccard >= tau
+    val culled = unsized -- sizedPairs
+    if (culled.nonEmpty) {
+      val cullDF = culled.toSeq.toDF("doc_a", "doc_b")
+      val sets = d.select(col("doc_id"), TextOps.shingleCol(d, 3).as("s"),
+        size(TextOps.shingleCol(d, 3)).cast("long").as("n"))
+      val bad = cullDF
+        .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa"), col("n").as("na")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb"), col("n").as("nb")), Seq("doc_b"))
+        .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .filter(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= tau)
+      assert(bad.isEmpty, "size bound culled a pair that verifies at tau")
+    }
+  }
+
   test("fused lshNearDupPairs matches the unfused signature/candidate/verify path") {
     val sh = TextOps.shingleRows(docs, 3)
     val unfused = TextOps.verifyCandidates(
