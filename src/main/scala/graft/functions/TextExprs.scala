@@ -389,3 +389,123 @@ case class IntersectSize(left: Expression, right: Expression) extends BinaryExpr
       newLeft: Expression, newRight: Expression): IntersectSize =
     copy(left = newLeft, right = newRight)
 }
+
+/** Kernels for the size-aware LSH bucket pair emission
+  * ([[graft.llm.TextOps.bucketPairsSized]] /
+  * `incrementalBucketPairsSized`): a skewed band bucket (thousands of
+  * docs sharing boilerplate-derived band minhashes) emits its pairs from
+  * ONE task, and the interpreted nested transform/filter HOF tree pays a
+  * lambda dispatch per candidate combination — O(bucket^2) of them. These
+  * run the identical loop (including the identical double-precision size
+  * bound `min(na,nb) >= tau * max(na,nb)`) natively inside codegen. */
+object BandPairKernels {
+
+  private def pair(a: Long, b: Long, na: Long, nb: Long): InternalRow =
+    InternalRow(a, b, na, nb)
+
+  val pairType: DataType = ArrayType(StructType(Seq(
+    StructField("doc_a", LongType, nullable = false),
+    StructField("doc_b", LongType, nullable = false),
+    StructField("na", LongType, nullable = false),
+    StructField("nb", LongType, nullable = false))), containsNull = false)
+
+  /** Within-corpus form over (doc_id, n) items: all i<j pairs by doc_id
+    * order passing the size bound. Input order is irrelevant (the output
+    * is a SET that downstream `distinct()` normalizes). */
+  def bandPairs(items: ArrayData, tau: Double): ArrayData = {
+    val k = items.numElements()
+    val ids = new Array[Long](k)
+    val ns = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val r = items.getStruct(i, 2)
+      ids(i) = r.getLong(0); ns(i) = r.getLong(1)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    i = 0
+    while (i < k) {
+      var j = i + 1
+      while (j < k) {
+        val (a, b) = if (ids(i) < ids(j)) (i, j) else (j, i)
+        val lo = math.min(ns(a), ns(b)).toDouble
+        val hi = math.max(ns(a), ns(b)).toDouble
+        if (lo >= tau * hi)
+          out += pair(ids(a), ids(b), ns(a), ns(b))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Incremental form over (doc_id, inc, n) items: pairs only FOR
+    * incoming docs (doc_b), against standing docs or lower-id incoming
+    * docs, passing the size bound. */
+  def incBandPairs(items: ArrayData, tau: Double): ArrayData = {
+    val k = items.numElements()
+    val ids = new Array[Long](k)
+    val inc = new Array[Boolean](k)
+    val ns = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val r = items.getStruct(i, 3)
+      ids(i) = r.getLong(0); inc(i) = r.getLong(1) == 1L; ns(i) = r.getLong(2)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var x = 0
+    while (x < k) {
+      if (inc(x)) {
+        var a = 0
+        while (a < k) {
+          if ((!inc(a) || ids(a) < ids(x))) {
+            val lo = math.min(ns(a), ns(x)).toDouble
+            val hi = math.max(ns(a), ns(x)).toDouble
+            if (lo >= tau * hi)
+              out += pair(ids(a), ids(x), ns(a), ns(x))
+          }
+          a += 1
+        }
+      }
+      x += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `graft_band_pairs(items, tau)` — see [[BandPairKernels.bandPairs]]. */
+case class BandPairsExpr(child: Expression, tau: Double) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _) if s.length == 2 &&
+      s.fields.forall(_.dataType == LongType) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_band_pairs requires ARRAY<STRUCT<doc_id BIGINT, n BIGINT>>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BandPairKernels.pairType
+  override def prettyName: String = "graft_band_pairs"
+  override protected def nullSafeEval(input: Any): Any =
+    BandPairKernels.bandPairs(input.asInstanceOf[ArrayData], tau)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BandPairKernels.bandPairs($c, $tau)")
+  override protected def withNewChildInternal(newChild: Expression): BandPairsExpr =
+    copy(child = newChild)
+}
+
+/** `graft_inc_band_pairs(items, tau)` — see [[BandPairKernels.incBandPairs]]. */
+case class IncBandPairsExpr(child: Expression, tau: Double) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _) if s.length == 3 &&
+      s.fields.forall(_.dataType == LongType) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_inc_band_pairs requires ARRAY<STRUCT<doc_id BIGINT, inc BIGINT, n BIGINT>>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BandPairKernels.pairType
+  override def prettyName: String = "graft_inc_band_pairs"
+  override protected def nullSafeEval(input: Any): Any =
+    BandPairKernels.incBandPairs(input.asInstanceOf[ArrayData], tau)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BandPairKernels.incBandPairs($c, $tau)")
+  override protected def withNewChildInternal(newChild: Expression): IncBandPairsExpr =
+    copy(child = newChild)
+}

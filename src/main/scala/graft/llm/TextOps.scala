@@ -221,41 +221,57 @@ object TextOps {
     * the verify join needs no size lookup either. Post-`jaccard >= tau`
     * results are identical to the unsized form (spec-pinned). */
   def incrementalBucketPairsSized(
-      bands: DataFrame, maxBucketSize: Int, tau: Double): DataFrame =
-    bands.groupBy("band", "sig")
-      .agg(collect_list(struct(col("doc_id"), col("inc"), col("n"))).as("items"))
-      .filter(size(col("items")) >= 2 &&
-        size(col("items")) <= maxBucketSize &&
-        expr("exists(items, x -> x.inc = 1L)"))
-      .select(explode(expr(
+      bands: DataFrame, maxBucketSize: Int, tau: Double): DataFrame = {
+    // a skewed bucket emits its pairs from ONE task: the codegen'd kernel
+    // runs the O(bucket^2) emission loop natively (the HOF tree pays an
+    // interpreted lambda dispatch per candidate combination — measured
+    // dominant at a 1,129-doc boilerplate bucket); identical pair sets,
+    // spec-pinned
+    val emit =
+      if (hasFn(bands, "graft_inc_band_pairs"))
+        call_function("graft_inc_band_pairs", col("items"), lit(tau))
+      else expr(
         s"""flatten(transform(
            |  filter(items, x -> x.inc = 1L),
            |  x -> transform(
            |    filter(items, a -> (a.inc = 0L OR a.doc_id < x.doc_id)
            |                       AND least(a.n, x.n) >= $tau * greatest(a.n, x.n)),
            |    a -> named_struct('doc_a', a.doc_id, 'doc_b', x.doc_id,
-           |                      'na', a.n, 'nb', x.n))))""".stripMargin)).as("p"))
+           |                      'na', a.n, 'nb', x.n))))""".stripMargin)
+    bands.groupBy("band", "sig")
+      .agg(collect_list(struct(col("doc_id"), col("inc"), col("n"))).as("items"))
+      .filter(size(col("items")) >= 2 &&
+        size(col("items")) <= maxBucketSize &&
+        expr("exists(items, x -> x.inc = 1L)"))
+      .select(explode(emit).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.na").as("na"), col("p.nb").as("nb"))
       .distinct()
+  }
 
   /** [[bucketPairs]]' size-aware twin (see [[incrementalBucketPairsSized]]):
     * within-corpus pairs, doc_a < doc_b, size-incompatible pairs never
     * emitted, (na, nb) riding along. */
-  def bucketPairsSized(bands: DataFrame, maxBucketSize: Int, tau: Double): DataFrame =
-    bands.groupBy("band", "sig")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
-      .select(explode(expr(
+  def bucketPairsSized(bands: DataFrame, maxBucketSize: Int, tau: Double): DataFrame = {
+    // kernel note: see incrementalBucketPairsSized
+    val emit =
+      if (hasFn(bands, "graft_band_pairs"))
+        call_function("graft_band_pairs", col("ids"), lit(tau))
+      else expr(
         s"""flatten(transform(ids, (a, i) ->
            |  transform(
            |    filter(slice(ids, i + 2, size(ids) - i - 1),
            |           b -> least(a.n, b.n) >= $tau * greatest(a.n, b.n)),
            |    b -> named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
-           |                      'na', a.n, 'nb', b.n))))""".stripMargin)).as("p"))
+           |                      'na', a.n, 'nb', b.n))))""".stripMargin)
+    bands.groupBy("band", "sig")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+      .select(explode(emit).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.na").as("na"), col("p.nb").as("nb"))
       .distinct()
+  }
 
   def bucketPairs(bands: DataFrame, maxBucketSize: Int): DataFrame =
     bands.groupBy("band", "sig")

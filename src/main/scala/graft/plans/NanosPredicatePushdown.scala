@@ -113,6 +113,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn argument $pos must be an INT literal, got $other")
   }
 
+  private def litDouble(e: Expression, fn: String, pos: Int): Double = e match {
+    case Literal(v: Double, org.apache.spark.sql.types.DoubleType) => v
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn argument $pos must be a DOUBLE literal, got $other")
+  }
+
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => NanosPredicatePushdown)
     extensions.injectFunction((
@@ -240,6 +247,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.DotProductFD].getName, "graft_dot_fd"),
       (children: Seq[Expression]) =>
         graft.functions.DotProductFD(children(0), children(1)),
+    ))
+    extensions.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_band_pairs"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.BandPairsExpr].getName, "graft_band_pairs"),
+      (children: Seq[Expression]) =>
+        graft.functions.BandPairsExpr(children(0),
+          litDouble(children(1), "graft_band_pairs", 1)),
+    ))
+    extensions.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_inc_band_pairs"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.IncBandPairsExpr].getName, "graft_inc_band_pairs"),
+      (children: Seq[Expression]) =>
+        graft.functions.IncBandPairsExpr(children(0),
+          litDouble(children(1), "graft_inc_band_pairs", 1)),
     ))
     extensions.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_isect_size"),

@@ -81,6 +81,54 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("band-pair emission kernels == HOF forms, multiset-exact, on a skewed corpus") {
+    assert(spark.catalog.functionExists("graft_band_pairs"), "kernel not registered")
+    // shared suffix -> boilerplate band buckets (the skew the kernels exist
+    // for); 200 real docs, split standing/incoming for the incremental form
+    val suffix = " common boilerplate tail shared by every doc in this corpus exactly"
+    val d = Tables.documentsRaw(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 200)
+      .withColumn("text", concat(col("text"), lit(suffix)))
+    val tau = 0.8
+    val bi = TextOps.bandRowsSizedDF(d.filter(col("doc_id") >= 100), 3, 16, 2)
+      .withColumn("inc", lit(1L))
+    val bs = TextOps.bandRowsSizedDF(d.filter(col("doc_id") < 100), 3, 16, 2)
+      .withColumn("inc", lit(0L))
+    val aggedInc = bi.unionByName(bs).groupBy("band", "sig")
+      .agg(collect_list(struct(col("doc_id"), col("inc"), col("n"))).as("items"))
+      .filter(size(col("items")) >= 2 && expr("exists(items, x -> x.inc = 1L)"))
+      .localCheckpoint(false)
+    val hofInc = expr(
+      s"""flatten(transform(
+         |  filter(items, x -> x.inc = 1L),
+         |  x -> transform(
+         |    filter(items, a -> (a.inc = 0L OR a.doc_id < x.doc_id)
+         |                       AND least(a.n, x.n) >= $tau * greatest(a.n, x.n)),
+         |    a -> named_struct('doc_a', a.doc_id, 'doc_b', x.doc_id,
+         |                      'na', a.n, 'nb', x.n))))""".stripMargin)
+    def emitted(df: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.Column) =
+      df.select(explode(c).as("p")).select("p.*")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(
+      emitted(aggedInc, call_function("graft_inc_band_pairs", col("items"), lit(tau)))
+        === emitted(aggedInc, hofInc))
+
+    val aggedAll = TextOps.bandRowsSizedDF(d, 3, 16, 2).groupBy("band", "sig")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .localCheckpoint(false)
+    val hofAll = expr(
+      s"""flatten(transform(ids, (a, i) ->
+         |  transform(
+         |    filter(slice(ids, i + 2, size(ids) - i - 1),
+         |           b -> least(a.n, b.n) >= $tau * greatest(a.n, b.n)),
+         |    b -> named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
+         |                      'na', a.n, 'nb', b.n))))""".stripMargin)
+    assert(
+      emitted(aggedAll, call_function("graft_band_pairs", col("ids"), lit(tau)))
+        === emitted(aggedAll, hofAll))
+  }
+
   test("fused lshNearDupPairs matches the unfused signature/candidate/verify path") {
     val sh = TextOps.shingleRows(docs, 3)
     val unfused = TextOps.verifyCandidates(
