@@ -445,7 +445,10 @@ object Pq {
       .filter(col("arnk") <= refine * k)
       .select("qid", "qe", "qn", "nid")
     val wX = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    shortlist
+    // the shortlist is BOUNDED at |queries| * refine * k rows by the arnk
+    // filter — broadcast it so the exact re-rank probes the corpus side
+    // without shuffling either side (the corpus is the big side at 100 TB)
+    broadcast(shortlist)
       .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
       .withColumn("nn", expr(VectorOps.normExprFor(e, "ne")))
       .withColumn("cos",
@@ -516,9 +519,11 @@ object Pq {
       .withColumn("arnk", row_number().over(wAdc))
       .filter(col("arnk") <= refine * k)
       .select("qid", "qe", "qn", "nid")
-    // exact re-rank of the shortlist only
+    // exact re-rank of the shortlist only — broadcast: bounded at
+    // |queries| * refine * k rows by the arnk filter, so the corpus side
+    // is probed in place instead of shuffled
     val wX = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    shortlist
+    broadcast(shortlist)
       .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
       .withColumn("nn", expr(VectorOps.normExprFor(e, "ne")))
       .withColumn("cos",
