@@ -2218,6 +2218,104 @@ object LlmQueries {
              |SELECT media_a, media_b, CAST(hm AS INT) AS hamming
              |FROM ham WHERE hm <= 8 ORDER BY media_a, media_b""".stripMargin),
     ),
+
+    // ------------------------------------------------------------------
+    // Q69 — FUZZY decontamination (TextOps.crossNearDupIds): train docs
+    // that are whole-document near-dups (Jaccard >= 0.8) of ANY eval doc
+    // — the guard that catches paraphrased/trimmed eval leakage the
+    // exact shingle-overlap test (q36) over- or under-fires on. The eval
+    // corpus plants 20 appended-suffix variants of train docs (J ~ 0.95,
+    // must fire) plus 20 disjoint-range docs (fire only on genuine
+    // corpus-internal near-dups — the oracle decides). Cross-corpus
+    // banding: per-row signatures on BOTH sides, band-key equi-join
+    // BETWEEN the frames, exact-Jaccard verify on candidates only. The
+    // oracle replays the full chain (the q60/q65 minhash fragment, run
+    // twice with a cross join on band keys) — hash-gated like the
+    // within-corpus LSH queries.
+    Declared(
+      "q69_fuzzy_decontam",
+      (s, dir) => {
+        val docs = Tables.documentsRaw(s, dir)
+        val train = docs.filter(col("doc_id") < 300).select("doc_id", "text")
+        val eval_ = docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 5000L).as("doc_id"),
+            concat(col("text"), lit(" plus appended trailing marker")).as("text"))
+          .unionByName(
+            docs.filter(col("doc_id") >= 400 && col("doc_id") < 420)
+              .select("doc_id", "text"))
+        TextOps.crossNearDupIds(train, eval_, tau = 0.8).orderBy("doc_id")
+      },
+      Some("""WITH train AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 300),
+             |evalc AS (
+             |  SELECT doc_id + 5000 AS doc_id,
+             |         text || ' plus appended trailing marker' AS text
+             |  FROM documents WHERE doc_id < 20
+             |  UNION ALL
+             |  SELECT doc_id, text FROM documents WHERE doc_id >= 400 AND doc_id < 420),
+             |ttok AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM train
+             |  WHERE len(string_split(text, ' ')) >= 3),
+             |tsh AS (
+             |  SELECT DISTINCT doc_id, shingle FROM (
+             |    SELECT doc_id,
+             |           unnest(list_transform(generate_series(1, len(t) - 2),
+             |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+             |    FROM ttok)),
+             |ths AS (
+             |  SELECT doc_id,
+             |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+             |         ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+             |  FROM tsh),
+             |tsigs AS (
+             |  SELECT doc_id, ks.k AS k, MIN((h1 + ks.k * h2) % 4294967311) AS sig
+             |  FROM ths CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+             |  GROUP BY doc_id, ks.k),
+             |tbands AS (
+             |  SELECT doc_id, k // 2 AS band,
+             |         string_agg(sig::VARCHAR, '#' ORDER BY k) AS band_key
+             |  FROM tsigs GROUP BY doc_id, band),
+             |etok AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM evalc
+             |  WHERE len(string_split(text, ' ')) >= 3),
+             |esh AS (
+             |  SELECT DISTINCT doc_id, shingle FROM (
+             |    SELECT doc_id,
+             |           unnest(list_transform(generate_series(1, len(t) - 2),
+             |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+             |    FROM etok)),
+             |ehs AS (
+             |  SELECT doc_id,
+             |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+             |         ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+             |  FROM esh),
+             |esigs AS (
+             |  SELECT doc_id, ks.k AS k, MIN((h1 + ks.k * h2) % 4294967311) AS sig
+             |  FROM ehs CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+             |  GROUP BY doc_id, ks.k),
+             |ebands AS (
+             |  SELECT doc_id, k // 2 AS band,
+             |         string_agg(sig::VARCHAR, '#' ORDER BY k) AS band_key
+             |  FROM esigs GROUP BY doc_id, band),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS t_id, b.doc_id AS e_id
+             |  FROM tbands a JOIN ebands b
+             |    ON a.band = b.band AND a.band_key = b.band_key),
+             |tcnt AS (SELECT doc_id, COUNT(*) AS n FROM tsh GROUP BY doc_id),
+             |ecnt AS (SELECT doc_id, COUNT(*) AS n FROM esh GROUP BY doc_id),
+             |cmn AS (
+             |  SELECT c.t_id, c.e_id, COUNT(*) AS nc
+             |  FROM cand c
+             |  JOIN tsh sa ON sa.doc_id = c.t_id
+             |  JOIN esh sb ON sb.doc_id = c.e_id AND sb.shingle = sa.shingle
+             |  GROUP BY 1, 2)
+             |SELECT DISTINCT t_id AS doc_id
+             |FROM cmn
+             |JOIN tcnt ON tcnt.doc_id = cmn.t_id
+             |JOIN ecnt ON ecnt.doc_id = cmn.e_id
+             |WHERE CAST(nc AS DOUBLE) / (tcnt.n + ecnt.n - nc) >= 0.8
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   /** DuckDB replay of [[graft.llm.CorpusPipeline.prepareIncremental]]
