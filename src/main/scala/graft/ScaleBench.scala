@@ -85,6 +85,28 @@ object ScaleBench {
     }
     println(s"""{"op":"incremental_dedup","standing":$nDocs,"batch":$nBatch,"survivors":$nIncSurv,"all_dropped":${nIncSurv == 0L},"sec":$tInc}""")
 
+    // SKEWED-BUCKET near-dup: every doc gets the same boilerplate suffix,
+    // so shared tail shingles drive some band minhashes identical across
+    // large doc populations — the bucket whose pair emission is quadratic
+    // in its size (the q65 pathology; round-8's size-bound emission +
+    // native kernels exist for exactly this). Fixed point: the batch
+    // replicates suffixed standing CONTENT under fresh ids, so survivors
+    // == 0 exactly — while the wall stays batch-shaped, not
+    // bucket-quadratic.
+    val suffixed = Tables.documents(spark, sfDir)
+      .withColumn("text", concat(col("text"),
+        lit(" all rights reserved contact support at example dot com for details")))
+      .localCheckpoint(true)
+    val standingSkew = replicate(suffixed, "doc_id", math.min(factor, 5))
+      .localCheckpoint(true)
+    val nSkewStand = standingSkew.count()
+    val skewBatch = suffixed.withColumn("doc_id", col("doc_id") + lit(900000000L))
+      .localCheckpoint(true)
+    val (nSkewSurv, tSkew) = timed {
+      Dedup.dedupNearLshIncremental(skewBatch, standingSkew, tau = 0.5).count()
+    }
+    println(s"""{"op":"skewed_bucket_neardup","standing":$nSkewStand,"batch":${suffixed.count()},"survivors":$nSkewSurv,"all_dropped":${nSkewSurv == 0L},"sec":$tSkew}""")
+
     // composed incremental pipeline: standing corpus = a full prepare()
     // run; the batch replicates the PREPARED standing text under fresh
     // ids (factor-capped x), so every batch doc is an exact duplicate of
