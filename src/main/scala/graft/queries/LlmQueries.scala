@@ -2316,6 +2316,72 @@ object LlmQueries {
              |WHERE CAST(nc AS DOUBLE) / (tcnt.n + ecnt.n - nc) >= 0.8
              |ORDER BY doc_id""".stripMargin),
     ),
+
+    // ------------------------------------------------------------------
+    // Q70 — INCREMENTAL embedding dedup (Dedup.dedupByEmbeddingLshIncremental):
+    // the embedding twin of q63's batch-vs-standing near-dedup — drop
+    // every incoming vector whose cosine to ANY standing vector (id order
+    // irrelevant) or to a lower-id incoming vector meets tau, candidates
+    // restricted to shared sign-LSH buckets (the q28 hyperplanes), the
+    // standing frame read-only. Planted: replicas of standing vectors
+    // 0/5/10 under fresh ids (dropped by the vs-standing leg, cos = 1)
+    // and a replica of incoming vector 300 (dropped by the within-batch
+    // lower-id leg). The oracle replays the hyperplane buckets, the
+    // incremental pair policy, and the cosine threshold.
+    Declared(
+      "q70_embedding_dedup_incremental",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val standing = emb.filter(col("vec_id") < 300)
+        val replicas = emb.filter(col("vec_id").isin(0L, 5L, 10L, 300L))
+          .withColumn("vec_id", col("vec_id") + 20000L)
+        val incoming = emb.filter(col("vec_id") >= 300)
+          .unionByName(replicas)
+        graft.llm.Dedup.dedupByEmbeddingLshIncremental(
+          incoming, standing, tau = 0.9, nPlanes = 4, dim = 64)
+          .select("vec_id").orderBy("vec_id")
+      },
+      Some("""WITH standing AS (
+             |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+             |incoming AS (
+             |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 300
+             |  UNION ALL
+             |  SELECT vec_id + 20000, embedding FROM embeddings
+             |  WHERE vec_id IN (0, 5, 10, 300)),
+             |allv AS (
+             |  SELECT vec_id, embedding, 0 AS inc FROM standing
+             |  UNION ALL
+             |  SELECT vec_id, embedding, 1 AS inc FROM incoming),
+             |planes AS (
+             |  SELECT p, list_transform(generate_series(1, 64),
+             |    i -> ('0x' || substr(md5(p::VARCHAR || ':' || (i - 1)::VARCHAR), 1, 8))::BIGINT
+             |         / 4294967296.0 - 0.5) AS w
+             |  FROM (SELECT unnest(generate_series(0, 3)) AS p)),
+             |bits AS (
+             |  SELECT e.vec_id, pl.p,
+             |    CASE WHEN list_sum(list_transform(generate_series(1, 64),
+             |           i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) > 0
+             |         THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+             |  FROM allv e CROSS JOIN planes pl),
+             |b AS (
+             |  SELECT e.vec_id, e.embedding, e.inc, s.bucket,
+             |    sqrt(list_sum(list_transform(e.embedding,
+             |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+             |  FROM allv e JOIN (
+             |    SELECT vec_id, CAST(sum(bit << (3 - p)) AS BIGINT) AS bucket
+             |    FROM bits GROUP BY vec_id) s ON s.vec_id = e.vec_id),
+             |drop_ids AS (
+             |  SELECT DISTINCT x.vec_id
+             |  FROM b x JOIN b a ON a.bucket = x.bucket
+             |  WHERE x.inc = 1 AND (a.inc = 0 OR a.vec_id < x.vec_id)
+             |    AND a.nrm * x.nrm <> 0
+             |    AND list_sum(list_transform(generate_series(1, 64),
+             |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))
+             |        / (a.nrm * x.nrm) >= 0.9)
+             |SELECT vec_id FROM incoming
+             |WHERE vec_id NOT IN (SELECT vec_id FROM drop_ids)
+             |ORDER BY vec_id""".stripMargin),
+    ),
   )
 
   /** DuckDB replay of [[graft.llm.CorpusPipeline.prepareIncremental]]
