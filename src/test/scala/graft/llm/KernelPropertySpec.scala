@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Generative properties for the round-8 verify-path kernels: the
+  * intersect-count and band-pair-emission loops must equal their
+  * built-ins/HOF formulations on ADVERSARIAL inputs the real-corpus
+  * cross-check specs cannot plant systematically — duplicate elements,
+  * empty arrays, unicode payloads, zero/negative-free size bounds. The
+  * generated batches run through ONE Spark job each (per-case jobs would
+  * be minutes of scheduler overhead). */
+class KernelPropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val token: Gen[String] = Gen.oneOf(
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
+    Gen.oneOf("", " ", "naïve", "日本語", "a b", "##", "\t"))
+  private val arr: Gen[Seq[String]] =
+    Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, token)) // duplicates likely
+
+  test("graft_isect_size == size(array_intersect) on arbitrary string arrays") {
+    assert(spark.catalog.functionExists("graft_isect_size"), "kernel not registered")
+    val cases = Gen.listOfN(300, Gen.zip(arr, arr)).sample.get
+    val df = cases.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "sa", "sb")
+    val diverged = df
+      .withColumn("kc", call_function("graft_isect_size", col("sa"), col("sb")))
+      .withColumn("hc", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .filter(col("kc") =!= col("hc"))
+    assert(diverged.isEmpty, diverged.collect().take(3).mkString("; "))
+  }
+
+  test("band-pair kernels == HOF emissions on arbitrary buckets") {
+    assert(spark.catalog.functionExists("graft_band_pairs"), "kernel not registered")
+    // buckets of (doc_id, inc, n) with distinct ids (the band-row contract),
+    // tau sampled across the useful range
+    val bucketGen = for {
+      k <- Gen.chooseNum(2, 25)
+      ids <- Gen.pick(k, 0L until 1000L)
+      incs <- Gen.listOfN(k, Gen.oneOf(0L, 1L))
+      ns <- Gen.listOfN(k, Gen.chooseNum(0L, 400L))
+    } yield ids.toSeq.zip(incs).zip(ns).map { case ((i, c), n) => (i, c, n) }
+    val buckets = Gen.listOfN(150, bucketGen).sample.get
+    val tau = 0.8
+    val df = buckets.zipWithIndex
+      .map { case (items, i) => (i.toLong, items) }
+      .toDF("bucket_id", "raw")
+      .withColumn("items", expr(
+        "transform(raw, x -> named_struct('doc_id', x._1, 'inc', x._2, 'n', x._3))"))
+      .withColumn("ids", expr(
+        "sort_array(transform(raw, x -> named_struct('doc_id', x._1, 'n', x._3)))"))
+      .localCheckpoint(false)
+    def collectPairs(c: org.apache.spark.sql.Column): Seq[(Long, Long, Long, Long, Long)] =
+      df.select(col("bucket_id"), explode(c).as("p"))
+        .select(col("bucket_id"), col("p.doc_a"), col("p.doc_b"), col("p.na"), col("p.nb"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val hofInc = expr(
+      s"""flatten(transform(
+         |  filter(items, x -> x.inc = 1L),
+         |  x -> transform(
+         |    filter(items, a -> (a.inc = 0L OR a.doc_id < x.doc_id)
+         |                       AND least(a.n, x.n) >= $tau * greatest(a.n, x.n)),
+         |    a -> named_struct('doc_a', a.doc_id, 'doc_b', x.doc_id,
+         |                      'na', a.n, 'nb', x.n))))""".stripMargin)
+    assert(collectPairs(call_function("graft_inc_band_pairs", col("items"), lit(tau)))
+      === collectPairs(hofInc))
+    val hofAll = expr(
+      s"""flatten(transform(ids, (a, i) ->
+         |  transform(
+         |    filter(slice(ids, i + 2, size(ids) - i - 1),
+         |           b -> least(a.n, b.n) >= $tau * greatest(a.n, b.n)),
+         |    b -> named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
+         |                      'na', a.n, 'nb', b.n))))""".stripMargin)
+    assert(collectPairs(call_function("graft_band_pairs", col("ids"), lit(tau)))
+      === collectPairs(hofAll))
+  }
+
+  test("driver-side nearestCentroid == executed rank-0 assignment on random vectors") {
+    // the residual-PQ seed path banks on this replica being bit-exact;
+    // randomized vectors/centroids including zero vectors and zero
+    // centroids (the 2.0-distance guard)
+    val vecGen = Gen.listOfN(8, Gen.oneOf(
+      Gen.chooseNum(-1000, 1000).map(_ / 251.0f),
+      Gen.const(0.0f)))
+    val caseGen = for {
+      v <- vecGen
+      k <- Gen.chooseNum(1, 6)
+      cs <- Gen.listOfN(k, Gen.listOfN(8, Gen.oneOf(
+        Gen.chooseNum(-1000, 1000).map(_ / 257.0), Gen.const(0.0))))
+    } yield (v, cs)
+    val cases = Gen.listOfN(60, caseGen).sample.get
+    cases.zipWithIndex.foreach { case ((v, cs), i) =>
+      val df = Seq((i.toLong, v)).toDF("vec_id", "embedding")
+      val executed = VectorOps.withRanks(df, cs.map(_.toSeq))
+        .select(col("__ranks")(0)).as[Int].head()
+      val driver = VectorOps.nearestCentroid(
+        v.map(_.toDouble), cs.map(_.toSeq))
+      assert(driver === executed, s"case $i: v=$v cs=$cs")
+    }
+  }
+}
