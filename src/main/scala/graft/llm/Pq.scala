@@ -103,6 +103,15 @@ object Pq {
     * defensive checkpoint and seed job when they already hold both. */
   private[llm] def codebookLloyd(
       e: DataFrame, init: Seq[Seq[Seq[Double]]], subDim: Int,
+      iterations: Int): Seq[Seq[Seq[Double]]] = LocalLloyd.sample(e) match {
+    case Some(s) => LocalLloyd.lloydPq(s, init, subDim, iterations)
+    case None => codebookLloydDistributed(e, init, subDim, iterations)
+  }
+
+  /** The distributed fallback of [[codebookLloyd]] for frames past the
+    * [[LocalLloyd]] sample cap. */
+  private[llm] def codebookLloydDistributed(
+      e: DataFrame, init: Seq[Seq[Seq[Double]]], subDim: Int,
       iterations: Int): Seq[Seq[Seq[Double]]] = {
     var cbs = init
     for (_ <- 0 until iterations) {
@@ -146,9 +155,18 @@ object Pq {
     val base =
       if (trainFrac >= 1.0) emb
       else emb.filter(Mixing.hashKeep(col("vec_id"), lit(trainFrac)))
-    val e = base.select(col("vec_id"), col("embedding")).localCheckpoint(false)
-    codebookLloyd(e, seedCodebooks(VectorOps.seedRows(e, k), m, subDim),
-      subDim, iterations)
+    val sel = base.select(col("vec_id"), col("embedding"))
+    // LocalLloyd gate first: the local path needs no checkpoint (one fetch,
+    // no repeated passes) and folds the seed job into the same sample
+    LocalLloyd.sample(sel) match {
+      case Some(s) =>
+        LocalLloyd.lloydPq(s, seedCodebooks(LocalLloyd.seeds(s, k), m, subDim),
+          subDim, iterations)
+      case None =>
+        val e = sel.localCheckpoint(false)
+        codebookLloydDistributed(e, seedCodebooks(VectorOps.seedRows(e, k), m, subDim),
+          subDim, iterations)
+    }
   }
 
   /** FUSED IVF + PQ training for the non-residual case — the two
@@ -177,6 +195,19 @@ object Pq {
       nCodes: Int,
       iterations: Int,
       dim: Int): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    // LocalLloyd gate: the coarse and PQ updates are independent (fusion
+    // only shares jobs), so running them separately off one in-memory
+    // sample trains the same values — the WHOLE training becomes one
+    // bounded fetch.
+    LocalLloyd.sample(e) match {
+      case Some(s) =>
+        val sd = dim / m
+        val localSeeds = LocalLloyd.seeds(s, math.max(nCentroids, nCodes))
+        return (
+          LocalLloyd.lloydCoarse(s, localSeeds.take(nCentroids), iterations),
+          LocalLloyd.lloydPq(s, seedCodebooks(localSeeds.take(nCodes), m, sd), sd, iterations))
+      case None => ()
+    }
     val subDim = dim / m
     val seeds = VectorOps.seedRows(e, math.max(nCentroids, nCodes))
     var coarse: Seq[Seq[Double]] = seeds.take(nCentroids)
@@ -318,9 +349,16 @@ object Pq {
     val cbs =
       if (trainFrac >= 1.0) {
         val subDim = dim / m
-        codebookLloyd(e.select(col("vec_id"), col("embedding")),
-          seedCodebooks(VectorOps.seedRows(e, nCodes), m, subDim),
-          subDim, iterations)
+        val sel = e.select(col("vec_id"), col("embedding"))
+        LocalLloyd.sample(sel) match {
+          case Some(s) =>
+            LocalLloyd.lloydPq(s, seedCodebooks(LocalLloyd.seeds(s, nCodes), m, subDim),
+              subDim, iterations)
+          case None =>
+            codebookLloydDistributed(sel,
+              seedCodebooks(VectorOps.seedRows(e, nCodes), m, subDim),
+              subDim, iterations)
+        }
       } else trainCodebooks(e, m, nCodes, iterations, dim, trainFrac)
     pqTopKWith(e, queryIds, cbs, k, refine, dim)
   }
@@ -343,6 +381,23 @@ object Pq {
       nCodes: Int,
       iterations: Int,
       dim: Int): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    // LocalLloyd gate: seed pick, coarse Lloyd, residual projection
+    // ((x - w) through float, the executed cast) and the PQ Lloyd all run
+    // off one bounded in-memory fetch — same values post-rounding.
+    LocalLloyd.sample(e) match {
+      case Some(s) =>
+        val sd = dim / m
+        val localSeeds = LocalLloyd.seeds(s, math.max(nCentroids, nCodes))
+        val coarseL = LocalLloyd.lloydCoarse(s, localSeeds.take(nCentroids), iterations)
+        val pqSeedsL = localSeeds.take(nCodes).map { v =>
+          val b = VectorOps.nearestCentroid(v, coarseL)
+          v.zip(coarseL(b)).map { case (x, w) => (x - w).toFloat.toDouble }
+        }
+        val residS = LocalLloyd.residual(s, coarseL)
+        return (coarseL,
+          LocalLloyd.lloydPq(residS, seedCodebooks(pqSeedsL, m, sd), sd, iterations))
+      case None => ()
+    }
     val subDim = dim / m
     val seeds = VectorOps.seedRows(e, math.max(nCentroids, nCodes))
     val coarse = VectorOps.trainCentroidsFrom(e, seeds.take(nCentroids), iterations)
@@ -443,13 +498,20 @@ object Pq {
           .otherwise(adcDot / (col("qn") * col("nn"))))
       .withColumn("arnk", row_number().over(wAdc))
       .filter(col("arnk") <= refine * k)
-      .select("qid", "qe", "qn", "nid")
+      .select("qid", "qn", "nid")
     val wX = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     // the shortlist is BOUNDED at |queries| * refine * k rows by the arnk
-    // filter — broadcast it so the exact re-rank probes the corpus side
-    // without shuffling either side (the corpus is the big side at 100 TB)
+    // filter — broadcast it SLIM (three scalars per row, no embedding) so
+    // the exact re-rank probes the corpus side without shuffling either
+    // side; the query embeddings re-join from their own bounded broadcast
+    // (|queries| rows) instead of riding every shortlist row at 64-float
+    // width, keeping the collected broadcast ~10x smaller for large query
+    // batches
+    val qFlat = broadcast(e.filter(queryIds(col("vec_id")))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
     broadcast(shortlist)
       .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
+      .join(qFlat, Seq("qid"))
       .withColumn("nn", expr(VectorOps.normExprFor(e, "ne")))
       .withColumn("cos",
         when(col("qn") * col("nn") === 0, lit(-2.0))
@@ -518,13 +580,18 @@ object Pq {
           .otherwise(adcDot / (col("qn") * col("nn"))))
       .withColumn("arnk", row_number().over(wAdc))
       .filter(col("arnk") <= refine * k)
-      .select("qid", "qe", "qn", "nid")
+      .select("qid", "qn", "nid")
     // exact re-rank of the shortlist only — broadcast: bounded at
     // |queries| * refine * k rows by the arnk filter, so the corpus side
-    // is probed in place instead of shuffled
+    // is probed in place instead of shuffled. The shortlist broadcasts
+    // SLIM (no embedding); query embeddings re-join from their own
+    // |queries|-row broadcast rather than riding every shortlist row.
     val wX = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    val qFlat = broadcast(e.filter(queryIds(col("vec_id")))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
     broadcast(shortlist)
       .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
+      .join(qFlat, Seq("qid"))
       .withColumn("nn", expr(VectorOps.normExprFor(e, "ne")))
       .withColumn("cos",
         when(col("qn") * col("nn") === 0, lit(-2.0))

@@ -255,10 +255,18 @@ object VectorOps {
     * AND cross-engine (the q33 oracle replays this training in SQL); the
     * <= 5e-7 per-component perturbation is immaterial for clustering.
     * Callers pass an already-checkpointed frame (the loop makes
-    * `iterations`+1 passes). */
+    * `iterations`+1 passes).
+    *
+    * Gated through [[LocalLloyd]]: when the frame fits the bounded sample
+    * cap the whole training (seed pick + every Lloyd pass) runs driver-side
+    * off ONE fetch — same values post-rounding (differential spec), one
+    * Spark job instead of `iterations`+1. */
   private[llm] def trainCentroids(
       e: DataFrame, nCentroids: Int, iterations: Int): Seq[Seq[Double]] =
-    trainCentroidsFrom(e, seedRows(e, nCentroids), iterations)
+    LocalLloyd.sample(e) match {
+      case Some(s) => LocalLloyd.lloydCoarse(s, LocalLloyd.seeds(s, nCentroids), iterations)
+      case None => trainCentroidsFrom(e, seedRows(e, nCentroids), iterations)
+    }
 
   /** The Lloyd loop of [[trainCentroids]] from pre-fetched seed vectors —
     * lets the fused IVF-PQ trainer share one seed job across both
