@@ -29,7 +29,17 @@ object ScaleBench {
     * (one max() over the id column, driver-side scalar). */
   def replicate(df: DataFrame, idCol: String, factor: Int): DataFrame = {
     val stride = 10000000L
-    val maxId = df.agg(max(col(idCol))).head().getLong(0)
+    // descriptive failures over a bare getLong: an empty frame yields a
+    // NULL max (NPE), a non-integral id column a ClassCastException —
+    // neither names the actual precondition
+    val maxId = Option(df.agg(max(col(idCol))).head().get(0)) match {
+      case Some(n: Number) => n.longValue()
+      case Some(other) => throw new IllegalArgumentException(
+        s"replicate: $idCol must be an integral column, got value '$other' " +
+          s"of ${other.getClass.getSimpleName}")
+      case None => throw new IllegalArgumentException(
+        s"replicate: input frame is empty — nothing to replicate")
+    }
     require(maxId < stride,
       s"replicate: max($idCol) = $maxId >= stride $stride — replicas would collide")
     (0 until factor)

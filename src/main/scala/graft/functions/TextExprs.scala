@@ -397,8 +397,23 @@ case class IntersectSize(left: Expression, right: Expression) extends BinaryExpr
   * ONE task, and the interpreted nested transform/filter HOF tree pays a
   * lambda dispatch per candidate combination — O(bucket^2) of them. These
   * run the identical loop (including the identical double-precision size
-  * bound `min(na,nb) >= tau * max(na,nb)`) natively inside codegen. */
+  * bound) natively inside codegen.
+  *
+  * The size bound is SLACKENED by [[BandPairKernels.SizeBoundSlack]]:
+  * `min(na,nb) >= tau * max(na,nb) * (1 - 1e-12)`. The mathematical cull
+  * condition (J >= tau ⟹ min >= tau * max) is exact over rationals, but
+  * the three places that must agree — these kernels, the HOF fallback
+  * SQL, and the final exact-jaccard filter — each round differently at
+  * the last ulp; the slack guarantees a pair sitting ON the boundary is
+  * always DEFERRED to the exact verify rather than culled, so the
+  * prefiltered pair set equals the unprefiltered one for every tau, not
+  * just taus whose double representation is exact. The HOF twins use the
+  * same double arithmetic (`CAST(tau AS DOUBLE) * n * slack`, left
+  * associated), keeping kernel and fallback bit-identical. */
 object BandPairKernels {
+
+  /** Shared slack factor for the size-bound cull — see the class doc. */
+  val SizeBoundSlack: Double = 1.0 - 1e-12
 
   private def pair(a: Long, b: Long, na: Long, nb: Long): InternalRow =
     InternalRow(a, b, na, nb)
@@ -430,7 +445,7 @@ object BandPairKernels {
         val (a, b) = if (ids(i) < ids(j)) (i, j) else (j, i)
         val lo = math.min(ns(a), ns(b)).toDouble
         val hi = math.max(ns(a), ns(b)).toDouble
-        if (lo >= tau * hi)
+        if (lo >= tau * hi * SizeBoundSlack)
           out += pair(ids(a), ids(b), ns(a), ns(b))
         j += 1
       }
@@ -462,7 +477,7 @@ object BandPairKernels {
           if ((!inc(a) || ids(a) < ids(x))) {
             val lo = math.min(ns(a), ns(x)).toDouble
             val hi = math.max(ns(a), ns(x)).toDouble
-            if (lo >= tau * hi)
+            if (lo >= tau * hi * SizeBoundSlack)
               out += pair(ids(a), ids(x), ns(a), ns(x))
           }
           a += 1

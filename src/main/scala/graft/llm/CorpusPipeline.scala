@@ -141,10 +141,13 @@ object CorpusPipeline {
     *
     * The standing frame is referenced by three legs (exact digests, LSH
     * band rows, the semantic doc_id set — plus 2b/7 censuses when
-    * enabled), so it is lazily localCheckpointed ONCE here: a caller
-    * passing a derived DAG (e.g. a fresh [[prepare]] output) pays one
-    * evaluation, not one per leg. At 100 TB standing is a materialized
-    * table and the checkpoint is a cheap re-cache of its scan. */
+    * enabled), so a caller passing a DERIVED DAG (e.g. a fresh
+    * [[prepare]] output) gets it lazily localCheckpointed ONCE here: one
+    * evaluation, not one per leg. A standing frame that is already a bare
+    * table scan / materialized RDD skips the barrier ([[Frames.barrier]]) —
+    * at 100 TB standing is a materialized table, and checkpointing it
+    * would copy the whole table into executor-local storage when each leg
+    * can just re-scan it with its own column pruning. */
   def prepareIncremental(
       incoming: DataFrame,
       standing: DataFrame,
@@ -152,7 +155,7 @@ object CorpusPipeline {
       cfg: Config = Config(),
       embeddings: Option[DataFrame] = None,
       centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
-    val stand = standing.localCheckpoint(false)
+    val stand = Frames.barrier(standing)
     val gated = TextOps.gopherGate(incoming,
       minWords = cfg.minWords, maxWords = cfg.maxWords)
     val scrubbed = TextOps.redactPii(gated, "text")

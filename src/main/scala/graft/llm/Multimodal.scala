@@ -530,9 +530,14 @@ object Multimodal {
       if (i >= bytes.length || bytes(i) != '\n') fail("missing raster separator")
       i += 1
       if (w <= 0 || h <= 0 || n <= 0) fail(s"bad geometry ${w}x$h x$n")
-      val need = w * h * n
-      if (bytes.length - i < need) fail(s"truncated frames: ${bytes.length - i} < $need")
-      Gvid(w, h, n, java.util.Arrays.copyOfRange(bytes, i, i + need))
+      // Long product: the per-value overflow caps don't bound the PRODUCT —
+      // a crafted header like 100000x100000x10 wraps an Int multiply and
+      // could pass the truncation check with nFrames disagreeing with the
+      // frame buffer (blowing up later in videoPhash instead of here)
+      val need = w.toLong * h * n
+      if (need > bytes.length - i || need > Int.MaxValue)
+        fail(s"truncated frames: ${bytes.length - i} < $need")
+      Gvid(w, h, n, java.util.Arrays.copyOfRange(bytes, i, i + need.toInt))
     }
   }
 

@@ -231,11 +231,16 @@ object TextOps {
       if (hasFn(bands, "graft_inc_band_pairs"))
         call_function("graft_inc_band_pairs", col("items"), lit(tau))
       else expr(
+        // CAST(tau AS DOUBLE) + the shared slack: identical double
+        // arithmetic to the kernel's size bound (a bare `$tau` would parse
+        // as exact DECIMAL and diverge at the last ulp for taus like 0.87)
         s"""flatten(transform(
            |  filter(items, x -> x.inc = 1L),
            |  x -> transform(
            |    filter(items, a -> (a.inc = 0L OR a.doc_id < x.doc_id)
-           |                       AND least(a.n, x.n) >= $tau * greatest(a.n, x.n)),
+           |                       AND least(a.n, x.n) >=
+           |                           CAST($tau AS DOUBLE) * greatest(a.n, x.n)
+           |                           * ${graft.functions.BandPairKernels.SizeBoundSlack}D),
            |    a -> named_struct('doc_a', a.doc_id, 'doc_b', x.doc_id,
            |                      'na', a.n, 'nb', x.n))))""".stripMargin)
     bands.groupBy("band", "sig")
@@ -258,10 +263,13 @@ object TextOps {
       if (hasFn(bands, "graft_band_pairs"))
         call_function("graft_band_pairs", col("ids"), lit(tau))
       else expr(
+        // same double-arithmetic discipline as the incremental twin above
         s"""flatten(transform(ids, (a, i) ->
            |  transform(
            |    filter(slice(ids, i + 2, size(ids) - i - 1),
-           |           b -> least(a.n, b.n) >= $tau * greatest(a.n, b.n)),
+           |           b -> least(a.n, b.n) >=
+           |                CAST($tau AS DOUBLE) * greatest(a.n, b.n)
+           |                * ${graft.functions.BandPairKernels.SizeBoundSlack}D),
            |    b -> named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
            |                      'na', a.n, 'nb', b.n))))""".stripMargin)
     bands.groupBy("band", "sig")
@@ -611,12 +619,15 @@ object TextOps {
       .join(cand.select(col("o_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("o_id"), shingleCol(other, k).as("os"))
       .withColumn("on", size(col("os")).cast("long"))
-    // sound size prefilter (J >= tau ⟹ min >= tau * max) ahead of the
-    // intersect kernel — same results, no intersect for mismatched sizes
+    // sound size prefilter (J >= tau ⟹ min >= tau * max, slackened by the
+    // shared SizeBoundSlack so boundary pairs always defer to the exact
+    // verify below) ahead of the intersect kernel — same results, no
+    // intersect for mismatched sizes
     cand
       .join(trainSets, Seq("doc_id"))
       .join(otherSets, Seq("o_id"))
-      .filter(least(col("tn"), col("on")) >= lit(tau) * greatest(col("tn"), col("on")))
+      .filter(least(col("tn"), col("on")) >= lit(tau) * greatest(col("tn"), col("on"))
+        * lit(graft.functions.BandPairKernels.SizeBoundSlack))
       .withColumn("common", isectSize(train, col("ts"), col("os")))
       .filter(col("common").cast("double")
         / (col("tn") + col("on") - col("common")) >= tau)

@@ -116,8 +116,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def litDouble(e: Expression, fn: String, pos: Int): Double = e match {
     case Literal(v: Double, org.apache.spark.sql.types.DoubleType) => v
     case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v.toDouble
+    // raw-SQL fractional literals (`graft_band_pairs(items, 0.8)`) parse as
+    // exact DECIMAL — accept them with the standard toDouble conversion
+    case Literal(v: org.apache.spark.sql.types.Decimal, _: org.apache.spark.sql.types.DecimalType) =>
+      v.toDouble
     case other => throw new IllegalArgumentException(
-      s"$fn argument $pos must be a DOUBLE literal, got $other")
+      s"$fn argument $pos must be a numeric literal, got $other")
   }
 
   override def apply(extensions: SparkSessionExtensions): Unit = {

@@ -51,7 +51,6 @@ class KernelPropertySpec extends SparkSpec {
       ns <- Gen.listOfN(k, Gen.chooseNum(0L, 400L))
     } yield ids.toSeq.zip(incs).zip(ns).map { case ((i, c), n) => (i, c, n) }
     val buckets = Gen.listOfN(150, bucketGen).sample.get
-    val tau = 0.8
     val df = buckets.zipWithIndex
       .map { case (items, i) => (i.toLong, items) }
       .toDF("bucket_id", "raw")
@@ -64,25 +63,51 @@ class KernelPropertySpec extends SparkSpec {
       df.select(col("bucket_id"), explode(c).as("p"))
         .select(col("bucket_id"), col("p.doc_a"), col("p.doc_b"), col("p.na"), col("p.nb"))
         .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
-    val hofInc = expr(
-      s"""flatten(transform(
-         |  filter(items, x -> x.inc = 1L),
-         |  x -> transform(
-         |    filter(items, a -> (a.inc = 0L OR a.doc_id < x.doc_id)
-         |                       AND least(a.n, x.n) >= $tau * greatest(a.n, x.n)),
-         |    a -> named_struct('doc_a', a.doc_id, 'doc_b', x.doc_id,
-         |                      'na', a.n, 'nb', x.n))))""".stripMargin)
-    assert(collectPairs(call_function("graft_inc_band_pairs", col("items"), lit(tau)))
-      === collectPairs(hofInc))
-    val hofAll = expr(
-      s"""flatten(transform(ids, (a, i) ->
-         |  transform(
-         |    filter(slice(ids, i + 2, size(ids) - i - 1),
-         |           b -> least(a.n, b.n) >= $tau * greatest(a.n, b.n)),
-         |    b -> named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
-         |                      'na', a.n, 'nb', b.n))))""".stripMargin)
-    assert(collectPairs(call_function("graft_band_pairs", col("ids"), lit(tau)))
-      === collectPairs(hofAll))
+    // production HOF twins (CAST tau AS DOUBLE + the shared slack), over
+    // taus whose double representation ISN'T exact (0.87, 0.33) as well as
+    // the near-exact 0.8 — the round-8 form only exercised 0.8, which
+    // provably cannot diverge
+    val slack = graft.functions.BandPairKernels.SizeBoundSlack
+    for (tau <- Seq(0.8, 0.87, 0.33, 0.5)) {
+      val hofInc = expr(
+        s"""flatten(transform(
+           |  filter(items, x -> x.inc = 1L),
+           |  x -> transform(
+           |    filter(items, a -> (a.inc = 0L OR a.doc_id < x.doc_id)
+           |                       AND least(a.n, x.n) >=
+           |                           CAST($tau AS DOUBLE) * greatest(a.n, x.n) * ${slack}D),
+           |    a -> named_struct('doc_a', a.doc_id, 'doc_b', x.doc_id,
+           |                      'na', a.n, 'nb', x.n))))""".stripMargin)
+      assert(collectPairs(call_function("graft_inc_band_pairs", col("items"), lit(tau)))
+        === collectPairs(hofInc), s"inc pairs diverged at tau=$tau")
+      val hofAll = expr(
+        s"""flatten(transform(ids, (a, i) ->
+           |  transform(
+           |    filter(slice(ids, i + 2, size(ids) - i - 1),
+           |           b -> least(a.n, b.n) >=
+           |                CAST($tau AS DOUBLE) * greatest(a.n, b.n) * ${slack}D),
+           |    b -> named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
+           |                      'na', a.n, 'nb', b.n))))""".stripMargin)
+      assert(collectPairs(call_function("graft_band_pairs", col("ids"), lit(tau)))
+        === collectPairs(hofAll), s"band pairs diverged at tau=$tau")
+    }
+    // a DECIMAL tau from raw SQL must resolve (the function-builder accepts
+    // decimal literals with the standard toDouble conversion)
+    assert(df.selectExpr("explode(graft_band_pairs(ids, 0.8)) AS p").count() ===
+      df.select(explode(call_function("graft_band_pairs", col("ids"), lit(0.8)))).count())
+  }
+
+  test("size-bound slack: boundary pairs are deferred, never culled") {
+    // min == tau * max exactly (4/5 at tau=0.8) and one ulp below via an
+    // inexact tau (0.87: 87, 100): the kernel prefilter must keep every
+    // pair whose true jaccard could still reach tau — equality cases pass
+    for ((na, nb, tau) <- Seq((4L, 5L, 0.8), (87L, 100L, 0.87), (33L, 100L, 0.33))) {
+      val got = graft.functions.BandPairKernels.bandPairs(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](
+          org.apache.spark.sql.catalyst.InternalRow(1L, na),
+          org.apache.spark.sql.catalyst.InternalRow(2L, nb))), tau)
+      assert(got.numElements() === 1, s"boundary pair ($na,$nb) culled at tau=$tau")
+    }
   }
 
   test("driver-side nearestCentroid == executed rank-0 assignment on random vectors") {

@@ -96,5 +96,11 @@ class MultimodalSpec extends AnyFunSuite {
       GvidCodec.decode("GV1\n0 1 1\n".getBytes(UTF_8)))
     assertThrows[IllegalArgumentException](
       GvidCodec.encode(2, 1, Array.fill(3)(0.toByte))) // not a whole frame
+    // geometry whose Int product wraps (each value under the per-value cap)
+    // must fail the truncation check loudly, not pass with a wrapped `need`
+    val wrapped = GvidCodec.decode _
+    val e = intercept[IllegalArgumentException](
+      wrapped(("GV1\n100000 100000 10\n" + "x" * 64).getBytes(UTF_8)))
+    assert(e.getMessage.contains("truncated frames"), e.getMessage)
   }
 }
