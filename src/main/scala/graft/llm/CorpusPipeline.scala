@@ -154,7 +154,43 @@ object CorpusPipeline {
       evalCorpus: Option[DataFrame] = None,
       cfg: Config = Config(),
       embeddings: Option[DataFrame] = None,
-      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+      centroids: Option[Seq[Seq[Double]]] = None): DataFrame =
+    prepareIncrementalImpl(incoming, standing, None, evalCorpus, cfg,
+      embeddings, centroids)
+
+  /** [[prepareIncremental]] fed from a persisted [[StandingState]] — the
+    * production ingest cycle: the standing side's digests, band rows, and
+    * frozen centroids come from the state's tables instead of being
+    * recomputed from the corpus text, so per-ingest standing cost is a
+    * scan of PRECOMPUTED artifacts (16-byte digests, band keys) rather
+    * than a full-text digest + shingle + minhash pass — the difference
+    * between O(batch) and O(corpus) work per day at 100 TB. `standing`
+    * (the corpus table scan) is still consulted, but only for batch-shaped
+    * work: candidate-text verification (semi-join pruned), the optional
+    * 2b passage census, the mixing census, and the semantic stage's
+    * standing-vector assignment. Result-identical to the frame-fed form
+    * (spec-pinned); after admitting the result, [[StandingState.append]]
+    * + appending the rows to the corpus table complete the cycle. */
+  def prepareIncrementalWithState(
+      incoming: DataFrame,
+      standing: DataFrame,
+      state: StandingState,
+      evalCorpus: Option[DataFrame] = None,
+      cfg: Config = Config(),
+      embeddings: Option[DataFrame] = None): DataFrame = {
+    state.requireCompatible(cfg)
+    prepareIncrementalImpl(incoming, standing, Some(state), evalCorpus, cfg,
+      embeddings, state.centroids)
+  }
+
+  private def prepareIncrementalImpl(
+      incoming: DataFrame,
+      standing: DataFrame,
+      state: Option[StandingState],
+      evalCorpus: Option[DataFrame],
+      cfg: Config,
+      embeddings: Option[DataFrame],
+      centroids: Option[Seq[Seq[Double]]]): DataFrame = {
     val stand = Frames.barrier(standing)
     val gated = TextOps.gopherGate(incoming,
       minWords = cfg.minWords, maxWords = cfg.maxWords)
@@ -181,10 +217,21 @@ object CorpusPipeline {
       if (cfg.normalizeFingerprints)
         _.withColumn("text", col("raw_text")).drop("raw_text")
       else identity
-    val exact = Dedup.exactIncremental(descrubbed, stand)
-    val deduped = unfp(Dedup.dedupNearLshIncremental(
-      fp(exact), fp(stand), tau = cfg.nearDupTau,
-      shingleSize = cfg.shingleSize))
+    // exact + LSH legs: standing-side artifacts from the persisted state
+    // when fed one (no standing recompute), else derived from the frame
+    val exact = state match {
+      case Some(st) => Dedup.exactIncrementalVsDigests(descrubbed, st.digests)
+      case None => Dedup.exactIncremental(descrubbed, stand)
+    }
+    val deduped = state match {
+      case Some(st) => unfp(Dedup.dedupNearLshIncrementalVsBands(
+        fp(exact), st.bands, fp(stand).select("doc_id", "text"),
+        tau = cfg.nearDupTau, shingleSize = cfg.shingleSize,
+        numHashes = st.meta.numHashes, bandRows = st.meta.bandRows))
+      case None => unfp(Dedup.dedupNearLshIncremental(
+        fp(exact), fp(stand), tau = cfg.nearDupTau,
+        shingleSize = cfg.shingleSize))
+    }
     val semantic = embeddings match {
       case Some(ef) =>
         val inc = ef.join(deduped.select("doc_id"), Seq("doc_id"), "left_semi")

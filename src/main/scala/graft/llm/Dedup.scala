@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -93,13 +93,30 @@ object Dedup {
   def exactIncremental(
       incoming: DataFrame,
       standing: DataFrame,
+      on: String = "text"): DataFrame =
+    exactIncrementalVsDigests(incoming,
+      standing.select(digestCol(on).as("digest")).distinct(), on)
+
+  /** The content digest of [[exactIncremental]] / the standing-state digest
+    * table: md5 of the UTF-8 bytes, NULL digesting to a sentinel (not an
+    * md5 hex string, so no collision) so a standing NULL drops an incoming
+    * NULL through the semi-join — matching exact()/exactByHash(), whose
+    * window partitioning groups NULLs together. */
+  private[llm] def digestCol(on: String): Column =
+    coalesce(md5(col(on).cast("binary")), lit("<null>"))
+
+  /** [[exactIncremental]] against a PRECOMPUTED standing digest frame
+    * (one `digest` string column — [[CorpusPipeline.StandingState]]'s
+    * persisted table, possibly with append-duplicates; deduped here).
+    * This is the ingest-cycle fast path: the standing corpus is never
+    * scanned, the batch shuffles 16-byte digests against the digest
+    * table only. */
+  def exactIncrementalVsDigests(
+      incoming: DataFrame,
+      standingDigests: DataFrame,
       on: String = "text"): DataFrame = {
-    // NULL values digest to a sentinel (not an md5 hex string, so no
-    // collision) so a standing NULL drops an incoming NULL through the
-    // semi-join — matching exact()/exactByHash(), whose window
-    // partitioning groups NULLs together.
-    val dig = coalesce(md5(col(on).cast("binary")), lit("<null>"))
-    val seen = standing.select(dig.as("__h")).distinct()
+    val dig = digestCol(on)
+    val seen = standingDigests.select(col("digest").as("__h")).distinct()
     val w = Window.partitionBy("__h").orderBy("doc_id")
     val drop = incoming.select(col("doc_id"), dig.as("__h"))
       .join(seen, Seq("__h"), "left_semi")
@@ -139,10 +156,33 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 16,
       bandRows: Int = 2,
+      maxBucketSize: Int = TextOps.DefaultMaxBucketSize): DataFrame =
+    dedupNearLshIncrementalVsBands(incoming,
+      TextOps.bandRowsSizedDF(standing, shingleSize, numHashes, bandRows),
+      standing.select("doc_id", "text"),
+      tau, shingleSize, numHashes, bandRows, maxBucketSize)
+
+  /** [[dedupNearLshIncremental]] against PRECOMPUTED standing band rows
+    * ((doc_id, band, sig, n) — [[CorpusPipeline.StandingState]]'s persisted
+    * table) — the ingest-cycle fast path: the standing corpus' shingle +
+    * minhash projection (its full-text scan) is never recomputed; standing
+    * TEXT is touched only for the batch-shaped candidate verification via
+    * `standingText` (a bare table scan — the semi-join prunes it to
+    * candidate docs). `standingText` must be the SAME text the band rows
+    * were computed over (normalized if they were). */
+  def dedupNearLshIncrementalVsBands(
+      incoming: DataFrame,
+      standingBands: DataFrame,
+      standingText: DataFrame,
+      tau: Double,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bandRows: Int = 2,
       maxBucketSize: Int = TextOps.DefaultMaxBucketSize): DataFrame = {
+    val standing = standingText
     val bi = TextOps.bandRowsSizedDF(incoming, shingleSize, numHashes, bandRows)
       .withColumn("inc", lit(1L))
-    val bs = TextOps.bandRowsSizedDF(standing, shingleSize, numHashes, bandRows)
+    val bs = standingBands.select("doc_id", "band", "sig", "n")
       .withColumn("inc", lit(0L))
     // the sound tau size bound runs INSIDE pair emission
     // ([[TextOps.incrementalBucketPairsSized]]): a boilerplate-skewed band
@@ -576,9 +616,13 @@ object Dedup {
       VectorOps.hyperplaneBuckets(df, nPlanes, dim)
         .select(col("vec_id").as("doc_id"), lit(0).as("band"),
           col("bucket").cast("string").as("sig"), lit(inc).as("inc"))
+    // single-consumer join tree: `pairs` feeds exactly one join chain and
+    // `drop` exactly one anti-join, so neither needs a barrier — the one
+    // LAZY checkpoint on `drop` only keeps the anti-join's build side from
+    // re-deriving the full pair subtree under AQE re-planning (it
+    // materializes during the run, never as a separate blocking job)
     val pairs = TextOps.incrementalBucketPairs(
       bands(incoming, 1L).unionByName(bands(standing, 0L)), maxBucketSize)
-      .localCheckpoint(false)
     val corpus = standing.select("vec_id", "embedding")
       .unionByName(incoming.select("vec_id", "embedding"))
     val a = corpus.select(col("vec_id").as("doc_a"), col("embedding").as("qe"))
@@ -589,7 +633,7 @@ object Dedup {
       .filter(col("na") * col("nb") =!= 0 &&
         expr(VectorOps.dotExprFor(corpus, "qe", "ne")) / (col("na") * col("nb")) >= tau)
       .select(col("doc_b").as("vec_id")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     incoming.join(drop, Seq("vec_id"), "left_anti")
   }
 
@@ -617,7 +661,7 @@ object Dedup {
       .filter(col("na") * col("nb") =!= 0 &&
         expr(VectorOps.dotExprFor(emb, "qe", "ne")) / (col("na") * col("nb")) >= tau)
       .select(col("vec_b").as("vec_id")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: single consumer (see incremental twin)
     emb.join(drop, Seq("vec_id"), "left_anti")
   }
 }

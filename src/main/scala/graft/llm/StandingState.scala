@@ -1,0 +1,165 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED standing-corpus state for the ingest cycle — the artifact
+  * store that makes [[CorpusPipeline.prepareIncremental]] truly
+  * batch-shaped RUN-OVER-RUN, not just within one run.
+  *
+  * Without it, every daily ingest recomputes the standing side from the
+  * corpus text: the exact leg re-digests every standing doc, the LSH leg
+  * re-runs the shingle + minhash projection over every standing doc, and
+  * the semantic leg (absent passed centroids) re-runs a Lloyd training —
+  * all O(standing), i.e. O(100 TB), for a batch-sized result. This state
+  * persists exactly those standing-side derivations as parquet tables:
+  *
+  *  - `digests/`   — distinct content digests ([[Dedup.digestCol]] of the
+  *                   scrubbed text), the [[Dedup.exactIncrementalVsDigests]]
+  *                   side: 16 bytes per standing doc;
+  *  - `bands/`     — LSH band rows (doc_id, band, sig, n) over the
+  *                   (optionally normalized) text, the
+  *                   [[Dedup.dedupNearLshIncrementalVsBands]] side;
+  *  - `centroids/` — frozen SemDeDup centroids (when an embeddings frame
+  *                   was supplied): k x dim doubles;
+  *  - `meta/`      — one row recording the fingerprint parameters
+  *                   (shingleSize, numHashes, bandRows, normalization)
+  *                   so a state cannot silently be used under a different
+  *                   [[CorpusPipeline.Config]].
+  *
+  * Standing TEXT is deliberately NOT part of the state: the incremental
+  * legs touch standing text only for batch-shaped candidate verification
+  * and censuses, which read the standing corpus table directly (with
+  * semi-join pruning). [[append]] closes the cycle: after admitting a
+  * prepared batch, its digests and band rows append to the tables, so the
+  * next ingest's standing side is one table scan of precomputed artifacts
+  * regardless of corpus size.
+  */
+final case class StandingState(
+    digests: DataFrame,
+    bands: DataFrame,
+    centroids: Option[Seq[Seq[Double]]],
+    meta: StandingState.Meta) {
+
+  /** Fail loudly when a state trained under one fingerprint regime is fed
+    * to a pipeline configured with another — mixed band rows would
+    * silently miss near-dups. */
+  def requireCompatible(cfg: CorpusPipeline.Config): Unit = {
+    require(meta.shingleSize == cfg.shingleSize,
+      s"standing state has shingleSize ${meta.shingleSize}, config wants ${cfg.shingleSize}")
+    require(meta.normalizedFingerprints == cfg.normalizeFingerprints,
+      s"standing state normalizedFingerprints=${meta.normalizedFingerprints}, " +
+        s"config wants ${cfg.normalizeFingerprints}")
+  }
+}
+
+object StandingState {
+
+  final case class Meta(
+      shingleSize: Int,
+      numHashes: Int,
+      bandRows: Int,
+      normalizedFingerprints: Boolean)
+
+  /** The fingerprint projection the state persists for a corpus frame
+    * under `cfg`: digests over the raw (scrubbed) text — exact dedup is
+    * byte-exact by design — and band rows over the normalized text when
+    * the config normalizes fingerprints, mirroring
+    * [[CorpusPipeline.prepareIncremental]]'s legs exactly. */
+  private def artifacts(
+      corpus: DataFrame, cfg: CorpusPipeline.Config,
+      numHashes: Int, bandRows: Int): (DataFrame, DataFrame) = {
+    val digests = corpus.select(Dedup.digestCol("text").as("digest")).distinct()
+    val fpCorpus =
+      if (cfg.normalizeFingerprints) TextOps.normalized(corpus) else corpus
+    val bands = TextOps.bandRowsSizedDF(
+      fpCorpus, cfg.shingleSize, numHashes, bandRows)
+      .select("doc_id", "band", "sig", "n")
+    (digests, bands)
+  }
+
+  /** IN-SESSION state for an already-prepared standing corpus — no IO;
+    * [[write]] is this plus persistence. `embeddings` (covering at least
+    * the standing doc_ids) trains and freezes the SemDeDup centroids. */
+  def build(
+      standing: DataFrame,
+      cfg: CorpusPipeline.Config = CorpusPipeline.Config(),
+      embeddings: Option[DataFrame] = None,
+      numHashes: Int = 16,
+      bandRows: Int = 2): StandingState = {
+    val (digests, bands) = artifacts(standing, cfg, numHashes, bandRows)
+    val cs = embeddings.map { ef =>
+      val standVecs = ef.join(standing.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+        .localCheckpoint(false)
+      Dedup.semDedupCentroids(standVecs, cfg.semDedupNCentroids)
+    }
+    StandingState(digests, bands, cs,
+      Meta(cfg.shingleSize, numHashes, bandRows, cfg.normalizeFingerprints))
+  }
+
+  /** Persist the state for `standing` under `path` (overwrites). One pass
+    * computes digests and band rows; the optional Lloyd run is the same
+    * deterministic training the frame-fed pipeline would do per-ingest —
+    * done ONCE here. */
+  def write(
+      standing: DataFrame,
+      path: String,
+      cfg: CorpusPipeline.Config = CorpusPipeline.Config(),
+      embeddings: Option[DataFrame] = None,
+      numHashes: Int = 16,
+      bandRows: Int = 2): StandingState = {
+    val spark = standing.sparkSession
+    import spark.implicits._
+    // one materialization of the scrubbed standing text feeds both legs
+    val st = Frames.barrier(standing)
+    val state = build(st, cfg, embeddings, numHashes, bandRows)
+    state.digests.write.mode("overwrite").parquet(s"$path/digests")
+    state.bands.write.mode("overwrite").parquet(s"$path/bands")
+    state.centroids.foreach { cs =>
+      cs.zipWithIndex.map { case (c, i) => (i, c) }.toDF("idx", "c")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    }
+    Seq((state.meta.shingleSize, state.meta.numHashes, state.meta.bandRows,
+      state.meta.normalizedFingerprints))
+      .toDF("shingle_size", "num_hashes", "band_rows", "normalized")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    state
+  }
+
+  /** Load a persisted state. The digest/band frames are lazy table scans —
+    * nothing is read until an ingest uses them. */
+  def load(spark: SparkSession, path: String): StandingState = {
+    val meta = {
+      val r = spark.read.parquet(s"$path/meta").head()
+      Meta(r.getAs[Int]("shingle_size"), r.getAs[Int]("num_hashes"),
+        r.getAs[Int]("band_rows"), r.getAs[Boolean]("normalized"))
+    }
+    val cs =
+      if (!new java.io.File(s"$path/centroids").exists()) None
+      else Some(spark.read.parquet(s"$path/centroids")
+        .orderBy("idx").collect()
+        .map(r => r.getSeq[Double](r.fieldIndex("c")).toSeq).toSeq)
+    StandingState(
+      spark.read.parquet(s"$path/digests"),
+      spark.read.parquet(s"$path/bands"),
+      cs, meta)
+  }
+
+  /** Close the ingest cycle: append an ADMITTED batch's digests and band
+    * rows to the persisted tables (batch-shaped work — the standing corpus
+    * is untouched). The caller appends the batch rows to the corpus table
+    * itself; centroids stay frozen (re-train deliberately, via [[write]]).
+    * Duplicate digests across appends are fine — the exact leg dedupes. */
+  def append(
+      batch: DataFrame,
+      path: String,
+      cfg: CorpusPipeline.Config = CorpusPipeline.Config(),
+      numHashes: Int = 16,
+      bandRows: Int = 2): Unit = {
+    val b = Frames.barrier(batch)
+    val (digests, bands) = artifacts(b, cfg, numHashes, bandRows)
+    digests.write.mode("append").parquet(s"$path/digests")
+    bands.write.mode("append").parquet(s"$path/bands")
+  }
+}

@@ -1,0 +1,137 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted standing-corpus artifact store: state-fed incremental
+  * preparation must equal the frame-fed form exactly, the write/load/append
+  * cycle must survive a multi-ingest sequence, and a state built under one
+  * fingerprint regime must refuse to serve another. */
+class StandingStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base(i: Int): String =
+    "the tale of and to in " + (1 to 18).map(j => s"word${i}x$j").mkString(" ")
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("source", lit("s"))
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("doc_id").as[Long].collect().sorted.toSeq
+
+  test("state-fed == frame-fed on planted exact/near/batch-internal dups") {
+    val standing = docs(1L -> base(1), 2L -> base(2))
+    val incoming = docs(
+      10L -> base(1),                  // exact dup of standing 1
+      11L -> (base(2) + " extraword"), // near dup of standing 2
+      12L -> base(12),                 // novel
+      13L -> (base(12) + " extraword"), // near dup of batch 12
+      14L -> base(14))                 // novel
+    val cfg = CorpusPipeline.Config(nearDupTau = 0.8)
+    val frameFed = CorpusPipeline.prepareIncremental(incoming, standing, cfg = cfg)
+    val state = StandingState.build(standing, cfg)
+    val stateFed = CorpusPipeline.prepareIncrementalWithState(
+      incoming, standing, state, cfg = cfg)
+    assert(ids(stateFed) === ids(frameFed))
+    assert(ids(stateFed) === Seq(12L, 14L))
+    assert(stateFed.orderBy("doc_id").collect().map(_.toString).toSeq ===
+      frameFed.orderBy("doc_id").collect().map(_.toString).toSeq)
+  }
+
+  test("state-fed == frame-fed under normalizeFingerprints") {
+    val standing = docs(1L -> base(1))
+    val variant = "the tale of and to in " +
+      (1 to 18).map(j => s"WORD1X$j,").mkString(" ") + " extraword"
+    val incoming = docs(10L -> variant, 11L -> base(11))
+    val cfg = CorpusPipeline.Config(nearDupTau = 0.8, normalizeFingerprints = true)
+    val state = StandingState.build(standing, cfg)
+    val stateFed = CorpusPipeline.prepareIncrementalWithState(
+      incoming, standing, state, cfg = cfg)
+    assert(ids(stateFed) ===
+      ids(CorpusPipeline.prepareIncremental(incoming, standing, cfg = cfg)))
+    assert(ids(stateFed) === Seq(11L))
+  }
+
+  test("frozen centroids ride the state: semantic stage drops the paraphrase") {
+    val standing = docs(1L -> base(1))
+    val incoming = docs(20L -> base(20), 21L -> base(21), 22L -> base(22))
+    val v = Seq.fill(8)(1.0f)
+    val o = (0 until 8).map(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val emb = Seq((1L, v), (20L, v), (21L, o)).toDF("doc_id", "embedding")
+    val cfg = CorpusPipeline.Config(semDedupTau = 0.95, semDedupNCentroids = 1)
+    val state = StandingState.build(standing, cfg, embeddings = Some(emb))
+    assert(state.centroids.isDefined)
+    val out = CorpusPipeline.prepareIncrementalWithState(
+      incoming, standing, state, cfg = cfg, embeddings = Some(emb))
+    assert(ids(out) === Seq(21L, 22L))
+    assert(ids(out) === ids(CorpusPipeline.prepareIncremental(
+      incoming, standing, cfg = cfg, embeddings = Some(emb))))
+  }
+
+  test("write/load roundtrip preserves artifacts, meta, and centroids") {
+    val dir = java.nio.file.Files.createTempDirectory("standing_state_").toString
+    val standing = docs(1L -> base(1), 2L -> base(2))
+    val emb = Seq((1L, Seq.fill(8)(1.0f)), (2L, Seq.fill(8)(-1.0f)))
+      .toDF("doc_id", "embedding")
+    val cfg = CorpusPipeline.Config(nearDupTau = 0.8, semDedupNCentroids = 2)
+    val written = StandingState.write(standing, dir, cfg, embeddings = Some(emb))
+    val loaded = StandingState.load(spark, dir)
+    assert(loaded.meta === written.meta)
+    assert(loaded.centroids === written.centroids)
+    assert(loaded.digests.orderBy("digest").collect().toSeq ===
+      written.digests.orderBy("digest").collect().toSeq)
+    assert(loaded.bands.orderBy("doc_id", "band").collect().toSeq ===
+      written.bands.orderBy("doc_id", "band").collect().toSeq)
+    // loaded state drives an ingest identically to the frame-fed form
+    val incoming = docs(10L -> base(1), 11L -> base(11))
+    assert(ids(CorpusPipeline.prepareIncrementalWithState(
+      incoming, standing, loaded, cfg = cfg)) ===
+      ids(CorpusPipeline.prepareIncremental(incoming, standing, cfg = cfg)))
+  }
+
+  test("append closes the ingest cycle: run 2 sees run 1's admitted docs") {
+    val dir = java.nio.file.Files.createTempDirectory("standing_state_").toString
+    val cfg = CorpusPipeline.Config(nearDupTau = 0.8)
+    val standing = docs(1L -> base(1))
+    StandingState.write(standing, dir, cfg)
+
+    // ingest 1: one novel doc admitted
+    val batch1 = docs(10L -> base(10))
+    val admitted1 = CorpusPipeline.prepareIncrementalWithState(
+      batch1, standing, StandingState.load(spark, dir), cfg = cfg)
+      .localCheckpoint(true)
+    assert(ids(admitted1) === Seq(10L))
+    StandingState.append(admitted1.select("doc_id", "text", "source"), dir, cfg)
+    val standing2 = standing.unionByName(
+      admitted1.select("doc_id", "text", "source"))
+
+    // ingest 2: dups of the ORIGINAL standing doc, of ingest 1's admitted
+    // doc (exact + near), and a novel doc
+    val batch2 = docs(
+      20L -> base(1),                   // exact dup of original standing
+      21L -> base(10),                  // exact dup of ingest-1 admission
+      22L -> (base(10) + " extraword"), // near dup of ingest-1 admission
+      23L -> base(23))                  // novel
+    val stateFed = CorpusPipeline.prepareIncrementalWithState(
+      batch2, standing2, StandingState.load(spark, dir), cfg = cfg)
+    assert(ids(stateFed) === Seq(23L))
+    assert(ids(stateFed) ===
+      ids(CorpusPipeline.prepareIncremental(batch2, standing2, cfg = cfg)))
+  }
+
+  test("incompatible config is refused loudly") {
+    val standing = docs(1L -> base(1))
+    val state = StandingState.build(standing, CorpusPipeline.Config(shingleSize = 3))
+    val e1 = intercept[IllegalArgumentException](
+      CorpusPipeline.prepareIncrementalWithState(
+        docs(10L -> base(10)), standing, state,
+        cfg = CorpusPipeline.Config(shingleSize = 5)))
+    assert(e1.getMessage.contains("shingleSize"))
+    val e2 = intercept[IllegalArgumentException](
+      CorpusPipeline.prepareIncrementalWithState(
+        docs(10L -> base(10)), standing, state,
+        cfg = CorpusPipeline.Config(normalizeFingerprints = true)))
+    assert(e2.getMessage.contains("normalizedFingerprints"))
+  }
+}
