@@ -40,8 +40,15 @@ object SyncMain {
       relaxedPublish: Boolean = false,
       once: Boolean = false,
       maxRestarts: Int = Int.MaxValue,
-      job: String = "blocks", // blocks | schedule (Rakefile:54, :70-73)
-      untilBlock: Option[Long] = None)
+      job: String = "blocks", // blocks | schedule (Rakefile:54, :70-73) | intake
+      untilBlock: Option[Long] = None,
+      // --job=intake knobs (CorpusIntakeJob.runStream)
+      docs: Option[String] = None,
+      keyPrefix: String = "graft:corpus",
+      verifyTau: Option[Double] = None,
+      horizonMs: Long = 30L * 60 * 1000,
+      ttlSeconds: Long = -1L,
+      notifyChannel: Option[String] = None)
 
   def parseArgs(argv: Array[String]): Args =
     argv.foldLeft(Args()) { (a, s) =>
@@ -60,6 +67,12 @@ object SyncMain {
         case Array("--maxRestarts", v) => a.copy(maxRestarts = v.toInt)
         case Array("--job", v) => a.copy(job = v)
         case Array("--untilBlock", v) => a.copy(untilBlock = Some(v.toLong))
+        case Array("--docs", v) => a.copy(docs = Some(v))
+        case Array("--keyPrefix", v) => a.copy(keyPrefix = v)
+        case Array("--verifyTau", v) => a.copy(verifyTau = Some(v.toDouble))
+        case Array("--horizonMs", v) => a.copy(horizonMs = v.toLong)
+        case Array("--ttl", v) => a.copy(ttlSeconds = v.toLong)
+        case Array("--notify", v) => a.copy(notifyChannel = Some(v))
         case other => sys.error(s"unknown argument '${other.mkString("=")}'")
       }
     }
@@ -76,8 +89,32 @@ object SyncMain {
     case other => sys.error(s"unknown backend '$other'")
   }
 
+  /** `--job=intake` leg: JSONL docs directory -> near-dup corpus intake ->
+    * KV backend ([[graft.streaming.CorpusIntakeJob.runStream]]). The doc
+    * stream is Spark's standard file source over `--docs=<dir>` (each line
+    * `{"ts":"2024-01-01T10:00:00Z","doc_id":1,"text":"…"}`); a production
+    * deployment swaps in Kafka behind the same frame shape. State runs on
+    * RocksDB — the documented posture for an unbounded band-key horizon. */
+  def runIntakeOnce(spark: SparkSession, a: Args): Unit = {
+    val dir = a.docs.orElse(a.replay).getOrElse(
+      sys.error("--job=intake needs --docs=<jsonl dir>"))
+    graft.streaming.EventStreamJobs.withRocksDbState(spark)
+    val docs = spark.readStream
+      .schema("ts TIMESTAMP, doc_id BIGINT, text STRING")
+      .json(dir)
+    val trigger =
+      if (a.once) Trigger.AvailableNow() else Trigger.ProcessingTime("3 seconds")
+    val q = graft.streaming.CorpusIntakeJob.runStream(
+      docs, registerBackend(a.backend), a.checkpoint,
+      keyPrefix = a.keyPrefix, verifyTau = a.verifyTau,
+      horizonMs = a.horizonMs, ttlSeconds = a.ttlSeconds,
+      notifyChannel = a.notifyChannel, trigger = trigger)
+    q.awaitTermination()
+  }
+
   /** One stream attempt (blocks until termination or failure). */
   def runOnce(spark: SparkSession, a: Args): Unit = {
+    if (a.job == "intake") return runIntakeOnce(spark, a)
     val raw = (a.endpoints, a.replay) match {
       case (Some(eps), _) =>
         val r = spark.readStream

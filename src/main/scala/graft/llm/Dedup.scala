@@ -424,6 +424,103 @@ object Dedup {
       .select("doc_id", "cluster_id", "cluster_size")
   }
 
+  /** INCREMENTAL duplicate-cluster maintenance — the connected-components
+    * member of the incremental family (exactIncremental /
+    * dedupNearLshIncremental / semDedupIncremental): given the STANDING
+    * labels of a previous [[duplicateClusters]] run and a batch of NEW
+    * verified pairs (cross-batch edges allowed on either endpoint),
+    * produce exactly `duplicateClusters(oldPairs UNION newPairs)` without
+    * re-running star rounds over the standing graph.
+    *
+    * Correctness rests on two invariants of the standing labels: they are
+    * component-preserving (label = component), and every cluster_id is its
+    * component's MINIMUM doc id. So contracting each new-edge endpoint to
+    * its standing root (identity for unseen docs) yields a graph whose
+    * components are exactly the merged components, and whose per-component
+    * min root/new-doc id IS the global min of the merged component —
+    * [[duplicateClusters]] over the contracted graph returns the final
+    * cluster ids directly. Standing clusters untouched by any contracted
+    * edge keep their labels and sizes verbatim.
+    *
+    * Shape at scale (standing = corpus-sized labels table, batch = a daily
+    * ingest's verified pairs): every join against standing broadcasts the
+    * BATCH-shaped side — the endpoint semi-join that fetches roots, the
+    * root-map relabel, and the touched-cluster size refresh; star rounds
+    * run only on the contracted graph (O(touched components), not
+    * O(standing)). Standing is scanned twice (once to fetch endpoint
+    * roots, once to relabel) — both bare table scans, never materialized.
+    * An edge landing INSIDE one standing cluster contracts to a self-loop
+    * and vanishes before any shuffle.
+    *
+    * Input: `standing` = (doc_id, cluster_id, cluster_size) labels;
+    * `newPairs` = (doc_a, doc_b) (extra columns ignored). Output: the same
+    * label shape over the merged graph. */
+  def duplicateClustersIncremental(
+      standing: DataFrame,
+      newPairs: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    val e = newPairs
+      .select(
+        greatest(col("doc_a"), col("doc_b")).as("hi"),
+        least(col("doc_a"), col("doc_b")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint(false) // endpoints pass + two contraction joins
+    val roots = standing.select(col("doc_id").as("node"), col("cluster_id").as("root"))
+    // roots of the batch's endpoints only — batch-shaped, broadcastable
+    // from here on (the ONLY join keyed into full standing; its build side
+    // is the endpoint list)
+    val endpoints = e.select(col("hi").as("node"))
+      .union(e.select(col("lo").as("node"))).distinct()
+    val touched = roots.join(broadcast(endpoints), Seq("node"))
+      .localCheckpoint(false) // consumed by both contraction joins
+    // contract endpoints to standing roots; flag which side was standing
+    // so contracted-graph nodes split into standing-root vs brand-new-doc
+    // without another pass over standing
+    val contracted = e
+      .join(broadcast(touched.select(col("node").as("hi"), col("root").as("hi_root"))),
+        Seq("hi"), "left")
+      .join(broadcast(touched.select(col("node").as("lo"), col("root").as("lo_root"))),
+        Seq("lo"), "left")
+      .select(
+        coalesce(col("hi_root"), col("hi")).as("a"),
+        coalesce(col("lo_root"), col("lo")).as("b"),
+        col("hi_root").isNotNull.as("a_std"),
+        col("lo_root").isNotNull.as("b_std"))
+      .filter(col("a") =!= col("b")) // intra-cluster edge: nothing merges
+      .localCheckpoint(false) // CC input + the node-role census below
+    // star rounds over the contracted (touched-only) graph
+    val mapping = duplicateClusters(
+      contracted.select(col("a").as("doc_a"), col("b").as("doc_b")), maxRounds)
+      .select(col("doc_id").as("node"), col("cluster_id").as("new_root"))
+      .localCheckpoint(false) // root-map relabel + new-doc split
+    // which contracted nodes are standing roots vs new docs
+    val newNodes = contracted.filter(!col("a_std")).select(col("a").as("node"))
+      .union(contracted.filter(!col("b_std")).select(col("b").as("node")))
+      .distinct()
+    val newDocLabels = mapping.join(broadcast(newNodes), Seq("node"))
+      .select(col("node").as("doc_id"), col("new_root").as("cid"))
+    // relabel standing in ONE scan: rows of touched clusters take the new
+    // root, the rest pass through with their original size
+    val rootMap = mapping.join(broadcast(newNodes), Seq("node"), "left_anti")
+      .select(col("node").as("old_root"), col("new_root"))
+    val relabeled = standing
+      .join(broadcast(rootMap), standing("cluster_id") === rootMap("old_root"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_root"), col("cluster_id")).as("cid"),
+        col("cluster_size"), col("new_root").isNotNull.as("is_touched"))
+    val untouched = relabeled.filter(!col("is_touched"))
+      .select(col("doc_id"), col("cid").as("cluster_id"), col("cluster_size"))
+    val touchedMembers = relabeled.filter(col("is_touched")).select("doc_id", "cid")
+      .union(newDocLabels)
+      .localCheckpoint(false) // size census + final join
+    val sizes = touchedMembers.groupBy("cid")
+      .agg(count(lit(1)).cast("int").as("cluster_size"))
+    untouched.unionByName(
+      touchedMembers.join(broadcast(sizes), Seq("cid"))
+        .select(col("doc_id"), col("cid").as("cluster_id"), col("cluster_size")))
+  }
+
   /** Per-cluster size cap for [[semDedup]]: clusters above this are split
     * into deterministic hash sub-cells of ~this size and the pairwise
     * check runs within a sub-cell only — candidate pairs per cluster fall

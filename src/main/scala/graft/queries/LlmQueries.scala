@@ -35,6 +35,56 @@ object LlmQueries {
       |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
       |    FROM toks))""".stripMargin
 
+  /** DuckDB replay of the q43 duplicate-cluster chain — deterministic LSH
+    * pairs (tau=0.5) then transitive closure via a recursive CTE. Shared
+    * verbatim by q43 (batch [[graft.llm.Dedup.duplicateClusters]]) and q72
+    * (incremental [[graft.llm.Dedup.duplicateClustersIncremental]], whose
+    * contract is exact equality with batch-on-the-union — same final
+    * labels, same oracle). */
+  private lazy val dupClustersOracle =
+    shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |hs AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+        |         ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+        |  FROM sh),
+        |sigs AS (
+        |  SELECT doc_id, ks.k AS k, MIN((h1 + ks.k * h2) % 4294967311) AS sig
+        |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+        |  GROUP BY doc_id, ks.k),
+        |bands AS (
+        |  SELECT doc_id, k // 2 AS band, string_agg(sig::VARCHAR, '#' ORDER BY k) AS band_key
+        |  FROM sigs GROUP BY doc_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM common JOIN cnt ca ON common.doc_a = ca.doc_id
+        |              JOIN cnt cb ON common.doc_b = cb.doc_id
+        |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(doc, root) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.doc),
+        |labels AS (SELECT doc AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc),
+        |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS INT) AS cluster_size FROM labels GROUP BY cluster_id)
+        |SELECT labels.doc_id, labels.cluster_id, sizes.cluster_size
+        |FROM labels JOIN sizes USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin
+
   /** DuckDB replay of [[graft.llm.VectorOps.ivfTopK]]'s ENTIRE pipeline —
     * seeded k-means training (md5-hash seed pick, `iters` Lloyd rounds of
     * cosine-distance assignment + per-dimension means rounded via
@@ -1005,48 +1055,36 @@ object LlmQueries {
         graft.llm.Dedup.duplicateClusters(pairs)
           .orderBy("doc_id")
       },
-      Some(shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        """,
-          |hs AS (
-          |  SELECT doc_id,
-          |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
-          |         ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
-          |  FROM sh),
-          |sigs AS (
-          |  SELECT doc_id, ks.k AS k, MIN((h1 + ks.k * h2) % 4294967311) AS sig
-          |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
-          |  GROUP BY doc_id, ks.k),
-          |bands AS (
-          |  SELECT doc_id, k // 2 AS band, string_agg(sig::VARCHAR, '#' ORDER BY k) AS band_key
-          |  FROM sigs GROUP BY doc_id, band),
-          |cand AS (
-          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM bands a JOIN bands b
-          |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-          |common AS (
-          |  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
-          |  FROM cand c
-          |  JOIN sh sa ON sa.doc_id = c.doc_a
-          |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-          |  GROUP BY 1, 2),
-          |pairs AS (
-          |  SELECT doc_a, doc_b
-          |  FROM common JOIN cnt ca ON common.doc_a = ca.doc_id
-          |              JOIN cnt cb ON common.doc_b = cb.doc_id
-          |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5),
-          |edges AS (
-          |  SELECT doc_a AS s, doc_b AS d FROM pairs
-          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-          |reach(doc, root) AS (
-          |  SELECT DISTINCT s, s FROM edges
-          |  UNION
-          |  SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.doc),
-          |labels AS (SELECT doc AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc),
-          |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS INT) AS cluster_size FROM labels GROUP BY cluster_id)
-          |SELECT labels.doc_id, labels.cluster_id, sizes.cluster_size
-          |FROM labels JOIN sizes USING (cluster_id)
-          |ORDER BY doc_id""".stripMargin),
+      Some(dupClustersOracle),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q72 — INCREMENTAL duplicate-cluster maintenance: standing labels
+    // come from a batch CC over pairs among the standing docs only
+    // (doc_id % 3 != 0); the "daily batch" contributes every verified
+    // pair touching a % 3 == 0 doc (LSH pairs are restriction-closed:
+    // signatures are per-doc, so pairs(standing subset) == pairs(all)
+    // with both endpoints standing — the two legs partition the full
+    // pair set). duplicateClustersIncremental must therefore reproduce
+    // q43's batch-on-everything labels EXACTLY, so the oracle is q43's
+    // recursive-CTE replay verbatim. Exercises cross-batch merges (a
+    // batch doc bridging standing clusters), new-doc-only clusters, and
+    // untouched-cluster passthrough on the real corpus.
+    Declared(
+      "q72_dup_clusters_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val standingDocs = docs.filter(col("doc_id") % 3 =!= 0)
+        val standing = graft.llm.Dedup.duplicateClusters(
+          TextOps.lshNearDupPairs(standingDocs, 3, 16, 2)
+            .filter(col("jaccard") >= 0.5))
+        val newPairs = TextOps.lshNearDupPairs(docs, 3, 16, 2)
+          .filter(col("jaccard") >= 0.5)
+          .filter(col("doc_a") % 3 === 0 || col("doc_b") % 3 === 0)
+        graft.llm.Dedup.duplicateClustersIncremental(standing, newPairs)
+          .orderBy("doc_id")
+      },
+      Some(dupClustersOracle),
     ),
 
     // ------------------------------------------------------------------

@@ -1,9 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.llm.TextOps
+import graft.sink.KvPubSubSink
 
 /** Streaming training-corpus intake — the Structured Streaming twin of
   * [[graft.llm.CorpusPipeline.prepare]]'s front half, for the "documents
@@ -110,4 +112,76 @@ object CorpusIntakeJob {
     verdicts.select("ts", "doc_id", "text").distinct()
       .join(dropIds, Seq("doc_id"), "left_anti")
   }
+
+  /** One micro-batch's sink leg for [[runStream]]: roll the verdict batch up
+    * to its admitted docs, materialize each as a KV record
+    * `<keyPrefix>:<doc_id> -> {"ts":…,"doc_id":…,"text":…}` (idempotent by
+    * key, so checkpoint-replayed batches re-write the same rows — the same
+    * exactly-once-by-idempotence discipline as the block sink, SURVEY §4.3),
+    * and optionally publish each admitted doc_id on `notifyChannel` in
+    * doc_id order (at-least-once, like every publish path). Factored out of
+    * the foreachBatch closure so the batch leg is testable on a static
+    * frame. */
+  def writeAdmitted(
+      verdicts: DataFrame,
+      backendName: String,
+      keyPrefix: String,
+      ttlSeconds: Long = -1L,
+      notifyChannel: Option[String] = None): Unit = {
+    val admitted = admittedDocs(verdicts)
+    val memoized = if (notifyChannel.isDefined) admitted.persist() else admitted
+    try {
+      KvPubSubSink.writeKv(
+        memoized.select(
+          concat(lit(keyPrefix + ":"), col("doc_id")).as("key"),
+          to_json(struct(col("ts"), col("doc_id"), col("text"))).as("kv_value")),
+        backendName, ttlSeconds)
+      notifyChannel.foreach { ch =>
+        KvPubSubSink.publishOrdered(
+          memoized.select(
+            lit(ch).as("channel"),
+            col("doc_id").cast("string").as("payload"),
+            col("doc_id")),
+          backendName, Seq("doc_id"))
+      }
+    } finally if (notifyChannel.isDefined) memoized.unpersist()
+  }
+
+  /** The RUNNABLE near-dup intake job — [[intakeNearDup]] composed with its
+    * documented `foreachBatch` roll-up and the KV backend, as one started
+    * streaming query (the `meeseeker sync`-shaped lifecycle for corpus
+    * intake; [[graft.jobs.SyncMain]] exposes it as `--job=intake`):
+    *
+    *   docs stream -> gate -> scrub -> band verdicts (watermarked state)
+    *     -> per-batch admission roll-up -> KV SET (+TTL) [+ PUBLISH]
+    *
+    * The KV writes fan out per partition and are idempotent by key; recovery
+    * from `checkpoint` replays at most one micro-batch into the same keys.
+    * State is one anchor per live band key, expired by the watermark —
+    * RocksDB-backed at scale via [[EventStreamJobs.withRocksDbState]]
+    * (session-level; the SyncMain wrapper applies it before starting). */
+  def runStream(
+      docs: DataFrame,
+      backendName: String,
+      checkpoint: String,
+      keyPrefix: String = "graft:corpus",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      horizonMs: Long = 30L * 60 * 1000,
+      verifyTau: Option[Double] = None,
+      ttlSeconds: Long = -1L,
+      notifyChannel: Option[String] = None,
+      trigger: Trigger = Trigger.ProcessingTime("3 seconds"),
+      minWords: Int = 20,
+      maxWords: Int = 100000): StreamingQuery =
+    intakeNearDup(docs, tsCol, watermark, horizonMs, verifyTau,
+      minWords = minWords, maxWords = maxWords)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        writeAdmitted(b, backendName, keyPrefix, ttlSeconds, notifyChannel)
+      }
+      .start()
 }

@@ -21,6 +21,52 @@ class SyncMainSpec extends SparkSpec {
     assert(a.startBlock === Some(5L) && a.relaxedPublish && a.once)
     assert(a.maxRestarts === 2)
     assert(a.job === "schedule" && a.untilBlock === Some(99L))
+    val b = SyncMain.parseArgs(Array(
+      "--job=intake", "--docs=/data/docs", "--keyPrefix=c:doc",
+      "--verifyTau=0.9", "--horizonMs=120000", "--ttl=600",
+      "--notify=c:admitted"))
+    assert(b.job === "intake" && b.docs === Some("/data/docs"))
+    assert(b.keyPrefix === "c:doc" && b.verifyTau === Some(0.9))
+    assert(b.horizonMs === 120000L && b.ttlSeconds === 600L)
+    assert(b.notifyChannel === Some("c:admitted"))
+  }
+
+  test("--job=intake --once: JSONL docs dir -> near-dup intake -> KV backend") {
+    // 25-word texts that pass the gopher gate; doc 3 is a near-dup of doc 1
+    val good =
+      "the quick brown fox jumps over a lazy dog while many other animals " +
+        "watch from distant hills and rivers flowing gently toward the open sea"
+    val other =
+      "a careful reader finds the hidden meaning inside every long paragraph " +
+        "because patient study of context and structure rewards attention " +
+        "with clear understanding today"
+    def rec(ts: String, id: Long, text: String): String =
+      s"""{"ts":"$ts","doc_id":$id,"text":"$text"}"""
+    val dir = java.nio.file.Files.createTempDirectory("intake-docs")
+    java.nio.file.Files.write(dir.resolve("part-0.jsonl"),
+      Seq(
+        rec("2024-01-01T10:00:00Z", 1, good),
+        rec("2024-01-01T10:00:01Z", 2, "too short"),
+        rec("2024-01-01T10:05:00Z", 3, good + " appended"),
+        rec("2024-01-01T10:05:01Z", 4, other))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val ck = java.nio.file.Files.createTempDirectory("intake-sync-ck").toString
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      SyncMain.runOnce(spark, SyncMain.Args(
+        job = "intake", docs = Some(dir.toString), backend = "memory",
+        checkpoint = ck, keyPrefix = "c:doc", once = true))
+      val backend = KvBackends("sync-backend").asInstanceOf[graft.sink.InMemoryKvBackend]
+      // gate dropped 2, banding dropped the near-dup 3; 1 and 4 admitted
+      assert(backend.keys("c:doc:*").sorted === Seq("c:doc:1", "c:doc:4"))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage")
+    }
   }
 
   test("--once syncs the stub chain end-to-end into the backend") {

@@ -1011,6 +1011,63 @@ class LlmOpsSpec extends SparkSpec {
     assert(star.nonEmpty)
   }
 
+  test("duplicateClustersIncremental: planted cross-batch merge == batch-on-union") {
+    // standing graph: clusters {1,2,3}, {5,6}, {20,21} (untouched control)
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val standing = Dedup.duplicateClusters(oldPairs)
+    // batch: doc 100 BRIDGES standing clusters {1,2,3} and {5,6} (the
+    // cross-batch merge), docs 200-201 form a new-only cluster, edge (1,3)
+    // lands inside an existing cluster (must be a no-op), and doc 0 — an id
+    // SMALLER than every standing min — attaches to {1,2,3}, forcing a
+    // root relabel of the whole merged component
+    val newPairs = Seq(
+      (100L, 3L), (100L, 5L),
+      (200L, 201L),
+      (1L, 3L),
+      (0L, 2L),
+    ).toDF("doc_a", "doc_b")
+    val inc = Dedup.duplicateClustersIncremental(standing, newPairs)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Int)].collect().toSet
+    val batch = Dedup.duplicateClusters(oldPairs.unionByName(newPairs))
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(inc === batch)
+    // shape sanity: the merged component roots at 0 with 7 members; the
+    // untouched {20,21} passes through verbatim
+    assert(inc.contains((100L, 0L, 7)) && inc.contains((0L, 0L, 7)))
+    assert(inc.contains((20L, 20L, 2)) && inc.contains((21L, 20L, 2)))
+    assert(inc.contains((200L, 200L, 2)))
+  }
+
+  test("duplicateClustersIncremental: empty batch is identity; randomized differential") {
+    val oldPairs = Seq((1L, 2L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val standing = Dedup.duplicateClusters(oldPairs)
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val idOut = Dedup.duplicateClustersIncremental(standing, none)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Int)].collect().toSet
+    val std = standing.select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(idOut === std)
+
+    // seeded random multigraph split into standing/batch halves: the
+    // incremental labels must equal batch CC over the union for every
+    // split — chains, merges, duplicate edges, self-contained new docs
+    val rnd = new scala.util.Random(4242)
+    val all = (0 until 300).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    val (h1, h2) = all.splitAt(all.size / 2)
+    val s2 = Dedup.duplicateClusters(h1.toDF("doc_a", "doc_b"))
+    val inc = Dedup.duplicateClustersIncremental(s2, h2.toDF("doc_a", "doc_b"))
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Int)].collect().toSet
+    val batch = Dedup.duplicateClusters((h1 ++ h2).toDF("doc_a", "doc_b"))
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(inc === batch)
+  }
+
   test("normalizeText: case/punct/unicode-form variants collapse to one form") {
     val docs = Seq(
       (1L, "Hello, World!"),

@@ -154,6 +154,44 @@ class CorpusIntakeJobSpec extends SparkSpec {
     }
   }
 
+  test("runStream e2e: planted near-dup stream -> KV sink holds only admitted docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val backend = new graft.sink.InMemoryKvBackend
+    graft.sink.KvBackends.register("intake-e2e", backend)
+    val in = MemoryStream[StreamDoc]
+    val ck = java.nio.file.Files.createTempDirectory("intake-e2e-ck").toString
+    val q = CorpusIntakeJob.runStream(
+      in.toDF(), "intake-e2e", ck,
+      keyPrefix = "corpus:doc", watermark = "1 hour",
+      horizonMs = 60L * 60 * 1000, ttlSeconds = 3600L,
+      notifyChannel = Some("corpus:admitted"))
+    try {
+      in.addData(
+        StreamDoc(ts("2024-01-01 10:00:00"), 1, goodText),
+        StreamDoc(ts("2024-01-01 10:00:01"), 2, "too short")) // gate drops
+      q.processAllAvailable()
+      in.addData(
+        // cross-batch near-dup of doc 1 -> banded state drops it
+        StreamDoc(ts("2024-01-01 10:05:00"), 3, goodText + " appended"),
+        StreamDoc(ts("2024-01-01 10:05:01"), 4,
+          piiBase + " bob@example.com for details"), // scrubbed, admitted
+        StreamDoc(ts("2024-01-01 10:05:02"), 6, otherText)) // novel, admitted
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the sink holds EXACTLY the admitted docs, keyed <prefix>:<doc_id>
+    assert(backend.keys("corpus:doc:*").sorted ===
+      Seq("corpus:doc:1", "corpus:doc:4", "corpus:doc:6"))
+    // values are the JSON record; doc 4's text is the SCRUBBED form
+    assert(backend.get("corpus:doc:1").get.contains("\"doc_id\":1"))
+    val d4 = backend.get("corpus:doc:4").get
+    assert(d4.contains("<EMAIL>") && !d4.contains("bob@"))
+    // TTL policy applied per key; admissions notified in doc_id order
+    assert(backend.ttlOf("corpus:doc:6") === Some(3600L))
+    assert(backend.publishLog.filter(_._1 == "corpus:admitted").map(_._2) ===
+      Seq("1", "4", "6"))
+  }
+
   test("intake: exact mode dedups on redacted text; distinct texts all pass") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamDoc]
