@@ -20,7 +20,7 @@ import org.apache.spark.sql.SparkSession
   * map and the process exits non-zero — a broken query must look broken, not
   * fast.
   *
-  * Each query runs `SPARK_GRAFT_BENCH_ROUNDS` (default 3) times and the
+  * Each query runs `SPARK_GRAFT_BENCH_ROUNDS` (default 5) times and the
   * reported time is the MEDIAN: the container's ~2x load spread made
   * single-shot round-over-round comparison noise-dominated (PERF.md's
   * r4/r5 per-query table needed a caveat to be readable). Every run
@@ -36,7 +36,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    // median-of-5 by default: the round-8 artifact's (min, median, max)
+    // fields showed a handful of medians still load-inflated at 3 rounds
+    // (q11 spread 4.5x); two more rounds shed a single contaminated run
+    // from the median for ~1.7x bench wall time — the right trade for the
+    // round-graded artifact.
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -162,4 +162,55 @@ object StandingState {
     digests.write.mode("append").parquet(s"$path/digests")
     bands.write.mode("append").parquet(s"$path/bands")
   }
+
+  /** Persist duplicate-CLUSTER labels (`clusters/` — the
+    * [[Dedup.duplicateClusters]] output shape (doc_id, cluster_id,
+    * cluster_size)) as part of the standing state. Written once from a
+    * batch CC run; each ingest then maintains them with
+    * [[updateClusters]] instead of re-running connected components over
+    * the standing graph. */
+  def writeClusters(labels: DataFrame, path: String): Unit =
+    labels.select("doc_id", "cluster_id", "cluster_size")
+      .write.mode("overwrite").parquet(s"$path/clusters")
+
+  /** Lazy scan of the persisted cluster labels. */
+  def loadClusters(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/clusters")
+
+  /** Ingest-cycle cluster maintenance: fold a batch's verified pairs into
+    * the persisted labels via [[Dedup.duplicateClustersIncremental]]
+    * (star rounds over the contracted batch-shaped graph only; exact
+    * batch-on-union equality) and atomically replace `clusters/` — the
+    * updated labels are staged to a sibling directory and swapped in with
+    * two renames, because parquet cannot overwrite a table that is its
+    * own scan input. Returns the updated labels (a scan of the new
+    * table). Cost per ingest: the incremental CC (O(batch + touched
+    * components) compute) plus one rewrite of the labels table — labels
+    * are (id, id, int) rows over only the docs that ARE in clusters,
+    * orders of magnitude smaller than the corpus; a deployment where even
+    * that rewrite dominates partitions `clusters/` by cluster_id range
+    * and rewrites touched partitions only. */
+  def updateClusters(path: String, newPairs: DataFrame): DataFrame = {
+    val spark = newPairs.sparkSession
+    val standing = loadClusters(spark, path)
+    val updated = Dedup.duplicateClustersIncremental(standing, newPairs)
+    val dir = java.nio.file.Paths.get(path)
+    val staged = dir.resolve("clusters__staged")
+    updated.select("doc_id", "cluster_id", "cluster_size")
+      .write.mode("overwrite").parquet(staged.toString)
+    val live = dir.resolve("clusters")
+    val retired = dir.resolve("clusters__retired")
+    deleteRecursively(retired)
+    java.nio.file.Files.move(live, retired)
+    java.nio.file.Files.move(staged, live)
+    deleteRecursively(retired)
+    loadClusters(spark, path)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
 }

@@ -120,6 +120,33 @@ class StandingStateSpec extends SparkSpec {
       ids(CorpusPipeline.prepareIncremental(batch2, standing2, cfg = cfg)))
   }
 
+  test("cluster labels persist and update incrementally across two ingests") {
+    val path = java.nio.file.Files.createTempDirectory("standing_clusters_").toString
+    // day 0: batch CC over the initial pair set
+    val day0 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("doc_a", "doc_b")
+    StandingState.writeClusters(Dedup.duplicateClusters(day0), path)
+    // ingest 1: doc 100 bridges {1,2,3} and {10,11}; {200,201} is new-only
+    val ing1 = Seq((100L, 3L), (100L, 10L), (200L, 201L)).toDF("doc_a", "doc_b")
+    StandingState.updateClusters(path, ing1)
+    // ingest 2: doc 300 attaches to the day-0-untouched {20,21}; a
+    // redundant intra-cluster edge (1,2) must be a no-op
+    val ing2 = Seq((300L, 21L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val updated = StandingState.updateClusters(path, ing2)
+    val expect = Dedup.duplicateClusters(day0.unionByName(ing1).unionByName(ing2))
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Int)].collect().toSet
+    val got = updated.select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === expect)
+    // the persisted table IS the updated state (survives a fresh load)
+    val reloaded = StandingState.loadClusters(spark, path)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(reloaded === expect)
+    assert(got.contains((300L, 20L, 3)))
+    assert(got.contains((100L, 1L, 6)))
+  }
+
   test("incompatible config is refused loudly") {
     val standing = docs(1L -> base(1))
     val state = StandingState.build(standing, CorpusPipeline.Config(shingleSize = 3))
