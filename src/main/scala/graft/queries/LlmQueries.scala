@@ -1088,6 +1088,35 @@ object LlmQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Q73 — cluster maintenance through the PERSISTED state (q72's
+    // incremental CC composed with StandingState, the q71 discipline):
+    // day-0 labels (batch CC over standing-only pairs) go through a full
+    // writeClusters -> parquet -> updateClusters(batch pairs) round-trip
+    // with the atomic table swap, and the reloaded table must STILL equal
+    // q43's batch-on-everything labels — same oracle, third distinct
+    // Spark path (batch q43, in-memory incremental q72, persisted q73).
+    Declared(
+      "q73_dup_clusters_state",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val standingDocs = docs.filter(col("doc_id") % 3 =!= 0)
+        val path = java.nio.file.Files
+          .createTempDirectory("q73_cluster_state_").toString
+        graft.llm.StandingState.writeClusters(
+          graft.llm.Dedup.duplicateClusters(
+            TextOps.lshNearDupPairs(standingDocs, 3, 16, 2)
+              .filter(col("jaccard") >= 0.5)),
+          path)
+        val newPairs = TextOps.lshNearDupPairs(docs, 3, 16, 2)
+          .filter(col("jaccard") >= 0.5)
+          .filter(col("doc_a") % 3 === 0 || col("doc_b") % 3 === 0)
+        graft.llm.StandingState.updateClusters(path, newPairs)
+          .orderBy("doc_id")
+      },
+      Some(dupClustersOracle),
+    ),
+
+    // ------------------------------------------------------------------
     // Q44 — passage-level duplication (sub-document dedup): consecutive
     // 20-token chunks, a passage instance is duplicated when its hash
     // occurs in >= 2 distinct docs. SUM(...) in the oracle goes HUGEINT
