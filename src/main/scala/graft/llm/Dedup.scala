@@ -290,9 +290,82 @@ object Dedup {
     *
     * Input: (doc_a, doc_b) pairs, doc_a < doc_b (extra columns ignored).
     * Output: (doc_id, cluster_id, cluster_size), one row per doc present
-    * in at least one pair; cluster_size >= 2 by construction. */
-  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
+    * in at least one pair; cluster_size >= 2 by construction.
+    *
+    * LOCAL FAST PATH (the [[LocalLloyd]] discipline): when the distinct
+    * canonical edge set fits `spark.graft.cc.localCap` (default 2M edges;
+    * 0 disables), ONE `limit(cap+1)` fetch pulls it to the driver and a
+    * union-find labels components there — the distributed star rounds'
+    * entire cost on small graphs is per-round stage toll (2 groupBys +
+    * 2 joins + a convergence probe, each localCheckpointed), not data.
+    * Identical output by construction: both paths label every node with
+    * its component MINIMUM. Edge sets past the cap (the 100 TB batch-CC
+    * case) fall back to the unchanged O(log n)-round star loop — ids are
+    * cast to long on the local path, so feed integral ids (every caller
+    * does). The incremental form ([[duplicateClustersIncremental]])
+    * benefits doubly: its contracted graph is batch-shaped BY DESIGN, so
+    * its inner CC is near-always local. */
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val cap = pairs.sparkSession.conf
+      .getOption("spark.graft.cc.localCap").map(_.toInt)
+      .getOrElse(DefaultLocalCcCap)
+    if (cap > 0) {
+      val canon = pairs
+        .select(
+          greatest(col("doc_a"), col("doc_b")).cast("long").as("hi"),
+          least(col("doc_a"), col("doc_b")).cast("long").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+      val fetched = canon.limit(cap + 1).collect()
+      if (fetched.length <= cap)
+        return localClusters(pairs.sparkSession,
+          fetched.map(r => (r.getLong(0), r.getLong(1))))
+    }
     duplicateClustersCounted(pairs, maxRounds)._1
+  }
+
+  /** Driver-side edge budget for [[duplicateClusters]]'s local path —
+    * 2M (hi, lo) pairs is ~32 MB of longs; a day's verified near-dup
+    * pairs usually fit, a corpus-wide pair graph at scale does not and
+    * falls back to the distributed star rounds. */
+  val DefaultLocalCcCap = 2000000
+
+  /** Union-find over a collected edge list, min-rooted like the star
+    * rounds: every node labels to its component's minimum id; sizes per
+    * label. Path-halving + union-by-attachment-to-min keeps it one pass
+    * + finds. */
+  private def localClusters(
+      spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        // attach the larger root under the smaller: roots stay component
+        // minima, so find() IS the final label
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val nodes = new java.util.HashSet[Long]()
+    edges.foreach { case (a, b) => nodes.add(a); nodes.add(b) }
+    import scala.jdk.CollectionConverters._
+    val labels = nodes.asScala.toSeq.map(n => (n, find(n)))
+    val sizes = labels.groupBy(_._2).map { case (c, m) => c -> m.size }
+    labels.map { case (n, c) => (n, c, sizes(c)) }
+      .toDF("doc_id", "cluster_id", "cluster_size")
+  }
 
   /** [[duplicateClusters]] plus the number of star rounds it took — the
     * observable the round-complexity spec pins (a 10k-node path must

@@ -1074,13 +1074,20 @@ object LlmQueries {
       "q72_dup_clusters_incremental",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val standingDocs = docs.filter(col("doc_id") % 3 =!= 0)
-        val standing = graft.llm.Dedup.duplicateClusters(
-          TextOps.lshNearDupPairs(standingDocs, 3, 16, 2)
-            .filter(col("jaccard") >= 0.5))
-        val newPairs = TextOps.lshNearDupPairs(docs, 3, 16, 2)
+        // ONE pair chain serves both legs: LSH pairs are restriction-
+        // closed (signatures are per-doc; candidate band joins and the
+        // jaccard verify restrict to the docs present), so the standing
+        // corpus' own pairs == the full pair set filtered to both
+        // endpoints standing. Production never recomputes standing pairs
+        // at all (they came from the previous run — which is exactly what
+        // the shared checkpointed frame models here).
+        val pairs = TextOps.lshNearDupPairs(docs, 3, 16, 2)
           .filter(col("jaccard") >= 0.5)
-          .filter(col("doc_a") % 3 === 0 || col("doc_b") % 3 === 0)
+          .select("doc_a", "doc_b").localCheckpoint(false)
+        val standing = graft.llm.Dedup.duplicateClusters(
+          pairs.filter(col("doc_a") % 3 =!= 0 && col("doc_b") % 3 =!= 0))
+        val newPairs =
+          pairs.filter(col("doc_a") % 3 === 0 || col("doc_b") % 3 === 0)
         graft.llm.Dedup.duplicateClustersIncremental(standing, newPairs)
           .orderBy("doc_id")
       },
@@ -1099,17 +1106,18 @@ object LlmQueries {
       "q73_dup_clusters_state",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val standingDocs = docs.filter(col("doc_id") % 3 =!= 0)
+        // shared pair chain — see q72's restriction-closedness note
+        val pairs = TextOps.lshNearDupPairs(docs, 3, 16, 2)
+          .filter(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b").localCheckpoint(false)
         val path = java.nio.file.Files
           .createTempDirectory("q73_cluster_state_").toString
         graft.llm.StandingState.writeClusters(
           graft.llm.Dedup.duplicateClusters(
-            TextOps.lshNearDupPairs(standingDocs, 3, 16, 2)
-              .filter(col("jaccard") >= 0.5)),
+            pairs.filter(col("doc_a") % 3 =!= 0 && col("doc_b") % 3 =!= 0)),
           path)
-        val newPairs = TextOps.lshNearDupPairs(docs, 3, 16, 2)
-          .filter(col("jaccard") >= 0.5)
-          .filter(col("doc_a") % 3 === 0 || col("doc_b") % 3 === 0)
+        val newPairs =
+          pairs.filter(col("doc_a") % 3 === 0 || col("doc_b") % 3 === 0)
         graft.llm.StandingState.updateClusters(path, newPairs)
           .orderBy("doc_id")
       },

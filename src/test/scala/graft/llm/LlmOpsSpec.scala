@@ -961,15 +961,46 @@ class LlmOpsSpec extends SparkSpec {
     // a 40-deep path: plain min-label propagation needs ~40 rounds; the
     // large-star/small-star form is O(log n) — maxRounds=8 must suffice
     val chain = (0 until 40).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
-    val out = Dedup.duplicateClusters(chain, maxRounds = 8)
-      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
-    assert(out.length === 41)
-    assert(out.forall(_._2 === 0L), "all chain members must label to the min id")
-    // forced non-convergence must THROW, never return wrong labels silently
-    val ex = intercept[IllegalStateException] {
-      Dedup.duplicateClusters(chain, maxRounds = 1).collect()
-    }
-    assert(ex.getMessage.contains("not converged"))
+    // cap=0 forces the DISTRIBUTED star rounds — the local union-find
+    // path would label this 41-node chain instantly and never exhaust
+    spark.conf.set("spark.graft.cc.localCap", "0")
+    try {
+      val out = Dedup.duplicateClusters(chain, maxRounds = 8)
+        .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+      assert(out.length === 41)
+      assert(out.forall(_._2 === 0L), "all chain members must label to the min id")
+      // forced non-convergence must THROW, never return wrong labels silently
+      val ex = intercept[IllegalStateException] {
+        Dedup.duplicateClusters(chain, maxRounds = 1).collect()
+      }
+      assert(ex.getMessage.contains("not converged"))
+    } finally spark.conf.unset("spark.graft.cc.localCap")
+  }
+
+  test("duplicateClusters: local union-find == forced-distributed star rounds") {
+    // the multi-shape graph from the star/propagation differential plus a
+    // second disjoint component family — every min-routing shape, labeled
+    // by both paths
+    val edges = Seq.newBuilder[(Long, Long)]
+    edges ++= (100L until 140L).map(i => (i, i + 1))
+    for (a <- 200L to 205L; b <- (a + 1) to 205L) edges += ((a, b))
+    edges ++= (301L to 320L).map(i => (300L, i))
+    edges ++= (400L until 410L).map(i => (i, i + 1)) += ((400L, 410L))
+    edges += ((140L, 205L))
+    val rnd = new scala.util.Random(777)
+    edges ++= (0 until 200).map(_ => (rnd.nextInt(60).toLong + 500L, rnd.nextInt(60).toLong + 500L))
+    val pairs = edges.result().filter { case (a, b) => a != b }.toDF("doc_a", "doc_b")
+    val local = Dedup.duplicateClusters(pairs)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Int)].collect().toSet
+    spark.conf.set("spark.graft.cc.localCap", "0")
+    val dist =
+      try Dedup.duplicateClusters(pairs)
+        .select("doc_id", "cluster_id", "cluster_size")
+        .as[(Long, Long, Int)].collect().toSet
+      finally spark.conf.unset("spark.graft.cc.localCap")
+    assert(local === dist)
+    assert(local.nonEmpty)
   }
 
   test("duplicateClusters: 10k-deep path converges in <= 2*log2(n) star rounds") {
