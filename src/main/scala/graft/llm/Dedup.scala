@@ -781,19 +781,45 @@ object Dedup {
       tau: Double,
       nPlanes: Int = 4,
       dim: Int = 64,
+      maxBucketSize: Int = TextOps.DefaultMaxBucketSize): DataFrame =
+    dedupByEmbeddingLshIncrementalVsBuckets(
+      incoming,
+      VectorOps.hyperplaneBuckets(standing, nPlanes, dim)
+        .select("vec_id", "bucket"),
+      standing.select("vec_id", "embedding"),
+      tau, nPlanes, dim, maxBucketSize)
+
+  /** [[dedupByEmbeddingLshIncremental]] against PRECOMPUTED standing
+    * bucket rows ((vec_id, bucket) — [[StandingState]]'s persisted
+    * `emb_buckets` table) — the ingest-cycle fast path, the embedding
+    * twin of [[dedupNearLshIncrementalVsBands]]: the standing corpus'
+    * hyperplane projection (a full scan of its float vectors) is never
+    * recomputed per ingest; standing EMBEDDINGS are touched only for the
+    * batch-shaped cosine verification via `standingVecs` (a bare table
+    * scan the candidate join prunes by vec_id). `standingVecs` must be
+    * the same vectors the buckets were computed over, and the caller's
+    * (nPlanes, dim) must match the bucket regime —
+    * [[StandingState.loadEmbBuckets]] enforces that from its meta row. */
+  def dedupByEmbeddingLshIncrementalVsBuckets(
+      incoming: DataFrame,
+      standingBuckets: DataFrame,
+      standingVecs: DataFrame,
+      tau: Double,
+      nPlanes: Int = 4,
+      dim: Int = 64,
       maxBucketSize: Int = TextOps.DefaultMaxBucketSize): DataFrame = {
-    def bands(df: DataFrame, inc: Long) =
-      VectorOps.hyperplaneBuckets(df, nPlanes, dim)
-        .select(col("vec_id").as("doc_id"), lit(0).as("band"),
-          col("bucket").cast("string").as("sig"), lit(inc).as("inc"))
+    def toBands(buckets: DataFrame, inc: Long) =
+      buckets.select(col("vec_id").as("doc_id"), lit(0).as("band"),
+        col("bucket").cast("string").as("sig"), lit(inc).as("inc"))
     // single-consumer join tree: `pairs` feeds exactly one join chain and
     // `drop` exactly one anti-join, so neither needs a barrier — the one
     // LAZY checkpoint on `drop` only keeps the anti-join's build side from
     // re-deriving the full pair subtree under AQE re-planning (it
     // materializes during the run, never as a separate blocking job)
     val pairs = TextOps.incrementalBucketPairs(
-      bands(incoming, 1L).unionByName(bands(standing, 0L)), maxBucketSize)
-    val corpus = standing.select("vec_id", "embedding")
+      toBands(VectorOps.hyperplaneBuckets(incoming, nPlanes, dim), 1L)
+        .unionByName(toBands(standingBuckets, 0L)), maxBucketSize)
+    val corpus = standingVecs.select("vec_id", "embedding")
       .unionByName(incoming.select("vec_id", "embedding"))
     val a = corpus.select(col("vec_id").as("doc_a"), col("embedding").as("qe"))
       .withColumn("na", expr(VectorOps.normExprFor(corpus, "qe")))

@@ -207,6 +207,50 @@ object StandingState {
     loadClusters(spark, path)
   }
 
+  /** Persist the standing corpus' sign-LSH bucket rows for the EMBEDDING
+    * dedup cycle (`emb_buckets/` + an `emb_meta/` row pinning the
+    * hyperplane regime) — the vector twin of the `bands/` table: a daily
+    * ingest feeds [[Dedup.dedupByEmbeddingLshIncrementalVsBuckets]] a
+    * scan of precomputed (vec_id, bucket) rows instead of re-projecting
+    * every standing float vector against the hyperplanes. */
+  def writeEmbBuckets(
+      standingVecs: DataFrame,
+      path: String,
+      nPlanes: Int = 4,
+      dim: Int = 64): Unit = {
+    val spark = standingVecs.sparkSession
+    import spark.implicits._
+    VectorOps.hyperplaneBuckets(standingVecs, nPlanes, dim)
+      .select("vec_id", "bucket")
+      .write.mode("overwrite").parquet(s"$path/emb_buckets")
+    Seq((nPlanes, dim)).toDF("n_planes", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/emb_meta")
+  }
+
+  /** Load the persisted bucket rows, refusing a hyperplane-regime
+    * mismatch loudly (buckets from different planes would silently miss
+    * near-dups). Returns a lazy scan. */
+  def loadEmbBuckets(
+      spark: SparkSession, path: String,
+      nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val m = spark.read.parquet(s"$path/emb_meta").head()
+    require(m.getAs[Int]("n_planes") == nPlanes && m.getAs[Int]("dim") == dim,
+      s"persisted emb buckets use nPlanes=${m.getAs[Int]("n_planes")}, " +
+        s"dim=${m.getAs[Int]("dim")}; caller wants nPlanes=$nPlanes, dim=$dim")
+    spark.read.parquet(s"$path/emb_buckets")
+  }
+
+  /** Close the embedding cycle: append an ADMITTED batch's bucket rows
+    * under the SAME persisted hyperplane regime (read from `emb_meta` —
+    * batch-shaped work, standing untouched). */
+  def appendEmbBuckets(batchVecs: DataFrame, path: String): Unit = {
+    val m = batchVecs.sparkSession.read.parquet(s"$path/emb_meta").head()
+    VectorOps.hyperplaneBuckets(
+        batchVecs, m.getAs[Int]("n_planes"), m.getAs[Int]("dim"))
+      .select("vec_id", "bucket")
+      .write.mode("append").parquet(s"$path/emb_buckets")
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._

@@ -85,6 +85,55 @@ object LlmQueries {
         |FROM labels JOIN sizes USING (cluster_id)
         |ORDER BY doc_id""".stripMargin
 
+  /** DuckDB replay of the q70 incremental embedding-dedup chain —
+    * hyperplane buckets, the batch-vs-standing pair policy, and the
+    * cosine threshold. Shared verbatim by q70 (frame-fed
+    * [[graft.llm.Dedup.dedupByEmbeddingLshIncremental]]) and q74 (the
+    * persisted-bucket round-trip through
+    * [[graft.llm.StandingState.writeEmbBuckets]]) — the state-fed form's
+    * contract is exact equality with the frame-fed one. */
+  private lazy val embIncOracle =
+    """WITH standing AS (
+             |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+             |incoming AS (
+             |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 300
+             |  UNION ALL
+             |  SELECT vec_id + 20000, embedding FROM embeddings
+             |  WHERE vec_id IN (0, 5, 10, 300)),
+             |allv AS (
+             |  SELECT vec_id, embedding, 0 AS inc FROM standing
+             |  UNION ALL
+             |  SELECT vec_id, embedding, 1 AS inc FROM incoming),
+             |planes AS (
+             |  SELECT p, list_transform(generate_series(1, 64),
+             |    i -> ('0x' || substr(md5(p::VARCHAR || ':' || (i - 1)::VARCHAR), 1, 8))::BIGINT
+             |         / 4294967296.0 - 0.5) AS w
+             |  FROM (SELECT unnest(generate_series(0, 3)) AS p)),
+             |bits AS (
+             |  SELECT e.vec_id, pl.p,
+             |    CASE WHEN list_sum(list_transform(generate_series(1, 64),
+             |           i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) > 0
+             |         THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+             |  FROM allv e CROSS JOIN planes pl),
+             |b AS (
+             |  SELECT e.vec_id, e.embedding, e.inc, s.bucket,
+             |    sqrt(list_sum(list_transform(e.embedding,
+             |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+             |  FROM allv e JOIN (
+             |    SELECT vec_id, CAST(sum(bit << (3 - p)) AS BIGINT) AS bucket
+             |    FROM bits GROUP BY vec_id) s ON s.vec_id = e.vec_id),
+             |drop_ids AS (
+             |  SELECT DISTINCT x.vec_id
+             |  FROM b x JOIN b a ON a.bucket = x.bucket
+             |  WHERE x.inc = 1 AND (a.inc = 0 OR a.vec_id < x.vec_id)
+             |    AND a.nrm * x.nrm <> 0
+             |    AND list_sum(list_transform(generate_series(1, 64),
+             |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))
+             |        / (a.nrm * x.nrm) >= 0.9)
+             |SELECT vec_id FROM incoming
+             |WHERE vec_id NOT IN (SELECT vec_id FROM drop_ids)
+             |ORDER BY vec_id""".stripMargin
+
   /** DuckDB replay of [[graft.llm.VectorOps.ivfTopK]]'s ENTIRE pipeline —
     * seeded k-means training (md5-hash seed pick, `iters` Lloyd rounds of
     * cosine-distance assignment + per-dimension means rounded via
@@ -2416,46 +2465,39 @@ object LlmQueries {
           incoming, standing, tau = 0.9, nPlanes = 4, dim = 64)
           .select("vec_id").orderBy("vec_id")
       },
-      Some("""WITH standing AS (
-             |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
-             |incoming AS (
-             |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 300
-             |  UNION ALL
-             |  SELECT vec_id + 20000, embedding FROM embeddings
-             |  WHERE vec_id IN (0, 5, 10, 300)),
-             |allv AS (
-             |  SELECT vec_id, embedding, 0 AS inc FROM standing
-             |  UNION ALL
-             |  SELECT vec_id, embedding, 1 AS inc FROM incoming),
-             |planes AS (
-             |  SELECT p, list_transform(generate_series(1, 64),
-             |    i -> ('0x' || substr(md5(p::VARCHAR || ':' || (i - 1)::VARCHAR), 1, 8))::BIGINT
-             |         / 4294967296.0 - 0.5) AS w
-             |  FROM (SELECT unnest(generate_series(0, 3)) AS p)),
-             |bits AS (
-             |  SELECT e.vec_id, pl.p,
-             |    CASE WHEN list_sum(list_transform(generate_series(1, 64),
-             |           i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) > 0
-             |         THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-             |  FROM allv e CROSS JOIN planes pl),
-             |b AS (
-             |  SELECT e.vec_id, e.embedding, e.inc, s.bucket,
-             |    sqrt(list_sum(list_transform(e.embedding,
-             |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-             |  FROM allv e JOIN (
-             |    SELECT vec_id, CAST(sum(bit << (3 - p)) AS BIGINT) AS bucket
-             |    FROM bits GROUP BY vec_id) s ON s.vec_id = e.vec_id),
-             |drop_ids AS (
-             |  SELECT DISTINCT x.vec_id
-             |  FROM b x JOIN b a ON a.bucket = x.bucket
-             |  WHERE x.inc = 1 AND (a.inc = 0 OR a.vec_id < x.vec_id)
-             |    AND a.nrm * x.nrm <> 0
-             |    AND list_sum(list_transform(generate_series(1, 64),
-             |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))
-             |        / (a.nrm * x.nrm) >= 0.9)
-             |SELECT vec_id FROM incoming
-             |WHERE vec_id NOT IN (SELECT vec_id FROM drop_ids)
-             |ORDER BY vec_id""".stripMargin),
+      Some(embIncOracle),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q74 — incremental embedding dedup through the PERSISTED bucket
+    // table (q70's exact scenario, the q71/q73 discipline): the standing
+    // vectors' sign-LSH buckets are WRITTEN to parquet once
+    // (StandingState.writeEmbBuckets), LOADED back under a
+    // regime-checked meta row, and fed to
+    // dedupByEmbeddingLshIncrementalVsBuckets — the standing side
+    // contributes a precomputed (vec_id, bucket) scan, never a
+    // re-projection of its float vectors. Same oracle as q70: the
+    // state round-trip must be result-invisible.
+    Declared(
+      "q74_embedding_dedup_state",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val standing = emb.filter(col("vec_id") < 300)
+        val replicas = emb.filter(col("vec_id").isin(0L, 5L, 10L, 300L))
+          .withColumn("vec_id", col("vec_id") + 20000L)
+        val incoming = emb.filter(col("vec_id") >= 300)
+          .unionByName(replicas)
+        val path = java.nio.file.Files
+          .createTempDirectory("q74_emb_state_").toString
+        graft.llm.StandingState.writeEmbBuckets(standing, path, nPlanes = 4, dim = 64)
+        graft.llm.Dedup.dedupByEmbeddingLshIncrementalVsBuckets(
+          incoming,
+          graft.llm.StandingState.loadEmbBuckets(s, path, nPlanes = 4, dim = 64),
+          standing.select("vec_id", "embedding"),
+          tau = 0.9, nPlanes = 4, dim = 64)
+          .select("vec_id").orderBy("vec_id")
+      },
+      Some(embIncOracle),
     ),
 
     // ------------------------------------------------------------------

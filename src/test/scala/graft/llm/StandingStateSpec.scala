@@ -147,6 +147,50 @@ class StandingStateSpec extends SparkSpec {
     assert(got.contains((100L, 1L, 6)))
   }
 
+  test("emb buckets: state-fed == frame-fed; append cycle; regime mismatch is loud") {
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(seed * 31 + i) * 0.5).toFloat)
+    // the embeddings-table shape (vec_id, embedding, label) —
+    // hyperplaneBuckets carries the label column through
+    val standing = Seq(
+      (1L, vec(1)), (2L, vec(2)), (3L, vec(3))).toDF("vec_id", "embedding")
+      .withColumn("label", lit("s"))
+    val incoming = Seq(
+      (10L, vec(1)),   // replica of standing 1 -> dropped vs standing
+      (11L, vec(11)),  // novel -> survives
+      (12L, vec(11)),  // replica of incoming 11 -> dropped by lower-id leg
+      (13L, vec(13))).toDF("vec_id", "embedding")
+      .withColumn("label", lit("b"))
+    val frameFed = Dedup.dedupByEmbeddingLshIncremental(
+      incoming, standing, tau = 0.999)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val path = java.nio.file.Files.createTempDirectory("emb_buckets_").toString
+    StandingState.writeEmbBuckets(standing, path)
+    val stateFed = Dedup.dedupByEmbeddingLshIncrementalVsBuckets(
+      incoming, StandingState.loadEmbBuckets(spark, path),
+      standing.select("vec_id", "embedding"), tau = 0.999)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(stateFed === frameFed)
+    assert(stateFed === Seq(11L, 13L))
+    // append the admitted batch; a second ingest replicating vec 11 must
+    // now drop against the APPENDED standing side
+    val admitted = incoming.filter(col("vec_id").isin(11L, 13L))
+    StandingState.appendEmbBuckets(admitted, path)
+    val standing2 = standing.unionByName(admitted)
+    val incoming2 = Seq((20L, vec(11)), (21L, vec(21))).toDF("vec_id", "embedding")
+      .withColumn("label", lit("b2"))
+    val run2 = Dedup.dedupByEmbeddingLshIncrementalVsBuckets(
+      incoming2, StandingState.loadEmbBuckets(spark, path),
+      standing2.select("vec_id", "embedding"), tau = 0.999)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(run2 === Seq(21L))
+    // hyperplane-regime mismatch must refuse, not silently miss near-dups
+    val ex = intercept[IllegalArgumentException] {
+      StandingState.loadEmbBuckets(spark, path, nPlanes = 8)
+    }
+    assert(ex.getMessage.contains("nPlanes"))
+  }
+
   test("incompatible config is refused loudly") {
     val standing = docs(1L -> base(1))
     val state = StandingState.build(standing, CorpusPipeline.Config(shingleSize = 3))
