@@ -153,8 +153,16 @@ object ScaleBench {
     // docs per ingest; the state-fed run's standing cost is a scan of the
     // precomputed tables — the state_fed_sec vs frame_fed_sec gap is the
     // run-over-run win, and it grows linearly with the standing corpus.
-    val bigStanding = replicate(standingPrep, "doc_id", 10)
-      .localCheckpoint(true)
+    // standing lives as a parquet TABLE for both legs (the honest posture:
+    // at 100 TB standing is a table, not a cached frame — a cached
+    // frame-fed twin understates what re-derivation costs). Frame-fed runs
+    // FIRST so session warmth (shuffles, JIT, batch-side scans) cannot
+    // flatter the state-fed leg it is being compared against.
+    val standingTblDir = java.nio.file.Files
+      .createTempDirectory("scalebench_standing_tbl_").toString
+    replicate(standingPrep, "doc_id", 10)
+      .write.mode("overwrite").parquet(standingTblDir)
+    val bigStanding = spark.read.parquet(standingTblDir)
     val nBigStanding = bigStanding.count()
     val smallBatch = standingPrep
       .withColumn("doc_id", col("doc_id") + lit(900000000L))
@@ -162,15 +170,15 @@ object ScaleBench {
     val nSmallBatch = smallBatch.count()
     val statePath = java.nio.file.Files
       .createTempDirectory("scalebench_standing_state_").toString
+    val (nFrameSurv, tFrameFed) = timed {
+      CorpusPipeline.prepareIncremental(smallBatch, bigStanding).count()
+    }
     val (_, tStateWrite) = timed {
       StandingState.write(bigStanding, statePath)
     }
     val (nStateSurv, tStateFed) = timed {
       CorpusPipeline.prepareIncrementalWithState(
         smallBatch, bigStanding, StandingState.load(spark, statePath)).count()
-    }
-    val (nFrameSurv, tFrameFed) = timed {
-      CorpusPipeline.prepareIncremental(smallBatch, bigStanding).count()
     }
     println(s"""{"op":"prepare_incremental_state","standing":$nBigStanding,"batch":$nSmallBatch,"survivors":$nStateSurv,"survivors_match":${nStateSurv == nFrameSurv},"all_dropped":${nStateSurv == 0L},"write_state_sec":$tStateWrite,"state_fed_sec":$tStateFed,"frame_fed_sec":$tFrameFed}""")
 
@@ -482,7 +490,7 @@ object ScaleBench {
         VectorOps.truncatedTopK(rawEmb.filter(annQ(col("vec_id"))), rawEmb, 16, annK)),
       ("lsh", 0.06, () => VectorOps.lshTopK(rawEmb, annQ, 4, 64, annK)),
       ("ivf", 0.30, () => VectorOps.ivfTopK(rawEmb, annQ, 16, 4, annK)),
-      ("pq_adc", 0.25, () => graft.llm.Pq.pqTopKWith(rawEmb, annQ, cbsRaw, annK)),
+      ("pq_adc", 0.15, () => graft.llm.Pq.pqTopKWith(rawEmb, annQ, cbsRaw, annK)),
       ("ivf_pq", 0.20, () => graft.llm.Pq.ivfPqTopK(rawEmb, annQ, 16, 4, 8, annK)),
       ("ivf_pq_residual", 0.20, () =>
         graft.llm.Pq.ivfPqTopK(rawEmb, annQ, 16, 4, 8, annK, residual = true)),

@@ -106,6 +106,54 @@ private[llm] object LocalLloyd {
 
   private def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
+  /** Bit-identical primitive-array replica of [[VectorOps.nearestCentroid]]
+    * — the boxed Seq form costs ~60 s of driver time at k=200 x n=40k x
+    * dim=64 (SemDeDup's auto-k regime) where this loop costs ~1 s. Every
+    * sum runs in the same left-to-right order as the Seq foldLeft/map-sum
+    * it replaces, the dot truncates to min length exactly like `zip`, the
+    * zero-norm sentinel is the same 2.0, and ties keep the first index via
+    * the same strict `<` — the LocalLloydSpec differentials (local ==
+    * forced-distributed) pin the equivalence on real data. `cNorms` is the
+    * per-centroid norm, loop-invariant across rows (hoisting it changes no
+    * arithmetic: same sum, same sqrt). */
+  private def nearestFast(
+      v: Array[Double], cs: Array[Array[Double]], cNorms: Array[Double]): Int = {
+    var vn = 0.0
+    var i = 0
+    while (i < v.length) { vn += v(i) * v(i); i += 1 }
+    vn = math.sqrt(vn)
+    var best = 0
+    var bestDist = Double.MaxValue
+    var ci = 0
+    while (ci < cs.length) {
+      val c = cs(ci)
+      val cn = cNorms(ci)
+      val dist =
+        if (cn == 0 || vn == 0) 2.0
+        else {
+          var dot = 0.0
+          var j = 0
+          val n = math.min(v.length, c.length)
+          while (j < n) { dot += v(j) * c(j); j += 1 }
+          1.0 - dot / (vn * cn)
+        }
+      if (dist < bestDist) { bestDist = dist; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  private def toArrays(cs: Seq[Seq[Double]]): (Array[Array[Double]], Array[Double]) = {
+    val arr = cs.map(_.toArray).toArray
+    val norms = arr.map { c =>
+      var s = 0.0
+      var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    (arr, norms)
+  }
+
   /** Coarse Lloyd: assignment via the spec-pinned [[VectorOps.nearestCentroid]]
     * replica; means with PER-DIM counts (a short vector contributes to the
     * dims it has, exactly like `avg(embedding[i])` null-skipping); empty
@@ -118,12 +166,12 @@ private[llm] object LocalLloyd {
     for (_ <- 0 until iterations) {
       val sums = Array.ofDim[Double](k, dim)
       val cnts = Array.ofDim[Long](k, dim)
-      val cs = cents
+      val (cs, csNorms) = toArrays(cents)
       var r = 0
       while (r < s.vecs.length) {
         val v = s.vecs(r)
         if (v != null) {
-          val b = VectorOps.nearestCentroid(v.toSeq, cs)
+          val b = nearestFast(v, cs, csNorms)
           var i = 0
           val n = math.min(dim, v.length)
           while (i < n) { sums(b)(i) += v(i); cnts(b)(i) += 1; i += 1 }
@@ -220,10 +268,11 @@ private[llm] object LocalLloyd {
     * (CAST(x AS DOUBLE) - w) CAST AS FLOAT)` projection: double subtract,
     * round-trip through float (the executed cast), widen back. */
   def residual(s: Sample, coarse: Seq[Seq[Double]]): Sample = {
+    val (cArr, cNorms) = toArrays(coarse)
     val vecs = s.vecs.map { v =>
       if (v == null) null
       else {
-        val b = VectorOps.nearestCentroid(v.toSeq, coarse)
+        val b = nearestFast(v, cArr, cNorms)
         val c = coarse(b)
         val n = math.min(v.length, c.length)
         val out = new Array[Double](n)
