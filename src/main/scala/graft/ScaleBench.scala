@@ -268,11 +268,43 @@ object ScaleBench {
       .select((col("j") + chainBase).as("doc_a"), (col("j") + chainBase + 1).as("doc_b"))
     val ccEdges = stars.unionByName(chain).localCheckpoint(true)
     val nEdges = ccEdges.count()
-    val ((nCcRows, nClusters), tCc) = timed {
-      val labels = Dedup.duplicateClusters(ccEdges).localCheckpoint(false)
-      (labels.count(), labels.select("cluster_id").distinct().count())
+    // FORCED-DISTRIBUTED star rounds first — the log-round claim is about
+    // this path (the over-cap regime a corpus-wide pair graph lands in)
+    spark.conf.set("spark.graft.cc.localCap", "0")
+    val ((nCcRows, nClusters), tCc) =
+      try timed {
+        val labels = Dedup.duplicateClusters(ccEdges).localCheckpoint(false)
+        (labels.count(), labels.select("cluster_id").distinct().count())
+      } finally spark.conf.unset("spark.graft.cc.localCap")
+    // same edges through the default driver union-find fast path (879k
+    // edges fit the 2M cap) — the under-cap regime a day's verified pairs
+    // land in; labels kept for the incremental probe below
+    var ccLabels: org.apache.spark.sql.DataFrame = null
+    val (nCcLocal, tCcLocal) = timed {
+      ccLabels = Dedup.duplicateClusters(ccEdges).localCheckpoint(true)
+      ccLabels.count()
     }
-    println(s"""{"op":"dup_clusters","edges":$nEdges,"vertices":$nCcRows,"clusters":$nClusters,"sec":$tCc}""")
+    println(s"""{"op":"dup_clusters","edges":$nEdges,"vertices":$nCcRows,"clusters":$nClusters,"distributed_sec":$tCc,"local_sec":$tCcLocal,"vertices_match":${nCcRows == nCcLocal}}""")
+
+    // INCREMENTAL cluster maintenance at the daily-ingest shape: 1,000
+    // batch edges (500 bridging adjacent standing stars — real cross-batch
+    // merges over the 1M-vertex standing labels — plus a fresh 500-chain
+    // of brand-new docs) folded into the standing labels. The cost to
+    // watch: batch-shaped (contracted CC + broadcast relabel + two label
+    // scans), NOT a function of the standing edge count — vs the full
+    // re-run, which is.
+    val ccBridge = spark.range(500).toDF("k")
+      .select((col("k") * (2L * starSize)).as("doc_a"),
+        (col("k") * (2L * starSize) + starSize).as("doc_b"))
+    val ccFreshBase = chainBase + 100000L
+    val ccFresh = spark.range(500).toDF("k")
+      .select((col("k") + ccFreshBase).as("doc_a"),
+        (col("k") + ccFreshBase + 1L).as("doc_b"))
+    val (nIncCc, tIncCc) = timed {
+      Dedup.duplicateClustersIncremental(
+        ccLabels, ccBridge.unionByName(ccFresh)).count()
+    }
+    println(s"""{"op":"dup_clusters_incremental","standing_vertices":$nCcLocal,"batch_edges":1000,"vertices":$nIncCc,"new_vertices_ok":${nIncCc == nCcLocal + 501},"sec":$tIncCc,"full_rerun_sec":$tCcLocal}""")
 
     // passage dedup over the replicated corpus (duplicate-HEAVY: every
     // chunk occurs factor x) — only hashes shuffle, doc text never moves

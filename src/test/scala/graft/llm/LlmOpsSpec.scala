@@ -1082,21 +1082,25 @@ class LlmOpsSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(idOut === std)
 
-    // seeded random multigraph split into standing/batch halves: the
-    // incremental labels must equal batch CC over the union for every
-    // split — chains, merges, duplicate edges, self-contained new docs
-    val rnd = new scala.util.Random(4242)
-    val all = (0 until 300).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
-      .filter { case (a, b) => a != b }
-    val (h1, h2) = all.splitAt(all.size / 2)
-    val s2 = Dedup.duplicateClusters(h1.toDF("doc_a", "doc_b"))
-    val inc = Dedup.duplicateClustersIncremental(s2, h2.toDF("doc_a", "doc_b"))
-      .select("doc_id", "cluster_id", "cluster_size")
-      .as[(Long, Long, Int)].collect().toSet
-    val batch = Dedup.duplicateClusters((h1 ++ h2).toDF("doc_a", "doc_b"))
-      .select("doc_id", "cluster_id", "cluster_size")
-      .as[(Long, Long, Int)].collect().toSet
-    assert(inc === batch)
+    // seeded random multigraphs split into standing/batch halves at
+    // varying ratios: the incremental labels must equal batch CC over the
+    // union for EVERY split — chains, merges, duplicate edges,
+    // self-contained new docs, standing-free batches (tiny h1), and
+    // batch-free merges (tiny h2)
+    for ((seed, splitFrac) <- Seq((4242, 0.5), (77, 0.1), (91, 0.9), (1234, 0.3))) {
+      val rnd = new scala.util.Random(seed)
+      val all = (0 until 300).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter { case (a, b) => a != b }
+      val (h1, h2) = all.splitAt((all.size * splitFrac).toInt)
+      val s2 = Dedup.duplicateClusters(h1.toDF("doc_a", "doc_b"))
+      val inc = Dedup.duplicateClustersIncremental(s2, h2.toDF("doc_a", "doc_b"))
+        .select("doc_id", "cluster_id", "cluster_size")
+        .as[(Long, Long, Int)].collect().toSet
+      val batch = Dedup.duplicateClusters((h1 ++ h2).toDF("doc_a", "doc_b"))
+        .select("doc_id", "cluster_id", "cluster_size")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(inc === batch, s"seed=$seed splitFrac=$splitFrac")
+    }
   }
 
   test("normalizeText: case/punct/unicode-form variants collapse to one form") {
