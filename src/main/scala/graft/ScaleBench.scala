@@ -41,8 +41,15 @@ object ScaleBench {
       case None => throw new IllegalArgumentException(
         s"replicate: input frame is empty — nothing to replicate")
     }
+    // stride growth and the per-copy shift are Long math: bound them so a
+    // 63-bit-hash id space fails loudly instead of wrapping the stride
+    // negative (non-terminating loop) or colliding shifted copies
+    require(maxId < 1000000000000000L,
+      s"replicate: max($idCol)=$maxId — id space too large for stride shifting")
     var stride = 10000000L
     while (stride <= maxId) stride *= 10
+    require(stride <= Long.MaxValue / math.max(factor, 1),
+      s"replicate: factor=$factor x stride=$stride overflows Long")
     (0 until factor)
       .map(i => df.withColumn(idCol, col(idCol) + lit(i.toLong * stride)))
       .reduce(_ unionByName _)
@@ -170,6 +177,10 @@ object ScaleBench {
     val nSmallBatch = smallBatch.count()
     val statePath = java.nio.file.Files
       .createTempDirectory("scalebench_standing_state_").toString
+    // untimed warm pass: JIT, codegen, and the standing-table scan warm-up
+    // must not land in whichever timed leg happens to run first — both
+    // timed legs below then run over the same warmed session
+    CorpusPipeline.prepareIncremental(smallBatch, bigStanding).count()
     val (nFrameSurv, tFrameFed) = timed {
       CorpusPipeline.prepareIncremental(smallBatch, bigStanding).count()
     }

@@ -309,7 +309,21 @@ object Dedup {
     val cap = pairs.sparkSession.conf
       .getOption("spark.graft.cc.localCap").map(_.toInt)
       .getOrElse(DefaultLocalCcCap)
-    if (cap > 0) {
+    // the local path is gated on INTEGRAL id columns: a cast("long") on
+    // string/decimal ids would yield nulls and silently drop every edge
+    // before the cap check — non-integral ids always take the distributed
+    // star rounds, which are type-agnostic (greatest/least on any
+    // orderable type)
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      Seq("doc_a", "doc_b").forall { c =>
+        pairs.schema.find(_.name == c).map(_.dataType) match {
+          case Some(ByteType | ShortType | IntegerType | LongType) => true
+          case _ => false
+        }
+      }
+    }
+    if (cap > 0 && integralIds) {
       val canon = pairs
         .select(
           greatest(col("doc_a"), col("doc_b")).cast("long").as("hi"),
@@ -320,6 +334,10 @@ object Dedup {
       if (fetched.length <= cap)
         return localClusters(pairs.sparkSession,
           fetched.map(r => (r.getLong(0), r.getLong(1))))
+      // over-cap: reuse the canonical frame the probe just built (the
+      // probe's distinct+limit pass is the one extra cost of the gate —
+      // rebuilding canon from raw pairs would double it)
+      return duplicateClustersCountedCanon(canon, maxRounds)._1
     }
     duplicateClustersCounted(pairs, maxRounds)._1
   }
@@ -371,14 +389,24 @@ object Dedup {
     * observable the round-complexity spec pins (a 10k-node path must
     * converge within ~2·log2(n) rounds). */
   private[llm] def duplicateClustersCounted(
-      pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
-    // canonical star-edge form: (hi, lo), hi > lo
-    var edges = pairs
-      .select(
-        greatest(col("doc_a"), col("doc_b")).as("hi"),
-        least(col("doc_a"), col("doc_b")).as("lo"))
-      .filter(col("hi") =!= col("lo"))
-      .distinct()
+      pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) =
+    duplicateClustersCountedCanon(
+      // canonical star-edge form: (hi, lo), hi > lo
+      pairs
+        .select(
+          greatest(col("doc_a"), col("doc_b")).as("hi"),
+          least(col("doc_a"), col("doc_b")).as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct(),
+      maxRounds)
+
+  /** Star rounds over an already-canonical (hi, lo) edge frame — shared by
+    * [[duplicateClustersCounted]] and [[duplicateClusters]]' over-cap
+    * fallback (which has already built the canonical frame for its probe
+    * and must not rebuild it from raw pairs). */
+  private def duplicateClustersCountedCanon(
+      canon: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    var edges = canon
       .localCheckpoint(true) // scanned every round — sever lineage once
     var round = 0
     var converged = false

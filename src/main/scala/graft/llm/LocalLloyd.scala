@@ -165,22 +165,33 @@ private[llm] object LocalLloyd {
     val dim = if (init.isEmpty) 0 else init.head.length
     for (_ <- 0 until iterations) {
       val sums = Array.ofDim[Double](k, dim)
-      val cnts = Array.ofDim[Long](k, dim)
+      val members = new Array[Long](k)
       val (cs, csNorms) = toArrays(cents)
       var r = 0
       while (r < s.vecs.length) {
         val v = s.vecs(r)
         if (v != null) {
+          // the distributed twin's mean agg reads embedding[i] for every
+          // i < dim under ANSI semantics, which THROWS on a too-short
+          // array — mirror the loud failure (the old min-truncation here
+          // silently produced 0/0 = NaN centroid dims instead, which
+          // nearestFast would then never select)
+          if (v.length < dim) throw new IllegalArgumentException(
+            s"trainCentroids: embedding has ${v.length} elements, " +
+              s"centroid dim is $dim — the distributed ANSI array read fails here too")
           val b = nearestFast(v, cs, csNorms)
+          members(b) += 1
           var i = 0
-          val n = math.min(dim, v.length)
-          while (i < n) { sums(b)(i) += v(i); cnts(b)(i) += 1; i += 1 }
+          while (i < dim) { sums(b)(i) += v(i); i += 1 }
         }
         r += 1
       }
+      // empty buckets keep the previous centroid (the distributed
+      // means.getOrElse); non-empty buckets have every dim counted
+      // `members` times (short vectors are excluded above)
       cents = cents.indices.map { c =>
-        if (cnts(c).forall(_ == 0L)) cents(c)
-        else (0 until dim).map(i => round6(sums(c)(i) / cnts(c)(i)))
+        if (members(c) == 0L) cents(c)
+        else (0 until dim).map(i => round6(sums(c)(i) / members(c)))
       }
     }
     cents

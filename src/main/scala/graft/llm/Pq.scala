@@ -411,7 +411,12 @@ object Pq {
       .select(col("vec_id"),
         zip_with(col("embedding"), element_at(coarseLit, col("bucket") + 1),
           (x, w) => (x.cast("double") - w).cast("float")).as("embedding"))
-    (coarse, codebookLloyd(resid, seedCodebooks(pqSeeds, m, subDim), subDim, iterations))
+    // this branch only runs when `e` is already past the LocalLloyd cap;
+    // `resid` has the same row count, so go straight to the distributed
+    // loop instead of re-probing the gate (a limit(cap+1) collect that
+    // would evaluate the residual projection for 131k rows and discard it)
+    (coarse, codebookLloydDistributed(
+      resid, seedCodebooks(pqSeeds, m, subDim), subDim, iterations))
   }
 
   /** IVF-PQ — the production ANN shape at 100 TB, composing the two

@@ -135,11 +135,15 @@ object StandingState {
       Meta(r.getAs[Int]("shingle_size"), r.getAs[Int]("num_hashes"),
         r.getAs[Int]("band_rows"), r.getAs[Boolean]("normalized"))
     }
+    // probe through the Spark reader, not java.io.File — the state path
+    // may be any Hadoop-addressable URI (hdfs://, s3a://, file:), where a
+    // local-File existence check is always false and would silently drop
+    // the frozen centroids (re-running a Lloyd training every ingest)
     val cs =
-      if (!new java.io.File(s"$path/centroids").exists()) None
-      else Some(spark.read.parquet(s"$path/centroids")
+      try Some(spark.read.parquet(s"$path/centroids")
         .orderBy("idx").collect()
         .map(r => r.getSeq[Double](r.fieldIndex("c")).toSeq).toSeq)
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
     StandingState(
       spark.read.parquet(s"$path/digests"),
       spark.read.parquet(s"$path/bands"),
@@ -194,16 +198,30 @@ object StandingState {
     val spark = newPairs.sparkSession
     val standing = loadClusters(spark, path)
     val updated = Dedup.duplicateClustersIncremental(standing, newPairs)
-    val dir = java.nio.file.Paths.get(path)
-    val staged = dir.resolve("clusters__staged")
+    // swap through the Hadoop FileSystem API so the state path may be any
+    // Hadoop-addressable URI (hdfs://, s3a://, file:), exactly like the
+    // parquet reads/writes around it — java.nio cannot address those. The
+    // two renames are NOT one atomic operation: a crash between them
+    // leaves no `clusters/` but a complete `clusters__retired/` (the
+    // pre-update labels, kept until the swap fully succeeds) — recovery
+    // is renaming retired back; loadClusters' path-not-found error is the
+    // loud signal. A metastore-backed deployment swaps a table pointer
+    // instead.
+    import org.apache.hadoop.fs.{Path => HPath}
+    val base = new HPath(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new HPath(base, "clusters__staged")
     updated.select("doc_id", "cluster_id", "cluster_size")
       .write.mode("overwrite").parquet(staged.toString)
-    val live = dir.resolve("clusters")
-    val retired = dir.resolve("clusters__retired")
-    deleteRecursively(retired)
-    java.nio.file.Files.move(live, retired)
-    java.nio.file.Files.move(staged, live)
-    deleteRecursively(retired)
+    val live = new HPath(base, "clusters")
+    val retired = new HPath(base, "clusters__retired")
+    if (fs.exists(retired)) fs.delete(retired, true)
+    if (!fs.rename(live, retired))
+      throw new java.io.IOException(s"updateClusters: rename $live -> $retired failed")
+    if (!fs.rename(staged, live))
+      throw new java.io.IOException(
+        s"updateClusters: rename $staged -> $live failed — pre-update labels intact at $retired")
+    fs.delete(retired, true)
     loadClusters(spark, path)
   }
 
@@ -251,10 +269,4 @@ object StandingState {
       .write.mode("append").parquet(s"$path/emb_buckets")
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
 }

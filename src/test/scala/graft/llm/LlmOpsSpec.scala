@@ -977,6 +977,19 @@ class LlmOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.cc.localCap")
   }
 
+  test("duplicateClusters: non-integral ids bypass the local gate, labels stay correct") {
+    // string ids would cast("long") to null in the local path's canonical
+    // frame and silently drop every edge — the type gate must route them
+    // to the (type-agnostic, lexically-ordered) distributed star rounds
+    val pairs = Seq(("b", "a"), ("c", "b"), ("e", "d")).toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClusters(pairs)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(String, String, Int)].collect().toSet
+    assert(out === Set(
+      ("a", "a", 3), ("b", "a", 3), ("c", "a", 3),
+      ("d", "d", 2), ("e", "d", 2)))
+  }
+
   test("duplicateClusters: local union-find == forced-distributed star rounds") {
     // the multi-shape graph from the star/propagation differential plus a
     // second disjoint component family — every min-routing shape, labeled

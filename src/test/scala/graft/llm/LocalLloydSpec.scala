@@ -81,6 +81,42 @@ class LocalLloydSpec extends SparkSpec {
     }
   }
 
+  test("short embeddings fail LOUDLY on both paths; longer ones train equal") {
+    import spark.implicits._
+    // a vector SHORTER than the centroid dim: the distributed mean agg
+    // reads embedding[i] under ANSI semantics and throws — the local path
+    // must mirror the loud failure, not silently produce 0/0 = NaN
+    // centroid dims (which nearestFast would then never select)
+    val s = LocalLloyd.Sample(
+      Array(1L, 2L),
+      Array(Array(1.0, 1.0), Array(1.0, 0.9)))
+    val init = Seq(Seq(1.0, 1.0, 5.0, 5.0), Seq(-1.0, -1.0, 0.0, 0.0))
+    val exLocal = intercept[IllegalArgumentException] {
+      LocalLloyd.lloydCoarse(s, init, 1)
+    }
+    assert(exLocal.getMessage.contains("centroid dim"))
+    val e = Seq(
+      (1L, Array(1.0f, 1.0f)), (2L, Array(1.0f, 0.9f))).toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    val exDist = intercept[Exception] {
+      VectorOps.trainCentroidsFrom(e, init, 1)
+    }
+    assert(exDist.getMessage.contains("INVALID_ARRAY_INDEX"))
+    // vectors LONGER than dim: extra dims ignored identically on both
+    // paths, and an empty bucket keeps its previous centroid
+    val s2 = LocalLloyd.Sample(
+      Array(1L, 2L),
+      Array(Array(1.0, 1.0, 7.0), Array(1.0, 0.9, 9.0)))
+    val init2 = Seq(Seq(1.0, 1.0), Seq(-1.0, -1.0))
+    val local2 = LocalLloyd.lloydCoarse(s2, init2, 1)
+    val e2 = Seq(
+      (1L, Array(1.0f, 1.0f, 7.0f)), (2L, Array(1.0f, 0.9f, 9.0f)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    assert(local2 === VectorOps.trainCentroidsFrom(e2, init2, 1))
+    assert(local2(1) === init2(1)) // empty bucket -> previous centroid
+    assert(local2.flatten.forall(d => !d.isNaN))
+  }
+
   test("sample gate: over-cap frame falls back (returns None)") {
     val e = graft.Tables.embeddings(spark, dir)
     withCap(3) { assert(LocalLloyd.sample(e).isEmpty) }
