@@ -1,0 +1,137 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.llm.{CorpusPipeline, StandingState}
+
+/** CLI for the batch corpus-preparation side — the `sync` twin for the
+  * training-data pipeline: parquet documents in, packed/scrubbed/deduped
+  * training rows out, with the daily-ingest (incremental, optionally
+  * state-fed) regime behind flags.
+  *
+  * {{{
+  *   runMain graft.jobs.PrepareMain \
+  *     --in=/data/docs.parquet --out=/data/prepared      # full batch prep
+  *     [--eval=/data/eval.parquet]                       # decontamination corpus
+  *     [--embeddings=/data/emb.parquet]                  # + semantic dedup stage
+  *     [--report=/data/report]                           # per-stage attrition table
+  *     [--standing=/data/corpus.parquet]                 # INCREMENTAL vs standing
+  *     [--state=/data/state]                             # ...fed from persisted state
+  *     [--appendState]                                   # close the ingest cycle
+  *     [--tau=0.8] [--minWords=20] [--maxWords=100000]
+  *     [--normalize] [--packBudget=2048]
+  * }}}
+  *
+  * Modes:
+  *  - `--in` + `--out` only: full [[CorpusPipeline.prepare]] (with
+  *    `--report`, [[CorpusPipeline.prepareWithReport]] — the report table
+  *    lands next to the output).
+  *  - `+ --standing`: [[CorpusPipeline.prepareIncremental]] — the batch is
+  *    prepared AGAINST the standing corpus; output rows are the admitted
+  *    batch (append them to the corpus table to complete the cycle).
+  *  - `+ --state`: [[CorpusPipeline.prepareIncrementalWithState]] — the
+  *    standing side reads the persisted digest/band/centroid tables;
+  *    `--appendState` then appends the admitted batch's artifacts back to
+  *    the state, so the next run stays batch-shaped.
+  *
+  * Prints ONE JSON line (rows in/out, mode, paths) for scripting.
+  */
+object PrepareMain {
+
+  final case class Args(
+      in: String = "",
+      out: String = "",
+      eval: Option[String] = None,
+      embeddings: Option[String] = None,
+      report: Option[String] = None,
+      standing: Option[String] = None,
+      state: Option[String] = None,
+      appendState: Boolean = false,
+      tau: Double = 0.8,
+      minWords: Int = 20,
+      maxWords: Int = 100000,
+      normalize: Boolean = false,
+      packBudget: Long = 2048L)
+
+  def parseArgs(argv: Array[String]): Args = {
+    val a = argv.foldLeft(Args()) { (a, s) =>
+      s.split("=", 2) match {
+        case Array("--in", v) => a.copy(in = v)
+        case Array("--out", v) => a.copy(out = v)
+        case Array("--eval", v) => a.copy(eval = Some(v))
+        case Array("--embeddings", v) => a.copy(embeddings = Some(v))
+        case Array("--report", v) => a.copy(report = Some(v))
+        case Array("--standing", v) => a.copy(standing = Some(v))
+        case Array("--state", v) => a.copy(state = Some(v))
+        case Array("--appendState") => a.copy(appendState = true)
+        case Array("--tau", v) => a.copy(tau = v.toDouble)
+        case Array("--minWords", v) => a.copy(minWords = v.toInt)
+        case Array("--maxWords", v) => a.copy(maxWords = v.toInt)
+        case Array("--normalize") => a.copy(normalize = true)
+        case Array("--packBudget", v) => a.copy(packBudget = v.toLong)
+        case other => sys.error(s"unknown argument '${other.mkString("=")}'")
+      }
+    }
+    require(a.in.nonEmpty && a.out.nonEmpty, "--in and --out are required")
+    require(a.state.isEmpty || a.standing.nonEmpty,
+      "--state needs --standing (the corpus table the state was built over)")
+    require(!a.appendState || a.state.nonEmpty, "--appendState needs --state")
+    a
+  }
+
+  def cfgOf(a: Args): CorpusPipeline.Config = CorpusPipeline.Config(
+    minWords = a.minWords, maxWords = a.maxWords, nearDupTau = a.tau,
+    normalizeFingerprints = a.normalize, packBudget = a.packBudget)
+
+  /** Run one prepare pass; returns (result rows written, mode string). */
+  def run(spark: SparkSession, a: Args): (Long, String) = {
+    val docs = spark.read.parquet(a.in)
+    val eval = a.eval.map(spark.read.parquet(_))
+    val emb = a.embeddings.map(spark.read.parquet(_))
+    val cfg = cfgOf(a)
+    val (result, mode): (DataFrame, String) = (a.standing, a.state) match {
+      case (Some(st), Some(sp)) =>
+        val standing = spark.read.parquet(st)
+        val out = CorpusPipeline.prepareIncrementalWithState(
+          docs, standing, StandingState.load(spark, sp), eval, cfg, emb)
+        (out, "incremental-state")
+      case (Some(st), None) =>
+        (CorpusPipeline.prepareIncremental(
+          docs, spark.read.parquet(st), eval, cfg, emb), "incremental")
+      case (None, _) =>
+        a.report match {
+          case Some(rp) =>
+            val (out, report) = CorpusPipeline.prepareWithReport(docs, eval, cfg, emb)
+            report.coalesce(1).write.mode("overwrite").parquet(rp)
+            (out, "batch+report")
+          case None => (CorpusPipeline.prepare(docs, eval, cfg, emb), "batch")
+        }
+    }
+    // one barrier: the written rows feed the count, the optional report
+    // (incremental modes), and the state append without recomputing
+    result.write.mode("overwrite").parquet(a.out)
+    val written = spark.read.parquet(a.out)
+    val n = written.count()
+    if (a.appendState)
+      StandingState.append(written, a.state.get, cfg)
+    (n, mode)
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-prepare")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val (n, mode) = run(spark, a)
+      println(s"""{"job":"prepare","mode":"$mode","rows_out":$n,"out":"${a.out}"}""")
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,99 @@
+package graft.jobs
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The prepare CLI end-to-end over real parquet round-trips: batch mode
+  * with the attrition report, and the state-fed daily-ingest cycle across
+  * two runs (append closes the loop — run 2 drops a replica of run 1's
+  * admitted doc without recomputing the standing side from text). */
+class PrepareMainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base(i: Int): String =
+    "the tale of and to in " + (1 to 18).map(j => s"word${i}x$j").mkString(" ")
+
+  private def writeDocs(rows: (Long, String)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("prep_docs_").toString
+    rows.toDF("doc_id", "text").withColumn("source", lit("s"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("parseArgs: full surface + mode preconditions") {
+    val a = PrepareMain.parseArgs(Array(
+      "--in=/i", "--out=/o", "--eval=/e", "--embeddings=/m", "--report=/r",
+      "--standing=/st", "--state=/sp", "--appendState",
+      "--tau=0.9", "--minWords=5", "--maxWords=50", "--normalize",
+      "--packBudget=512"))
+    assert(a.in === "/i" && a.out === "/o" && a.eval === Some("/e"))
+    assert(a.standing === Some("/st") && a.state === Some("/sp") && a.appendState)
+    assert(a.tau === 0.9 && a.minWords === 5 && a.normalize)
+    assert(a.packBudget === 512L)
+    intercept[IllegalArgumentException] {
+      PrepareMain.parseArgs(Array("--in=/i")) // no --out
+    }
+    intercept[IllegalArgumentException] {
+      PrepareMain.parseArgs(Array("--in=/i", "--out=/o", "--state=/sp"))
+    }
+  }
+
+  test("batch mode: gate + dedup land in the output, report table written") {
+    val in = writeDocs(
+      1L -> base(1),
+      2L -> base(1), // exact dup of 1 -> dropped
+      3L -> "too short", // gate drops
+      4L -> base(4))
+    val out = tmp("prep_out_")
+    val rp = tmp("prep_report_")
+    val (n, mode) = PrepareMain.run(spark, PrepareMain.parseArgs(Array(
+      s"--in=$in", s"--out=$out", s"--report=$rp")))
+    assert(mode === "batch+report")
+    assert(n === 2L)
+    val ids = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 4L))
+    val stages = spark.read.parquet(rp).select("stage").as[String].collect()
+    assert(stages.nonEmpty && stages.contains("0_input") && stages.contains("8_packed"))
+  }
+
+  test("state-fed ingest cycle across two runs: append makes run 2 drop run 1's replica") {
+    // day 0: prepared standing corpus + persisted state
+    val corpus0 = writeDocs(1L -> base(1), 2L -> base(2))
+    val standingPrep = graft.llm.CorpusPipeline.prepare(
+      spark.read.parquet(corpus0)).localCheckpoint(true)
+    val standingDir = tmp("prep_standing_")
+    standingPrep.select("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(standingDir)
+    val statePath = tmp("prep_state_")
+    graft.llm.StandingState.write(
+      spark.read.parquet(standingDir), statePath)
+
+    // run 1: a replica of standing doc 1 (dropped) + novel doc 10 (admitted)
+    val in1 = writeDocs(9L -> base(1), 10L -> base(10))
+    val out1 = tmp("prep_out1_")
+    val (n1, mode1) = PrepareMain.run(spark, PrepareMain.parseArgs(Array(
+      s"--in=$in1", s"--out=$out1",
+      s"--standing=$standingDir", s"--state=$statePath", "--appendState")))
+    assert(mode1 === "incremental-state")
+    assert(n1 === 1L)
+    assert(spark.read.parquet(out1).select("doc_id").as[Long].collect().toSeq === Seq(10L))
+
+    // the corpus table grows by the admitted rows (the caller's append leg)
+    spark.read.parquet(out1).select("doc_id", "source", "text")
+      .write.mode("append").parquet(standingDir)
+
+    // run 2: a replica of run 1's admitted doc 10 MUST drop — its digest
+    // and band rows came from --appendState, not from re-deriving standing
+    val in2 = writeDocs(20L -> base(10), 21L -> base(21))
+    val out2 = tmp("prep_out2_")
+    val (n2, _) = PrepareMain.run(spark, PrepareMain.parseArgs(Array(
+      s"--in=$in2", s"--out=$out2",
+      s"--standing=$standingDir", s"--state=$statePath")))
+    assert(n2 === 1L)
+    assert(spark.read.parquet(out2).select("doc_id").as[Long].collect().toSeq === Seq(21L))
+  }
+}
