@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.llm.TextOps
+import graft.llm.{Dedup, StandingState, TextOps}
 import graft.sink.KvPubSubSink
 
 /** Streaming training-corpus intake — the Structured Streaming twin of
@@ -184,4 +184,73 @@ object CorpusIntakeJob {
         writeAdmitted(b, backendName, keyPrefix, ttlSeconds, notifyChannel)
       }
       .start()
+
+  /** Streaming EMBEDDING intake against the PERSISTED standing state —
+    * the vector twin of [[runStream]] with a different state posture:
+    * there is ZERO Structured-Streaming state. Each micro-batch dedups
+    * against the persisted sign-LSH bucket table
+    * ([[StandingState.loadEmbBuckets]] feeding
+    * [[Dedup.dedupByEmbeddingLshIncrementalVsBuckets]] — within-batch
+    * lower-id collisions drop too) and the admitted vectors append to
+    * BOTH the standing vector table and the bucket table, closing the
+    * ingest cycle inside the stream. All state lives in the two parquet
+    * tables, so executors stay stateless and the tables are shared with
+    * the batch/[[graft.jobs.PrepareMain]] cycle.
+    *
+    * Crash-recovery admission is SELF-HEALING rather than stateful: if a
+    * batch replays after its appends were committed, every replayed
+    * vector now collides with its own standing copy (cosine 1 at any
+    * tau <= 1) and is dropped — no duplicate appends, no admission lost
+    * (spec-pinned). The batch stream must carry (vec_id, embedding
+    * [, label]); ids must be unique across the stream and disjoint from
+    * standing. */
+  def runEmbeddingStream(
+      vecs: DataFrame,
+      statePath: String,
+      standingVecsPath: String,
+      checkpoint: String,
+      tau: Double,
+      nPlanes: Int = 4,
+      dim: Int = 64,
+      trigger: Trigger = Trigger.ProcessingTime("3 seconds")): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        ingestEmbeddingBatch(b.toDF(), statePath, standingVecsPath, tau, nPlanes, dim)
+        ()
+      }
+      .start()
+
+  /** One micro-batch of [[runEmbeddingStream]], factored out so the batch
+    * leg is testable (and usable) standalone: dedup vs persisted buckets,
+    * then append the admitted rows + their bucket rows. Returns the
+    * admitted count. */
+  def ingestEmbeddingBatch(
+      batch: DataFrame,
+      statePath: String,
+      standingVecsPath: String,
+      tau: Double,
+      nPlanes: Int = 4,
+      dim: Int = 64): Long = {
+    val spark = batch.sparkSession
+    val b =
+      if (batch.columns.contains("label")) batch
+      else batch.withColumn("label", lit(null).cast("string"))
+    val standingVecs = spark.read.parquet(standingVecsPath)
+    // EAGER barrier: the admitted frame must fully materialize (its plan
+    // READS standingVecsPath) before the append below writes new files
+    // into that same directory
+    val admitted = Dedup.dedupByEmbeddingLshIncrementalVsBuckets(
+      b.select("vec_id", "embedding", "label"),
+      StandingState.loadEmbBuckets(spark, statePath, nPlanes, dim),
+      standingVecs.select("vec_id", "embedding"),
+      tau, nPlanes, dim)
+      .localCheckpoint(true)
+    admitted.select("vec_id", "embedding", "label")
+      .write.mode("append").parquet(standingVecsPath)
+    StandingState.appendEmbBuckets(admitted, statePath)
+    admitted.count()
+  }
 }

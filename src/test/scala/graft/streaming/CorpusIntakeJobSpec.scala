@@ -7,6 +7,8 @@ import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
 
+final case class IntakeVec(vec_id: Long, embedding: Array[Float], label: String)
+
 /** The composed streaming intake: quality gate -> PII scrub -> watermarked
   * dedup, driven through MemoryStream micro-batches. Pins the composition
   * properties (gate drops junk, scrub rewrites text BEFORE fingerprinting,
@@ -190,6 +192,47 @@ class CorpusIntakeJobSpec extends SparkSpec {
     assert(backend.ttlOf("corpus:doc:6") === Some(3600L))
     assert(backend.publishLog.filter(_._1 == "corpus:admitted").map(_._2) ===
       Seq("1", "4", "6"))
+  }
+
+  test("runEmbeddingStream: persisted-state dedup closes the cycle in-stream; replay self-heals") {
+    import org.apache.spark.sql.functions.lit
+    implicit val sqlCtx = spark.sqlContext
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(seed * 31 + i) * 0.5).toFloat)
+    // day-0 standing vectors + their persisted bucket table
+    val standingDir = java.nio.file.Files.createTempDirectory("emb_intake_vecs_").toString
+    Seq((1L, vec(1)), (2L, vec(2))).toDF("vec_id", "embedding")
+      .withColumn("label", lit("s"))
+      .write.mode("overwrite").parquet(standingDir)
+    val statePath = java.nio.file.Files.createTempDirectory("emb_intake_state_").toString
+    graft.llm.StandingState.writeEmbBuckets(spark.read.parquet(standingDir), statePath)
+
+    val ck = java.nio.file.Files.createTempDirectory("emb_intake_ck_").toString
+    val in = MemoryStream[IntakeVec]
+    val q = CorpusIntakeJob.runEmbeddingStream(
+      in.toDF(), statePath, standingDir, ck, tau = 0.999)
+    def tableIds: Set[Long] = spark.read.parquet(standingDir)
+      .select("vec_id").as[Long].collect().toSet
+    try {
+      in.addData(
+        IntakeVec(10L, vec(1), "b"), // replica of standing 1 -> dropped
+        IntakeVec(11L, vec(11), "b")) // novel -> admitted + appended
+      q.processAllAvailable()
+      assert(tableIds === Set(1L, 2L, 11L))
+      in.addData(
+        IntakeVec(20L, vec(11), "b"), // replica of batch-1 ADMITTED 11 -> dropped
+        IntakeVec(21L, vec(21), "b")) // novel -> admitted
+      q.processAllAvailable()
+      assert(tableIds === Set(1L, 2L, 11L, 21L))
+    } finally q.stop()
+    // replayed micro-batch (recovery): its vectors already live in the
+    // standing table, so every one collides with its own copy and the
+    // replay admits nothing — no duplicate appends, no admission lost
+    val replayed = Seq((21L, vec(21))).toDF("vec_id", "embedding")
+    val n = CorpusIntakeJob.ingestEmbeddingBatch(
+      replayed, statePath, standingDir, tau = 0.999)
+    assert(n === 0L)
+    assert(tableIds === Set(1L, 2L, 11L, 21L))
   }
 
   test("intake: exact mode dedups on redacted text; distinct texts all pass") {
