@@ -153,45 +153,47 @@ object ScaleBench {
 
     // persisted standing state at the DAILY-INGEST shape (standing >>
     // batch — the regime the artifact store exists for): standing is the
-    // prepared corpus replicated 10x under shifted ids, the batch is one
+    // prepared corpus replicated under shifted ids, the batch is one
     // un-replicated copy (every doc an exact dup of a standing doc ->
-    // survivors == 0). Run 1 writes the artifacts; run 2 is state-fed.
-    // The frame-fed twin re-digests and re-minhashes all 10x standing
-    // docs per ingest; the state-fed run's standing cost is a scan of the
-    // precomputed tables — the state_fed_sec vs frame_fed_sec gap is the
-    // run-over-run win, and it grows linearly with the standing corpus.
-    // standing lives as a parquet TABLE for both legs (the honest posture:
-    // at 100 TB standing is a table, not a cached frame — a cached
-    // frame-fed twin understates what re-derivation costs). Frame-fed runs
-    // FIRST so session warmth (shuffles, JIT, batch-side scans) cannot
-    // flatter the state-fed leg it is being compared against.
-    val standingTblDir = java.nio.file.Files
-      .createTempDirectory("scalebench_standing_tbl_").toString
-    replicate(standingPrep, "doc_id", 10)
-      .write.mode("overwrite").parquet(standingTblDir)
-    val bigStanding = spark.read.parquet(standingTblDir)
-    val nBigStanding = bigStanding.count()
+    // survivors == 0). The frame-fed twin re-digests and re-minhashes the
+    // whole standing corpus per ingest; the state-fed run's standing cost
+    // is a scan of the precomputed tables. Standing lives as a parquet
+    // TABLE for both legs (the honest posture: at 100 TB standing is a
+    // table, not a cached frame — a cached frame-fed twin understates
+    // what re-derivation costs).
+    // ...probed at TWO standing scales: after the driver-side Lloyd fast
+    // path removed the per-ingest training cost, the crossover where
+    // state-fed beats frame-fed sits above ~30k standing docs — a single
+    // point there reads as a state loss when the CURVE is the claim
+    // (frame-fed cost grows with standing, state-fed tracks the batch).
     val smallBatch = standingPrep
       .withColumn("doc_id", col("doc_id") + lit(900000000L))
       .localCheckpoint(true)
     val nSmallBatch = smallBatch.count()
-    val statePath = java.nio.file.Files
-      .createTempDirectory("scalebench_standing_state_").toString
-    // untimed warm pass: JIT, codegen, and the standing-table scan warm-up
-    // must not land in whichever timed leg happens to run first — both
-    // timed legs below then run over the same warmed session
-    CorpusPipeline.prepareIncremental(smallBatch, bigStanding).count()
-    val (nFrameSurv, tFrameFed) = timed {
+    for (standFactor <- Seq(10, 40)) {
+      val standingTblDir = java.nio.file.Files
+        .createTempDirectory(s"scalebench_standing_tbl_${standFactor}_").toString
+      replicate(standingPrep, "doc_id", standFactor)
+        .write.mode("overwrite").parquet(standingTblDir)
+      val bigStanding = spark.read.parquet(standingTblDir)
+      val nBigStanding = bigStanding.count()
+      val statePath = java.nio.file.Files
+        .createTempDirectory(s"scalebench_standing_state_${standFactor}_").toString
+      // untimed warm pass: JIT, codegen, and the standing-table scan
+      // warm-up must not land in whichever timed leg runs first
       CorpusPipeline.prepareIncremental(smallBatch, bigStanding).count()
+      val (nFrameSurv, tFrameFed) = timed {
+        CorpusPipeline.prepareIncremental(smallBatch, bigStanding).count()
+      }
+      val (_, tStateWrite) = timed {
+        StandingState.write(bigStanding, statePath)
+      }
+      val (nStateSurv, tStateFed) = timed {
+        CorpusPipeline.prepareIncrementalWithState(
+          smallBatch, bigStanding, StandingState.load(spark, statePath)).count()
+      }
+      println(s"""{"op":"prepare_incremental_state","standing_factor":$standFactor,"standing":$nBigStanding,"batch":$nSmallBatch,"survivors":$nStateSurv,"survivors_match":${nStateSurv == nFrameSurv},"all_dropped":${nStateSurv == 0L},"write_state_sec":$tStateWrite,"state_fed_sec":$tStateFed,"frame_fed_sec":$tFrameFed}""")
     }
-    val (_, tStateWrite) = timed {
-      StandingState.write(bigStanding, statePath)
-    }
-    val (nStateSurv, tStateFed) = timed {
-      CorpusPipeline.prepareIncrementalWithState(
-        smallBatch, bigStanding, StandingState.load(spark, statePath)).count()
-    }
-    println(s"""{"op":"prepare_incremental_state","standing":$nBigStanding,"batch":$nSmallBatch,"survivors":$nStateSurv,"survivors_match":${nStateSurv == nFrameSurv},"all_dropped":${nStateSurv == 0L},"write_state_sec":$tStateWrite,"state_fed_sec":$tStateFed,"frame_fed_sec":$tFrameFed}""")
 
     // BPE merge learning: uniform factor-x replication multiplies every
     // word frequency by the factor, so the merge SEQUENCE must be
