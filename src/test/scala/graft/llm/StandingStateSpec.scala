@@ -147,6 +147,32 @@ class StandingStateSpec extends SparkSpec {
     assert(got.contains((100L, 1L, 6)))
   }
 
+  test("cluster labels: randomized multi-ingest sequence == batch CC over everything") {
+    // four random ingests folded one at a time through the persisted
+    // table must end exactly where one batch CC over all pairs ends —
+    // merges, new-only clusters, and duplicate edges land in arbitrary
+    // ingests
+    val rnd = new scala.util.Random(9091)
+    val ingests = Vector.fill(4) {
+      (0 until 60).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }
+    }
+    val path = java.nio.file.Files.createTempDirectory("standing_clusters_rand_").toString
+    StandingState.writeClusters(
+      Dedup.duplicateClusters(ingests.head.toDF("doc_a", "doc_b")), path)
+    ingests.tail.foreach { ing =>
+      StandingState.updateClusters(path, ing.toDF("doc_a", "doc_b"))
+    }
+    val got = StandingState.loadClusters(spark, path)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Int)].collect().toSet
+    val expect = Dedup.duplicateClusters(ingests.flatten.toDF("doc_a", "doc_b"))
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
   test("emb buckets: state-fed == frame-fed; append cycle; regime mismatch is loud") {
     def vec(seed: Int): Array[Float] =
       Array.tabulate(64)(i => (math.sin(seed * 31 + i) * 0.5).toFloat)
