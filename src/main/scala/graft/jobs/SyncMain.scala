@@ -19,6 +19,12 @@ import graft.sink.{InMemoryKvBackend, KvBackends, PublishMode, RedisKvBackend}
   *     --checkpoint=/tmp/ck --chain=hive
   *     [--blocksPerTrigger=100] [--mode=irreversible|head]
   *     [--relaxedPublish] [--once] [--maxRestarts=N]
+  *
+  *   # streaming corpus intake (near-dup gate -> KV sink, RocksDB state):
+  *   runMain graft.jobs.SyncMain --job=intake \
+  *     --docs=/data/docs-jsonl-dir --backend=memory|redis://host:port \
+  *     --checkpoint=/tmp/ck [--keyPrefix=graft:corpus] [--verifyTau=0.9] \
+  *     [--horizonMs=1800000] [--ttl=N] [--notify=channel] [--once]
   * }}}
   *
   * `--once` runs a single bounded AvailableNow pass (backfill / test);
