@@ -198,32 +198,65 @@ object StandingState {
     val spark = newPairs.sparkSession
     val standing = loadClusters(spark, path)
     val updated = Dedup.duplicateClustersIncremental(standing, newPairs)
-    // swap through the Hadoop FileSystem API so the state path may be any
-    // Hadoop-addressable URI (hdfs://, s3a://, file:), exactly like the
-    // parquet reads/writes around it — java.nio cannot address those. The
-    // two renames are NOT one atomic operation: a crash between them
-    // leaves no `clusters/` but a complete `clusters__retired/` (the
-    // pre-update labels, kept until the swap fully succeeds) — recovery
-    // is renaming retired back; loadClusters' path-not-found error is the
-    // loud signal. A metastore-backed deployment swaps a table pointer
-    // instead.
+    swapTable(spark, path, "clusters") { staged =>
+      updated.select("doc_id", "cluster_id", "cluster_size")
+        .write.mode("overwrite").parquet(staged)
+    }
+    loadClusters(spark, path)
+  }
+
+  /** Rewrite-and-swap one state table: write the replacement to
+    * `<table>__staged`, then swap via two renames through the Hadoop
+    * FileSystem API (so the state path may be any Hadoop-addressable URI —
+    * hdfs://, s3a://, file: — exactly like the parquet IO around it;
+    * java.nio cannot address those). The two renames are NOT one atomic
+    * operation: a crash between them leaves no live table but a complete
+    * `<table>__retired/` (the pre-swap rows, kept until the swap fully
+    * succeeds) — recovery is renaming retired back; the reader's
+    * path-not-found error is the loud signal. A metastore-backed
+    * deployment swaps a table pointer instead. */
+  private def swapTable(spark: SparkSession, path: String, table: String)(
+      writeStaged: String => Unit): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val base = new HPath(path)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staged = new HPath(base, "clusters__staged")
-    updated.select("doc_id", "cluster_id", "cluster_size")
-      .write.mode("overwrite").parquet(staged.toString)
-    val live = new HPath(base, "clusters")
-    val retired = new HPath(base, "clusters__retired")
+    val staged = new HPath(base, s"${table}__staged")
+    writeStaged(staged.toString)
+    val live = new HPath(base, table)
+    val retired = new HPath(base, s"${table}__retired")
     if (fs.exists(retired)) fs.delete(retired, true)
     if (!fs.rename(live, retired))
-      throw new java.io.IOException(s"updateClusters: rename $live -> $retired failed")
+      throw new java.io.IOException(s"swapTable: rename $live -> $retired failed")
     if (!fs.rename(staged, live))
       throw new java.io.IOException(
-        s"updateClusters: rename $staged -> $live failed — pre-update labels intact at $retired")
+        s"swapTable: rename $staged -> $live failed — pre-swap rows intact at $retired")
     fs.delete(retired, true)
-    loadClusters(spark, path)
   }
+
+  /** Compact the APPEND-ONLY state tables. [[append]]/[[appendEmbBuckets]]
+    * and replayed micro-batches leave duplicate rows — harmless for
+    * correctness (every consuming leg has set semantics: the exact leg
+    * dedupes digests, band/bucket collisions are distinct()-ed), but they
+    * grow the per-ingest scan linearly with sloppy history. One distinct()
+    * rewrite per existing table (digests, bands, emb_buckets; cluster
+    * labels are already rewritten whole by [[updateClusters]]), swapped in
+    * with the same staged-rename discipline. Run it like any table
+    * maintenance job — periodically, not per ingest. */
+  def compact(spark: SparkSession, path: String): Unit =
+    Seq("digests", "bands", "emb_buckets").foreach { table =>
+      val exists =
+        try { spark.read.parquet(s"$path/$table"); true }
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      if (exists) {
+        // materialize the distinct rows BEFORE the swap touches the live
+        // directory the plan reads from
+        val rows = spark.read.parquet(s"$path/$table").distinct()
+          .localCheckpoint(true)
+        swapTable(spark, path, table) { staged =>
+          rows.write.mode("overwrite").parquet(staged)
+        }
+      }
+    }
 
   /** Persist the standing corpus' sign-LSH bucket rows for the EMBEDDING
     * dedup cycle (`emb_buckets/` + an `emb_meta/` row pinning the

@@ -217,6 +217,31 @@ class StandingStateSpec extends SparkSpec {
     assert(ex.getMessage.contains("nPlanes"))
   }
 
+  test("compact: duplicate appended rows collapse; dedup results unchanged") {
+    val standing = docs(1L -> base(1), 2L -> base(2))
+    val path = java.nio.file.Files.createTempDirectory("standing_compact_").toString
+    StandingState.write(standing, path)
+    val batch = docs(50L -> base(50))
+    // the same admitted batch appended TWICE (simulating a replayed
+    // micro-batch) doubles its rows in both tables
+    StandingState.append(batch, path)
+    StandingState.append(batch, path)
+    def counts = (
+      spark.read.parquet(s"$path/digests").count(),
+      spark.read.parquet(s"$path/bands").count())
+    val (dupD, dupB) = counts
+    StandingState.compact(spark, path)
+    val (cD, cB) = counts
+    assert(cD < dupD && cB < dupB, s"compact must shrink: $dupD->$cD, $dupB->$cB")
+    assert(cD === spark.read.parquet(s"$path/digests").distinct().count())
+    // the compacted state still serves the ingest identically: a replica
+    // of the appended doc drops, a novel one survives
+    val incoming = docs(60L -> base(50), 61L -> base(61))
+    val out = CorpusPipeline.prepareIncrementalWithState(
+      incoming, standing.unionByName(batch), StandingState.load(spark, path))
+    assert(ids(out) === Seq(61L))
+  }
+
   test("incompatible config is refused loudly") {
     val standing = docs(1L -> base(1))
     val state = StandingState.build(standing, CorpusPipeline.Config(shingleSize = 3))
