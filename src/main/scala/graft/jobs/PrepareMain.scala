@@ -18,6 +18,7 @@ import graft.llm.{CorpusPipeline, StandingState}
   *     [--standing=/data/corpus.parquet]                 # INCREMENTAL vs standing
   *     [--state=/data/state]                             # ...fed from persisted state
   *     [--appendState]                                   # close the ingest cycle
+  *     [--compactState]                                  # distinct-rewrite state tables
   *     [--tau=0.8] [--minWords=20] [--maxWords=100000]
   *     [--normalize] [--packBudget=2048]
   * }}}
@@ -47,6 +48,7 @@ object PrepareMain {
       standing: Option[String] = None,
       state: Option[String] = None,
       appendState: Boolean = false,
+      compactState: Boolean = false,
       tau: Double = 0.8,
       minWords: Int = 20,
       maxWords: Int = 100000,
@@ -64,6 +66,7 @@ object PrepareMain {
         case Array("--standing", v) => a.copy(standing = Some(v))
         case Array("--state", v) => a.copy(state = Some(v))
         case Array("--appendState") => a.copy(appendState = true)
+        case Array("--compactState") => a.copy(compactState = true)
         case Array("--tau", v) => a.copy(tau = v.toDouble)
         case Array("--minWords", v) => a.copy(minWords = v.toInt)
         case Array("--maxWords", v) => a.copy(maxWords = v.toInt)
@@ -76,6 +79,7 @@ object PrepareMain {
     require(a.state.isEmpty || a.standing.nonEmpty,
       "--state needs --standing (the corpus table the state was built over)")
     require(!a.appendState || a.state.nonEmpty, "--appendState needs --state")
+    require(!a.compactState || a.state.nonEmpty, "--compactState needs --state")
     a
   }
 
@@ -114,6 +118,8 @@ object PrepareMain {
     val n = written.count()
     if (a.appendState)
       StandingState.append(written, a.state.get, cfg)
+    if (a.compactState)
+      StandingState.compact(spark, a.state.get)
     (n, mode)
   }
 

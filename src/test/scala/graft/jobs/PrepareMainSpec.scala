@@ -27,11 +27,12 @@ class PrepareMainSpec extends SparkSpec {
   test("parseArgs: full surface + mode preconditions") {
     val a = PrepareMain.parseArgs(Array(
       "--in=/i", "--out=/o", "--eval=/e", "--embeddings=/m", "--report=/r",
-      "--standing=/st", "--state=/sp", "--appendState",
+      "--standing=/st", "--state=/sp", "--appendState", "--compactState",
       "--tau=0.9", "--minWords=5", "--maxWords=50", "--normalize",
       "--packBudget=512"))
     assert(a.in === "/i" && a.out === "/o" && a.eval === Some("/e"))
     assert(a.standing === Some("/st") && a.state === Some("/sp") && a.appendState)
+    assert(a.compactState)
     assert(a.tau === 0.9 && a.minWords === 5 && a.normalize)
     assert(a.packBudget === 512L)
     intercept[IllegalArgumentException] {
@@ -77,7 +78,8 @@ class PrepareMainSpec extends SparkSpec {
     val out1 = tmp("prep_out1_")
     val (n1, mode1) = PrepareMain.run(spark, PrepareMain.parseArgs(Array(
       s"--in=$in1", s"--out=$out1",
-      s"--standing=$standingDir", s"--state=$statePath", "--appendState")))
+      s"--standing=$standingDir", s"--state=$statePath",
+      "--appendState", "--compactState")))
     assert(mode1 === "incremental-state")
     assert(n1 === 1L)
     assert(spark.read.parquet(out1).select("doc_id").as[Long].collect().toSeq === Seq(10L))
