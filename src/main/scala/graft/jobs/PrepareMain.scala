@@ -80,6 +80,11 @@ object PrepareMain {
       "--state needs --standing (the corpus table the state was built over)")
     require(!a.appendState || a.state.nonEmpty, "--appendState needs --state")
     require(!a.compactState || a.state.nonEmpty, "--compactState needs --state")
+    // the attrition report exists only for the full-batch pipeline
+    // (prepareWithReport); silently ignoring the flag in incremental mode
+    // would strand scripting that reads the report path
+    require(a.report.isEmpty || a.standing.isEmpty,
+      "--report is batch-mode only (prepareWithReport); drop it for incremental runs")
     a
   }
 
@@ -111,8 +116,8 @@ object PrepareMain {
           case None => (CorpusPipeline.prepare(docs, eval, cfg, emb), "batch")
         }
     }
-    // one barrier: the written rows feed the count, the optional report
-    // (incremental modes), and the state append without recomputing
+    // one barrier: the written rows feed the count and the optional state
+    // append without recomputing the pipeline
     result.write.mode("overwrite").parquet(a.out)
     val written = spark.read.parquet(a.out)
     val n = written.count()

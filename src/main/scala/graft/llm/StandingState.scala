@@ -135,15 +135,11 @@ object StandingState {
       Meta(r.getAs[Int]("shingle_size"), r.getAs[Int]("num_hashes"),
         r.getAs[Int]("band_rows"), r.getAs[Boolean]("normalized"))
     }
-    // probe through the Spark reader, not java.io.File — the state path
-    // may be any Hadoop-addressable URI (hdfs://, s3a://, file:), where a
-    // local-File existence check is always false and would silently drop
-    // the frozen centroids (re-running a Lloyd training every ingest)
     val cs =
-      try Some(spark.read.parquet(s"$path/centroids")
+      if (!tableExists(spark, s"$path/centroids")) None
+      else Some(spark.read.parquet(s"$path/centroids")
         .orderBy("idx").collect()
         .map(r => r.getSeq[Double](r.fieldIndex("c")).toSeq).toSeq)
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
     StandingState(
       spark.read.parquet(s"$path/digests"),
       spark.read.parquet(s"$path/bands"),
@@ -154,15 +150,24 @@ object StandingState {
     * rows to the persisted tables (batch-shaped work — the standing corpus
     * is untouched). The caller appends the batch rows to the corpus table
     * itself; centroids stay frozen (re-train deliberately, via [[write]]).
-    * Duplicate digests across appends are fine — the exact leg dedupes. */
+    * Duplicate digests across appends are fine — the exact leg dedupes.
+    *
+    * The band regime (numHashes, bandRows) is READ FROM THE STATE's meta
+    * row, never passed: a state written under 32/4 must not accumulate
+    * 16/2 band rows (sigs would never match and near-dups of appended
+    * docs would silently sail through — same reason [[appendEmbBuckets]]
+    * reads `emb_meta`). `cfg` must still match the persisted shingle /
+    * normalization regime, checked loudly. */
   def append(
       batch: DataFrame,
       path: String,
-      cfg: CorpusPipeline.Config = CorpusPipeline.Config(),
-      numHashes: Int = 16,
-      bandRows: Int = 2): Unit = {
+      cfg: CorpusPipeline.Config = CorpusPipeline.Config()): Unit = {
+    val spark = batch.sparkSession
+    val state = load(spark, path)
+    state.requireCompatible(cfg)
     val b = Frames.barrier(batch)
-    val (digests, bands) = artifacts(b, cfg, numHashes, bandRows)
+    val (digests, bands) =
+      artifacts(b, cfg, state.meta.numHashes, state.meta.bandRows)
     digests.write.mode("append").parquet(s"$path/digests")
     bands.write.mode("append").parquet(s"$path/bands")
   }
@@ -241,13 +246,13 @@ object StandingState {
     * rewrite per existing table (digests, bands, emb_buckets; cluster
     * labels are already rewritten whole by [[updateClusters]]), swapped in
     * with the same staged-rename discipline. Run it like any table
-    * maintenance job — periodically, not per ingest. */
+    * maintenance job — periodically, not per ingest, and QUIESCED: rows
+    * appended between the distinct() snapshot and the directory swap are
+    * lost with the old directory, so no ingest (batch or streaming) may
+    * be appending to the state while compact runs. */
   def compact(spark: SparkSession, path: String): Unit =
     Seq("digests", "bands", "emb_buckets").foreach { table =>
-      val exists =
-        try { spark.read.parquet(s"$path/$table"); true }
-        catch { case _: org.apache.spark.sql.AnalysisException => false }
-      if (exists) {
+      if (tableExists(spark, s"$path/$table")) {
         // materialize the distinct rows BEFORE the swap touches the live
         // directory the plan reads from
         val rows = spark.read.parquet(s"$path/$table").distinct()
@@ -257,6 +262,61 @@ object StandingState {
         }
       }
     }
+
+  /** Parquet-table existence through the Spark reader, not java.io.File —
+    * the state path may be any Hadoop-addressable URI (hdfs://, s3a://,
+    * file:), where a local-File check is always false (which would e.g.
+    * silently drop the frozen centroids and re-run a Lloyd training every
+    * ingest). One probe idiom for every optional state table. */
+  private def tableExists(spark: SparkSession, path: String): Boolean =
+    try { spark.read.parquet(path); true }
+    catch { case _: org.apache.spark.sql.AnalysisException => false }
+
+  /** Restore the vector-table <-> bucket-table invariant after a crash in
+    * the ingest's two-append window ([[graft.streaming.CorpusIntakeJob
+    * .ingestEmbeddingBatch]] appends vectors, then bucket rows — a failure
+    * between them leaves admitted vectors with no bucket rows, and those
+    * vectors would never collide with future replicas):
+    *
+    *  - vectors MISSING bucket rows get them recomputed and appended
+    *    (batch-shaped: an anti-join finds the drift, the hyperplane
+    *    projection runs over drift rows only);
+    *  - GHOST bucket rows (vec_id absent from the vector table — the
+    *    reversed crash order) are dropped via a distinct-rewrite swap,
+    *    but ONLY when ghosts exist (the common no-drift call never
+    *    rewrites the table).
+    *
+    * Idempotent; [[graft.streaming.CorpusIntakeJob.runEmbeddingStream]]
+    * runs it once at startup so a restarted stream always resumes from a
+    * consistent pair of tables. Returns (bucket rows added, ghost rows
+    * dropped). */
+  def repairEmbBuckets(
+      spark: SparkSession, statePath: String, standingVecsPath: String): (Long, Long) = {
+    val m = spark.read.parquet(s"$statePath/emb_meta").head()
+    val (nPlanes, dim) = (m.getAs[Int]("n_planes"), m.getAs[Int]("dim"))
+    val vecs = spark.read.parquet(standingVecsPath)
+    val buckets = spark.read.parquet(s"$statePath/emb_buckets")
+    val missing = vecs.join(
+        buckets.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true) // consumed by the append AND the count
+    val nMissing = missing.count()
+    if (nMissing > 0)
+      VectorOps.hyperplaneBuckets(missing, nPlanes, dim)
+        .select("vec_id", "bucket")
+        .write.mode("append").parquet(s"$statePath/emb_buckets")
+    val ghosts = buckets.join(
+        vecs.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+    val nGhosts = ghosts.count()
+    if (nGhosts > 0) {
+      val keep = spark.read.parquet(s"$statePath/emb_buckets")
+        .join(vecs.select("vec_id").distinct(), Seq("vec_id"), "left_semi")
+        .localCheckpoint(true)
+      swapTable(spark, statePath, "emb_buckets") { staged =>
+        keep.write.mode("overwrite").parquet(staged)
+      }
+    }
+    (nMissing, nGhosts)
+  }
 
   /** Persist the standing corpus' sign-LSH bucket rows for the EMBEDDING
     * dedup cycle (`emb_buckets/` + an `emb_meta/` row pinning the

@@ -201,9 +201,13 @@ object CorpusIntakeJob {
     * batch replays after its appends were committed, every replayed
     * vector now collides with its own standing copy (cosine 1 at any
     * tau <= 1) and is dropped — no duplicate appends, no admission lost
-    * (spec-pinned). The batch stream must carry (vec_id, embedding
-    * [, label]); ids must be unique across the stream and disjoint from
-    * standing. */
+    * (spec-pinned). The residual window is a crash BETWEEN the two
+    * appends (vectors committed, bucket rows not — or vice versa after a
+    * manual reversed write): [[StandingState.repairEmbBuckets]] restores
+    * the invariant, and this job runs it ONCE at startup, so a restarted
+    * stream always resumes from a consistent pair of tables. The batch
+    * stream must carry (vec_id, embedding [, label]); ids must be unique
+    * across the stream and disjoint from standing. */
   def runEmbeddingStream(
       vecs: DataFrame,
       statePath: String,
@@ -212,7 +216,8 @@ object CorpusIntakeJob {
       tau: Double,
       nPlanes: Int = 4,
       dim: Int = 64,
-      trigger: Trigger = Trigger.ProcessingTime("3 seconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("3 seconds")): StreamingQuery = {
+    StandingState.repairEmbBuckets(vecs.sparkSession, statePath, standingVecsPath)
     vecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -222,6 +227,7 @@ object CorpusIntakeJob {
         ()
       }
       .start()
+  }
 
   /** One micro-batch of [[runEmbeddingStream]], factored out so the batch
     * leg is testable (and usable) standalone: dedup vs persisted buckets,
@@ -248,6 +254,10 @@ object CorpusIntakeJob {
       standingVecs.select("vec_id", "embedding"),
       tau, nPlanes, dim)
       .localCheckpoint(true)
+    // vectors first, bucket rows second: a crash between the two leaves
+    // admitted vectors WITHOUT bucket rows (future replicas would not
+    // collide) — the startup repairEmbBuckets pass recomputes exactly the
+    // missing rows, restoring the invariant before any batch runs
     admitted.select("vec_id", "embedding", "label")
       .write.mode("append").parquet(standingVecsPath)
     StandingState.appendEmbBuckets(admitted, statePath)

@@ -26,7 +26,7 @@ class PrepareMainSpec extends SparkSpec {
 
   test("parseArgs: full surface + mode preconditions") {
     val a = PrepareMain.parseArgs(Array(
-      "--in=/i", "--out=/o", "--eval=/e", "--embeddings=/m", "--report=/r",
+      "--in=/i", "--out=/o", "--eval=/e", "--embeddings=/m",
       "--standing=/st", "--state=/sp", "--appendState", "--compactState",
       "--tau=0.9", "--minWords=5", "--maxWords=50", "--normalize",
       "--packBudget=512"))
@@ -35,11 +35,18 @@ class PrepareMainSpec extends SparkSpec {
     assert(a.compactState)
     assert(a.tau === 0.9 && a.minWords === 5 && a.normalize)
     assert(a.packBudget === 512L)
+    val b = PrepareMain.parseArgs(Array("--in=/i", "--out=/o", "--report=/r"))
+    assert(b.report === Some("/r"))
     intercept[IllegalArgumentException] {
       PrepareMain.parseArgs(Array("--in=/i")) // no --out
     }
     intercept[IllegalArgumentException] {
       PrepareMain.parseArgs(Array("--in=/i", "--out=/o", "--state=/sp"))
+    }
+    // --report exists only in batch mode; silently ignoring it would
+    // strand scripting that reads the report path
+    intercept[IllegalArgumentException] {
+      PrepareMain.parseArgs(Array("--in=/i", "--out=/o", "--standing=/st", "--report=/r"))
     }
   }
 

@@ -217,6 +217,41 @@ class StandingStateSpec extends SparkSpec {
     assert(ex.getMessage.contains("nPlanes"))
   }
 
+  test("repairEmbBuckets restores the vector<->bucket invariant after a torn append") {
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(seed * 31 + i) * 0.5).toFloat)
+    val standingDir = java.nio.file.Files.createTempDirectory("emb_repair_vecs_").toString
+    Seq((1L, vec(1)), (2L, vec(2))).toDF("vec_id", "embedding")
+      .withColumn("label", lit("s"))
+      .write.mode("overwrite").parquet(standingDir)
+    val statePath = java.nio.file.Files.createTempDirectory("emb_repair_state_").toString
+    StandingState.writeEmbBuckets(spark.read.parquet(standingDir), statePath)
+
+    // TORN APPEND (crash between the ingest's two appends): vector 5
+    // landed in the table, its bucket rows did not — a replica of 5 would
+    // be admitted (no bucket row to collide with) until repaired
+    Seq((5L, vec(5))).toDF("vec_id", "embedding").withColumn("label", lit("b"))
+      .write.mode("append").parquet(standingDir)
+    val (added, ghosts) = StandingState.repairEmbBuckets(spark, statePath, standingDir)
+    assert(added === 1L && ghosts === 0L)
+    val replica = Seq((50L, vec(5))).toDF("vec_id", "embedding")
+      .withColumn("label", lit("b2"))
+    val out = Dedup.dedupByEmbeddingLshIncrementalVsBuckets(
+      replica, StandingState.loadEmbBuckets(spark, statePath),
+      spark.read.parquet(standingDir).select("vec_id", "embedding"), tau = 0.999)
+      .select("vec_id").as[Long].collect()
+    assert(out.isEmpty, "post-repair, the torn vector's replica must drop")
+
+    // GHOST rows (the reversed tear): bucket rows whose vector never
+    // landed — repair drops them and is then a no-op
+    StandingState.appendEmbBuckets(
+      Seq((9L, vec(9))).toDF("vec_id", "embedding").withColumn("label", lit("g")),
+      statePath)
+    val (a2, g2) = StandingState.repairEmbBuckets(spark, statePath, standingDir)
+    assert(a2 === 0L && g2 > 0L)
+    assert(StandingState.repairEmbBuckets(spark, statePath, standingDir) === ((0L, 0L)))
+  }
+
   test("compact: duplicate appended rows collapse; dedup results unchanged") {
     val standing = docs(1L -> base(1), 2L -> base(2))
     val path = java.nio.file.Files.createTempDirectory("standing_compact_").toString
