@@ -309,37 +309,46 @@ object Dedup {
     val cap = pairs.sparkSession.conf
       .getOption("spark.graft.cc.localCap").map(_.toInt)
       .getOrElse(DefaultLocalCcCap)
-    // the local path is gated on INTEGRAL id columns: a cast("long") on
-    // string/decimal ids would yield nulls and silently drop every edge
-    // before the cap check — non-integral ids always take the distributed
-    // star rounds, which are type-agnostic (greatest/least on any
-    // orderable type)
-    val integralIds = {
-      import org.apache.spark.sql.types._
-      Seq("doc_a", "doc_b").forall { c =>
-        pairs.schema.find(_.name == c).map(_.dataType) match {
-          case Some(ByteType | ShortType | IntegerType | LongType) => true
-          case _ => false
-        }
-      }
-    }
-    if (cap > 0 && integralIds) {
+    if (cap > 0 && integralIds(pairs)) {
       val canon = pairs
         .select(
           greatest(col("doc_a"), col("doc_b")).cast("long").as("hi"),
           least(col("doc_a"), col("doc_b")).cast("long").as("lo"))
         .filter(col("hi") =!= col("lo"))
         .distinct()
-      val fetched = canon.limit(cap + 1).collect()
+      // typed fetch, not Row collect: Row materializes a GenericRow + a
+      // values array per edge (~an order of magnitude over the raw longs);
+      // the tuple encoder deserializes straight into specialized
+      // Tuple2[Long, Long]s, keeping driver heap near the stated ~32 MB
+      // budget at the 2M-edge cap
+      val fetched = canon.limit(cap + 1)
+        .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+        .collect()
       if (fetched.length <= cap)
-        return localClusters(pairs.sparkSession,
-          fetched.map(r => (r.getLong(0), r.getLong(1))))
+        return localClusters(pairs.sparkSession, fetched)
       // over-cap: reuse the canonical frame the probe just built (the
       // probe's distinct+limit pass is the one extra cost of the gate —
       // rebuilding canon from raw pairs would double it)
       return duplicateClustersCountedCanon(canon, maxRounds)._1
     }
     duplicateClustersCounted(pairs, maxRounds)._1
+  }
+
+  /** The local fast path (and the distributed canon's schema-stabilizing
+    * cast) is gated on INTEGRAL id columns: a cast("long") on
+    * string/decimal ids would yield nulls and silently drop every edge —
+    * non-integral ids always take the distributed star rounds uncast,
+    * which are type-agnostic (greatest/least on any orderable type). */
+  private def integralIds(pairs: DataFrame): Boolean = {
+    import org.apache.spark.sql.types._
+    Seq("doc_a", "doc_b").forall { c =>
+      pairs.schema.find(_.name == c).map(_.dataType) match {
+        case Some(ByteType | ShortType | IntegerType | LongType) => true
+        case _ => false
+      }
+    }
   }
 
   /** Driver-side edge budget for [[duplicateClusters]]'s local path —
@@ -389,16 +398,25 @@ object Dedup {
     * observable the round-complexity spec pins (a 10k-node path must
     * converge within ~2·log2(n) rounds). */
   private[llm] def duplicateClustersCounted(
-      pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) =
+      pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    // integral ids are cast to long in the canon so the DISTRIBUTED path
+    // emits the same (long, long, int) label schema as the local
+    // union-find path — without it the output type would depend on edge
+    // count / the localCap conf, and a persisted clusters/ table's column
+    // types could drift between a batch write and later updateClusters
+    // rewrites
+    val toCanon: Column => Column =
+      if (integralIds(pairs)) _.cast("long") else identity
     duplicateClustersCountedCanon(
       // canonical star-edge form: (hi, lo), hi > lo
       pairs
         .select(
-          greatest(col("doc_a"), col("doc_b")).as("hi"),
-          least(col("doc_a"), col("doc_b")).as("lo"))
+          toCanon(greatest(col("doc_a"), col("doc_b"))).as("hi"),
+          toCanon(least(col("doc_a"), col("doc_b"))).as("lo"))
         .filter(col("hi") =!= col("lo"))
         .distinct(),
       maxRounds)
+  }
 
   /** Star rounds over an already-canonical (hi, lo) edge frame — shared by
     * [[duplicateClustersCounted]] and [[duplicateClusters]]' over-cap

@@ -130,6 +130,7 @@ object StandingState {
   /** Load a persisted state. The digest/band frames are lazy table scans —
     * nothing is read until an ingest uses them. */
   def load(spark: SparkSession, path: String): StandingState = {
+    Seq("digests", "bands").foreach(heal(spark, path, _))
     val meta = {
       val r = spark.read.parquet(s"$path/meta").head()
       Meta(r.getAs[Int]("shingle_size"), r.getAs[Int]("num_hashes"),
@@ -168,8 +169,14 @@ object StandingState {
     val b = Frames.barrier(batch)
     val (digests, bands) =
       artifacts(b, cfg, state.meta.numHashes, state.meta.bandRows)
-    digests.write.mode("append").parquet(s"$path/digests")
-    bands.write.mode("append").parquet(s"$path/bands")
+    withLease(spark, path, "append") {
+      // digests FIRST, bands second: a crash between the writes leaves docs
+      // with digests but no band rows — exactly the drift
+      // [[repairTextArtifacts]] detects (bands-absence is the witness) and
+      // repairs by re-appending BOTH (duplicate digests are set-semantic)
+      digests.write.mode("append").parquet(s"$path/digests")
+      bands.write.mode("append").parquet(s"$path/bands")
+    }
   }
 
   /** Persist duplicate-CLUSTER labels (`clusters/` — the
@@ -182,9 +189,12 @@ object StandingState {
     labels.select("doc_id", "cluster_id", "cluster_size")
       .write.mode("overwrite").parquet(s"$path/clusters")
 
-  /** Lazy scan of the persisted cluster labels. */
-  def loadClusters(spark: SparkSession, path: String): DataFrame =
+  /** Lazy scan of the persisted cluster labels (self-healing a crashed
+    * [[updateClusters]] swap first — see [[healTable]]). */
+  def loadClusters(spark: SparkSession, path: String): DataFrame = {
+    heal(spark, path, "clusters")
     spark.read.parquet(s"$path/clusters")
+  }
 
   /** Ingest-cycle cluster maintenance: fold a batch's verified pairs into
     * the persisted labels via [[Dedup.duplicateClustersIncremental]]
@@ -203,9 +213,11 @@ object StandingState {
     val spark = newPairs.sparkSession
     val standing = loadClusters(spark, path)
     val updated = Dedup.duplicateClustersIncremental(standing, newPairs)
-    swapTable(spark, path, "clusters") { staged =>
-      updated.select("doc_id", "cluster_id", "cluster_size")
-        .write.mode("overwrite").parquet(staged)
+    withLease(spark, path, "updateClusters") {
+      swapTable(spark, path, "clusters") { staged =>
+        updated.select("doc_id", "cluster_id", "cluster_size")
+          .write.mode("overwrite").parquet(staged)
+      }
     }
     loadClusters(spark, path)
   }
@@ -217,14 +229,16 @@ object StandingState {
     * java.nio cannot address those). The two renames are NOT one atomic
     * operation: a crash between them leaves no live table but a complete
     * `<table>__retired/` (the pre-swap rows, kept until the swap fully
-    * succeeds) — recovery is renaming retired back; the reader's
-    * path-not-found error is the loud signal. A metastore-backed
-    * deployment swaps a table pointer instead. */
+    * succeeds) — recovery is SELF-HEALING: [[healTable]] renames retired
+    * back, and runs both here (before the next swap) and on every load
+    * path, so a crashed swap never needs manual intervention. A
+    * metastore-backed deployment swaps a table pointer instead. */
   private def swapTable(spark: SparkSession, path: String, table: String)(
       writeStaged: String => Unit): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val base = new HPath(path)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healTable(fs, base, table)
     val staged = new HPath(base, s"${table}__staged")
     writeStaged(staged.toString)
     val live = new HPath(base, table)
@@ -238,6 +252,97 @@ object StandingState {
     fs.delete(retired, true)
   }
 
+  /** Recover a table from a crash in [[swapTable]]'s two-rename window:
+    * live dir missing but a complete `<table>__retired/` present — rename
+    * retired back. (The staged dir, if any, is complete too — it was
+    * written before the renames began — but retired is the KNOWN-good
+    * pre-swap state; the staged rewrite re-runs on the next maintenance
+    * pass. A leftover staged dir is overwritten by that pass.) Idempotent
+    * and cheap (one existence probe in the common healthy case), so every
+    * load path runs it — the reader self-heals instead of throwing
+    * path-not-found. */
+  private def healTable(
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path,
+      table: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val live = new HPath(base, table)
+    val retired = new HPath(base, s"${table}__retired")
+    if (!fs.exists(live) && fs.exists(retired) && !fs.rename(retired, live))
+      throw new java.io.IOException(
+        s"healTable: recovery rename $retired -> $live failed")
+  }
+
+  /** [[healTable]] from a path-string context — the load-site form. */
+  private def heal(spark: SparkSession, path: String, table: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val base = new HPath(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) healTable(fs, base, table)
+  }
+
+  /** Name of the mutual-exclusion lease file under the state dir. */
+  private val LeaseFile = "_lease"
+
+  /** Best-effort mutual exclusion over the state's MUTATING operations —
+    * the mechanism behind [[compact]]'s quiesce requirement (previously a
+    * scaladoc convention; an append racing compact's snapshot->swap window
+    * would be silently deleted with the old directory). Every mutator
+    * ([[append]], [[appendEmbBuckets]], [[updateClusters]], [[compact]],
+    * [[repairEmbBuckets]]' rewrite) takes the lease for its write window:
+    * an exclusive-create of `_lease` under the state dir (atomic on HDFS
+    * and local filesystems; best-effort on stores without atomic create —
+    * a metastore lock row replaces this there). A held lease fails the
+    * second mutator LOUDLY with the holder's identity instead of losing
+    * rows.
+    *
+    * CRASHED-LEASE RECOVERY: a mutator that dies without releasing leaves
+    * the lease file behind, and every subsequent mutator fails with its
+    * holder string (op, pid, timestamp). After confirming the holder
+    * process is gone, run [[breakLease]] (or the PrepareMain
+    * `--breakStateLease` flag) — deliberately manual, because no timeout
+    * can distinguish a crashed holder from a slow compaction over a large
+    * table. */
+  private def withLease[T](spark: SparkSession, path: String, op: String)(
+      body: => T): T = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val base = new HPath(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) fs.mkdirs(base)
+    val lease = new HPath(base, LeaseFile)
+    val out =
+      try fs.create(lease, false) // overwrite=false: fails iff already held
+      catch {
+        case _: java.io.IOException =>
+          val holder =
+            try {
+              val in = fs.open(lease)
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            } catch { case _: Exception => "<unreadable>" }
+          throw new IllegalStateException(
+            s"StandingState: cannot $op under $path — lease held by [$holder]. " +
+              "If that holder crashed, verify it is gone and run " +
+              "StandingState.breakLease to recover.")
+      }
+    try out.write(
+      s"op=$op pid=${ProcessHandle.current().pid()} at=${java.time.Instant.now()}"
+        .getBytes("UTF-8"))
+    finally out.close()
+    try body finally fs.delete(lease, false)
+  }
+
+  /** Remove a crashed holder's lease (see [[withLease]]). Returns true if
+    * a lease file existed. ONLY safe after confirming the recorded holder
+    * process is dead — breaking a live holder's lease reintroduces the
+    * lost-append race the lease exists to prevent. */
+  def breakLease(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val base = new HPath(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new HPath(base, LeaseFile), false)
+  }
+
   /** Compact the APPEND-ONLY state tables. [[append]]/[[appendEmbBuckets]]
     * and replayed micro-batches leave duplicate rows — harmless for
     * correctness (every consuming leg has set semantics: the exact leg
@@ -246,19 +351,24 @@ object StandingState {
     * rewrite per existing table (digests, bands, emb_buckets; cluster
     * labels are already rewritten whole by [[updateClusters]]), swapped in
     * with the same staged-rename discipline. Run it like any table
-    * maintenance job — periodically, not per ingest, and QUIESCED: rows
-    * appended between the distinct() snapshot and the directory swap are
-    * lost with the old directory, so no ingest (batch or streaming) may
-    * be appending to the state while compact runs. */
+    * maintenance job — periodically, not per ingest. Quiescence is
+    * ENFORCED by the state lease ([[withLease]]): compact holds the lease
+    * across every snapshot->swap, so a concurrent [[append]] /
+    * [[appendEmbBuckets]] (whose rows would be silently deleted with the
+    * old directory) fails loudly instead of racing. Concurrent READERS
+    * are unaffected up to the rename instant; a scan straddling the swap
+    * retries against the fresh table. */
   def compact(spark: SparkSession, path: String): Unit =
-    Seq("digests", "bands", "emb_buckets").foreach { table =>
-      if (tableExists(spark, s"$path/$table")) {
-        // materialize the distinct rows BEFORE the swap touches the live
-        // directory the plan reads from
-        val rows = spark.read.parquet(s"$path/$table").distinct()
-          .localCheckpoint(true)
-        swapTable(spark, path, table) { staged =>
-          rows.write.mode("overwrite").parquet(staged)
+    withLease(spark, path, "compact") {
+      Seq("digests", "bands", "emb_buckets").foreach { table =>
+        if (tableExists(spark, s"$path/$table")) {
+          // materialize the distinct rows BEFORE the swap touches the live
+          // directory the plan reads from
+          val rows = spark.read.parquet(s"$path/$table").distinct()
+            .localCheckpoint(true)
+          swapTable(spark, path, table) { staged =>
+            rows.write.mode("overwrite").parquet(staged)
+          }
         }
       }
     }
@@ -292,6 +402,7 @@ object StandingState {
     * dropped). */
   def repairEmbBuckets(
       spark: SparkSession, statePath: String, standingVecsPath: String): (Long, Long) = {
+    heal(spark, statePath, "emb_buckets")
     val m = spark.read.parquet(s"$statePath/emb_meta").head()
     val (nPlanes, dim) = (m.getAs[Int]("n_planes"), m.getAs[Int]("dim"))
     val vecs = spark.read.parquet(standingVecsPath)
@@ -301,9 +412,11 @@ object StandingState {
       .localCheckpoint(true) // consumed by the append AND the count
     val nMissing = missing.count()
     if (nMissing > 0)
-      VectorOps.hyperplaneBuckets(missing, nPlanes, dim)
-        .select("vec_id", "bucket")
-        .write.mode("append").parquet(s"$statePath/emb_buckets")
+      withLease(spark, statePath, "repairEmbBuckets:append") {
+        VectorOps.hyperplaneBuckets(missing, nPlanes, dim)
+          .select("vec_id", "bucket")
+          .write.mode("append").parquet(s"$statePath/emb_buckets")
+      }
     val ghosts = buckets.join(
         vecs.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
     val nGhosts = ghosts.count()
@@ -311,11 +424,79 @@ object StandingState {
       val keep = spark.read.parquet(s"$statePath/emb_buckets")
         .join(vecs.select("vec_id").distinct(), Seq("vec_id"), "left_semi")
         .localCheckpoint(true)
-      swapTable(spark, statePath, "emb_buckets") { staged =>
-        keep.write.mode("overwrite").parquet(staged)
+      withLease(spark, statePath, "repairEmbBuckets:rewrite") {
+        swapTable(spark, statePath, "emb_buckets") { staged =>
+          keep.write.mode("overwrite").parquet(staged)
+        }
       }
     }
     (nMissing, nGhosts)
+  }
+
+  /** Restore the corpus-table <-> digest/band-table invariant after a
+    * crash in the TEXT ingest's append window — the text twin of
+    * [[repairEmbBuckets]]. [[graft.streaming.CorpusIntakeJob
+    * .ingestTextBatch]] appends admitted text to the corpus table FIRST,
+    * then its digests + band rows via [[append]]; a failure anywhere in
+    * that chain leaves admitted docs with text but no (or partial)
+    * artifacts, and byte-replicas of those docs would be re-admitted on
+    * replay (duplicate corpus rows). Band-row ABSENCE is the drift
+    * witness (the digest table has no doc_id column, so digests cannot be
+    * audited directly — which is why [[append]] writes digests before
+    * bands: every crash shape leaves the drifted doc missing from
+    * `bands/`):
+    *
+    *  - corpus docs MISSING from `bands/` get BOTH artifacts recomputed
+    *    under the state's persisted regime and appended (a digest that
+    *    did land re-appends as a set-semantic duplicate — harmless,
+    *    [[compact]] folds it);
+    *  - GHOST band rows (doc_id absent from the corpus table — only a
+    *    manual reversed write can produce this) are dropped via a
+    *    distinct-rewrite swap, only when ghosts exist.
+    *
+    * Docs whose FINGERPRINT text is shorter than the shingle size can
+    * never carry band rows, so they would re-appear as drift every run;
+    * they re-append only their digest (idempotent up to set-semantic
+    * duplicates). The gated intake never admits them (minWords >= shingle
+    * size) — they arise only from manually-built corpus tables.
+    *
+    * Idempotent; [[graft.streaming.CorpusIntakeJob.runTextStream]] runs it
+    * once at startup so a restarted stream always resumes from a
+    * consistent (corpus, state) pair. Returns (drift docs repaired, ghost
+    * band rows dropped). */
+  def repairTextArtifacts(
+      spark: SparkSession, statePath: String, standingDocsPath: String): (Long, Long) = {
+    val state = load(spark, statePath)
+    val cfg = CorpusPipeline.Config(
+      shingleSize = state.meta.shingleSize,
+      normalizeFingerprints = state.meta.normalizedFingerprints)
+    val docs = spark.read.parquet(standingDocsPath).select("doc_id", "text")
+    val bandIds = state.bands.select("doc_id").distinct()
+    val drift = docs.join(bandIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // consumed by the artifact writes AND the count
+    val nDrift = drift.count()
+    if (nDrift > 0) {
+      val (digests, bands) =
+        artifacts(drift, cfg, state.meta.numHashes, state.meta.bandRows)
+      withLease(spark, statePath, "repairTextArtifacts:append") {
+        digests.write.mode("append").parquet(s"$statePath/digests")
+        bands.write.mode("append").parquet(s"$statePath/bands")
+      }
+    }
+    val nGhosts = state.bands
+      .join(docs.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .count()
+    if (nGhosts > 0) {
+      val keep = spark.read.parquet(s"$statePath/bands")
+        .join(docs.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+      withLease(spark, statePath, "repairTextArtifacts:rewrite") {
+        swapTable(spark, statePath, "bands") { staged =>
+          keep.write.mode("overwrite").parquet(staged)
+        }
+      }
+    }
+    (nDrift, nGhosts)
   }
 
   /** Persist the standing corpus' sign-LSH bucket rows for the EMBEDDING
@@ -344,6 +525,7 @@ object StandingState {
   def loadEmbBuckets(
       spark: SparkSession, path: String,
       nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    heal(spark, path, "emb_buckets")
     val m = spark.read.parquet(s"$path/emb_meta").head()
     require(m.getAs[Int]("n_planes") == nPlanes && m.getAs[Int]("dim") == dim,
       s"persisted emb buckets use nPlanes=${m.getAs[Int]("n_planes")}, " +
@@ -355,11 +537,14 @@ object StandingState {
     * under the SAME persisted hyperplane regime (read from `emb_meta` —
     * batch-shaped work, standing untouched). */
   def appendEmbBuckets(batchVecs: DataFrame, path: String): Unit = {
-    val m = batchVecs.sparkSession.read.parquet(s"$path/emb_meta").head()
-    VectorOps.hyperplaneBuckets(
+    val spark = batchVecs.sparkSession
+    val m = spark.read.parquet(s"$path/emb_meta").head()
+    val rows = VectorOps.hyperplaneBuckets(
         batchVecs, m.getAs[Int]("n_planes"), m.getAs[Int]("dim"))
       .select("vec_id", "bucket")
-      .write.mode("append").parquet(s"$path/emb_buckets")
+    withLease(spark, path, "appendEmbBuckets") {
+      rows.write.mode("append").parquet(s"$path/emb_buckets")
+    }
   }
 
 }

@@ -43,6 +43,11 @@ object VectorOps {
   def cosine(a: String, b: String): Column =
     expr(hofDot(a, b)) / (expr(hofNorm(a)) * expr(hofNorm(b)))
 
+  /** L2 norm of a float-array column as a Column (native kernel when
+    * registered) — the public face of [[normExprFor]] for callers outside
+    * this package (e.g. the streaming intake's zero-norm gate). */
+  def norm(df: DataFrame, a: String): Column = expr(normExprFor(df, a))
+
   /** Brute-force cosine top-k: for each query vector (small side, broadcast),
     * rank all candidate vectors by cosine desc with id tie-break.
     * Norms are projected ONCE PER VECTOR before the join (O(n+q) instead of

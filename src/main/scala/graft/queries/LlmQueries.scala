@@ -2538,6 +2538,109 @@ object LlmQueries {
       },
       Some(prepareIncrementalOracle),
     ),
+
+    // ------------------------------------------------------------------
+    // Q75 — the STATE-FED STREAMING TEXT INTAKE's batch leg, driven
+    // chunk-by-chunk (q63's scenario replayed through micro-batches):
+    // the standing corpus (doc_id < 250) is persisted as a corpus table
+    // + StandingState (digests + band rows), then the incoming docs
+    // arrive as THREE sequential batches ([250,300), [300,350), [350,..))
+    // through CorpusIntakeJob.ingestTextBatch — each batch dedups against
+    // the PERSISTED digests/bands (exact + LSH near, tau=0.5) and its
+    // admitted docs append back to both the corpus table and the state,
+    // so batch 2 drops against batch 1's admissions (the daily-ingest
+    // cycle, closed three times over). Chunk-sequential semantics differ
+    // from q63's one-shot run exactly where they should: a doc dropped in
+    // an EARLIER chunk no longer drops later docs (it was never admitted
+    // to the state) — the oracle replays the q63 pair machinery once over
+    // all docs, then walks the three admission rounds explicitly (chunk-c
+    // doc drops iff a verified pair ties it to standing, a PRIOR
+    // ADMISSION, or a lower-id doc in its own chunk). The composed
+    // exact-then-near batch leg is drop-equivalent to the pair relation
+    // alone because every doc has >= 3 words (byte-equality ==
+    // shingle-set equality == J 1 >= tau, and an exact-dropped doc's
+    // byte-twin stands in for it as a pair endpoint).
+    Declared(
+      "q75_text_intake_batches",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val corpusDir = java.nio.file.Files
+          .createTempDirectory("q75_corpus_").toString
+        docs.filter(col("doc_id") < 250)
+          .select("doc_id", "source", "text")
+          .write.mode("overwrite").parquet(corpusDir)
+        val statePath = java.nio.file.Files
+          .createTempDirectory("q75_state_").toString
+        // default regime = q63's (3-shingles, 16 hashes, bands of 2)
+        graft.llm.StandingState.write(s.read.parquet(corpusDir), statePath)
+        Seq((250L, 300L), (300L, 350L), (350L, Long.MaxValue)).foreach {
+          case (lo, hi) =>
+            graft.streaming.CorpusIntakeJob.ingestTextBatch(
+              docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+                .select("doc_id", "source", "text"),
+              statePath, corpusDir, tau = 0.5, gate = false, scrub = false)
+        }
+        s.read.parquet(corpusDir).filter(col("doc_id") >= 250)
+          .select("doc_id", "source").orderBy("doc_id")
+      },
+      Some(shingleCte +
+        """,
+          |hs AS (
+          |  SELECT doc_id,
+          |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+          |         ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+          |  FROM sh),
+          |sigs AS (
+          |  SELECT doc_id, ks.k AS k, MIN((h1 + ks.k * h2) % 4294967311) AS sig
+          |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+          |  GROUP BY doc_id, ks.k),
+          |bands AS (
+          |  SELECT doc_id, k // 2 AS band, string_agg(sig::VARCHAR, '#' ORDER BY k) AS band_key
+          |  FROM sigs GROUP BY doc_id, band),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          |common AS (
+          |  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+          |  FROM cand c
+          |  JOIN sh sa ON sa.doc_id = c.doc_a
+          |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          |  GROUP BY 1, 2),
+          |vpairs AS (
+          |  SELECT c.doc_a, c.doc_b FROM common c
+          |  JOIN cnt ca ON c.doc_a = ca.doc_id
+          |  JOIN cnt cb ON c.doc_b = cb.doc_id
+          |  WHERE CAST(c.common AS DOUBLE) / (ca.n + cb.n - c.common) >= 0.5),
+          |adm1 AS (
+          |  SELECT doc_id FROM documents
+          |  WHERE doc_id >= 250 AND doc_id < 300
+          |    AND doc_id NOT IN (
+          |      SELECT doc_b FROM vpairs WHERE doc_b >= 250 AND doc_b < 300)),
+          |adm2 AS (
+          |  SELECT doc_id FROM documents d
+          |  WHERE doc_id >= 300 AND doc_id < 350
+          |    AND NOT EXISTS (
+          |      SELECT 1 FROM vpairs v
+          |      WHERE v.doc_b = d.doc_id
+          |        AND (v.doc_a < 250 OR v.doc_a >= 300
+          |             OR v.doc_a IN (SELECT doc_id FROM adm1)))),
+          |adm3 AS (
+          |  SELECT doc_id FROM documents d
+          |  WHERE doc_id >= 350
+          |    AND NOT EXISTS (
+          |      SELECT 1 FROM vpairs v
+          |      WHERE v.doc_b = d.doc_id
+          |        AND (v.doc_a < 250 OR v.doc_a >= 350
+          |             OR v.doc_a IN (SELECT doc_id FROM adm1)
+          |             OR v.doc_a IN (SELECT doc_id FROM adm2))))
+          |SELECT doc_id, source FROM documents
+          |WHERE doc_id IN (SELECT doc_id FROM adm1
+          |                 UNION ALL SELECT doc_id FROM adm2
+          |                 UNION ALL SELECT doc_id FROM adm3)
+          |ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   /** DuckDB replay of [[graft.llm.CorpusPipeline.prepareIncremental]]

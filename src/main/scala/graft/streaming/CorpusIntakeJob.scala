@@ -241,9 +241,18 @@ object CorpusIntakeJob {
       nPlanes: Int = 4,
       dim: Int = 64): Long = {
     val spark = batch.sparkSession
-    val b =
+    val withLabel =
       if (batch.columns.contains("label")) batch
       else batch.withColumn("label", lit(null).cast("string"))
+    // ZERO-NORM vectors are REJECTED at intake: a zero vector has no
+    // cosine direction, so it can never collide with anything — including
+    // its own standing copy on a checkpoint replay, which would break the
+    // self-healing admission contract (the replayed zero vector would be
+    // re-appended on every replay, duplicating rows in both tables).
+    // Rejecting at the door keeps the "replica always collides" invariant
+    // total over everything admitted.
+    val b = withLabel.filter(
+      graft.llm.VectorOps.norm(withLabel, "embedding") =!= 0.0)
     val standingVecs = spark.read.parquet(standingVecsPath)
     // EAGER barrier: the admitted frame must fully materialize (its plan
     // READS standingVecsPath) before the append below writes new files
@@ -261,6 +270,134 @@ object CorpusIntakeJob {
     admitted.select("vec_id", "embedding", "label")
       .write.mode("append").parquet(standingVecsPath)
     StandingState.appendEmbBuckets(admitted, statePath)
+    admitted.count()
+  }
+
+  /** Streaming TEXT intake against the PERSISTED standing state — the
+    * missing twin of [[runEmbeddingStream]], and the posture the
+    * watermark-bounded [[runStream]] cannot provide: a doc that exactly or
+    * nearly duplicates the STANDING CORPUS (not just a recently-streamed
+    * anchor) is dropped, because each micro-batch dedups against the
+    * persisted digest and LSH band tables
+    * ([[Dedup.exactIncrementalVsDigests]] +
+    * [[Dedup.dedupNearLshIncrementalVsBands]]) and admitted docs append
+    * back to BOTH the corpus table and the state — the resume-don't-restart
+    * semantics of the reference's block follower
+    * (`block_follower_job.rb:111-138`), applied to continuous corpus
+    * intake against yesterday's corpus.
+    *
+    * ZERO Structured-Streaming state, like the embedding twin: all state
+    * lives in the shared parquet tables (corpus + `digests/` + `bands/`),
+    * so executors stay stateless and the tables are shared with the
+    * batch/[[graft.jobs.PrepareMain]] cycle. Crash-recovery admission is
+    * SELF-HEALING: a replayed micro-batch's admitted docs already sit in
+    * the corpus with their digests, so every replica collides with its own
+    * standing copy (digest equality is byte-exact) and is dropped — no
+    * duplicate appends, no admission lost. The residual window is a crash
+    * between the corpus append and the artifact append;
+    * [[StandingState.repairTextArtifacts]] restores the invariant and runs
+    * ONCE here at startup, so a restarted stream always resumes from a
+    * consistent (corpus, state) pair.
+    *
+    * The fingerprint regime (shingle size, hash count, band rows,
+    * normalization) is READ FROM THE STATE's meta row per batch — a state
+    * written under one regime can never accumulate another's band rows.
+    * `tau` is the near-dup drop threshold. The docs stream must carry
+    * (doc_id, text, +passthrough); the corpus table's columns (all of
+    * which the stream must carry) define what is persisted. doc_ids must
+    * be unique across the stream and disjoint from standing. */
+  def runTextStream(
+      docs: DataFrame,
+      statePath: String,
+      standingDocsPath: String,
+      checkpoint: String,
+      tau: Double,
+      trigger: Trigger = Trigger.ProcessingTime("3 seconds"),
+      minWords: Int = 20,
+      maxWords: Int = 100000): StreamingQuery = {
+    StandingState.repairTextArtifacts(docs.sparkSession, statePath, standingDocsPath)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        ingestTextBatch(b.toDF(), statePath, standingDocsPath, tau,
+          minWords = minWords, maxWords = maxWords)
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[runTextStream]], factored out so the batch leg
+    * is testable (and usable) standalone — e.g. a scripted daily ingest
+    * drives the exact same code path batch-by-batch (q75 replays q63's
+    * scenario through it):
+    *
+    *   gate -> scrub -> exact dedup vs persisted digests (+ within-batch)
+    *     -> LSH near-dedup vs persisted bands (+ within-batch, lower-id
+    *        wins) -> append admitted text to the corpus table -> append
+    *        admitted digests + band rows to the state
+    *
+    * `gate = false` / `scrub = false` skip stages 1-2 for pre-prepared
+    * batches (the q63/q75 shape, where the batch is raw corpus text and
+    * the dedup semantics are under test). Corpus append precedes the
+    * state append deliberately: every crash shape then leaves drifted
+    * docs missing from `bands/`, the witness
+    * [[StandingState.repairTextArtifacts]] keys on. Returns the admitted
+    * count.
+    *
+    * Shape at scale: stages 1-2 are per-row projections over the batch;
+    * the exact leg shuffles 16-byte digests against the digest table; the
+    * near leg joins batch band rows against the persisted band table
+    * (zero standing x standing work) and touches standing TEXT only for
+    * semi-join-pruned candidate verification — per-batch cost is O(batch
+    * + collisions), never O(corpus). */
+  def ingestTextBatch(
+      batch: DataFrame,
+      statePath: String,
+      standingDocsPath: String,
+      tau: Double,
+      minWords: Int = 20,
+      maxWords: Int = 100000,
+      gate: Boolean = true,
+      scrub: Boolean = true): Long = {
+    val spark = batch.sparkSession
+    val state = StandingState.load(spark, statePath)
+    val meta = state.meta
+    val gated =
+      if (gate) TextOps.gopherGate(batch, minWords = minWords, maxWords = maxWords)
+      else batch
+    // lazy barrier: the exact leg, the near leg, and the surviving-row
+    // chain each evaluate this prefix (scan + gate + PII regexes)
+    val scrubbed = (
+      if (scrub)
+        TextOps.redactPii(gated, "text")
+          .drop("text", "n_email", "n_ipv4", "n_phone")
+          .withColumnRenamed("redacted", "text")
+      else gated
+    ).localCheckpoint(false)
+    val standingDocs = spark.read.parquet(standingDocsPath)
+    val fp: DataFrame => DataFrame =
+      if (meta.normalizedFingerprints) TextOps.normalized(_) else identity
+    val unfp: DataFrame => DataFrame =
+      if (meta.normalizedFingerprints)
+        _.withColumn("text", col("raw_text")).drop("raw_text")
+      else identity
+    val exact = Dedup.exactIncrementalVsDigests(scrubbed, state.digests)
+    // EAGER barrier: the admitted frame's plan READS the corpus and state
+    // tables the appends below write into — materialize fully first
+    val admitted = unfp(Dedup.dedupNearLshIncrementalVsBands(
+        fp(exact), state.bands, fp(standingDocs).select("doc_id", "text"),
+        tau, meta.shingleSize, meta.numHashes, meta.bandRows))
+      .localCheckpoint(true)
+    // corpus first, artifacts second — see the repair contract above
+    val cols = standingDocs.columns.toIndexedSeq
+    admitted.select(cols.head, cols.tail: _*)
+      .write.mode("append").parquet(standingDocsPath)
+    StandingState.append(admitted, statePath,
+      graft.llm.CorpusPipeline.Config(
+        shingleSize = meta.shingleSize,
+        normalizeFingerprints = meta.normalizedFingerprints))
     admitted.count()
   }
 }

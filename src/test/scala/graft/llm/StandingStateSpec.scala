@@ -277,6 +277,91 @@ class StandingStateSpec extends SparkSpec {
     assert(ids(out) === Seq(61L))
   }
 
+  test("state lease: compact vs appender mutual exclusion is loud; breakLease recovers a crash") {
+    val path = java.nio.file.Files.createTempDirectory("standing_lease_").toString
+    StandingState.write(docs(1L -> base(1)), path)
+    // simulate a concurrent (or crashed) appender holding the lease — the
+    // exact artifact a mutator that died mid-write leaves behind
+    val lease = java.nio.file.Paths.get(path, "_lease")
+    java.nio.file.Files.write(lease,
+      "op=append pid=424242 at=2026-08-14T00:00:00Z".getBytes("UTF-8"))
+    val e1 = intercept[IllegalStateException](StandingState.compact(spark, path))
+    assert(e1.getMessage.contains("lease held") && e1.getMessage.contains("424242"),
+      s"compact must name the holder: ${e1.getMessage}")
+    // symmetric: an append while compact (or anyone) holds the lease fails
+    // loudly instead of racing the snapshot->swap window
+    val e2 = intercept[IllegalStateException](
+      StandingState.append(docs(2L -> base(2)), path))
+    assert(e2.getMessage.contains("lease held"))
+    // crashed-lease recovery: operator confirms the holder is dead, breaks
+    assert(StandingState.breakLease(spark, path))
+    StandingState.compact(spark, path)
+    StandingState.append(docs(2L -> base(2)), path)
+    // successful mutators release: no lease file remains
+    assert(!java.nio.file.Files.exists(lease))
+    // and the state still serves: the appended doc's replica drops
+    val out = CorpusPipeline.prepareIncrementalWithState(
+      docs(10L -> base(2), 11L -> base(11)),
+      docs(1L -> base(1), 2L -> base(2)),
+      StandingState.load(spark, path))
+    assert(ids(out) === Seq(11L))
+  }
+
+  test("a crashed table swap self-heals on the next load") {
+    val path = java.nio.file.Files.createTempDirectory("standing_heal_").toString
+    val day0 = Seq((1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    StandingState.writeClusters(Dedup.duplicateClusters(day0), path)
+    val expect = StandingState.loadClusters(spark, path)
+      .as[(Long, Long, Int)].collect().toSet
+    // simulate the crash window between swapTable's two renames: the live
+    // dir is gone, the complete pre-swap table sits at clusters__retired
+    val live = java.nio.file.Paths.get(path, "clusters")
+    val retired = java.nio.file.Paths.get(path, "clusters__retired")
+    java.nio.file.Files.move(live, retired)
+    // loadClusters heals (renames retired back) instead of throwing
+    val healed = StandingState.loadClusters(spark, path)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(healed === expect)
+    assert(java.nio.file.Files.exists(live) && !java.nio.file.Files.exists(retired))
+    // a post-heal update proceeds normally
+    val updated = StandingState.updateClusters(
+      path, Seq((100L, 2L)).toDF("doc_a", "doc_b"))
+    assert(updated.as[(Long, Long, Int)].collect().toSet ===
+      Dedup.duplicateClusters(day0.unionByName(Seq((100L, 2L)).toDF("doc_a", "doc_b")))
+        .as[(Long, Long, Int)].collect().toSet)
+  }
+
+  test("repairTextArtifacts restores the corpus<->artifact invariant after a torn append") {
+    val corpusDir = java.nio.file.Files.createTempDirectory("text_repair_docs_").toString
+    docs(1L -> base(1), 2L -> base(2)).write.mode("overwrite").parquet(corpusDir)
+    val statePath = java.nio.file.Files.createTempDirectory("text_repair_state_").toString
+    StandingState.write(spark.read.parquet(corpusDir), statePath)
+
+    // TORN APPEND (crash between the ingest's corpus append and its state
+    // append): doc 5's text landed in the corpus table, its digest + band
+    // rows did not — replicas of 5 would be re-admitted until repaired
+    docs(5L -> base(5)).write.mode("append").parquet(corpusDir)
+    val (drift, ghosts) = StandingState.repairTextArtifacts(spark, statePath, corpusDir)
+    assert(drift === 1L && ghosts === 0L)
+    val state = StandingState.load(spark, statePath)
+    // post-repair: a byte replica of the torn doc drops via the exact leg
+    assert(ids(Dedup.exactIncrementalVsDigests(
+      docs(50L -> base(5)), state.digests)).isEmpty)
+    // ... and a NEAR-dup of it drops via the repaired band rows
+    assert(ids(Dedup.dedupNearLshIncrementalVsBands(
+      docs(51L -> (base(5) + " extraword")), state.bands,
+      spark.read.parquet(corpusDir).select("doc_id", "text"),
+      tau = 0.8)).isEmpty)
+
+    // GHOST band rows (artifacts whose doc never landed in the corpus —
+    // only a manual reversed write produces this): dropped by the rewrite
+    StandingState.append(docs(9L -> base(9)), statePath)
+    val (d2, g2) = StandingState.repairTextArtifacts(spark, statePath, corpusDir)
+    assert(d2 === 0L && g2 > 0L)
+    // idempotent once consistent
+    assert(StandingState.repairTextArtifacts(spark, statePath, corpusDir) === ((0L, 0L)))
+  }
+
   test("incompatible config is refused loudly") {
     val standing = docs(1L -> base(1))
     val state = StandingState.build(standing, CorpusPipeline.Config(shingleSize = 3))

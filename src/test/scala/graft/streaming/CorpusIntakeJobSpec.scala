@@ -235,6 +235,106 @@ class CorpusIntakeJobSpec extends SparkSpec {
     assert(tableIds === Set(1L, 2L, 11L, 21L))
   }
 
+  test("runTextStream: state-fed intake drops standing replicas mid-stream, admits+appends novel docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val thirdText =
+      "every morning the village bakers prepare a fresh batch of warm bread " +
+        "while children gather near windows to watch golden loaves emerge " +
+        "from ancient stone ovens"
+    val fourthText =
+      "astronomers across the northern observatory carefully measure distant " +
+        "starlight and record subtle variations of brightness to understand " +
+        "how massive galaxies slowly drift apart over countless quiet eons"
+    val fifthText =
+      "seasoned travelers often describe the winding mountain roads of this " +
+        "remote region and insist that patient climbers discover a hidden " +
+        "valley filled with wildflowers in early summer"
+    // day-0 standing corpus (already prepared: text is the SCRUBBED form)
+    // + its persisted digest/band state
+    val corpusDir = java.nio.file.Files.createTempDirectory("text_intake_docs_").toString
+    Seq(
+      (1L, goodText),
+      (2L, otherText),
+      (3L, piiBase + " <EMAIL> for details"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(corpusDir)
+    val statePath = java.nio.file.Files.createTempDirectory("text_intake_state_").toString
+    graft.llm.StandingState.write(spark.read.parquet(corpusDir), statePath)
+    // TORN APPEND survivor: doc 4's text landed before a crash, its
+    // artifacts did not — runTextStream's startup repair must cover it
+    // before any batch runs
+    Seq((4L, fifthText)).toDF("doc_id", "text")
+      .write.mode("append").parquet(corpusDir)
+
+    val ck = java.nio.file.Files.createTempDirectory("text_intake_ck_").toString
+    val in = MemoryStream[StreamDoc]
+    val q = CorpusIntakeJob.runTextStream(
+      in.toDF(), statePath, corpusDir, ck, tau = 0.5)
+    def tableIds: Set[Long] = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().toSet
+    try {
+      in.addData(
+        StreamDoc(ts("2024-01-01 10:00:00"), 10, thirdText), // novel -> admitted
+        StreamDoc(ts("2024-01-01 10:00:01"), 11, "too short")) // gate drops
+      q.processAllAvailable()
+      assert(tableIds === Set(1L, 2L, 3L, 4L, 10L))
+      in.addData(
+        // byte replica of STANDING doc 1 -> exact leg vs persisted digests
+        StreamDoc(ts("2024-01-01 10:05:00"), 20, goodText),
+        // near-dup of STANDING doc 2 -> LSH leg vs persisted bands
+        StreamDoc(ts("2024-01-01 10:05:01"), 21, otherText + " appended"),
+        // byte replica of batch-1's ADMITTED doc 10 -> the appended state
+        StreamDoc(ts("2024-01-01 10:05:02"), 22, thirdText),
+        // differs from standing doc 3 only by the raw email: the scrub
+        // runs BEFORE fingerprinting, so the digest matches -> dropped
+        StreamDoc(ts("2024-01-01 10:05:03"), 23,
+          piiBase + " bob@example.com for details"),
+        // replica of the TORN doc 4 -> dropped (startup repair worked)
+        StreamDoc(ts("2024-01-01 10:05:04"), 25, fifthText),
+        StreamDoc(ts("2024-01-01 10:05:05"), 24, fourthText)) // novel -> admitted
+      q.processAllAvailable()
+      assert(tableIds === Set(1L, 2L, 3L, 4L, 10L, 24L))
+    } finally q.stop()
+    // replayed micro-batch (recovery): its admitted docs already sit in
+    // the corpus with their digests, so the replay admits nothing — no
+    // duplicate corpus rows, no admission lost
+    val n = CorpusIntakeJob.ingestTextBatch(
+      Seq((24L, fourthText)).toDF("doc_id", "text"),
+      statePath, corpusDir, tau = 0.5)
+    assert(n === 0L)
+    assert(spark.read.parquet(corpusDir).count() === 6L)
+    // the state grew by exactly the admitted docs' artifacts
+    assert(spark.read.parquet(s"$statePath/digests").distinct().count() === 6L)
+  }
+
+  test("ingestEmbeddingBatch rejects zero-norm vectors (no cosine direction, no replay hole)") {
+    import org.apache.spark.sql.functions.lit
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(seed * 31 + i) * 0.5).toFloat)
+    val standingDir = java.nio.file.Files.createTempDirectory("emb_zero_vecs_").toString
+    Seq((1L, vec(1))).toDF("vec_id", "embedding").withColumn("label", lit("s"))
+      .write.mode("overwrite").parquet(standingDir)
+    val statePath = java.nio.file.Files.createTempDirectory("emb_zero_state_").toString
+    graft.llm.StandingState.writeEmbBuckets(spark.read.parquet(standingDir), statePath)
+    val zero = Array.fill(64)(0.0f)
+    val batch = Seq((30L, zero), (31L, vec(31))).toDF("vec_id", "embedding")
+    // only the non-zero vector is admitted; the zero vector is rejected at
+    // the door (it could never collide with its own standing copy, so a
+    // replay would re-append it forever)
+    assert(CorpusIntakeJob.ingestEmbeddingBatch(
+      batch, statePath, standingDir, tau = 0.999) === 1L)
+    assert(spark.read.parquet(standingDir).select("vec_id").as[Long].collect().toSet
+      === Set(1L, 31L))
+    // replaying the zero vector is a no-op every time — tables stay clean
+    val zeroOnly = Seq((30L, zero)).toDF("vec_id", "embedding")
+    assert(CorpusIntakeJob.ingestEmbeddingBatch(
+      zeroOnly, statePath, standingDir, tau = 0.999) === 0L)
+    assert(CorpusIntakeJob.ingestEmbeddingBatch(
+      zeroOnly, statePath, standingDir, tau = 0.999) === 0L)
+    assert(spark.read.parquet(standingDir).count() === 2L)
+    assert(spark.read.parquet(s"$statePath/emb_buckets").count() === 2L)
+  }
+
   test("intake: exact mode dedups on redacted text; distinct texts all pass") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamDoc]
