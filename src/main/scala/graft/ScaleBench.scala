@@ -485,7 +485,8 @@ object ScaleBench {
         trainFrac = math.min(1.0, 20000.0 / nVec))
     }
     val (nPq, tPqRank) = timed {
-      graft.llm.Pq.pqTopKWith(emb, _ < 10, cbsPq, k = 5, refine = 4).count()
+      graft.llm.Pq.pqTopKWith(emb, _ < 10, cbsPq, k = 5, refine = 4,
+        queryRowsHint = Some(10L)).count()
     }
     val (nBf, tBf) = timed {
       VectorOps.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5).count()
@@ -535,10 +536,11 @@ object ScaleBench {
         VectorOps.truncatedTopK(rawEmb.filter(annQ(col("vec_id"))), rawEmb, 16, annK)),
       ("lsh", 0.06, () => VectorOps.lshTopK(rawEmb, annQ, 4, 64, annK)),
       ("ivf", 0.30, () => VectorOps.ivfTopK(rawEmb, annQ, 16, 4, annK)),
-      ("pq_adc", 0.15, () => graft.llm.Pq.pqTopKWith(rawEmb, annQ, cbsRaw, annK)),
-      ("ivf_pq", 0.20, () => graft.llm.Pq.ivfPqTopK(rawEmb, annQ, 16, 4, 8, annK)),
+      ("pq_adc", 0.15, () => graft.llm.Pq.pqTopKWith(rawEmb, annQ, cbsRaw, annK, queryRowsHint = Some(10L))),
+      ("ivf_pq", 0.20, () => graft.llm.Pq.ivfPqTopK(rawEmb, annQ, 16, 4, 8, annK, queryRowsHint = Some(10L))),
       ("ivf_pq_residual", 0.20, () =>
-        graft.llm.Pq.ivfPqTopK(rawEmb, annQ, 16, 4, 8, annK, residual = true)),
+        graft.llm.Pq.ivfPqTopK(rawEmb, annQ, 16, 4, 8, annK, residual = true,
+          queryRowsHint = Some(10L))),
     )
     val annResults = annPaths.map { case (name, floor, build) =>
       val (recall, sec) = recallOf(build())

@@ -326,6 +326,43 @@ object Pq {
       element_at(typedlit(cb), col("codes")(j) + 1)
     }: _*))
 
+  /** Byte budget for the ANN rankers' EXPLICIT broadcast hints
+    * (`spark.graft.ann.broadcastCapBytes`, default 64 MB). The hinted
+    * frames are bounded — |queries| rows for the query sides, |queries| *
+    * refine * k for the slim shortlist — so the hints are almost always
+    * right. But |queries| is caller-controlled: a query batch that is a
+    * large fraction of the corpus drives the broadcast collect toward the
+    * 8 GB hard cap, where the un-hinted strategies (shuffle joins on the
+    * equi-keyed sites; a streamed pair scan on the pairwise-by-design ADC
+    * site) degrade gracefully instead of failing the job. Above the
+    * budget every hint is DROPPED and AQE picks from runtime sizes. */
+  private def annBroadcastCap(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.ann.broadcastCapBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+
+  private def hintIfSmall(df: DataFrame, small: Boolean): DataFrame =
+    if (small) broadcast(df) else df
+
+  /** |queries| for the broadcast-size estimate: the caller's hint when it
+    * knows (free — the production pattern: a rank service knows its batch
+    * size), else ONE bounded `limit(cap+1).count()` probe — the same
+    * cap-gate discipline as [[LocalLloyd.sample]]: past the cap the exact
+    * count is irrelevant, only "too big" is. */
+  private def queryRowCount(
+      e: DataFrame, queryIds: Column => Column,
+      hint: Option[Long], rowCap: Long): Long =
+    hint.getOrElse {
+      val lim = math.min(rowCap + 1, Int.MaxValue.toLong).toInt
+      e.filter(queryIds(col("vec_id"))).limit(lim).count()
+    }
+
+  /** Per-row broadcast byte estimates: a query row carries the float
+    * embedding (+ id, norm, row overhead); a slim shortlist row is three
+    * scalars + overhead. Conservative round numbers — the cap is a
+    * safety rail, not an optimizer. */
+  private def qRowBytes(dim: Int): Long = 40L + 4L * dim
+  private val SlimShortlistRowBytes = 40L
+
   /** PQ ANN top-k with exact re-rank: ADC-rank every candidate from its
     * codes (scan reads m codes + 1 norm per vector, never the floats),
     * keep the top `refine * k` per query, then re-rank those few against
@@ -340,7 +377,8 @@ object Pq {
       refine: Int = 4,
       iterations: Int = 2,
       dim: Int = 64,
-      trainFrac: Double = 1.0): DataFrame = {
+      trainFrac: Double = 1.0,
+      queryRowsHint: Option[Long] = None): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val e = emb.localCheckpoint(false)
     // full-corpus training reuses e directly (one materialize, one seed
@@ -360,7 +398,7 @@ object Pq {
               subDim, iterations)
         }
       } else trainCodebooks(e, m, nCodes, iterations, dim, trainFrac)
-    pqTopKWith(e, queryIds, cbs, k, refine, dim)
+    pqTopKWith(e, queryIds, cbs, k, refine, dim, queryRowsHint)
   }
 
   /** Residual IVF-PQ training with a SHARED seed job: coarse seeds and PQ
@@ -440,9 +478,20 @@ object Pq {
       iterations: Int = 2,
       dim: Int = 64,
       trainFrac: Double = 1.0,
-      residual: Boolean = false): DataFrame = {
+      residual: Boolean = false,
+      queryRowsHint: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = materialized(emb)
+    // broadcast gate (see pqTopKWithCodes): the ADC query side here is
+    // EXPLODED by nProbe bucket probes, so its row estimate scales with
+    // nProbe; every join in this ranker is equi-keyed (qbucket / nid /
+    // qid), so dropped hints degrade to shuffle joins, never a pair scan
+    val cap = annBroadcastCap(e)
+    val nqCapQ = cap / (qRowBytes(dim) * math.max(nProbe, 1))
+    val nqCapSl = cap / (SlimShortlistRowBytes * refine * k)
+    val nq = queryRowCount(e, queryIds, queryRowsHint, math.max(nqCapQ, nqCapSl))
+    val qSmall = nq <= nqCapQ
+    val slSmall = nq <= nqCapSl
     // Full-corpus training (the declared-query shape) runs through the
     // job-fused trainers: one shared seed fetch, and — non-residual — one
     // combined job per Lloyd iteration. Sampled training (trainFrac < 1)
@@ -484,12 +533,13 @@ object Pq {
       .select(col("vec_id").as("nid"), col("codes"), col("nn"), col("bucket"))
       .withColumn("approx", recons)
       .localCheckpoint(false)
-    val q = broadcast(
+    val q = hintIfSmall(
       VectorOps.withRanks(e.filter(queryIds(col("vec_id"))), coarse)
         .select(
           col("vec_id").as("qid"), col("embedding").as("qe"),
           explode(slice(col("__ranks"), 1, nProbe)).as("qbucket"))
-        .withColumn("qn", expr(VectorOps.normExprFor(e, "qe"))))
+        .withColumn("qn", expr(VectorOps.normExprFor(e, "qe"))),
+      qSmall)
     val adcDot =
       if (hasFn(e, "graft_dot_fd")) expr("graft_dot_fd(qe, approx)")
       else expr(
@@ -506,15 +556,16 @@ object Pq {
       .select("qid", "qn", "nid")
     val wX = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     // the shortlist is BOUNDED at |queries| * refine * k rows by the arnk
-    // filter — broadcast it SLIM (three scalars per row, no embedding) so
-    // the exact re-rank probes the corpus side without shuffling either
-    // side; the query embeddings re-join from their own bounded broadcast
-    // (|queries| rows) instead of riding every shortlist row at 64-float
-    // width, keeping the collected broadcast ~10x smaller for large query
-    // batches
-    val qFlat = broadcast(e.filter(queryIds(col("vec_id")))
-      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
-    broadcast(shortlist)
+    // filter — hint it SLIM (three scalars per row, no embedding) so the
+    // exact re-rank probes the corpus side without shuffling either side;
+    // the query embeddings re-join from their own bounded hint (|queries|
+    // rows) instead of riding every shortlist row at 64-float width,
+    // keeping the collected broadcast ~10x smaller for large query
+    // batches. Past the byte budget both hints drop (equi joins — AQE
+    // picks shuffle strategies from runtime sizes).
+    val qFlat = hintIfSmall(e.filter(queryIds(col("vec_id")))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe")), qSmall)
+    hintIfSmall(shortlist, slSmall)
       .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
       .join(qFlat, Seq("qid"))
       .withColumn("nn", expr(VectorOps.normExprFor(e, "ne")))
@@ -535,9 +586,11 @@ object Pq {
       codebooks: Seq[Seq[Seq[Double]]],
       k: Int,
       refine: Int = 4,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      queryRowsHint: Option[Long] = None): DataFrame = {
     val e = materialized(emb)
-    pqTopKWithCodes(e, encode(e, codebooks, dim), queryIds, codebooks, k, refine)
+    pqTopKWithCodes(e, encode(e, codebooks, dim), queryIds, codebooks, k, refine,
+      queryRowsHint)
   }
 
   /** The ADC rank + exact re-rank core against a PRE-ENCODED codes frame
@@ -554,9 +607,20 @@ object Pq {
       queryIds: Column => Column,
       codebooks: Seq[Seq[Seq[Double]]],
       k: Int,
-      refine: Int = 4): DataFrame = {
+      refine: Int = 4,
+      queryRowsHint: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb
+    // broadcast gate: estimate |queries| once (hint or bounded probe) and
+    // size all three hinted frames against the byte budget. dim comes from
+    // the codebooks (sum of per-subspace widths == the embedding dim).
+    val dim = codebooks.map(_.head.size).sum
+    val cap = annBroadcastCap(e)
+    val nqCapQ = cap / qRowBytes(dim)
+    val nqCapSl = cap / (SlimShortlistRowBytes * refine * k)
+    val nq = queryRowCount(e, queryIds, queryRowsHint, math.max(nqCapQ, nqCapSl))
+    val qSmall = nq <= nqCapQ
+    val slSmall = nq <= nqCapSl
     // materialize the encoded candidates: without the barrier Catalyst
     // collapses the encode/reconstruct projections INTO the query join and
     // recomputes the per-ROW codes once per PAIR — measured 20 s vs 1.4 s
@@ -566,10 +630,15 @@ object Pq {
       .select(col("vec_id").as("nid"), col("codes"), col("vn").as("nn"))
       .withColumn("approx", reconstruct(codebooks))
       .localCheckpoint(false)
-    val q = broadcast(
+    // the ADC scan is pairwise BY DESIGN (non-equi: every query scores
+    // every candidate's codes) — hinted small, it is a broadcast pair
+    // scan; over the cap the hint drops and Spark streams the pair scan
+    // instead of collecting an oversized query batch onto the driver
+    val q = hintIfSmall(
       e.filter(queryIds(col("vec_id")))
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        .withColumn("qn", expr(VectorOps.normExprFor(e, "qe"))))
+        .withColumn("qn", expr(VectorOps.normExprFor(e, "qe"))),
+      qSmall)
     // ADC: dot(query float, candidate reconstruction) / (|q| * true |n|) —
     // the existing float x double kernel when registered, HOF otherwise
     val adcDot =
@@ -586,15 +655,17 @@ object Pq {
       .withColumn("arnk", row_number().over(wAdc))
       .filter(col("arnk") <= refine * k)
       .select("qid", "qn", "nid")
-    // exact re-rank of the shortlist only — broadcast: bounded at
+    // exact re-rank of the shortlist only — hinted broadcast: bounded at
     // |queries| * refine * k rows by the arnk filter, so the corpus side
     // is probed in place instead of shuffled. The shortlist broadcasts
     // SLIM (no embedding); query embeddings re-join from their own
     // |queries|-row broadcast rather than riding every shortlist row.
+    // Both joins are EQUI-keyed (nid / qid), so past the cap the dropped
+    // hints degrade to shuffle joins AQE sizes at runtime.
     val wX = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    val qFlat = broadcast(e.filter(queryIds(col("vec_id")))
-      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
-    broadcast(shortlist)
+    val qFlat = hintIfSmall(e.filter(queryIds(col("vec_id")))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe")), qSmall)
+    hintIfSmall(shortlist, slSmall)
       .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
       .join(qFlat, Seq("qid"))
       .withColumn("nn", expr(VectorOps.normExprFor(e, "ne")))

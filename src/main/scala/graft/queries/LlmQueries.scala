@@ -1489,7 +1489,7 @@ object LlmQueries {
       "q54_pq_topk",
       (s, dir) => {
         graft.llm.Pq.pqTopK(Tables.embeddings(s, dir), _ < 10,
-          m = 8, k = 3, nCodes = 16, refine = 4)
+          m = 8, k = 3, nCodes = 16, refine = 4, queryRowsHint = Some(10L))
           .orderBy("vec_id", "rnk")
       },
       Some(pqOracleSql(m = 8, nCodes = 16, topK = 3, refine = 4, iters = 2, dim = 64)),
@@ -1507,7 +1507,8 @@ object LlmQueries {
       "q55_ivf_pq",
       (s, dir) => {
         graft.llm.Pq.ivfPqTopK(Tables.embeddings(s, dir), _ < 10,
-          nCentroids = 8, nProbe = 3, m = 8, k = 3, nCodes = 16, refine = 4)
+          nCentroids = 8, nProbe = 3, m = 8, k = 3, nCodes = 16, refine = 4,
+          queryRowsHint = Some(10L))
           .orderBy("vec_id", "rnk")
       },
       Some(ivfPqOracleSql(nCentroids = 8, nProbe = 3, m = 8, nCodes = 16,
@@ -1527,7 +1528,7 @@ object LlmQueries {
       (s, dir) => {
         graft.llm.Pq.ivfPqTopK(Tables.embeddings(s, dir), _ < 10,
           nCentroids = 8, nProbe = 3, m = 8, k = 3, nCodes = 16, refine = 4,
-          residual = true)
+          residual = true, queryRowsHint = Some(10L))
           .orderBy("vec_id", "rnk")
       },
       Some(ivfPqResidualOracleSql(nCentroids = 8, nProbe = 3, m = 8,

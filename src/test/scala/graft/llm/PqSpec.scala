@@ -217,6 +217,63 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("broadcast gate: an oversized query fraction drops every hint, results unchanged") {
+    val emb = graft.Tables.embeddings(spark, dir).localCheckpoint(true)
+    // query fraction = the whole corpus — the caller-controlled shape that
+    // would otherwise drive the re-rank broadcasts toward the 8 GB cap
+    val allIds: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _ >= 0
+    val cbs = Pq.trainCodebooks(emb, m = 8, k = 16)
+    def hintsIn(df: org.apache.spark.sql.DataFrame): Int = {
+      var n = 0
+      df.queryExecution.analyzed.foreach {
+        case _: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => n += 1
+        case _ => ()
+      }
+      n
+    }
+    val hinted = Pq.pqTopKWith(emb, allIds, cbs, k = 3, refine = 2)
+    val prior = spark.conf.getOption("spark.graft.ann.broadcastCapBytes")
+    try {
+      // cap of 1 byte: nothing qualifies — ALL explicit hints must vanish
+      // and the plan falls to Spark/AQE strategy choice
+      spark.conf.set("spark.graft.ann.broadcastCapBytes", "1")
+      val gated = Pq.pqTopKWith(emb, allIds, cbs, k = 3, refine = 2)
+      assert(hintsIn(gated) === 0, "hints survived an over-cap query batch")
+      assert(hintsIn(hinted) > 0, "default plan lost its explicit hints")
+      // identical rankings either way — the gate changes strategy, never
+      // semantics
+      assert(neighborsOf(gated) === neighborsOf(hinted))
+      // the IVF-PQ ranker under the same over-cap gate: equi-keyed joins
+      // only, so it must ALSO keep its no-pair-scan shape un-hinted
+      val gatedIvf = Pq.ivfPqTopK(emb, allIds, nCentroids = 4, nProbe = 2,
+        m = 8, k = 3, refine = 2)
+      assert(hintsIn(gatedIvf) === 0)
+      val nodes = {
+        def collect(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+          val kids = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              collect(a.inputPlan)
+            case other => other.children.flatMap(collect)
+          }
+          p +: kids
+        }
+        collect(gatedIvf.queryExecution.executedPlan)
+      }
+      assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+        "un-hinted IVF-PQ must stay equi-join shaped, not fall to a cross product")
+      spark.conf.set("spark.graft.ann.broadcastCapBytes", (64L << 20).toString)
+      val ivfDefault = Pq.ivfPqTopK(emb, allIds, nCentroids = 4, nProbe = 2,
+        m = 8, k = 3, refine = 2)
+      assert(neighborsOf(gatedIvf) === neighborsOf(ivfDefault))
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.graft.ann.broadcastCapBytes", v)
+      case None => spark.conf.unset("spark.graft.ann.broadcastCapBytes")
+    }
+  }
+
   test("sampled training (the 100 TB posture) still ranks and stays deterministic") {
     val emb = graft.Tables.embeddings(spark, dir)
     val a = neighborsOf(Pq.pqTopK(emb, _ < 10, m = 8, k = 3, trainFrac = 0.5))
