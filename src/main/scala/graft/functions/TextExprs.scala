@@ -207,6 +207,22 @@ object TextKernels {
     count
   }
 
+  /** Long-array twin of [[intersectSize]] — the verify pre-screen's hot
+    * loop: primitive getLong reads, no UTF8String materialization, no
+    * per-element lambda dispatch. Same remove-on-hit distinct semantics. */
+  def intersectSizeLong(a: ArrayData, b: ArrayData): Long = {
+    val (small, large) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val ns = small.numElements()
+    val set = new java.util.HashSet[java.lang.Long](ns * 2)
+    var i = 0
+    while (i < ns) { set.add(small.getLong(i)); i += 1 }
+    var count = 0L
+    val nl = large.numElements()
+    var j = 0
+    while (j < nl) { if (set.remove(large.getLong(j))) count += 1; j += 1 }
+    count
+  }
+
   /** (n_grams, n_distinct, top_count) over n-gram occurrences. */
   def repStats(text: UTF8String, n: Int): InternalRow = {
     val t = toks(text)
@@ -364,26 +380,39 @@ case class RepStats(child: Expression, n: Int) extends TextKernelExpr {
 }
 
 /** `graft_isect_size(a, b)` — |distinct(a) ∩ distinct(b)| of two string
-  * arrays as a BIGINT; equals `size(array_intersect(a, b))` for arrays
-  * without null elements. See [[TextKernels.intersectSize]]. */
+  * OR two long arrays as a BIGINT; equals `size(array_intersect(a, b))`
+  * for arrays without null elements. The long form is the 64-bit-hash
+  * verify pre-screen's kernel ([[TextKernels.intersectSizeLong]]). */
 case class IntersectSize(left: Expression, right: Expression) extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"graft_isect_size requires (ARRAY<STRING>, ARRAY<STRING>) arguments, got " +
+        s"graft_isect_size requires two ARRAY<STRING> or two ARRAY<BIGINT> arguments, got " +
           s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
     }
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_isect_size"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    TextKernels.intersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  private def isLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextKernels.intersectSize($a, $b)")
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (isLong)
+      TextKernels.intersectSizeLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      TextKernels.intersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isLong) "intersectSizeLong" else "intersectSize"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextKernels.$fn($a, $b)")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): IntersectSize =

@@ -41,7 +41,8 @@ object Dedup {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") > 1)
       .select("doc_id")
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: single consumer (the anti-join) — an
+      // eager checkpoint would pay a separate blocking job for the same rows
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
@@ -79,7 +80,7 @@ object Dedup {
       tauPrefilter = Some(tau))
       .filter(col("jaccard") >= tau)
       .select(col("doc_b").as("doc_id")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: single consumer (see exactByHash)
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
@@ -118,15 +119,19 @@ object Dedup {
     val dig = digestCol(on)
     val seen = standingDigests.select(col("digest").as("__h")).distinct()
     val w = Window.partitionBy("__h").orderBy("doc_id")
+    // ONE pass computes both drop conditions: the left join against the
+    // (distinct) standing digests flags vs-standing dups, and the window
+    // over the SAME __h partitioning — which the join's output already
+    // carries, so no second shuffle — flags within-batch non-minima. Each
+    // incoming doc appears exactly once (seen is distinct), so no
+    // union/distinct legs. Result-identical to the two-leg form: drop =
+    // {digest in standing} ∪ {not the min id of its in-batch digest group}.
     val drop = incoming.select(col("doc_id"), dig.as("__h"))
-      .join(seen, Seq("__h"), "left_semi")
+      .join(seen.withColumn("__seen", lit(1)), Seq("__h"), "left")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__seen").isNotNull || col("__rn") > 1)
       .select("doc_id")
-      .union(incoming.select(col("doc_id"), dig.as("__h"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") > 1)
-        .select("doc_id"))
-      .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: single consumer (see exactByHash)
     incoming.join(drop, Seq("doc_id"), "left_anti")
   }
 
@@ -200,13 +205,21 @@ object Dedup {
     val sets = corpus.join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), TextOps.shingleCol(corpus, shingleSize).as("sset"))
       .localCheckpoint(false)
-    val drop = pairs
+    // 64-bit-hash pre-screen ([[TextOps.hashScreenPairs]]): a boilerplate-
+    // skewed bucket's surviving pair frame is still large after the size
+    // cull (every same-length doc shares suffix shingles), and shipping
+    // two STRING shingle arrays per pair through the verify joins was the
+    // q65 chain's single heaviest leg; the screen intersects long-hash
+    // projections (primitive kernel, ~4x narrower rows) and the exact
+    // string verify below runs only on pairs whose hash Jaccard reaches
+    // tau — the drop set is string-exact, sub-tau pairs are the only cull
+    val drop = TextOps.hashScreenPairs(pairs, sets, tau)
       .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb")), Seq("doc_b"))
       .withColumn("common", TextOps.isectSize(corpus, col("sa"), col("sb")))
       .filter(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= tau)
       .select(col("doc_b").as("doc_id")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: single consumer (see exactByHash)
     incoming.join(drop, Seq("doc_id"), "left_anti")
   }
 

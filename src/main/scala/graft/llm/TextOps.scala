@@ -392,12 +392,54 @@ object TextOps {
       else pairs
         .join(sets.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-    withSizes
+    // thresholded path: the 64-bit-hash pre-screen culls the pairs whose
+    // hash-set Jaccard cannot reach tau BEFORE the string sets ride any
+    // join — same missing-pairs contract as the size bound above
+    // (sub-tau pairs only), and the surviving pairs' jaccard is still the
+    // exact string intersection below
+    val screened = tauPrefilter match {
+      case Some(tau) => hashScreenPairs(withSizes, sets.select("doc_id", "sset"), tau)
+      case None => withSizes
+    }
+    screened
       .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb")), Seq("doc_b"))
       .withColumn("common", isectSize(docs, col("sa"), col("sb")))
       .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
+  }
+
+  /** 64-bit-HASH verify pre-screen for tau-thresholded pair verification:
+    * given candidate pairs carrying true distinct-shingle counts (doc_a,
+    * doc_b, na, nb, ...) and the candidate shingle sets (doc_id, sset),
+    * keep only pairs whose HASH-set Jaccard reaches tau. The screen
+    * intersects xxhash64 projections of the sets — primitive long probes
+    * (the [[isectSize]] kernel's long form), ~4x narrower rows than
+    * string sets through the joins — and the exact STRING verification
+    * still runs downstream on the survivors, so surviving pairs' jaccard
+    * values stay byte-exact.
+    *
+    * SOUND under the same hash contract as [[graft.llm.Dedup.exactByHash]]'s
+    * md5: hash unification can only INFLATE the intersection count
+    * (distinct strings mapping to one hash), so J_hash >= J_true and a
+    * screened-out pair truly cannot reach tau — except when two elements
+    * OF THE INTERSECTION ITSELF collide (deflation), a ~2^-64-per-pair
+    * event, the standard content-hashing tradeoff this library documents
+    * everywhere it hashes. When no collision occurs (every real corpus),
+    * ch == common exactly, so the screen's threshold decision is
+    * bit-identical to the exact verify's and no boundary slack is needed. */
+  private[llm] def hashScreenPairs(
+      pairs: DataFrame, sets: DataFrame, tau: Double): DataFrame = {
+    val hsets = sets
+      .select(col("doc_id"),
+        transform(col("sset"), s => xxhash64(s)).as("hs"))
+      .localCheckpoint(false)
+    pairs
+      .join(hsets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
+      .join(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
+      .withColumn("__ch", isectSize(pairs, col("ha"), col("hb")))
+      .filter(col("__ch").cast("double") / (col("na") + col("nb") - col("__ch")) >= tau)
+      .select(pairs.columns.toIndexedSeq.map(col): _*)
   }
 
   /** Exact Jaccard evaluated only on candidate pairs (the LSH verify step).

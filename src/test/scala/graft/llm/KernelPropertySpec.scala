@@ -40,6 +40,46 @@ class KernelPropertySpec extends SparkSpec {
     assert(diverged.isEmpty, diverged.collect().take(3).mkString("; "))
   }
 
+  test("graft_isect_size == size(array_intersect) on arbitrary LONG arrays (the screen's form)") {
+    // the 64-bit-hash verify pre-screen dispatches the kernel's long
+    // variant — pin it against the HOF on arbitrary arrays with likely
+    // duplicates and collisions across sides
+    val longArr: Gen[Seq[Long]] = Gen.chooseNum(0, 30)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-5L, 5L))) // collisions guaranteed
+    val cases = Gen.listOfN(300, Gen.zip(longArr, longArr)).sample.get
+    val df = cases.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "ha", "hb")
+    val diverged = df
+      .withColumn("kc", call_function("graft_isect_size", col("ha"), col("hb")))
+      .withColumn("hc", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .filter(col("kc") =!= col("hc"))
+    assert(diverged.isEmpty, diverged.collect().take(3).mkString("; "))
+  }
+
+  test("hash screen: screened+exact verify == unscreened exact verify on random near-dup corpora") {
+    // differential pin of TextOps.hashScreenPairs' soundness on real
+    // machinery: lshNearDupPairs WITH the tau prefilter (screen active)
+    // must produce exactly the >= tau pairs of the unprefiltered form
+    val rnd = new scala.util.Random(7717)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    def doc(n: Int): String = Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    val base = (0L until 60L).map(i => (i, doc(12 + rnd.nextInt(8))))
+    val dups = base.take(20).map { case (i, t) =>
+      (i + 1000L, if (rnd.nextBoolean()) t else t + " " + words(rnd.nextInt(words.size)))
+    }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val tau = 0.5
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "common", "na", "nb")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val screened = key(TextOps.lshNearDupPairs(docs, 3, 16, 2, tauPrefilter = Some(tau)))
+    val plain = key(TextOps.lshNearDupPairs(docs, 3, 16, 2))
+    assert(screened === plain)
+    assert(screened.nonEmpty, "vacuous: no near-dup pairs generated")
+  }
+
   test("band-pair kernels == HOF emissions on arbitrary buckets") {
     assert(spark.catalog.functionExists("graft_band_pairs"), "kernel not registered")
     // buckets of (doc_id, inc, n) with distinct ids (the band-row contract),
