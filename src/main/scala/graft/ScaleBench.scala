@@ -319,6 +319,35 @@ object ScaleBench {
     }
     println(s"""{"op":"dup_clusters_incremental","standing_vertices":$nCcLocal,"batch_edges":1000,"vertices":$nIncCc,"new_vertices_ok":${nIncCc == nCcLocal + 501},"sec":$tIncCc,"full_rerun_sec":$tCcLocal}""")
 
+    // PARTITIONED cluster-state maintenance: the same standing labels
+    // persisted bucketed by cluster_id, the same 1,000-edge batch folded
+    // through the persisted table — the probe is WHICH partitions'
+    // files change. The bridge roots are multiples of 8, so they land in
+    // 8 of the 64 buckets (+1 for the fresh chain): rewrite IO must
+    // track the touched components, never the 1M-vertex table.
+    val partDir = java.nio.file.Files.createTempDirectory("scale_clusters_part_").toString
+    StandingState.writeClustersPartitioned(ccLabels, partDir, nParts = 64)
+    def partFiles(): Map[String, Set[(String, Long)]] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(partDir, "clusters"))
+        .iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map { p =>
+          val cpart = p.getParent.getFileName.toString
+          cpart -> (p.getFileName.toString,
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        }
+        .toVector.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    }
+    val partsBefore = partFiles()
+    val (nPartCc, tPartCc) = timed {
+      StandingState.updateClusters(partDir, ccBridge.unionByName(ccFresh)).count()
+    }
+    val partsAfter = partFiles()
+    val allParts = partsBefore.keySet ++ partsAfter.keySet
+    val rewritten = allParts.count(p => partsBefore.get(p) != partsAfter.get(p))
+    println(s"""{"op":"dup_clusters_partitioned","parts_total":64,"parts_rewritten":$rewritten,"rewrite_bounded":${rewritten > 0 && rewritten <= 16},"vertices":$nPartCc,"vertices_match":${nPartCc == nIncCc},"sec":$tPartCc}""")
+
     // passage dedup over the replicated corpus (duplicate-HEAVY: every
     // chunk occurs factor x) — only hashes shuffle, doc text never moves
     val (nPass, tPass) = timed {

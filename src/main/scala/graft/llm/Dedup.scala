@@ -590,7 +590,25 @@ object Dedup {
   def duplicateClustersIncremental(
       standing: DataFrame,
       newPairs: DataFrame,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50): DataFrame =
+    duplicateClustersIncrementalParts(standing, newPairs, maxRounds)._1
+
+  /** [[duplicateClustersIncremental]] plus the two TOUCHED-set frames the
+    * partitioned state rewrite ([[StandingState.updateClusters]] on a
+    * partitioned table) needs to bound its IO: `rootMap` = (old_root,
+    * new_root) for every standing root whose component merged (identity
+    * rows included — a root that keeps its id but gains members still has
+    * its size rewritten), and `touchedRows` = the full updated label rows
+    * of exactly the touched components (relabeled standing members + new
+    * docs, with refreshed sizes). Every changed or moved row's OLD
+    * location is keyed by a rootMap.old_root and its NEW location by a
+    * touchedRows.cluster_id — the two frames therefore name every
+    * partition a bucketed-by-cluster_id table must rewrite. Both are
+    * batch-shaped (O(touched components), never O(standing)). */
+  private[llm] def duplicateClustersIncrementalParts(
+      standing: DataFrame,
+      newPairs: DataFrame,
+      maxRounds: Int = 50): (DataFrame, DataFrame, DataFrame) = {
     val e = newPairs
       .select(
         greatest(col("doc_a"), col("doc_b")).as("hi"),
@@ -648,9 +666,9 @@ object Dedup {
       .localCheckpoint(false) // size census + final join
     val sizes = touchedMembers.groupBy("cid")
       .agg(count(lit(1)).cast("int").as("cluster_size"))
-    untouched.unionByName(
-      touchedMembers.join(broadcast(sizes), Seq("cid"))
-        .select(col("doc_id"), col("cid").as("cluster_id"), col("cluster_size")))
+    val touchedRows = touchedMembers.join(broadcast(sizes), Seq("cid"))
+      .select(col("doc_id"), col("cid").as("cluster_id"), col("cluster_size"))
+    (untouched.unionByName(touchedRows), rootMap, touchedRows)
   }
 
   /** Per-cluster size cap for [[semDedup]]: clusters above this are split

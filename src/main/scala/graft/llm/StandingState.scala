@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** PERSISTED standing-corpus state for the ingest cycle — the artifact
@@ -184,16 +184,48 @@ object StandingState {
     * cluster_size)) as part of the standing state. Written once from a
     * batch CC run; each ingest then maintains them with
     * [[updateClusters]] instead of re-running connected components over
-    * the standing graph. */
+    * the standing graph. This layout is UNPARTITIONED (one table dir,
+    * full rewrite per update); a deployment where the per-ingest rewrite
+    * of the whole labels table dominates uses
+    * [[writeClustersPartitioned]] instead. */
   def writeClusters(labels: DataFrame, path: String): Unit =
     labels.select("doc_id", "cluster_id", "cluster_size")
       .write.mode("overwrite").parquet(s"$path/clusters")
 
-  /** Lazy scan of the persisted cluster labels (self-healing a crashed
-    * [[updateClusters]] swap first — see [[healTable]]). */
+  /** Default cluster_id bucket count for [[writeClustersPartitioned]]. */
+  val DefaultClusterParts = 64
+
+  private def cpartCol(c: Column, nParts: Int): Column =
+    pmod(c.cast("long"), lit(nParts.toLong))
+
+  /** [[writeClusters]] BUCKETED by cluster_id (`cpart = pmod(cluster_id,
+    * nParts)` partition dirs): every row of one cluster lands in one
+    * partition, so an ingest's [[updateClusters]] rewrites ONLY the
+    * partitions holding touched components — O(touched clusters) write
+    * IO instead of O(standing labels), removing the last
+    * O(standing-labels) step from the ingest cycle. `nParts` is pinned in
+    * a `clusters_meta` row (like every other state regime) so updates
+    * can never bucket under a different modulus. */
+  def writeClustersPartitioned(
+      labels: DataFrame, path: String, nParts: Int = DefaultClusterParts): Unit = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    require(nParts > 0, s"nParts must be positive, got $nParts")
+    labels.select("doc_id", "cluster_id", "cluster_size")
+      .withColumn("cpart", cpartCol(col("cluster_id"), nParts))
+      .write.mode("overwrite").partitionBy("cpart").parquet(s"$path/clusters")
+    Seq(nParts).toDF("n_parts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/clusters_meta")
+  }
+
+  /** Lazy scan of the persisted cluster labels, in either layout
+    * (self-healing first: a crashed legacy swap via [[healTable]], a
+    * crashed partitioned commit via [[recoverClusterParts]]). */
   def loadClusters(spark: SparkSession, path: String): DataFrame = {
     heal(spark, path, "clusters")
-    spark.read.parquet(s"$path/clusters")
+    recoverClusterParts(spark, path)
+    val df = spark.read.parquet(s"$path/clusters")
+    if (df.columns.contains("cpart")) df.drop("cpart") else df
   }
 
   /** Ingest-cycle cluster maintenance: fold a batch's verified pairs into
@@ -211,15 +243,116 @@ object StandingState {
     * and rewrites touched partitions only. */
   def updateClusters(path: String, newPairs: DataFrame): DataFrame = {
     val spark = newPairs.sparkSession
-    val standing = loadClusters(spark, path)
-    val updated = Dedup.duplicateClustersIncremental(standing, newPairs)
-    withLease(spark, path, "updateClusters") {
-      swapTable(spark, path, "clusters") { staged =>
-        updated.select("doc_id", "cluster_id", "cluster_size")
-          .write.mode("overwrite").parquet(staged)
+    if (tableExists(spark, s"$path/clusters_meta"))
+      updateClustersPartitioned(spark, path, newPairs)
+    else {
+      val standing = loadClusters(spark, path)
+      val updated = Dedup.duplicateClustersIncremental(standing, newPairs)
+      withLease(spark, path, "updateClusters") {
+        swapTable(spark, path, "clusters") { staged =>
+          updated.select("doc_id", "cluster_id", "cluster_size")
+            .write.mode("overwrite").parquet(staged)
+        }
       }
     }
     loadClusters(spark, path)
+  }
+
+  /** [[updateClusters]] over the BUCKETED layout: only partitions whose
+    * content can change are rewritten. Every changed or moved row's OLD
+    * location is keyed by a merged standing root (`rootMap.old_root`) and
+    * its NEW location by a touched component's final id
+    * (`touchedRows.cluster_id`) — [[Dedup.duplicateClustersIncrementalParts]]
+    * returns both batch-shaped frames, so the touched-partition list is a
+    * <= nParts-value collect. Untouched partitions' files are never
+    * opened for write.
+    *
+    * Commit protocol (roll-FORWARD, not the legacy whole-table swap): the
+    * replacement rows for ALL touched partitions are staged under
+    * `clusters__parts_staged/` first, then a `clusters__parts_commit`
+    * marker makes the staged set authoritative, then each staged
+    * partition dir replaces its live twin. A crash before the marker
+    * rolls back (staged dir deleted on next load); a crash after it
+    * rolls forward ([[recoverClusterParts]] completes the remaining
+    * per-partition renames — idempotent, runs on every load). A reader
+    * scanning ACROSS the rename instant can see a transiently missing
+    * partition, the same transient-reader caveat as [[swapTable]];
+    * mutators are excluded by the lease. */
+  private def updateClustersPartitioned(
+      spark: SparkSession, path: String, newPairs: DataFrame): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val nParts = spark.read.parquet(s"$path/clusters_meta").head().getAs[Int]("n_parts")
+    val standing = loadClusters(spark, path)
+    val (updated, rootMap, touchedRows) =
+      Dedup.duplicateClustersIncrementalParts(standing, newPairs)
+    val parts = rootMap.select(cpartCol(col("old_root"), nParts).as("p"))
+      .union(touchedRows.select(cpartCol(col("cluster_id"), nParts).as("p")))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (parts.isEmpty) return
+    withLease(spark, path, "updateClustersPartitioned") {
+      val base = new HPath(path)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staged = new HPath(base, "clusters__parts_staged")
+      if (fs.exists(staged)) fs.delete(staged, true)
+      // 1. STAGE: materializes the replacement rows for every touched
+      // partition (this write READS the live table; live dirs are only
+      // touched after it completes)
+      updated.withColumn("cpart", cpartCol(col("cluster_id"), nParts))
+        .filter(col("cpart").isin(parts.toIndexedSeq: _*))
+        .write.mode("overwrite").partitionBy("cpart").parquet(staged.toString)
+      // a touched partition whose clusters ALL merged away yields no rows
+      // and hence no staged dir — stage an explicit EMPTY dir so the
+      // commit still clears its live twin (otherwise the moved rows'
+      // stale copies would survive at their old location)
+      parts.foreach { p =>
+        val d = new HPath(staged, s"cpart=$p")
+        if (!fs.exists(d)) fs.mkdirs(d)
+      }
+      // 2. COMMIT POINT: marker makes the staged partitions authoritative
+      val marker = new HPath(base, "clusters__parts_commit")
+      fs.create(marker, true).close()
+      // 3. per-partition swap + cleanup (idempotent; recovery re-runs it)
+      commitClusterParts(fs, base)
+    }
+  }
+
+  /** Step 3 of the partitioned commit: move each staged partition dir
+    * over its live twin, then clear the marker and staging area.
+    * Idempotent — partitions already moved have no staged dir left. */
+  private def commitClusterParts(
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val staged = new HPath(base, "clusters__parts_staged")
+    val live = new HPath(base, "clusters")
+    if (fs.exists(staged)) {
+      fs.listStatus(staged).filter(_.getPath.getName.startsWith("cpart="))
+        .foreach { st =>
+          val target = new HPath(live, st.getPath.getName)
+          if (fs.exists(target)) fs.delete(target, true)
+          if (!fs.rename(st.getPath, target))
+            throw new java.io.IOException(
+              s"commitClusterParts: rename ${st.getPath} -> $target failed")
+        }
+      fs.delete(staged, true)
+    }
+    fs.delete(new HPath(base, "clusters__parts_commit"), false)
+  }
+
+  /** Crash recovery for the partitioned commit, run on every
+    * [[loadClusters]]: a marker without a completed commit rolls FORWARD
+    * (the staged partitions are authoritative — finish the renames); a
+    * staging dir without a marker is an incomplete stage and rolls BACK
+    * (deleted; the live table was never touched). */
+  private def recoverClusterParts(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val base = new HPath(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return
+    val marker = new HPath(base, "clusters__parts_commit")
+    val staged = new HPath(base, "clusters__parts_staged")
+    if (fs.exists(marker)) commitClusterParts(fs, base)
+    else if (fs.exists(staged)) fs.delete(staged, true)
   }
 
   /** Rewrite-and-swap one state table: write the replacement to

@@ -277,6 +277,90 @@ class StandingStateSpec extends SparkSpec {
     assert(ids(out) === Seq(61L))
   }
 
+  test("partitioned clusters: identical labels to the full-rewrite path; untouched partitions' files untouched") {
+    val day0 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (30L, 31L))
+      .toDF("doc_a", "doc_b")
+    val ing1 = Seq((100L, 3L), (100L, 10L), (200L, 201L)).toDF("doc_a", "doc_b")
+    val ing2 = Seq((300L, 21L), (1L, 2L)).toDF("doc_a", "doc_b")
+    // legacy full-rewrite path as the reference
+    val legacyPath = java.nio.file.Files.createTempDirectory("clusters_legacy_").toString
+    StandingState.writeClusters(Dedup.duplicateClusters(day0), legacyPath)
+    StandingState.updateClusters(legacyPath, ing1)
+    StandingState.updateClusters(legacyPath, ing2)
+    val expect = StandingState.loadClusters(spark, legacyPath)
+      .as[(Long, Long, Int)].collect().toSet
+    // partitioned path: same ingests, bucketed table
+    val partPath = java.nio.file.Files.createTempDirectory("clusters_part_").toString
+    StandingState.writeClustersPartitioned(
+      Dedup.duplicateClusters(day0), partPath, nParts = 8)
+    def fileSnapshot(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(partPath, "clusters"))
+        .iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val before = fileSnapshot()
+    StandingState.updateClusters(partPath, ing1)
+    val mid = fileSnapshot()
+    StandingState.updateClusters(partPath, ing2)
+    val got = StandingState.loadClusters(spark, partPath)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === expect)
+    assert(got === Dedup.duplicateClusters(
+      day0.unionByName(ing1).unionByName(ing2)).as[(Long, Long, Int)].collect().toSet)
+    // IO tracks touched clusters, not the table: ingest 1 touches the
+    // components rooted 1 and 10 (merged via doc 100) and creates
+    // {200, 201} — the partitions of the UNTOUCHED clusters {20,21} and
+    // {30,31} (cpart 20%8=4, 30%8=6) must keep their exact files
+    val untouchedParts = Set("cpart=4", "cpart=6")
+    val keptBefore = before.filter { case (p, _) => untouchedParts.exists(p.contains) }
+    val keptMid = mid.filter { case (p, _) => untouchedParts.exists(p.contains) }
+    assert(keptBefore.nonEmpty, "vacuous: expected files in the untouched partitions")
+    assert(keptMid === keptBefore,
+      "untouched partitions were rewritten — the partitioned update must bound its IO")
+    // and some partition DID change (non-vacuity of the comparison)
+    assert(mid !== before)
+  }
+
+  test("partitioned clusters: crash between commit marker and renames rolls FORWARD on load") {
+    val day0 = Seq((1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val path = java.nio.file.Files.createTempDirectory("clusters_crash_").toString
+    StandingState.writeClustersPartitioned(Dedup.duplicateClusters(day0), path, nParts = 4)
+    // manufacture the mid-commit crash state BY HAND: stage a replacement
+    // for the partition holding cluster {1,2,3} (cpart = 1 % 4 = 1) plus
+    // the marker — exactly what a crash right after the commit point
+    // leaves behind
+    val merged = Dedup.duplicateClusters(
+      day0.unionByName(Seq((100L, 2L)).toDF("doc_a", "doc_b")))
+    merged.filter(col("cluster_id") === 1L)
+      .withColumn("cpart", pmod(col("cluster_id"), lit(4L)))
+      .write.mode("overwrite").partitionBy("cpart")
+      .parquet(s"$path/clusters__parts_staged")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(path, "clusters__parts_commit"))
+    // the next load completes the commit: staged partition swapped in,
+    // marker + staging gone, labels == the merged result
+    val got = StandingState.loadClusters(spark, path)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === merged.as[(Long, Long, Int)].collect().toSet)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "clusters__parts_commit")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "clusters__parts_staged")))
+    // a staging dir WITHOUT a marker (crash before the commit point)
+    // rolls back: deleted, table unchanged
+    merged.limit(1).withColumn("cpart", lit(0L))
+      .write.mode("overwrite").partitionBy("cpart")
+      .parquet(s"$path/clusters__parts_staged")
+    val again = StandingState.loadClusters(spark, path)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(again === got)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "clusters__parts_staged")))
+  }
+
   test("state lease: compact vs appender mutual exclusion is loud; breakLease recovers a crash") {
     val path = java.nio.file.Files.createTempDirectory("standing_lease_").toString
     StandingState.write(docs(1L -> base(1)), path)
