@@ -117,6 +117,81 @@ object Multimodal {
     }
   }
 
+  /** PNG via the JDK's built-in `javax.imageio` — the REAL-WORLD image
+    * leg: production corpora carry PNG/JPEG blobs, not fixture PPMs.
+    * Decode reads any ImageIO-supported PNG (palette, grayscale, alpha —
+    * normalized to 8-bit RGB through the ARGB accessor, alpha discarded)
+    * into the same [[Ppm]] shape the whole image family consumes, so
+    * every operator downstream of [[decodeImage]] (features, resize,
+    * phash, near-dup pairs) works on PNGs unchanged. Encode writes
+    * lossless RGB — a decode of an [[encode]] output reproduces the
+    * input raster byte for byte (PNG is lossless; q76 pins the full
+    * roundtrip against the q29 oracle cross-engine). Public JDK API
+    * only, headless-safe, no new dependencies. */
+  object PngCodec {
+    val Mime = "image/png"
+
+    /** The 8-byte PNG signature's discriminating prefix. */
+    def isPng(bytes: Array[Byte]): Boolean =
+      bytes.length >= 8 &&
+        bytes(0) == 0x89.toByte && bytes(1) == 'P'.toByte &&
+        bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte
+
+    def encode(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dims ${width}x$height")
+      require(pixels.length == width * height * 3,
+        s"pixel buffer ${pixels.length} != ${width * height * 3}")
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y,
+            ((pixels(i) & 0xff) << 16) | ((pixels(i + 1) & 0xff) << 8) | (pixels(i + 2) & 0xff))
+          i += 3
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      if (!javax.imageio.ImageIO.write(img, "png", bos))
+        throw new IllegalStateException("PNG: no JDK png writer available")
+      bos.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): Ppm = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null)
+        throw new IllegalArgumentException("PNG: unreadable image payload")
+      val w = img.getWidth
+      val h = img.getHeight
+      val pixels = new Array[Byte](w * h * 3)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y) // sRGB int regardless of storage type
+          pixels(i) = ((rgb >> 16) & 0xff).toByte
+          pixels(i + 1) = ((rgb >> 8) & 0xff).toByte
+          pixels(i + 2) = (rgb & 0xff).toByte
+          i += 3
+          x += 1
+        }
+        y += 1
+      }
+      Ppm(w, h, 255, pixels)
+    }
+  }
+
+  /** Sniffing image decode: dispatches on the payload's magic bytes (PNG
+    * signature vs PPM "P6"), so one media table can mix fixture PPMs and
+    * real-world PNGs and every image operator handles both. */
+  def decodeImage(bytes: Array[Byte]): Ppm =
+    if (PngCodec.isPng(bytes)) PngCodec.decode(bytes) else PpmCodec.decode(bytes)
+
   final case class Wav(sampleRate: Int, nChannels: Int, bitsPerSample: Int, samples: Array[Short])
 
   /** RIFF/WAVE, PCM. Encoder writes canonical 16-bit mono LE; decoder is a
@@ -217,6 +292,26 @@ object Multimodal {
       }.toDF()
   }
 
+  /** [[asMedia]]'s REAL-PNG twin: the identical text-byte raster (so the
+    * q29 oracle replays the decoded stats verbatim), but the payload is a
+    * genuine PNG encoded through the JDK's ImageIO — the blob shape a
+    * production image corpus actually carries. */
+  def asPngMedia(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val tb = text.getBytes(UTF_8)
+          val rowBytes = PpmWidth * 3
+          val h = math.max(1, (tb.length + rowBytes - 1) / rowBytes)
+          val pixels = java.util.Arrays.copyOf(tb, PpmWidth * h * 3)
+          val payload = PngCodec.encode(PpmWidth, h, pixels)
+          MediaRecord(id, PngCodec.Mime, payload.length.toLong, payload)
+        }
+      }.toDF()
+  }
+
   /** documents -> media table of REAL PCM16 WAV files: each text byte b
     * becomes the centered sample (b - 128) * 256. */
   def asWavMedia(documents: DataFrame, sampleRate: Int = 8000): DataFrame = {
@@ -245,7 +340,7 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.map { m =>
-        val img = PpmCodec.decode(m.payload)
+        val img = decodeImage(m.payload)
         var sum = 0L
         val chan = new Array[Long](3)
         var i = 0
@@ -297,7 +392,7 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.map { m =>
-        val img = PpmCodec.decode(m.payload)
+        val img = decodeImage(m.payload)
         val out = new Array[Byte](targetW * targetH * 3)
         var ty = 0
         while (ty < targetH) {
@@ -362,7 +457,7 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.map { m =>
-        val img = PpmCodec.decode(m.payload)
+        val img = decodeImage(m.payload)
         val lums = new Array[Long](64)
         var j = 0
         while (j < 64) {

@@ -2642,6 +2642,48 @@ object LlmQueries {
           |                 UNION ALL SELECT doc_id FROM adm3)
           |ORDER BY doc_id""".stripMargin),
     ),
+
+    // ------------------------------------------------------------------
+    // Q76 — REAL-WORLD image decode: q29's exact raster carried as
+    // genuine PNG blobs (encoded through the JDK's ImageIO — the payload
+    // shape a production image corpus actually stores) and decoded back
+    // through the sniffing image decoder (PNG signature -> ImageIO,
+    // "P6" -> the PPM walker). PNG is lossless RGB, so the decoded
+    // pixel stats must hash-match the SAME DuckDB oracle as q29, which
+    // pins the full ImageIO encode -> compress -> decode roundtrip
+    // cross-engine — not just the stats arithmetic.
+    Declared(
+      "q76_png_decode",
+      (s, dir) => {
+        graft.llm.Multimodal.imageFeatures(
+          graft.llm.Multimodal.asPngMedia(Tables.documents(s, dir)))
+          .orderBy("media_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+             |  FROM documents),
+             |d AS (
+             |  SELECT doc_id, n,
+             |    CAST(16 AS INT) AS width,
+             |    CAST(GREATEST(1, (n + 47) // 48) AS INT) AS height,
+             |    list_transform(generate_series(1, CAST(n AS INT)),
+             |      i -> CAST(('0x' || substr(hx, (i-1)*2+1, 2)) AS BIGINT)) AS bytes
+             |  FROM b)
+             |SELECT doc_id AS media_id, width, height,
+             |  CAST(width * height AS INT) AS n_pixels,
+             |  CAST(COALESCE(list_sum(bytes), 0) AS BIGINT) AS byte_sum,
+             |  CAST(COALESCE(list_sum(bytes), 0) AS DOUBLE) / (width * height * 3) AS mean_byte,
+             |  CAST(COALESCE(list_sum(list_transform(generate_series(1, CAST(n AS INT)),
+             |    i -> CASE WHEN (i-1) % 3 = 0 THEN bytes[i] ELSE 0 END)), 0) AS DOUBLE)
+             |    / (width * height) AS mean_r,
+             |  CAST(COALESCE(list_sum(list_transform(generate_series(1, CAST(n AS INT)),
+             |    i -> CASE WHEN (i-1) % 3 = 1 THEN bytes[i] ELSE 0 END)), 0) AS DOUBLE)
+             |    / (width * height) AS mean_g,
+             |  CAST(COALESCE(list_sum(list_transform(generate_series(1, CAST(n AS INT)),
+             |    i -> CASE WHEN (i-1) % 3 = 2 THEN bytes[i] ELSE 0 END)), 0) AS DOUBLE)
+             |    / (width * height) AS mean_b
+             |FROM d ORDER BY media_id""".stripMargin),
+    ),
   )
 
   /** DuckDB replay of [[graft.llm.CorpusPipeline.prepareIncremental]]

@@ -1461,6 +1461,24 @@ class LlmOpsSpec extends SparkSpec {
     val again = Multimodal.phashNearDupPairs(ph, nBands = 4, maxHamming = 8)
       .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
     assert(again === pairs)
+    // CONTAINER-INVARIANCE: the same rasters carried as real PNG blobs
+    // must hash identically (the sniffing decode feeds the same pixels to
+    // the same phash), so the near-dup pairs are payload-format-agnostic —
+    // a corpus mixing fixture PPMs and production PNGs dedups as one
+    val phPng = Multimodal.imagePhash(Multimodal.asPngMedia(d)).localCheckpoint(false)
+    assert(phPng.as[(Long, String)].collect().toMap === hashes)
+    val pairsPng = Multimodal.phashNearDupPairs(phPng, nBands = 4, maxHamming = 8)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairsPng === pairs)
+    // ... and a MIXED table (PPM rows + PNG rows of different docs)
+    // feature-extracts uniformly through one decode dispatch
+    val mixed = Multimodal.asMedia(d.filter(col("doc_id") <= 2))
+      .unionByName(Multimodal.asPngMedia(d.filter(col("doc_id") > 2)))
+    val feats = Multimodal.imageFeatures(mixed)
+      .select("media_id", "byte_sum").as[(Long, Long)].collect().toMap
+    val featsPpm = Multimodal.imageFeatures(Multimodal.asMedia(d))
+      .select("media_id", "byte_sum").as[(Long, Long)].collect().toMap
+    assert(feats === featsPpm)
   }
 
   test("audioPhash: anchored window, active-mean threshold, gain invariance") {

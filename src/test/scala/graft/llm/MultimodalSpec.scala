@@ -80,6 +80,31 @@ class MultimodalSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](WavCodec.decode(overrun))
   }
 
+  test("PNG round-trip: ImageIO encode then decode recovers the exact raster") {
+    import graft.llm.Multimodal.PngCodec
+    val pixels = Array.tabulate(4 * 3 * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val png = PngCodec.encode(4, 3, pixels)
+    assert(PngCodec.isPng(png), "encoded payload must carry the PNG signature")
+    val back = PngCodec.decode(png)
+    assert(back.width === 4 && back.height === 3 && back.maxVal === 255)
+    assert(back.pixels.toSeq === pixels.toSeq, "PNG is lossless RGB — raster must survive")
+  }
+
+  test("sniffing decodeImage dispatches PNG vs PPM; rejects garbage loudly") {
+    import graft.llm.Multimodal.{decodeImage, PngCodec}
+    val pixels = Array.tabulate(2 * 2 * 3)(i => (i * 19).toByte)
+    val asPng = decodeImage(PngCodec.encode(2, 2, pixels))
+    val asPpm = decodeImage(PpmCodec.encode(2, 2, pixels))
+    assert(asPng.pixels.toSeq === asPpm.pixels.toSeq)
+    assert(asPng.width === asPpm.width && asPng.height === asPpm.height)
+    // non-image bytes fail on the PPM branch's loud magic check
+    val e = intercept[IllegalArgumentException](decodeImage("not an image".getBytes(UTF_8)))
+    assert(e.getMessage.contains("magic"))
+    // a PNG signature with a corrupt body fails on the PNG branch
+    val broken = PngCodec.encode(2, 2, pixels).take(12)
+    intercept[Exception](decodeImage(broken))
+  }
+
   test("GVID round-trip: dims, frame count, and frame bytes survive") {
     val frames = Array.tabulate(3 * 4)(i => (i * 11).toByte) // 3 frames of 2x2
     val v = GvidCodec.decode(GvidCodec.encode(2, 2, frames))
