@@ -19,9 +19,18 @@ import graft.llm.{CorpusPipeline, StandingState}
   *     [--state=/data/state]                             # ...fed from persisted state
   *     [--appendState]                                   # close the ingest cycle
   *     [--compactState]                                  # distinct-rewrite state tables
+  *     [--breakStateLease]                               # crashed-lease recovery (see below)
   *     [--tau=0.8] [--minWords=20] [--maxWords=100000]
   *     [--normalize] [--packBudget=2048]
   * }}}
+  *
+  * MAINTENANCE-ONLY invocation (no `--in`/`--out`): `--state=...
+  * --breakStateLease` and/or `--compactState` run the state maintenance
+  * alone. `--breakStateLease` removes a CRASHED mutator's lease file
+  * ([[StandingState.breakLease]]) — only safe after confirming the
+  * recorded holder process is dead; it runs before anything else in the
+  * invocation, which is exactly the operator recovery flow: verify the
+  * holder is gone, re-run the job with the flag added.
   *
   * Modes:
   *  - `--in` + `--out` only: full [[CorpusPipeline.prepare]] (with
@@ -49,6 +58,7 @@ object PrepareMain {
       state: Option[String] = None,
       appendState: Boolean = false,
       compactState: Boolean = false,
+      breakStateLease: Boolean = false,
       tau: Double = 0.8,
       minWords: Int = 20,
       maxWords: Int = 100000,
@@ -67,6 +77,7 @@ object PrepareMain {
         case Array("--state", v) => a.copy(state = Some(v))
         case Array("--appendState") => a.copy(appendState = true)
         case Array("--compactState") => a.copy(compactState = true)
+        case Array("--breakStateLease") => a.copy(breakStateLease = true)
         case Array("--tau", v) => a.copy(tau = v.toDouble)
         case Array("--minWords", v) => a.copy(minWords = v.toInt)
         case Array("--maxWords", v) => a.copy(maxWords = v.toInt)
@@ -75,11 +86,18 @@ object PrepareMain {
         case other => sys.error(s"unknown argument '${other.mkString("=")}'")
       }
     }
-    require(a.in.nonEmpty && a.out.nonEmpty, "--in and --out are required")
-    require(a.state.isEmpty || a.standing.nonEmpty,
+    // maintenance-only: state upkeep without a prepare pass
+    val maintenanceOnly =
+      a.in.isEmpty && a.out.isEmpty && a.state.nonEmpty &&
+        (a.breakStateLease || a.compactState) && !a.appendState
+    require(maintenanceOnly || (a.in.nonEmpty && a.out.nonEmpty),
+      "--in and --out are required (except a maintenance-only " +
+        "--state + --breakStateLease/--compactState invocation)")
+    require(maintenanceOnly || a.state.isEmpty || a.standing.nonEmpty,
       "--state needs --standing (the corpus table the state was built over)")
     require(!a.appendState || a.state.nonEmpty, "--appendState needs --state")
     require(!a.compactState || a.state.nonEmpty, "--compactState needs --state")
+    require(!a.breakStateLease || a.state.nonEmpty, "--breakStateLease needs --state")
     // the attrition report exists only for the full-batch pipeline
     // (prepareWithReport); silently ignoring the flag in incremental mode
     // would strand scripting that reads the report path
@@ -94,6 +112,13 @@ object PrepareMain {
 
   /** Run one prepare pass; returns (result rows written, mode string). */
   def run(spark: SparkSession, a: Args): (Long, String) = {
+    // crashed-lease recovery runs FIRST: the rest of the invocation (the
+    // prepare's append, or the compact) re-takes the lease normally
+    if (a.breakStateLease) StandingState.breakLease(spark, a.state.get)
+    if (a.in.isEmpty) { // maintenance-only invocation
+      if (a.compactState) StandingState.compact(spark, a.state.get)
+      return (0L, "maintenance")
+    }
     val docs = spark.read.parquet(a.in)
     val eval = a.eval.map(spark.read.parquet(_))
     val emb = a.embeddings.map(spark.read.parquet(_))

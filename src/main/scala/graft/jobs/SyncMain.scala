@@ -25,6 +25,14 @@ import graft.sink.{InMemoryKvBackend, KvBackends, PublishMode, RedisKvBackend}
   *     --docs=/data/docs-jsonl-dir --backend=memory|redis://host:port \
   *     --checkpoint=/tmp/ck [--keyPrefix=graft:corpus] [--verifyTau=0.9] \
   *     [--horizonMs=1800000] [--ttl=N] [--notify=channel] [--once]
+  *
+  *   # STATE-FED streaming text intake (dedup vs the persisted standing
+  *   # corpus, admitted docs appended back — zero Structured-Streaming
+  *   # state; CorpusIntakeJob.runTextStream):
+  *   runMain graft.jobs.SyncMain --job=intakeState \
+  *     --docs=/data/docs-jsonl-dir --state=/data/state \
+  *     --corpus=/data/corpus.parquet --checkpoint=/tmp/ck \
+  *     [--tau=0.8] [--once]
   * }}}
   *
   * `--once` runs a single bounded AvailableNow pass (backfill / test);
@@ -54,7 +62,11 @@ object SyncMain {
       verifyTau: Option[Double] = None,
       horizonMs: Long = 30L * 60 * 1000,
       ttlSeconds: Long = -1L,
-      notifyChannel: Option[String] = None)
+      notifyChannel: Option[String] = None,
+      // --job=intakeState knobs (CorpusIntakeJob.runTextStream)
+      state: Option[String] = None,
+      corpus: Option[String] = None,
+      tau: Double = 0.8)
 
   def parseArgs(argv: Array[String]): Args =
     argv.foldLeft(Args()) { (a, s) =>
@@ -79,6 +91,9 @@ object SyncMain {
         case Array("--horizonMs", v) => a.copy(horizonMs = v.toLong)
         case Array("--ttl", v) => a.copy(ttlSeconds = v.toLong)
         case Array("--notify", v) => a.copy(notifyChannel = Some(v))
+        case Array("--state", v) => a.copy(state = Some(v))
+        case Array("--corpus", v) => a.copy(corpus = Some(v))
+        case Array("--tau", v) => a.copy(tau = v.toDouble)
         case other => sys.error(s"unknown argument '${other.mkString("=")}'")
       }
     }
@@ -118,9 +133,34 @@ object SyncMain {
     q.awaitTermination()
   }
 
+  /** `--job=intakeState` leg: JSONL docs directory -> STATE-FED text
+    * intake ([[graft.streaming.CorpusIntakeJob.runTextStream]]): each
+    * micro-batch dedups against the persisted StandingState digest/band
+    * tables and the admitted docs append back to both the corpus table
+    * and the state — the resume-don't-restart ingest cycle as a running
+    * job. No RocksDB session config: this leg keeps ZERO
+    * Structured-Streaming state (everything lives in the shared parquet
+    * tables), and the startup repair pass inside runTextStream restores
+    * the corpus<->artifact invariant before the first batch. */
+  def runIntakeStateOnce(spark: SparkSession, a: Args): Unit = {
+    val dir = a.docs.getOrElse(sys.error("--job=intakeState needs --docs=<jsonl dir>"))
+    val statePath = a.state.getOrElse(sys.error("--job=intakeState needs --state=<dir>"))
+    val corpus = a.corpus.getOrElse(
+      sys.error("--job=intakeState needs --corpus=<parquet dir>"))
+    val docs = spark.readStream
+      .schema("ts TIMESTAMP, doc_id BIGINT, text STRING")
+      .json(dir)
+    val trigger =
+      if (a.once) Trigger.AvailableNow() else Trigger.ProcessingTime("3 seconds")
+    val q = graft.streaming.CorpusIntakeJob.runTextStream(
+      docs, statePath, corpus, a.checkpoint, tau = a.tau, trigger = trigger)
+    q.awaitTermination()
+  }
+
   /** One stream attempt (blocks until termination or failure). */
   def runOnce(spark: SparkSession, a: Args): Unit = {
     if (a.job == "intake") return runIntakeOnce(spark, a)
+    if (a.job == "intakeState") return runIntakeStateOnce(spark, a)
     val raw = (a.endpoints, a.replay) match {
       case (Some(eps), _) =>
         val r = spark.readStream

@@ -48,6 +48,38 @@ class PrepareMainSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       PrepareMain.parseArgs(Array("--in=/i", "--out=/o", "--standing=/st", "--report=/r"))
     }
+    // maintenance-only invocation: state upkeep without a prepare pass
+    val m = PrepareMain.parseArgs(
+      Array("--state=/sp", "--breakStateLease", "--compactState"))
+    assert(m.breakStateLease && m.compactState && m.in.isEmpty)
+    intercept[IllegalArgumentException] {
+      PrepareMain.parseArgs(Array("--breakStateLease")) // needs --state
+    }
+    intercept[IllegalArgumentException] {
+      // appendState has no maintenance-only form (nothing to append)
+      PrepareMain.parseArgs(Array("--state=/sp", "--appendState"))
+    }
+  }
+
+  test("maintenance-only: --breakStateLease recovers a crashed holder, --compactState then runs") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("prepare_maint_").toString
+    val standing = Seq((1L, "the tale of and to in " +
+      (1 to 18).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text")
+      .withColumn("source", lit("s"))
+    graft.llm.StandingState.write(standing, path)
+    // a crashed mutator's lease blocks compact...
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_lease"),
+      "op=append pid=1 at=then".getBytes("UTF-8"))
+    intercept[IllegalStateException](
+      PrepareMain.run(spark, PrepareMain.Args(state = Some(path), compactState = true)))
+    // ...and the documented recovery flow — re-run with --breakStateLease —
+    // clears it and completes the compaction in one invocation
+    val (n, mode) = PrepareMain.run(spark, PrepareMain.Args(
+      state = Some(path), breakStateLease = true, compactState = true))
+    assert(n === 0L && mode === "maintenance")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_lease")))
   }
 
   test("batch mode: gate + dedup land in the output, report table written") {

@@ -69,6 +69,45 @@ class SyncMainSpec extends SparkSpec {
     }
   }
 
+  test("--job=intakeState --once: JSONL docs -> state-fed intake -> corpus + state appended") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val good =
+      "the quick brown fox jumps over a lazy dog while many other animals " +
+        "watch from distant hills and rivers flowing gently toward the open sea"
+    val other =
+      "a careful reader finds the hidden meaning inside every long paragraph " +
+        "because patient study of context and structure rewards attention " +
+        "with clear understanding today"
+    // day-0 standing corpus + persisted state
+    val corpusDir = java.nio.file.Files.createTempDirectory("intake-state-corpus").toString
+    Seq((1L, good)).toDF("doc_id", "text").write.mode("overwrite").parquet(corpusDir)
+    val statePath = java.nio.file.Files.createTempDirectory("intake-state-state").toString
+    graft.llm.StandingState.write(spark.read.parquet(corpusDir), statePath)
+    def rec(ts: String, id: Long, text: String): String =
+      s"""{"ts":"$ts","doc_id":$id,"text":"$text"}"""
+    val dir = java.nio.file.Files.createTempDirectory("intake-state-docs")
+    java.nio.file.Files.write(dir.resolve("part-0.jsonl"),
+      Seq(
+        rec("2024-01-01T10:00:00Z", 10, good),             // standing replica -> dropped
+        rec("2024-01-01T10:00:01Z", 11, good + " appended"), // near-dup of standing -> dropped
+        rec("2024-01-01T10:00:02Z", 12, other))            // novel -> admitted + appended
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val ck = java.nio.file.Files.createTempDirectory("intake-state-ck").toString
+    SyncMain.runOnce(spark, SyncMain.Args(
+      job = "intakeState", docs = Some(dir.toString),
+      state = Some(statePath), corpus = Some(corpusDir),
+      checkpoint = ck, tau = 0.5, once = true))
+    assert(spark.read.parquet(corpusDir).select("doc_id").as[Long].collect().toSet
+      === Set(1L, 12L))
+    // the state grew by the admitted doc's artifacts: a later batch-side
+    // replica of doc 12 drops against the appended digests
+    assert(graft.llm.Dedup.exactIncrementalVsDigests(
+      Seq((50L, other)).toDF("doc_id", "text"),
+      graft.llm.StandingState.load(spark, statePath).digests)
+      .filter(col("doc_id") === 50L).isEmpty)
+  }
+
   test("--once syncs the stub chain end-to-end into the backend") {
     val srv = new StubRpcServer(resource("blocks.jsonl"))
     try {
