@@ -44,13 +44,8 @@ final case class StandingState(
   /** Fail loudly when a state trained under one fingerprint regime is fed
     * to a pipeline configured with another — mixed band rows would
     * silently miss near-dups. */
-  def requireCompatible(cfg: CorpusPipeline.Config): Unit = {
-    require(meta.shingleSize == cfg.shingleSize,
-      s"standing state has shingleSize ${meta.shingleSize}, config wants ${cfg.shingleSize}")
-    require(meta.normalizedFingerprints == cfg.normalizeFingerprints,
-      s"standing state normalizedFingerprints=${meta.normalizedFingerprints}, " +
-        s"config wants ${cfg.normalizeFingerprints}")
-  }
+  def requireCompatible(cfg: CorpusPipeline.Config): Unit =
+    StandingState.requireMetaCompatible(meta, cfg)
 }
 
 object StandingState {
@@ -60,6 +55,16 @@ object StandingState {
       numHashes: Int,
       bandRows: Int,
       normalizedFingerprints: Boolean)
+
+  /** The regime-compatibility check behind [[StandingState.requireCompatible]],
+    * meta-only so the append paths can run it without a loaded state. */
+  private[llm] def requireMetaCompatible(meta: Meta, cfg: CorpusPipeline.Config): Unit = {
+    require(meta.shingleSize == cfg.shingleSize,
+      s"standing state has shingleSize ${meta.shingleSize}, config wants ${cfg.shingleSize}")
+    require(meta.normalizedFingerprints == cfg.normalizeFingerprints,
+      s"standing state normalizedFingerprints=${meta.normalizedFingerprints}, " +
+        s"config wants ${cfg.normalizeFingerprints}")
+  }
 
   /** The fingerprint projection the state persists for a corpus frame
     * under `cfg`: digests over the raw (scrubbed) text — exact dedup is
@@ -162,13 +167,23 @@ object StandingState {
   def append(
       batch: DataFrame,
       path: String,
-      cfg: CorpusPipeline.Config = CorpusPipeline.Config()): Unit = {
+      cfg: CorpusPipeline.Config = CorpusPipeline.Config()): Unit =
+    appendWithMeta(batch, path, cfg, load(batch.sparkSession, path).meta)
+
+  /** [[append]] with the state's meta row already in hand — the streaming
+    * batch leg ([[graft.streaming.CorpusIntakeJob.ingestTextBatch]]) loads
+    * the state once per micro-batch and passes the meta through, skipping
+    * a second load per batch. Same compatibility checks, same write
+    * order. */
+  private[graft] def appendWithMeta(
+      batch: DataFrame,
+      path: String,
+      cfg: CorpusPipeline.Config,
+      meta: Meta): Unit = {
     val spark = batch.sparkSession
-    val state = load(spark, path)
-    state.requireCompatible(cfg)
+    requireMetaCompatible(meta, cfg)
     val b = Frames.barrier(batch)
-    val (digests, bands) =
-      artifacts(b, cfg, state.meta.numHashes, state.meta.bandRows)
+    val (digests, bands) = artifacts(b, cfg, meta.numHashes, meta.bandRows)
     withLease(spark, path, "append") {
       // digests FIRST, bands second: a crash between the writes leaves docs
       // with digests but no band rows — exactly the drift
@@ -343,7 +358,14 @@ object StandingState {
     * [[loadClusters]]: a marker without a completed commit rolls FORWARD
     * (the staged partitions are authoritative — finish the renames); a
     * staging dir without a marker is an incomplete stage and rolls BACK
-    * (deleted; the live table was never touched). */
+    * (deleted; the live table was never touched).
+    *
+    * Recovery MUTATES the directories, so it runs UNDER THE LEASE: if
+    * the lease is unavailable the pass is skipped — either a live
+    * mutator is mid-commit (its own commitClusterParts finishes the
+    * work; recovering concurrently would race its renames) or a crashed
+    * holder blocks mutation until [[breakLease]], after which the next
+    * load's recovery acquires the lease and rolls forward. */
   private def recoverClusterParts(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val base = new HPath(path)
@@ -351,8 +373,15 @@ object StandingState {
     if (!fs.exists(base)) return
     val marker = new HPath(base, "clusters__parts_commit")
     val staged = new HPath(base, "clusters__parts_staged")
-    if (fs.exists(marker)) commitClusterParts(fs, base)
-    else if (fs.exists(staged)) fs.delete(staged, true)
+    if (!fs.exists(marker) && !fs.exists(staged)) return // the common case
+    if (leaseHeld(fs, base)) return // live mutator or crashed holder — skip
+    try withLease(spark, path, "recoverClusterParts") {
+      // re-check under the lease: the mutator we raced may have finished
+      if (fs.exists(marker)) commitClusterParts(fs, base)
+      else if (fs.exists(staged)) fs.delete(staged, true)
+    } catch {
+      case _: IllegalStateException => () // lost the acquire race — skip
+    }
   }
 
   /** Rewrite-and-swap one state table: write the replacement to
@@ -406,12 +435,18 @@ object StandingState {
         s"healTable: recovery rename $retired -> $live failed")
   }
 
-  /** [[healTable]] from a path-string context — the load-site form. */
+  /** [[healTable]] from a path-string context — the load-site form.
+    * SKIPPED while the state lease is held: a live mutator mid-swap owns
+    * the directories (healing concurrently would race its renames — the
+    * reader would restore `__retired` while the writer renames
+    * `__staged` in, failing the writer spuriously), and a crashed holder
+    * blocks all mutation until [[breakLease]] anyway, after which the
+    * next load heals. */
   private def heal(spark: SparkSession, path: String, table: String): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val base = new HPath(path)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(base)) healTable(fs, base, table)
+    if (fs.exists(base) && !leaseHeld(fs, base)) healTable(fs, base, table)
   }
 
   /** Name of the mutual-exclusion lease file under the state dir. */
@@ -458,12 +493,27 @@ object StandingState {
               "If that holder crashed, verify it is gone and run " +
               "StandingState.breakLease to recover.")
       }
-    try out.write(
-      s"op=$op pid=${ProcessHandle.current().pid()} at=${java.time.Instant.now()}"
-        .getBytes("UTF-8"))
-    finally out.close()
-    try body finally fs.delete(lease, false)
+    // EVERYTHING after a successful create releases in finally — a failure
+    // writing the holder info must not leave the lease held forever
+    try {
+      try out.write(
+        s"op=$op pid=${ProcessHandle.current().pid()} at=${java.time.Instant.now()}"
+          .getBytes("UTF-8"))
+      finally out.close()
+      body
+    } finally fs.delete(lease, false)
   }
+
+  /** True iff the state lease is currently held. Used by the reader-side
+    * recovery passes: a held lease means either a LIVE mutator is
+    * mid-write (its own commit path will finish the work — a concurrent
+    * reader-side recovery would RACE its renames) or a crashed holder is
+    * blocking all mutation until [[breakLease]] — in both cases the
+    * reader must not touch the directories. */
+  private def leaseHeld(
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(base, LeaseFile))
 
   /** Remove a crashed holder's lease (see [[withLease]]). Returns true if
     * a lease file existed. ONLY safe after confirming the recorded holder

@@ -394,10 +394,11 @@ object CorpusIntakeJob {
     val cols = standingDocs.columns.toIndexedSeq
     admitted.select(cols.head, cols.tail: _*)
       .write.mode("append").parquet(standingDocsPath)
-    StandingState.append(admitted, statePath,
+    StandingState.appendWithMeta(admitted, statePath,
       graft.llm.CorpusPipeline.Config(
         shingleSize = meta.shingleSize,
-        normalizeFingerprints = meta.normalizedFingerprints))
+        normalizeFingerprints = meta.normalizedFingerprints),
+      meta)
     admitted.count()
   }
 }

@@ -340,6 +340,17 @@ class StandingStateSpec extends SparkSpec {
       .parquet(s"$path/clusters__parts_staged")
     java.nio.file.Files.createFile(
       java.nio.file.Paths.get(path, "clusters__parts_commit"))
+    // while the (crashed or live) mutator's lease is still present, a
+    // reader must NOT roll forward — recovering concurrently would race a
+    // live mutator's own renames; the crashed case recovers after
+    // breakLease (the documented operator flow)
+    val lease = java.nio.file.Paths.get(path, "_lease")
+    java.nio.file.Files.write(lease, "op=updateClusters pid=1".getBytes("UTF-8"))
+    StandingState.loadClusters(spark, path).count() // no throw, no recovery
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "clusters__parts_commit")),
+      "recovery must be skipped while the lease is held")
+    java.nio.file.Files.delete(lease)
     // the next load completes the commit: staged partition swapped in,
     // marker + staging gone, labels == the merged result
     val got = StandingState.loadClusters(spark, path)
