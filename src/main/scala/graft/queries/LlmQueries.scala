@@ -2684,6 +2684,36 @@ object LlmQueries {
              |    / (width * height) AS mean_b
              |FROM d ORDER BY media_id""".stripMargin),
     ),
+
+    // ------------------------------------------------------------------
+    // Q77 — BPE TOKENIZATION (the tokenizer's ENCODE half, what a
+    // training pipeline actually applies per document): the q67
+    // production-regime trainer learns 6 merges over the doc_id < 100
+    // vocabulary, and applyBpe replays them over doc_id < 50 — char-split
+    // every word, fold each merge in round order with the trainer's
+    // greedy left-to-right rewrite, flatten in word order. The merge
+    // table rides as ONE typedlit literal (constant parse cost at
+    // production table sizes). The oracle extends the q64 training replay
+    // with the identical list_reduce fold applied per (doc, word) — the
+    // token counts AND the token stream itself (space-joined) must
+    // hash-match.
+    Declared(
+      "q77_bpe_tokenize",
+      (s, dir) => {
+        val merges = TextOps.learnBpeMergesCollected(
+          Tables.documentsRaw(s, dir).filter(col("doc_id") < 100), 6)
+          .orderBy("round")
+          .collect()
+          .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+          .toSeq
+        TextOps.applyBpe(
+          Tables.documentsRaw(s, dir).filter(col("doc_id") < 50), merges)
+          .select(col("doc_id"), col("n_bpe_tokens"),
+            concat_ws(" ", col("bpe_tokens")).as("bpe_text"))
+          .orderBy("doc_id")
+      },
+      Some(bpeApplyOracle(6, maxDocId = 50L)),
+    ),
   )
 
   /** DuckDB replay of [[graft.llm.CorpusPipeline.prepareIncremental]]
@@ -2844,7 +2874,72 @@ object LlmQueries {
   /** DuckDB replay of [[TextOps.learnBpeMerges]]: v0 = the char-split
     * vocab of doc_id < 100; each round r appends CTEs b{r} (argmax pair of
     * v{r}) and v{r+1} (the greedy rewrite of v{r} by b{r}). */
-  private def bpeOracle(numMerges: Int): String = {
+  private def bpeOracle(numMerges: Int): String =
+    bpeTrainingCtes(numMerges) +
+      "\n" + (0 until numMerges).map(r =>
+        s"""SELECT $r AS round, l AS "left", r AS "right", CAST(pf AS BIGINT) AS pair_freq FROM b$r""")
+        .mkString("\nUNION ALL ") +
+      "\nORDER BY round"
+
+  /** DuckDB replay of [[graft.llm.TextOps.applyBpe]] (q77): the q64
+    * training CTEs produce the merge rows b0..b{n-1}, then each TARGET
+    * doc's words are char-split and every merge is folded in round order
+    * with the IDENTICAL list_reduce fold the training rewrite uses —
+    * per-(doc, word-position) frames dw0..dwN, re-flattened in word
+    * order at the end. Pins the tokenizer's ENCODE half (the artifact
+    * consumers actually apply) end to end: training replay + per-doc
+    * greedy fold + token census all hash-matched. */
+  private def bpeApplyOracle(numMerges: Int, maxDocId: Long): String = {
+    val sb = new StringBuilder(bpeTrainingCtes(numMerges))
+    sb.append(s""",
+      |dw0 AS (
+      |  SELECT doc_id, idx,
+      |    list_transform(generate_series(1, CAST(length(w) AS INT)),
+      |      i -> substr(w, i, 1)) AS syms
+      |  FROM (
+      |    SELECT doc_id, u['idx'] AS idx, u['w'] AS w FROM (
+      |      SELECT doc_id,
+      |        unnest(list_transform(
+      |          generate_series(1, len(string_split(text, ' '))),
+      |          i -> {'idx': i, 'w': string_split(text, ' ')[i]})) AS u
+      |      FROM documents WHERE doc_id < $maxDocId))
+      |  WHERE length(w) > 0)""".stripMargin)
+    for (r <- 0 until numMerges) {
+      sb.append(s""",
+        |dw${r + 1} AS (
+        |  SELECT doc_id, idx,
+        |    string_split(
+        |      ltrim(
+        |        split_part(folded, chr(31), 1) ||
+        |        CASE WHEN split_part(folded, chr(31), 2) = '' THEN ''
+        |             ELSE chr(30) || split_part(folded, chr(31), 2) END,
+        |        chr(30)),
+        |      chr(30)) AS syms
+        |  FROM (
+        |    SELECT doc_id, idx,
+        |      list_reduce(list_prepend(chr(31), syms), (acc, s) ->
+        |        CASE WHEN split_part(acc, chr(31), 2) = b$r.l AND s = b$r.r
+        |          THEN split_part(acc, chr(31), 1) || chr(30) || b$r.l || b$r.r || chr(31)
+        |          ELSE CASE WHEN split_part(acc, chr(31), 2) = ''
+        |            THEN split_part(acc, chr(31), 1) || chr(31) || s
+        |            ELSE split_part(acc, chr(31), 1) || chr(30) ||
+        |                 split_part(acc, chr(31), 2) || chr(31) || s
+        |          END
+        |        END) AS folded
+        |    FROM dw$r CROSS JOIN b$r))""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT doc_id, CAST(SUM(len(syms)) AS INT) AS n_bpe_tokens,
+      |       string_agg(array_to_string(syms, ' '), ' ' ORDER BY idx) AS bpe_text
+      |FROM dw$numMerges GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    sb.toString
+  }
+
+  /** The q64/q67 BPE TRAINING replay as a WITH chain (v0..v{n-1} vocab
+    * states, b0..b{n-1} per-round argmax merges) without a final SELECT —
+    * shared by the merge-table oracle ([[bpeOracle]]) and the apply
+    * oracle ([[bpeApplyOracle]]). */
+  private def bpeTrainingCtes(numMerges: Int): String = {
     // fold state = done || chr(31) || pending, done symbols chr(30)-joined
     val sb = new StringBuilder
     sb.append(
@@ -2891,10 +2986,6 @@ object LlmQueries {
         |        END) AS folded
         |    FROM v$r CROSS JOIN b$r))""".stripMargin)
     }
-    sb.append("\n" + (0 until numMerges).map(r =>
-      s"""SELECT $r AS round, l AS "left", r AS "right", CAST(pf AS BIGINT) AS pair_freq FROM b$r""")
-      .mkString("\nUNION ALL "))
-    sb.append("\nORDER BY round")
     sb.toString
   }
 }
