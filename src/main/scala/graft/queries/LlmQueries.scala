@@ -2714,6 +2714,92 @@ object LlmQueries {
       },
       Some(bpeApplyOracle(6, maxDocId = 50L)),
     ),
+
+    // ------------------------------------------------------------------
+    // Q78 — REAL image resize end to end, across containers: the q76 PNG
+    // blobs decode (ImageIO), nearest-neighbor-resample to 8x4
+    // (sy = ty*h/4, sx = 2*tx — integer division, executor-side),
+    // re-encode as PPM, and the stats decode THAT — the full
+    // decode -> resample -> re-encode -> decode chain a production
+    // thumbnail/feature pass runs, with the container format switching
+    // mid-chain through the sniffing decoder. The oracle replays the NN
+    // index arithmetic per target byte straight from the text bytes:
+    // target flat index i -> (ty, tx, c) -> source byte
+    // (((ty*h)//4)*16 + 2*tx)*3 + c, zero beyond the text length.
+    Declared(
+      "q78_image_resize",
+      (s, dir) => {
+        graft.llm.Multimodal.imageFeatures(
+          graft.llm.Multimodal.resizeImage(
+            graft.llm.Multimodal.asPngMedia(Tables.documents(s, dir)), 8, 4))
+          .orderBy("media_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+             |  FROM documents),
+             |d AS (
+             |  SELECT doc_id, n,
+             |    CAST(GREATEST(1, (n + 47) // 48) AS INT) AS h
+             |  FROM b),
+             |vals AS (
+             |  SELECT doc_id,
+             |    list_transform(generate_series(0, 95), i ->
+             |      CASE WHEN ((((i // 24) * h) // 4) * 16 + 2 * ((i % 24) // 3)) * 3
+             |                 + (i % 3) + 1 <= n
+             |           THEN CAST(('0x' || substr(hx,
+             |                  (((((i // 24) * h) // 4) * 16 + 2 * ((i % 24) // 3)) * 3
+             |                   + (i % 3)) * 2 + 1, 2)) AS BIGINT)
+             |           ELSE 0 END) AS v
+             |  FROM b JOIN d USING (doc_id, n))
+             |SELECT doc_id AS media_id,
+             |  CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+             |  CAST(32 AS INT) AS n_pixels,
+             |  CAST(list_sum(v) AS BIGINT) AS byte_sum,
+             |  CAST(list_sum(v) AS DOUBLE) / 96 AS mean_byte,
+             |  CAST(list_sum(list_transform(generate_series(1, 96),
+             |    j -> CASE WHEN (j-1) % 3 = 0 THEN v[j] ELSE 0 END)) AS DOUBLE) / 32 AS mean_r,
+             |  CAST(list_sum(list_transform(generate_series(1, 96),
+             |    j -> CASE WHEN (j-1) % 3 = 1 THEN v[j] ELSE 0 END)) AS DOUBLE) / 32 AS mean_g,
+             |  CAST(list_sum(list_transform(generate_series(1, 96),
+             |    j -> CASE WHEN (j-1) % 3 = 2 THEN v[j] ELSE 0 END)) AS DOUBLE) / 32 AS mean_b
+             |FROM vals ORDER BY media_id""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q79 — REAL audio resample end to end: the q50 WAV clips decode
+    // (chunk walker), decimate by 3 (every 3rd sample, rate 8000 -> 2666
+    // — plain deterministic decimation, executor-side), re-encode as
+    // PCM16 WAV, and the stats decode THAT — the decode -> resample ->
+    // re-encode -> decode chain, audio leg. Oracle: decimated sample i
+    // is text byte 3i -> (b - 128) * 256, count ceil(n/3).
+    Declared(
+      "q79_audio_downsample",
+      (s, dir) => {
+        graft.llm.Multimodal.audioFeatures(
+          graft.llm.Multimodal.downsampleAudio(
+            graft.llm.Multimodal.asWavMedia(Tables.documents(s, dir)), 3))
+          .filter(col("n_samples") > 0)
+          .orderBy("media_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, CAST((n + 2) // 3 AS BIGINT) AS nd,
+             |    list_transform(generate_series(0, CAST((n + 2) // 3 AS INT) - 1),
+             |      i -> (CAST(('0x' || substr(hx, i*6+1, 2)) AS BIGINT) - 128) * 256)
+             |      AS samples
+             |  FROM b WHERE n > 0)
+             |SELECT doc_id AS media_id,
+             |  CAST(2666 AS INT) AS sample_rate,
+             |  CAST(1 AS INT) AS n_channels,
+             |  CAST(16 AS INT) AS bits_per_sample,
+             |  nd AS n_samples,
+             |  CAST(list_sum(samples) AS BIGINT) AS sample_sum,
+             |  CAST(list_sum(samples) AS DOUBLE) / nd AS mean_sample,
+             |  CAST(list_max(list_transform(samples, x -> abs(x))) AS INT) AS peak_abs
+             |FROM s ORDER BY media_id""".stripMargin),
+    ),
   )
 
   /** DuckDB replay of [[graft.llm.CorpusPipeline.prepareIncremental]]
