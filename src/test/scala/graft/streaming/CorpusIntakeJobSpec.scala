@@ -307,6 +307,61 @@ class CorpusIntakeJobSpec extends SparkSpec {
     assert(spark.read.parquet(s"$statePath/digests").distinct().count() === 6L)
   }
 
+  test("ingestTextBatch sequence == frame-fed sequential dedup on a randomized corpus") {
+    import org.apache.spark.sql.functions.col
+    // random corpus with planted exact dups and near-dups scattered across
+    // three ingest batches: the persisted-artifact path (state + corpus
+    // tables, ingestTextBatch x3) must land exactly where the frame-fed
+    // library calls land when applied sequentially in memory — the
+    // q71-style state-invisibility guarantee, randomized and multi-batch
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def doc(): String =
+      Seq.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val standingRows = (0L until 20L).map(i => (i, doc()))
+    val batchRows = (0 until 3).map { b =>
+      (0 until 15).map { j =>
+        val id = 100L * (b + 1) + j
+        rnd.nextInt(4) match {
+          case 0 => (id, standingRows(rnd.nextInt(standingRows.size))._2) // exact standing dup
+          case 1 => // near-dup of a standing doc (one appended word)
+            (id, standingRows(rnd.nextInt(standingRows.size))._2 + " " +
+              vocab(rnd.nextInt(vocab.size)))
+          case _ => (id, doc()) // novel-ish (random; may still collide)
+        }
+      }
+    }
+    val tau = 0.5
+    // PATH A: persisted state + corpus table, the streaming batch leg
+    val corpusDir = java.nio.file.Files.createTempDirectory("rand_intake_docs_").toString
+    standingRows.toDF("doc_id", "text").write.mode("overwrite").parquet(corpusDir)
+    val statePath = java.nio.file.Files.createTempDirectory("rand_intake_state_").toString
+    graft.llm.StandingState.write(spark.read.parquet(corpusDir), statePath)
+    batchRows.foreach { rows =>
+      CorpusIntakeJob.ingestTextBatch(rows.toDF("doc_id", "text"),
+        statePath, corpusDir, tau, gate = false, scrub = false)
+    }
+    val stateFed = spark.read.parquet(corpusDir)
+      .filter(col("doc_id") >= 100L).select("doc_id").as[Long].collect().toSet
+    // PATH B: frame-fed reference — the same library ops applied
+    // sequentially on in-memory frames, no persistence anywhere
+    var standing = standingRows.toDF("doc_id", "text")
+    var admitted = Set.empty[Long]
+    batchRows.foreach { rows =>
+      val exact = graft.llm.Dedup.exactIncremental(
+        rows.toDF("doc_id", "text"), standing)
+      val surv = graft.llm.Dedup.dedupNearLshIncremental(exact, standing, tau)
+        .localCheckpoint(true)
+      admitted ++= surv.select("doc_id").as[Long].collect()
+      standing = standing.unionByName(surv.select("doc_id", "text"))
+        .localCheckpoint(true)
+    }
+    assert(stateFed === admitted)
+    assert(stateFed.nonEmpty && stateFed.size < 45,
+      s"vacuous: expected some drops and some admissions, got ${stateFed.size}/45")
+  }
+
   test("ingestEmbeddingBatch rejects zero-norm vectors (no cosine direction, no replay hole)") {
     import org.apache.spark.sql.functions.lit
     def vec(seed: Int): Array[Float] =
