@@ -26,7 +26,7 @@ object SparkEntry {
     declared.map(d => d.name -> d.build).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables — ALL 58 declared queries carry one (the
+    * the same parquet tables — ALL declared queries carry one (the
     * iterative k-means queries q33/q47 replay their training as chained
     * CTEs; QueriesSpec pins the no-oracle set to empty). */
   def oracleSql: Map[String, String] =
