@@ -18,7 +18,8 @@ import graft.llm.{CorpusPipeline, StandingState}
   *     [--standing=/data/corpus.parquet]                 # INCREMENTAL vs standing
   *     [--state=/data/state]                             # ...fed from persisted state
   *     [--appendState]                                   # close the ingest cycle
-  *     [--compactState]                                  # distinct-rewrite state tables
+  *     [--compactState]                # snapshot-delta compact the state tables
+  *                                     # (+ the corpus table when --standing given)
   *     [--breakStateLease]                               # crashed-lease recovery (see below)
   *     [--tau=0.8] [--minWords=20] [--maxWords=100000]
   *     [--normalize] [--packBudget=2048]
@@ -116,7 +117,7 @@ object PrepareMain {
     // prepare's append, or the compact) re-takes the lease normally
     if (a.breakStateLease) StandingState.breakLease(spark, a.state.get)
     if (a.in.isEmpty) { // maintenance-only invocation
-      if (a.compactState) StandingState.compact(spark, a.state.get)
+      if (a.compactState) StandingState.compact(spark, a.state.get, a.standing)
       return (0L, "maintenance")
     }
     val docs = spark.read.parquet(a.in)
@@ -149,7 +150,7 @@ object PrepareMain {
     if (a.appendState)
       StandingState.append(written, a.state.get, cfg)
     if (a.compactState)
-      StandingState.compact(spark, a.state.get)
+      StandingState.compact(spark, a.state.get, a.standing)
     (n, mode)
   }
 

@@ -181,17 +181,33 @@ object StandingState {
       cfg: CorpusPipeline.Config,
       meta: Meta): Unit = {
     val spark = batch.sparkSession
+    val (digests, bands) = artifactsFor(batch, cfg, meta)
+    withLease(spark, path, "append") {
+      writeArtifacts(digests, bands, path)
+    }
+  }
+
+  /** The artifact projection of [[appendWithMeta]] split from its write,
+    * so the ingest batch leg can compute lazily and commit the corpus
+    * append + artifact append under ONE (retried) lease hold. */
+  private[graft] def artifactsFor(
+      batch: DataFrame,
+      cfg: CorpusPipeline.Config,
+      meta: Meta): (DataFrame, DataFrame) = {
     requireMetaCompatible(meta, cfg)
     val b = Frames.barrier(batch)
-    val (digests, bands) = artifacts(b, cfg, meta.numHashes, meta.bandRows)
-    withLease(spark, path, "append") {
-      // digests FIRST, bands second: a crash between the writes leaves docs
-      // with digests but no band rows — exactly the drift
-      // [[repairTextArtifacts]] detects (bands-absence is the witness) and
-      // repairs by re-appending BOTH (duplicate digests are set-semantic)
-      digests.write.mode("append").parquet(s"$path/digests")
-      bands.write.mode("append").parquet(s"$path/bands")
-    }
+    artifacts(b, cfg, meta.numHashes, meta.bandRows)
+  }
+
+  /** The write half of [[appendWithMeta]] — caller MUST hold the lease.
+    * Digests FIRST, bands second: a crash between the writes leaves docs
+    * with digests but no band rows — exactly the drift
+    * [[repairTextArtifacts]] detects (bands-absence is the witness) and
+    * repairs by re-appending BOTH (duplicate digests are set-semantic). */
+  private[graft] def writeArtifacts(
+      digests: DataFrame, bands: DataFrame, path: String): Unit = {
+    digests.write.mode("append").parquet(s"$path/digests")
+    bands.write.mode("append").parquet(s"$path/bands")
   }
 
   /** Persist duplicate-CLUSTER labels (`clusters/` — the
@@ -235,10 +251,55 @@ object StandingState {
 
   /** Lazy scan of the persisted cluster labels, in either layout
     * (self-healing first: a crashed legacy swap via [[healTable]], a
-    * crashed partitioned commit via [[recoverClusterParts]]). */
+    * crashed partitioned commit via [[recoverClusterParts]]).
+    *
+    * A commit marker that SURVIVES the recovery pass means the lease is
+    * held (recovery skips) — either a live mutator is mid-commit (its
+    * renames finish in milliseconds; retry) or a crashed holder left the
+    * table MIXED-GENERATION: some partitions new, some old, possibly one
+    * deleted-but-not-yet-renamed. A reader cannot tell the two apart any
+    * better than a mutator can, so the safe default is to FAIL LOUDLY
+    * naming the holder instead of returning silently wrong labels (run
+    * [[breakLease]] after confirming a crashed holder; the next load's
+    * recovery then rolls the commit forward). */
   def loadClusters(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
     heal(spark, path, "clusters")
     recoverClusterParts(spark, path)
+    val base = new HPath(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new HPath(base, "clusters__parts_commit")))
+      throw new IllegalStateException(
+        s"StandingState: clusters table under $path has a pending partition " +
+          s"commit and the lease is held by [${readHolder(fs, base)}] — " +
+          "reading now would return mixed-generation labels. If the holder " +
+          "is live, retry after its commit; if it crashed, verify it is " +
+          "gone and run StandingState.breakLease (the next load rolls the " +
+          "commit forward).")
+    val df = spark.read.parquet(s"$path/clusters")
+    if (df.columns.contains("cpart")) df.drop("cpart") else df
+  }
+
+  /** [[loadClusters]] for a caller that ALREADY HOLDS the state lease —
+    * the read half of every leased read-modify-write ([[updateClusters]]
+    * and the partitioned twin). Recovery mutations (crashed-commit
+    * roll-forward/back, crashed-swap heal) run DIRECTLY: the lease we
+    * hold is exactly the exclusion recovery needs. Loading under the
+    * lease is what makes the subsequent rewrite sound — a snapshot pinned
+    * before the acquire could be silently overwritten by a mutator that
+    * commits in the load->acquire window (a lost update, contradicting
+    * the lease's fails-loudly contract). */
+  private def loadClustersLeased(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val base = new HPath(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new HPath(base, "clusters__parts_commit")))
+      commitClusterParts(fs, base)
+    else {
+      val staged = new HPath(base, "clusters__parts_staged")
+      if (fs.exists(staged)) fs.delete(staged, true)
+    }
+    healTable(fs, base, "clusters")
     val df = spark.read.parquet(s"$path/clusters")
     if (df.columns.contains("cpart")) df.drop("cpart") else df
   }
@@ -260,16 +321,19 @@ object StandingState {
     val spark = newPairs.sparkSession
     if (tableExists(spark, s"$path/clusters_meta"))
       updateClustersPartitioned(spark, path, newPairs)
-    else {
-      val standing = loadClusters(spark, path)
-      val updated = Dedup.duplicateClustersIncremental(standing, newPairs)
+    else
+      // the WHOLE read-modify-write holds the lease: the standing scan's
+      // pinned file index, the incremental CC, and the swap all run under
+      // it, so a concurrent mutator fails loudly at its acquire instead
+      // of having its committed update computed over and clobbered
       withLease(spark, path, "updateClusters") {
+        val standing = loadClustersLeased(spark, path)
+        val updated = Dedup.duplicateClustersIncremental(standing, newPairs)
         swapTable(spark, path, "clusters") { staged =>
           updated.select("doc_id", "cluster_id", "cluster_size")
             .write.mode("overwrite").parquet(staged)
         }
       }
-    }
     loadClusters(spark, path)
   }
 
@@ -296,38 +360,46 @@ object StandingState {
   private def updateClustersPartitioned(
       spark: SparkSession, path: String, newPairs: DataFrame): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
-    val nParts = spark.read.parquet(s"$path/clusters_meta").head().getAs[Int]("n_parts")
-    val standing = loadClusters(spark, path)
-    val (updated, rootMap, touchedRows) =
-      Dedup.duplicateClustersIncrementalParts(standing, newPairs)
-    val parts = rootMap.select(cpartCol(col("old_root"), nParts).as("p"))
-      .union(touchedRows.select(cpartCol(col("cluster_id"), nParts).as("p")))
-      .distinct().collect().map(_.getLong(0)).sorted
-    if (parts.isEmpty) return
+    // the WHOLE read-modify-write holds the lease (same contract as the
+    // legacy path): the standing load, the incremental CC, the touched-
+    // partition collect, and the staged commit — a mutator that committed
+    // between an unleased load and the acquire would otherwise have its
+    // update silently overwritten by a rewrite computed from the
+    // pre-commit snapshot
     withLease(spark, path, "updateClustersPartitioned") {
-      val base = new HPath(path)
-      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val staged = new HPath(base, "clusters__parts_staged")
-      if (fs.exists(staged)) fs.delete(staged, true)
-      // 1. STAGE: materializes the replacement rows for every touched
-      // partition (this write READS the live table; live dirs are only
-      // touched after it completes)
-      updated.withColumn("cpart", cpartCol(col("cluster_id"), nParts))
-        .filter(col("cpart").isin(parts.toIndexedSeq: _*))
-        .write.mode("overwrite").partitionBy("cpart").parquet(staged.toString)
-      // a touched partition whose clusters ALL merged away yields no rows
-      // and hence no staged dir — stage an explicit EMPTY dir so the
-      // commit still clears its live twin (otherwise the moved rows'
-      // stale copies would survive at their old location)
-      parts.foreach { p =>
-        val d = new HPath(staged, s"cpart=$p")
-        if (!fs.exists(d)) fs.mkdirs(d)
+      val nParts =
+        spark.read.parquet(s"$path/clusters_meta").head().getAs[Int]("n_parts")
+      val standing = loadClustersLeased(spark, path)
+      val (updated, rootMap, touchedRows) =
+        Dedup.duplicateClustersIncrementalParts(standing, newPairs)
+      val parts = rootMap.select(cpartCol(col("old_root"), nParts).as("p"))
+        .union(touchedRows.select(cpartCol(col("cluster_id"), nParts).as("p")))
+        .distinct().collect().map(_.getLong(0)).sorted
+      if (parts.nonEmpty) {
+        val base = new HPath(path)
+        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val staged = new HPath(base, "clusters__parts_staged")
+        if (fs.exists(staged)) fs.delete(staged, true)
+        // 1. STAGE: materializes the replacement rows for every touched
+        // partition (this write READS the live table; live dirs are only
+        // touched after it completes)
+        updated.withColumn("cpart", cpartCol(col("cluster_id"), nParts))
+          .filter(col("cpart").isin(parts.toIndexedSeq: _*))
+          .write.mode("overwrite").partitionBy("cpart").parquet(staged.toString)
+        // a touched partition whose clusters ALL merged away yields no rows
+        // and hence no staged dir — stage an explicit EMPTY dir so the
+        // commit still clears its live twin (otherwise the moved rows'
+        // stale copies would survive at their old location)
+        parts.foreach { p =>
+          val d = new HPath(staged, s"cpart=$p")
+          if (!fs.exists(d)) fs.mkdirs(d)
+        }
+        // 2. COMMIT POINT: marker makes the staged partitions authoritative
+        val marker = new HPath(base, "clusters__parts_commit")
+        fs.create(marker, true).close()
+        // 3. per-partition swap + cleanup (idempotent; recovery re-runs it)
+        commitClusterParts(fs, base)
       }
-      // 2. COMMIT POINT: marker makes the staged partitions authoritative
-      val marker = new HPath(base, "clusters__parts_commit")
-      fs.create(marker, true).close()
-      // 3. per-partition swap + cleanup (idempotent; recovery re-runs it)
-      commitClusterParts(fs, base)
     }
   }
 
@@ -426,13 +498,18 @@ object StandingState {
   private def healTable(
       fs: org.apache.hadoop.fs.FileSystem,
       base: org.apache.hadoop.fs.Path,
-      table: String): Unit = {
-    import org.apache.hadoop.fs.{Path => HPath}
-    val live = new HPath(base, table)
-    val retired = new HPath(base, s"${table}__retired")
+      table: String): Unit =
+    healDir(fs, new org.apache.hadoop.fs.Path(base, table))
+
+  /** [[healTable]] on a direct table dir (the corpus table lives outside
+    * the state dir). Caller must hold — or have excluded — the lease. */
+  private def healDir(
+      fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path): Unit = {
+    val retired = sibling(live, "__retired")
     if (!fs.exists(live) && fs.exists(retired) && !fs.rename(retired, live))
       throw new java.io.IOException(
-        s"healTable: recovery rename $retired -> $live failed")
+        s"healDir: recovery rename $retired -> $live failed")
   }
 
   /** [[healTable]] from a path-string context — the load-site form.
@@ -458,11 +535,18 @@ object StandingState {
     * would be silently deleted with the old directory). Every mutator
     * ([[append]], [[appendEmbBuckets]], [[updateClusters]], [[compact]],
     * [[repairEmbBuckets]]' rewrite) takes the lease for its write window:
-    * an exclusive-create of `_lease` under the state dir (atomic on HDFS
-    * and local filesystems; best-effort on stores without atomic create —
-    * a metastore lock row replaces this there). A held lease fails the
-    * second mutator LOUDLY with the holder's identity instead of losing
-    * rows.
+    * an exclusive-create of `_lease` under the state dir. ATOMICITY is
+    * scheme-dependent: on HDFS, `create(overwrite=false)` is a single
+    * atomic namenode op; on the LOCAL filesystem Hadoop's
+    * RawLocalFileSystem implements the overwrite=false check as
+    * exists()-then-create (no O_EXCL) — two local mutators racing the
+    * acquire could BOTH succeed — so the `file:` scheme routes through
+    * `java.io.File.createNewFile` instead, which the JDK documents as
+    * atomic (exactly the SyncMain intakeState + PrepareMain maintenance
+    * deployment shape). Object stores without atomic create remain
+    * best-effort — a metastore lock row replaces this there. A held lease
+    * fails the second mutator LOUDLY with the holder's identity instead
+    * of losing rows.
     *
     * CRASHED-LEASE RECOVERY: a mutator that dies without releasing leaves
     * the lease file behind, and every subsequent mutator fails with its
@@ -478,31 +562,78 @@ object StandingState {
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) fs.mkdirs(base)
     val lease = new HPath(base, LeaseFile)
-    val out =
-      try fs.create(lease, false) // overwrite=false: fails iff already held
-      catch {
-        case _: java.io.IOException =>
-          val holder =
-            try {
-              val in = fs.open(lease)
-              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-              finally in.close()
-            } catch { case _: Exception => "<unreadable>" }
-          throw new IllegalStateException(
-            s"StandingState: cannot $op under $path — lease held by [$holder]. " +
-              "If that holder crashed, verify it is gone and run " +
-              "StandingState.breakLease to recover.")
-      }
-    // EVERYTHING after a successful create releases in finally — a failure
-    // writing the holder info must not leave the lease held forever
-    try {
-      try out.write(
-        s"op=$op pid=${ProcessHandle.current().pid()} at=${java.time.Instant.now()}"
-          .getBytes("UTF-8"))
-      finally out.close()
-      body
-    } finally fs.delete(lease, false)
+    def failHeld(): Nothing =
+      throw new IllegalStateException(
+        s"StandingState: cannot $op under $path — lease held by " +
+          s"[${readHolder(fs, base)}]. If that holder crashed, verify it " +
+          "is gone and run StandingState.breakLease to recover.")
+    val holderInfo =
+      s"op=$op pid=${ProcessHandle.current().pid()} at=${java.time.Instant.now()}"
+    if (fs.getScheme == "file") {
+      // LOCAL fs: RawLocalFileSystem's create(overwrite=false) is
+      // exists()-then-create (not O_EXCL) — racing local mutators could
+      // both win. java.io.File.createNewFile IS atomic per the JDK spec.
+      val f = new java.io.File(fs.makeQualified(lease).toUri.getPath)
+      if (!f.createNewFile()) failHeld()
+      try {
+        // holder info is best-effort metadata; the CREATE is the lock
+        val w = new java.io.FileOutputStream(f)
+        try w.write(holderInfo.getBytes("UTF-8")) finally w.close()
+        body
+      } finally fs.delete(lease, false)
+    } else {
+      val out =
+        try fs.create(lease, false) // overwrite=false: fails iff already held
+        catch { case _: java.io.IOException => failHeld() }
+      // EVERYTHING after a successful create releases in finally — a failure
+      // writing the holder info must not leave the lease held forever
+      try {
+        try out.write(holderInfo.getBytes("UTF-8"))
+        finally out.close()
+        body
+      } finally fs.delete(lease, false)
+    }
   }
+
+  /** [[withLease]] with ACQUIRE RETRY — the ingest batch leg's form
+    * ([[graft.streaming.CorpusIntakeJob.ingestTextBatch]]): a live
+    * compaction holds the lease for its O(delta + rename) swap window,
+    * and a streaming append racing it must WAIT (bounded exponential
+    * backoff) rather than die and kill the streaming query. The timeout
+    * (`spark.graft.lease.retryTimeoutMs`, default 60s) still fails
+    * loudly with the holder identity — a CRASHED holder blocks forever
+    * by design (no timeout can tell crashed from slow; [[breakLease]] is
+    * the operator recovery), and a stream stuck behind one should say so
+    * rather than spin silently. */
+  private[graft] def withLeaseRetry[T](
+      spark: SparkSession, path: String, op: String)(body: => T): T = {
+    val baseMs = spark.conf.get("spark.graft.lease.retryMs", "100").toLong
+    val timeoutMs =
+      spark.conf.get("spark.graft.lease.retryTimeoutMs", "60000").toLong
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var delay = math.max(1L, baseMs)
+    while (true) {
+      try return withLease(spark, path, op)(body)
+      catch {
+        case e: IllegalStateException if e.getMessage.contains("lease held") =>
+          if (System.nanoTime() > deadline) throw e
+          Thread.sleep(delay)
+          delay = math.min(delay * 2, 2000L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Best-effort read of the lease file's holder string (op, pid,
+    * timestamp) for loud-failure messages. */
+  private def readHolder(
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): String =
+    try {
+      val in = fs.open(new org.apache.hadoop.fs.Path(base, LeaseFile))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    } catch { case _: Exception => "<unreadable>" }
 
   /** True iff the state lease is currently held. Used by the reader-side
     * recovery passes: a held lease means either a LIVE mutator is
@@ -526,35 +657,134 @@ object StandingState {
     fs.delete(new HPath(base, LeaseFile), false)
   }
 
-  /** Compact the APPEND-ONLY state tables. [[append]]/[[appendEmbBuckets]]
-    * and replayed micro-batches leave duplicate rows — harmless for
-    * correctness (every consuming leg has set semantics: the exact leg
-    * dedupes digests, band/bucket collisions are distinct()-ed), but they
-    * grow the per-ingest scan linearly with sloppy history. One distinct()
-    * rewrite per existing table (digests, bands, emb_buckets; cluster
-    * labels are already rewritten whole by [[updateClusters]]), swapped in
-    * with the same staged-rename discipline. Run it like any table
-    * maintenance job — periodically, not per ingest. Quiescence is
-    * ENFORCED by the state lease ([[withLease]]): compact holds the lease
-    * across every snapshot->swap, so a concurrent [[append]] /
-    * [[appendEmbBuckets]] (whose rows would be silently deleted with the
-    * old directory) fails loudly instead of racing. Concurrent READERS
-    * are unaffected up to the rename instant; a scan straddling the swap
-    * retries against the fresh table. */
+  /** Default target output-file size for compaction rewrites. */
+  val DefaultCompactTargetBytes: Long = 128L * 1024 * 1024
+
+  /** Compact the APPEND-ONLY state tables — and, when `corpusPath` is
+    * given, the standing CORPUS table itself (the largest append-grown
+    * table of the intake cycle, and previously the only one with no
+    * maintenance path: [[graft.streaming.CorpusIntakeJob.ingestTextBatch]]
+    * appends files to it every micro-batch, ~28,800/day at the 3-second
+    * reference cadence, degrading every file listing).
+    *
+    * [[append]]/[[appendEmbBuckets]] and replayed micro-batches leave
+    * duplicate rows in the state tables — harmless for correctness (every
+    * consuming leg has set semantics: the exact leg dedupes digests,
+    * band/bucket collisions are distinct()-ed), but they grow the
+    * per-ingest scan linearly with sloppy history. State tables get a
+    * distinct() rewrite; the corpus table (rows already unique by doc_id)
+    * gets a pure FILE-COUNT rewrite sized to `targetFileBytes` outputs.
+    * Cluster labels are already rewritten whole by [[updateClusters]].
+    *
+    * LIVE-STREAM COEXISTENCE: compaction must NOT require stopping the
+    * intake stream (the reference's own posture is continuous operation —
+    * `bin/meeseeker:25-33` restarts forever). Each table compacts
+    * SNAPSHOT-DELTA: (1) pin the live file list, (2) rewrite exactly
+    * those files into `<table>__staged` — the O(table) work — with NO
+    * lease held, so concurrent appends proceed; (3) under the lease,
+    * append the DELTA files (anything appended during the rewrite,
+    * read raw — duplicates are set-semantic for state tables and
+    * impossible for the corpus) to the staged dir and swap it in with
+    * the two-rename discipline. Appends are excluded only for the
+    * O(delta + rename) window of step 3, which
+    * [[graft.streaming.CorpusIntakeJob.ingestTextBatch]] rides through
+    * by retrying its lease acquire with backoff ([[withLeaseRetry]])
+    * instead of dying. Concurrent READERS are unaffected up to the
+    * rename instant; a scan straddling the swap retries against the
+    * fresh table (the documented transient-reader caveat).
+    *
+    * The CORPUS swap is serialized by the STATE's lease even though the
+    * table lives outside the state dir — sound because every corpus
+    * mutator (the ingest batch leg) appends under that same lease; a
+    * manual corpus writer must hold it too (or quiesce). */
   def compact(spark: SparkSession, path: String): Unit =
-    withLease(spark, path, "compact") {
-      Seq("digests", "bands", "emb_buckets").foreach { table =>
-        if (tableExists(spark, s"$path/$table")) {
-          // materialize the distinct rows BEFORE the swap touches the live
-          // directory the plan reads from
-          val rows = spark.read.parquet(s"$path/$table").distinct()
-            .localCheckpoint(true)
-          swapTable(spark, path, table) { staged =>
-            rows.write.mode("overwrite").parquet(staged)
-          }
-        }
-      }
+    compact(spark, path, None)
+
+  def compact(
+      spark: SparkSession,
+      path: String,
+      corpusPath: Option[String],
+      targetFileBytes: Long = DefaultCompactTargetBytes): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    Seq("digests", "bands", "emb_buckets").foreach { table =>
+      compactDirLive(spark, path, new HPath(s"$path/$table"), _.distinct())
     }
+    corpusPath.foreach { cp =>
+      compactDirLive(spark, path, new HPath(cp), { df =>
+        val fs = new HPath(cp).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bytes =
+          if (fs.exists(new HPath(cp))) fs.getContentSummary(new HPath(cp)).getLength
+          else 0L
+        val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+        df.repartition(parts.toInt)
+      })
+    }
+  }
+
+  /** One table's snapshot-delta compaction (see [[compact]]). `rewrite`
+    * is the leaseless O(table) transform (distinct / repartition); the
+    * lease covers only the delta catch-up and the two renames. */
+  private def compactDirLive(
+      spark: SparkSession,
+      leasePath: String,
+      live: org.apache.hadoop.fs.Path,
+      rewrite: DataFrame => DataFrame): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live)) {
+      // a crashed prior swap may have left the table at __retired only —
+      // heal (mutates, so under the lease), then re-check
+      if (!fs.exists(sibling(live, "__retired"))) return
+      withLeaseRetry(spark, leasePath, s"compact-heal:${live.getName}") {
+        healDir(fs, live)
+      }
+      if (!fs.exists(live)) return
+    }
+    // PHASE 1 — pin the snapshot: the exact data files the rewrite covers
+    val f0 = listDataFiles(fs, live)
+    if (f0.isEmpty) return
+    val staged = sibling(live, "__staged")
+    if (fs.exists(staged)) fs.delete(staged, true)
+    // PHASE 2 — the O(table) rewrite, NO lease: appends continue freely
+    rewrite(spark.read.parquet(f0.map(_.toString): _*))
+      .write.mode("overwrite").parquet(staged.toString)
+    // PHASE 3 — delta catch-up + swap, the only excluded window. The
+    // acquire RETRIES: against a live intake stream the lease is briefly
+    // held every few seconds by batch commits, and the compactor must
+    // wait its turn like any other mutator (the bounded timeout still
+    // surfaces a crashed holder loudly).
+    withLeaseRetry(spark, leasePath, s"compact:${live.getName}") {
+      val f0set = f0.map(_.toString).toSet
+      val delta = listDataFiles(fs, live).filterNot(p => f0set(p.toString))
+      if (delta.nonEmpty)
+        spark.read.parquet(delta.map(_.toString): _*)
+          .write.mode("append").parquet(staged.toString)
+      val retired = sibling(live, "__retired")
+      if (fs.exists(retired)) fs.delete(retired, true)
+      if (!fs.rename(live, retired))
+        throw new java.io.IOException(
+          s"compact: rename $live -> $retired failed")
+      if (!fs.rename(staged, live))
+        throw new java.io.IOException(
+          s"compact: rename $staged -> $live failed — pre-swap rows intact at $retired")
+      fs.delete(retired, true)
+    }
+  }
+
+  /** `<dir>__suffix` beside `dir`. */
+  private def sibling(
+      dir: org.apache.hadoop.fs.Path, suffix: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(dir.getParent, dir.getName + suffix)
+
+  /** Data files of a parquet table dir (skips `_SUCCESS`, checksums and
+    * other `_`/`.`-prefixed bookkeeping). */
+  private def listDataFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      .map(_.getPath)
 
   /** Parquet-table existence through the Spark reader, not java.io.File —
     * the state path may be any Hadoop-addressable URI (hdfs://, s3a://,
@@ -649,6 +879,20 @@ object StandingState {
     * band rows dropped). */
   def repairTextArtifacts(
       spark: SparkSession, statePath: String, standingDocsPath: String): (Long, Long) = {
+    // a corpus compaction that crashed between its two renames leaves the
+    // table only at `<corpus>__retired` — heal it here (the startup path)
+    // under the state lease, same skip-when-held contract as [[heal]]
+    locally {
+      import org.apache.hadoop.fs.{Path => HPath}
+      val live = new HPath(standingDocsPath)
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val stateBase = new HPath(statePath)
+      if (!fs.exists(live) && fs.exists(sibling(live, "__retired")) &&
+          !leaseHeld(fs, stateBase))
+        withLease(spark, statePath, "repairTextArtifacts:healCorpus") {
+          healDir(fs, live)
+        }
+    }
     val state = load(spark, statePath)
     val cfg = CorpusPipeline.Config(
       shingleSize = state.meta.shingleSize,
@@ -721,13 +965,22 @@ object StandingState {
     * batch-shaped work, standing untouched). */
   def appendEmbBuckets(batchVecs: DataFrame, path: String): Unit = {
     val spark = batchVecs.sparkSession
-    val m = spark.read.parquet(s"$path/emb_meta").head()
-    val rows = VectorOps.hyperplaneBuckets(
-        batchVecs, m.getAs[Int]("n_planes"), m.getAs[Int]("dim"))
-      .select("vec_id", "bucket")
+    val rows = embBucketRowsFor(batchVecs, path)
     withLease(spark, path, "appendEmbBuckets") {
       rows.write.mode("append").parquet(s"$path/emb_buckets")
     }
+  }
+
+  /** The bucket projection of [[appendEmbBuckets]] split from its write
+    * (the PERSISTED hyperplane regime, read from `emb_meta`), so the
+    * ingest batch leg can commit the vector append + bucket append under
+    * ONE (retried) lease hold — the embedding twin of [[artifactsFor]]. */
+  private[graft] def embBucketRowsFor(batchVecs: DataFrame, path: String): DataFrame = {
+    val spark = batchVecs.sparkSession
+    val m = spark.read.parquet(s"$path/emb_meta").head()
+    VectorOps.hyperplaneBuckets(
+        batchVecs, m.getAs[Int]("n_planes"), m.getAs[Int]("dim"))
+      .select("vec_id", "bucket")
   }
 
 }

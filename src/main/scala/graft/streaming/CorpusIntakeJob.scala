@@ -232,7 +232,17 @@ object CorpusIntakeJob {
   /** One micro-batch of [[runEmbeddingStream]], factored out so the batch
     * leg is testable (and usable) standalone: dedup vs persisted buckets,
     * then append the admitted rows + their bucket rows. Returns the
-    * admitted count. */
+    * admitted count.
+    *
+    * Carries the same RETRY SELF-REPAIR and live-compaction posture as
+    * the text twin ([[ingestTextBatch]]): vec_ids already in the standing
+    * vector table are replays of committed vectors (ids are contractually
+    * unique and disjoint from standing) — never re-appended; replays
+    * missing bucket rows (the crash window between the two appends) get
+    * them completed in place, so a bare retry is safe without the
+    * startup-only [[StandingState.repairEmbBuckets]] pass. Both appends
+    * commit under ONE retried lease hold, and the whole attempt retries
+    * through a concurrent compaction's transient swap window. */
   def ingestEmbeddingBatch(
       batch: DataFrame,
       statePath: String,
@@ -240,6 +250,32 @@ object CorpusIntakeJob {
       tau: Double,
       nPlanes: Int = 4,
       dim: Int = 64): Long = {
+    val spark = batch.sparkSession
+    val attempts =
+      math.max(1, spark.conf.get("spark.graft.intake.batchAttempts", "3").toInt)
+    var last: Throwable = null
+    var attempt = 0
+    while (attempt < attempts) {
+      try return ingestEmbeddingBatchOnce(
+        batch, statePath, standingVecsPath, tau, nPlanes, dim)
+      catch {
+        case e: IllegalStateException => throw e
+        case scala.util.control.NonFatal(e) =>
+          last = e
+          attempt += 1
+          if (attempt < attempts) Thread.sleep(250L * attempt)
+      }
+    }
+    throw last
+  }
+
+  private def ingestEmbeddingBatchOnce(
+      batch: DataFrame,
+      statePath: String,
+      standingVecsPath: String,
+      tau: Double,
+      nPlanes: Int,
+      dim: Int): Long = {
     val spark = batch.sparkSession
     val withLabel =
       if (batch.columns.contains("label")) batch
@@ -251,25 +287,49 @@ object CorpusIntakeJob {
     // re-appended on every replay, duplicating rows in both tables).
     // Rejecting at the door keeps the "replica always collides" invariant
     // total over everything admitted.
-    val b = withLabel.filter(
+    val b0 = withLabel.filter(
       graft.llm.VectorOps.norm(withLabel, "embedding") =!= 0.0)
     val standingVecs = spark.read.parquet(standingVecsPath)
+    // RETRY SELF-REPAIR (see scaladoc): split replays off by id-presence,
+    // complete the bucket rows of any caught in the crash window
+    val marked = b0.select("vec_id", "embedding", "label").join(
+        standingVecs.select("vec_id").distinct().withColumn("__in_standing", lit(1)),
+        Seq("vec_id"), "left")
+      .localCheckpoint(false)
+    val b = marked.filter(col("__in_standing").isNull).drop("__in_standing")
+    val replayed = marked.filter(col("__in_standing").isNotNull).drop("__in_standing")
+    var buckets = StandingState.loadEmbBuckets(spark, statePath, nPlanes, dim)
+    val drifted = replayed.join(
+        buckets.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true) // consumed by the bucket append AND the count
+    if (drifted.count() > 0) {
+      val rows = StandingState.embBucketRowsFor(drifted, statePath)
+      StandingState.withLeaseRetry(spark, statePath, "ingestEmbeddingBatch:repair") {
+        rows.write.mode("append").parquet(s"$statePath/emb_buckets")
+      }
+      // pinned file index predates the repair append — reload
+      buckets = StandingState.loadEmbBuckets(spark, statePath, nPlanes, dim)
+    }
     // EAGER barrier: the admitted frame must fully materialize (its plan
     // READS standingVecsPath) before the append below writes new files
     // into that same directory
     val admitted = Dedup.dedupByEmbeddingLshIncrementalVsBuckets(
-      b.select("vec_id", "embedding", "label"),
-      StandingState.loadEmbBuckets(spark, statePath, nPlanes, dim),
+      b, buckets,
       standingVecs.select("vec_id", "embedding"),
       tau, nPlanes, dim)
       .localCheckpoint(true)
     // vectors first, bucket rows second: a crash between the two leaves
     // admitted vectors WITHOUT bucket rows (future replicas would not
-    // collide) — the startup repairEmbBuckets pass recomputes exactly the
-    // missing rows, restoring the invariant before any batch runs
-    admitted.select("vec_id", "embedding", "label")
-      .write.mode("append").parquet(standingVecsPath)
-    StandingState.appendEmbBuckets(admitted, statePath)
+    // collide) — the batch-scoped repair above (and the startup
+    // repairEmbBuckets pass) recomputes exactly the missing rows. Both
+    // writes share one lease hold, serializing them against a live
+    // compaction's swap of either table.
+    val bucketRows = StandingState.embBucketRowsFor(admitted, statePath)
+    StandingState.withLeaseRetry(spark, statePath, "ingestEmbeddingBatch:commit") {
+      admitted.select("vec_id", "embedding", "label")
+        .write.mode("append").parquet(standingVecsPath)
+      bucketRows.write.mode("append").parquet(s"$statePath/emb_buckets")
+    }
     admitted.count()
   }
 
@@ -297,7 +357,10 @@ object CorpusIntakeJob {
     * between the corpus append and the artifact append;
     * [[StandingState.repairTextArtifacts]] restores the invariant and runs
     * ONCE here at startup, so a restarted stream always resumes from a
-    * consistent (corpus, state) pair.
+    * consistent (corpus, state) pair — and [[ingestTextBatch]] additionally
+    * carries a batch-scoped retry self-repair (id-presence split + drift
+    * completion), so even a bare batch retry without this startup pass
+    * cannot duplicate corpus rows.
     *
     * The fingerprint regime (shingle size, hash count, band rows,
     * normalization) is READ FROM THE STATE's meta row per batch — a state
@@ -346,6 +409,20 @@ object CorpusIntakeJob {
     * [[StandingState.repairTextArtifacts]] keys on. Returns the admitted
     * count.
     *
+    * RETRY SELF-REPAIR: a caller retrying after a failure BETWEEN the
+    * corpus append and the state append would otherwise duplicate corpus
+    * rows — the half-committed docs have text in the corpus but no
+    * digests, so their replicas sail through the exact leg. doc_ids are
+    * contractually unique and disjoint from standing, so id-presence in
+    * the corpus IS the replay witness: docs whose id is already in the
+    * corpus are never re-appended; those among them missing from `bands/`
+    * (the crash window) get their artifacts completed in place — the
+    * [[StandingState.repairTextArtifacts]] drift repair restricted to the
+    * batch, so it stays batch-shaped and runs on EVERY call, making a
+    * bare retry safe without the startup-only repair pass. Healthy-case
+    * cost: one broadcast id-join against the corpus id column and one
+    * against the distinct band ids — both narrow single-column scans.
+    *
     * Shape at scale: stages 1-2 are per-row projections over the batch;
     * the exact leg shuffles 16-byte digests against the digest table; the
     * near leg joins batch band rows against the persisted band table
@@ -361,15 +438,54 @@ object CorpusIntakeJob {
       maxWords: Int = 100000,
       gate: Boolean = true,
       scrub: Boolean = true): Long = {
+    // LIVE-COMPACTION COEXISTENCE: a concurrent [[StandingState.compact]]
+    // swap can (a) hold the lease for its O(delta + rename) window — the
+    // commit below WAITS via withLeaseRetry — and (b) invalidate a scan
+    // whose pinned file list straddles the rename instant (the documented
+    // transient-reader caveat), which surfaces as a mid-batch read
+    // failure. The batch is idempotent under retry (the id-presence
+    // self-repair above), so the whole attempt retries a bounded number
+    // of times (`spark.graft.intake.batchAttempts`) instead of killing
+    // the streaming query. Lease-timeout IllegalStateExceptions are NOT
+    // swallowed: a crashed holder needs breakLease, and retrying would
+    // just re-spin the same wait.
     val spark = batch.sparkSession
-    val state = StandingState.load(spark, statePath)
+    val attempts =
+      math.max(1, spark.conf.get("spark.graft.intake.batchAttempts", "3").toInt)
+    var last: Throwable = null
+    var attempt = 0
+    while (attempt < attempts) {
+      try return ingestTextBatchOnce(
+        batch, statePath, standingDocsPath, tau, minWords, maxWords, gate, scrub)
+      catch {
+        case e: IllegalStateException => throw e
+        case scala.util.control.NonFatal(e) =>
+          last = e
+          attempt += 1
+          if (attempt < attempts) Thread.sleep(250L * attempt)
+      }
+    }
+    throw last
+  }
+
+  private def ingestTextBatchOnce(
+      batch: DataFrame,
+      statePath: String,
+      standingDocsPath: String,
+      tau: Double,
+      minWords: Int,
+      maxWords: Int,
+      gate: Boolean,
+      scrub: Boolean): Long = {
+    val spark = batch.sparkSession
+    var state = StandingState.load(spark, statePath)
     val meta = state.meta
     val gated =
       if (gate) TextOps.gopherGate(batch, minWords = minWords, maxWords = maxWords)
       else batch
     // lazy barrier: the exact leg, the near leg, and the surviving-row
     // chain each evaluate this prefix (scan + gate + PII regexes)
-    val scrubbed = (
+    val scrubbed0 = (
       if (scrub)
         TextOps.redactPii(gated, "text")
           .drop("text", "n_email", "n_ipv4", "n_phone")
@@ -377,6 +493,32 @@ object CorpusIntakeJob {
       else gated
     ).localCheckpoint(false)
     val standingDocs = spark.read.parquet(standingDocsPath)
+    // RETRY SELF-REPAIR (see scaladoc): ids already in the corpus are
+    // replays of committed docs — split them off so a retry after a
+    // mid-append crash never re-appends their text, and complete the
+    // artifacts of any that are missing from bands/ (the crash window).
+    // Scrub is deterministic, so the replayed batch text == corpus text.
+    val marked = scrubbed0.join(
+        standingDocs.select("doc_id").distinct().withColumn("__in_corpus", lit(1)),
+        Seq("doc_id"), "left")
+      .localCheckpoint(false)
+    val scrubbed = marked.filter(col("__in_corpus").isNull).drop("__in_corpus")
+    val replayed = marked.filter(col("__in_corpus").isNotNull).drop("__in_corpus")
+    val drifted = replayed.join(
+        state.bands.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // consumed by the artifact append AND the count
+    val cfg = graft.llm.CorpusPipeline.Config(
+      shingleSize = meta.shingleSize,
+      normalizeFingerprints = meta.normalizedFingerprints)
+    if (drifted.count() > 0) {
+      val (dg, bd) = StandingState.artifactsFor(drifted, cfg, meta)
+      StandingState.withLeaseRetry(spark, statePath, "ingestTextBatch:repair") {
+        StandingState.writeArtifacts(dg, bd, statePath)
+      }
+      // the state's pinned file index predates the repair append — reload
+      // so the legs below dedup against the completed artifact tables
+      state = StandingState.load(spark, statePath)
+    }
     val fp: DataFrame => DataFrame =
       if (meta.normalizedFingerprints) TextOps.normalized(_) else identity
     val unfp: DataFrame => DataFrame =
@@ -390,15 +532,18 @@ object CorpusIntakeJob {
         fp(exact), state.bands, fp(standingDocs).select("doc_id", "text"),
         tau, meta.shingleSize, meta.numHashes, meta.bandRows))
       .localCheckpoint(true)
-    // corpus first, artifacts second — see the repair contract above
+    // BOTH appends commit under ONE (retried) lease hold: corpus first,
+    // artifacts second — see the repair contract above — and the shared
+    // hold is what serializes the corpus append against a live
+    // compaction's swap of that same directory (a file landing in the
+    // corpus dir mid-rename would be deleted with the retired snapshot)
     val cols = standingDocs.columns.toIndexedSeq
-    admitted.select(cols.head, cols.tail: _*)
-      .write.mode("append").parquet(standingDocsPath)
-    StandingState.appendWithMeta(admitted, statePath,
-      graft.llm.CorpusPipeline.Config(
-        shingleSize = meta.shingleSize,
-        normalizeFingerprints = meta.normalizedFingerprints),
-      meta)
+    val (dg, bd) = StandingState.artifactsFor(admitted, cfg, meta)
+    StandingState.withLeaseRetry(spark, statePath, "ingestTextBatch:commit") {
+      admitted.select(cols.head, cols.tail: _*)
+        .write.mode("append").parquet(standingDocsPath)
+      StandingState.writeArtifacts(dg, bd, statePath)
+    }
     admitted.count()
   }
 }

@@ -341,12 +341,18 @@ class StandingStateSpec extends SparkSpec {
     java.nio.file.Files.createFile(
       java.nio.file.Paths.get(path, "clusters__parts_commit"))
     // while the (crashed or live) mutator's lease is still present, a
-    // reader must NOT roll forward — recovering concurrently would race a
-    // live mutator's own renames; the crashed case recovers after
-    // breakLease (the documented operator flow)
+    // reader must NOT roll forward (recovering concurrently would race a
+    // live mutator's own renames) — and it must not READ either: the
+    // table is mixed-generation (some partitions new, some old), so the
+    // load fails LOUDLY naming the holder instead of returning silently
+    // wrong labels; the crashed case recovers after breakLease (the
+    // documented operator flow)
     val lease = java.nio.file.Paths.get(path, "_lease")
     java.nio.file.Files.write(lease, "op=updateClusters pid=1".getBytes("UTF-8"))
-    StandingState.loadClusters(spark, path).count() // no throw, no recovery
+    val e = intercept[IllegalStateException](StandingState.loadClusters(spark, path))
+    assert(e.getMessage.contains("pending partition commit") &&
+      e.getMessage.contains("pid=1"),
+      s"mixed-generation read must be loud and name the holder: ${e.getMessage}")
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(path, "clusters__parts_commit")),
       "recovery must be skipped while the lease is held")
@@ -380,7 +386,13 @@ class StandingStateSpec extends SparkSpec {
     val lease = java.nio.file.Paths.get(path, "_lease")
     java.nio.file.Files.write(lease,
       "op=append pid=424242 at=2026-08-14T00:00:00Z".getBytes("UTF-8"))
-    val e1 = intercept[IllegalStateException](StandingState.compact(spark, path))
+    // compact RETRIES its acquire (it must wait through live stream
+    // commits) — bound the wait so the crashed-holder case stays a fast,
+    // loud failure in this spec
+    spark.conf.set("spark.graft.lease.retryTimeoutMs", "500")
+    val e1 =
+      try intercept[IllegalStateException](StandingState.compact(spark, path))
+      finally spark.conf.set("spark.graft.lease.retryTimeoutMs", "60000")
     assert(e1.getMessage.contains("lease held") && e1.getMessage.contains("424242"),
       s"compact must name the holder: ${e1.getMessage}")
     // symmetric: an append while compact (or anyone) holds the lease fails
@@ -470,5 +482,125 @@ class StandingStateSpec extends SparkSpec {
         docs(10L -> base(10)), standing, state,
         cfg = CorpusPipeline.Config(normalizeFingerprints = true)))
     assert(e2.getMessage.contains("normalizedFingerprints"))
+  }
+
+  test("snapshot-delta compact: appends racing the rewrite are never lost") {
+    // compact's O(table) rewrite runs WITHOUT the lease; appends landing
+    // during it must survive via the under-lease delta catch-up, and
+    // appends hitting the swap window retry through. Whatever the
+    // interleaving, NO appended doc's artifacts may vanish.
+    val path = java.nio.file.Files.createTempDirectory("compact_race_").toString
+    StandingState.write(docs(1L -> base(1)), path)
+    (0 until 6).foreach(i => StandingState.append(docs((10L + i) -> base(10 + i)), path))
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val appender = new Thread(() => {
+      (0 until 8).foreach { i =>
+        var done = false
+        var tries = 0
+        while (!done && tries < 300) {
+          try { StandingState.append(docs((50L + i) -> base(50 + i)), path); done = true }
+          catch { case scala.util.control.NonFatal(_) => tries += 1; Thread.sleep(5) }
+        }
+        if (!done) failures.incrementAndGet()
+        ()
+      }
+    })
+    appender.start()
+    StandingState.compact(spark, path)
+    appender.join(120000)
+    assert(failures.get() === 0, "an append never landed")
+    // every doc appended before, during, or after the compaction still
+    // drops its replica — nothing was lost to the swap
+    val state = StandingState.load(spark, path)
+    val replicas = docs(
+      ((0 until 6).map(i => (300L + i) -> base(10 + i)) ++
+        (0 until 8).map(i => (400L + i) -> base(50 + i))): _*)
+    assert(ids(Dedup.exactIncrementalVsDigests(replicas, state.digests)).isEmpty)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_lease")))
+    // and a second, quiescent compact is idempotent
+    StandingState.compact(spark, path)
+    assert(ids(Dedup.exactIncrementalVsDigests(
+      replicas, StandingState.load(spark, path).digests)).isEmpty)
+  }
+
+  test("racing updateClusters: lease serializes the whole read-modify-write (no lost update)") {
+    // Two mutators race the SAME state with different new pairs. The lease
+    // wraps the whole read-modify-write, so either they serialize (both
+    // effects land) or a loser fails loudly at acquire and retries. A
+    // load->acquire window outside the lease would let both read the same
+    // snapshot and the second commit silently erase the first's update —
+    // the final assertion (labels == both pairs applied) would then fail.
+    val path = java.nio.file.Files.createTempDirectory("clusters_race_").toString
+    val day0 = Seq((1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    StandingState.writeClusters(Dedup.duplicateClusters(day0), path)
+    val pairsA = Seq((100L, 2L)).toDF("doc_a", "doc_b")
+    val pairsB = Seq((200L, 11L)).toDF("doc_a", "doc_b")
+    def applyWithRetry(pairs: org.apache.spark.sql.DataFrame): Unit = {
+      var done = false
+      var attempts = 0
+      while (!done) {
+        try { StandingState.updateClusters(path, pairs); done = true }
+        catch {
+          // lease-held at acquire, or the documented transient-reader
+          // window of the OTHER mutator's swap (re-applying the same
+          // pairs is idempotent, so a blanket retry is sound here)
+          case scala.util.control.NonFatal(_) =>
+            attempts += 1
+            assert(attempts < 200, "retry storm: lease never released")
+            Thread.sleep(20)
+        }
+      }
+    }
+    val ta = new Thread(() => applyWithRetry(pairsA))
+    val tb = new Thread(() => applyWithRetry(pairsB))
+    ta.start(); tb.start(); ta.join(30000); tb.join(30000)
+    val got = StandingState.loadClusters(spark, path)
+      .as[(Long, Long, Int)].collect().toSet
+    val expect = Dedup.duplicateClusters(
+        day0.unionByName(pairsA).unionByName(pairsB))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === expect, "an update was lost under the race")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_lease")))
+  }
+
+  test("local-fs lease acquire is atomic: racing appenders never both win") {
+    // RawLocalFileSystem's create(overwrite=false) is exists()-then-create;
+    // the file: scheme must route through java.io.File.createNewFile
+    // (genuinely atomic) so two racing local mutators cannot both succeed.
+    // Each thread appends a distinct doc with retry-on-held; afterwards the
+    // digest table must hold exactly the union of all appended docs'
+    // digests — a torn/raced append would lose or duplicate artifacts.
+    val path = java.nio.file.Files.createTempDirectory("lease_atomic_").toString
+    StandingState.write(docs(1L -> base(1)), path)
+    val n = 6
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until n).map { i =>
+      new Thread(() => {
+        var done = false
+        var attempts = 0
+        while (!done && attempts < 300) {
+          try {
+            StandingState.append(docs((100L + i) -> base(100 + i)), path)
+            done = true
+          } catch {
+            // lease-held is the expected loser path; anything else still
+            // counts an attempt so an unexpected failure mode surfaces as
+            // failures > 0 instead of a dead thread passing silently
+            case scala.util.control.NonFatal(_) =>
+              attempts += 1; Thread.sleep(10)
+          }
+        }
+        if (!done) failures.incrementAndGet()
+        ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(failures.get() === 0, "an appender never acquired the lease")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_lease")))
+    // every appended doc's replica now drops via the exact leg — all n
+    // appends landed (none raced away with another's write window)
+    val state = StandingState.load(spark, path)
+    val replicas = docs((0 until n).map(i => (500L + i) -> base(100 + i)): _*)
+    assert(ids(Dedup.exactIncrementalVsDigests(replicas, state.digests)).isEmpty)
   }
 }

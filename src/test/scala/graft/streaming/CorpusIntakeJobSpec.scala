@@ -362,6 +362,154 @@ class CorpusIntakeJobSpec extends SparkSpec {
       s"vacuous: expected some drops and some admissions, got ${stateFed.size}/45")
   }
 
+  test("bare ingestTextBatch retry after a mid-append crash: no duplicate corpus rows, artifacts completed") {
+    // crash shape: the batch's text landed in the corpus, the process died
+    // BEFORE the state append, and the caller retries the batch directly —
+    // no runTextStream startup repair in between. The half-committed docs
+    // have no digests, so without the batch-scoped id-presence repair
+    // their replays would re-admit and duplicate corpus rows.
+    val novelA = "quiet rivers carve deep canyons through patient stone over centuries"
+    val novelB = "distant lighthouses blink coded warnings across the midnight harbor waters"
+    val novelC = "wandering merchants trade bright silks for jars of mountain honey"
+    val standA = "ancient libraries preserve fragile scrolls beneath cool vaulted ceilings"
+    val standB = "migrating cranes trace silver arcs above the flooded rice fields"
+    val corpusDir = java.nio.file.Files.createTempDirectory("retry_docs_").toString
+    Seq((1L, standA), (2L, standB)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(corpusDir)
+    val statePath = java.nio.file.Files.createTempDirectory("retry_state_").toString
+    graft.llm.StandingState.write(spark.read.parquet(corpusDir), statePath)
+    // the crashed first attempt: docs 10/11 were admitted and their text
+    // appended; doc 12 (a standing replica) was dropped; no state append
+    Seq((10L, novelA), (11L, novelB)).toDF("doc_id", "text")
+      .write.mode("append").parquet(corpusDir)
+    // the bare retry of the SAME batch
+    val batch = Seq((10L, novelA), (11L, novelB), (12L, standA))
+      .toDF("doc_id", "text")
+    val n = CorpusIntakeJob.ingestTextBatch(
+      batch, statePath, corpusDir, tau = 0.5, gate = false, scrub = false)
+    assert(n === 0L, "a retry repairs, it does not re-admit")
+    // no duplicate corpus rows
+    val idRows = spark.read.parquet(corpusDir).select("doc_id").as[Long].collect()
+    assert(idRows.length === idRows.distinct.length,
+      s"corpus has duplicate rows: ${idRows.sorted.mkString(",")}")
+    assert(idRows.toSet === Set(1L, 2L, 10L, 11L))
+    // artifacts were COMPLETED in place: byte replicas (fresh ids) of the
+    // torn docs now drop via the exact leg, a near-dup via the band leg
+    val n2 = CorpusIntakeJob.ingestTextBatch(
+      Seq((20L, novelA), (21L, novelB + " postscript"), (22L, novelC))
+        .toDF("doc_id", "text"),
+      statePath, corpusDir, tau = 0.5, gate = false, scrub = false)
+    assert(n2 === 1L)
+    assert(spark.read.parquet(corpusDir).select("doc_id").as[Long].collect().toSet
+      === Set(1L, 2L, 10L, 11L, 22L))
+    // idempotent: a second full retry is a no-op
+    assert(CorpusIntakeJob.ingestTextBatch(
+      batch, statePath, corpusDir, tau = 0.5, gate = false, scrub = false) === 0L)
+    assert(spark.read.parquet(corpusDir).count() === 5L)
+  }
+
+  test("live compaction coexists with a running text stream: no lost admissions, file counts drop") {
+    implicit val sqlCtx = spark.sqlContext
+    // per-id DISTINCT token bodies (a shared sentence with only the id
+    // token changed would be a genuine near-dup at tau 0.5 and everything
+    // would correctly drop — vacuous)
+    val mk: Int => String = i =>
+      "the tale of and to in " + (1 to 18).map(j => s"lc${i}x$j").mkString(" ")
+    val corpusDir = java.nio.file.Files.createTempDirectory("livecompact_docs_").toString
+    (0L until 5L).map(i => (i, mk(i.toInt))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(corpusDir)
+    val statePath = java.nio.file.Files.createTempDirectory("livecompact_state_").toString
+    graft.llm.StandingState.write(spark.read.parquet(corpusDir), statePath)
+    // grow the tables with several appended micro-batches first, so the
+    // compaction has real file-count work to do
+    (0 until 4).foreach { b =>
+      CorpusIntakeJob.ingestTextBatch(
+        Seq((100L + b, mk(100 + b))).toDF("doc_id", "text"),
+        statePath, corpusDir, tau = 0.5, gate = false, scrub = false)
+    }
+    def nFiles(dir: String): Int = {
+      val d = new java.io.File(dir)
+      d.listFiles().count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".") && !f.getName.endsWith(".crc"))
+    }
+    val filesBeforeCorpus = nFiles(corpusDir)
+    val filesBeforeDigests = nFiles(s"$statePath/digests")
+    assert(filesBeforeCorpus >= 5, s"setup vacuous: $filesBeforeCorpus corpus files")
+
+    val ck = java.nio.file.Files.createTempDirectory("livecompact_ck_").toString
+    val in = MemoryStream[StreamDoc]
+    val q = CorpusIntakeJob.runTextStream(
+      in.toDF(), statePath, corpusDir, ck, tau = 0.5,
+      minWords = 5, maxWords = 100000)
+    try {
+      in.addData(StreamDoc(ts("2024-01-01 10:00:00"), 200, mk(200)))
+      q.processAllAvailable()
+      // compact EVERYTHING (state tables + the corpus) while the stream is
+      // live — the swap windows must be ridden through, not fatal
+      graft.llm.StandingState.compact(spark, statePath, Some(corpusDir))
+      in.addData(
+        StreamDoc(ts("2024-01-01 10:00:05"), 201, mk(100)), // replica of appended 100 -> drop
+        StreamDoc(ts("2024-01-01 10:00:06"), 202, mk(0)),   // replica of standing 0 -> drop
+        StreamDoc(ts("2024-01-01 10:00:07"), 203, mk(203))) // novel -> admit
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+    } finally q.stop()
+    val idsAfter = spark.read.parquet(corpusDir).select("doc_id").as[Long].collect()
+    assert(idsAfter.length === idsAfter.distinct.length, "duplicate corpus rows")
+    assert(idsAfter.toSet ===
+      ((0L until 5L) ++ (100L until 104L) ++ Seq(200L, 203L)).toSet,
+      "an admission was lost or a dup admitted across the compaction")
+    // the compaction actually compacted: fewer files than the appended state
+    assert(nFiles(corpusDir) < filesBeforeCorpus,
+      s"corpus file count did not drop: ${nFiles(corpusDir)} vs $filesBeforeCorpus")
+    assert(nFiles(s"$statePath/digests") <= filesBeforeDigests)
+    // post-compaction the state still serves: replicas of every admitted
+    // doc drop via the exact leg
+    val state = graft.llm.StandingState.load(spark, statePath)
+    val replicas = Seq((900L, mk(203)), (901L, mk(100)))
+      .toDF("doc_id", "text")
+    assert(graft.llm.Dedup.exactIncrementalVsDigests(replicas, state.digests)
+      .count() === 0L)
+  }
+
+  test("ingest appends WAIT through a held lease (compaction swap window) instead of dying") {
+    // distinct token bodies per id — see the live-compaction test's note
+    val mk: Int => String = i =>
+      "the tale of and to in " + (1 to 18).map(j => s"lw${i}x$j").mkString(" ")
+    val corpusDir = java.nio.file.Files.createTempDirectory("leasewait_docs_").toString
+    Seq((1L, mk(1))).toDF("doc_id", "text").write.mode("overwrite").parquet(corpusDir)
+    val statePath = java.nio.file.Files.createTempDirectory("leasewait_state_").toString
+    graft.llm.StandingState.write(spark.read.parquet(corpusDir), statePath)
+    val lease = java.nio.file.Paths.get(statePath, "_lease")
+    // (a) a lease that NEVER frees: the retry is bounded — after the
+    // configured timeout the commit fails loudly naming the holder (a
+    // crashed holder needs breakLease; spinning forever would be silent)
+    java.nio.file.Files.write(lease, "op=compact pid=7 at=now".getBytes("UTF-8"))
+    spark.conf.set("spark.graft.lease.retryTimeoutMs", "800")
+    try {
+      val e = intercept[IllegalStateException](CorpusIntakeJob.ingestTextBatch(
+        Seq((20L, mk(20))).toDF("doc_id", "text"),
+        statePath, corpusDir, tau = 0.5, gate = false, scrub = false))
+      assert(e.getMessage.contains("lease held") && e.getMessage.contains("pid=7"))
+      // the failed commit was atomic: nothing landed in either table
+      assert(spark.read.parquet(corpusDir).count() === 1L)
+    } finally spark.conf.set("spark.graft.lease.retryTimeoutMs", "60000")
+    // (b) a lease released mid-wait (the real compaction-swap shape): the
+    // SAME batch commits once the holder frees — the stream-side append
+    // WAITS instead of dying
+    val releaser = new Thread(() => {
+      Thread.sleep(1200); java.nio.file.Files.deleteIfExists(lease); ()
+    })
+    releaser.start()
+    val n = CorpusIntakeJob.ingestTextBatch(
+      Seq((10L, mk(10))).toDF("doc_id", "text"),
+      statePath, corpusDir, tau = 0.5, gate = false, scrub = false)
+    releaser.join()
+    assert(n === 1L, "the batch must commit once the lease frees")
+    assert(spark.read.parquet(corpusDir).select("doc_id").as[Long].collect().toSet
+      === Set(1L, 10L))
+  }
+
   test("ingestEmbeddingBatch rejects zero-norm vectors (no cosine direction, no replay hole)") {
     import org.apache.spark.sql.functions.lit
     def vec(seed: Int): Array[Float] =
