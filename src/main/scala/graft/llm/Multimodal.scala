@@ -186,11 +186,85 @@ object Multimodal {
     }
   }
 
+  /** JPEG via the JDK's ImageIO — the LOSSY real-world image leg:
+    * production image corpora are overwhelmingly JPEG, and the JDK
+    * decodes it with the same zero-dependency API the PNG codec uses.
+    * Decode normalizes to 8-bit RGB into the shared [[Ppm]] shape, so
+    * every downstream image operator (features, resize, phash, near-dup
+    * pairs) handles JPEG unchanged through [[decodeImage]]'s sniffing
+    * dispatch. UNLIKE PNG, the encode->decode roundtrip is NOT
+    * byte-exact (DCT quantization): DIMENSIONS survive exactly, pixel
+    * values approximately — which is why q80's oracle hash-matches the
+    * exact geometry plus a bounded-error verdict on the decoded means,
+    * and the fixture-golden spec pins decoded stats of fixed payloads
+    * (the q33 rows-only precedent, tightened). */
+  object JpegCodec {
+    val Mime = "image/jpeg"
+
+    /** SOI marker + the third 0xFF every JFIF/EXIF/raw-JPEG stream
+      * carries (the next marker's prefix) — the standard sniff. */
+    def isJpeg(bytes: Array[Byte]): Boolean =
+      bytes.length >= 3 &&
+        bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte &&
+        bytes(2) == 0xff.toByte
+
+    def encode(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dims ${width}x$height")
+      require(pixels.length == width * height * 3,
+        s"pixel buffer ${pixels.length} != ${width * height * 3}")
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y,
+            ((pixels(i) & 0xff) << 16) | ((pixels(i + 1) & 0xff) << 8) | (pixels(i + 2) & 0xff))
+          i += 3
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      if (!javax.imageio.ImageIO.write(img, "jpg", bos))
+        throw new IllegalStateException("JPEG: no JDK jpeg writer available")
+      bos.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): Ppm = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null)
+        throw new IllegalArgumentException("JPEG: unreadable image payload")
+      val w = img.getWidth
+      val h = img.getHeight
+      val pixels = new Array[Byte](w * h * 3)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y) // sRGB int regardless of storage type
+          pixels(i) = ((rgb >> 16) & 0xff).toByte
+          pixels(i + 1) = ((rgb >> 8) & 0xff).toByte
+          pixels(i + 2) = (rgb & 0xff).toByte
+          i += 3
+          x += 1
+        }
+        y += 1
+      }
+      Ppm(w, h, 255, pixels)
+    }
+  }
+
   /** Sniffing image decode: dispatches on the payload's magic bytes (PNG
-    * signature vs PPM "P6"), so one media table can mix fixture PPMs and
-    * real-world PNGs and every image operator handles both. */
+    * signature vs JPEG SOI vs PPM "P6"), so one media table can mix
+    * fixture PPMs and real-world PNGs/JPEGs and every image operator
+    * handles all of them. */
   def decodeImage(bytes: Array[Byte]): Ppm =
-    if (PngCodec.isPng(bytes)) PngCodec.decode(bytes) else PpmCodec.decode(bytes)
+    if (PngCodec.isPng(bytes)) PngCodec.decode(bytes)
+    else if (JpegCodec.isJpeg(bytes)) JpegCodec.decode(bytes)
+    else PpmCodec.decode(bytes)
 
   final case class Wav(sampleRate: Int, nChannels: Int, bitsPerSample: Int, samples: Array[Short])
 
@@ -308,6 +382,27 @@ object Multimodal {
           val pixels = java.util.Arrays.copyOf(tb, PpmWidth * h * 3)
           val payload = PngCodec.encode(PpmWidth, h, pixels)
           MediaRecord(id, PngCodec.Mime, payload.length.toLong, payload)
+        }
+      }.toDF()
+  }
+
+  /** [[asMedia]]'s LOSSY real-world twin: the identical text-byte raster
+    * carried as genuine JPEG blobs (encoded through ImageIO at the JDK's
+    * default quality) — the payload shape production image corpora
+    * actually store. Geometry survives the lossy roundtrip exactly;
+    * pixel values approximately (see [[JpegCodec]]). */
+  def asJpegMedia(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val tb = text.getBytes(UTF_8)
+          val rowBytes = PpmWidth * 3
+          val h = math.max(1, (tb.length + rowBytes - 1) / rowBytes)
+          val pixels = java.util.Arrays.copyOf(tb, PpmWidth * h * 3)
+          val payload = JpegCodec.encode(PpmWidth, h, pixels)
+          MediaRecord(id, JpegCodec.Mime, payload.length.toLong, payload)
         }
       }.toDF()
   }
@@ -654,6 +749,61 @@ object Multimodal {
           MediaRecord(id, GvidCodec.Mime, payload.length.toLong, payload)
         }
       }.toDF()
+  }
+
+  /** REAL video resample: decode -> keep every `stride`-th frame (frame
+    * 0, stride, 2*stride, ...) -> re-encode — the frame-drop decimation a
+    * video pipeline runs before feature extraction, completing the
+    * image ([[resizeImage]]) / audio ([[downsampleAudio]]) / video
+    * resample triple. Output payloads are valid GVID clips of
+    * `ceil(nFrames / stride)` frames. */
+  def decimateVideo(media: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"bad decimation stride $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { m =>
+        val v = GvidCodec.decode(m.payload)
+        val fsize = v.width * v.height
+        val n = (v.nFrames + stride - 1) / stride
+        val out = new Array[Byte](n * fsize)
+        var i = 0
+        while (i < n) {
+          System.arraycopy(v.frames, i * stride * fsize, out, i * fsize, fsize)
+          i += 1
+        }
+        val payload = GvidCodec.encode(v.width, v.height, out)
+        MediaRecord(m.media_id, m.mime, payload.length.toLong, payload)
+      }
+    }.toDF()
+  }
+
+  final case class VideoFeatures(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      byte_sum: Long,
+      mean_byte: Double,
+  )
+
+  /** Batched per-partition video decode + feature extraction — the GVID
+    * twin of [[imageFeatures]]/[[audioFeatures]]: header geometry plus
+    * exact-integer luma stats (the mean divides exact ints, so it is
+    * bit-identical across engines). */
+  def videoFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { m =>
+        val v = GvidCodec.decode(m.payload)
+        var sum = 0L
+        var i = 0
+        while (i < v.frames.length) { sum += v.frames(i) & 0xffL; i += 1 }
+        VideoFeatures(m.media_id, v.width, v.height, v.nFrames, sum,
+          sum.toDouble / (v.nFrames.toLong * v.width * v.height))
+      }
+    }.toDF()
   }
 
   /** Frame-sampled PERCEPTUAL video hash — the [[sampleFrames]] access

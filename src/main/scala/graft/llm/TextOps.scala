@@ -183,6 +183,12 @@ object TextOps {
     * and true near-dup pairs still collide on their other (rarer) bands. */
   val DefaultMaxBucketSize = 10000
 
+  /** Default cap on the distinct-word vocab [[learnBpeMergesCollected]]
+    * may pull to the driver (10M words x ~60 bytes ≈ 600 MB worst-case
+    * heap — the top of a comfortable driver budget; web-scale tails past
+    * it fall back to the distributed trainer). */
+  val DefaultBpeLocalCap = 10000000
+
   /** (band, sig) buckets -> candidate pairs, generated WITHIN each bucket
     * from the sorted doc-id list (doc_a < doc_b by construction) instead of
     * via a melted self-join: one small shuffle on the band key, no join, and
@@ -853,9 +859,7 @@ object TextOps {
     * vocab. The corpus-sized work — the one vocab-building pass — is the
     * identical Spark aggregate; everything after it is in-memory, so a
     * 32k-merge train is ONE Spark job plus microsecond rounds instead of
-    * 32k jobs. The collect is vocab-bound (distinct words, a few MB at
-    * web scale), the same control-plane-fetch discipline as the k-means
-    * centroid collects in [[graft.llm.VectorOps]].
+    * 32k jobs.
     *
     * Pair counts update incrementally: a pair -> word-ids inverted index
     * limits each round's rescan to the words that actually contain the
@@ -866,16 +870,41 @@ object TextOps {
     * Returns the identical (round, left, right, pair_freq) frame —
     * spec-pinned equal to [[learnBpeMerges]] on randomized corpora and
     * hash-matched against the same DuckDB training replay (q67 runs this
-    * form against q64's oracle). */
+    * form against q64's oracle).
+    *
+    * The collect is CAP-GATED (`spark.graft.bpe.localCap`, default 10M
+    * distinct words, 0 disables — the [[Dedup.duplicateClusters]] /
+    * [[LocalLloyd]] bounded-control-plane-fetch discipline): "vocab-bound,
+    * a few MB" holds for clean prose, but distinct whitespace tokens over
+    * a 100 TB web corpus (URLs, typos, code identifiers) run to 10^8+ and
+    * an unconditional collect would blow the driver. The `limit(cap+1)`
+    * probe fetches at most cap+1 rows; past the cap the trainer FALLS
+    * BACK LOUDLY to the distributed [[learnBpeMerges]] (identical
+    * algorithm, per-round Spark jobs) instead of OOMing — under the cap,
+    * capped == uncapped bit-for-bit because the fetch is the whole
+    * vocab. */
   def learnBpeMergesCollected(docs: DataFrame, numMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val vocab: Array[(Array[String], Long)] = docs
+    val cap = spark.conf.getOption("spark.graft.bpe.localCap")
+      .map(_.toInt).getOrElse(DefaultBpeLocalCap)
+    val vocabDf = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .as[(String, Long)].collect()
-      .map { case (w, f) => (splitChars(w), f) }
+    val fetched: Array[(String, Long)] =
+      (if (cap > 0) vocabDf.limit(cap + 1) else vocabDf)
+        .as[(String, Long)].collect()
+    if (cap > 0 && fetched.length > cap) {
+      System.err.println(
+        s"[graft] learnBpeMergesCollected: distinct vocab exceeds " +
+          s"spark.graft.bpe.localCap=$cap — falling back to the " +
+          "distributed learnBpeMerges (same algorithm, one Spark job per " +
+          "merge round). Raise the cap if the driver heap allows.")
+      return learnBpeMerges(docs, numMerges)
+    }
+    val vocab: Array[(Array[String], Long)] =
+      fetched.map { case (w, f) => (splitChars(w), f) }
     val words = vocab.map(_._1)
     val freqs = vocab.map(_._2)
     val pairCounts =

@@ -2800,6 +2800,96 @@ object LlmQueries {
              |  CAST(list_max(list_transform(samples, x -> abs(x))) AS INT) AS peak_abs
              |FROM s ORDER BY media_id""".stripMargin),
     ),
+
+    // ------------------------------------------------------------------
+    // Q80 — LOSSY real-world image decode: the q29 raster carried as
+    // genuine JPEG blobs (ImageIO encode at default quality — the
+    // payload production image corpora actually store) and decoded back
+    // through the sniffing dispatch (SOI signature -> ImageIO). JPEG is
+    // NOT byte-exact (DCT quantization), so the q29/q76 stats oracle
+    // cannot hash the decoded means directly; what survives the lossy
+    // roundtrip EXACTLY is geometry, and what must survive APPROXIMATELY
+    // is the pixel content. The query therefore emits the exact geometry
+    // plus a bounded-error verdict: the decoded JPEG channel means joined
+    // against the decoded LOSSLESS (q29-verified PPM) means of the same
+    // raster, |mean err| <= 8 overall / 16 per channel (>= 2.5x the
+    // measured worst case over 300 fixture-profile rasters: 3.0 / 6.0).
+    // The oracle hash-matches geometry + verdict — a decoder returning
+    // wrong dims, garbage pixels, or failing the roundtrip flips rows.
+    // (Decoded-stat FIXTURE GOLDENS are additionally spec-pinned in
+    // MultimodalSpec, the q33 rows-only-precedent tightened.)
+    Declared(
+      "q80_jpeg_decode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val jf = graft.llm.Multimodal.imageFeatures(
+          graft.llm.Multimodal.asJpegMedia(docs))
+          .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
+            col("mean_byte").as("j_mean"), col("mean_r").as("j_r"),
+            col("mean_g").as("j_g"), col("mean_b").as("j_b"))
+        val pf = graft.llm.Multimodal.imageFeatures(
+          graft.llm.Multimodal.asMedia(docs))
+          .select(col("media_id"), col("mean_byte").as("p_mean"),
+            col("mean_r").as("p_r"), col("mean_g").as("p_g"),
+            col("mean_b").as("p_b"))
+        jf.join(pf, "media_id")
+          .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
+            (abs(col("j_mean") - col("p_mean")) <= 8.0 &&
+              abs(col("j_r") - col("p_r")) <= 16.0 &&
+              abs(col("j_g") - col("p_g")) <= 16.0 &&
+              abs(col("j_b") - col("p_b")) <= 16.0).cast("int").as("lossy_ok"))
+          .orderBy("media_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+             |SELECT doc_id AS media_id,
+             |  CAST(16 AS INT) AS width,
+             |  CAST(GREATEST(1, (n + 47) // 48) AS INT) AS height,
+             |  CAST(16 * GREATEST(1, (n + 47) // 48) AS INT) AS n_pixels,
+             |  CAST(1 AS INT) AS lossy_ok
+             |FROM b ORDER BY media_id""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q81 — REAL video resample end to end, completing the q78/q79
+    // resample triple (image/audio/VIDEO): the q68-style GVID clips
+    // (4x4 luma frames from text bytes) decode, DECIMATE by 3 (keep
+    // frames 0, 3, 6, ... — the frame-drop pass a video pipeline runs
+    // before feature extraction), re-encode as GVID, and the stats
+    // decode THAT. The oracle replays the frame index arithmetic
+    // straight from the text bytes (q79's discipline): kept frame f's
+    // window starts at byte f*3*16, zero beyond the text; n_frames' =
+    // ceil(nFrames/3); all sums exact ints, the mean divides exact ints.
+    Declared(
+      "q81_video_decimate",
+      (s, dir) => {
+        graft.llm.Multimodal.videoFeatures(
+          graft.llm.Multimodal.decimateVideo(
+            graft.llm.Multimodal.asVideoMedia(Tables.documents(s, dir), 4, 4), 3))
+          .orderBy("media_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+             |  FROM documents),
+             |d AS (
+             |  SELECT doc_id, hx, n,
+             |    (GREATEST(1, (n + 15) // 16) + 2) // 3 AS nd
+             |  FROM b),
+             |s AS (
+             |  SELECT doc_id, nd,
+             |    list_sum(list_transform(generate_series(0, CAST(nd AS INT) - 1), f ->
+             |      list_sum(list_transform(generate_series(1, 16), bb ->
+             |        CASE WHEN f*48 + bb <= n
+             |             THEN CAST(('0x' || substr(hx, (f*48 + bb - 1)*2 + 1, 2)) AS BIGINT)
+             |             ELSE 0 END)))) AS bs
+             |  FROM d)
+             |SELECT doc_id AS media_id,
+             |  CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+             |  CAST(nd AS INT) AS n_frames,
+             |  CAST(bs AS BIGINT) AS byte_sum,
+             |  CAST(bs AS DOUBLE) / (nd * 16) AS mean_byte
+             |FROM s ORDER BY media_id""".stripMargin),
+    ),
   )
 
   /** DuckDB replay of [[graft.llm.CorpusPipeline.prepareIncremental]]

@@ -765,6 +765,38 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("learnBpeMergesCollected cap gate: under-cap == uncapped; over-cap falls back, identically") {
+    val rnd = new scala.util.Random(128)
+    val words = Seq.fill(30)(
+      (0 until (2 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString)
+    val docs = (0 until 15).map { i =>
+      (i.toLong, Seq.fill(6)(words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val uncapped = TextOps.learnBpeMergesCollected(docs, 10)
+      .orderBy("round").select("round", "left", "right", "pair_freq")
+      .as[(Int, String, String, Long)].collect().toSeq
+    def withCap[T](cap: String)(body: => T): T = {
+      spark.conf.set("spark.graft.bpe.localCap", cap)
+      try body finally spark.conf.unset("spark.graft.bpe.localCap")
+    }
+    // a cap the vocab fits under: bit-identical to the default path
+    val under = withCap("100000")(TextOps.learnBpeMergesCollected(docs, 10)
+      .orderBy("round").select("round", "left", "right", "pair_freq")
+      .as[(Int, String, String, Long)].collect().toSeq)
+    assert(under === uncapped)
+    // a cap the vocab EXCEEDS: the loud fallback to the distributed
+    // trainer must run (no OOM-sized collect) and land on the same table
+    val over = withCap("3")(TextOps.learnBpeMergesCollected(docs, 10)
+      .orderBy("round").select("round", "left", "right", "pair_freq")
+      .as[(Int, String, String, Long)].collect().toSeq)
+    assert(over === uncapped)
+    // cap 0 disables the gate entirely (collect whatever the vocab is)
+    val disabled = withCap("0")(TextOps.learnBpeMergesCollected(docs, 10)
+      .orderBy("round").select("round", "left", "right", "pair_freq")
+      .as[(Int, String, String, Long)].collect().toSeq)
+    assert(disabled === uncapped)
+  }
+
   test("learnBpeMergesCollected: 1k merges in O(1) Spark jobs, prefix-stable") {
     // a corpus rich enough to sustain >= 1000 merges: 600 distinct
     // 10-char words over 12 letters (max merges ~ sum(len-1) = 5400)

@@ -128,4 +128,80 @@ class MultimodalSpec extends AnyFunSuite {
       wrapped(("GV1\n100000 100000 10\n" + "x" * 64).getBytes(UTF_8)))
     assert(e.getMessage.contains("truncated frames"), e.getMessage)
   }
+
+  test("JPEG round-trip: dims exact, pixels bounded-error, decode deterministic") {
+    import graft.llm.Multimodal.JpegCodec
+    // a fixture-profile raster: ASCII-ish text bytes zero-padded to 16x3
+    val text = ("graft jpeg codec fixture " * 6).getBytes(UTF_8)
+    val pixels = java.util.Arrays.copyOf(text, 16 * 3 * 3)
+    val jpg = JpegCodec.encode(16, 3, pixels)
+    assert(JpegCodec.isJpeg(jpg), "encoded payload must carry the SOI signature")
+    val back = JpegCodec.decode(jpg)
+    // geometry survives the lossy roundtrip EXACTLY
+    assert(back.width === 16 && back.height === 3 && back.maxVal === 255)
+    // pixel content survives approximately: mean absolute error bounded
+    val mae = pixels.indices.map(i =>
+      math.abs((pixels(i) & 0xff) - (back.pixels(i) & 0xff))).sum.toDouble / pixels.length
+    assert(mae < 30.0, s"JPEG mean abs pixel error $mae — decoder produced garbage")
+    // decode of a FIXED payload is deterministic
+    assert(JpegCodec.decode(jpg).pixels.toSeq === back.pixels.toSeq)
+  }
+
+  test("JPEG fixture golden: a pinned payload decodes to pinned stats") {
+    import graft.llm.Multimodal.JpegCodec
+    // a real ImageIO-encoded JPEG of the 16x2 raster of
+    // "the quick brown fox jumps over the lazy dog 0123456789 grafted
+    // onto spark" (73 UTF-8 bytes zero-padded to 96) — pinned bytes, so
+    // the decode side is tested against a stored artifact, independent of
+    // the encoder (the q33 rows-only precedent, tightened to goldens)
+    val b64 =
+      "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRofHh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/2wBDAQkJCQwLDBgNDRgyIRwhMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjL/wAARCAACABADASIAAhEBAxEB/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/8QAHwEAAwEBAQEBAQEBAQAAAAAAAAECAwQFBgcICQoL/8QAtREAAgECBAQDBAcFBAQAAQJ3AAECAxEEBSExBhJBUQdhcRMiMoEIFEKRobHBCSMzUvAVYnLRChYkNOEl8RcYGRomJygpKjU2Nzg5OkNERUZHSElKU1RVVldYWVpjZGVmZ2hpanN0dXZ3eHl6goOEhYaHiImKkpOUlZaXmJmaoqOkpaanqKmqsrO0tba3uLm6wsPExcbHyMnK0tPU1dbX2Nna4uPk5ebn6Onq8vP09fb3+Pn6/9oADAMBAAIRAxEAPwDlLF2ksEd2LNvByTk/fH+J/OvN7jUb4yyoby4KbsbfNbGB070UVo9n/XRBT/g/9vH/2Q=="
+    val payload = java.util.Base64.getDecoder.decode(b64)
+    assert(JpegCodec.isJpeg(payload))
+    val img = Multimodal.decodeImage(payload) // through the sniffing dispatch
+    assert(img.width === 16 && img.height === 2)
+    var sum = 0L
+    val ch = new Array[Long](3)
+    var i = 0
+    while (i < img.pixels.length) {
+      val v = img.pixels(i) & 0xff
+      sum += v; ch(i % 3) += v; i += 1
+    }
+    assert(sum === 6569L, s"byte_sum drifted: $sum")
+    assert(ch.toSeq === Seq(2129L, 2073L, 2367L), s"channel sums drifted: ${ch.toSeq}")
+    // and the golden sits within the q80 tolerance of its source raster
+    // (source sums 6468 / r=2090 g=2014 b=2364 over 32 pixels)
+    assert(math.abs(sum - 6468L) / 96.0 <= 8.0)
+    assert(math.abs(ch(0) - 2090L) / 32.0 <= 16.0)
+    assert(math.abs(ch(1) - 2014L) / 32.0 <= 16.0)
+    assert(math.abs(ch(2) - 2364L) / 32.0 <= 16.0)
+  }
+
+  test("sniffing decodeImage dispatches JPEG alongside PNG and PPM") {
+    import graft.llm.Multimodal.{decodeImage, JpegCodec, PngCodec}
+    val pixels = Array.tabulate(8 * 2 * 3)(i => ((i * 13 + 40) % 256).toByte)
+    val viaJpeg = decodeImage(JpegCodec.encode(8, 2, pixels))
+    val viaPng = decodeImage(PngCodec.encode(8, 2, pixels))
+    assert(viaJpeg.width === viaPng.width && viaJpeg.height === viaPng.height)
+    // JPEG approximates what PNG preserves exactly
+    val mae = pixels.indices.map(i =>
+      math.abs((viaPng.pixels(i) & 0xff) - (viaJpeg.pixels(i) & 0xff)))
+      .sum.toDouble / pixels.length
+    assert(mae < 30.0)
+    // an SOI signature with a corrupt body fails loudly on the JPEG branch
+    intercept[Exception](decodeImage(JpegCodec.encode(8, 2, pixels).take(8)))
+  }
+
+  test("video decimation: every stride-th frame survives byte-exact, geometry updates") {
+    // 7 frames of 2x2; stride 3 keeps frames 0, 3, 6
+    val frames = Array.tabulate(7 * 4)(i => (i * 5 + 1).toByte)
+    val v = GvidCodec.decode(GvidCodec.encode(2, 2, frames))
+    assert(v.nFrames === 7)
+    // the operator itself is exercised through Spark in q81; here the
+    // codec-level invariant: re-encoding kept frames loses nothing
+    val kept = Array(0, 3, 6).flatMap(f => frames.slice(f * 4, f * 4 + 4))
+    val re = GvidCodec.decode(GvidCodec.encode(2, 2, kept))
+    assert(re.nFrames === 3)
+    assert(re.frames.toSeq === kept.toSeq)
+  }
 }
