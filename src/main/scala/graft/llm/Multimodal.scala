@@ -29,6 +29,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-BACKED stream cache: every encode/decode
+  // creates and deletes a temp file, which is ~6x slower single-threaded
+  // (measured: 1000 16x6 jpg enc+dec 0.34s -> 0.06s) and serializes on
+  // filesystem contention across executor threads. Payloads here are
+  // in-memory byte arrays, so the heap-backed cache is strictly better.
+  // JVM-global, set once when the codec class loads on each executor.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One media record: opaque payload + typed metadata. */
   final case class MediaRecord(
       media_id: Long,

@@ -523,6 +523,65 @@ class StandingStateSpec extends SparkSpec {
       replicas, StandingState.load(spark, path).digests)).isEmpty)
   }
 
+  test("crash matrix: every unpartitioned swap crash shape recovers or fails loudly") {
+    // the partitioned commit's crash shapes are pinned by the
+    // roll-forward test above; this is the UNPARTITIONED swapTable twin
+    // (verdict stretch: verify both paths match) — every reachable
+    // on-disk shape of a crashed swap must either self-heal or fail
+    // loudly, never serve wrong labels silently
+    import org.apache.spark.sql.DataFrame
+    val day0 = Seq((1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    def fresh(): (String, Set[(Long, Long, Int)]) = {
+      val path = java.nio.file.Files.createTempDirectory("swap_matrix_").toString
+      StandingState.writeClusters(Dedup.duplicateClusters(day0), path)
+      (path, StandingState.loadClusters(spark, path)
+        .as[(Long, Long, Int)].collect().toSet)
+    }
+    def labels(path: String): Set[(Long, Long, Int)] =
+      StandingState.loadClusters(spark, path).as[(Long, Long, Int)].collect().toSet
+    def stageGarbage(path: String): Unit =
+      Seq((99L, 99L, 1)).toDF("doc_id", "cluster_id", "cluster_size")
+        .write.mode("overwrite").parquet(s"$path/clusters__staged")
+
+    // shape A — crash BEFORE any rename (staged leftover, live intact):
+    // live serves; the stale staged dir is inert (overwritten by the
+    // next maintenance pass)
+    locally {
+      val (path, expect) = fresh()
+      stageGarbage(path)
+      assert(labels(path) === expect)
+    }
+    // shape B — crash BETWEEN the renames (live gone, retired complete,
+    // staged complete): load heals retired back; the staged rewrite is
+    // deliberately NOT promoted (retired is the KNOWN-good state)
+    locally {
+      val (path, expect) = fresh()
+      stageGarbage(path)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(path, "clusters"),
+        java.nio.file.Paths.get(path, "clusters__retired"))
+      assert(labels(path) === expect)
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path, "clusters")))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "clusters__retired")))
+    }
+    // shape C — shape B with the crashed holder's lease still present:
+    // healing is skipped (a LIVE holder mid-swap owns the dirs), so the
+    // read fails LOUDLY (path-not-found — there IS no live table), and
+    // heals after breakLease
+    locally {
+      val (path, expect) = fresh()
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(path, "clusters"),
+        java.nio.file.Paths.get(path, "clusters__retired"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(path, "_lease"),
+        "op=updateClusters pid=31337".getBytes("UTF-8"))
+      intercept[Exception](labels(path))
+      assert(StandingState.breakLease(spark, path))
+      assert(labels(path) === expect)
+    }
+  }
+
   test("racing updateClusters: lease serializes the whole read-modify-write (no lost update)") {
     // Two mutators race the SAME state with different new pairs. The lease
     // wraps the whole read-modify-write, so either they serialize (both
