@@ -987,6 +987,85 @@ object TextOps {
       .drop("__graft_bpe_merges")
   }
 
+  /** [[applyBpe]] keeping WORD BOUNDARIES: `bpe_word_tokens` is one token
+    * array PER WORD (`array<array<string>>`) instead of the flattened
+    * stream — the shape [[bpeDecode]] needs, because the flattened form
+    * cannot reconstruct where one word's tokens end and the next begin.
+    * Same greedy in-order merge fold, same one-literal merge table. */
+  def applyBpeByWord(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val mergesLit = typedlit(merges).cast("array<struct<l:string,r:string>>")
+    val tokensExpr =
+      s"""transform(filter(split(text, ' '), w -> length(w) > 0), w ->
+         |  aggregate(
+         |    __graft_bpe_merges,
+         |    transform(sequence(1, length(w)), i -> substring(w, i, 1)),
+         |    (cur, m) ->
+         |      aggregate(cur,
+         |        named_struct('acc', cast(array() as array<string>),
+         |                     'prev', cast(null as string)),
+         |        (st, s) -> if(st.prev = m.l and s = m.r,
+         |          named_struct('acc', concat(st.acc, array(concat(m.l, m.r))),
+         |                       'prev', cast(null as string)),
+         |          named_struct('acc',
+         |            if(st.prev is null, st.acc, concat(st.acc, array(st.prev))),
+         |            'prev', s)),
+         |        st -> if(st.prev is null, st.acc, concat(st.acc, array(st.prev))))))"""
+        .stripMargin
+    docs
+      .withColumn("__graft_bpe_merges", mergesLit)
+      .withColumn("bpe_word_tokens", expr(tokensExpr))
+      .withColumn("n_bpe_tokens",
+        expr("aggregate(transform(bpe_word_tokens, ts -> size(ts)), 0, (a, v) -> a + v)"))
+      .drop("__graft_bpe_merges")
+  }
+
+  /** The tokenizer's DECODE half: per-word token arrays back to text.
+    * BPE tokens are contiguous substrings of their word, so decode is
+    * concatenation within each word and a single space between words —
+    * no merge table needed (the table only matters for choosing the
+    * SPLIT, never the content). `bpeDecode(applyBpeByWord(docs, m))`
+    * reproduces the whitespace-normalized text EXACTLY for every merge
+    * table m — the roundtrip-identity contract q82 hash-gates (an encode
+    * that dropped or duplicated a character anywhere would break it). */
+  def bpeDecode(docs: DataFrame, tokensCol: String = "bpe_word_tokens"): DataFrame =
+    docs.withColumn("decoded",
+      expr(s"array_join(transform($tokensCol, ts -> array_join(ts, '')), ' ')"))
+
+  /** OVERLAPPING context-window chunker — the RAG/pretraining staple the
+    * positional chunkers here ([[passageStats]]'s fixed windows,
+    * [[graft.llm.Packing]]'s budget packer) don't cover: slide a
+    * `width`-token window by `stride` tokens (stride < width = overlap,
+    * the standard recipe so no boundary context is lost), one output row
+    * per window with its position and exact token count. Every doc
+    * yields at least one chunk (short docs: one partial window);
+    * windows never start past the text (`pos * stride < n_tokens`
+    * except the mandatory first), and the LAST window is the first one
+    * that reaches the end of the doc — trailing fully-redundant windows
+    * are not emitted.
+    *
+    * Per-row explode, no shuffle: the window arithmetic is one
+    * `sequence` + `slice` chain inside whole-stage codegen; at 100 TB
+    * the operator is scan-shaped (chunk rows partition wherever their
+    * doc partitioned, and the downstream embed/index stage reads them
+    * without a repartition). */
+  def chunkByTokens(docs: DataFrame, width: Int, stride: Int): DataFrame = {
+    require(width > 0, s"chunk width $width must be positive")
+    require(stride > 0 && stride <= width,
+      s"stride $stride must be in [1, width=$width] (stride > width drops tokens)")
+    val chunks = expr(
+      s"""transform(
+         |  sequence(0, int(greatest(0D, ceil((size(filter(split(text, ' '),
+         |    w -> length(w) > 0)) - $width) / ${stride}.0D)))),
+         |  p -> slice(filter(split(text, ' '), w -> length(w) > 0),
+         |             p * $stride + 1, $width))""".stripMargin)
+    docs
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_pos", "toks")))
+      .select(
+        col("doc_id"), col("chunk_pos"),
+        concat_ws(" ", col("toks")).as("chunk_text"),
+        size(col("toks")).as("n_tokens"))
+  }
+
   /** RefinedWeb/CCNet-style BOILERPLATE REMOVAL — the rewrite counterpart
     * of [[passageStats]]: every `w`-token chunk (same positional chunking,
     * same md5 key) occurring in >= `minDocs` DISTINCT documents is removed

@@ -2890,6 +2890,68 @@ object LlmQueries {
              |  CAST(bs AS DOUBLE) / (nd * 16) AS mean_byte
              |FROM s ORDER BY media_id""".stripMargin),
     ),
+
+    // ------------------------------------------------------------------
+    // Q82 — BPE DECODE (the tokenizer's decode half, completing the
+    // train/encode/decode surface): applyBpeByWord keeps per-word token
+    // arrays (the flattened q77 stream can't reconstruct word
+    // boundaries), and bpeDecode concatenates within words + single
+    // spaces between — no merge table needed, because BPE tokens are
+    // contiguous substrings of their word. The gate is ROUNDTRIP
+    // IDENTITY: decode(encode(docs)) must hash-match the
+    // whitespace-normalized text for the q77-learned merge table — an
+    // encode that dropped, duplicated, or reordered one character in any
+    // word would break the hash. The oracle is just the normalization
+    // (split, drop empties, re-join), which is exactly what makes the
+    // identity a strong gate: everything tokenizer-specific must cancel.
+    Declared(
+      "q82_bpe_roundtrip",
+      (s, dir) => {
+        val merges = TextOps.learnBpeMergesCollected(
+          Tables.documentsRaw(s, dir).filter(col("doc_id") < 100), 6)
+          .orderBy("round")
+          .collect()
+          .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+          .toSeq
+        TextOps.bpeDecode(TextOps.applyBpeByWord(
+            Tables.documentsRaw(s, dir).filter(col("doc_id") < 50), merges))
+          .select(col("doc_id"), col("n_bpe_tokens"), col("decoded"))
+          .orderBy("doc_id")
+      },
+      Some(bpeApplyOracle(6, maxDocId = 50L, decodeForm = true)),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q83 — OVERLAPPING context-window chunking (the RAG/pretraining
+    // staple): slide a 40-token window by 30 tokens over each document
+    // (stride < width = 10-token overlap so no boundary context is
+    // lost), one row per window with position and exact token count;
+    // the last emitted window is the first to reach the doc's end, and
+    // every doc yields at least one (possibly partial) window. Per-row
+    // sequence+slice inside whole-stage codegen, no shuffle — the
+    // operator is scan-shaped at any corpus size. The oracle replays
+    // the window arithmetic with DuckDB list slicing.
+    Declared(
+      "q83_chunk_overlap",
+      (s, dir) => {
+        TextOps.chunkByTokens(Tables.documentsRaw(s, dir), width = 40, stride = 30)
+          .orderBy("doc_id", "chunk_pos")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split(text, ' '), w -> len(w) > 0) AS toks
+             |  FROM documents),
+             |n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+             |c AS (
+             |  SELECT doc_id, toks, nt,
+             |    unnest(generate_series(0,
+             |      CAST(GREATEST(0, CEIL((nt - 40) / 30.0)) AS BIGINT))) AS p
+             |  FROM n)
+             |SELECT doc_id, CAST(p AS INT) AS chunk_pos,
+             |  array_to_string(toks[p*30 + 1 : p*30 + 40], ' ') AS chunk_text,
+             |  CAST(LEAST(40, nt - p*30) AS INT) AS n_tokens
+             |FROM c ORDER BY doc_id, chunk_pos""".stripMargin),
+    ),
   )
 
   /** DuckDB replay of [[graft.llm.CorpusPipeline.prepareIncremental]]
@@ -3065,7 +3127,12 @@ object LlmQueries {
     * order at the end. Pins the tokenizer's ENCODE half (the artifact
     * consumers actually apply) end to end: training replay + per-doc
     * greedy fold + token census all hash-matched. */
-  private def bpeApplyOracle(numMerges: Int, maxDocId: Long): String = {
+  /** `decodeForm = true` emits the q82 shape instead: the per-word token
+    * arrays are DECODED (concatenated within words, single spaces
+    * between) so the oracle replays encode AND decode — the roundtrip
+    * identity plus the token counts in one hash. */
+  private def bpeApplyOracle(
+      numMerges: Int, maxDocId: Long, decodeForm: Boolean = false): String = {
     val sb = new StringBuilder(bpeTrainingCtes(numMerges))
     sb.append(s""",
       |dw0 AS (
@@ -3104,10 +3171,16 @@ object LlmQueries {
         |        END) AS folded
         |    FROM dw$r CROSS JOIN b$r))""".stripMargin)
     }
-    sb.append(s"""
-      |SELECT doc_id, CAST(SUM(len(syms)) AS INT) AS n_bpe_tokens,
-      |       string_agg(array_to_string(syms, ' '), ' ' ORDER BY idx) AS bpe_text
-      |FROM dw$numMerges GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    if (decodeForm)
+      sb.append(s"""
+        |SELECT doc_id, CAST(SUM(len(syms)) AS INT) AS n_bpe_tokens,
+        |       string_agg(array_to_string(syms, ''), ' ' ORDER BY idx) AS decoded
+        |FROM dw$numMerges GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    else
+      sb.append(s"""
+        |SELECT doc_id, CAST(SUM(len(syms)) AS INT) AS n_bpe_tokens,
+        |       string_agg(array_to_string(syms, ' '), ' ' ORDER BY idx) AS bpe_text
+        |FROM dw$numMerges GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     sb.toString
   }
 

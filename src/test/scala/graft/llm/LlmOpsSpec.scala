@@ -765,6 +765,73 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpe decode: roundtrip identity on randomized corpora; by-word == flattened stream") {
+    val rnd = new scala.util.Random(4096)
+    val words = Seq.fill(25)(
+      (0 until (1 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString)
+    val docs = (0 until 12).map { i =>
+      // plant double spaces and trailing spaces — decode reproduces the
+      // whitespace-NORMALIZED text (split, drop empties, single-space join)
+      val sep = if (i % 3 == 0) "  " else " "
+      (i.toLong, Seq.fill(7)(words(rnd.nextInt(words.size))).mkString(sep) +
+        (if (i % 4 == 0) " " else ""))
+    }.toDF("doc_id", "text")
+    val merges = TextOps.learnBpeMergesCollected(docs, 8)
+      .orderBy("round").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    assert(merges.nonEmpty)
+    val byWord = TextOps.applyBpeByWord(docs, merges).localCheckpoint(true)
+    // decode(encode(x)) == whitespace-normalized x, for every doc
+    val decoded = TextOps.bpeDecode(byWord)
+      .select("doc_id", "decoded").as[(Long, String)].collect().toMap
+    val expected = docs.select(col("doc_id"),
+        expr("array_join(filter(split(text, ' '), w -> length(w) > 0), ' ')"))
+      .as[(Long, String)].collect().toMap
+    assert(decoded === expected)
+    // the by-word form flattens to exactly the q77 stream (same fold)
+    val flatFromWords = byWord
+      .select(col("doc_id"), expr("flatten(bpe_word_tokens)").as("t"), col("n_bpe_tokens"))
+      .as[(Long, Seq[String], Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val flat = TextOps.applyBpe(docs, merges)
+      .select(col("doc_id"), col("bpe_tokens"), col("n_bpe_tokens"))
+      .as[(Long, Seq[String], Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(flatFromWords === flat)
+  }
+
+  test("chunkByTokens: overlapping windows cover every token; edges hand-verified") {
+    val toks = (1 to 100).map(i => s"t$i")
+    val docs = Seq(
+      (1L, toks.mkString(" ")),              // 100 tokens: 3 windows at 40/30
+      (2L, toks.take(95).mkString(" ")),     // partial last window (35 tokens)
+      (3L, toks.take(40).mkString(" ")),     // exactly one full window
+      (4L, toks.take(5).mkString(" ")),      // short doc: one partial window
+      (5L, "")).toDF("doc_id", "text")       // empty doc: one empty chunk
+    val out = TextOps.chunkByTokens(docs, width = 40, stride = 30)
+      .orderBy("doc_id", "chunk_pos")
+      .select("doc_id", "chunk_pos", "chunk_text", "n_tokens")
+      .as[(Long, Int, String, Int)].collect().toSeq
+    def win(a: Int, b: Int) = toks.slice(a - 1, b).mkString(" ")
+    assert(out.filter(_._1 == 1L) === Seq(
+      (1L, 0, win(1, 40), 40), (1L, 1, win(31, 70), 40), (1L, 2, win(61, 100), 40)))
+    assert(out.filter(_._1 == 2L).map(c => (c._2, c._4)) === Seq((0, 40), (1, 40), (2, 35)))
+    assert(out.filter(_._1 == 2L).last._3 === win(61, 95))
+    assert(out.filter(_._1 == 3L) === Seq((3L, 0, win(1, 40), 40)))
+    assert(out.filter(_._1 == 4L) === Seq((4L, 0, win(1, 5), 5)))
+    assert(out.filter(_._1 == 5L) === Seq((5L, 0, "", 0)))
+    // stride == width degenerates to disjoint fixed windows
+    val disjoint = TextOps.chunkByTokens(docs.filter(col("doc_id") === 1L), 25, 25)
+      .orderBy("chunk_pos").select("chunk_text", "n_tokens")
+      .as[(String, Int)].collect().toSeq
+    assert(disjoint === Seq((win(1, 25), 25), (win(26, 50), 25),
+      (win(51, 75), 25), (win(76, 100), 25)))
+    // every token of doc 1 appears in at least one window (coverage)
+    val covered = out.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet
+    assert(covered === toks.toSet)
+    // invalid strides are loud
+    intercept[IllegalArgumentException](TextOps.chunkByTokens(docs, 10, 11))
+    intercept[IllegalArgumentException](TextOps.chunkByTokens(docs, 10, 0))
+  }
+
   test("learnBpeMergesCollected cap gate: under-cap == uncapped; over-cap falls back, identically") {
     val rnd = new scala.util.Random(128)
     val words = Seq.fill(30)(
