@@ -2,7 +2,7 @@ package graft.llm
 
 import java.nio.charset.StandardCharsets.UTF_8
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column support: image/audio payloads are carried as opaque
@@ -648,27 +648,83 @@ object Multimodal {
     * Input: [[imagePhash]] output (checkpoint it — it is scanned by the
     * band melt and both hash-lookup joins). Output:
     * (media_a, media_b, hamming), media_a < media_b. */
+  /** 64-bit phash -> (doc_id, band, sig) band rows — the banding step of
+    * [[phashNearDupPairs]] factored out so the INCREMENTAL media path can
+    * persist standing band rows ([[graft.llm.StandingState]]'s media
+    * tables) and reuse [[TextOps.incrementalBucketPairs]] for
+    * batch-vs-standing candidates. */
+  def phashBandRows(phashes: DataFrame, nBands: Int): DataFrame = {
+    require(64 % nBands == 0, s"nBands $nBands must divide 64")
+    val bandLen = 64 / nBands
+    phashes.select(
+      col("media_id").as("doc_id"),
+      posexplode(array((0 until nBands).map(b =>
+        substring(col("phash"), b * bandLen + 1, bandLen)): _*)).as(Seq("band", "sig")))
+  }
+
+  /** Exact hamming distance between the 64-bit '0'/'1' phash strings in
+    * `pa`/`pb` (built-ins only, codegen-friendly). */
+  private def hammingCol: Column = expr(
+    """aggregate(transform(sequence(1, 64),
+      |  i -> IF(substring(pa, i, 1) = substring(pb, i, 1), 0, 1)),
+      |  0, (acc, v) -> acc + v)""".stripMargin).cast("int")
+
   def phashNearDupPairs(
       phashes: DataFrame,
       nBands: Int = 4,
       maxHamming: Int = 8,
       maxBucketSize: Int = TextOps.DefaultMaxBucketSize): DataFrame = {
-    require(64 % nBands == 0, s"nBands $nBands must divide 64")
-    val bandLen = 64 / nBands
-    val bands = phashes.select(
-      col("media_id").as("doc_id"),
-      posexplode(array((0 until nBands).map(b =>
-        substring(col("phash"), b * bandLen + 1, bandLen)): _*)).as(Seq("band", "sig")))
+    val bands = phashBandRows(phashes, nBands)
     val pairs = TextOps.bucketPairs(bands, maxBucketSize)
     val pa = phashes.select(col("media_id").as("doc_a"), col("phash").as("pa"))
     val pb = phashes.select(col("media_id").as("doc_b"), col("phash").as("pb"))
     pairs.join(pa, "doc_a").join(pb, "doc_b")
-      .withColumn("hamming", expr(
-        """aggregate(transform(sequence(1, 64),
-          |  i -> IF(substring(pa, i, 1) = substring(pb, i, 1), 0, 1)),
-          |  0, (acc, v) -> acc + v)""".stripMargin).cast("int"))
+      .withColumn("hamming", hammingCol)
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"), col("hamming"))
+  }
+
+  /** INCREMENTAL perceptual near-dedup — the media intake's daily-ingest
+    * case, mirroring [[graft.llm.Dedup.dedupNearLshIncrementalVsBands]]:
+    * an incoming image/clip is dropped when its phash is within
+    * `maxHamming` of ANY standing phash (the standing corpus always
+    * wins) or of a LOWER-id incoming one (the greedy within-batch
+    * policy). `standingBands` is the persisted (media_id, band, sig)
+    * table and `standingPhashes` the persisted (media_id, phash) table —
+    * the standing payloads are NEVER decoded again (8 bytes of state per
+    * standing image, the fingerprint-then-discard shape); candidate
+    * generation emits pairs only around incoming ids
+    * ([[TextOps.incrementalBucketPairs]] — zero standing x standing
+    * work). Returns the surviving incoming (media_id, phash) rows.
+    * media_ids must be disjoint across the two sides. */
+  def phashNearDupIncrementalVsBands(
+      incomingPhashes: DataFrame,
+      standingBands: DataFrame,
+      standingPhashes: DataFrame,
+      nBands: Int = 4,
+      maxHamming: Int = 8,
+      maxBucketSize: Int = TextOps.DefaultMaxBucketSize): DataFrame = {
+    val bi = phashBandRows(incomingPhashes, nBands).withColumn("inc", lit(1L))
+    val bs = standingBands
+      .select(col("media_id").as("doc_id"), col("band"), col("sig"))
+      .withColumn("inc", lit(0L))
+    val pairs = TextOps.incrementalBucketPairs(bi.unionByName(bs), maxBucketSize)
+      .localCheckpoint(false)
+    // phash lookup for candidate ids only (semi-join pruned scan)
+    val candIds = pairs.select(col("doc_a").as("media_id"))
+      .union(pairs.select(col("doc_b").as("media_id"))).distinct()
+    val allPh = standingPhashes.select("media_id", "phash")
+      .unionByName(incomingPhashes.select("media_id", "phash"))
+      .join(candIds, Seq("media_id"), "left_semi")
+      .localCheckpoint(false)
+    val drop = pairs
+      .join(allPh.select(col("media_id").as("doc_a"), col("phash").as("pa")), Seq("doc_a"))
+      .join(allPh.select(col("media_id").as("doc_b"), col("phash").as("pb")), Seq("doc_b"))
+      .withColumn("hamming", hammingCol)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_b").as("media_id")).distinct()
+      .localCheckpoint(false) // lazy: single consumer
+    incomingPhashes.join(drop, Seq("media_id"), "left_anti")
   }
 
   /** Deterministic frame-sampling analog: every `stride`-th byte of the

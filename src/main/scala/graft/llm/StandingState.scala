@@ -706,9 +706,10 @@ object StandingState {
       corpusPath: Option[String],
       targetFileBytes: Long = DefaultCompactTargetBytes): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
-    Seq("digests", "bands", "emb_buckets").foreach { table =>
-      compactDirLive(spark, path, new HPath(s"$path/$table"), _.distinct())
-    }
+    Seq("digests", "bands", "emb_buckets", "media_phashes", "media_bands")
+      .foreach { table =>
+        compactDirLive(spark, path, new HPath(s"$path/$table"), _.distinct())
+      }
     corpusPath.foreach { cp =>
       compactDirLive(spark, path, new HPath(cp), { df =>
         val fs = new HPath(cp).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -920,6 +921,109 @@ object StandingState {
       withLease(spark, statePath, "repairTextArtifacts:rewrite") {
         swapTable(spark, statePath, "bands") { staged =>
           keep.write.mode("overwrite").parquet(staged)
+        }
+      }
+    }
+    (nDrift, nGhosts)
+  }
+
+  /** Persist the standing corpus' PERCEPTUAL-HASH artifacts for the
+    * MEDIA dedup cycle — the image/audio/video twin of `digests`/`bands`:
+    * `media_phashes/` (media_id, phash — 8 bytes of state per standing
+    * item, the fingerprint-then-discard shape: standing payloads are
+    * never decoded again) + `media_bands/` (media_id, band, sig — the
+    * [[Multimodal.phashBandRows]] projection) + a `media_meta` row
+    * pinning the band regime. `phashes` is any [[Multimodal.imagePhash]]
+    * / `audioPhash` / `videoPhash` output — the state machinery is
+    * representation-agnostic over the 64-bit hash string. */
+  def writeMediaState(
+      phashes: DataFrame, path: String, nBands: Int = 4): Unit = {
+    val spark = phashes.sparkSession
+    import spark.implicits._
+    val ph = Frames.barrier(phashes.select("media_id", "phash"))
+    ph.write.mode("overwrite").parquet(s"$path/media_phashes")
+    Multimodal.phashBandRows(ph, nBands)
+      .select(col("doc_id").as("media_id"), col("band"), col("sig"))
+      .write.mode("overwrite").parquet(s"$path/media_bands")
+    Seq(nBands).toDF("n_bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/media_meta")
+  }
+
+  /** Lazy scans of the persisted media artifacts: (phashes, bands,
+    * nBands). Heals crashed swaps first (skip-when-held, like every
+    * load path). */
+  def loadMediaState(spark: SparkSession, path: String): (DataFrame, DataFrame, Int) = {
+    Seq("media_phashes", "media_bands").foreach(heal(spark, path, _))
+    val nBands = spark.read.parquet(s"$path/media_meta").head().getAs[Int]("n_bands")
+    (spark.read.parquet(s"$path/media_phashes"),
+      spark.read.parquet(s"$path/media_bands"), nBands)
+  }
+
+  /** Close the media ingest cycle: append an ADMITTED batch's phash and
+    * band rows under the persisted regime. */
+  def appendMediaPhashes(phashes: DataFrame, path: String): Unit = {
+    val spark = phashes.sparkSession
+    val nBands = spark.read.parquet(s"$path/media_meta").head().getAs[Int]("n_bands")
+    withLease(spark, path, "appendMediaPhashes") {
+      writeMediaArtifacts(phashes, path, nBands)
+    }
+  }
+
+  /** The write half of [[appendMediaPhashes]] — caller MUST hold the
+    * lease. Phashes FIRST, bands second: bands-absence is the drift
+    * witness [[repairMediaArtifacts]] keys on (the same ordering
+    * contract as [[writeArtifacts]]). */
+  private[graft] def writeMediaArtifacts(
+      phashes: DataFrame, path: String, nBands: Int): Unit = {
+    val ph = Frames.barrier(phashes.select("media_id", "phash"))
+    ph.write.mode("append").parquet(s"$path/media_phashes")
+    Multimodal.phashBandRows(ph, nBands)
+      .select(col("doc_id").as("media_id"), col("band"), col("sig"))
+      .write.mode("append").parquet(s"$path/media_bands")
+  }
+
+  /** Restore the media-table <-> phash/band-table invariant after a crash
+    * in the media ingest's append window — the media twin of
+    * [[repairTextArtifacts]]: standing media rows missing from
+    * `media_bands/` get BOTH artifacts recomputed (a per-partition
+    * payload decode over the drift rows only, via `phashOf`) and
+    * appended; ghost rows (artifacts whose media_id left the media
+    * table) are dropped via a distinct-rewrite swap, only when present.
+    * Returns (drift items repaired, ghost rows dropped). */
+  def repairMediaArtifacts(
+      spark: SparkSession,
+      statePath: String,
+      standingMediaPath: String,
+      phashOf: DataFrame => DataFrame = Multimodal.imagePhash): (Long, Long) = {
+    Seq("media_phashes", "media_bands").foreach(heal(spark, statePath, _))
+    val nBands =
+      spark.read.parquet(s"$statePath/media_meta").head().getAs[Int]("n_bands")
+    val media = spark.read.parquet(standingMediaPath)
+    val bandIds = spark.read.parquet(s"$statePath/media_bands")
+      .select("media_id").distinct()
+    val drift = media.join(bandIds, Seq("media_id"), "left_anti")
+      .localCheckpoint(true) // consumed by the artifact writes AND the count
+    val nDrift = drift.count()
+    if (nDrift > 0) {
+      val ph = phashOf(drift).localCheckpoint(true)
+      withLease(spark, statePath, "repairMediaArtifacts:append") {
+        writeMediaArtifacts(ph, statePath, nBands)
+      }
+    }
+    val mediaIds = media.select("media_id").distinct().localCheckpoint(false)
+    var nGhosts = 0L
+    Seq("media_bands", "media_phashes").foreach { table =>
+      val ghosts = spark.read.parquet(s"$statePath/$table")
+        .join(mediaIds, Seq("media_id"), "left_anti").count()
+      if (ghosts > 0) {
+        nGhosts += ghosts
+        val keep = spark.read.parquet(s"$statePath/$table")
+          .join(mediaIds, Seq("media_id"), "left_semi")
+          .localCheckpoint(true)
+        withLease(spark, statePath, s"repairMediaArtifacts:rewrite:$table") {
+          swapTable(spark, statePath, table) { staged =>
+            keep.write.mode("overwrite").parquet(staged)
+          }
         }
       }
     }

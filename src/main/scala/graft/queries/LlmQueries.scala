@@ -2952,6 +2952,104 @@ object LlmQueries {
              |  CAST(LEAST(40, nt - p*30) AS INT) AS n_tokens
              |FROM c ORDER BY doc_id, chunk_pos""".stripMargin),
     ),
+
+    // ------------------------------------------------------------------
+    // Q84 — the MEDIA INTAKE CYCLE end to end (the multimodal twin of
+    // q75's text intake): a standing image corpus's phashes + band rows
+    // persist to the state (StandingState.writeMediaState — 8 bytes per
+    // standing item, payloads never re-decoded), then ingestMediaBatch
+    // runs one micro-batch containing byte-replicas of standing items
+    // (fresh ids, hamming 0 -> drop), q59-style ' !!' appended variants
+    // (near-identical rasters -> drop iff banded hamming <= 8, the
+    // oracle decides), and novel items (admit). The batch decodes and
+    // hashes executor-side, dedups via phashNearDupIncrementalVsBands
+    // (pairs only around incoming ids — zero standing x standing work),
+    // and admitted records append back to the media table + state. The
+    // oracle replays phash (q59's hex-of-blob CTEs), banding, the
+    // incremental pair policy (standing always wins, lower-id wins
+    // within batch), and hamming — the admitted (media_id, phash) rows
+    // hash-match end to end.
+    Declared(
+      "q84_media_intake",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val mediaDir = java.nio.file.Files
+          .createTempDirectory("q84_media_").toString
+        val statePath = java.nio.file.Files
+          .createTempDirectory("q84_state_").toString
+        val standing = graft.llm.Multimodal.asMedia(
+          docs.filter(col("doc_id") < 150).select("doc_id", "text"))
+        standing.write.mode("overwrite").parquet(mediaDir)
+        graft.llm.StandingState.writeMediaState(
+          graft.llm.Multimodal.imagePhash(s.read.parquet(mediaDir)),
+          statePath, nBands = 4)
+        val batchDocs = docs.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") >= 40 && col("doc_id") < 80)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(col("text"), lit(" !!")).as("text")))
+          .unionByName(docs.filter(col("doc_id") >= 150 && col("doc_id") < 200)
+            .select(col("doc_id"), col("text")))
+        graft.streaming.CorpusIntakeJob.ingestMediaBatch(
+          graft.llm.Multimodal.asMedia(batchDocs),
+          statePath, mediaDir, maxHamming = 8)
+        s.read.parquet(s"$statePath/media_phashes")
+          .join(s.read.parquet(mediaDir)
+            .filter(col("media_id") >= 150).select("media_id"),
+            Seq("media_id"), "left_semi")
+          .orderBy("media_id")
+      },
+      Some("""WITH standingc AS (
+             |  SELECT doc_id, 0 AS inc, text FROM documents WHERE doc_id < 150),
+             |batchc AS (
+             |  SELECT doc_id + 2000000 AS doc_id, 1 AS inc, text
+             |  FROM documents WHERE doc_id < 40
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, 1, text || ' !!'
+             |  FROM documents WHERE doc_id >= 40 AND doc_id < 80
+             |  UNION ALL
+             |  SELECT doc_id, 1, text
+             |  FROM documents WHERE doc_id >= 150 AND doc_id < 200),
+             |rawc AS (SELECT * FROM standingc UNION ALL SELECT * FROM batchc),
+             |b AS (
+             |  SELECT doc_id, inc, hex(encode(text)) AS hx,
+             |         octet_length(encode(text)) AS n
+             |  FROM rawc),
+             |d AS (
+             |  SELECT doc_id, inc, n,
+             |    CAST(GREATEST(1, (n + 47) // 48) AS BIGINT) AS h,
+             |    list_transform(generate_series(1, CAST(n AS INT)),
+             |      i -> CAST(('0x' || substr(hx, (i-1)*2+1, 2)) AS BIGINT)) AS bytes
+             |  FROM b),
+             |lum AS (
+             |  SELECT doc_id, inc,
+             |    list_transform(generate_series(0, 63), j ->
+             |      list_sum(list_transform(generate_series(1, 3), c ->
+             |        CASE WHEN ((((j // 8) * h) // 8) * 16 + (j % 8) * 2) * 3 + c <= n
+             |             THEN bytes[CAST(((((j // 8) * h) // 8) * 16 + (j % 8) * 2) * 3 + c AS INT)]
+             |             ELSE 0 END))) AS lums
+             |  FROM d),
+             |ph AS (
+             |  SELECT doc_id, inc,
+             |    array_to_string(list_transform(generate_series(1, 64), j ->
+             |      CASE WHEN 64 * lums[j] > list_sum(lums) THEN '1' ELSE '0' END),
+             |      '') AS phash
+             |  FROM lum),
+             |bands AS (
+             |  SELECT doc_id, inc, phash, bi, substr(phash, bi * 16 + 1, 16) AS bv
+             |  FROM ph, (SELECT unnest(generate_series(0, 3)) AS bi)),
+             |dropids AS (
+             |  SELECT DISTINCT b.doc_id
+             |  FROM bands a JOIN bands b
+             |    ON a.bi = b.bi AND a.bv = b.bv AND b.inc = 1
+             |   AND (a.inc = 0 OR a.doc_id < b.doc_id)
+             |  WHERE list_sum(list_transform(generate_series(1, 64),
+             |    i -> CASE WHEN substr(a.phash, i, 1) <> substr(b.phash, i, 1)
+             |              THEN 1 ELSE 0 END)) <= 8)
+             |SELECT doc_id AS media_id, phash FROM ph
+             |WHERE inc = 1 AND doc_id NOT IN (SELECT doc_id FROM dropids)
+             |ORDER BY media_id""".stripMargin),
+    ),
   )
 
   /** DuckDB replay of [[graft.llm.CorpusPipeline.prepareIncremental]]

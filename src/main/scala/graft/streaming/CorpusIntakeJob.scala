@@ -395,6 +395,134 @@ object CorpusIntakeJob {
       .start()
   }
 
+  /** Streaming MEDIA intake against the PERSISTED standing state — the
+    * image/audio/video twin of [[runTextStream]]/[[runEmbeddingStream]]:
+    * each micro-batch of media records (media_id, mime, n_bytes, payload)
+    * is decoded and perceptually hashed executor-side (`phashOf` —
+    * [[graft.llm.Multimodal.imagePhash]] by default; pass `audioPhash` /
+    * `videoPhash` for those corpora, the state machinery is
+    * representation-agnostic over the 64-bit hash string), deduplicated
+    * against the persisted phash band table
+    * ([[graft.llm.Multimodal.phashNearDupIncrementalVsBands]] — a
+    * near-duplicate of ANY standing item, or of a lower-id batch item,
+    * drops), and admitted records append to BOTH the standing media
+    * table and the state. ZERO Structured-Streaming state; standing
+    * payloads are never re-decoded (8 bytes of phash per standing item).
+    *
+    * Same crash posture as the text twin: replays self-heal (a replayed
+    * batch's items collide with their own standing phashes at hamming
+    * 0), [[StandingState.repairMediaArtifacts]] runs once at startup,
+    * and [[ingestMediaBatch]] carries the batch-scoped id-presence
+    * retry self-repair + single-lease commit + bounded whole-batch
+    * retry, so the stream rides through live compactions. */
+  def runMediaStream(
+      media: DataFrame,
+      statePath: String,
+      standingMediaPath: String,
+      checkpoint: String,
+      maxHamming: Int = 8,
+      phashOf: DataFrame => DataFrame = graft.llm.Multimodal.imagePhash,
+      trigger: Trigger = Trigger.ProcessingTime("3 seconds")): StreamingQuery = {
+    StandingState.repairMediaArtifacts(
+      media.sparkSession, statePath, standingMediaPath, phashOf)
+    media.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        ingestMediaBatch(b.toDF(), statePath, standingMediaPath, maxHamming, phashOf)
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[runMediaStream]] — decode + phash the batch,
+    * dedup vs the persisted bands, append admitted records + artifacts.
+    * Returns the admitted count. Carries the full retry posture of the
+    * text twin (see [[ingestTextBatch]]): id-presence self-repair,
+    * single-lease commit, bounded whole-batch retry. */
+  def ingestMediaBatch(
+      batch: DataFrame,
+      statePath: String,
+      standingMediaPath: String,
+      maxHamming: Int = 8,
+      phashOf: DataFrame => DataFrame = graft.llm.Multimodal.imagePhash): Long = {
+    val spark = batch.sparkSession
+    val attempts =
+      math.max(1, spark.conf.get("spark.graft.intake.batchAttempts", "3").toInt)
+    var last: Throwable = null
+    var attempt = 0
+    while (attempt < attempts) {
+      try return ingestMediaBatchOnce(
+        batch, statePath, standingMediaPath, maxHamming, phashOf)
+      catch {
+        case e: IllegalStateException => throw e
+        case scala.util.control.NonFatal(e) =>
+          last = e
+          attempt += 1
+          if (attempt < attempts) Thread.sleep(250L * attempt)
+      }
+    }
+    throw last
+  }
+
+  private def ingestMediaBatchOnce(
+      batch: DataFrame,
+      statePath: String,
+      standingMediaPath: String,
+      maxHamming: Int,
+      phashOf: DataFrame => DataFrame): Long = {
+    val spark = batch.sparkSession
+    var (standingPh, standingBands, nBands) =
+      StandingState.loadMediaState(spark, statePath)
+    val standingMedia = spark.read.parquet(standingMediaPath)
+    // RETRY SELF-REPAIR — the text twin's discipline: ids already in the
+    // media table are replays of committed records (ids contractually
+    // unique/disjoint); never re-appended, artifacts completed if the
+    // crash window left them missing
+    val marked = batch.join(
+        standingMedia.select("media_id").distinct().withColumn("__in", lit(1)),
+        Seq("media_id"), "left")
+      .localCheckpoint(false)
+    val fresh = marked.filter(col("__in").isNull).drop("__in")
+    val replayed = marked.filter(col("__in").isNotNull).drop("__in")
+    if (replayed.limit(1).count() > 0) {
+      val drifted = replayed.join(
+          standingBands.select("media_id").distinct(), Seq("media_id"), "left_anti")
+        .localCheckpoint(true)
+      if (drifted.count() > 0) {
+        val ph = phashOf(drifted).localCheckpoint(true)
+        StandingState.withLeaseRetry(spark, statePath, "ingestMediaBatch:repair") {
+          StandingState.writeMediaArtifacts(ph, statePath, nBands)
+        }
+        val reloaded = StandingState.loadMediaState(spark, statePath)
+        standingPh = reloaded._1
+        standingBands = reloaded._2
+      }
+    }
+    // decode + hash ONCE per fresh record, executor-side; payload bytes
+    // never hit the driver
+    val freshPh = phashOf(fresh).localCheckpoint(false)
+    // EAGER barriers: both frames' plans READ the tables the commit
+    // appends into
+    val admittedPh = graft.llm.Multimodal.phashNearDupIncrementalVsBands(
+        freshPh, standingBands, standingPh, nBands, maxHamming)
+      .localCheckpoint(true)
+    val cols = standingMedia.columns.toIndexedSeq
+    val admitted = fresh
+      .join(admittedPh.select("media_id"), Seq("media_id"), "left_semi")
+      .localCheckpoint(true)
+    // media rows first, artifacts second (bands-absence is the drift
+    // witness), both under ONE retried lease hold — the live-compaction
+    // contract shared with the text and embedding twins
+    StandingState.withLeaseRetry(spark, statePath, "ingestMediaBatch:commit") {
+      admitted.select(cols.head, cols.tail: _*)
+        .write.mode("append").parquet(standingMediaPath)
+      StandingState.writeMediaArtifacts(admittedPh, statePath, nBands)
+    }
+    admittedPh.count()
+  }
+
   /** One micro-batch of [[runTextStream]], factored out so the batch leg
     * is testable (and usable) standalone — e.g. a scripted daily ingest
     * drives the exact same code path batch-by-batch (q75 replays q63's

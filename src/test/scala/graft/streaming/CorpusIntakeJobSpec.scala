@@ -510,6 +510,70 @@ class CorpusIntakeJobSpec extends SparkSpec {
       === Set(1L, 10L))
   }
 
+  test("runMediaStream: persisted-phash dedup drops standing/near/batch dups, admits+appends novel media") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.Multimodal
+    // per-id DISTINCT luminance patterns: ordinary prose rasters are all
+    // near-uniform ASCII and their aHashes land within hamming 8 of each
+    // other (everything would correctly "near-dup" — vacuous). Tokens
+    // alternate dark '!'(33) / bright 'z'(122) keyed by a per-id bit mix,
+    // so distinct ids hash far apart while replicas stay identical. 20
+    // 5-char tokens = 119 bytes -> height 3 with margin, so the 3-byte
+    // ' !!' variant keeps the same geometry (tiny hamming, drops).
+    val mk: Int => String = i =>
+      (0 until 20).map { j =>
+        if (((i.toLong * 2654435761L >> j) & 1L) == 1L) "!!!!!" else "zzzzz"
+      }.mkString(" ")
+    def mediaOf(rows: (Long, String)*) =
+      Multimodal.asMedia(rows.toDF("doc_id", "text"))
+    // standing corpus of real PPM images + its persisted phash state
+    val mediaDir = java.nio.file.Files.createTempDirectory("media_intake_m_").toString
+    mediaOf(1L -> mk(1), 2L -> mk(2)).write.mode("overwrite").parquet(mediaDir)
+    val statePath = java.nio.file.Files.createTempDirectory("media_intake_s_").toString
+    graft.llm.StandingState.writeMediaState(
+      Multimodal.imagePhash(spark.read.parquet(mediaDir)), statePath)
+    // TORN APPEND survivor: media row landed, artifacts did not — the
+    // startup repair must cover it before any batch runs
+    mediaOf(3L -> mk(3)).write.mode("append").parquet(mediaDir)
+
+    val ck = java.nio.file.Files.createTempDirectory("media_intake_ck_").toString
+    val in = MemoryStream[(Long, String, Long, Array[Byte])]
+    val q = CorpusIntakeJob.runMediaStream(
+      in.toDF().toDF("media_id", "mime", "n_bytes", "payload"),
+      statePath, mediaDir, ck, maxHamming = 8)
+    def rec(id: Long, text: String): (Long, String, Long, Array[Byte]) = {
+      val r = mediaOf(id -> text).head()
+      (r.getAs[Long]("media_id"), r.getAs[String]("mime"),
+        r.getAs[Long]("n_bytes"), r.getAs[Array[Byte]]("payload"))
+    }
+    def tableIds: Set[Long] = spark.read.parquet(mediaDir)
+      .select("media_id").as[Long].collect().toSet
+    try {
+      in.addData(
+        rec(10, mk(10)),          // novel -> admitted
+        rec(11, mk(1)))           // byte replica of STANDING 1 -> dropped
+      q.processAllAvailable()
+      assert(tableIds === Set(1L, 2L, 3L, 10L))
+      in.addData(
+        rec(20, mk(10)),          // replica of batch-1's ADMITTED 10 -> dropped
+        rec(21, mk(3)),           // replica of the TORN doc 3 -> dropped (startup repair)
+        rec(22, mk(2) + " !!"),   // near-identical raster of standing 2 -> dropped
+        rec(23, mk(23)),          // novel -> admitted
+        rec(24, mk(23)))          // within-batch replica of 23 (lower id wins) -> dropped
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+      assert(tableIds === Set(1L, 2L, 3L, 10L, 23L))
+    } finally q.stop()
+    // the state grew by exactly the admitted items' artifacts, and a
+    // replayed batch admits nothing (self-healing replay)
+    val n = CorpusIntakeJob.ingestMediaBatch(
+      mediaOf(23L -> mk(23)), statePath, mediaDir)
+    assert(n === 0L)
+    assert(spark.read.parquet(s"$statePath/media_phashes")
+      .select("media_id").as[Long].collect().toSet === Set(1L, 2L, 3L, 10L, 23L))
+    assert(spark.read.parquet(mediaDir).count() === 5L)
+  }
+
   test("ingestEmbeddingBatch rejects zero-norm vectors (no cosine direction, no replay hole)") {
     import org.apache.spark.sql.functions.lit
     def vec(seed: Int): Array[Float] =
