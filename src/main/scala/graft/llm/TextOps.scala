@@ -1066,6 +1066,65 @@ object TextOps {
         size(col("toks")).as("n_tokens"))
   }
 
+  /** EXACT-SUBSTRING (span) DEDUP — the SLIDING-window form of
+    * [[removeDuplicatedPassages]], catching UNALIGNED cross-document
+    * duplication: every `w`-token window at every start position (stride
+    * 1) whose token string occurs in >= `minDocs` DISTINCT documents
+    * marks its span, all tokens covered by ANY marked span are removed
+    * from every document, and the survivors re-join in order. The
+    * positional chunker misses a boilerplate paragraph that starts
+    * mid-chunk (its fixed windows straddle the paragraph and each mixes
+    * in doc-specific context); the sliding window finds the duplicated
+    * run wherever it sits — the "Deduplicating Training Data" exact
+    *-substring recipe re-expressed relationally. Duplication WITHIN one
+    * doc only is kept (same contract as the positional form). Every
+    * input doc returns a row; a fully-duplicated doc comes back with
+    * text '' and n_removed == n_tokens. Whitespace is normalized (split,
+    * drop empties, single-space join), like every tokenizing rewrite
+    * here.
+    *
+    * Shape at scale: the window census shuffles one (16-byte md5,
+    * doc_id) row per token position — the published algorithm's accepted
+    * corpus-sized cost, against windows of w full token strings; the
+    * rewrite joins each doc's marked span STARTS back as ONE grouped
+    * array and computes coverage per row with a sequence/exists fold
+    * (no per-token shuffle, no interval-merge pass — overlap is
+    * absorbed by the exists). */
+  def removeDuplicatedSpans(
+      docs: DataFrame, w: Int = 20, minDocs: Int = 2): DataFrame = {
+    require(w > 0, s"window width $w must be positive")
+    require(minDocs >= 2, s"minDocs $minDocs must be >= 2 (1 would mark everything)")
+    val base = docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> length(x) > 0)").as("toks"))
+      .localCheckpoint(false) // feeds the census AND the rewrite join
+    val wins = base
+      .select(col("doc_id"), posexplode(expr(
+        s"""if(size(toks) < $w, cast(array() as array<string>),
+           |   transform(sequence(0, size(toks) - $w),
+           |     p -> md5(cast(concat_ws(' ', slice(toks, p + 1, $w)) as binary))))"""
+          .stripMargin)).as(Seq("pos", "h")))
+      .localCheckpoint(false) // feeds the census AND the span lookup
+    val dup = wins.select("h", "doc_id").groupBy("h")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDocs)
+      .select("h")
+    val spans = wins.join(dup, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("spans"))
+    val idx = s"if(size(toks) = 0, cast(array() as array<int>), sequence(0, size(toks) - 1))"
+    base.join(spans, Seq("doc_id"), "left")
+      .withColumn("ps", coalesce(col("spans"), expr("cast(array() as array<int>)")))
+      .select(
+        col("doc_id"),
+        expr(
+          s"""concat_ws(' ', filter(transform($idx,
+             |  i -> if(exists(ps, p -> p <= i and i < p + $w), null, toks[i])),
+             |  x -> x is not null))""".stripMargin).as("text"),
+        size(col("toks")).as("n_tokens"),
+        expr(s"size(filter($idx, i -> exists(ps, p -> p <= i and i < p + $w)))")
+          .cast("int").as("n_removed"))
+  }
+
   /** RefinedWeb/CCNet-style BOILERPLATE REMOVAL — the rewrite counterpart
     * of [[passageStats]]: every `w`-token chunk (same positional chunking,
     * same md5 key) occurring in >= `minDocs` DISTINCT documents is removed

@@ -3050,6 +3050,79 @@ object LlmQueries {
              |WHERE inc = 1 AND doc_id NOT IN (SELECT doc_id FROM dropids)
              |ORDER BY media_id""".stripMargin),
     ),
+
+    // ------------------------------------------------------------------
+    // Q85 — EXACT-SUBSTRING (span) DEDUP: the sliding-window form of q62's
+    // positional passage removal, catching UNALIGNED cross-document
+    // duplication (the "Deduplicating Training Data" exact-substring
+    // recipe re-expressed relationally). A shared 25-token boilerplate
+    // run is SPLICED into every doc_id % 3 == 0 document at a
+    // doc-dependent offset (doc_id % 7 + 3) — deliberately unaligned, so
+    // q62's fixed chunks would each mix boilerplate with doc-specific
+    // context and find nothing, while the stride-1 20-token windows
+    // inside the run collide across docs and their union covers exactly
+    // the spliced tokens. The oracle replays the splice, the window
+    // census (grouping by the raw window string — the md5 in the Spark
+    // plan is equivalence-preserving under the standard contract), span
+    // coverage, and the rewrite.
+    Declared(
+      "q85_span_dedup",
+      (s, dir) => {
+        val boiler = (1 to 25).map(i => s"boil$i").mkString("','")
+        val docs = Tables.documentsRaw(s, dir).filter(col("doc_id") < 200)
+        val planted = docs.select(col("doc_id"), expr(
+          s"""case when doc_id % 3 = 0 then concat_ws(' ',
+             |  concat(
+             |    slice(filter(split(text, ' '), x -> length(x) > 0),
+             |          1, cast(doc_id % 7 + 3 as int)),
+             |    array('$boiler'),
+             |    slice(filter(split(text, ' '), x -> length(x) > 0),
+             |          cast(doc_id % 7 + 4 as int), 1000000)))
+             |else text end""".stripMargin).as("text"))
+        TextOps.removeDuplicatedSpans(planted, w = 20, minDocs = 2)
+          .orderBy("doc_id")
+      },
+      Some(("""WITH raw0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+             |planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 3 = 0 THEN array_to_string(
+             |      list_filter(string_split(text, ' '), x -> len(x) > 0)
+             |        [1 : CAST(doc_id % 7 + 3 AS INT)]
+             |      || [""" + (1 to 25).map(i => s"'boil$i'").mkString(",") + """]
+             |      || list_filter(string_split(text, ' '), x -> len(x) > 0)
+             |        [CAST(doc_id % 7 + 4 AS INT) : 100000000], ' ')
+             |    ELSE text END AS text
+             |  FROM raw0),
+             |t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+             |  FROM planted),
+             |wins AS (
+             |  SELECT doc_id, p, array_to_string(toks[p+1 : p+20], ' ') AS win
+             |  FROM (SELECT doc_id, toks,
+             |               unnest(generate_series(0, len(toks) - 20)) AS p
+             |        FROM t WHERE len(toks) >= 20)),
+             |dup AS (
+             |  SELECT win FROM (
+             |    SELECT win, COUNT(DISTINCT doc_id) AS df FROM wins GROUP BY win)
+             |  WHERE df >= 2),
+             |spans AS (
+             |  SELECT doc_id, list(p) AS ps FROM wins
+             |  WHERE win IN (SELECT win FROM dup) GROUP BY doc_id)
+             |SELECT t.doc_id,
+             |  COALESCE(array_to_string(list_filter(
+             |    list_transform(generate_series(1, CAST(len(toks) AS INT)),
+             |      i -> CASE WHEN len(list_filter(COALESCE(ps, []),
+             |                     p -> p <= i - 1 AND i - 1 < p + 20)) > 0
+             |                THEN NULL ELSE toks[i] END),
+             |    x -> x IS NOT NULL), ' '), '') AS text,
+             |  CAST(len(toks) AS INT) AS n_tokens,
+             |  CAST(len(list_filter(generate_series(1, CAST(len(toks) AS INT)),
+             |    i -> len(list_filter(COALESCE(ps, []),
+             |           p -> p <= i - 1 AND i - 1 < p + 20)) > 0)) AS INT) AS n_removed
+             |FROM t LEFT JOIN spans ON t.doc_id = spans.doc_id
+             |ORDER BY t.doc_id""").stripMargin),
+    ),
   )
 
   /** DuckDB replay of [[graft.llm.CorpusPipeline.prepareIncremental]]

@@ -832,6 +832,52 @@ class LlmOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextOps.chunkByTokens(docs, 10, 0))
   }
 
+  test("removeDuplicatedSpans: unaligned cross-doc runs removed exactly; intra-doc repetition kept") {
+    val rnd = new scala.util.Random(2025)
+    def uniq(n: Int): Seq[String] = Seq.fill(n)(
+      "u" + rnd.alphanumeric.filter(_.isLetter).take(8).mkString.toLowerCase)
+    val boiler = (1 to 12).map(i => s"shared$i")
+    // doc 1/2: the 12-token boiler spliced at DIFFERENT offsets inside
+    // otherwise-unique token streams — the unaligned case the positional
+    // chunker (w-aligned) misses
+    val d1 = (uniq(5) ++ boiler ++ uniq(9)).mkString(" ")
+    val d2 = (uniq(3) ++ boiler ++ uniq(11)).mkString(" ")
+    // doc 3: unique content only
+    val d3u = uniq(20)
+    val d3 = d3u.mkString(" ")
+    // doc 4: an INTRA-doc repeated run (twice in the same doc, nowhere
+    // else) — must be kept (cross-doc census only)
+    val rep = (1 to 8).map(i => s"rep$i")
+    val d4 = (rep ++ uniq(4) ++ rep ++ uniq(3)).mkString(" ")
+    // doc 5: all boiler — comes back empty
+    val d5 = boiler.mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4), (5L, d5))
+      .toDF("doc_id", "text")
+    val out = TextOps.removeDuplicatedSpans(docs, w = 8, minDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "text", "n_tokens", "n_removed")
+      .as[(Long, String, Int, Int)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    // every boiler token (and only those) removed from docs 1/2 — the
+    // unique context has no cross-doc 8-gram
+    assert(byId(1L)._4 === 12 && !byId(1L)._2.contains("shared"))
+    assert(byId(2L)._4 === 12 && !byId(2L)._2.contains("shared"))
+    assert(byId(1L)._2.split(" ").length === byId(1L)._3 - 12)
+    // unique doc untouched (whitespace-normalized passthrough)
+    assert(byId(3L) === ((3L, d3, 20, 0)))
+    // intra-doc repetition kept whole
+    assert(byId(4L) === ((4L, d4, 23, 0)))
+    // the all-boiler doc: its 12 tokens ARE the shared run -> empty
+    assert(byId(5L)._2 === "" && byId(5L)._4 === 12)
+    // and the POSITIONAL chunker misses the unaligned case entirely at
+    // the same width (both docs' fixed chunks mix boiler with unique
+    // context), which is exactly why the sliding form exists
+    val positional = TextOps.removeDuplicatedPassages(
+      Seq((1L, d1), (2L, d2)).toDF("doc_id", "text"), w = 8, minDocs = 2)
+      .select("doc_id", "n_removed").as[(Long, Int)].collect().toMap
+    assert(positional(1L) === 0 && positional(2L) === 0)
+  }
+
   test("learnBpeMergesCollected cap gate: under-cap == uncapped; over-cap falls back, identically") {
     val rnd = new scala.util.Random(128)
     val words = Seq.fill(30)(

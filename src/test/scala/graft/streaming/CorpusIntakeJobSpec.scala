@@ -602,6 +602,46 @@ class CorpusIntakeJobSpec extends SparkSpec {
     assert(spark.read.parquet(s"$statePath/emb_buckets").count() === 2L)
   }
 
+  test("bare ingestEmbeddingBatch retry after a mid-append crash: no duplicate vectors, buckets completed") {
+    // the embedding twin of the text retry test: vectors landed in the
+    // standing table, the process died before the bucket append, and the
+    // caller retries directly — id-presence must route the replays to
+    // repair, never re-append
+    import org.apache.spark.sql.functions.lit
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(seed * 31 + i) * 0.5).toFloat)
+    val standingDir = java.nio.file.Files.createTempDirectory("emb_retry_vecs_").toString
+    Seq((1L, vec(1))).toDF("vec_id", "embedding").withColumn("label", lit("s"))
+      .write.mode("overwrite").parquet(standingDir)
+    val statePath = java.nio.file.Files.createTempDirectory("emb_retry_state_").toString
+    graft.llm.StandingState.writeEmbBuckets(spark.read.parquet(standingDir), statePath)
+    // crashed first attempt: vectors 10/11 admitted + appended, NO buckets
+    Seq((10L, vec(10)), (11L, vec(11))).toDF("vec_id", "embedding")
+      .withColumn("label", lit(null).cast("string"))
+      .write.mode("append").parquet(standingDir)
+    // the bare retry of the SAME batch (12 is a replica of standing 1)
+    val batch = Seq((10L, vec(10)), (11L, vec(11)), (12L, vec(1)))
+      .toDF("vec_id", "embedding")
+    assert(CorpusIntakeJob.ingestEmbeddingBatch(
+      batch, statePath, standingDir, tau = 0.999) === 0L,
+      "a retry repairs, it does not re-admit")
+    val ids = spark.read.parquet(standingDir).select("vec_id").as[Long].collect()
+    assert(ids.length === ids.distinct.length, "duplicate vector rows")
+    assert(ids.toSet === Set(1L, 10L, 11L))
+    // buckets completed in place: replicas (fresh ids) of the torn
+    // vectors now collide and drop
+    assert(CorpusIntakeJob.ingestEmbeddingBatch(
+      Seq((20L, vec(10)), (21L, vec(11)), (22L, vec(22)))
+        .toDF("vec_id", "embedding"),
+      statePath, standingDir, tau = 0.999) === 1L)
+    assert(spark.read.parquet(standingDir).select("vec_id").as[Long].collect().toSet
+      === Set(1L, 10L, 11L, 22L))
+    // idempotent: a second full retry is a no-op
+    assert(CorpusIntakeJob.ingestEmbeddingBatch(
+      batch, statePath, standingDir, tau = 0.999) === 0L)
+    assert(spark.read.parquet(standingDir).count() === 4L)
+  }
+
   test("intake: exact mode dedups on redacted text; distinct texts all pass") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamDoc]
