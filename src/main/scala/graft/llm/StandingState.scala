@@ -706,7 +706,8 @@ object StandingState {
       corpusPath: Option[String],
       targetFileBytes: Long = DefaultCompactTargetBytes): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
-    Seq("digests", "bands", "emb_buckets", "media_phashes", "media_bands")
+    Seq("digests", "bands", "emb_buckets", "media_phashes", "media_bands",
+        "span_hashes")
       .foreach { table =>
         compactDirLive(spark, path, new HPath(s"$path/$table"), _.distinct())
       }
@@ -1028,6 +1029,41 @@ object StandingState {
       }
     }
     (nDrift, nGhosts)
+  }
+
+  /** Persist the standing corpus' SPAN-DEDUP window-hash index
+    * (`span_hashes/` — one 16-byte md5 per DISTINCT w-token window, the
+    * [[TextOps.spanWindowHashes]] projection — plus a `span_meta` row
+    * pinning `w`): the standing side of
+    * [[TextOps.removeDuplicatedSpansIncremental]]. O(corpus tokens) rows
+    * — the exact-substring index's honest, published cost, paid once as
+    * a table instead of a census rebuild per ingest. */
+  def writeSpanIndex(docs: DataFrame, path: String, w: Int = 20): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    TextOps.spanWindowHashes(docs, w)
+      .write.mode("overwrite").parquet(s"$path/span_hashes")
+    Seq(w).toDF("w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/span_meta")
+  }
+
+  /** Lazy scan of the persisted span index: (hashes, w). */
+  def loadSpanIndex(spark: SparkSession, path: String): (DataFrame, Int) = {
+    heal(spark, path, "span_hashes")
+    val w = spark.read.parquet(s"$path/span_meta").head().getAs[Int]("w")
+    (spark.read.parquet(s"$path/span_hashes"), w)
+  }
+
+  /** Close the span-dedup cycle: append the CLEANED admitted batch's
+    * distinct window hashes under the persisted `w` (duplicates across
+    * appends are set-semantic; [[compact]] folds them). */
+  def appendSpanHashes(cleanedBatch: DataFrame, path: String): Unit = {
+    val spark = cleanedBatch.sparkSession
+    val w = spark.read.parquet(s"$path/span_meta").head().getAs[Int]("w")
+    val rows = TextOps.spanWindowHashes(cleanedBatch, w)
+    withLease(spark, path, "appendSpanHashes") {
+      rows.write.mode("append").parquet(s"$path/span_hashes")
+    }
   }
 
   /** Persist the standing corpus' sign-LSH bucket rows for the EMBEDDING

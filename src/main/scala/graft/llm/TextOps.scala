@@ -1125,6 +1125,81 @@ object TextOps {
           .cast("int").as("n_removed"))
   }
 
+  /** INCREMENTAL [[removeDuplicatedSpans]] — the daily-ingest form: a
+    * batch doc's token is covered (and removed) when a w-token window
+    * over it matches ANY standing-corpus window (`standingHashes`, the
+    * persisted hash set — the standing corpus is never re-scanned) or a
+    * window occurring in >= `minDocs` DISTINCT batch docs (the
+    * within-batch census, so two batch docs sharing a fresh boilerplate
+    * run still clean each other). Standing docs are never modified —
+    * they were cleaned when they were the batch.
+    *
+    * Shape at scale: batch-side window rows only (O(batch tokens));
+    * the standing side is one semi-join against a 16-byte-hash table
+    * (itself O(corpus tokens) — the exact-substring index's honest,
+    * published cost, paid as a TABLE on disk instead of a rebuild per
+    * ingest). Close the cycle by appending the CLEANED batch's window
+    * hashes ([[spanWindowHashes]]) to the standing table. */
+  def removeDuplicatedSpansIncremental(
+      batch: DataFrame,
+      standingHashes: DataFrame,
+      w: Int = 20,
+      minDocs: Int = 2): DataFrame = {
+    require(w > 0, s"window width $w must be positive")
+    require(minDocs >= 2, s"minDocs $minDocs must be >= 2 (1 would mark everything)")
+    val base = batch
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> length(x) > 0)").as("toks"))
+      .localCheckpoint(false)
+    val wins = base
+      .select(col("doc_id"), posexplode(expr(
+        s"""if(size(toks) < $w, cast(array() as array<string>),
+           |   transform(sequence(0, size(toks) - $w),
+           |     p -> md5(cast(concat_ws(' ', slice(toks, p + 1, $w)) as binary))))"""
+          .stripMargin)).as(Seq("pos", "h")))
+      .localCheckpoint(false)
+    val dupBatch = wins.select("h", "doc_id").groupBy("h")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDocs)
+      .select("h")
+    val dup = dupBatch.unionByName(
+      wins.select("h").join(
+        standingHashes.select(col("h")).distinct(), Seq("h"), "left_semi"))
+      .distinct()
+    val spans = wins.join(dup, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("spans"))
+    val idx = s"if(size(toks) = 0, cast(array() as array<int>), sequence(0, size(toks) - 1))"
+    base.join(spans, Seq("doc_id"), "left")
+      .withColumn("ps", coalesce(col("spans"), expr("cast(array() as array<int>)")))
+      .select(
+        col("doc_id"),
+        expr(
+          s"""concat_ws(' ', filter(transform($idx,
+             |  i -> if(exists(ps, p -> p <= i and i < p + $w), null, toks[i])),
+             |  x -> x is not null))""".stripMargin).as("text"),
+        size(col("toks")).as("n_tokens"),
+        expr(s"size(filter($idx, i -> exists(ps, p -> p <= i and i < p + $w)))")
+          .cast("int").as("n_removed"))
+  }
+
+  /** The distinct w-token window hashes of `docs` — the artifact
+    * [[removeDuplicatedSpansIncremental]]'s standing side persists
+    * (`StandingState` span-index table): one 16-byte hash per distinct
+    * window. Append the CLEANED admitted batch's hashes after each
+    * ingest to close the cycle. */
+  def spanWindowHashes(docs: DataFrame, w: Int): DataFrame = {
+    require(w > 0, s"window width $w must be positive")
+    docs
+      .select(expr(
+        s"""explode(if(size(filter(split(text, ' '), x -> length(x) > 0)) < $w,
+           |  cast(array() as array<string>),
+           |  transform(sequence(0, size(filter(split(text, ' '), x -> length(x) > 0)) - $w),
+           |    p -> md5(cast(concat_ws(' ',
+           |      slice(filter(split(text, ' '), x -> length(x) > 0), p + 1, $w)) as binary)))))"""
+          .stripMargin).as("h"))
+      .distinct()
+  }
+
   /** RefinedWeb/CCNet-style BOILERPLATE REMOVAL — the rewrite counterpart
     * of [[passageStats]]: every `w`-token chunk (same positional chunking,
     * same md5 key) occurring in >= `minDocs` DISTINCT documents is removed

@@ -3123,6 +3123,108 @@ object LlmQueries {
              |FROM t LEFT JOIN spans ON t.doc_id = spans.doc_id
              |ORDER BY t.doc_id""").stripMargin),
     ),
+
+    // ------------------------------------------------------------------
+    // Q86 — INCREMENTAL span dedup against the PERSISTED window-hash
+    // index (q85's daily-ingest form): the standing corpus (docs < 150,
+    // with the q85 splice plant so it carries the shared run) persists
+    // its distinct 20-token window hashes ONCE
+    // (StandingState.writeSpanIndex — O(corpus tokens) 16-byte rows, the
+    // exact-substring index's published cost paid as a table); the batch
+    // (docs 150-299) is cleaned against that index WITHOUT re-scanning
+    // standing text: a batch token is covered when a window over it
+    // matches any standing hash (the spliced run — plus any genuinely
+    // shared 20-gram) OR a window occurring in >= 2 distinct batch docs
+    // (a SECOND, batch-only run spliced into doc_id % 5 == 1 batch docs
+    // exercises that leg). At minDocs = 2 this is EXACTLY the full
+    // sliding census over standing ∪ batch restricted to batch rows
+    // (one standing occurrence + the batch occurrence = 2 distinct docs)
+    // — the spec pins that equality; the oracle replays both legs.
+    Declared(
+      "q86_span_dedup_incremental",
+      (s, dir) => {
+        val boilA = (1 to 25).map(i => s"boil$i").mkString("','")
+        val boilB = (1 to 25).map(i => s"brun$i").mkString("','")
+        def plant(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), expr(
+            s"""case
+               |when doc_id % 3 = 0 then concat_ws(' ',
+               |  concat(
+               |    slice(filter(split(text, ' '), x -> length(x) > 0),
+               |          1, cast(doc_id % 7 + 3 as int)),
+               |    array('$boilA'),
+               |    slice(filter(split(text, ' '), x -> length(x) > 0),
+               |          cast(doc_id % 7 + 4 as int), 1000000)))
+               |when doc_id >= 150 and doc_id % 5 = 1 then concat_ws(' ',
+               |  concat(
+               |    slice(filter(split(text, ' '), x -> length(x) > 0),
+               |          1, cast(doc_id % 5 + 2 as int)),
+               |    array('$boilB'),
+               |    slice(filter(split(text, ' '), x -> length(x) > 0),
+               |          cast(doc_id % 5 + 3 as int), 1000000)))
+               |else text end""".stripMargin).as("text"))
+        val all = plant(Tables.documentsRaw(s, dir).filter(col("doc_id") < 300))
+        val statePath = java.nio.file.Files
+          .createTempDirectory("q86_span_state_").toString
+        graft.llm.StandingState.writeSpanIndex(
+          all.filter(col("doc_id") < 150), statePath, w = 20)
+        val (hashes, w) = graft.llm.StandingState.loadSpanIndex(s, statePath)
+        TextOps.removeDuplicatedSpansIncremental(
+          all.filter(col("doc_id") >= 150), hashes, w, minDocs = 2)
+          .orderBy("doc_id")
+      },
+      Some(("""WITH raw0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+             |planted AS (
+             |  SELECT doc_id,
+             |    CASE
+             |    WHEN doc_id % 3 = 0 THEN array_to_string(
+             |      list_filter(string_split(text, ' '), x -> len(x) > 0)
+             |        [1 : CAST(doc_id % 7 + 3 AS INT)]
+             |      || [""" + (1 to 25).map(i => s"'boil$i'").mkString(",") + """]
+             |      || list_filter(string_split(text, ' '), x -> len(x) > 0)
+             |        [CAST(doc_id % 7 + 4 AS INT) : 100000000], ' ')
+             |    WHEN doc_id >= 150 AND doc_id % 5 = 1 THEN array_to_string(
+             |      list_filter(string_split(text, ' '), x -> len(x) > 0)
+             |        [1 : CAST(doc_id % 5 + 2 AS INT)]
+             |      || [""" + (1 to 25).map(i => s"'brun$i'").mkString(",") + """]
+             |      || list_filter(string_split(text, ' '), x -> len(x) > 0)
+             |        [CAST(doc_id % 5 + 3 AS INT) : 100000000], ' ')
+             |    ELSE text END AS text
+             |  FROM raw0),
+             |t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+             |  FROM planted),
+             |wins AS (
+             |  SELECT doc_id, p, array_to_string(toks[p+1 : p+20], ' ') AS win
+             |  FROM (SELECT doc_id, toks,
+             |               unnest(generate_series(0, len(toks) - 20)) AS p
+             |        FROM t WHERE len(toks) >= 20)),
+             |standwins AS (SELECT DISTINCT win FROM wins WHERE doc_id < 150),
+             |batchwins AS (SELECT doc_id, p, win FROM wins WHERE doc_id >= 150),
+             |dupbatch AS (
+             |  SELECT win FROM (
+             |    SELECT win, COUNT(DISTINCT doc_id) AS df FROM batchwins GROUP BY win)
+             |  WHERE df >= 2),
+             |dup AS (SELECT win FROM standwins UNION SELECT win FROM dupbatch),
+             |spans AS (
+             |  SELECT doc_id, list(p) AS ps FROM batchwins
+             |  WHERE win IN (SELECT win FROM dup) GROUP BY doc_id),
+             |bt AS (SELECT doc_id, toks FROM t WHERE doc_id >= 150)
+             |SELECT bt.doc_id,
+             |  COALESCE(array_to_string(list_filter(
+             |    list_transform(generate_series(1, CAST(len(toks) AS INT)),
+             |      i -> CASE WHEN len(list_filter(COALESCE(ps, []),
+             |                     p -> p <= i - 1 AND i - 1 < p + 20)) > 0
+             |                THEN NULL ELSE toks[i] END),
+             |    x -> x IS NOT NULL), ' '), '') AS text,
+             |  CAST(len(toks) AS INT) AS n_tokens,
+             |  CAST(len(list_filter(generate_series(1, CAST(len(toks) AS INT)),
+             |    i -> len(list_filter(COALESCE(ps, []),
+             |           p -> p <= i - 1 AND i - 1 < p + 20)) > 0)) AS INT) AS n_removed
+             |FROM bt LEFT JOIN spans ON bt.doc_id = spans.doc_id
+             |ORDER BY bt.doc_id""").stripMargin),
+    ),
   )
 
   /** DuckDB replay of [[graft.llm.CorpusPipeline.prepareIncremental]]

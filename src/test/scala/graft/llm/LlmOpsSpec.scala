@@ -878,6 +878,69 @@ class LlmOpsSpec extends SparkSpec {
     assert(positional(1L) === 0 && positional(2L) === 0)
   }
 
+  test("removeDuplicatedSpansIncremental == full sliding census restricted to batch; append closes the cycle") {
+    val rnd = new scala.util.Random(86)
+    def uniq(n: Int): Seq[String] = Seq.fill(n)(
+      "v" + rnd.alphanumeric.filter(_.isLetter).take(7).mkString.toLowerCase)
+    val boiler = (1 to 10).map(i => s"sp$i")
+    // standing: one doc carries the run; batch: two docs carry it at
+    // different offsets (one also matched by the within-batch leg via a
+    // second batch-only run), plus clean docs
+    val brun = (1 to 10).map(i => s"bo$i")
+    val standing = Seq(
+      (1L, (uniq(6) ++ boiler ++ uniq(5)).mkString(" ")),
+      (2L, uniq(15).mkString(" ")))
+    val batch = Seq(
+      (10L, (uniq(2) ++ boiler ++ uniq(7)).mkString(" ")), // vs standing leg
+      (11L, (brun ++ uniq(6)).mkString(" ")),              // within-batch leg...
+      (12L, (uniq(4) ++ brun ++ uniq(2)).mkString(" ")),   // ...x2, unaligned
+      (13L, uniq(14).mkString(" ")))                       // clean
+    val w = 6
+    val standingDf = standing.toDF("doc_id", "text")
+    val batchDf = batch.toDF("doc_id", "text")
+    val inc = TextOps.removeDuplicatedSpansIncremental(
+        batchDf, TextOps.spanWindowHashes(standingDf, w), w, minDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "text", "n_tokens", "n_removed")
+      .as[(Long, String, Int, Int)].collect().toSeq
+    // at minDocs = 2, exactly the full census over standing UNION batch,
+    // restricted to the batch rows (one standing occurrence + the batch
+    // occurrence already makes two distinct docs)
+    val full = TextOps.removeDuplicatedSpans(
+        standingDf.unionByName(batchDf), w, minDocs = 2)
+      .filter(col("doc_id") >= 10L)
+      .orderBy("doc_id")
+      .select("doc_id", "text", "n_tokens", "n_removed")
+      .as[(Long, String, Int, Int)].collect().toSeq
+    assert(inc === full)
+    val byId = inc.map(r => r._1 -> r).toMap
+    assert(byId(10L)._4 === 10 && !byId(10L)._2.contains("sp"))
+    assert(byId(11L)._4 === 10 && byId(12L)._4 === 10,
+      "the batch-only run must fall to the within-batch census")
+    assert(byId(13L)._4 === 0)
+    // CYCLE: persist the index, clean the batch, append the CLEANED
+    // hashes; a later doc replicating batch-1's SURVIVING content is
+    // scrubbed, while content that was REMOVED (and so never entered the
+    // corpus) does not fire on a lone future replica
+    val dir = java.nio.file.Files.createTempDirectory("span_index_").toString
+    StandingState.writeSpanIndex(standingDf, dir, w)
+    val (h0, w0) = StandingState.loadSpanIndex(spark, dir)
+    val cleaned = TextOps.removeDuplicatedSpansIncremental(batchDf, h0, w0)
+      .localCheckpoint(true)
+    StandingState.appendSpanHashes(cleaned.select("doc_id", "text"), dir)
+    val (h1, w1) = StandingState.loadSpanIndex(spark, dir)
+    val doc13Survivor = byId(13L)._2 // admitted untouched -> in the index now
+    val later = Seq(
+      (20L, doc13Survivor),                       // replica of admitted content -> fully covered
+      (21L, (brun ++ uniq(8)).mkString(" ")))     // lone replica of REMOVED content -> kept
+      .toDF("doc_id", "text")
+    val out2 = TextOps.removeDuplicatedSpansIncremental(later, h1, w1)
+      .select("doc_id", "n_tokens", "n_removed")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out2(20L)._3 === out2(20L)._2, "admitted content must be indexed")
+    assert(out2(21L)._3 === 0, "removed-from-corpus content has nothing to duplicate")
+  }
+
   test("learnBpeMergesCollected cap gate: under-cap == uncapped; over-cap falls back, identically") {
     val rnd = new scala.util.Random(128)
     val words = Seq.fill(30)(
