@@ -694,6 +694,97 @@ object ScaleBench {
       }
     }
 
+    // MEDIA intake cycle at scale: the factor-replicated corpus as REAL
+    // PPM images with a persisted phash state. Fixed point: a batch
+    // replicating standing CONTENT under fresh ids is annihilated
+    // (replica phash hamming == 0 always collides on every band) with
+    // batch-shaped candidate work — standing payloads are never
+    // re-decoded (the state is 8 bytes/item). A synthetic-pattern novel
+    // batch then admits and appends through the same leg (count
+    // reported; prose rasters can genuinely near-dup each other, so no
+    // all-admitted claim is sound there).
+    locally {
+      import graft.llm.Multimodal
+      import graft.streaming.CorpusIntakeJob
+      import spark.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("media_intake_scale")
+      try {
+        val mediaDir = s"$tmp/media"
+        val statePath = s"$tmp/state"
+        val (_, tBuild) = timed {
+          Multimodal.asMedia(docs.select(col("doc_id"), col("text")))
+            .write.mode("overwrite").parquet(mediaDir)
+          StandingState.writeMediaState(
+            Multimodal.imagePhash(spark.read.parquet(mediaDir)), statePath)
+        }
+        val replicaBatch = Multimodal.asMedia(
+          Tables.documents(spark, sfDir)
+            .select((col("doc_id") + 910000000L).as("doc_id"), col("text")))
+          .localCheckpoint(true)
+        val nBatch = replicaBatch.count()
+        val (nAdmitted, tReplica) = timed {
+          CorpusIntakeJob.ingestMediaBatch(replicaBatch, statePath, mediaDir)
+        }
+        val novel = (0 until 500).map { i =>
+          (920000000L + i,
+            (0 until 20).map { j =>
+              if (((i.toLong * 2654435761L >> j) & 1L) == 1L) "!!!!!" else "zzzzz"
+            }.mkString(" "))
+        }
+        val novelBatch = Multimodal.asMedia(novel.toDF("doc_id", "text"))
+          .localCheckpoint(true)
+        val (nNovel, tNovel) = timed {
+          CorpusIntakeJob.ingestMediaBatch(novelBatch, statePath, mediaDir)
+        }
+        println(s"""{"op":"media_intake_cycle","standing":$nDocs,"build_state_sec":${f"$tBuild%.2f"},"replica_batch":$nBatch,"replica_admitted":$nAdmitted,"all_dropped":${nAdmitted == 0L},"replica_sec":${f"$tReplica%.2f"},"novel_batch":500,"novel_admitted":$nNovel,"novel_sec":${f"$tNovel%.2f"}}""")
+      } finally {
+        val files = java.nio.file.Files.walk(tmp)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator()
+        while (files.hasNext) java.nio.file.Files.deleteIfExists(files.next())
+      }
+    }
+
+    // EXACT-SUBSTRING span index at scale: the window-hash table over the
+    // replicated corpus (O(corpus tokens) 16-byte rows — the published
+    // algorithm's cost, persisted once), then an incremental clean of a
+    // batch replicating standing content. Fixed point: every batch doc
+    // with >= w tokens is FULLY covered (all its windows sit in
+    // standing); the incremental pass is batch-shaped vs the full census
+    // rebuild over the union.
+    locally {
+      val tmp = java.nio.file.Files.createTempDirectory("span_index_scale")
+      try {
+        val w = 20
+        val (_, tIndex) = timed {
+          StandingState.writeSpanIndex(docs, tmp.toString, w)
+        }
+        val nHashes = spark.read.parquet(s"$tmp/span_hashes").count()
+        val batch = Tables.documents(spark, sfDir)
+          .select((col("doc_id") + 930000000L).as("doc_id"), col("text"))
+          .localCheckpoint(true)
+        val (hashes, _) = StandingState.loadSpanIndex(spark, tmp.toString)
+        val (fixedPoint, tInc) = timed {
+          val out = TextOps.removeDuplicatedSpansIncremental(batch, hashes, w)
+            .localCheckpoint(true)
+          out.filter(col("n_tokens") >= w)
+            .filter(col("n_removed") =!= col("n_tokens")).count() == 0L
+        }
+        val (_, tFull) = timed {
+          TextOps.removeDuplicatedSpans(
+            docs.select("doc_id", "text").unionByName(batch), w)
+            .filter(col("doc_id") >= 930000000L)
+            .write.mode("overwrite").format("noop").save()
+        }
+        println(s"""{"op":"span_dedup_incremental","standing":$nDocs,"window_hashes":$nHashes,"index_build_sec":${f"$tIndex%.2f"},"batch":${batch.count()},"replicas_fully_covered":$fixedPoint,"incremental_sec":${f"$tInc%.2f"},"full_rebuild_sec":${f"$tFull%.2f"}}""")
+      } finally {
+        val files = java.nio.file.Files.walk(tmp)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator()
+        while (files.hasNext) java.nio.file.Files.deleteIfExists(files.next())
+      }
+    }
+
     // the claim behind PQ — candidate SCAN BYTES — measured on disk: the
     // float corpus vs the encoded (tinyint codes + float norm) corpus,
     // both snappy parquet. This byte ratio is what a 100 TB ANN scan

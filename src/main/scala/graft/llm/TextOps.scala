@@ -1528,6 +1528,116 @@ object TextOps {
     docs.filter(rules.reduce(_ && _))
   }
 
+  /** DSIR-style hashed n-gram featurization (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): one row per
+    * feature INSTANCE — word unigrams plus adjacent-word bigrams — bucketed
+    * into `[0, m)` by the first 8 md5 hex chars (a 32-bit value both
+    * engines derive identically: Spark `conv(substring(md5(f),1,8),16,10)`,
+    * DuckDB `('0x' || substr(md5(f),1,8))::BIGINT`) mod `m`.
+    *
+    * Shape at scale: a pure per-row explode feeding whatever aggregation
+    * the caller keys on — no shuffle here, one md5 per feature instance
+    * inside whole-stage codegen. Instance multiplicity is deliberate
+    * (DSIR weights are sums over the document's feature VECTOR, so a
+    * token occurring 5x contributes 5x its bucket's log-ratio). */
+  def dsirFeatures(docs: DataFrame, m: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> length(x) > 0)").as("toks"))
+      .select(col("doc_id"),
+        explode(expr(
+          """concat(toks,
+            |  transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
+            |    (t, i) -> concat(t, ' ', toks[i + 1])))""".stripMargin))
+          .as("feat"))
+      .select(col("doc_id"),
+        expr(s"cast(conv(substring(md5(feat), 1, 8), 16, 10) as bigint) % $m")
+          .as("bucket"))
+
+  /** The m-row DSIR bucket log-likelihood-ratio table:
+    * `ln p_target(b) - ln p_raw(b)` with add-`lambda` smoothing over the
+    * full bucket domain, where `p(b) = (count(b) + lambda) / (total +
+    * lambda*m)`. The two totals are embedded as literals (two bounded
+    * count actions — the q45 `docs.count()` precedent; a 1-row carrier
+    * frame would plan as the banned BroadcastNestedLoopJoin), so the ratio
+    * is a foldable per-row expression over the two m-bucket count frames.
+    *
+    * Shape at scale: two feature censuses (explode -> groupBy(bucket),
+    * map-side partial aggregation collapses each to <= m rows per task),
+    * then an m-row join — m is a few thousand, so the result broadcasts
+    * to every downstream scorer. Nothing here scales with corpus size
+    * except the two one-pass censuses. */
+  def dsirLogRatios(
+      raw: DataFrame,
+      target: DataFrame,
+      m: Int,
+      lambda: Double = 1.0): DataFrame = {
+    val spark = raw.sparkSession
+    val tCnt = dsirFeatures(target, m).groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val rCnt = dsirFeatures(raw, m).groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val tTotal = dsirFeatures(target, m).count()
+    val rTotal = dsirFeatures(raw, m).count()
+    spark.range(m).select(col("id").as("bucket"))
+      .join(tCnt, Seq("bucket"), "left")
+      .join(rCnt, Seq("bucket"), "left")
+      .select(
+        col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(lambda)) /
+             lit(tTotal + lambda * m)) -
+         log((coalesce(col("cr"), lit(0L)) + lit(lambda)) /
+             lit(rTotal + lambda * m))).as("log_ratio"))
+  }
+
+  /** Per-document DSIR log importance weight over `raw`: the sum of its
+    * feature instances' bucket log-ratios, through the fixed-scale decimal
+    * sum (each element rounded to 6dp, summed as DECIMAL(25,6) — naive
+    * double sums are shuffle-order-dependent and break the cross-engine
+    * hash; the q45 discipline). Documents with zero features keep a 0.0
+    * weight via the restoring left join.
+    *
+    * Shape at scale: featurize (per-row) -> broadcast-join the m-row
+    * ratio table -> groupBy(doc_id) with map-side partials. One shuffle,
+    * keyed by doc_id, carrying (doc_id, 6dp-decimal partial) rows. */
+  def dsirScores(
+      raw: DataFrame,
+      target: DataFrame,
+      m: Int = 1024,
+      lambda: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ratios = dsirLogRatios(raw, target, m, lambda)
+    val scored = dsirFeatures(raw, m)
+      .join(broadcast(ratios), "bucket")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_feats"),
+        sum(round(col("log_ratio"), 6).cast(DecimalType(25, 6)))
+          .cast("double").as("log_w"))
+    raw.select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("log_w"), lit(0.0)).as("log_w"))
+  }
+
+  /** Deterministic DSIR selection: the top-`k` raw documents by log
+    * importance weight (ties -> doc_id asc). The paper's Gumbel-noise
+    * sampling degenerates to exactly this under any fixed noise ordering;
+    * determinism is what the cross-engine oracle (and reproducible data
+    * curation) needs. orderBy+limit plans as TakeOrderedAndProject —
+    * per-partition top-k then a k-row merge, never a single-task global
+    * sort (and never the unpartitioned WindowExec the plan audit bans);
+    * rank is implied by the (log_w desc, doc_id) order. */
+  def dsirSelect(
+      raw: DataFrame,
+      target: DataFrame,
+      m: Int = 1024,
+      lambda: Double = 1.0,
+      k: Int = 100): DataFrame =
+    dsirScores(raw, target, m, lambda)
+      .orderBy(col("log_w").desc, col("doc_id"))
+      .limit(k)
+
   def langIdDF(docs: DataFrame): DataFrame = {
     val scored = langMarkers.zipWithIndex.map { case ((lang, words), idx) =>
       struct(

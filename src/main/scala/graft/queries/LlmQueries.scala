@@ -3225,6 +3225,66 @@ object LlmQueries {
              |FROM bt LEFT JOIN spans ON bt.doc_id = spans.doc_id
              |ORDER BY bt.doc_id""").stripMargin),
     ),
+
+    // ------------------------------------------------------------------
+    // Q87 — DSIR importance resampling (Xie et al. 2023): hashed
+    // unigram+bigram bucket distributions fit on a TARGET slice (lang='en')
+    // vs the RAW corpus with add-1 smoothing over m=1024 buckets; every
+    // raw doc scored by the sum of its feature instances' log-likelihood
+    // ratios (6dp-decimal sum — the q45 discipline, with a sign-aware
+    // truncation nudge in the oracle since log-ratios are signed); the
+    // top-120 by weight selected deterministically (ties -> doc_id).
+    // The oracle replays featurization (same md5-bucket arithmetic),
+    // both censuses, the smoothed ratio table over the full bucket
+    // domain, scoring, and the top-k select.
+    Declared(
+      "q87_dsir_select",
+      (s, dir) => {
+        val raw = Tables.documentsRaw(s, dir)
+        val sel = TextOps.dsirSelect(
+          raw, raw.filter(col("lang") === "en"),
+          m = 1024, lambda = 1.0, k = 120)
+        sel.join(raw.select("doc_id", "lang"), "doc_id")
+          .select(col("doc_id"), col("lang"), col("n_feats"), col("log_w"))
+          .orderBy(col("log_w").desc, col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+             |  FROM documents),
+             |feats AS (
+             |  SELECT doc_id,
+             |         unnest(toks || list_transform(generate_series(1, len(toks) - 1),
+             |                                       i -> toks[i] || ' ' || toks[i+1])) AS feat
+             |  FROM t),
+             |bf AS (
+             |  SELECT doc_id, ('0x' || substr(md5(feat), 1, 8))::BIGINT % 1024 AS bucket
+             |  FROM feats),
+             |tgt AS (SELECT bf.* FROM bf JOIN documents USING (doc_id) WHERE lang = 'en'),
+             |tcnt AS (SELECT bucket, COUNT(*) AS ct FROM tgt GROUP BY bucket),
+             |rcnt AS (SELECT bucket, COUNT(*) AS cr FROM bf GROUP BY bucket),
+             |tot AS (SELECT (SELECT COUNT(*) FROM tgt) AS tn,
+             |               (SELECT COUNT(*) FROM bf) AS rn),
+             |dom AS (SELECT unnest(generate_series(0, 1023)) AS bucket),
+             |ratio AS (
+             |  SELECT bucket,
+             |         ln((COALESCE(ct, 0) + 1.0) / (tn + 1.0 * 1024))
+             |       - ln((COALESCE(cr, 0) + 1.0) / (rn + 1.0 * 1024)) AS log_ratio
+             |  FROM dom LEFT JOIN tcnt USING (bucket) LEFT JOIN rcnt USING (bucket)
+             |  CROSS JOIN tot),
+             |scored AS (
+             |  SELECT doc_id, COUNT(*) AS n_feats,
+             |         CAST(SUM(CAST(round(log_ratio, 6)
+             |           + CASE WHEN round(log_ratio, 6) >= 0 THEN 5e-9 ELSE -5e-9 END
+             |           AS DECIMAL(25,6))) AS DOUBLE) AS log_w
+             |  FROM bf JOIN ratio USING (bucket) GROUP BY doc_id),
+             |full0 AS (
+             |  SELECT d.doc_id, d.lang, COALESCE(n_feats, 0) AS n_feats,
+             |         COALESCE(log_w, 0.0) AS log_w
+             |  FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id)
+             |SELECT doc_id, lang, n_feats, log_w
+             |FROM full0 ORDER BY log_w DESC, doc_id LIMIT 120""".stripMargin),
+    ),
   )
 
   /** DuckDB replay of [[graft.llm.CorpusPipeline.prepareIncremental]]
