@@ -785,6 +785,27 @@ object ScaleBench {
       }
     }
 
+    // DENSE-SPAN worst case for the span REWRITE: two copies of one
+    // 100k-token doc mean EVERY window is cross-doc duplicated — ~100k
+    // marked span starts in a single row. The per-token exists fold was
+    // O(tokens x spans) ~ 10^10 operations inside that ONE row (a
+    // straggler no partitioning can split — a boilerplate-laden book is
+    // exactly this shape); the gap-slice rewrite is O(tokens + spans).
+    // Fixed point: both docs come back fully covered (empty).
+    locally {
+      import spark.implicits._
+      val nTok = 100000
+      val w = 20
+      val shared = (0 until nTok).map(i => s"d${i % 9973}x$i").mkString(" ")
+      val dense = Seq((1L, shared), (2L, shared)).toDF("doc_id", "text")
+        .repartition(2).localCheckpoint(true)
+      val (allCovered, tDense) = timed {
+        val out = TextOps.removeDuplicatedSpans(dense, w).localCheckpoint(true)
+        out.filter(col("n_removed") =!= col("n_tokens")).count() == 0L
+      }
+      println(s"""{"op":"span_rewrite_dense_doc","tokens_per_doc":$nTok,"marked_spans_per_doc":${nTok - w + 1},"fully_covered":$allCovered,"rewrite_sec":${f"$tDense%.2f"}}""")
+    }
+
     // the claim behind PQ — candidate SCAN BYTES — measured on disk: the
     // float corpus vs the encoded (tinyint codes + float norm) corpus,
     // both snappy parquet. This byte ratio is what a 100 TB ANN scan

@@ -725,13 +725,32 @@ object StandingState {
 
   /** One table's snapshot-delta compaction (see [[compact]]). `rewrite`
     * is the leaseless O(table) transform (distinct / repartition); the
-    * lease covers only the delta catch-up and the two renames. */
+    * lease covers only the delta catch-up and the two renames.
+    *
+    * The delta diff is sound ONLY if nothing but appends happened between
+    * the unleased snapshot pin and the leased diff. Two realistic
+    * violators exist: a lease-held FULL-TABLE REWRITE in that window (the
+    * repair passes' swapTable ghost-drop, a writeMediaState /
+    * writeSpanIndex / writeEmbBuckets overwrite — all replace every file,
+    * so every post-rewrite file would count as "delta" appended onto the
+    * STALE staged snapshot, silently resurrecting rows the rewrite
+    * deliberately dropped), and ANOTHER compact() of the same table
+    * (whose swap also replaces every file). Both are caught by one check
+    * inside the phase-3 lease: every pinned f0 file must still exist —
+    * appends never remove files, so a vanished f0 file is proof of a
+    * rewrite, and the run ABORTS its stale snapshot and re-pins from
+    * scratch (bounded attempts, then a loud failure). Each invocation
+    * stages under a UNIQUE `<table>__staged_<pid>_<nanos>` dir, so two
+    * compactors can never clobber each other's phase-2 output; a crashed
+    * run's leftover staged dir is garbage-collected by the next
+    * successful swap once it is a day old (no live phase-2 rewrite runs
+    * that long — and a deleted-anyway victim just re-pins). */
   private def compactDirLive(
       spark: SparkSession,
       leasePath: String,
       live: org.apache.hadoop.fs.Path,
-      rewrite: DataFrame => DataFrame): Unit = {
-    import org.apache.hadoop.fs.{Path => HPath}
+      rewrite: DataFrame => DataFrame,
+      attempts: Int = 3): Unit = {
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(live)) {
       // a crashed prior swap may have left the table at __retired only —
@@ -742,35 +761,77 @@ object StandingState {
       }
       if (!fs.exists(live)) return
     }
-    // PHASE 1 — pin the snapshot: the exact data files the rewrite covers
-    val f0 = listDataFiles(fs, live)
-    if (f0.isEmpty) return
-    val staged = sibling(live, "__staged")
-    if (fs.exists(staged)) fs.delete(staged, true)
-    // PHASE 2 — the O(table) rewrite, NO lease: appends continue freely
-    rewrite(spark.read.parquet(f0.map(_.toString): _*))
-      .write.mode("overwrite").parquet(staged.toString)
-    // PHASE 3 — delta catch-up + swap, the only excluded window. The
-    // acquire RETRIES: against a live intake stream the lease is briefly
-    // held every few seconds by batch commits, and the compactor must
-    // wait its turn like any other mutator (the bounded timeout still
-    // surfaces a crashed holder loudly).
-    withLeaseRetry(spark, leasePath, s"compact:${live.getName}") {
-      val f0set = f0.map(_.toString).toSet
-      val delta = listDataFiles(fs, live).filterNot(p => f0set(p.toString))
-      if (delta.nonEmpty)
-        spark.read.parquet(delta.map(_.toString): _*)
-          .write.mode("append").parquet(staged.toString)
-      val retired = sibling(live, "__retired")
-      if (fs.exists(retired)) fs.delete(retired, true)
-      if (!fs.rename(live, retired))
-        throw new java.io.IOException(
-          s"compact: rename $live -> $retired failed")
-      if (!fs.rename(staged, live))
-        throw new java.io.IOException(
-          s"compact: rename $staged -> $live failed — pre-swap rows intact at $retired")
-      fs.delete(retired, true)
+    var attempt = 0
+    while (attempt < attempts) {
+      attempt += 1
+      // PHASE 1 — pin the snapshot: the exact data files the rewrite covers
+      val f0 = listDataFiles(fs, live)
+      if (f0.isEmpty) return
+      val staged = sibling(live,
+        s"__staged_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+      // PHASE 2 — the O(table) rewrite, NO lease: appends continue freely
+      rewrite(spark.read.parquet(f0.map(_.toString): _*))
+        .write.mode("overwrite").parquet(staged.toString)
+      compactPostStageHook(live.getName)
+      // PHASE 3 — delta catch-up + swap, the only excluded window. The
+      // acquire RETRIES: against a live intake stream the lease is briefly
+      // held every few seconds by batch commits, and the compactor must
+      // wait its turn like any other mutator (the bounded timeout still
+      // surfaces a crashed holder loudly).
+      val swapped = withLeaseRetry(spark, leasePath, s"compact:${live.getName}") {
+        val f0set = f0.map(_.toString).toSet
+        val current = listDataFiles(fs, live)
+        if (!f0set.forall(current.map(_.toString).toSet)) {
+          // a full-table rewrite replaced the pinned snapshot — the
+          // staged output is stale; drop it and re-pin
+          fs.delete(staged, true)
+          false
+        } else {
+          val delta = current.filterNot(p => f0set(p.toString))
+          if (delta.nonEmpty)
+            spark.read.parquet(delta.map(_.toString): _*)
+              .write.mode("append").parquet(staged.toString)
+          val retired = sibling(live, "__retired")
+          if (fs.exists(retired)) fs.delete(retired, true)
+          if (!fs.rename(live, retired))
+            throw new java.io.IOException(
+              s"compact: rename $live -> $retired failed")
+          if (!fs.rename(staged, live))
+            throw new java.io.IOException(
+              s"compact: rename $staged -> $live failed — pre-swap rows intact at $retired")
+          fs.delete(retired, true)
+          gcStaleStaged(fs, live)
+          true
+        }
+      }
+      if (swapped) return
     }
+    throw new IllegalStateException(
+      s"compact: $live was fully rewritten during each of $attempts " +
+        "snapshot attempts (a repair/maintenance rewrite or another " +
+        "compactor keeps replacing the table) — compact during a quieter " +
+        "window")
+  }
+
+  /** TEST-ONLY injection point: invoked with the table dir's name after
+    * each [[compactDirLive]] phase-2 rewrite (staged snapshot written,
+    * phase-3 lease not yet acquired) — the window the
+    * rewrite-vs-compaction race specs exercise deterministically. */
+  private[graft] @volatile var compactPostStageHook: String => Unit = _ => ()
+
+  /** Delete crashed compactors' leftover `<table>__staged_*` dirs (>= 1
+    * day old) beside a table. Runs under the phase-3 lease right after a
+    * successful swap; a live run's staged dir is never that old. */
+  private def gcStaleStaged(
+      fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path): Unit = {
+    val prefix = live.getName + "__staged_"
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    try fs.listStatus(live.getParent).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix) &&
+        st.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, true))
+    catch { case _: java.io.IOException => () } // GC is best-effort
   }
 
   /** `<dir>__suffix` beside `dir`. */

@@ -1087,9 +1087,9 @@ object TextOps {
     * doc_id) row per token position — the published algorithm's accepted
     * corpus-sized cost, against windows of w full token strings; the
     * rewrite joins each doc's marked span STARTS back as ONE grouped
-    * array and computes coverage per row with a sequence/exists fold
-    * (no per-token shuffle, no interval-merge pass — overlap is
-    * absorbed by the exists). */
+    * array and emits the uncovered tokens via the O(tokens + spans)
+    * sorted-gap pass of [[spanCoverageRewrite]] (no per-token shuffle,
+    * no per-token exists probe). */
   def removeDuplicatedSpans(
       docs: DataFrame, w: Int = 20, minDocs: Int = 2): DataFrame = {
     require(w > 0, s"window width $w must be positive")
@@ -1111,18 +1111,49 @@ object TextOps {
       .select("h")
     val spans = wins.join(dup, Seq("h"), "left_semi")
       .groupBy("doc_id").agg(collect_list(col("pos")).as("spans"))
-    val idx = s"if(size(toks) = 0, cast(array() as array<int>), sequence(0, size(toks) - 1))"
+    spanCoverageRewrite(base, spans, w)
+  }
+
+  /** Shared rewrite tail of [[removeDuplicatedSpans]] /
+    * [[removeDuplicatedSpansIncremental]]: join each doc's marked span
+    * STARTS back as one grouped array and emit the uncovered tokens.
+    *
+    * O(tokens + spans) per row, not O(tokens x spans): with a CONSTANT
+    * window width the sorted span starts have MONOTONE window ends
+    * (`sps[i] + w`), so the merged coverage's gaps fall out of one
+    * `transform` over consecutive start pairs — a gap opens between
+    * spans i-1 and i exactly when `sps[i] > sps[i-1] + w` — plus the
+    * head gap `[0, sps[0])` and the tail gap `[sps[last]+w, n)`. The
+    * kept text is the flattened gap slices (disjoint, so total slice
+    * work is O(kept tokens)); no per-token `exists` probe, so a
+    * 100k-token boilerplate-laden doc with ~100k marked spans costs
+    * ~2x10^5 operations instead of ~10^10 (a single-row straggler no
+    * partitioning could split). */
+  private def spanCoverageRewrite(
+      base: DataFrame, spans: DataFrame, w: Int): DataFrame = {
+    val kept =
+      s"""if(size(sps) = 0, toks,
+         |  flatten(concat(
+         |    array(slice(toks, 1, sps[0])),
+         |    if(size(sps) < 2, cast(array() as array<array<string>>),
+         |       transform(sequence(1, size(sps) - 1),
+         |         i -> if(sps[i] > sps[i-1] + $w,
+         |                 slice(toks, sps[i-1] + $w + 1, sps[i] - sps[i-1] - $w),
+         |                 cast(array() as array<string>)))),
+         |    array(if(element_at(sps, -1) + $w >= size(toks),
+         |             cast(array() as array<string>),
+         |             slice(toks, element_at(sps, -1) + $w + 1,
+         |                   size(toks) - element_at(sps, -1) - $w))))))"""
+        .stripMargin
     base.join(spans, Seq("doc_id"), "left")
-      .withColumn("ps", coalesce(col("spans"), expr("cast(array() as array<int>)")))
+      .withColumn("sps",
+        array_sort(coalesce(col("spans"), expr("cast(array() as array<int>)"))))
+      .withColumn("kept", expr(kept))
       .select(
         col("doc_id"),
-        expr(
-          s"""concat_ws(' ', filter(transform($idx,
-             |  i -> if(exists(ps, p -> p <= i and i < p + $w), null, toks[i])),
-             |  x -> x is not null))""".stripMargin).as("text"),
+        concat_ws(" ", col("kept")).as("text"),
         size(col("toks")).as("n_tokens"),
-        expr(s"size(filter($idx, i -> exists(ps, p -> p <= i and i < p + $w)))")
-          .cast("int").as("n_removed"))
+        (size(col("toks")) - size(col("kept"))).cast("int").as("n_removed"))
   }
 
   /** INCREMENTAL [[removeDuplicatedSpans]] — the daily-ingest form: a
@@ -1168,18 +1199,7 @@ object TextOps {
       .distinct()
     val spans = wins.join(dup, Seq("h"), "left_semi")
       .groupBy("doc_id").agg(collect_list(col("pos")).as("spans"))
-    val idx = s"if(size(toks) = 0, cast(array() as array<int>), sequence(0, size(toks) - 1))"
-    base.join(spans, Seq("doc_id"), "left")
-      .withColumn("ps", coalesce(col("spans"), expr("cast(array() as array<int>)")))
-      .select(
-        col("doc_id"),
-        expr(
-          s"""concat_ws(' ', filter(transform($idx,
-             |  i -> if(exists(ps, p -> p <= i and i < p + $w), null, toks[i])),
-             |  x -> x is not null))""".stripMargin).as("text"),
-        size(col("toks")).as("n_tokens"),
-        expr(s"size(filter($idx, i -> exists(ps, p -> p <= i and i < p + $w)))")
-          .cast("int").as("n_removed"))
+    spanCoverageRewrite(base, spans, w)
   }
 
   /** The distinct w-token window hashes of `docs` — the artifact
@@ -1557,35 +1577,39 @@ object TextOps {
   /** The m-row DSIR bucket log-likelihood-ratio table:
     * `ln p_target(b) - ln p_raw(b)` with add-`lambda` smoothing over the
     * full bucket domain, where `p(b) = (count(b) + lambda) / (total +
-    * lambda*m)`. The two totals are embedded as literals (two bounded
-    * count actions — the q45 `docs.count()` precedent; a 1-row carrier
-    * frame would plan as the banned BroadcastNestedLoopJoin), so the ratio
-    * is a foldable per-row expression over the two m-bucket count frames.
+    * lambda*m)`.
     *
-    * Shape at scale: two feature censuses (explode -> groupBy(bucket),
-    * map-side partial aggregation collapses each to <= m rows per task),
-    * then an m-row join — m is a few thousand, so the result broadcasts
-    * to every downstream scorer. Nothing here scales with corpus size
-    * except the two one-pass censuses. */
+    * Shape at scale: ONE feature census per corpus (explode ->
+    * groupBy(bucket), map-side partial aggregation collapses each to
+    * <= m rows per task), each collected as a bounded <= m-row
+    * control-plane fetch; the totals are the sums of those censuses, so
+    * neither corpus is featurized twice. The ratio table itself is built
+    * driver-side over the full `[0, m)` domain and parallelized back —
+    * m is a few thousand, so it broadcasts to every downstream scorer.
+    * `Math.log` on the driver is the same `java.lang.Math.log` Spark's
+    * `log` codegen calls, so the values are bit-identical to computing
+    * the ratio as a per-row expression over the count frames. */
   def dsirLogRatios(
       raw: DataFrame,
       target: DataFrame,
       m: Int,
       lambda: Double = 1.0): DataFrame = {
     val spark = raw.sparkSession
-    val tCnt = dsirFeatures(target, m).groupBy("bucket").agg(count(lit(1)).as("ct"))
-    val rCnt = dsirFeatures(raw, m).groupBy("bucket").agg(count(lit(1)).as("cr"))
-    val tTotal = dsirFeatures(target, m).count()
-    val rTotal = dsirFeatures(raw, m).count()
-    spark.range(m).select(col("id").as("bucket"))
-      .join(tCnt, Seq("bucket"), "left")
-      .join(rCnt, Seq("bucket"), "left")
-      .select(
-        col("bucket"),
-        (log((coalesce(col("ct"), lit(0L)) + lit(lambda)) /
-             lit(tTotal + lambda * m)) -
-         log((coalesce(col("cr"), lit(0L)) + lit(lambda)) /
-             lit(rTotal + lambda * m))).as("log_ratio"))
+    import spark.implicits._
+    def census(docs: DataFrame): Map[Long, Long] =
+      dsirFeatures(docs, m).groupBy("bucket").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tCnt = census(target)
+    val rCnt = census(raw)
+    val tTotal = tCnt.valuesIterator.sum
+    val rTotal = rCnt.valuesIterator.sum
+    val rows = (0L until m.toLong).map { b =>
+      val lr =
+        math.log((tCnt.getOrElse(b, 0L) + lambda) / (tTotal + lambda * m)) -
+        math.log((rCnt.getOrElse(b, 0L) + lambda) / (rTotal + lambda * m))
+      (b, lr)
+    }
+    rows.toDF("bucket", "log_ratio")
   }
 
   /** Per-document DSIR log importance weight over `raw`: the sum of its

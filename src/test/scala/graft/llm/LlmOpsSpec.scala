@@ -1767,4 +1767,139 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
     assert(!pairs.contains((1L, 5L)))
   }
+
+  // Scala model of removeDuplicatedSpans with the DEFINITIONAL per-token
+  // coverage probe (covered(i) <=> exists marked span start p with
+  // p <= i < p + w) — the O(tokens x spans) form the production
+  // gap-slice rewrite must stay bit-equal to.
+  private def spanModel(
+      docs: Seq[(Long, String)], w: Int, minDocs: Int): Map[Long, (String, Int, Int)] = {
+    val toksBy = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSeq }
+    val wins = toksBy.flatMap { case (id, toks) =>
+      (0 to toks.size - w).map(p => (id, p, toks.slice(p, p + w).mkString(" "))) }
+    val dup = wins.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.size >= minDocs).keySet
+    toksBy.map { case (id, toks) =>
+      val ps = wins.collect { case (i, p, s) if i == id && dup(s) => p }
+      val covered = toks.indices.map(i => ps.exists(p => p <= i && i < p + w))
+      val kept = toks.indices.filterNot(covered).map(toks)
+      id -> ((kept.mkString(" "), toks.size, covered.count(identity)))
+    }.toMap
+  }
+
+  test("span rewrite property: gap-slice pass == per-token exists model on randomized corpora") {
+    // small vocab + random lengths -> organically dense, overlapping,
+    // edge-touching span patterns (head/tail/adjacent/merged all occur)
+    val rnd = new scala.util.Random(1207)
+    val vocab = (0 until 14).map(i => s"t$i")
+    for ((w, minDocs, nDocs, maxLen) <- Seq((3, 2, 40, 50), (5, 3, 30, 80))) {
+      val corpus = (0 until nDocs).map { i =>
+        val n = rnd.nextInt(maxLen + 1)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val out = TextOps.removeDuplicatedSpans(
+          corpus.toDF("doc_id", "text"), w, minDocs)
+        .select("doc_id", "text", "n_tokens", "n_removed")
+        .as[(Long, String, Int, Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(out === spanModel(corpus, w, minDocs),
+        s"rewrite diverged from the exists model at w=$w minDocs=$minDocs")
+    }
+    // deliberate edge vectors: span at pos 0 (no head gap), span flush to
+    // the end (no tail gap), two spans exactly w apart (merge boundary),
+    // two spans w+1 apart (1-token gap), fully-covered doc
+    val run = (1 to 4).map(i => s"r$i")
+    val edge = Seq(
+      (100L, (run ++ Seq("a1", "a2") ++ run).mkString(" ")),
+      (101L, (Seq("b1") ++ run ++ Seq("b2", "b3", "b4") ++ run).mkString(" ")),
+      (102L, run.mkString(" ")),
+      (103L, (Seq("c1", "c2", "c3") ++ run).mkString(" ")))
+    val out = TextOps.removeDuplicatedSpans(edge.toDF("doc_id", "text"), 4, 2)
+      .select("doc_id", "text", "n_tokens", "n_removed")
+      .as[(Long, String, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out === spanModel(edge, 4, 2))
+    assert(out(100L)._1 === "a1 a2" && out(102L)._1 === "")
+  }
+
+  test("span rewrite property: dense long doc (every position a marked span) stays linear and exact") {
+    // two copies of one 4000-token text: EVERY window is cross-doc
+    // duplicated, so each doc carries ~4000 marked span starts — the
+    // shape whose per-token exists probe was O(tokens x spans) ~ 1.6e7
+    // per row (and 10^10 at 100k tokens); the gap-slice pass must return
+    // the exact fully-covered result without that blowup. A unique tail
+    // shorter than w on one doc exercises partial tail coverage: tokens
+    // within w of the shared prefix are covered by overlap, the rest kept.
+    val n = 4000
+    val w = 20
+    val shared = (0 until n).map(i => s"s${i % 997}x$i")
+    val tail = (0 until 7).map(i => s"uniq$i")
+    val corpus = Seq(
+      (1L, shared.mkString(" ")),
+      (2L, (shared ++ tail).mkString(" ")))
+    val out = TextOps.removeDuplicatedSpans(corpus.toDF("doc_id", "text"), w, 2)
+      .select("doc_id", "text", "n_tokens", "n_removed")
+      .as[(Long, String, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out === spanModel(corpus, w, 2))
+    assert(out(1L) === (("", n, n)), "fully-duplicated doc must empty")
+    // doc 2: spans start at 0..n-w (shared windows); coverage ends at
+    // (n-w)+w = n, so exactly the 7 unique tail tokens survive
+    assert(out(2L) === ((tail.mkString(" "), n + 7, n)))
+  }
+
+  test("dsir: target == raw makes every log_w exactly 0; n_feats counts unigram+bigram instances") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta"),
+      (3L, "eta"),
+      (4L, "theta iota kappa theta iota"),
+    ).toDF("doc_id", "text")
+    val scores = TextOps.dsirScores(docs, docs, m = 64)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // identical distributions: every bucket ratio is log(x) - log(x) = 0.0
+    // exactly (same float computation both sides), so every sum is 0
+    assert(scores.values.forall(_._2 === 0.0))
+    // k tokens -> k unigrams + (k-1) bigrams
+    assert(scores(1L)._1 === 7 && scores(2L)._1 === 3 &&
+      scores(3L)._1 === 1 && scores(4L)._1 === 9)
+  }
+
+  test("dsir: disjoint-vocab target ranks target-vocabulary docs strictly first") {
+    val aDocs = (0 until 6).map(i =>
+      (i.toLong, s"apple banana cherry date apple banana fig grape"))
+    val bDocs = (6 until 12).map(i =>
+      (i.toLong, s"xylem yarrow zinnia wisteria xylem yarrow vetch umbel"))
+    val raw = (aDocs ++ bDocs).toDF("doc_id", "text")
+    val target = aDocs.toDF("doc_id", "text")
+    val scores = TextOps.dsirScores(raw, target, m = 1024)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val aMin = (0L until 6L).map(scores).min
+    val bMax = (6L until 12L).map(scores).max
+    assert(aMin > 0.0 && bMax < 0.0 && aMin > bMax,
+      s"target-vocab docs must outrank non-target: aMin=$aMin bMax=$bMax")
+    // and dsirSelect's top-6 is exactly the target-vocab half
+    val top = TextOps.dsirSelect(raw, target, m = 1024, k = 6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(top === (0L until 6L).toSet)
+  }
+
+  test("dsir: scores and selection are repartition-stable (decimal-sum discipline)") {
+    val rnd = new scala.util.Random(87)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = (0 until 60).map { i =>
+      val n = 3 + rnd.nextInt(30)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") < 15)
+    def run(raw: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      TextOps.dsirSelect(raw, target, m = 256, k = 25)
+        .as[(Long, Long, Double)].collect().toSeq
+    val base = run(docs)
+    assert(base === run(docs.repartition(7)),
+      "log_w must be bit-identical under any partitioning")
+    assert(base === run(docs.repartition(32).sortWithinPartitions("text")),
+      "log_w must be bit-identical under any row order")
+  }
 }

@@ -662,4 +662,57 @@ class StandingStateSpec extends SparkSpec {
     val replicas = docs((0 until n).map(i => (500L + i) -> base(100 + i)): _*)
     assert(ids(Dedup.exactIncrementalVsDigests(replicas, state.digests)).isEmpty)
   }
+
+  test("compact aborts a stale snapshot when a full-table rewrite lands mid-compaction") {
+    // compact's delta diff assumes only APPENDS happen between the
+    // unleased snapshot pin and the leased diff. A full-table rewrite in
+    // that window (a repair's ghost-drop, a writeSpanIndex overwrite)
+    // replaces every pinned file; appending the post-rewrite files onto
+    // the stale staged snapshot would RESURRECT the deliberately-dropped
+    // rows. The vanished-f0 check must abort the stale snapshot and
+    // re-pin — and the rewrite's drop must stick.
+    val path = java.nio.file.Files.createTempDirectory("compact_gen_").toString
+    val w = 6
+    val keepDoc = (1 to 12).map(i => s"kp$i").mkString(" ")
+    val ghostDoc = (1 to 12).map(i => s"gh$i").mkString(" ")
+    val both = Seq(1L -> keepDoc, 2L -> ghostDoc).toDF("doc_id", "text")
+    val keepOnly = Seq(1L -> keepDoc).toDF("doc_id", "text")
+    StandingState.writeSpanIndex(both, path, w)
+    // a few appends so the table has multiple files worth compacting
+    (0 until 3).foreach { i =>
+      StandingState.appendSpanHashes(
+        Seq((10L + i) -> s"filler$i ${(1 to 6).map(j => s"fl${i}x$j").mkString(" ")}")
+          .toDF("doc_id", "text"), path)
+    }
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    StandingState.compactPostStageHook = { table =>
+      if (table == "span_hashes" && fired.getAndIncrement() == 0) {
+        // the repair-shaped full rewrite: ghost windows deliberately dropped
+        StandingState.writeSpanIndex(keepOnly, path, w)
+      }
+    }
+    try StandingState.compact(spark, path)
+    finally StandingState.compactPostStageHook = _ => ()
+    assert(fired.get() >= 1, "the injection point never fired")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_lease")))
+    // the drop must STICK through the compaction: a lone ghost replica
+    // finds nothing to collide with, while keep content still fires
+    val (h, w2) = StandingState.loadSpanIndex(spark, path)
+    val probe = Seq(90L -> ghostDoc, 91L -> keepDoc).toDF("doc_id", "text")
+    val out = TextOps.removeDuplicatedSpansIncremental(probe, h, w2)
+      .select("doc_id", "n_tokens", "n_removed")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(90L)._3 === 0,
+      "ghost windows were resurrected by a stale staged snapshot")
+    assert(out(91L)._3 === out(91L)._2, "keep windows must still be indexed")
+    // pathological: a rewrite racing EVERY snapshot attempt fails loudly
+    // instead of publishing a stale snapshot or spinning forever
+    StandingState.compactPostStageHook = { table =>
+      if (table == "span_hashes") StandingState.writeSpanIndex(keepOnly, path, w)
+    }
+    val e = try intercept[IllegalStateException](StandingState.compact(spark, path))
+    finally StandingState.compactPostStageHook = _ => ()
+    assert(e.getMessage.contains("fully rewritten"), e.getMessage)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_lease")))
+  }
 }
