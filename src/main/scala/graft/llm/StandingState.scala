@@ -817,7 +817,7 @@ object StandingState {
     * each [[compactDirLive]] phase-2 rewrite (staged snapshot written,
     * phase-3 lease not yet acquired) — the window the
     * rewrite-vs-compaction race specs exercise deterministically. */
-  private[graft] @volatile var compactPostStageHook: String => Unit = _ => ()
+  @volatile private[graft] var compactPostStageHook: String => Unit = _ => ()
 
   /** Delete crashed compactors' leftover `<table>__staged_*` dirs (>= 1
     * day old) beside a table. Runs under the phase-3 lease right after a
