@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions._
   *   2b. PASSAGE SCRUB  — [[TextOps.removeDuplicatedPassages]] (optional:
   *                        cross-doc boilerplate stripped before any
   *                        fingerprint sees it)
+  *   2c. SPAN SCRUB     — [[TextOps.removeDuplicatedSpans]] (optional: the
+  *                        stride-1 sliding-window form — UNALIGNED
+  *                        cross-doc runs the 2b chunks straddle)
   *   3. EXACT DEDUP     — [[Dedup.exactByHash]] (digest-only shuffle)
   *   4. NEAR DEDUP      — [[Dedup.dedupNearLsh]] (banded MinHash-LSH)
   *   5. SEMANTIC DEDUP  — [[Dedup.semDedup]] over a supplied
@@ -64,6 +67,17 @@ object CorpusPipeline {
       // inflates every similarity signal downstream). Docs whose text
       // empties entirely are dropped at this stage.
       removeDupPassages: Option[(Int, Int)] = None,
+      // exact-substring SPAN scrub (opt-in): Some((w, minDocs)) inserts a
+      // [[TextOps.removeDuplicatedSpans]] stage right after the positional
+      // 2b slot (and before any fingerprinting) — every w-token STRIDE-1
+      // window occurring in >= minDocs distinct docs marks its span, and
+      // all covered tokens are removed from every doc. The sliding window
+      // catches the unaligned boilerplate the fixed 2b chunks straddle;
+      // docs whose text empties entirely are dropped at this stage. The
+      // incremental forms run [[TextOps.removeDuplicatedSpansIncremental]]
+      // against the standing corpus' window hashes (recomputed from the
+      // frame, or the persisted span index when state-fed).
+      removeDupSpans: Option[(Int, Int)] = None,
       // decontamination n-gram size
       decontamNgram: Int = 5,
       // semantic dedup (used only when an embeddings frame is supplied)
@@ -211,6 +225,26 @@ object CorpusPipeline {
         scrubbed.drop("text").join(rewritten, Seq("doc_id"))
       case None => scrubbed
     }).localCheckpoint(false)
+    // 2c. optional span scrub in its batch position: a batch token is
+    // removed when a w-window over it matches the STANDING corpus' window
+    // set — the persisted span index when state-fed ([[StandingState]]
+    // `span_hashes`, O(batch tokens) work per ingest), recomputed from
+    // the standing frame otherwise (the frame-fed form's honest
+    // O(corpus tokens) cost, same trade as every other leg) — or a
+    // >= minDocs within-batch window. Runs before any fingerprinting;
+    // emptied docs drop here. Standing docs are never modified.
+    val spanned = cfg.removeDupSpans match {
+      case Some((w, minDocs)) =>
+        val standingHashes = state.flatMap(_.spanIndex).map(_._1)
+          .getOrElse(TextOps.spanWindowHashes(stand, w))
+        val rewritten = TextOps.removeDuplicatedSpansIncremental(
+            descrubbed, standingHashes, w, minDocs)
+          .filter(col("text") =!= "")
+          .select("doc_id", "text")
+        descrubbed.drop("text").join(rewritten, Seq("doc_id"))
+          .localCheckpoint(false) // multiply referenced by the legs below
+      case None => descrubbed
+    }
     val fp: DataFrame => DataFrame =
       if (cfg.normalizeFingerprints) TextOps.normalized(_) else identity
     val unfp: DataFrame => DataFrame =
@@ -220,8 +254,8 @@ object CorpusPipeline {
     // exact + LSH legs: standing-side artifacts from the persisted state
     // when fed one (no standing recompute), else derived from the frame
     val exact = state match {
-      case Some(st) => Dedup.exactIncrementalVsDigests(descrubbed, st.digests)
-      case None => Dedup.exactIncremental(descrubbed, stand)
+      case Some(st) => Dedup.exactIncrementalVsDigests(spanned, st.digests)
+      case None => Dedup.exactIncremental(spanned, stand)
     }
     val deduped = state match {
       case Some(st) => unfp(Dedup.dedupNearLshIncrementalVsBands(
@@ -307,8 +341,25 @@ object CorpusPipeline {
         tap(scrubbed.drop("text").join(rewritten, Seq("doc_id")))
       case None => scrubbed
     }
+
+    // 2c. optional exact-substring SPAN scrub — the sliding-window (stride
+    // 1) strictly-stronger form of 2b, catching boilerplate the fixed
+    // chunks straddle; runs after 2b (both on = positional pass first) and
+    // before any fingerprinting so dedup never keys on shared runs. Same
+    // doc_id re-join shape as 2b; emptied docs are dropped here.
+    val spannedRaw = cfg.removeDupSpans match {
+      case Some((w, minDocs)) =>
+        val rewritten = TextOps.removeDuplicatedSpans(descrubbedRaw, w, minDocs)
+          .filter(col("text") =!= "")
+          .select("doc_id", "text")
+        tap(descrubbedRaw.drop("text").join(rewritten, Seq("doc_id")))
+      case None => descrubbedRaw
+    }
+    // the materialize barrier sits on the LAST pre-dedup boundary, so the
+    // dedup legs and the surviving-row chain read cached rows whichever
+    // optional scrub stages are on
     val descrubbed =
-      if (materializeScrub) descrubbedRaw.localCheckpoint(false) else descrubbedRaw
+      if (materializeScrub) spannedRaw.localCheckpoint(false) else spannedRaw
 
     // fingerprint-path normalization (opt-in): `fp` swaps the text the
     // dedup/decontam machinery fingerprints for its normalized form
@@ -373,7 +424,8 @@ object CorpusPipeline {
       "1_quality_gate" -> gated,
       "2_pii_scrub" -> scrubbed,
     ) ++
-      cfg.removeDupPassages.map(_ => "2b_passage_scrub" -> descrubbed).toSeq ++
+      cfg.removeDupPassages.map(_ => "2b_passage_scrub" -> descrubbedRaw).toSeq ++
+      cfg.removeDupSpans.map(_ => "2c_span_scrub" -> spannedRaw).toSeq ++
       Seq(
         "3_exact_dedup" -> exact,
         "4_near_dedup" -> deduped,

@@ -39,13 +39,25 @@ final case class StandingState(
     digests: DataFrame,
     bands: DataFrame,
     centroids: Option[Seq[Seq[Double]]],
-    meta: StandingState.Meta) {
+    meta: StandingState.Meta,
+    spanIndex: Option[(DataFrame, Int)] = None) {
 
   /** Fail loudly when a state trained under one fingerprint regime is fed
     * to a pipeline configured with another — mixed band rows would
-    * silently miss near-dups. */
-  def requireCompatible(cfg: CorpusPipeline.Config): Unit =
+    * silently miss near-dups. The span check is index-presence + window
+    * width: a pipeline with the span stage on fed a state without a span
+    * index would silently skip standing-side span coverage, and mixed
+    * window widths would never hash-match. */
+  def requireCompatible(cfg: CorpusPipeline.Config): Unit = {
     StandingState.requireMetaCompatible(meta, cfg)
+    cfg.removeDupSpans.foreach { case (w, _) =>
+      require(spanIndex.isDefined,
+        "standing state has no span index but the config enables span dedup " +
+          "(removeDupSpans) — rebuild/rewrite the state under this config")
+      require(spanIndex.get._2 == w,
+        s"standing state span index has w=${spanIndex.get._2}, config wants $w")
+    }
+  }
 }
 
 object StandingState {
@@ -99,8 +111,12 @@ object StandingState {
         .localCheckpoint(false)
       Dedup.semDedupCentroids(standVecs, cfg.semDedupNCentroids)
     }
+    val spans = cfg.removeDupSpans.map { case (w, _) =>
+      (TextOps.spanWindowHashes(standing, w), w)
+    }
     StandingState(digests, bands, cs,
-      Meta(cfg.shingleSize, numHashes, bandRows, cfg.normalizeFingerprints))
+      Meta(cfg.shingleSize, numHashes, bandRows, cfg.normalizeFingerprints),
+      spans)
   }
 
   /** Persist the state for `standing` under `path` (overwrites). One pass
@@ -125,6 +141,11 @@ object StandingState {
       cs.zipWithIndex.map { case (c, i) => (i, c) }.toDF("idx", "c")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     }
+    state.spanIndex.foreach { case (hashes, w) =>
+      hashes.write.mode("overwrite").parquet(s"$path/span_hashes")
+      Seq(w).toDF("w")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/span_meta")
+    }
     Seq((state.meta.shingleSize, state.meta.numHashes, state.meta.bandRows,
       state.meta.normalizedFingerprints))
       .toDF("shingle_size", "num_hashes", "band_rows", "normalized")
@@ -146,10 +167,17 @@ object StandingState {
       else Some(spark.read.parquet(s"$path/centroids")
         .orderBy("idx").collect()
         .map(r => r.getSeq[Double](r.fieldIndex("c")).toSeq).toSeq)
+    val spans =
+      if (!tableExists(spark, s"$path/span_meta")) None
+      else {
+        heal(spark, path, "span_hashes")
+        val w = spark.read.parquet(s"$path/span_meta").head().getAs[Int]("w")
+        Some((spark.read.parquet(s"$path/span_hashes"), w))
+      }
     StandingState(
       spark.read.parquet(s"$path/digests"),
       spark.read.parquet(s"$path/bands"),
-      cs, meta)
+      cs, meta, spans)
   }
 
   /** Close the ingest cycle: append an ADMITTED batch's digests and band
@@ -182,8 +210,27 @@ object StandingState {
       meta: Meta): Unit = {
     val spark = batch.sparkSession
     val (digests, bands) = artifactsFor(batch, cfg, meta)
+    val spans = spanHashesFor(batch, path)
     withLease(spark, path, "append") {
-      writeArtifacts(digests, bands, path)
+      writeArtifacts(digests, bands, path, spans)
+    }
+  }
+
+  /** The admitted batch's span-window hashes under the state's PERSISTED
+    * window width — Some iff the state carries a span index (`span_meta`
+    * exists). Appending these closes the span-dedup cycle exactly like
+    * digests/bands close the exact/near cycles: the next ingest's span
+    * stage sees this batch's windows as standing. `w` is read from the
+    * state, never passed — hashes built under a different width would
+    * never match and cross-batch duplication would silently sail through
+    * (the [[append]] band-regime rule applied to spans). */
+  private[graft] def spanHashesFor(
+      batch: DataFrame, path: String): Option[DataFrame] = {
+    val spark = batch.sparkSession
+    if (!tableExists(spark, s"$path/span_meta")) None
+    else {
+      val w = spark.read.parquet(s"$path/span_meta").head().getAs[Int]("w")
+      Some(TextOps.spanWindowHashes(batch, w))
     }
   }
 
@@ -200,13 +247,18 @@ object StandingState {
   }
 
   /** The write half of [[appendWithMeta]] — caller MUST hold the lease.
-    * Digests FIRST, bands second: a crash between the writes leaves docs
-    * with digests but no band rows — exactly the drift
+    * Digests FIRST, bands LAST: a crash anywhere before the band write
+    * leaves docs with no band rows — exactly the drift
     * [[repairTextArtifacts]] detects (bands-absence is the witness) and
-    * repairs by re-appending BOTH (duplicate digests are set-semantic). */
+    * repairs by re-appending everything (duplicates are set-semantic on
+    * every table). The optional span hashes write BETWEEN them for the
+    * same reason: a partial span append is always shadowed by absent
+    * bands, so the single witness covers all three tables. */
   private[graft] def writeArtifacts(
-      digests: DataFrame, bands: DataFrame, path: String): Unit = {
+      digests: DataFrame, bands: DataFrame, path: String,
+      spans: Option[DataFrame] = None): Unit = {
     digests.write.mode("append").parquet(s"$path/digests")
+    spans.foreach(_.write.mode("append").parquet(s"$path/span_hashes"))
     bands.write.mode("append").parquet(s"$path/bands")
   }
 
@@ -968,9 +1020,13 @@ object StandingState {
     if (nDrift > 0) {
       val (digests, bands) =
         artifacts(drift, cfg, state.meta.numHashes, state.meta.bandRows)
+      // drifted docs' span hashes re-append too (corpus text IS the
+      // admitted cleaned text, and spanWindowHashes is deterministic, so
+      // the repair rebuilds exactly what the crashed append would have
+      // written; duplicates across the crash window are set-semantic)
+      val spans = spanHashesFor(drift, statePath)
       withLease(spark, statePath, "repairTextArtifacts:append") {
-        digests.write.mode("append").parquet(s"$statePath/digests")
-        bands.write.mode("append").parquet(s"$statePath/bands")
+        writeArtifacts(digests, bands, statePath, spans)
       }
     }
     val nGhosts = state.bands

@@ -3248,55 +3248,97 @@ object LlmQueries {
           .select(col("doc_id"), col("lang"), col("n_feats"), col("log_w"))
           .orderBy(col("log_w").desc, col("doc_id"))
       },
-      Some("""WITH t AS (
-             |  SELECT doc_id,
-             |         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
-             |  FROM documents),
-             |feats AS (
-             |  SELECT doc_id,
-             |         unnest(toks || list_transform(generate_series(1, len(toks) - 1),
-             |                                       i -> toks[i] || ' ' || toks[i+1])) AS feat
-             |  FROM t),
-             |bf AS (
-             |  SELECT doc_id, ('0x' || substr(md5(feat), 1, 8))::BIGINT % 1024 AS bucket
-             |  FROM feats),
-             |tgt AS (SELECT bf.* FROM bf JOIN documents USING (doc_id) WHERE lang = 'en'),
-             |tcnt AS (SELECT bucket, COUNT(*) AS ct FROM tgt GROUP BY bucket),
-             |rcnt AS (SELECT bucket, COUNT(*) AS cr FROM bf GROUP BY bucket),
-             |tot AS (SELECT (SELECT COUNT(*) FROM tgt) AS tn,
-             |               (SELECT COUNT(*) FROM bf) AS rn),
-             |dom AS (SELECT unnest(generate_series(0, 1023)) AS bucket),
-             |ratio AS (
-             |  SELECT bucket,
-             |         ln((COALESCE(ct, 0) + 1.0) / (tn + 1.0 * 1024))
-             |       - ln((COALESCE(cr, 0) + 1.0) / (rn + 1.0 * 1024)) AS log_ratio
-             |  FROM dom LEFT JOIN tcnt USING (bucket) LEFT JOIN rcnt USING (bucket)
-             |  CROSS JOIN tot),
-             |scored AS (
-             |  SELECT doc_id, COUNT(*) AS n_feats,
-             |         CAST(SUM(CAST(round(log_ratio, 6)
-             |           + CASE WHEN round(log_ratio, 6) >= 0 THEN 5e-9 ELSE -5e-9 END
-             |           AS DECIMAL(25,6))) AS DOUBLE) AS log_w
-             |  FROM bf JOIN ratio USING (bucket) GROUP BY doc_id),
-             |full0 AS (
-             |  SELECT d.doc_id, d.lang, COALESCE(n_feats, 0) AS n_feats,
-             |         COALESCE(log_w, 0.0) AS log_w
-             |  FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id)
-             |SELECT doc_id, lang, n_feats, log_w
-             |FROM full0 ORDER BY log_w DESC, doc_id LIMIT 120""".stripMargin),
+      Some(dsirScoreCtes +
+        """
+          |SELECT doc_id, lang, n_feats, log_w
+          |FROM full0 ORDER BY log_w DESC, doc_id LIMIT 120""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q88 — the COMPOSED pipeline with the exact-substring SPAN stage ON
+    // (Config.removeDupSpans): q60's chain with q85's unaligned 25-token
+    // boilerplate splice planted on doc_id % 3 == 0 docs (doc-dependent
+    // offsets, so the positional 2b chunker would find nothing) plus the
+    // constant PII suffix. Stage order under test: scrub BEFORE span
+    // (windows hash the redacted text), span BEFORE any fingerprint (the
+    // shared run never reaches the dedup machinery — and the scrubbed
+    // 8-token constant suffix is SHORTER than w=20, pinning that sub-width
+    // runs survive the sliding census). Result = the 10-row attrition
+    // report; the oracle replays q60's gate/scrub/LSH/decontam fragments
+    // with q85's window census + coverage rewrite spliced in as stage 2c.
+    Declared(
+      "q88_pipeline_span",
+      (s, dir) => {
+        val boiler = (1 to 25).map(i => s"boil$i").mkString("','")
+        val docs = Tables.documentsRaw(s, dir).filter(col("doc_id") < 200)
+        val planted = docs.select(col("doc_id"), col("source"), expr(
+          s"""case when doc_id % 3 = 0 then concat_ws(' ',
+             |  concat(
+             |    slice(filter(split(text, ' '), x -> length(x) > 0),
+             |          1, cast(doc_id % 7 + 3 as int)),
+             |    array('$boiler'),
+             |    slice(filter(split(text, ' '), x -> length(x) > 0),
+             |          cast(doc_id % 7 + 4 as int), 1000000)))
+             |else text end""".stripMargin).as("text"))
+          .withColumn("text", concat(col("text"),
+            lit(" reach me at user@mail.example.com or 10.0.0.1 call 555-123-4567")))
+        val eval_ = Tables.documentsRaw(s, dir)
+          .filter(col("doc_id") < 20).select("doc_id", "text")
+        val (_, report) = graft.llm.CorpusPipeline.prepareWithReport(
+          planted, Some(eval_),
+          cfg = graft.llm.CorpusPipeline.Config(removeDupSpans = Some((20, 2))))
+        report.orderBy("stage")
+      },
+      Some(pipelineSpanOracle),
     ),
   )
 
-  /** DuckDB replay of [[graft.llm.CorpusPipeline.prepareIncremental]]
-    * (q65): the q60 fragments (gopher gate, PII scrub, minhash-LSH
-    * near-dedup, 5-gram decontam, q40 packing) recomposed into the
-    * standing-build chain + the batch-vs-standing incremental chain.
-    * Standing ids all precede incoming ids, so the incremental near-dedup
-    * ("drop incoming on J>=tau vs any standing doc or lower-id incoming")
-    * is exactly the doc_a < doc_b band join filtered to incoming doc_b. */
-  private def prepareIncrementalOracle: String = {
-    // gopher gate: same rules/thresholds as TextOps.gopherGate defaults
-    def gate(src: String, out: String) =
+  // ---- shared DSIR scoring CTE chain (q87/q89) ----
+  // featurize (unigrams+bigrams, md5-bucket) -> one census per corpus ->
+  // add-lambda smoothed m-row log-ratio table -> per-doc 6dp-decimal
+  // weight sums (sign-aware truncation nudge: DuckDB's DECIMAL cast
+  // truncates toward zero where Spark's rounds half-up) -> full0 restores
+  // zero-feature docs at log_w = 0.0.
+  private def dsirScoreCtes: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id,
+      |         unnest(toks || list_transform(generate_series(1, len(toks) - 1),
+      |                                       i -> toks[i] || ' ' || toks[i+1])) AS feat
+      |  FROM t),
+      |bf AS (
+      |  SELECT doc_id, ('0x' || substr(md5(feat), 1, 8))::BIGINT % 1024 AS bucket
+      |  FROM feats),
+      |tgt AS (SELECT bf.* FROM bf JOIN documents USING (doc_id) WHERE lang = 'en'),
+      |tcnt AS (SELECT bucket, COUNT(*) AS ct FROM tgt GROUP BY bucket),
+      |rcnt AS (SELECT bucket, COUNT(*) AS cr FROM bf GROUP BY bucket),
+      |tot AS (SELECT (SELECT COUNT(*) FROM tgt) AS tn,
+      |               (SELECT COUNT(*) FROM bf) AS rn),
+      |dom AS (SELECT unnest(generate_series(0, 1023)) AS bucket),
+      |ratio AS (
+      |  SELECT bucket,
+      |         ln((COALESCE(ct, 0) + 1.0) / (tn + 1.0 * 1024))
+      |       - ln((COALESCE(cr, 0) + 1.0) / (rn + 1.0 * 1024)) AS log_ratio
+      |  FROM dom LEFT JOIN tcnt USING (bucket) LEFT JOIN rcnt USING (bucket)
+      |  CROSS JOIN tot),
+      |scored AS (
+      |  SELECT doc_id, COUNT(*) AS n_feats,
+      |         CAST(SUM(CAST(round(log_ratio, 6)
+      |           + CASE WHEN round(log_ratio, 6) >= 0 THEN 5e-9 ELSE -5e-9 END
+      |           AS DECIMAL(25,6))) AS DOUBLE) AS log_w
+      |  FROM bf JOIN ratio USING (bucket) GROUP BY doc_id),
+      |full0 AS (
+      |  SELECT d.doc_id, d.lang, COALESCE(n_feats, 0) AS n_feats,
+      |         COALESCE(log_w, 0.0) AS log_w
+      |  FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id)""".stripMargin
+
+  // ---- shared pipeline-oracle CTE fragments (q60/q65/q88 family) ----
+
+  // gopher gate: same rules/thresholds as TextOps.gopherGate defaults
+  private def gateCtes(src: String, out: String) =
       s"""${out}_gs AS (
          |  SELECT doc_id, source, text, string_split(text, ' ') AS toks,
          |         CAST(len(string_split(text, ' ')) AS INT) AS n_words
@@ -3311,7 +3353,7 @@ object LlmQueries {
          |    FROM ${out}_gs)
          |  WHERE n_words >= 20 AND n_words <= 100000
          |    AND mwl >= 2.0 AND mwl <= 12.0 AND nstop >= 2 AND ttf <= 0.20)""".stripMargin
-    def scrub(src: String, out: String) =
+  private def scrubCtes(src: String, out: String) =
       s"""$out AS (
          |  SELECT doc_id, source,
          |    regexp_replace(regexp_replace(regexp_replace(text,
@@ -3319,9 +3361,9 @@ object LlmQueries {
          |      '${TextOps.Ipv4Re}', '<IP>', 'g'),
          |      '${TextOps.PhoneRe}', '<PHONE>', 'g') AS text
          |  FROM $src)""".stripMargin
-    // minhash-LSH candidates + verified common-shingle counts over a
-    // (doc_id, text) set: 3-shingles, 16 hashes, bands of 2 (q60's form)
-    def lsh(src: String, p: String) =
+  // minhash-LSH candidates + verified common-shingle counts over a
+  // (doc_id, text) set: 3-shingles, 16 hashes, bands of 2 (q60's form)
+  private def lshCtes(src: String, p: String) =
       s"""${p}tok3 AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM $src
          |  WHERE len(string_split(text, ' ')) >= 3),
@@ -3355,18 +3397,27 @@ object LlmQueries {
          |  JOIN ${p}sh sa ON sa.doc_id = c.doc_a
          |  JOIN ${p}sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
          |  GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB replay of [[graft.llm.CorpusPipeline.prepareIncremental]]
+    * (q65): the q60 fragments (gopher gate, PII scrub, minhash-LSH
+    * near-dedup, 5-gram decontam, q40 packing) recomposed into the
+    * standing-build chain + the batch-vs-standing incremental chain.
+    * Standing ids all precede incoming ids, so the incremental near-dedup
+    * ("drop incoming on J>=tau vs any standing doc or lower-id incoming")
+    * is exactly the doc_a < doc_b band join filtered to incoming doc_b. */
+  private def prepareIncrementalOracle: String =
     s"""WITH sbase AS (
        |  SELECT doc_id, source, text || '$PiiSuffix' AS text
        |  FROM documents WHERE doc_id < 250),
-       |${gate("sbase", "sgated")},
-       |${scrub("sgated", "sscrub")},
+       |${gateCtes("sbase", "sgated")},
+       |${scrubCtes("sgated", "sscrub")},
        |sexact AS (
        |  SELECT doc_id, source, text FROM (
        |    SELECT doc_id, source, text,
        |           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
        |    FROM sscrub)
        |  WHERE rn = 1),
-       |${lsh("sexact", "s")},
+       |${lshCtes("sexact", "s")},
        |sdropb AS (
        |  SELECT DISTINCT doc_b FROM scommon
        |  JOIN scnt ca ON scommon.doc_a = ca.doc_id
@@ -3381,8 +3432,8 @@ object LlmQueries {
        |  UNION ALL
        |  SELECT doc_id + 10000, source, text || '$PiiSuffix'
        |  FROM documents WHERE doc_id IN (0, 1, 2, 300)),
-       |${gate("ibase", "igated")},
-       |${scrub("igated", "iscrub")},
+       |${gateCtes("ibase", "igated")},
+       |${scrubCtes("igated", "iscrub")},
        |iexact AS (
        |  SELECT doc_id, source, text FROM (
        |    SELECT doc_id, source, text,
@@ -3394,7 +3445,7 @@ object LlmQueries {
        |  SELECT doc_id, text FROM standing
        |  UNION ALL
        |  SELECT doc_id, text FROM iexact),
-       |${lsh("ucorpus", "u")},
+       |${lshCtes("ucorpus", "u")},
        |udropb AS (
        |  SELECT DISTINCT doc_b FROM ucommon
        |  JOIN ucnt ca ON ucommon.doc_a = ca.doc_id
@@ -3440,6 +3491,119 @@ object LlmQueries {
        |       CAST(row_number() OVER (PARTITION BY source, bin ORDER BY doc_id) - 1 AS INT)
        |         AS pos_in_bin
        |FROM pb ORDER BY doc_id""".stripMargin
+
+  /** DuckDB replay of [[graft.llm.CorpusPipeline.prepareWithReport]] with
+    * the SPAN stage on (q88): q60's gate/scrub/exact/LSH/decontam chain
+    * with q85's sliding-window census + coverage rewrite inserted between
+    * scrub and exact dedup. The window census groups by the raw window
+    * STRING (the Spark plan's md5 is equivalence-preserving); the kept
+    * text is the uncovered tokens re-joined, emptied docs dropped. Census
+    * rows 5-8 reuse upstream CTEs exactly as q60's do (no embeddings, no
+    * mixing => those stages are doc-preserving). */
+  private def pipelineSpanOracle: String = {
+    val boil = (1 to 25).map(i => s"'boil$i'").mkString(",")
+    s"""WITH raw0 AS (
+       |  SELECT doc_id, source, text FROM documents WHERE doc_id < 200),
+       |planted AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 3 = 0 THEN array_to_string(
+       |      list_filter(string_split(text, ' '), x -> len(x) > 0)
+       |        [1 : CAST(doc_id % 7 + 3 AS INT)]
+       |      || [$boil]
+       |      || list_filter(string_split(text, ' '), x -> len(x) > 0)
+       |        [CAST(doc_id % 7 + 4 AS INT) : 100000000], ' ')
+       |    ELSE text END || '$PiiSuffix' AS text
+       |  FROM raw0),
+       |${gateCtes("planted", "gated")},
+       |${scrubCtes("gated", "scrubbed")},
+       |st AS (
+       |  SELECT doc_id, source,
+       |         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+       |  FROM scrubbed),
+       |swins AS (
+       |  SELECT doc_id, p, array_to_string(toks[p+1 : p+20], ' ') AS win
+       |  FROM (SELECT doc_id, toks,
+       |               unnest(generate_series(0, len(toks) - 20)) AS p
+       |        FROM st WHERE len(toks) >= 20)),
+       |sdup AS (
+       |  SELECT win FROM (
+       |    SELECT win, COUNT(DISTINCT doc_id) AS df FROM swins GROUP BY win)
+       |  WHERE df >= 2),
+       |sspans AS (
+       |  SELECT doc_id, list(p) AS ps FROM swins
+       |  WHERE win IN (SELECT win FROM sdup) GROUP BY doc_id),
+       |spankept AS (
+       |  SELECT doc_id, source, text FROM (
+       |    SELECT st.doc_id, st.source,
+       |      COALESCE(array_to_string(list_filter(
+       |        list_transform(generate_series(1, CAST(len(toks) AS INT)),
+       |          i -> CASE WHEN len(list_filter(COALESCE(ps, []),
+       |                         p -> p <= i - 1 AND i - 1 < p + 20)) > 0
+       |                    THEN NULL ELSE toks[i] END),
+       |        x -> x IS NOT NULL), ' '), '') AS text
+       |    FROM st LEFT JOIN sspans ON st.doc_id = sspans.doc_id)
+       |  WHERE text <> ''),
+       |exact AS (
+       |  SELECT doc_id, source, text FROM (
+       |    SELECT doc_id, source, text,
+       |           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |    FROM spankept)
+       |  WHERE rn = 1),
+       |${lshCtes("exact", "n")},
+       |ndropb AS (
+       |  SELECT DISTINCT doc_b FROM ncommon
+       |  JOIN ncnt ca ON ncommon.doc_a = ca.doc_id
+       |  JOIN ncnt cb ON ncommon.doc_b = cb.doc_id
+       |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.8),
+       |deduped AS (
+       |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_b FROM ndropb)),
+       |dtok5 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM deduped
+       |  WHERE len(string_split(text, ' ')) >= 5),
+       |dsh5 AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(generate_series(1, len(t) - 4),
+       |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+       |                  || t[i+3] || ' ' || t[i+4])) AS shingle
+       |    FROM dtok5)),
+       |etok5 AS (
+       |  SELECT string_split(text, ' ') AS t FROM documents
+       |  WHERE doc_id < 20 AND len(string_split(text, ' ')) >= 5),
+       |esh5 AS (
+       |  SELECT DISTINCT shingle FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(t) - 4),
+       |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+       |                  || t[i+3] || ' ' || t[i+4])) AS shingle
+       |    FROM etok5)),
+       |contam AS (SELECT DISTINCT doc_id FROM dsh5 JOIN esh5 USING (shingle)),
+       |clean AS (
+       |  SELECT * FROM deduped
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |census AS (
+       |  SELECT '0_input' AS stage, COUNT(*) AS n_docs,
+       |         COALESCE(SUM(len(string_split(text, ' '))), 0) AS nt FROM planted
+       |  UNION ALL SELECT '1_quality_gate', COUNT(*),
+       |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM gated
+       |  UNION ALL SELECT '2_pii_scrub', COUNT(*),
+       |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM scrubbed
+       |  UNION ALL SELECT '2c_span_scrub', COUNT(*),
+       |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM spankept
+       |  UNION ALL SELECT '3_exact_dedup', COUNT(*),
+       |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM exact
+       |  UNION ALL SELECT '4_near_dedup', COUNT(*),
+       |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM deduped
+       |  UNION ALL SELECT '5_semantic_dedup', COUNT(*),
+       |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM deduped
+       |  UNION ALL SELECT '6_decontam', COUNT(*),
+       |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM clean
+       |  UNION ALL SELECT '7_mixed', COUNT(*),
+       |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM clean
+       |  UNION ALL SELECT '8_packed', COUNT(*),
+       |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM clean)
+       |SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(nt AS BIGINT) AS n_tokens
+       |FROM census ORDER BY stage""".stripMargin
   }
 
   /** DuckDB replay of [[TextOps.learnBpeMerges]]: v0 = the char-split

@@ -648,8 +648,9 @@ object CorpusIntakeJob {
         .localCheckpoint(true) // consumed by the artifact append AND the count
       if (drifted.count() > 0) {
         val (dg, bd) = StandingState.artifactsFor(drifted, cfg, meta)
+        val sp = StandingState.spanHashesFor(drifted, statePath)
         StandingState.withLeaseRetry(spark, statePath, "ingestTextBatch:repair") {
-          StandingState.writeArtifacts(dg, bd, statePath)
+          StandingState.writeArtifacts(dg, bd, statePath, sp)
         }
         // the state's pinned file index predates the repair append — reload
         // so the legs below dedup against the completed artifact tables
@@ -676,10 +677,14 @@ object CorpusIntakeJob {
     // corpus dir mid-rename would be deleted with the retired snapshot)
     val cols = standingDocs.columns.toIndexedSeq
     val (dg, bd) = StandingState.artifactsFor(admitted, cfg, meta)
+    // span-index upkeep: when the state carries one, the admitted batch's
+    // window hashes append with the other artifacts (same lease hold), so
+    // a span-stage ingest tomorrow sees today's admissions as standing
+    val sp = StandingState.spanHashesFor(admitted, statePath)
     StandingState.withLeaseRetry(spark, statePath, "ingestTextBatch:commit") {
       admitted.select(cols.head, cols.tail: _*)
         .write.mode("append").parquet(standingDocsPath)
-      StandingState.writeArtifacts(dg, bd, statePath)
+      StandingState.writeArtifacts(dg, bd, statePath, sp)
     }
     admitted.count()
   }

@@ -52,6 +52,39 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("span stage (2c): unaligned shared run stripped before any fingerprint") {
+    val run = (1 to 25).map(i => s"run$i").mkString(" ")
+    // the run sits at DIFFERENT offsets in docs 1 and 2 — the positional
+    // 2b chunker would straddle it; the stride-1 windows find it anywhere
+    val docs = Seq(
+      (1L, base(1) + " " + run + " tail1a tail1b"),
+      (2L, "the tale of and to in preA preB " + run + " " +
+        (1 to 12).map(j => s"w2x$j").mkString(" ")),
+      (3L, base(3)),
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val cfg = CorpusPipeline.Config(removeDupSpans = Some((20, 2)))
+
+    val out = CorpusPipeline.prepare(docs, None, cfg).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L, 3L))
+    out.take(2).foreach { r =>
+      val toks = r.getAs[String]("text").split(" ").toSet
+      assert(!toks.contains("run1") && !toks.contains("run25"),
+        s"run tokens survived in doc ${r.getAs[Long]("doc_id")}")
+    }
+    // doc 3 passes through token-identical (whitespace-normalize only)
+    assert(out(2).getAs[String]("text") === base(3))
+
+    // the report carries the 2c row with the exact token attrition:
+    // both marked docs lose exactly the 25 run tokens, none dropped
+    val (_, report) = CorpusPipeline.prepareWithReport(docs, None, cfg)
+    val byStage = report.collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    assert(byStage.contains("2c_span_scrub"))
+    assert(byStage("2c_span_scrub")._1 === byStage("2_pii_scrub")._1)
+    assert(byStage("2_pii_scrub")._2 - byStage("2c_span_scrub")._2 === 50L)
+  }
+
   test("prepareWithReport: stage censuses match the planted attrition exactly") {
     val docs = Seq(
       (1L, base(1)),                               // survives

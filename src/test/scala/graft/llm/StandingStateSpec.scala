@@ -120,6 +120,89 @@ class StandingStateSpec extends SparkSpec {
       ids(CorpusPipeline.prepareIncremental(batch2, standing2, cfg = cfg)))
   }
 
+  test("span stage: state-fed == frame-fed on standing and within-batch runs") {
+    val srun = (1 to 25).map(i => s"srun$i").mkString(" ")
+    val brun = (1 to 25).map(i => s"brun$i").mkString(" ")
+    val standing = docs(1L -> (base(1) + " " + srun))
+    val incoming = docs(
+      // carries the STANDING run at a different offset -> standing-index leg
+      10L -> ("the tale of and to in xa xb " + srun + " " +
+        (1 to 10).map(j => s"w10x$j").mkString(" ")),
+      // 11 and 12 share a FRESH run -> within-batch census leg (minDocs=2)
+      11L -> (base(11) + " " + brun),
+      12L -> ("the tale of and to in ya yb " + brun + " " +
+        (1 to 10).map(j => s"w12x$j").mkString(" ")),
+      13L -> base(13)) // untouched
+    val cfg = CorpusPipeline.Config(removeDupSpans = Some((20, 2)))
+    val frameFed = CorpusPipeline.prepareIncremental(incoming, standing, cfg = cfg)
+    val state = StandingState.build(standing, cfg)
+    assert(state.spanIndex.isDefined && state.spanIndex.get._2 === 20)
+    val stateFed = CorpusPipeline.prepareIncrementalWithState(
+      incoming, standing, state, cfg = cfg)
+    assert(stateFed.orderBy("doc_id").collect().map(_.toString).toSeq ===
+      frameFed.orderBy("doc_id").collect().map(_.toString).toSeq)
+    assert(ids(stateFed) === Seq(10L, 11L, 12L, 13L))
+    val text = stateFed.orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").toSet).toMap
+    assert(!text(10L).contains("srun1") && !text(10L).contains("srun25"))
+    assert(!text(11L).contains("brun1") && !text(12L).contains("brun13"))
+    assert(text(13L) === base(13).split(" ").toSet)
+  }
+
+  test("span cycle: write/load carries the index, append closes it") {
+    val dir = java.nio.file.Files.createTempDirectory("standing_span_").toString
+    val xrun = (1 to 25).map(i => s"xrun$i").mkString(" ")
+    val cfg = CorpusPipeline.Config(removeDupSpans = Some((20, 2)))
+    val standing = docs(1L -> base(1))
+    val written = StandingState.write(standing, dir, cfg)
+    val loaded = StandingState.load(spark, dir)
+    assert(loaded.spanIndex.isDefined && loaded.spanIndex.get._2 === 20)
+    assert(loaded.spanIndex.get._1.as[String].collect().sorted.toSeq ===
+      written.spanIndex.get._1.as[String].collect().sorted.toSeq)
+
+    // ingest 1 INTRODUCES the run (df=1 in batch, absent from standing ->
+    // survives intact); append closes the cycle for ingest 2
+    val batch1 = docs(10L -> ("the tale of and to in pa pb " + xrun + " " +
+      (1 to 10).map(j => s"w10x$j").mkString(" ")))
+    val admitted1 = CorpusPipeline.prepareIncrementalWithState(
+      batch1, standing, loaded, cfg = cfg).localCheckpoint(true)
+    assert(ids(admitted1) === Seq(10L))
+    assert(admitted1.head.getAs[String]("text").split(" ").toSet.contains("xrun1"))
+    StandingState.append(admitted1.select("doc_id", "text", "source"), dir, cfg)
+    val standing2 = standing.unionByName(
+      admitted1.select("doc_id", "text", "source"))
+
+    // ingest 2 carries the SAME run -> stripped via the appended hashes
+    val batch2 = docs(20L -> ("the tale of and to in qa qb " + xrun + " " +
+      (1 to 10).map(j => s"w20x$j").mkString(" ")))
+    val stateFed = CorpusPipeline.prepareIncrementalWithState(
+      batch2, standing2, StandingState.load(spark, dir), cfg = cfg)
+    assert(ids(stateFed) === Seq(20L))
+    val t20 = stateFed.head.getAs[String]("text").split(" ").toSet
+    assert(!t20.contains("xrun1") && !t20.contains("xrun25"))
+    assert(stateFed.orderBy("doc_id").collect().map(_.toString).toSeq ===
+      CorpusPipeline.prepareIncremental(batch2, standing2, cfg = cfg)
+        .orderBy("doc_id").collect().map(_.toString).toSeq)
+  }
+
+  test("span-regime guards: missing index and width mismatch fail loudly") {
+    val standing = docs(1L -> base(1))
+    val incoming = docs(10L -> base(10))
+    val spanCfg = CorpusPipeline.Config(removeDupSpans = Some((20, 2)))
+    val noSpan = StandingState.build(standing, CorpusPipeline.Config())
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.prepareIncrementalWithState(
+        incoming, standing, noSpan, cfg = spanCfg)
+    }
+    val w20 = StandingState.build(standing, spanCfg)
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.prepareIncrementalWithState(
+        incoming, standing, w20,
+        cfg = CorpusPipeline.Config(removeDupSpans = Some((10, 2))))
+    }
+  }
+
   test("cluster labels persist and update incrementally across two ingests") {
     val path = java.nio.file.Files.createTempDirectory("standing_clusters_").toString
     // day 0: batch CC over the initial pair set
