@@ -173,4 +173,61 @@ object Mixing {
            |     ELSE $r + (__rank - 1 - ${r * (q + 1)}) DIV $q END + 1""".stripMargin)
     ranked.withColumn("stage", stage.cast("int")).drop("__sbkt", "__rank")
   }
+
+  /** Per-stage keep thresholds for [[dsirResample]], in sampling-hash
+    * units: stage `s` (1-based, ascending weight) keeps at fraction
+    * `min(1, rate * 2s / (nStages+1))`, whose mean over stages is exactly
+    * `rate` (unclamped — rate <= (S+1)/2S keeps every stage under 1).
+    * Computed ONCE here and embedded as literals in both the Spark plan
+    * and the DuckDB oracle, so the keep decision compares the same hash
+    * against the same 64-bit constant in both engines — no cross-engine
+    * floating-point expression divergence can flip a boundary doc. */
+  def dsirStageThresholds(rate: Double, nStages: Int): Seq[Double] = {
+    require(nStages >= 1, "nStages must be >= 1")
+    require(rate >= 0.0 && rate <= 1.0, "rate must be in [0,1]")
+    (1 to nStages).map { s =>
+      math.min(1.0, rate * 2.0 * s / (nStages + 1.0)) * 4294967296.0
+    }
+  }
+
+  /** DSIR-weighted mixing (the resample half of Xie et al. 2023, made
+    * deterministic the way [[stratifiedSample]] makes `df.sample`
+    * deterministic): documents keep with probability increasing in their
+    * DSIR importance weight, realized as a per-stage md5-hash threshold.
+    *
+    *   1. score every raw doc: [[TextOps.dsirScores]] (single census per
+    *      corpus, 6dp-decimal sums — zero-feature docs score 0.0);
+    *   2. rank into `nStages` exact global ntiles by (log_w asc, doc_id)
+    *      via [[curriculumStages]] — the hierarchical two-level rank, no
+    *      unpartitioned window;
+    *   3. keep iff samplingHash(doc_id) < threshold(stage), thresholds
+    *      from [[dsirStageThresholds]] — linear in stage, mean keep rate
+    *      exactly `rate` when no stage clamps at 1.
+    *
+    * Same guarantees as the q34 sampler: layout-independent membership,
+    * reproducible cross-engine, and monotone in `rate` (raising the rate
+    * only adds docs — every stage threshold grows). Shape at scale: the
+    * scoring shuffle (doc_id-keyed) + the stage census's bounded
+    * <= scoreBuckets-row collect + a per-row hash filter; nothing new
+    * beyond dsirScores' own plan. Returns (doc_id, stage, n_feats,
+    * log_w) for the kept docs. */
+  def dsirResample(
+      raw: DataFrame,
+      target: DataFrame,
+      rate: Double,
+      m: Int = 1024,
+      lambda: Double = 1.0,
+      nStages: Int = 20,
+      lo: Double = -20.0,
+      hi: Double = 20.0): DataFrame = {
+    val scores = TextOps.dsirScores(raw, target, m, lambda)
+    val staged = curriculumStages(scores, col("log_w"), nStages, lo = lo, hi = hi)
+    val thresholds = dsirStageThresholds(rate, nStages)
+    val thr = thresholds.zipWithIndex.foldLeft(lit(Double.NaN)) {
+      case (acc, (t, i)) => when(col("stage") === (i + 1), lit(t)).otherwise(acc)
+    }
+    staged
+      .filter(samplingHash(col("doc_id")) < thr)
+      .select("doc_id", "stage", "n_feats", "log_w")
+  }
 }

@@ -3255,6 +3255,30 @@ object LlmQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Q89 — DSIR-WEIGHTED MIXING (the resample half of the paper, made
+    // deterministic the q34 way): every raw doc DSIR-scored (q87's exact
+    // census/ratio/6dp-sum chain, shared CTEs), ntiled into 20 exact
+    // global stages by (log_w asc, doc_id) — the q53-proven hierarchical
+    // rank — then kept iff its q34 sampling hash falls under the stage's
+    // threshold. Thresholds are linear in stage (min(1, rate*2s/(S+1)),
+    // mean keep rate exactly `rate`) and computed ONCE driver-side, then
+    // embedded as IDENTICAL literals in the Spark plan and this oracle —
+    // both engines compare the same hash against the same constant, so no
+    // floating-point expression divergence can flip a boundary doc. The
+    // oracle replays scoring, the ntile, and the hash-threshold keep.
+    Declared(
+      "q89_dsir_resample",
+      (s, dir) => {
+        val raw = Tables.documentsRaw(s, dir)
+        graft.llm.Mixing.dsirResample(
+          raw, raw.filter(col("lang") === "en"),
+          rate = 0.5, m = 1024, lambda = 1.0, nStages = 20)
+          .orderBy("doc_id")
+      },
+      Some(dsirResampleOracle(rate = 0.5, nStages = 20)),
+    ),
+
+    // ------------------------------------------------------------------
     // Q88 — the COMPOSED pipeline with the exact-substring SPAN stage ON
     // (Config.removeDupSpans): q60's chain with q85's unaligned 25-token
     // boilerplate splice planted on doc_id % 3 == 0 docs (doc-dependent
@@ -3334,6 +3358,27 @@ object LlmQueries {
       |  SELECT d.doc_id, d.lang, COALESCE(n_feats, 0) AS n_feats,
       |         COALESCE(log_w, 0.0) AS log_w
       |  FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id)""".stripMargin
+
+  // q89 tail: exact global ntile by (log_w, doc_id) + the q34 md5-hash
+  // keep against per-stage literal thresholds shared (via
+  // Mixing.dsirStageThresholds) with the Spark plan.
+  private def dsirResampleOracle(rate: Double, nStages: Int): String = {
+    val thrCase = graft.llm.Mixing.dsirStageThresholds(rate, nStages)
+      .zipWithIndex
+      .map { case (t, i) => s"WHEN ${i + 1} THEN $t" }
+      .mkString(" ")
+    dsirScoreCtes +
+      s""",
+         |staged AS (
+         |  SELECT doc_id, n_feats, log_w,
+         |         CAST(ntile($nStages) OVER (ORDER BY log_w, doc_id) AS INT) AS stage
+         |  FROM full0)
+         |SELECT doc_id, stage, n_feats, log_w
+         |FROM staged
+         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      < CASE stage $thrCase END
+         |ORDER BY doc_id""".stripMargin
+  }
 
   // ---- shared pipeline-oracle CTE fragments (q60/q65/q88 family) ----
 

@@ -1902,4 +1902,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(base === run(docs.repartition(32).sortWithinPartitions("text")),
       "log_w must be bit-identical under any row order")
   }
+
+  test("dsirResample: weight-tilted keep, monotone in rate, layout-stable") {
+    // thresholds: unclamped mean keep fraction is exactly rate, and they
+    // strictly increase with stage (higher weight -> higher keep odds)
+    val thr = Mixing.dsirStageThresholds(0.4, 20)
+    assert(thr.size === 20 && thr === thr.sorted && thr.distinct === thr)
+    assert(math.abs(thr.sum / 20 / 4294967296.0 - 0.4) < 1e-12)
+    // rate 1 with 1 stage keeps everything (threshold = 2^32 > any hash)
+    assert(Mixing.dsirStageThresholds(1.0, 1) === Seq(4294967296.0))
+
+    val rnd = new scala.util.Random(89)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = (0 until 120).map { i =>
+      val n = 3 + rnd.nextInt(30)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") < 30)
+    def kept(rate: Double, raw: org.apache.spark.sql.DataFrame = docs): Map[Long, Int] =
+      Mixing.dsirResample(raw, target, rate, m = 256, nStages = 10)
+        .select("doc_id", "stage").as[(Long, Int)].collect().toMap
+    val half = kept(0.5)
+    // membership is monotone in rate (every stage threshold grows)
+    assert(kept(0.2).keySet.subsetOf(half.keySet))
+    // layout-independent: repartitioning changes neither membership nor stage
+    assert(kept(0.5, docs.repartition(13)) === half)
+    // the keep decision really is hash-under-stage-threshold: replay it
+    val staged = Mixing.curriculumStages(
+      TextOps.dsirScores(docs, target, m = 256), col("log_w"), 10)
+      .select("doc_id", "stage").as[(Long, Int)].collect().toMap
+    val thr05 = Mixing.dsirStageThresholds(0.5, 10)
+    val want = staged.filter { case (id, s) =>
+      val h = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(8), 16)
+      h.toDouble < thr05(s - 1)
+    }
+    assert(half === want)
+    assert(half.nonEmpty && half.size < 120)
+  }
 }
