@@ -821,41 +821,68 @@ object StandingState {
       if (f0.isEmpty) return
       val staged = sibling(live,
         s"__staged_${ProcessHandle.current().pid()}_${System.nanoTime()}")
-      // PHASE 2 — the O(table) rewrite, NO lease: appends continue freely
-      rewrite(spark.read.parquet(f0.map(_.toString): _*))
-        .write.mode("overwrite").parquet(staged.toString)
-      compactPostStageHook(live.getName)
-      // PHASE 3 — delta catch-up + swap, the only excluded window. The
-      // acquire RETRIES: against a live intake stream the lease is briefly
-      // held every few seconds by batch commits, and the compactor must
-      // wait its turn like any other mutator (the bounded timeout still
-      // surfaces a crashed holder loudly).
-      val swapped = withLeaseRetry(spark, leasePath, s"compact:${live.getName}") {
-        val f0set = f0.map(_.toString).toSet
-        val current = listDataFiles(fs, live)
-        if (!f0set.forall(current.map(_.toString).toSet)) {
-          // a full-table rewrite replaced the pinned snapshot — the
-          // staged output is stale; drop it and re-pin
-          fs.delete(staged, true)
-          false
-        } else {
-          val delta = current.filterNot(p => f0set(p.toString))
-          if (delta.nonEmpty)
-            spark.read.parquet(delta.map(_.toString): _*)
-              .write.mode("append").parquet(staged.toString)
-          val retired = sibling(live, "__retired")
-          if (fs.exists(retired)) fs.delete(retired, true)
-          if (!fs.rename(live, retired))
-            throw new java.io.IOException(
-              s"compact: rename $live -> $retired failed")
-          if (!fs.rename(staged, live))
-            throw new java.io.IOException(
-              s"compact: rename $staged -> $live failed — pre-swap rows intact at $retired")
-          fs.delete(retired, true)
-          gcStaleStaged(fs, live)
-          true
-        }
+      // Staged-dir-vanished guard: a CONCURRENT same-table compactor's
+      // post-swap [[gcStaleStaged]] can delete this run's staged dir if
+      // the run is pathologically old (>24h in phase 2, or stuck that
+      // long waiting on the lease) or the host clocks disagree. pid-
+      // scoped GC makes that impossible same-host; cross-host it
+      // remains reachable, and without this guard the victim dies on a
+      // confusing files-vanished FS error. With it, a failure whose
+      // staged dir is GONE is treated exactly like the pinned-file-
+      // vanished case: abort the stale snapshot and re-pin (and if the
+      // abort hit between the two phase-3 renames, the table sits at
+      // __retired — heal it first, same as the entry-time crash path).
+      def abortIfStagedVanished(e: Throwable): Boolean = {
+        val vanished = try !fs.exists(staged)
+        catch { case _: java.io.IOException => false }
+        if (vanished && !fs.exists(live) &&
+            fs.exists(sibling(live, "__retired")))
+          withLeaseRetry(spark, leasePath, s"compact-heal:${live.getName}") {
+            healDir(fs, live)
+          }
+        vanished
       }
+      val swapped =
+        try {
+          // PHASE 2 — the O(table) rewrite, NO lease: appends continue freely
+          rewrite(spark.read.parquet(f0.map(_.toString): _*))
+            .write.mode("overwrite").parquet(staged.toString)
+          compactPostStageHook(live.getName)
+          // PHASE 3 — delta catch-up + swap, the only excluded window. The
+          // acquire RETRIES: against a live intake stream the lease is briefly
+          // held every few seconds by batch commits, and the compactor must
+          // wait its turn like any other mutator (the bounded timeout still
+          // surfaces a crashed holder loudly).
+          withLeaseRetry(spark, leasePath, s"compact:${live.getName}") {
+            val f0set = f0.map(_.toString).toSet
+            val current = listDataFiles(fs, live)
+            if (!f0set.forall(current.map(_.toString).toSet)) {
+              // a full-table rewrite replaced the pinned snapshot — the
+              // staged output is stale; drop it and re-pin
+              fs.delete(staged, true)
+              false
+            } else {
+              val delta = current.filterNot(p => f0set(p.toString))
+              if (delta.nonEmpty)
+                spark.read.parquet(delta.map(_.toString): _*)
+                  .write.mode("append").parquet(staged.toString)
+              val retired = sibling(live, "__retired")
+              if (fs.exists(retired)) fs.delete(retired, true)
+              if (!fs.rename(live, retired))
+                throw new java.io.IOException(
+                  s"compact: rename $live -> $retired failed")
+              if (!fs.rename(staged, live))
+                throw new java.io.IOException(
+                  s"compact: rename $staged -> $live failed — pre-swap rows intact at $retired")
+              fs.delete(retired, true)
+              gcStaleStaged(fs, live)
+              true
+            }
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) if abortIfStagedVanished(e) =>
+            false
+        }
       if (swapped) return
     }
     throw new IllegalStateException(
@@ -873,15 +900,27 @@ object StandingState {
 
   /** Delete crashed compactors' leftover `<table>__staged_*` dirs (>= 1
     * day old) beside a table. Runs under the phase-3 lease right after a
-    * successful swap; a live run's staged dir is never that old. */
+    * successful swap. Scope guard: a dir whose embedded pid is STILL
+    * ALIVE on this host is skipped regardless of age — a same-host
+    * compactor legitimately >24h into phase 2 (the O(table) corpus
+    * rewrite at the 100 TB posture) must not have its snapshot deleted
+    * out from under it. A cross-host compactor's pid can't be probed;
+    * there the age cutoff stands, and the victim recovers via
+    * [[compactDirLive]]'s vanished-staged abort (clean re-pin, not an
+    * FS error). An alive-but-unrelated pid collision merely defers GC
+    * to a later swap. */
   private def gcStaleStaged(
       fs: org.apache.hadoop.fs.FileSystem,
       live: org.apache.hadoop.fs.Path): Unit = {
     val prefix = live.getName + "__staged_"
     val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    def pidAlive(name: String): Boolean =
+      name.stripPrefix(prefix).split('_').headOption
+        .flatMap(p => scala.util.Try(p.toLong).toOption)
+        .exists(p => ProcessHandle.of(p).isPresent)
     try fs.listStatus(live.getParent).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix) &&
-        st.getModificationTime < cutoff)
+        st.getModificationTime < cutoff && !pidAlive(st.getPath.getName))
       .foreach(st => fs.delete(st.getPath, true))
     catch { case _: java.io.IOException => () } // GC is best-effort
   }

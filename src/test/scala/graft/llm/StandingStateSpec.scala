@@ -798,4 +798,76 @@ class StandingStateSpec extends SparkSpec {
     assert(e.getMessage.contains("fully rewritten"), e.getMessage)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_lease")))
   }
+
+  test("a staged dir deleted mid-compaction (cross-host staged-GC) re-pins cleanly") {
+    // A concurrent same-table compactor on ANOTHER host can age-GC this
+    // run's staged dir (pid-scoping only protects same-host runs). The
+    // victim must treat the vanished staged dir like a stale snapshot —
+    // abort, heal if the loss surfaced mid-swap, re-pin — NOT die on a
+    // files-vanished FS error. The hook deletes the staged dir after
+    // phase 2, so the failure surfaces at the phase-3 staged->live
+    // rename: the nastiest shape, with the table already at __retired.
+    import scala.jdk.CollectionConverters._
+    val path = java.nio.file.Files.createTempDirectory("staged_gc_race_").toString
+    val w = 6
+    val d1 = (1 to 12).map(i => s"aa$i").mkString(" ")
+    StandingState.writeSpanIndex(Seq(1L -> d1).toDF("doc_id", "text"), path, w)
+    (0 until 3).foreach { i =>
+      StandingState.appendSpanHashes(
+        Seq((10L + i) -> (1 to 8).map(j => s"b${i}x$j").mkString(" "))
+          .toDF("doc_id", "text"), path)
+    }
+    val before = StandingState.loadSpanIndex(spark, path)._1
+      .collect().map(_.toString).sorted.toSeq
+    def rmRecursive(p: java.nio.file.Path): Unit =
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    StandingState.compactPostStageHook = { table =>
+      if (table == "span_hashes" && fired.getAndIncrement() == 0)
+        java.nio.file.Files.list(java.nio.file.Paths.get(path))
+          .iterator().asScala
+          .filter(_.getFileName.toString.startsWith("span_hashes__staged_"))
+          .foreach(rmRecursive)
+    }
+    try StandingState.compact(spark, path)
+    finally StandingState.compactPostStageHook = _ => ()
+    assert(fired.get() >= 1, "the injection point never fired")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_lease")))
+    val after = StandingState.loadSpanIndex(spark, path)._1
+      .collect().map(_.toString).sorted.toSeq
+    assert(after === before, "re-pinned compaction must preserve content")
+  }
+
+  test("staged-GC is pid-scoped: an aged live-pid staged dir survives, a dead-pid one is collected") {
+    val path = java.nio.file.Files.createTempDirectory("staged_gc_pid_").toString
+    val w = 6
+    StandingState.writeSpanIndex(
+      Seq(1L -> (1 to 12).map(i => s"cc$i").mkString(" ")).toDF("doc_id", "text"),
+      path, w)
+    (0 until 2).foreach { i =>
+      StandingState.appendSpanHashes(
+        Seq((20L + i) -> (1 to 8).map(j => s"d${i}x$j").mkString(" "))
+          .toDF("doc_id", "text"), path)
+    }
+    val parent = java.nio.file.Paths.get(path)
+    val livePid = ProcessHandle.current().pid()
+    // 999999999 exceeds any Linux pid_max -> never alive
+    val liveDir = parent.resolve(s"span_hashes__staged_${livePid}_1")
+    val deadDir = parent.resolve(s"span_hashes__staged_999999999_1")
+    Seq(liveDir, deadDir).foreach { d =>
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve("part-stub.parquet"), Array[Byte](1))
+      java.nio.file.Files.setLastModifiedTime(d,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 48L * 3600 * 1000))
+    }
+    StandingState.compact(spark, path) // successful swap runs the GC
+    assert(java.nio.file.Files.exists(liveDir),
+      "a staged dir whose pid is alive on this host must survive age-GC " +
+        "(it may be a >24h phase-2 rewrite)")
+    assert(!java.nio.file.Files.exists(deadDir),
+      "a crashed (dead-pid) compactor's aged staged dir must be collected")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_lease")))
+  }
 }
