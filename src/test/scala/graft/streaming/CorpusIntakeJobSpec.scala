@@ -660,4 +660,129 @@ class CorpusIntakeJobSpec extends SparkSpec {
       assert(ids === Set(1L, 2L))
     } finally q.stop()
   }
+
+  test("live compaction coexists with a running embedding stream: no lost admissions, file counts drop") {
+    // the text-stream twin (above) for runEmbeddingStream: a full
+    // compact() of the bucket state AND the standing vector table lands
+    // between two micro-batches of a LIVE stream — the swap windows must
+    // be ridden through via the lease, with zero lost admissions and no
+    // duplicate appends, and the compacted state must still serve dedup
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.lit
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(seed * 31 + i) * 0.5).toFloat)
+    val standingDir = java.nio.file.Files.createTempDirectory("emb_compact_vecs_").toString
+    Seq((1L, vec(1)), (2L, vec(2))).toDF("vec_id", "embedding")
+      .withColumn("label", lit("s"))
+      .write.mode("overwrite").parquet(standingDir)
+    val statePath = java.nio.file.Files.createTempDirectory("emb_compact_state_").toString
+    graft.llm.StandingState.writeEmbBuckets(spark.read.parquet(standingDir), statePath)
+    // grow the tables with appended micro-batches so compaction has work
+    (0 until 4).foreach { b =>
+      CorpusIntakeJob.ingestEmbeddingBatch(
+        Seq((100L + b, vec(100 + b))).toDF("vec_id", "embedding"),
+        statePath, standingDir, tau = 0.999)
+    }
+    def nFiles(dir: String): Int = {
+      val d = new java.io.File(dir)
+      d.listFiles().count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".") && !f.getName.endsWith(".crc"))
+    }
+    val filesBeforeVecs = nFiles(standingDir)
+    val filesBeforeBuckets = nFiles(s"$statePath/emb_buckets")
+    assert(filesBeforeVecs >= 5, s"setup vacuous: $filesBeforeVecs vec files")
+
+    val ck = java.nio.file.Files.createTempDirectory("emb_compact_ck_").toString
+    val in = MemoryStream[IntakeVec]
+    val q = CorpusIntakeJob.runEmbeddingStream(
+      in.toDF(), statePath, standingDir, ck, tau = 0.999)
+    try {
+      in.addData(IntakeVec(200L, vec(200), "b"))
+      q.processAllAvailable()
+      graft.llm.StandingState.compact(spark, statePath, Some(standingDir))
+      in.addData(
+        IntakeVec(201L, vec(100), "b"), // replica of appended 100 -> drop
+        IntakeVec(202L, vec(1), "b"),   // replica of standing 1 -> drop
+        IntakeVec(203L, vec(203), "b")) // novel -> admit
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+    } finally q.stop()
+    val idsAfter = spark.read.parquet(standingDir).select("vec_id").as[Long].collect()
+    assert(idsAfter.length === idsAfter.distinct.length, "duplicate vec rows")
+    assert(idsAfter.toSet ===
+      (Seq(1L, 2L) ++ (100L until 104L) ++ Seq(200L, 203L)).toSet,
+      "an admission was lost or a dup admitted across the compaction")
+    assert(nFiles(standingDir) < filesBeforeVecs,
+      s"vec file count did not drop: ${nFiles(standingDir)} vs $filesBeforeVecs")
+    assert(nFiles(s"$statePath/emb_buckets") <= filesBeforeBuckets)
+    // post-compaction the state still serves: replicas of admitted vecs drop
+    assert(CorpusIntakeJob.ingestEmbeddingBatch(
+      Seq((900L, vec(203)), (901L, vec(100))).toDF("vec_id", "embedding"),
+      statePath, standingDir, tau = 0.999) === 0L)
+  }
+
+  test("live compaction coexists with a running media stream: no lost admissions, file counts drop") {
+    // the text-stream twin for runMediaStream: engineered bright/dark
+    // rasters (see the runMediaStream spec's aHash note) so distinct ids
+    // hash far apart while replicas collide
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.Multimodal
+    val mk: Int => String = i =>
+      (0 until 20).map { j =>
+        if (((i.toLong * 2654435761L >> j) & 1L) == 1L) "!!!!!" else "zzzzz"
+      }.mkString(" ")
+    def mediaOf(rows: (Long, String)*) =
+      Multimodal.asMedia(rows.toDF("doc_id", "text"))
+    val mediaDir = java.nio.file.Files.createTempDirectory("media_compact_m_").toString
+    mediaOf(1L -> mk(1), 2L -> mk(2)).write.mode("overwrite").parquet(mediaDir)
+    val statePath = java.nio.file.Files.createTempDirectory("media_compact_s_").toString
+    graft.llm.StandingState.writeMediaState(
+      Multimodal.imagePhash(spark.read.parquet(mediaDir)), statePath)
+    (0 until 4).foreach { b =>
+      CorpusIntakeJob.ingestMediaBatch(
+        mediaOf((100L + b) -> mk(100 + b)), statePath, mediaDir)
+    }
+    def nFiles(dir: String): Int = {
+      val d = new java.io.File(dir)
+      d.listFiles().count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".") && !f.getName.endsWith(".crc"))
+    }
+    val filesBeforeMedia = nFiles(mediaDir)
+    val filesBeforePhash = nFiles(s"$statePath/media_phashes")
+    assert(filesBeforeMedia >= 5, s"setup vacuous: $filesBeforeMedia media files")
+
+    val ck = java.nio.file.Files.createTempDirectory("media_compact_ck_").toString
+    val in = MemoryStream[(Long, String, Long, Array[Byte])]
+    val q = CorpusIntakeJob.runMediaStream(
+      in.toDF().toDF("media_id", "mime", "n_bytes", "payload"),
+      statePath, mediaDir, ck, maxHamming = 8)
+    def rec(id: Long, text: String): (Long, String, Long, Array[Byte]) = {
+      val r = mediaOf(id -> text).head()
+      (r.getAs[Long]("media_id"), r.getAs[String]("mime"),
+        r.getAs[Long]("n_bytes"), r.getAs[Array[Byte]]("payload"))
+    }
+    try {
+      in.addData(rec(200, mk(200)))
+      q.processAllAvailable()
+      graft.llm.StandingState.compact(spark, statePath, Some(mediaDir))
+      in.addData(
+        rec(201, mk(100)),          // replica of appended 100 -> drop
+        rec(202, mk(1)),            // replica of standing 1 -> drop
+        rec(203, mk(2) + " !!"),    // near-identical raster of standing 2 -> drop
+        rec(204, mk(204)))          // novel -> admit
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+    } finally q.stop()
+    val idsAfter = spark.read.parquet(mediaDir).select("media_id").as[Long].collect()
+    assert(idsAfter.length === idsAfter.distinct.length, "duplicate media rows")
+    assert(idsAfter.toSet ===
+      (Seq(1L, 2L) ++ (100L until 104L) ++ Seq(200L, 204L)).toSet,
+      "an admission was lost or a dup admitted across the compaction")
+    assert(nFiles(mediaDir) < filesBeforeMedia,
+      s"media file count did not drop: ${nFiles(mediaDir)} vs $filesBeforeMedia")
+    assert(nFiles(s"$statePath/media_phashes") <= filesBeforePhash)
+    // post-compaction the state still serves: a replay admits nothing
+    assert(CorpusIntakeJob.ingestMediaBatch(
+      mediaOf(900L -> mk(204)), statePath, mediaDir) === 0L)
+  }
 }
