@@ -749,6 +749,94 @@ object StandingState {
     * table lives outside the state dir — sound because every corpus
     * mutator (the ingest batch leg) appends under that same lease; a
     * manual corpus writer must hold it too (or quiesce). */
+  /** RETENTION — the reference's key-TTL twin (it expires every
+    * materialized key after `expire_keys` seconds,
+    * `lib/meeseeker.rb:99`): drop the corpus rows matching `expired`
+    * and EVERY artifact derived from them, so expired documents no
+    * longer block replicas of their own text from (re-)admission.
+    *
+    * Digests and span-window hashes are deliberately doc_id-free sets,
+    * so subtraction is unsound — an expired doc's digest may also be a
+    * retained doc's digest, and dropping it would un-block the retained
+    * doc's replicas. Expire therefore REBUILDS digests, bands and (when
+    * the state carries a span index) span hashes from the RETAINED
+    * corpus under the state's persisted regime (meta + span_meta — the
+    * same no-parameter discipline as [[append]]), then filters the
+    * corpus. O(retained corpus) work like [[compact]]'s corpus leg; the
+    * whole pass holds the lease (a rare maintenance op — intake batches
+    * wait via their own lease retry, exactly as during a compaction
+    * swap window).
+    *
+    * Crash-safety: every table swap self-heals individually
+    * ([[swapTable]]/[[healDir]]), and the CORPUS swap is deliberately
+    * LAST — a crash anywhere earlier leaves the expired rows still in
+    * the corpus, so a re-run detects pending work (n > 0) and completes
+    * the rebuild; artifacts are only ever derived from the retained
+    * set, so no crash shape leaves an expired doc's artifacts blocking
+    * admission after the corpus swap lands. SemDeDup centroids are
+    * untouched (frozen training state, not a per-doc blocker);
+    * emb-bucket and media states key by id and live in their own
+    * tables — retention for those is a caller-side filter plus
+    * [[writeEmbBuckets]]/[[writeMediaState]].
+    *
+    * `expired` is a boolean predicate over corpus rows (an ingest-time
+    * timestamp column, a doc_id horizon, a source policy — schema is
+    * the caller's). Returns the number of corpus rows dropped. */
+  def expire(
+      spark: SparkSession,
+      statePath: String,
+      corpusPath: String,
+      expired: Column): Long = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    withLeaseRetry(spark, statePath, "expire") {
+      val corpusDir = new HPath(corpusPath)
+      val fs = corpusDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      healDir(fs, corpusDir) // we hold the lease — safe to heal a crashed swap
+      val corpus0 = spark.read.parquet(corpusPath)
+      val retained = Frames.barrier(corpus0.filter(!expired))
+      val n = corpus0.count() - retained.count()
+      if (n == 0L) 0L
+      else {
+        val meta = {
+          val r = spark.read.parquet(s"$statePath/meta").head()
+          Meta(r.getAs[Int]("shingle_size"), r.getAs[Int]("num_hashes"),
+            r.getAs[Int]("band_rows"), r.getAs[Boolean]("normalized"))
+        }
+        val cfg = CorpusPipeline.Config(
+          shingleSize = meta.shingleSize,
+          normalizeFingerprints = meta.normalizedFingerprints)
+        val (digests, bands) =
+          artifacts(retained, cfg, meta.numHashes, meta.bandRows)
+        swapTable(spark, statePath, "digests") { staged =>
+          digests.write.parquet(staged)
+        }
+        if (tableExists(spark, s"$statePath/span_meta")) {
+          val w = spark.read.parquet(s"$statePath/span_meta")
+            .head().getAs[Int]("w")
+          swapTable(spark, statePath, "span_hashes") { staged =>
+            TextOps.spanWindowHashes(retained, w).write.parquet(staged)
+          }
+        }
+        swapTable(spark, statePath, "bands") { staged =>
+          bands.write.parquet(staged)
+        }
+        // corpus LAST (see crash-safety note above)
+        val staged = sibling(corpusDir, "__staged")
+        retained.write.mode("overwrite").parquet(staged.toString)
+        val retired = sibling(corpusDir, "__retired")
+        if (fs.exists(retired)) fs.delete(retired, true)
+        if (!fs.rename(corpusDir, retired))
+          throw new java.io.IOException(
+            s"expire: rename $corpusDir -> $retired failed")
+        if (!fs.rename(staged, corpusDir))
+          throw new java.io.IOException(
+            s"expire: rename $staged -> $corpusDir failed — pre-expire rows intact at $retired")
+        fs.delete(retired, true)
+        n
+      }
+    }
+  }
+
   def compact(spark: SparkSession, path: String): Unit =
     compact(spark, path, None)
 

@@ -799,6 +799,57 @@ class StandingStateSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_lease")))
   }
 
+  test("expire drops corpus rows and ALL their artifacts; shared digests survive via retained docs") {
+    // the reference's key-TTL twin: expired docs must stop blocking
+    // replicas of their own text, while artifacts shared with RETAINED
+    // docs (identical text -> identical digest) must keep blocking
+    // fully per-id-distinct tokens: a shared w-token prefix across the
+    // TTL cut would legitimately keep the expired doc's first window
+    // covered via the retained docs and make the span assertion vacuous
+    val mk: Int => String = i => (1 to 24).map(j => s"ex${i}x$j").mkString(" ")
+    val corpusDir = java.nio.file.Files.createTempDirectory("expire_docs_").toString
+    // doc 3 is a byte replica of doc 2 (shared digest across the TTL cut)
+    Seq((1L, mk(1)), (2L, mk(2)), (3L, mk(2)))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(corpusDir)
+    val statePath = java.nio.file.Files.createTempDirectory("expire_state_").toString
+    StandingState.write(spark.read.parquet(corpusDir), statePath,
+      cfg = graft.llm.CorpusPipeline.Config(removeDupSpans = Some((6, 2))))
+    // appended micro-batch so every table has multiple files
+    assert(graft.streaming.CorpusIntakeJob.ingestTextBatch(
+      Seq((100L, mk(100))).toDF("doc_id", "text"),
+      statePath, corpusDir, tau = 0.5, gate = false, scrub = false) === 1L)
+
+    val n = StandingState.expire(spark, statePath, corpusDir,
+      col("doc_id") === 1L || col("doc_id") === 2L)
+    assert(n === 2L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(statePath, "_lease")))
+    assert(spark.read.parquet(corpusDir).select("doc_id").as[Long].collect().toSet
+      === Set(3L, 100L))
+    // span windows of the expired UNIQUE doc are no longer covered...
+    val (h, w) = StandingState.loadSpanIndex(spark, statePath)
+    val probe = Seq(90L -> mk(1), 91L -> mk(100)).toDF("doc_id", "text")
+    val spanOut = TextOps.removeDuplicatedSpansIncremental(probe, h, w)
+      .select("doc_id", "n_tokens", "n_removed")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(spanOut(90L)._3 === 0, "expired doc's span windows still block")
+    // ...while the retained appended doc's windows still are
+    assert(spanOut(91L)._3 === spanOut(91L)._2,
+      "retained doc's span windows must survive the rebuild")
+    // a replica of the expired unique text now ADMITS end to end
+    assert(graft.streaming.CorpusIntakeJob.ingestTextBatch(
+      Seq((900L, mk(1))).toDF("doc_id", "text"),
+      statePath, corpusDir, tau = 0.5, gate = false, scrub = false) === 1L)
+    // a replica of the SHARED text still drops (doc 3 retained)
+    assert(graft.streaming.CorpusIntakeJob.ingestTextBatch(
+      Seq((901L, mk(2))).toDF("doc_id", "text"),
+      statePath, corpusDir, tau = 0.5, gate = false, scrub = false) === 0L)
+    // idempotent: the expired ids are gone, so a re-run drops nothing
+    assert(StandingState.expire(spark, statePath, corpusDir,
+      col("doc_id") === 1L || col("doc_id") === 2L) === 0L)
+    assert(spark.read.parquet(corpusDir).select("doc_id").as[Long].collect().toSet
+      === Set(3L, 100L, 900L))
+  }
+
   test("a staged dir deleted mid-compaction (cross-host staged-GC) re-pins cleanly") {
     // A concurrent same-table compactor on ANOTHER host can age-GC this
     // run's staged dir (pid-scoping only protects same-host runs). The
