@@ -3279,6 +3279,44 @@ object LlmQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Q90 — RETENTION end to end (the reference's key-TTL twin,
+    // meeseeker.rb:99): a persisted standing corpus + state has a third
+    // of its docs expired (doc_id % 3 == 0 — StandingState.expire
+    // rebuilds digests/bands from the RETAINED corpus and filter-swaps
+    // the corpus), then the q63 incoming slice ingests through the full
+    // production batch leg against the expired state. Incoming docs
+    // whose ONLY exact/near match was an EXPIRED doc must now ADMIT;
+    // docs matching RETAINED standing (or a lower within-batch peer)
+    // still drop. The oracle replays admission with q63's exact LSH
+    // chain over the RETAINED ∪ incoming universe plus the byte-exact
+    // digest leg, and the result is the final corpus membership — so
+    // the hash match pins expire's artifact rebuild, the corpus swap,
+    // AND the ingest integration in one gate.
+    Declared(
+      "q90_expire_retention",
+      (s, dir) => {
+        val all = Tables.documents(s, dir)
+        val standing = all.filter(col("doc_id") < 250)
+        val incoming = all.filter(col("doc_id") >= 250)
+        val corpusDir = java.nio.file.Files
+          .createTempDirectory("q90_corpus_").toString
+        standing.write.mode("overwrite").parquet(corpusDir)
+        val statePath = java.nio.file.Files
+          .createTempDirectory("q90_state_").toString
+        graft.llm.StandingState.write(s.read.parquet(corpusDir), statePath)
+        val nExp = graft.llm.StandingState.expire(
+          s, statePath, corpusDir, col("doc_id") % 3 === 0)
+        require(nExp > 0, s"q90 setup vacuous: nothing expired")
+        graft.streaming.CorpusIntakeJob.ingestTextBatch(
+          incoming, statePath, corpusDir,
+          tau = 0.5, gate = false, scrub = false)
+        s.read.parquet(corpusDir)
+          .select("doc_id", "source").orderBy("doc_id")
+      },
+      Some(expireRetentionOracle),
+    ),
+
+    // ------------------------------------------------------------------
     // Q88 — the COMPOSED pipeline with the exact-substring SPAN stage ON
     // (Config.removeDupSpans): q60's chain with q85's unaligned 25-token
     // boilerplate splice planted on doc_id % 3 == 0 docs (doc-dependent
@@ -3316,6 +3354,62 @@ object LlmQueries {
       Some(pipelineSpanOracle),
     ),
   )
+
+  // q90: q63's LSH admission chain over the RETAINED (post-expire) ∪
+  // incoming universe, plus the byte-exact digest leg (a <3-token doc
+  // has no shingles, so exact matches must drop independently of the
+  // near chain — mirroring ingestTextBatch's exact-then-near legs).
+  // Final corpus = retained standing ∪ admitted incoming.
+  private def expireRetentionOracle: String =
+    """WITH u AS (
+      |  SELECT * FROM documents WHERE doc_id >= 250 OR doc_id % 3 <> 0),
+      |toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t FROM u
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source, shingle FROM (
+      |    SELECT doc_id, source,
+      |           unnest(list_transform(generate_series(1, len(t) - 2),
+      |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      |    FROM toks)),
+      |hs AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+      |         ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+      |  FROM sh),
+      |sigs AS (
+      |  SELECT doc_id, ks.k AS k, MIN((h1 + ks.k * h2) % 4294967311) AS sig
+      |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+      |  GROUP BY doc_id, ks.k),
+      |bands AS (
+      |  SELECT doc_id, k // 2 AS band, string_agg(sig::VARCHAR, '#' ORDER BY k) AS band_key
+      |  FROM sigs GROUP BY doc_id, band),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.doc_a
+      |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      |  GROUP BY 1, 2),
+      |dropnear AS (
+      |  SELECT DISTINCT doc_b FROM common
+      |  JOIN cnt ca ON common.doc_a = ca.doc_id
+      |  JOIN cnt cb ON common.doc_b = cb.doc_id
+      |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5
+      |    AND doc_b >= 250),
+      |dropexact AS (
+      |  SELECT DISTINCT b.doc_id AS doc_b
+      |  FROM u b JOIN u r ON r.text = b.text AND r.doc_id < 250
+      |  WHERE b.doc_id >= 250)
+      |SELECT doc_id, source FROM u
+      |WHERE doc_id < 250
+      |   OR doc_id NOT IN (SELECT doc_b FROM dropnear
+      |                     UNION SELECT doc_b FROM dropexact)
+      |ORDER BY doc_id""".stripMargin
 
   // ---- shared DSIR scoring CTE chain (q87/q89) ----
   // featurize (unigrams+bigrams, md5-bucket) -> one census per corpus ->
