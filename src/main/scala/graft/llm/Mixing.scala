@@ -230,4 +230,88 @@ object Mixing {
       .filter(samplingHash(col("doc_id")) < thr)
       .select("doc_id", "stage", "n_feats", "log_w")
   }
+
+  /** Temperature-scaled source mixing (the T5/mT5/GPT-3 multinomial
+    * pattern): source `s` with `n_s` documents gets sampling mass
+    * `w_s = n_s^alpha` — `alpha < 1` UP-samples small sources relative to
+    * their natural share, `alpha = 1` is proportional (no rebalance) —
+    * and is hash-kept at rate `min(1, w_s / sum(w) * targetDocs / n_s)`,
+    * so the expected output is `targetDocs` documents distributed
+    * `∝ n_s^alpha` (clamping at 1 when a small source can't fill its
+    * quota). Membership is the q34 sampling hash: layout-independent,
+    * reproducible cross-engine, monotone in `targetDocs`.
+    *
+    * Cross-engine exactness: `n_s^alpha` is transcendental, so each
+    * weight is rounded to 6dp and the weight total is summed as
+    * DECIMAL(25,6) — exact and order-free — then the per-source rate is
+    * one fixed double expression over bit-identical operands, rounded to
+    * 6dp (the [[TextOps.tfidfTopTerms]] decimal discipline). Rates are
+    * computed by the engine itself (two actions over the <= #sources-row
+    * census) and embedded as literals in the filter.
+    *
+    * Shape at scale: one map-side-combinable census (rows = #sources, a
+    * control-plane fetch), then a pure per-row hash filter — no shuffle
+    * of the corpus itself at any scale. */
+  def temperatureSample(
+      docs: DataFrame,
+      targetDocs: Long,
+      alpha: Double = 0.5,
+      idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    require(targetDocs >= 0, "targetDocs must be >= 0")
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    import org.apache.spark.sql.types.DecimalType
+    // alpha = 0.5 routes through sqrt (IEEE-correctly-rounded in every
+    // engine, so the oracle's sqrt() is bit-identical); other alphas use
+    // pow, whose ulp-level engine differences the 6dp rounding absorbs
+    val w = if (alpha == 0.5) sqrt(col("__n").cast("double"))
+            else pow(col("__n").cast("double"), lit(alpha))
+    val census = docs.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__w6", round(w, 6).cast(DecimalType(25, 6)))
+      .localCheckpoint(false) // two control-plane actions below
+    // exact decimal total of the 6dp weights (order-free), then one
+    // deterministic decimal->double conversion — same value DuckDB's
+    // CAST(SUM(..) AS DOUBLE) produces
+    val sDouble = census.agg(sum(col("__w6"))).head().getDecimal(0).doubleValue
+    val rates = census.select(
+        col(sourceCol),
+        least(lit(1.0),
+          round(col("__w6").cast("double") / lit(sDouble)
+            * lit(targetDocs.toDouble) / col("__n").cast("double"), 6))
+          .as("__rate"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(r)).otherwise(acc)
+    }
+    docs.filter(hashKeep(col(idCol), rateCol))
+  }
+
+  /** Per-key document cap (the CCNet/RefinedWeb per-domain cap): keep at
+    * most `maxPerKey` documents per key, chosen deterministically as the
+    * `maxPerKey` smallest (samplingHash, id) pairs — so the kept set is
+    * layout-independent, reproducible cross-engine, and STABLE UNDER
+    * GROWTH in the same sense as [[hashSplit]]: a kept doc is only ever
+    * evicted by a new doc with a smaller hash, never by repartitioning.
+    *
+    * Shape at scale: expressed as the `row_number() <= k` rank-filter
+    * idiom ON PURPOSE — Spark's InferWindowGroupLimit rewrites it to a
+    * WindowGroupLimit pass that keeps only the top `maxPerKey` rows per
+    * key PER MAP PARTITION before the shuffle (verified in the plan:
+    * `WindowGroupLimit ... Partial` below the exchange, `Final` above),
+    * so the shuffle carries <= k rows per key per input partition rather
+    * than the whole corpus, and no single-task sort of a mega-domain ever
+    * materializes. */
+  def capPerKey(
+      docs: DataFrame,
+      maxPerKey: Int,
+      keyCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxPerKey >= 1, "maxPerKey must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol)
+      .orderBy(samplingHash(col(idCol)).asc, col(idCol).asc)
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerKey)
+      .drop("__rn")
+  }
 }

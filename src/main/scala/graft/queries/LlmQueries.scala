@@ -3353,6 +3353,80 @@ object LlmQueries {
       },
       Some(pipelineSpanOracle),
     ),
+
+    // ------------------------------------------------------------------
+    // Q91 — temperature-scaled source mixing (the T5/mT5/GPT-3
+    // multinomial pattern): source s gets sampling mass n_s^0.5, so small
+    // sources up-sample relative to their natural share; each source is
+    // hash-kept at min(1, w_s/Σw * target / n_s) — target 180 over a
+    // 236-doc universe, so the smallest sources CLAMP at 1 (the quota
+    // they can't fill redistributes nowhere — expected shortfall is the
+    // documented semantics). The universe is skewed per source via the
+    // per-source sequence number so the census is non-uniform (the raw
+    // table has equal source sizes). Rates are computed BY THE ENGINE
+    // over the census through the 6dp-decimal discipline — weights
+    // rounded to 6dp, total summed as DECIMAL(25,6) (exact, order-free),
+    // one fixed double expression for the rate — so the oracle's CTE
+    // chain reproduces them bit-identically (the +5e-9 nudge compensates
+    // DuckDB's truncating double→decimal cast, as q38/q42).
+    Declared(
+      "q91_temperature_mix",
+      (s, dir) => {
+        // skew by the per-source sequence number (doc_id ≡ source index
+        // mod 20 in the testdata, so a doc_id-residue filter would be
+        // constant within a source): source s keeps (s%5+2)/10 of its docs
+        val u = Tables.documentsRaw(s, dir)
+          .filter(expr(
+            "(doc_id div 20) % 10 < (try_cast(substring(source, 4) as int) % 5) + 2"))
+        graft.llm.Mixing.temperatureSample(u, targetDocs = 180L, alpha = 0.5)
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, source FROM documents
+             |  WHERE (doc_id // 20) % 10 < (CAST(substr(source, 4) AS INT) % 5) + 2),
+             |census AS (SELECT source, COUNT(*) AS n FROM u GROUP BY source),
+             |w AS (
+             |  SELECT source, n,
+             |         CAST(round(sqrt(CAST(n AS DOUBLE)), 6) + 5e-9
+             |              AS DECIMAL(25,6)) AS w6
+             |  FROM census),
+             |s AS (SELECT CAST(SUM(w6) AS DOUBLE) AS stot FROM w),
+             |r AS (
+             |  SELECT source,
+             |         least(1.0, round(CAST(w6 AS DOUBLE) / (SELECT stot FROM s)
+             |               * 180.0 / CAST(n AS DOUBLE), 6)) AS rate
+             |  FROM w)
+             |SELECT u.doc_id, u.source FROM u JOIN r ON u.source = r.source
+             |WHERE ('0x' || substr(md5(u.doc_id::VARCHAR), 1, 8))::BIGINT
+             |      < rate * 4294967296.0
+             |ORDER BY u.doc_id""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q92 — per-key document cap (the CCNet/RefinedWeb per-domain cap):
+    // keep the 7 smallest (sampling-hash, doc_id) docs per source. The
+    // row_number() <= k idiom on purpose: Spark's InferWindowGroupLimit
+    // inserts a Partial WindowGroupLimit below the exchange, so the
+    // shuffle carries <= k rows per key per map partition at any scale
+    // (pinned in the spec). All-integer ordering — no float boundary.
+    Declared(
+      "q92_domain_cap",
+      (s, dir) => {
+        graft.llm.Mixing.capPerKey(
+            Tables.documentsRaw(s, dir), maxPerKey = 7)
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source,
+             |         ROW_NUMBER() OVER (PARTITION BY source
+             |           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT,
+             |                    doc_id) AS rn
+             |  FROM documents) t
+             |WHERE rn <= 7
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   // q90: q63's LSH admission chain over the RETAINED (post-expire) ∪

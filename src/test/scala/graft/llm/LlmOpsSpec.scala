@@ -519,6 +519,103 @@ class LlmOpsSpec extends SparkSpec {
     assert(labeled.filter(_._2 == "train").keySet === kept)
   }
 
+  test("Mixing.temperatureSample: rates replay independently; alpha=1 is flat") {
+    val d = graft.Tables.documentsRaw(spark, "/root/testdata/sf0.001")
+    // skew by per-source sequence number (doc_id ≡ source index mod 20
+    // in the testdata, so a doc_id-residue filter is constant per source)
+    val u = d.filter(expr(
+      "(doc_id div 20) % 10 < (try_cast(substring(source, 4) as int) % 5) + 2"))
+    val target = 180L
+    val got = Mixing.temperatureSample(u, target, alpha = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // layout independence
+    val re = Mixing.temperatureSample(u.repartition(13), target, alpha = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(re === got && got.nonEmpty)
+    // independent rate formulation: 6dp HALF_UP weights summed exactly as
+    // BigDecimal, one double expression per source, then the q34 hash keep
+    val census = u.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    def r6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val w6 = census.map { case (s, n) => s -> r6(math.sqrt(n.toDouble)) }.toMap
+    val sTot = w6.values.sum.toDouble // decimal sum: exact, order-free
+    val rates = census.map { case (s, n) =>
+      s -> math.min(1.0,
+        r6(w6(s).toDouble / sTot * target.toDouble / n.toDouble).toDouble)
+    }.toMap
+    // small sources keep a HIGHER fraction of themselves (the point of
+    // temperature < 1), and at least one large source is below 1
+    val (minSrc, _) = census.minBy(_._2)
+    val (maxSrc, _) = census.maxBy(_._2)
+    assert(rates(minSrc) > rates(maxSrc))
+    assert(rates(maxSrc) < 1.0)
+    val expected = u.select(col("doc_id"), col("source")).collect()
+      .filter { r =>
+        val id = r.getLong(0)
+        val h = java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).substring(0, 8), 16)
+        h < rates(r.getString(1)) * 4294967296.0
+      }.map(_.getLong(0)).toSet
+    assert(got === expected)
+    // alpha = 1 is proportional: per-source rate round6(n_s/Σn * T / n_s)
+    // collapses to the same value for every source — replay it and check
+    // membership
+    val alpha1 = Mixing.temperatureSample(u, target, alpha = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    val w1 = census.map { case (s, c) => s -> r6(c.toDouble) }.toMap
+    val s1 = w1.values.sum.toDouble
+    val rates1 = census.map { case (s, c) =>
+      s -> math.min(1.0, r6(w1(s).toDouble / s1 * target.toDouble / c.toDouble).toDouble)
+    }.toMap
+    val expect1 = u.select(col("doc_id"), col("source")).collect()
+      .filter { r =>
+        val h = java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(r.getLong(0).toString).substring(0, 8), 16)
+        h < rates1(r.getString(1)) * 4294967296.0
+      }.map(_.getLong(0)).toSet
+    assert(alpha1 === expect1)
+  }
+
+  test("Mixing.capPerKey: exact per-key caps, stability, WindowGroupLimit plan") {
+    val d = graft.Tables.documentsRaw(spark, "/root/testdata/sf0.001")
+    val cap = 7
+    val capped = Mixing.capPerKey(d, cap)
+    val got = capped.select("doc_id", "source").as[(Long, String)]
+      .collect().toMap
+    // per-key counts == min(n_key, cap)
+    val totals = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byKey = got.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    totals.foreach { case (s, n) =>
+      assert(byKey.getOrElse(s, 0L) === math.min(n, cap.toLong), s)
+    }
+    // layout independence
+    val re = Mixing.capPerKey(d.repartition(13), cap)
+      .select("doc_id").as[Long].collect().toSet
+    assert(re === got.keySet)
+    // the kept docs are exactly the cap smallest (hash, id) per key
+    val expected = d.select(col("doc_id"), col("source")).collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val h = java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).substring(0, 8), 16)
+        (r.getString(1), h, id)
+      }
+      .groupBy(_._1).values
+      .flatMap(_.sortBy(t => (t._2, t._3)).take(cap).map(_._3)).toSet
+    assert(got.keySet === expected)
+    // eviction-only growth: dropping other docs never evicts a survivor
+    val half = Mixing.capPerKey(d.filter($"doc_id" % 2 === 0), cap)
+      .select("doc_id").as[Long].collect().toSet
+    val fullEvens = got.keySet.filter(_ % 2 == 0)
+    assert(fullEvens.subsetOf(half))
+    // scale shape: the rank filter compiles to a WindowGroupLimit pass
+    // (partial per-map-partition top-k before the exchange)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("Mixing.curriculumStages: hierarchical rank == flat ntile, incl. edges") {
     import org.apache.spark.sql.expressions.Window
     // uneven N (not divisible by nStages), duplicate scores, out-of-range
