@@ -84,6 +84,46 @@ object Dedup {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** Near-dedup keeping the BEST doc per duplicate cluster instead of the
+    * min-id one — representative selection, the policy real curation runs
+    * want ("keep the longest/highest-quality duplicate", RefinedWeb-style)
+    * where [[dedupNearLsh]]'s min-id keep is an arbitrary tiebreak.
+    * Clusters are the verified near-dup graph's connected components
+    * ([[duplicateClusters]] over the tau-thresholded LSH pairs — pairwise
+    * drop decisions would be ORDER-DEPENDENT inside a chain a-b-c where
+    * only adjacent docs collide; component-then-argmax is order-free);
+    * the representative is the max-`score` member, ties to the smallest
+    * doc_id. Docs in no cluster survive untouched.
+    *
+    * Shape at scale: the LSH chain + the O(log n) CC (both existing scale
+    * paths), one cluster-keyed argmax aggregation, one anti-join — the
+    * drop set never reaches the driver. */
+  def dedupNearLshKeepBest(
+      docs: DataFrame,
+      tau: Double,
+      score: Column,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bandRows: Int = 2): DataFrame = {
+    val pairs = TextOps.lshNearDupPairs(docs, shingleSize, numHashes, bandRows,
+      tauPrefilter = Some(tau))
+      .filter(col("jaccard") >= tau)
+    val clusters = duplicateClusters(pairs).select("doc_id", "cluster_id")
+    // argmax by (score desc, doc_id asc) as a single min(struct) aggregate
+    // (negation is exact, so the min picks the max score): no window, no
+    // self-join
+    val members = clusters
+      .join(docs.select(col("doc_id"), score.as("__score")), "doc_id")
+    val reps = members.groupBy("cluster_id")
+      .agg(min(struct((-col("__score")).as("neg"), col("doc_id").as("id")))
+        .as("best"))
+      .select(col("best.id").as("doc_id"))
+    val drop = clusters.select("doc_id")
+      .join(reps, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false) // lazy; single anti-join consumer
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   /** INCREMENTAL exact dedup — [[exactByHash]]'s batch-vs-corpus form:
     * drop every incoming doc whose content digest already exists in the
     * standing corpus (id order irrelevant), then keep the min-id row per

@@ -1,0 +1,129 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained document-quality classifier (the fastText-style linear model
+  * behind "quality classifier" corpus filters, e.g. the GPT-3/LLaMA
+  * WebText-vs-CommonCrawl filter): hashed unigram+bigram bag-of-words
+  * features, logistic regression trained by full-batch gradient descent,
+  * then one distributed scoring pass over the corpus.
+  *
+  * Everything is REPRODUCIBLE CROSS-ENGINE by the integer-micros
+  * discipline (the reproducible-training recipe k-means and BPE already
+  * follow, with fixed-point integers instead of 6dp decimals): every
+  * accumulated quantity (per-doc logit, per-bucket gradient) is a sum of
+  * `floor(term * 1e6)` BIGINTs — exact and order-free, so shuffle order,
+  * partitioning and engine cannot move a result — and every scalar
+  * rounding is `floor(x * 1e6) / 1e6`, one IEEE op sequence that Spark,
+  * DuckDB and driver-side `math.floor` evaluate identically. The only
+  * transcendental is the sigmoid's `exp`, floored to micros immediately
+  * (ulp-level engine differences survive only within ~1e-10 of a micros
+  * boundary — the same accepted residual as the 6dp-rounded ln/log paths).
+  *
+  * Shape at scale: TRAINING runs `steps` passes over the LABELED set —
+  * a bounded curated sample in any real pipeline, not the corpus — each
+  * pass two map-side-combinable aggregations (per-doc logit, per-bucket
+  * gradient) with the <= m+1-row gradient collected as a control-plane
+  * fetch and the weights re-broadcast as literals. SCORING is one pass
+  * over the corpus: a broadcast m+1-row weight map, one groupBy(doc_id)
+  * sum — no corpus-sized shuffle beyond the doc_id-keyed aggregation.
+  */
+object QualityLr {
+
+  private val Micros = 1e6
+
+  /** Hashed features with per-doc L1 normalization: one row per
+    * (doc_id, bucket) with `x = count(bucket) / n_features(doc)`, plus a
+    * bias row (bucket = m, x = 1) per doc — the mean-of-features form
+    * (fastText), so long documents don't dominate the gradient. Buckets
+    * are [[TextOps.dsirFeatures]]' md5 unigram+bigram buckets. Docs with
+    * no features still get their bias row (they score at the bias). */
+  def lrFeatures(docs: DataFrame, m: Int): DataFrame = {
+    val counts = TextOps.dsirFeatures(docs, m)
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("doc_id").agg(sum("c").as("n"))
+    val feats = counts.join(totals, "doc_id")
+      .select(col("doc_id"), col("bucket"),
+        (col("c").cast("double") / col("n").cast("double")).as("x"))
+    val bias = docs.select(col("doc_id"), lit(m.toLong).as("bucket"),
+      lit(1.0).as("x"))
+    feats.unionByName(bias)
+  }
+
+  /** Per-doc logit micros under a weight map: `sum(floor((w_b * x) *
+    * 1e6))` as BIGINT — exact, order-free. `weights` indexed by bucket,
+    * size m+1 (bias last), in micros. */
+  private def logitMicros(feats: DataFrame, weightsMicros: Array[Long]): DataFrame = {
+    val wMap = typedlit(weightsMicros.zipWithIndex.map {
+      case (wm, b) => b.toLong -> (wm / Micros)
+    }.toMap)
+    feats
+      .withColumn("__t",
+        floor((element_at(wMap, col("bucket")) * col("x")) * lit(Micros)))
+      .groupBy("doc_id").agg(sum("__t").as("zm"))
+  }
+
+  /** `floor(1e6 / (1 + exp(-z)))` — sigmoid in micros, z from logit
+    * micros. One fixed expression; both engines evaluate identically up
+    * to exp ulps under the floor. */
+  private def sigmoidMicros(zmCol: Column): Column =
+    floor(lit(Micros) / (lit(1.0) + exp(-(zmCol.cast("double") / lit(Micros)))))
+
+  /** Train by `steps` rounds of full-batch gradient descent on `labeled`
+    * (doc_id, text, label in {0,1}). Returns m+1 weights in MICROS (bias
+    * last). Every round: logit -> sigmoid -> error (all in micros) ->
+    * per-bucket gradient (BIGINT sum, <= m+1 rows collected) -> driver
+    * update `w -= floor(((lr * (grad/1e6)) / n) * 1e6)`. Weights start
+    * at zero, so round 1's sigmoid is exactly 0.5 everywhere. */
+  def trainQualityLr(
+      labeled: DataFrame,
+      m: Int,
+      steps: Int,
+      lr: Double): Array[Long] = {
+    require(m >= 1 && steps >= 1 && lr > 0.0, "m, steps >= 1; lr > 0")
+    // feats feed every round (and both aggregations within a round):
+    // materialize once; sever lineage so nondeterministic upstreams can't
+    // disagree between rounds (the curriculumStages discipline)
+    val feats = lrFeatures(labeled, m).localCheckpoint(false)
+    val labels = labeled.select(col("doc_id"), col("label").cast("long").as("y"))
+      .localCheckpoint(false)
+    val n = labels.count()
+    require(n > 0, "labeled set is empty")
+    var w = Array.fill(m + 1)(0L)
+    for (_ <- 1 to steps) {
+      val z = logitMicros(feats, w)
+      val err = labels.join(z, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (sigmoidMicros(coalesce(col("zm"), lit(0L)))
+            - col("y") * lit(1000000L)).as("em"))
+      val grad = feats.join(err, "doc_id")
+        .withColumn("__g",
+          floor(((col("em").cast("double") / lit(Micros)) * col("x")) * lit(Micros)))
+        .groupBy("bucket").agg(sum("__g").as("gm"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      w = w.zipWithIndex.map { case (wm, b) =>
+        val gm = grad.getOrElse(b.toLong, 0L)
+        wm - math.floor(((lr * (gm / Micros)) / n.toDouble) * Micros).toLong
+      }
+    }
+    w
+  }
+
+  /** Score a corpus under trained micro-weights: (doc_id, score_micros)
+    * with `score_micros = floor(1e6 * sigmoid(logit))` in [0, 1e6] —
+    * an exact integer column, no float surface at all. One broadcast
+    * weight map + one doc_id-keyed aggregation. */
+  def scoreQualityLr(
+      docs: DataFrame,
+      weightsMicros: Array[Long],
+      m: Int): DataFrame = {
+    require(weightsMicros.length == m + 1,
+      s"need m+1=${m + 1} weights, got ${weightsMicros.length}")
+    val z = logitMicros(lrFeatures(docs, m), weightsMicros)
+    docs.select("doc_id").join(z, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        sigmoidMicros(coalesce(col("zm"), lit(0L))).cast("long")
+          .as("score_micros"))
+  }
+}

@@ -42,6 +42,34 @@ object LlmQueries {
     * contract is exact equality with batch-on-the-union — same final
     * labels, same oracle). */
   private lazy val dupClustersOracle =
+    ccLabelCtes +
+      """,
+        |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS INT) AS cluster_size FROM labels GROUP BY cluster_id)
+        |SELECT labels.doc_id, labels.cluster_id, sizes.cluster_size
+        |FROM labels JOIN sizes USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin
+
+  // q94 tail over the same closure: argmax representative per cluster
+  // (n_chars desc, doc_id asc), survivors = unclustered ∪ representatives.
+  private lazy val keepBestOracle =
+    ccLabelCtes +
+      """,
+        |reps AS (
+        |  SELECT doc_id FROM (
+        |    SELECT l.doc_id,
+        |           ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+        |             ORDER BY d.n_chars DESC, l.doc_id) AS rn
+        |    FROM labels l JOIN documents d USING (doc_id)) t
+        |  WHERE rn = 1)
+        |SELECT d.doc_id, d.source FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM labels)
+        |   OR d.doc_id IN (SELECT doc_id FROM reps)
+        |ORDER BY d.doc_id""".stripMargin
+
+  /** The q43 LSH-pair + transitive-closure chain up to `labels`
+    * (doc_id -> cluster_id = min reachable id) — shared by the
+    * cluster-view oracle (q43/q72/q73) and the q94 representative tail. */
+  private lazy val ccLabelCtes =
     shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """,
         |hs AS (
@@ -79,11 +107,7 @@ object LlmQueries {
         |  SELECT DISTINCT s, s FROM edges
         |  UNION
         |  SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.doc),
-        |labels AS (SELECT doc AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc),
-        |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS INT) AS cluster_size FROM labels GROUP BY cluster_id)
-        |SELECT labels.doc_id, labels.cluster_id, sizes.cluster_size
-        |FROM labels JOIN sizes USING (cluster_id)
-        |ORDER BY doc_id""".stripMargin
+        |labels AS (SELECT doc AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc)""".stripMargin
 
   /** DuckDB replay of the q70 incremental embedding-dedup chain —
     * hyperplane buckets, the batch-vs-standing pair policy, and the
@@ -3427,6 +3451,51 @@ object LlmQueries {
              |WHERE rn <= 7
              |ORDER BY doc_id""".stripMargin),
     ),
+
+    // ------------------------------------------------------------------
+    // Q93 — TRAINED quality classifier (the fastText-style linear filter
+    // behind WebText-vs-CommonCrawl quality selection): hashed
+    // unigram+bigram features (dsir's md5 buckets, m=64, L1-normalized
+    // per doc + bias), logistic regression trained by 3 rounds of
+    // full-batch GD at lr=0.5 on labels = source parity, then one
+    // distributed scoring pass. The ENTIRE training replays in the
+    // oracle: every accumulation is a BIGINT micros sum (order-free,
+    // exact) and every scalar edit one fixed IEEE expression, so the
+    // learned weights — and therefore every score — hash-match
+    // cross-engine. Output is integer micros: no float column at all.
+    Declared(
+      "q93_quality_lr",
+      (s, dir) => {
+        val docs = Tables.documentsRaw(s, dir)
+        val labeled = docs.withColumn("label",
+          expr("try_cast(substring(source, 4) as int) % 2"))
+        val w = graft.llm.QualityLr.trainQualityLr(
+          labeled, m = 64, steps = 3, lr = 0.5)
+        graft.llm.QualityLr.scoreQualityLr(docs, w, m = 64)
+          .orderBy("doc_id")
+      },
+      Some(qualityLrOracle(m = 64, steps = 3, lr = 0.5)),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q94 — representative selection: near-dedup keeping the BEST doc per
+    // duplicate cluster (max n_chars, ties to min doc_id) instead of
+    // q18/q21's min-id keep — the "keep the longest duplicate" policy.
+    // Clusters are q43's connected components over the same tau=0.5 LSH
+    // chain (pairwise drops would be order-dependent inside an a-b-c
+    // chain; component-then-argmax is order-free). The oracle reuses
+    // q43's recursive-CTE closure verbatim and swaps the tail for the
+    // argmax + survivor selection.
+    Declared(
+      "q94_dedup_keep_best",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.llm.Dedup.dedupNearLshKeepBest(docs, tau = 0.5, col("n_chars"))
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some(keepBestOracle),
+    ),
   )
 
   // q90: q63's LSH admission chain over the RETAINED (post-expire) ∪
@@ -3526,6 +3595,75 @@ object LlmQueries {
       |  SELECT d.doc_id, d.lang, COALESCE(n_feats, 0) AS n_feats,
       |         COALESCE(log_w, 0.0) AS log_w
       |  FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id)""".stripMargin
+
+  // q93: full GD training replay for the logistic-regression quality
+  // classifier — `steps` unrolled rounds of (logit -> sigmoid -> error ->
+  // gradient -> weight update), every accumulation a BIGINT sum of
+  // floor(term * 1e6) micros (exact, order-free) and every scalar edit
+  // one fixed IEEE expression, so the chain is bit-identical to
+  // QualityLr's Spark/driver loop. Weights start at zero (round 1's
+  // sigmoid is exactly 0.5), bias rides as bucket m.
+  private def qualityLrOracle(m: Int, steps: Int, lr: Double): String = {
+    val base =
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |rawf AS (
+         |  SELECT doc_id,
+         |         unnest(toks || list_transform(generate_series(1, len(toks) - 1),
+         |                                       i -> toks[i] || ' ' || toks[i+1])) AS feat
+         |  FROM t),
+         |bf AS (
+         |  SELECT doc_id, ('0x' || substr(md5(feat), 1, 8))::BIGINT % $m AS bucket
+         |  FROM rawf),
+         |cnts AS (SELECT doc_id, bucket, COUNT(*) AS c FROM bf GROUP BY 1, 2),
+         |tots AS (SELECT doc_id, SUM(c) AS nf FROM cnts GROUP BY 1),
+         |feats AS (
+         |  SELECT doc_id, bucket, CAST(c AS DOUBLE) / CAST(nf AS DOUBLE) AS x
+         |  FROM cnts JOIN tots USING (doc_id)
+         |  UNION ALL
+         |  SELECT doc_id, $m AS bucket, 1.0 AS x FROM documents),
+         |labels AS (
+         |  SELECT doc_id, CAST(CAST(substr(source, 4) AS INT) % 2 AS BIGINT) AS y
+         |  FROM documents),
+         |nl AS (SELECT COUNT(*) AS n FROM labels),
+         |w0 AS (SELECT unnest(generate_series(0, $m)) AS b, CAST(0 AS BIGINT) AS wm)""".stripMargin
+    val stepCtes = (1 to steps).map { i =>
+      val p = i - 1
+      s""",
+         |z$i AS (
+         |  SELECT f.doc_id,
+         |         SUM(CAST(floor((w.wm / 1000000.0 * f.x) * 1000000.0) AS BIGINT)) AS zm
+         |  FROM feats f JOIN w$p w ON f.bucket = w.b GROUP BY 1),
+         |e$i AS (
+         |  SELECT l.doc_id,
+         |         CAST(floor(1000000.0 / (1.0 + exp(-(COALESCE(zm, 0) / 1000000.0)))) AS BIGINT)
+         |           - l.y * 1000000 AS em
+         |  FROM labels l LEFT JOIN z$i USING (doc_id)),
+         |g$i AS (
+         |  SELECT f.bucket AS b,
+         |         SUM(CAST(floor(((e.em / 1000000.0) * f.x) * 1000000.0) AS BIGINT)) AS gm
+         |  FROM feats f JOIN e$i e USING (doc_id) GROUP BY 1),
+         |w$i AS (
+         |  SELECT w.b,
+         |         w.wm - CAST(floor((($lr * (COALESCE(g.gm, 0) / 1000000.0))
+         |                            / (SELECT n FROM nl)) * 1000000.0) AS BIGINT) AS wm
+         |  FROM w$p w LEFT JOIN g$i g ON w.b = g.b)""".stripMargin
+    }.mkString
+    val score =
+      s""",
+         |zs AS (
+         |  SELECT f.doc_id,
+         |         SUM(CAST(floor((w.wm / 1000000.0 * f.x) * 1000000.0) AS BIGINT)) AS zm
+         |  FROM feats f JOIN w$steps w ON f.bucket = w.b GROUP BY 1)
+         |SELECT d.doc_id,
+         |       CAST(floor(1000000.0 / (1.0 + exp(-(COALESCE(zm, 0) / 1000000.0)))) AS BIGINT)
+         |         AS score_micros
+         |FROM documents d LEFT JOIN zs ON d.doc_id = zs.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    base + stepCtes + score
+  }
 
   // q89 tail: exact global ntile by (log_w, doc_id) + the q34 md5-hash
   // keep against per-stage literal thresholds shared (via

@@ -616,6 +616,86 @@ class LlmOpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("QualityLr: GD loop matches a pure-Scala replay; planted quality separates") {
+    import graft.llm.QualityLr
+    val pos = (0L until 12L).map(i =>
+      (i, s"informative careful prose number n$i with varied useful words", 1))
+    val neg = (12L until 24L).map(i =>
+      (i, "spam spam spam buy now spam spam spam spam", 0))
+    val d = (pos ++ neg).toDF("doc_id", "text", "label")
+    val m = 32; val steps = 3; val lr = 0.5
+    val w = QualityLr.trainQualityLr(d, m, steps, lr)
+    // independent replay: same integer-micros arithmetic, pure Scala
+    // collections (BIGINT sums are order-free, so groupBy order is moot)
+    val feats = QualityLr.lrFeatures(d.select("doc_id", "text"), m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val labels = (pos ++ neg).map(t => t._1 -> t._3.toLong).toMap
+    val n = labels.size
+    var wr = Array.fill(m + 1)(0L)
+    for (_ <- 1 to steps) {
+      val z = feats.groupBy(_._1).map { case (id, fs) =>
+        id -> fs.map { case (_, b, x) =>
+          math.floor((wr(b.toInt) / 1e6 * x) * 1e6).toLong }.sum
+      }
+      val em = labels.map { case (id, y) =>
+        val zm = z.getOrElse(id, 0L)
+        id -> (math.floor(1e6 / (1.0 + math.exp(-(zm / 1e6)))).toLong - y * 1000000L)
+      }
+      val gm = feats.groupBy(_._2).map { case (b, fs) =>
+        b -> fs.map { case (id, _, x) =>
+          math.floor(((em(id) / 1e6) * x) * 1e6).toLong }.sum
+      }
+      wr = wr.zipWithIndex.map { case (wv, b) =>
+        wv - math.floor(((lr * (gm.getOrElse(b.toLong, 0L) / 1e6)) / n.toDouble) * 1e6).toLong
+      }
+    }
+    assert(w.toSeq === wr.toSeq)
+    // scoring separates the planted quality classes completely (disjoint
+    // vocab, 3 steps at lr=0.5)
+    val scores = QualityLr.scoreQualityLr(d.select("doc_id", "text"), w, m)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val posMin = pos.map(t => scores(t._1)).min
+    val negMax = neg.map(t => scores(t._1)).max
+    assert(posMin > negMax, s"posMin=$posMin negMax=$negMax")
+    // layout independence: training on a repartitioned frame is identical
+    val w2 = QualityLr.trainQualityLr(d.repartition(13), m, steps, lr)
+    assert(w2.toSeq === w.toSeq)
+    // scores are bounded micros
+    assert(scores.values.forall(s => s >= 0L && s <= 1000000L))
+  }
+
+  test("Dedup.dedupNearLshKeepBest: max-score representative per cluster") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa one"
+    val b = "red orange yellow green blue indigo violet umber sepia ochre two"
+    val rows = Seq(
+      (1L, a),                                 // cluster A, shortest
+      (2L, a + " extra tail words here"),      // cluster A, LONGEST -> rep
+      (3L, a + " extra"),                      // cluster A, middle
+      (20L, b + " padding tokens making this the longest one"), // cluster B rep
+      (21L, b),
+      (30L, "completely unrelated unique document with its own distinct tokens"),
+      (31L, "another standalone text sharing nothing with anything else at all"),
+    )
+    val d = rows.toDF("doc_id", "text")
+    val best = Dedup.dedupNearLshKeepBest(d, tau = 0.5, length($"text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(best === Set(2L, 20L, 30L, 31L))
+    // min-id policy keeps the same NUMBER per cluster, different members
+    val minId = Dedup.dedupNearLsh(d, tau = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId === Set(1L, 20L, 30L, 31L))
+    assert(minId.size === best.size)
+    // layout independence
+    val re = Dedup.dedupNearLshKeepBest(d.repartition(5), tau = 0.5, length($"text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(re === best)
+    // tie on score -> min doc_id: equal-length exact replicas
+    val ties = Seq((5L, a), (6L, a), (7L, a)).toDF("doc_id", "text")
+    val t = Dedup.dedupNearLshKeepBest(ties, tau = 0.5, length($"text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(t === Set(5L))
+  }
+
   test("Mixing.curriculumStages: hierarchical rank == flat ntile, incl. edges") {
     import org.apache.spark.sql.expressions.Window
     // uneven N (not divisible by nStages), duplicate scores, out-of-range
