@@ -844,6 +844,56 @@ object ScaleBench {
       while (files.hasNext) java.nio.file.Files.deleteIfExists(files.next())
     }
 
+    // Round-13 mixing/selection ops. cap_per_key measures the plan that
+    // InferWindowGroupLimit buys: the row_number() <= k idiom keeps <= k
+    // rows per key per MAP partition before the exchange, vs the same
+    // window with the rule excluded, where every row of every key rides
+    // the shuffle and a mega-key is one task's full sort. Same result set
+    // by construction — the probe pins that too.
+    locally {
+      val cap = 7
+      val (nCap, tCap) = timed {
+        graft.llm.Mixing.capPerKey(docs, cap, keyCol = "source").count()
+      }
+      val excl = "org.apache.spark.sql.catalyst.optimizer.InferWindowGroupLimit"
+      spark.conf.set("spark.sql.optimizer.excludedRules", excl)
+      val (nFull, tFull) = try timed {
+        graft.llm.Mixing.capPerKey(docs, cap, keyCol = "source").count()
+      } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+      println(s"""{"op":"cap_per_key","rows":$nDocs,"kept":$nCap,"group_limit_sec":${f"$tCap%.2f"},"full_window_sec":${f"$tFull%.2f"},"equal":${nCap == nFull}}""")
+    }
+
+    // temperature mixing at factor-x scale: the census is a control-plane
+    // fetch (#sources rows) and the keep is a per-row hash filter — the
+    // probe pins the kept count tracking the target within sampling noise
+    // (no clamped source at this target) and the wall time staying in the
+    // one-scan class.
+    locally {
+      val target = nDocs / 2
+      val (nKept, tMix) = timed {
+        graft.llm.Mixing.temperatureSample(docs, target, alpha = 0.5).count()
+      }
+      val tracks = math.abs(nKept - target).toDouble / target < 0.05
+      println(s"""{"op":"temperature_mix","rows":$nDocs,"target":$target,"kept":$nKept,"tracks_target":$tracks,"sec":${f"$tMix%.2f"}}""")
+    }
+
+    // quality-classifier training at factor-x scale: 3 full-batch GD
+    // rounds over the replicated corpus (labels = source parity), then
+    // one scoring pass. Training is 2 map-side-combinable aggregations +
+    // a <= m+1-row collect per round — the probe pins wall time linear-ish
+    // in rounds and the scored count complete.
+    locally {
+      val labeled = docs.withColumn("label",
+        expr("try_cast(substring(source, 4) as int) % 2"))
+      val (w, tTrain) = timed {
+        graft.llm.QualityLr.trainQualityLr(labeled, m = 64, steps = 3, lr = 0.5)
+      }
+      val (nScored, tScore) = timed {
+        graft.llm.QualityLr.scoreQualityLr(docs, w, m = 64).count()
+      }
+      println(s"""{"op":"quality_lr","docs":$nDocs,"steps":3,"train_sec":${f"$tTrain%.2f"},"score_sec":${f"$tScore%.2f"},"scored_all":${nScored == nDocs}}""")
+    }
+
     spark.stop()
   }
 }

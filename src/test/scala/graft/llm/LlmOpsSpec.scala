@@ -575,6 +575,11 @@ class LlmOpsSpec extends SparkSpec {
         h < rates1(r.getString(1)) * 4294967296.0
       }.map(_.getLong(0)).toSet
     assert(alpha1 === expect1)
+    // scale shape: the OUTPUT plan is scan + per-row filter — the corpus
+    // itself never shuffles (the census ran as separate bounded actions)
+    val outPlan = Mixing.temperatureSample(u, target, alpha = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!outPlan.contains("Exchange"), outPlan.take(1500))
   }
 
   test("Mixing.capPerKey: exact per-key caps, stability, WindowGroupLimit plan") {
