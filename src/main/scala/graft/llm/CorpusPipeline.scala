@@ -49,6 +49,16 @@ object CorpusPipeline {
       // gopher gate (defaults = TextOps.gopherRules defaults)
       minWords: Int = 20,
       maxWords: Int = 100000,
+      // trained quality-classifier gate (opt-in): Some((weightsMicros, m,
+      // minScoreMicros)) inserts stage 1b — docs scoring below the
+      // threshold under the supplied [[QualityLr]] micro-weights are
+      // dropped, AFTER the rule gate and BEFORE the PII scrub (classifier
+      // filters score raw text). The pipeline never trains: weights come
+      // from [[QualityLr.trainQualityLr]] on a curated labeled sample,
+      // trained once and reused across batch and incremental runs (so
+      // batch/incremental parity is by construction). Scoring is one
+      // broadcast weight map + a doc_id-keyed aggregation.
+      qualityGate: Option[(Seq[Long], Int, Long)] = None,
       // near-dedup
       nearDupTau: Double = 0.8,
       shingleSize: Int = 3,
@@ -208,7 +218,17 @@ object CorpusPipeline {
     val stand = Frames.barrier(standing)
     val gated = TextOps.gopherGate(incoming,
       minWords = cfg.minWords, maxWords = cfg.maxWords)
-    val scrubbed = TextOps.redactPii(gated, "text")
+    // 1b. the trained quality gate in its batch position — same weights
+    // as the standing run (they ride the config), so parity with the
+    // batch form is by construction
+    val qgated = cfg.qualityGate match {
+      case Some((w, m, thr)) =>
+        val keep = QualityLr.scoreQualityLr(gated, w.toArray, m)
+          .filter(col("score_micros") >= thr).select("doc_id")
+        gated.join(keep, Seq("doc_id"), "left_semi")
+      case None => gated
+    }
+    val scrubbed = TextOps.redactPii(qgated, "text")
       .drop("text", "n_email", "n_ipv4", "n_phone")
       .withColumnRenamed("redacted", "text")
     // The scrubbed batch is the other multiply-referenced frame: the exact
@@ -323,9 +343,20 @@ object CorpusPipeline {
     val gated = tap(
       TextOps.gopherGate(input, minWords = cfg.minWords, maxWords = cfg.maxWords))
 
+    // 1b. optional TRAINED quality gate: score the raw gated text under
+    // the supplied QualityLr micro-weights and keep docs at or above the
+    // threshold — the classifier twin of stage 1's rule gate
+    val qgated = cfg.qualityGate match {
+      case Some((w, m, thr)) =>
+        val keep = QualityLr.scoreQualityLr(gated, w.toArray, m)
+          .filter(col("score_micros") >= thr).select("doc_id")
+        tap(gated.join(keep, Seq("doc_id"), "left_semi"))
+      case None => gated
+    }
+
     // 2. PII scrub — the redacted text REPLACES the raw text for every
     // downstream stage (fingerprints, shingles, packing all see clean text)
-    val scrubbed = tap(TextOps.redactPii(gated, "text")
+    val scrubbed = tap(TextOps.redactPii(qgated, "text")
       .drop("text", "n_email", "n_ipv4", "n_phone")
       .withColumnRenamed("redacted", "text"))
 
@@ -422,8 +453,11 @@ object CorpusPipeline {
     Seq(
       "0_input" -> input,
       "1_quality_gate" -> gated,
-      "2_pii_scrub" -> scrubbed,
     ) ++
+      cfg.qualityGate.map(_ => "1b_quality_lr_gate" -> qgated).toSeq ++
+      Seq(
+        "2_pii_scrub" -> scrubbed,
+      ) ++
       cfg.removeDupPassages.map(_ => "2b_passage_scrub" -> descrubbedRaw).toSeq ++
       cfg.removeDupSpans.map(_ => "2c_span_scrub" -> spannedRaw).toSeq ++
       Seq(

@@ -3496,6 +3496,36 @@ object LlmQueries {
       },
       Some(keepBestOracle),
     ),
+
+    // ------------------------------------------------------------------
+    // Q95 — the composed pipeline with the TRAINED quality gate on
+    // (Config.qualityGate, stage 1b): q93's classifier is trained once on
+    // the full labeled corpus (source parity, the exact q93 chain — the
+    // oracle reuses those training CTEs verbatim), its micro-weights ride
+    // the config, and the pipeline scores the RULE-GATED raw text (PII
+    // suffix and all — a different frame than training saw) and drops
+    // docs under the threshold before the scrub. The attrition report
+    // pins the gate's position (1b between rule gate and scrub) and that
+    // the LEARNED weights transfer engines exactly: a one-micro weight
+    // difference would move the 1b census.
+    Declared(
+      "q95_pipeline_quality_gate",
+      (s, dir) => {
+        val docs = Tables.documentsRaw(s, dir)
+        val labeled = docs.withColumn("label",
+          expr("try_cast(substring(source, 4) as int) % 2"))
+        val w = graft.llm.QualityLr.trainQualityLr(
+          labeled, m = 64, steps = 3, lr = 0.5)
+        val base = docs.filter(col("doc_id") < 300)
+          .withColumn("text", concat(col("text"), lit(PiiSuffix)))
+        val (_, report) = graft.llm.CorpusPipeline.prepareWithReport(
+          base, None,
+          graft.llm.CorpusPipeline.Config(
+            qualityGate = Some((w.toSeq, 64, 499990L))))
+        report.orderBy("stage")
+      },
+      Some(pipelineQualityOracle(m = 64, steps = 3, lr = 0.5, thr = 499990L)),
+    ),
   )
 
   // q90: q63's LSH admission chain over the RETAINED (post-expire) ∪
@@ -3603,7 +3633,23 @@ object LlmQueries {
   // one fixed IEEE expression, so the chain is bit-identical to
   // QualityLr's Spark/driver loop. Weights start at zero (round 1's
   // sigmoid is exactly 0.5), bias rides as bucket m.
-  private def qualityLrOracle(m: Int, steps: Int, lr: Double): String = {
+  private def qualityLrOracle(m: Int, steps: Int, lr: Double): String =
+    qualityLrTrainCtes(m, steps, lr) +
+      s""",
+         |zs AS (
+         |  SELECT f.doc_id,
+         |         SUM(CAST(floor((w.wm / 1000000.0 * f.x) * 1000000.0) AS BIGINT)) AS zm
+         |  FROM feats f JOIN w$steps w ON f.bucket = w.b GROUP BY 1)
+         |SELECT d.doc_id,
+         |       CAST(floor(1000000.0 / (1.0 + exp(-(COALESCE(zm, 0) / 1000000.0)))) AS BIGINT)
+         |         AS score_micros
+         |FROM documents d LEFT JOIN zs ON d.doc_id = zs.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+
+  /** The q93 training chain alone (ends at the final weight table
+    * `w<steps>`) — shared by the q93 scoring tail and the q95 pipeline
+    * gate, which scores a DIFFERENT frame under the same weights. */
+  private def qualityLrTrainCtes(m: Int, steps: Int, lr: Double): String = {
     val base =
       s"""WITH t AS (
          |  SELECT doc_id,
@@ -3651,19 +3697,90 @@ object LlmQueries {
          |                            / (SELECT n FROM nl)) * 1000000.0) AS BIGINT) AS wm
          |  FROM w$p w LEFT JOIN g$i g ON w.b = g.b)""".stripMargin
     }.mkString
-    val score =
+    base + stepCtes
+  }
+
+  /** q95 oracle: the q93 training chain, then q60's pipeline fragments
+    * with the 1b LR gate spliced between the rule gate and the scrub —
+    * the GATED (PII-suffixed) text re-featurized and scored under the
+    * trained weights, docs below `thr` micros dropped. Stages 5-8 are
+    * pass-through (no embeddings/eval/mix in q95's config); the census
+    * mirrors prepareWithReport's stage names. */
+  private def pipelineQualityOracle(
+      m: Int, steps: Int, lr: Double, thr: Long): String =
+    qualityLrTrainCtes(m, steps, lr) +
       s""",
-         |zs AS (
+         |input AS (
+         |  SELECT doc_id, source, text || '$PiiSuffix' AS text
+         |  FROM documents WHERE doc_id < 300),
+         |${gateCtes("input", "gated")},
+         |qt AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+         |  FROM gated),
+         |qrawf AS (
+         |  SELECT doc_id,
+         |         unnest(toks || list_transform(generate_series(1, len(toks) - 1),
+         |                                       i -> toks[i] || ' ' || toks[i+1])) AS feat
+         |  FROM qt),
+         |qbf AS (
+         |  SELECT doc_id, ('0x' || substr(md5(feat), 1, 8))::BIGINT % $m AS bucket
+         |  FROM qrawf),
+         |qcnts AS (SELECT doc_id, bucket, COUNT(*) AS c FROM qbf GROUP BY 1, 2),
+         |qtots AS (SELECT doc_id, SUM(c) AS nf FROM qcnts GROUP BY 1),
+         |qfeats AS (
+         |  SELECT doc_id, bucket, CAST(c AS DOUBLE) / CAST(nf AS DOUBLE) AS x
+         |  FROM qcnts JOIN qtots USING (doc_id)
+         |  UNION ALL
+         |  SELECT doc_id, $m AS bucket, 1.0 AS x FROM gated),
+         |qz AS (
          |  SELECT f.doc_id,
          |         SUM(CAST(floor((w.wm / 1000000.0 * f.x) * 1000000.0) AS BIGINT)) AS zm
-         |  FROM feats f JOIN w$steps w ON f.bucket = w.b GROUP BY 1)
-         |SELECT d.doc_id,
-         |       CAST(floor(1000000.0 / (1.0 + exp(-(COALESCE(zm, 0) / 1000000.0)))) AS BIGINT)
-         |         AS score_micros
-         |FROM documents d LEFT JOIN zs ON d.doc_id = zs.doc_id
-         |ORDER BY d.doc_id""".stripMargin
-    base + stepCtes + score
-  }
+         |  FROM qfeats f JOIN w$steps w ON f.bucket = w.b GROUP BY 1),
+         |qgated AS (
+         |  SELECT g.doc_id, g.source, g.text FROM gated g JOIN qz USING (doc_id)
+         |  WHERE CAST(floor(1000000.0 / (1.0 + exp(-(zm / 1000000.0)))) AS BIGINT)
+         |        >= $thr),
+         |${scrubCtes("qgated", "scrubbed")},
+         |exact AS (
+         |  SELECT doc_id, source, text FROM (
+         |    SELECT doc_id, source, text,
+         |           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |    FROM scrubbed)
+         |  WHERE rn = 1),
+         |${lshCtes("exact", "n")},
+         |ndropb AS (
+         |  SELECT DISTINCT doc_b FROM ncommon
+         |  JOIN ncnt ca ON ncommon.doc_a = ca.doc_id
+         |  JOIN ncnt cb ON ncommon.doc_b = cb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.8),
+         |deduped AS (
+         |  SELECT doc_id, text FROM exact
+         |  WHERE doc_id NOT IN (SELECT doc_b FROM ndropb)),
+         |census AS (
+         |  SELECT '0_input' AS stage, COUNT(*) AS n_docs,
+         |         COALESCE(SUM(len(string_split(text, ' '))), 0) AS nt FROM input
+         |  UNION ALL SELECT '1_quality_gate', COUNT(*),
+         |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM gated
+         |  UNION ALL SELECT '1b_quality_lr_gate', COUNT(*),
+         |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM qgated
+         |  UNION ALL SELECT '2_pii_scrub', COUNT(*),
+         |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM scrubbed
+         |  UNION ALL SELECT '3_exact_dedup', COUNT(*),
+         |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM exact
+         |  UNION ALL SELECT '4_near_dedup', COUNT(*),
+         |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM deduped
+         |  UNION ALL SELECT '5_semantic_dedup', COUNT(*),
+         |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM deduped
+         |  UNION ALL SELECT '6_decontam', COUNT(*),
+         |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM deduped
+         |  UNION ALL SELECT '7_mixed', COUNT(*),
+         |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM deduped
+         |  UNION ALL SELECT '8_packed', COUNT(*),
+         |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM deduped)
+         |SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(nt AS BIGINT) AS n_tokens
+         |FROM census ORDER BY stage""".stripMargin
 
   // q89 tail: exact global ntile by (log_w, doc_id) + the q34 md5-hash
   // keep against per-stage literal thresholds shared (via

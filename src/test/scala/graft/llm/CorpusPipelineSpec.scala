@@ -355,4 +355,50 @@ class CorpusPipelineSpec extends SparkSpec {
     val kept = out.count()
     assert(kept > 0 && kept < 20, s"expected a strict web subsample, got $kept")
   }
+
+  test("qualityGate stage 1b: trained-classifier filter, batch == incremental") {
+    // train on planted quality classes (disjoint vocab, clear separation)
+    val posTrain = (0L until 10L).map(i =>
+      (i, "the tale of and to in " + (1 to 18).map(j => s"fine$j").mkString(" "), 1))
+    val negTrain = (10L until 20L).map(i =>
+      (i, "the tale of and to in " + (1 to 18).map(j => s"spam$j").mkString(" "), 0))
+    val labeled = (posTrain ++ negTrain).toDF("doc_id", "text", "label")
+    val w = QualityLr.trainQualityLr(labeled, m = 32, steps = 3, lr = 0.5)
+    // pipeline corpus: two docs from each class (gate-passing lengths);
+    // spam docs fail the Gopher top-term-frequency rule, so give them
+    // varied filler AND spam markers — they must be dropped by 1b, not 1
+    val good = (100L until 102L).map(i =>
+      (i, "the tale of and to in " + (1 to 12).map(j => s"fine$j").mkString(" ")
+        + s" word${i}x1 word${i}x2 word${i}x3 word${i}x4 word${i}x5 word${i}x6"))
+    val bad = (110L until 112L).map(i =>
+      (i, "the tale of and to in " + (1 to 12).map(j => s"spam$j").mkString(" ")
+        + s" word${i}x1 word${i}x2 word${i}x3 word${i}x4 word${i}x5 word${i}x6"))
+    val docs = (good ++ bad).toDF("doc_id", "text").withColumn("source", lit("s"))
+    // threshold between the classes, read off the actual scores
+    val sc = QualityLr.scoreQualityLr(docs, w, m = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val thr = (good.map(g => sc(g._1)).min + bad.map(b => sc(b._1)).max) / 2
+    assert(good.map(g => sc(g._1)).min > bad.map(b => sc(b._1)).max)
+    val cfg = CorpusPipeline.Config(qualityGate = Some((w.toSeq, 32, thr)))
+    val (out, report) = CorpusPipeline.prepareWithReport(docs, None, cfg)
+    // 1b drops exactly the bad docs; the rule gate dropped nothing
+    val rep = report.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("1_quality_gate") === 4L)
+    assert(rep("1b_quality_lr_gate") === 2L)
+    assert(out.select("doc_id").as[Long].collect().toSet === good.map(_._1).toSet)
+    // incremental parity: same weights in the config, same batch decision
+    val standing = CorpusPipeline.prepare(docs.filter($"doc_id" < 102), None, cfg)
+      .select("doc_id", "source", "text")
+    val novelGood = (200L, "the tale of and to in "
+      + (1 to 12).map(j => s"fine$j").mkString(" ")
+      + " fresh1 fresh2 fresh3 fresh4 fresh5 fresh6")
+    val incBatch = (good.drop(1) ++ bad ++ Seq(novelGood))
+      .toDF("doc_id", "text")
+      .withColumn("source", lit("s"))
+      .withColumn("doc_id", $"doc_id" + 1000L)
+    val inc = CorpusPipeline.prepareIncremental(incBatch, standing, None, cfg)
+    // bad docs drop at 1b (same weights as the batch run), the replica of
+    // standing 101 drops at exact dedup, the novel good doc survives
+    assert(inc.select("doc_id").as[Long].collect().toSet === Set(1200L))
+  }
 }
