@@ -472,6 +472,52 @@ class CorpusIntakeJobSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("expire coexists with a running text stream: expired docs unblock, no lost admissions") {
+    implicit val sqlCtx = spark.sqlContext
+    // distinct token bodies per id — see the live-compaction test's note
+    val mk: Int => String = i =>
+      "the tale of and to in " + (1 to 18).map(j => s"ex${i}x$j").mkString(" ")
+    val corpusDir = java.nio.file.Files.createTempDirectory("liveexpire_docs_").toString
+    (0L until 6L).map(i => (i, mk(i.toInt))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(corpusDir)
+    val statePath = java.nio.file.Files.createTempDirectory("liveexpire_state_").toString
+    graft.llm.StandingState.write(spark.read.parquet(corpusDir), statePath)
+    val ck = java.nio.file.Files.createTempDirectory("liveexpire_ck_").toString
+    val in = MemoryStream[StreamDoc]
+    val q = CorpusIntakeJob.runTextStream(
+      in.toDF(), statePath, corpusDir, ck, tau = 0.5,
+      minWords = 5, maxWords = 100000)
+    try {
+      in.addData(StreamDoc(ts("2024-01-01 10:00:00"), 200, mk(200)))
+      q.processAllAvailable()
+      // TTL the even-id STANDING docs mid-run (one lease hold: artifact
+      // rebuild from the retained corpus + corpus filter-swap); the
+      // predicate spares the stream-admitted 200
+      val nExp = graft.llm.StandingState.expire(
+        spark, statePath, corpusDir,
+        org.apache.spark.sql.functions.expr("doc_id % 2 = 0 AND doc_id < 100"))
+      assert(nExp === 3L) // standing 0, 2, 4
+      in.addData(
+        StreamDoc(ts("2024-01-01 10:00:05"), 201, mk(0)),   // replica of EXPIRED 0 -> now ADMITS
+        StreamDoc(ts("2024-01-01 10:00:06"), 202, mk(1)),   // replica of retained 1 -> drops
+        StreamDoc(ts("2024-01-01 10:00:07"), 203, mk(200)), // replica of stream-admitted 200 -> drops
+        StreamDoc(ts("2024-01-01 10:00:08"), 204, mk(204))) // novel -> admits
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+    } finally q.stop()
+    val ids = spark.read.parquet(corpusDir).select("doc_id").as[Long].collect()
+    assert(ids.length === ids.distinct.length, "duplicate corpus rows")
+    assert(ids.toSet === Set(1L, 3L, 5L, 200L, 201L, 204L),
+      "retention/admission divergence across the mid-run expire")
+    // the post-expire state still blocks replicas of everything retained
+    // or admitted — including the re-admitted body of the expired doc
+    val state = graft.llm.StandingState.load(spark, statePath)
+    val replicas = Seq((900L, mk(0)), (901L, mk(1)), (902L, mk(204)))
+      .toDF("doc_id", "text")
+    assert(graft.llm.Dedup.exactIncrementalVsDigests(replicas, state.digests)
+      .count() === 0L)
+  }
+
   test("ingest appends WAIT through a held lease (compaction swap window) instead of dying") {
     // distinct token bodies per id — see the live-compaction test's note
     val mk: Int => String = i =>
