@@ -1677,4 +1677,53 @@ object TextOps {
       when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und")).as("pred_lang"),
     )
   }
+
+  /** Per-source token-count distribution profile — the corpus census a
+    * mixing/curriculum decision starts from: (source, n_docs, and one
+    * EXACT linearly-interpolated percentile column per requested p).
+    *
+    * Exact percentiles WITHOUT buffering a group in memory (Spark's
+    * `percentile` aggregate holds every value of a group — a 100 TB
+    * source OOMs): token counts are small integers, so the distribution
+    * compresses to a (source, value, count) frame first. One
+    * map-side-combinable census, a window over the per-source DISTINCT
+    * VALUES (bounded by the token-count domain, not the corpus), then
+    * each percentile is a conditional aggregation picking the two
+    * straddling order statistics plus the standard interpolation
+    * `v1 + (p·(n−1) − ⌊p·(n−1)⌋)·(v2 − v1)`, rounded to 6dp. The
+    * interpolation arithmetic is one fixed IEEE expression — the oracle
+    * replays the identical formula over the identical counts rather than
+    * trusting any engine's quantile built-in. */
+  def sourceTokenProfile(
+      docs: DataFrame,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.95)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      "percentiles must be in [0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val vals = docs.select(col("source"),
+      size(tokens(col("text"))).cast("long").as("v"))
+    val counts = vals.groupBy("source", "v").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy("v")
+    val cum = counts
+      .withColumn("hi", sum("c").over(w)) // docs with value <= v
+      .withColumn("lo", col("hi") - col("c")) // docs with value < v
+      .withColumn("n", sum("c").over(Window.partitionBy("source")))
+    val aggs = ps.flatMap { p =>
+      val name = s"p${(p * 100).round}_tokens"
+      // 0-based fractional rank r = p*(n-1); straddling order stats k1/k2
+      val r = lit(p) * (col("n") - 1).cast("double")
+      val k1 = floor(r)
+      val k2 = ceil(r)
+      val v1 = min(when(col("lo") <= k1 && k1 < col("hi"), col("v")))
+      val v2 = min(when(col("lo") <= k2 && k2 < col("hi"), col("v")))
+      Seq(round(v1.cast("double")
+        + (max(r) - max(k1).cast("double"))
+          * (v2 - v1).cast("double"), 6).as(name))
+    }
+    val aggCols = max(col("n")).as("n_docs") +: aggs
+    cum.groupBy("source")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("source") +: col("n_docs") +:
+        ps.map(p => col(s"p${(p * 100).round}_tokens")): _*)
+  }
 }

@@ -3526,7 +3526,52 @@ object LlmQueries {
       },
       Some(pipelineQualityOracle(m = 64, steps = 3, lr = 0.5, thr = 499990L)),
     ),
+
+    // ------------------------------------------------------------------
+    // Q96 — per-source corpus profile: exact interpolated token-count
+    // percentiles (p25/p50/p95) WITHOUT buffering a group in memory —
+    // the distribution compresses to (source, value, count), a window
+    // over per-source DISTINCT VALUES ranks it, and each percentile is a
+    // conditional aggregation picking the straddling order statistics +
+    // the standard interpolation, rounded to 6dp. The oracle replays the
+    // IDENTICAL count/cum/interpolation arithmetic — neither engine's
+    // quantile built-in is trusted.
+    Declared(
+      "q96_source_profile",
+      (s, dir) =>
+        graft.llm.TextOps.sourceTokenProfile(Tables.documentsRaw(s, dir))
+          .orderBy("source"),
+      Some(sourceProfileOracle(Seq(0.25, 0.5, 0.95))),
+    ),
   )
+
+  // q96: the same count/cum/interpolation chain in SQL — per percentile
+  // p, rank r = p*(n-1); v1/v2 = the values whose [lo, hi) brackets
+  // floor(r)/ceil(r); out = round(v1 + (r - floor(r))*(v2 - v1), 6).
+  private def sourceProfileOracle(ps: Seq[Double]): String = {
+    val cols = ps.map { p =>
+      val nm = s"p${(p * 100).round}_tokens"
+      val r = s"$p * CAST(n - 1 AS DOUBLE)"
+      s"""       round(CAST(MIN(CASE WHEN lo <= floor($r) AND floor($r) < hi THEN v END) AS DOUBLE)
+         |           + (MAX($r) - MAX(floor($r)))
+         |             * CAST(MIN(CASE WHEN lo <= ceil($r) AND ceil($r) < hi THEN v END)
+         |                    - MIN(CASE WHEN lo <= floor($r) AND floor($r) < hi THEN v END)
+         |                    AS DOUBLE), 6) AS $nm""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vals AS (
+       |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+       |  FROM documents),
+       |counts AS (SELECT source, v, COUNT(*) AS c FROM vals GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT source, v, c,
+       |         SUM(c) OVER (PARTITION BY source ORDER BY v) AS hi,
+       |         SUM(c) OVER (PARTITION BY source ORDER BY v) - c AS lo,
+       |         SUM(c) OVER (PARTITION BY source) AS n
+       |  FROM counts)
+       |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+       |$cols
+       |FROM cum GROUP BY source ORDER BY source""".stripMargin
+  }
 
   // q90: q63's LSH admission chain over the RETAINED (post-expire) ∪
   // incoming universe, plus the byte-exact digest leg (a <3-token doc

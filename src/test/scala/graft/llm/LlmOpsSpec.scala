@@ -701,6 +701,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(t === Set(5L))
   }
 
+  test("TextOps.sourceTokenProfile: matches Spark's exact percentile aggregate") {
+    val d = graft.Tables.documentsRaw(spark, "/root/testdata/sf0.001")
+    val ps = Seq(0.25, 0.5, 0.95)
+    val got = TextOps.sourceTokenProfile(d, ps)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // reference: the memory-buffering built-in (fine at spec scale)
+    val ref = d
+      .withColumn("v", size(split($"text", " ")).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(v, 0.25)"), 6).as("p25"),
+        round(expr("percentile(v, 0.5)"), 6).as("p50"),
+        round(expr("percentile(v, 0.95)"), 6).as("p95"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got === ref)
+    // layout independence
+    val re = TextOps.sourceTokenProfile(d.repartition(13), ps)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(re === got)
+    // single-doc source edge: every percentile is that doc's count
+    val one = Seq((1L, "a b c", "solo")).toDF("doc_id", "text", "source")
+    val row = TextOps.sourceTokenProfile(one, ps).head()
+    assert(row.getLong(1) === 1L)
+    assert(Seq(2, 3, 4).map(row.getDouble) === Seq(3.0, 3.0, 3.0))
+  }
+
   test("Mixing.curriculumStages: hierarchical rank == flat ntile, incl. edges") {
     import org.apache.spark.sql.expressions.Window
     // uneven N (not divisible by nStages), duplicate scores, out-of-range
