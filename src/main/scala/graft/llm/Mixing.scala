@@ -314,4 +314,37 @@ object Mixing {
       .filter(col("__rn") <= maxPerKey)
       .drop("__rn")
   }
+
+  /** [[capPerKey]]'s INCREMENTAL form — the daily-ingest cap: admit batch
+    * docs per key only up to the quota the STANDING corpus hasn't already
+    * used. STANDING WINS, like every incremental dedup policy here: an
+    * admitted doc is never evicted by a later batch, so the admitted set
+    * only grows and yesterday's corpus is stable — the price is that the
+    * union is not the batch-form's hash-minimal k (spec pins equality
+    * with [[capPerKey]] exactly when standing is empty). Within the
+    * batch, admission order is the same deterministic (samplingHash, id).
+    *
+    * `standingCounts` is a per-key count frame — at 100 TB a maintained
+    * census table, not a corpus scan. Shape: the constant-limit rank
+    * filter runs FIRST (`row_number() <= k` — WindowGroupLimit bounds the
+    * shuffle to <= k rows per key per map partition), then one equi-join
+    * against the counts tightens each key to its remaining quota. */
+  def capPerKeyIncremental(
+      batch: DataFrame,
+      standingCounts: DataFrame,
+      maxPerKey: Int,
+      keyCol: String = "source",
+      idCol: String = "doc_id",
+      countCol: String = "n"): DataFrame = {
+    require(maxPerKey >= 1, "maxPerKey must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol)
+      .orderBy(samplingHash(col(idCol)).asc, col(idCol).asc)
+    batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerKey) // constant limit -> WindowGroupLimit
+      .join(standingCounts.select(col(keyCol), col(countCol).as("__sn")),
+        Seq(keyCol), "left")
+      .filter(col("__rn") <= lit(maxPerKey.toLong) - coalesce(col("__sn"), lit(0L)))
+      .drop("__rn", "__sn")
+  }
 }

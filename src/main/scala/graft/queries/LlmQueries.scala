@@ -3543,6 +3543,42 @@ object LlmQueries {
           .orderBy("source"),
       Some(sourceProfileOracle(Seq(0.25, 0.5, 0.95))),
     ),
+
+    // ------------------------------------------------------------------
+    // Q97 — the domain cap's INCREMENTAL form (standing wins, like every
+    // incremental dedup policy): batch docs admit per key only up to the
+    // quota the standing corpus hasn't used. The standing slice
+    // `(doc_id div 20) < (doc_id % 20)` gives source s exactly min(s, 13)
+    // standing docs (doc_id ≡ s mod 20 in the testdata), so at k=9 the
+    // batch exercises all three regimes in one query: s=0 admits a full
+    // 9, s=1..8 admit exactly 9-s, s>=9 admit none.
+    Declared(
+      "q97_domain_cap_incremental",
+      (s, dir) => {
+        val all = Tables.documentsRaw(s, dir)
+        val standing = all
+          .filter(expr("doc_id < 250 AND (doc_id div 20) < (doc_id % 20)"))
+        val counts = standing.groupBy("source")
+          .agg(count(lit(1)).as("n"))
+        graft.llm.Mixing.capPerKeyIncremental(
+            all.filter(col("doc_id") >= 250), counts, maxPerKey = 9)
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some("""WITH sc AS (
+             |  SELECT source, COUNT(*) AS n FROM documents
+             |  WHERE doc_id < 250 AND (doc_id // 20) < (doc_id % 20)
+             |  GROUP BY source),
+             |r AS (
+             |  SELECT doc_id, source,
+             |         ROW_NUMBER() OVER (PARTITION BY source
+             |           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT,
+             |                    doc_id) AS rn
+             |  FROM documents WHERE doc_id >= 250)
+             |SELECT r.doc_id, r.source FROM r LEFT JOIN sc USING (source)
+             |WHERE rn <= 9 - COALESCE(n, 0)
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   // q96: the same count/cum/interpolation chain in SQL — per percentile

@@ -621,6 +621,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("Mixing.capPerKeyIncremental: standing quota, standing wins, batch-form equality when empty") {
+    val d = graft.Tables.documentsRaw(spark, "/root/testdata/sf0.001")
+    val cap = 7
+    val standing = d.filter(expr("doc_id < 250 AND (doc_id div 20) < (doc_id % 20)"))
+    val counts = standing.groupBy("source").agg(count(lit(1)).as("n"))
+    val batch = d.filter($"doc_id" >= 250)
+    val admitted = Mixing.capPerKeyIncremental(batch, counts, cap)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    // per-key admissions == max(0, cap - n_standing)
+    val sn = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchKeys = batch.select("source").distinct().as[String].collect()
+    val byKey = admitted.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    batchKeys.foreach { k =>
+      val want = math.max(0L, cap.toLong - sn.getOrElse(k, 0L))
+      assert(byKey.getOrElse(k, 0L) === want, s"key $k: n=${sn.getOrElse(k, 0L)}")
+    }
+    // admitted docs are the hash-smallest of the batch within each quota
+    val full = Mixing.capPerKey(batch, cap)
+      .select("doc_id", "source").as[(Long, String)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    admitted.groupBy(_._2).foreach { case (k, rows) =>
+      assert(rows.map(_._1).toSet.subsetOf(full(k)),
+        s"key $k admitted a doc outside the batch-form top-$cap")
+    }
+    // empty standing -> exactly the batch form
+    val empty = counts.filter(lit(false))
+    val asBatch = Mixing.capPerKeyIncremental(batch, empty, cap)
+      .select("doc_id").as[Long].collect().toSet
+    val batchForm = Mixing.capPerKey(batch, cap)
+      .select("doc_id").as[Long].collect().toSet
+    assert(asBatch === batchForm)
+    // layout independence
+    val re = Mixing.capPerKeyIncremental(batch.repartition(11), counts, cap)
+      .select("doc_id").as[Long].collect().toSet
+    assert(re === admitted.map(_._1).toSet)
+  }
+
   test("QualityLr: GD loop matches a pure-Scala replay; planted quality separates") {
     import graft.llm.QualityLr
     val pos = (0L until 12L).map(i =>
