@@ -1626,17 +1626,31 @@ object TextOps {
       raw: DataFrame,
       target: DataFrame,
       m: Int = 1024,
-      lambda: Double = 1.0): DataFrame = {
+      lambda: Double = 1.0): DataFrame =
+    dsirScoresWithRatios(raw, dsirLogRatios(raw, target, m, lambda), m)
+
+  /** Score ANY doc frame against a PRECOMPUTED ratio table — the
+    * INCREMENTAL DSIR path: [[dsirLogRatios]] runs once over the
+    * raw/target corpora and its m-row output persists as a tiny table;
+    * every daily batch then scores with one featurize pass + this
+    * broadcast join, never re-censusing the corpora (the difference
+    * between O(batch) and O(corpus) per day at 100 TB — the same freeze
+    * discipline as SemDeDup's persisted centroids). Identical arithmetic
+    * to the fused [[dsirScores]] by construction (it now delegates
+    * here); docs with zero features score 0.0 with the usual coalesce. */
+  def dsirScoresWithRatios(
+      docs: DataFrame,
+      ratios: DataFrame,
+      m: Int = 1024): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val ratios = dsirLogRatios(raw, target, m, lambda)
-    val scored = dsirFeatures(raw, m)
+    val scored = dsirFeatures(docs, m)
       .join(broadcast(ratios), "bucket")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_feats"),
         sum(round(col("log_ratio"), 6).cast(DecimalType(25, 6)))
           .cast("double").as("log_w"))
-    raw.select("doc_id")
+    docs.select("doc_id")
       .join(scored, Seq("doc_id"), "left")
       .select(
         col("doc_id"),

@@ -3579,7 +3579,74 @@ object LlmQueries {
              |WHERE rn <= 9 - COALESCE(n, 0)
              |ORDER BY doc_id""".stripMargin),
     ),
+
+    // ------------------------------------------------------------------
+    // Q98 — INCREMENTAL DSIR: the ratio table is fit ONCE on the standing
+    // corpus (raw = doc_id < 250, target = its en slice), persisted
+    // through a parquet round-trip (the production shape — an m-row
+    // table, the SemDeDup frozen-centroid discipline applied to DSIR),
+    // and the incoming batch scores against it with one featurize pass +
+    // a broadcast join — the corpora are never re-censused. The oracle
+    // fits the same censuses over the STANDING slice only and scores the
+    // batch under the frozen ratios.
+    Declared(
+      "q98_dsir_incremental",
+      (s, dir) => {
+        val all = Tables.documentsRaw(s, dir)
+        val standing = all.filter(col("doc_id") < 250)
+        val ratios = graft.llm.TextOps.dsirLogRatios(
+          standing, standing.filter(col("lang") === "en"), m = 1024)
+        val rdir = java.nio.file.Files
+          .createTempDirectory("q98_ratios_").toString
+        ratios.write.mode("overwrite").parquet(rdir)
+        graft.llm.TextOps.dsirScoresWithRatios(
+            all.filter(col("doc_id") >= 250), s.read.parquet(rdir), m = 1024)
+          .orderBy("doc_id")
+      },
+      Some(dsirIncrementalOracle),
+    ),
   )
+
+  // q98: q87's census/ratio chain restricted to the STANDING slice, the
+  // BATCH slice scored under the frozen ratios (same 6dp-decimal sum).
+  private def dsirIncrementalOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id,
+      |         unnest(toks || list_transform(generate_series(1, len(toks) - 1),
+      |                                       i -> toks[i] || ' ' || toks[i+1])) AS feat
+      |  FROM t),
+      |bf AS (
+      |  SELECT doc_id, ('0x' || substr(md5(feat), 1, 8))::BIGINT % 1024 AS bucket
+      |  FROM feats),
+      |sbf AS (SELECT * FROM bf WHERE doc_id < 250),
+      |tgt AS (SELECT sbf.* FROM sbf JOIN documents USING (doc_id) WHERE lang = 'en'),
+      |tcnt AS (SELECT bucket, COUNT(*) AS ct FROM tgt GROUP BY bucket),
+      |rcnt AS (SELECT bucket, COUNT(*) AS cr FROM sbf GROUP BY bucket),
+      |tot AS (SELECT (SELECT COUNT(*) FROM tgt) AS tn,
+      |               (SELECT COUNT(*) FROM sbf) AS rn),
+      |dom AS (SELECT unnest(generate_series(0, 1023)) AS bucket),
+      |ratio AS (
+      |  SELECT bucket,
+      |         ln((COALESCE(ct, 0) + 1.0) / (tn + 1.0 * 1024))
+      |       - ln((COALESCE(cr, 0) + 1.0) / (rn + 1.0 * 1024)) AS log_ratio
+      |  FROM dom LEFT JOIN tcnt USING (bucket) LEFT JOIN rcnt USING (bucket)
+      |  CROSS JOIN tot),
+      |scored AS (
+      |  SELECT doc_id, COUNT(*) AS n_feats,
+      |         CAST(SUM(CAST(round(log_ratio, 6)
+      |           + CASE WHEN round(log_ratio, 6) >= 0 THEN 5e-9 ELSE -5e-9 END
+      |           AS DECIMAL(25,6))) AS DOUBLE) AS log_w
+      |  FROM bf JOIN ratio USING (bucket)
+      |  WHERE doc_id >= 250 GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(n_feats, 0) AS n_feats,
+      |       COALESCE(log_w, 0.0) AS log_w
+      |FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+      |WHERE d.doc_id >= 250
+      |ORDER BY d.doc_id""".stripMargin
 
   // q96: the same count/cum/interpolation chain in SQL — per percentile
   // p, rank r = p*(n-1); v1/v2 = the values whose [lo, hi) brackets

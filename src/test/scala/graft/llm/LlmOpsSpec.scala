@@ -2152,6 +2152,36 @@ class LlmOpsSpec extends SparkSpec {
       "log_w must be bit-identical under any row order")
   }
 
+  test("dsir incremental: frozen ratios score a batch bit-identically to the fused form") {
+    val rnd = new scala.util.Random(98)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = (0 until 80).map { i =>
+      val n = 3 + rnd.nextInt(30)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val standing = docs.filter($"doc_id" < 50)
+    val target = standing.filter($"doc_id" < 15)
+    val batch = docs.filter($"doc_id" >= 50)
+    val ratios = TextOps.dsirLogRatios(standing, target, m = 256)
+    // parquet round-trip: the production persist-and-reload shape
+    val rdir = java.nio.file.Files.createTempDirectory("dsir_ratios_").toString
+    ratios.write.mode("overwrite").parquet(rdir)
+    val frozen = spark.read.parquet(rdir)
+    def run(b: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      TextOps.dsirScoresWithRatios(b, frozen, m = 256)
+        .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    val got = run(batch)
+    // the fused form on the STANDING corpus equals scoring standing under
+    // its own frozen ratios (the delegation contract)
+    val fusedStanding = TextOps.dsirScores(standing, target, m = 256)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    val frozenStanding = run(standing)
+    assert(frozenStanding === fusedStanding)
+    // batch scoring is layout-independent and deterministic post-reload
+    assert(run(batch.repartition(7)) === got)
+    assert(got.nonEmpty && got.forall(_._2 > 0))
+  }
+
   test("dsirResample: weight-tilted keep, monotone in rate, layout-stable") {
     // thresholds: unclamped mean keep fraction is exactly rate, and they
     // strictly increase with stage (higher weight -> higher keep odds)
