@@ -257,7 +257,8 @@ object Mixing {
       targetDocs: Long,
       alpha: Double = 0.5,
       idCol: String = "doc_id",
-      sourceCol: String = "source"): DataFrame = {
+      sourceCol: String = "source",
+      censusOver: Option[DataFrame] = None): DataFrame = {
     require(targetDocs >= 0, "targetDocs must be >= 0")
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
     import org.apache.spark.sql.types.DecimalType
@@ -266,7 +267,13 @@ object Mixing {
     // pow, whose ulp-level engine differences the 6dp rounding absorbs
     val w = if (alpha == 0.5) sqrt(col("__n").cast("double"))
             else pow(col("__n").cast("double"), lit(alpha))
-    val census = docs.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+    // `censusOver` widens the rate census beyond the filtered frame — the
+    // incremental case (rates reflect standing ∪ batch, only batch rows
+    // filter). Because membership is a pure function of (id, source
+    // rate), the incremental form EQUALS the union-sampled set restricted
+    // to the batch — spec-pinned, same consistency as sampleToTokenBudget
+    val census = censusOver.getOrElse(docs)
+      .groupBy(sourceCol).agg(count(lit(1)).as("__n"))
       .withColumn("__w6", round(w, 6).cast(DecimalType(25, 6)))
       .localCheckpoint(false) // two control-plane actions below
     // exact decimal total of the 6dp weights (order-free), then one

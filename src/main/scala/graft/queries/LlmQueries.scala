@@ -3605,6 +3605,48 @@ object LlmQueries {
       },
       Some(dsirIncrementalOracle),
     ),
+
+    // ------------------------------------------------------------------
+    // Q99 — INCREMENTAL temperature mixing: rates computed over the
+    // standing ∪ batch census (Mixing.temperatureSample's censusOver),
+    // only batch rows filtered. Because membership is a pure function of
+    // (doc_id, source rate), this EQUALS the union-sampled set restricted
+    // to the batch — the spec pins that; the oracle is q91's census/rate
+    // chain over the full skewed universe with the output restricted to
+    // the incoming slice.
+    Declared(
+      "q99_temperature_mix_incremental",
+      (s, dir) => {
+        val u = Tables.documentsRaw(s, dir)
+          .filter(expr(
+            "(doc_id div 20) % 10 < (try_cast(substring(source, 4) as int) % 5) + 2"))
+        val batch = u.filter(col("doc_id") >= 250)
+        graft.llm.Mixing.temperatureSample(
+            batch, targetDocs = 180L, alpha = 0.5, censusOver = Some(u))
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, source FROM documents
+             |  WHERE (doc_id // 20) % 10 < (CAST(substr(source, 4) AS INT) % 5) + 2),
+             |census AS (SELECT source, COUNT(*) AS n FROM u GROUP BY source),
+             |w AS (
+             |  SELECT source, n,
+             |         CAST(round(sqrt(CAST(n AS DOUBLE)), 6) + 5e-9
+             |              AS DECIMAL(25,6)) AS w6
+             |  FROM census),
+             |s AS (SELECT CAST(SUM(w6) AS DOUBLE) AS stot FROM w),
+             |r AS (
+             |  SELECT source,
+             |         least(1.0, round(CAST(w6 AS DOUBLE) / (SELECT stot FROM s)
+             |               * 180.0 / CAST(n AS DOUBLE), 6)) AS rate
+             |  FROM w)
+             |SELECT u.doc_id, u.source FROM u JOIN r ON u.source = r.source
+             |WHERE u.doc_id >= 250
+             |  AND ('0x' || substr(md5(u.doc_id::VARCHAR), 1, 8))::BIGINT
+             |      < rate * 4294967296.0
+             |ORDER BY u.doc_id""".stripMargin),
+    ),
   )
 
   // q98: q87's census/ratio chain restricted to the STANDING slice, the

@@ -580,6 +580,18 @@ class LlmOpsSpec extends SparkSpec {
     val outPlan = Mixing.temperatureSample(u, target, alpha = 0.5)
       .queryExecution.executedPlan.toString
     assert(!outPlan.contains("Exchange"), outPlan.take(1500))
+    // incremental form: rates over the WIDER census, batch rows filtered —
+    // membership is a pure function of (id, source rate), so it equals
+    // the union-sampled set restricted to the batch
+    val standingIds = u.filter($"doc_id" < 250)
+    val batchU = u.filter($"doc_id" >= 250)
+    val incKept = Mixing.temperatureSample(
+        batchU, target, alpha = 0.5, censusOver = Some(u))
+      .select("doc_id").as[Long].collect().toSet
+    val unionKept = Mixing.temperatureSample(u, target, alpha = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(incKept === unionKept.filter(_ >= 250L))
+    assert(standingIds.count() > 0 && incKept.nonEmpty)
   }
 
   test("Mixing.capPerKey: exact per-key caps, stability, WindowGroupLimit plan") {
