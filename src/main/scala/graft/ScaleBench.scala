@@ -877,6 +877,24 @@ object ScaleBench {
       println(s"""{"op":"temperature_mix","rows":$nDocs,"target":$target,"kept":$nKept,"tracks_target":$tracks,"sec":${f"$tMix%.2f"}}""")
     }
 
+    // incremental DSIR: the ratio fit is ONE O(standing) census pass
+    // (one-off / refreshed on corpus change), after which every daily
+    // batch scores in O(batch) against the frozen m-row table — fit_sec
+    // is exactly the per-day cost the incremental path deletes.
+    locally {
+      val target = docs.filter(col("lang") === "en")
+      val batch = Tables.documents(spark, sfDir)
+      val nBatch = batch.count()
+      val (ratios, tFit) = timed {
+        graft.llm.TextOps.dsirLogRatios(docs, target, 1024)
+          .localCheckpoint(true)
+      }
+      val (nScored, tScore) = timed {
+        graft.llm.TextOps.dsirScoresWithRatios(batch, ratios, 1024).count()
+      }
+      println(s"""{"op":"dsir_incremental","standing":$nDocs,"batch":$nBatch,"fit_sec":${f"$tFit%.2f"},"batch_score_sec":${f"$tScore%.2f"},"scored_all":${nScored == nBatch}}""")
+    }
+
     // quality-classifier training at factor-x scale: 3 full-batch GD
     // rounds over the replicated corpus (labels = source parity), then
     // one scoring pass. Training is 2 map-side-combinable aggregations +
