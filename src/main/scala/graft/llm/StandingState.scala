@@ -62,11 +62,17 @@ final case class StandingState(
 
 object StandingState {
 
+  /** `docKeyed` is NOT persisted in the meta table — it is derived at
+    * [[load]] from the digests table's own schema (presence of a
+    * `doc_id` column), so the artifact regime is self-describing and a
+    * meta row can never disagree with the rows it describes. Legacy
+    * (payload-free) states read back `docKeyed = false` untouched. */
   final case class Meta(
       shingleSize: Int,
       numHashes: Int,
       bandRows: Int,
-      normalizedFingerprints: Boolean)
+      normalizedFingerprints: Boolean,
+      docKeyed: Boolean = false)
 
   /** The regime-compatibility check behind [[StandingState.requireCompatible]],
     * meta-only so the append paths can run it without a loaded state. */
@@ -85,8 +91,17 @@ object StandingState {
     * [[CorpusPipeline.prepareIncremental]]'s legs exactly. */
   private def artifacts(
       corpus: DataFrame, cfg: CorpusPipeline.Config,
-      numHashes: Int, bandRows: Int): (DataFrame, DataFrame) = {
-    val digests = corpus.select(Dedup.digestCol("text").as("digest")).distinct()
+      numHashes: Int, bandRows: Int, docKeyed: Boolean): (DataFrame, DataFrame) = {
+    // DOC-KEYED digests carry the contributing doc_id (one row per doc,
+    // +8 bytes over the payload-free set) — the schema that makes
+    // retention SUBTRACTION sound: an expired doc's row drops by
+    // anti-join while a retained doc sharing the digest keeps its own
+    // row, so the digest stays standing. Consumers are unchanged either
+    // way ([[Dedup.exactIncrementalVsDigests]] projects
+    // `select("digest").distinct()`).
+    val digests =
+      if (docKeyed) corpus.select(col("doc_id"), Dedup.digestCol("text").as("digest"))
+      else corpus.select(Dedup.digestCol("text").as("digest")).distinct()
     val fpCorpus =
       if (cfg.normalizeFingerprints) TextOps.normalized(corpus) else corpus
     val bands = TextOps.bandRowsSizedDF(
@@ -97,14 +112,20 @@ object StandingState {
 
   /** IN-SESSION state for an already-prepared standing corpus — no IO;
     * [[write]] is this plus persistence. `embeddings` (covering at least
-    * the standing doc_ids) trains and freezes the SemDeDup centroids. */
+    * the standing doc_ids) trains and freezes the SemDeDup centroids.
+    * `docKeyed` (default TRUE — the regime for new states) keys the
+    * digest and span-hash rows by contributing doc_id, which is what
+    * makes [[expire]] an O(expired) anti-join pass instead of a
+    * lease-held full-corpus re-featurize; pass false only to build a
+    * legacy payload-free state (the rebuild-on-expire regime). */
   def build(
       standing: DataFrame,
       cfg: CorpusPipeline.Config = CorpusPipeline.Config(),
       embeddings: Option[DataFrame] = None,
       numHashes: Int = 16,
-      bandRows: Int = 2): StandingState = {
-    val (digests, bands) = artifacts(standing, cfg, numHashes, bandRows)
+      bandRows: Int = 2,
+      docKeyed: Boolean = true): StandingState = {
+    val (digests, bands) = artifacts(standing, cfg, numHashes, bandRows, docKeyed)
     val cs = embeddings.map { ef =>
       val standVecs = ef.join(standing.select("doc_id"), Seq("doc_id"), "left_semi")
         .select(col("doc_id").as("vec_id"), col("embedding"))
@@ -112,10 +133,12 @@ object StandingState {
       Dedup.semDedupCentroids(standVecs, cfg.semDedupNCentroids)
     }
     val spans = cfg.removeDupSpans.map { case (w, _) =>
-      (TextOps.spanWindowHashes(standing, w), w)
+      (if (docKeyed) TextOps.spanWindowHashesKeyed(standing, w)
+       else TextOps.spanWindowHashes(standing, w), w)
     }
     StandingState(digests, bands, cs,
-      Meta(cfg.shingleSize, numHashes, bandRows, cfg.normalizeFingerprints),
+      Meta(cfg.shingleSize, numHashes, bandRows, cfg.normalizeFingerprints,
+        docKeyed),
       spans)
   }
 
@@ -129,12 +152,13 @@ object StandingState {
       cfg: CorpusPipeline.Config = CorpusPipeline.Config(),
       embeddings: Option[DataFrame] = None,
       numHashes: Int = 16,
-      bandRows: Int = 2): StandingState = {
+      bandRows: Int = 2,
+      docKeyed: Boolean = true): StandingState = {
     val spark = standing.sparkSession
     import spark.implicits._
     // one materialization of the scrubbed standing text feeds both legs
     val st = Frames.barrier(standing)
-    val state = build(st, cfg, embeddings, numHashes, bandRows)
+    val state = build(st, cfg, embeddings, numHashes, bandRows, docKeyed)
     state.digests.write.mode("overwrite").parquet(s"$path/digests")
     state.bands.write.mode("overwrite").parquet(s"$path/bands")
     state.centroids.foreach { cs =>
@@ -157,10 +181,13 @@ object StandingState {
     * nothing is read until an ingest uses them. */
   def load(spark: SparkSession, path: String): StandingState = {
     Seq("digests", "bands").foreach(heal(spark, path, _))
+    val digests = spark.read.parquet(s"$path/digests")
     val meta = {
       val r = spark.read.parquet(s"$path/meta").head()
       Meta(r.getAs[Int]("shingle_size"), r.getAs[Int]("num_hashes"),
-        r.getAs[Int]("band_rows"), r.getAs[Boolean]("normalized"))
+        r.getAs[Int]("band_rows"), r.getAs[Boolean]("normalized"),
+        // the regime is self-describing: keyed iff the rows carry doc_id
+        docKeyed = digests.columns.contains("doc_id"))
     }
     val cs =
       if (!tableExists(spark, s"$path/centroids")) None
@@ -175,7 +202,7 @@ object StandingState {
         Some((spark.read.parquet(s"$path/span_hashes"), w))
       }
     StandingState(
-      spark.read.parquet(s"$path/digests"),
+      digests,
       spark.read.parquet(s"$path/bands"),
       cs, meta, spans)
   }
@@ -230,9 +257,21 @@ object StandingState {
     if (!tableExists(spark, s"$path/span_meta")) None
     else {
       val w = spark.read.parquet(s"$path/span_meta").head().getAs[Int]("w")
-      Some(TextOps.spanWindowHashes(batch, w))
+      // follow the PERSISTED table's regime (self-describing schema, same
+      // rule as [[load]]) — appending payload-free rows to a keyed index
+      // would fail the scan; appending keyed rows to a legacy index would
+      // leave rows no anti-join can reach
+      Some(if (spanIndexKeyed(spark, path)) TextOps.spanWindowHashesKeyed(batch, w)
+           else TextOps.spanWindowHashes(batch, w))
     }
   }
+
+  /** True iff the persisted span index at `path` is doc-keyed (carries a
+    * `doc_id` column). False for legacy payload-free indexes and when the
+    * table does not exist yet. */
+  private def spanIndexKeyed(spark: SparkSession, path: String): Boolean =
+    tableExists(spark, s"$path/span_hashes") &&
+      spark.read.parquet(s"$path/span_hashes").columns.contains("doc_id")
 
   /** The artifact projection of [[appendWithMeta]] split from its write,
     * so the ingest batch leg can compute lazily and commit the corpus
@@ -243,7 +282,7 @@ object StandingState {
       meta: Meta): (DataFrame, DataFrame) = {
     requireMetaCompatible(meta, cfg)
     val b = Frames.barrier(batch)
-    artifacts(b, cfg, meta.numHashes, meta.bandRows)
+    artifacts(b, cfg, meta.numHashes, meta.bandRows, meta.docKeyed)
   }
 
   /** The write half of [[appendWithMeta]] — caller MUST hold the lease.
@@ -755,29 +794,50 @@ object StandingState {
     * and EVERY artifact derived from them, so expired documents no
     * longer block replicas of their own text from (re-)admission.
     *
-    * Digests and span-window hashes are deliberately doc_id-free sets,
-    * so subtraction is unsound — an expired doc's digest may also be a
-    * retained doc's digest, and dropping it would un-block the retained
-    * doc's replicas. Expire therefore REBUILDS digests, bands and (when
-    * the state carries a span index) span hashes from the RETAINED
-    * corpus under the state's persisted regime (meta + span_meta — the
-    * same no-parameter discipline as [[append]]), then filters the
-    * corpus. O(retained corpus) work like [[compact]]'s corpus leg; the
-    * whole pass holds the lease (a rare maintenance op — intake batches
-    * wait via their own lease retry, exactly as during a compaction
-    * swap window).
+    * Two regimes, dispatched on the state's SELF-DESCRIBING artifact
+    * schema (presence of `doc_id` on the digests rows — see [[Meta]]):
     *
-    * Crash-safety: every table swap self-heals individually
-    * ([[swapTable]]/[[healDir]]), and the CORPUS swap is deliberately
-    * LAST — a crash anywhere earlier leaves the expired rows still in
-    * the corpus, so a re-run detects pending work (n > 0) and completes
-    * the rebuild; artifacts are only ever derived from the retained
-    * set, so no crash shape leaves an expired doc's artifacts blocking
-    * admission after the corpus swap lands. SemDeDup centroids are
-    * untouched (frozen training state, not a per-doc blocker);
-    * emb-bucket and media states key by id and live in their own
-    * tables — retention for those is a caller-side filter plus
-    * [[writeEmbBuckets]]/[[writeMediaState]].
+    *  - DOC-KEYED states (the default regime since round 14): expire
+    *    is SUBTRACTION — one anti-join per artifact table against the
+    *    pinned expired-id set, each run under the snapshot-delta
+    *    compaction discipline ([[compactDirLive]]): the O(table)
+    *    anti-join rewrite holds NO lease (intake appends proceed
+    *    freely), and the lease is held only for each table's delta
+    *    catch-up + two renames. No text is ever re-featurized — the
+    *    pass costs columnar IO over the small artifact rows (16-byte
+    *    digest + 8-byte id) plus the corpus filter rewrite, instead of
+    *    a re-digest / re-minhash / re-window-hash of every retained
+    *    doc. Subtraction is SOUND precisely because the rows are
+    *    keyed: a retained doc that shares a digest/window with an
+    *    expired doc keeps its OWN row, so the value stays standing.
+    *  - LEGACY payload-free states: digests and span hashes are
+    *    doc_id-free sets, so subtraction is unsound (an expired doc's
+    *    digest may also be a retained doc's digest, and dropping it
+    *    would un-block the retained doc's replicas) — expire REBUILDS
+    *    digests, bands and span hashes from the RETAINED corpus under
+    *    the state's persisted regime, holding the lease for the whole
+    *    O(retained) pass (the pre-round-14 behavior, kept as the
+    *    migration fallback; [[write]] a fresh state to leave it).
+    *
+    * NULL-predicate rows are RETAINED in both regimes: a corpus row
+    * where `expired` evaluates to NULL (e.g. `col("ts") < horizon`
+    * with a null timestamp) does not POSITIVELY match the retention
+    * policy, and a destructive maintenance op must not treat
+    * don't-know as expired.
+    *
+    * Crash-safety: artifact tables mutate FIRST, the corpus LAST — a
+    * crash anywhere earlier leaves the expired rows still in the
+    * corpus, so a re-run detects pending work (n > 0) and completes
+    * the pass (keyed anti-joins are idempotent; the legacy rebuild
+    * derives only from the retained set). A repair pass racing a
+    * keyed crash window can re-append a still-in-corpus expired doc's
+    * artifacts; the re-run subtracts them again. Concurrent appends
+    * during a keyed pass survive via each table's delta catch-up; a
+    * doc appended DURING the pass that itself matches the predicate
+    * is outside the pinned snapshot and falls to the next retention
+    * pass. SemDeDup centroids are untouched (frozen training state,
+    * not a per-doc blocker); the embedding and media states have
+    * their own id-keyed twins, [[expireEmbeddings]]/[[expireMedia]].
     *
     * `expired` is a boolean predicate over corpus rows (an ingest-time
     * timestamp column, a doc_id horizon, a source policy — schema is
@@ -787,13 +847,79 @@ object StandingState {
       statePath: String,
       corpusPath: String,
       expired: Column): Long = {
+    val pred = coalesce(expired, lit(false))
+    val keyed = tableExists(spark, s"$statePath/digests") &&
+      spark.read.parquet(s"$statePath/digests").columns.contains("doc_id")
+    if (keyed) expireKeyed(spark, statePath, corpusPath, pred)
+    else expireRebuild(spark, statePath, corpusPath, pred)
+  }
+
+  /** [[expire]]'s doc-keyed subtraction regime. `pred` is already
+    * null-coalesced. */
+  private def expireKeyed(
+      spark: SparkSession,
+      statePath: String,
+      corpusPath: String,
+      pred: Column): Long = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val corpusDir = new HPath(corpusPath)
+    val fs = corpusDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a prior pass that crashed between the corpus swap's two renames
+    // left the table at __retired only — heal before reading (under the
+    // lease, the same skip-free contract as every mutator-side heal)
+    if (!fs.exists(corpusDir) && fs.exists(sibling(corpusDir, "__retired")))
+      withLeaseRetry(spark, statePath, "expire:healCorpus") {
+        healDir(fs, corpusDir)
+      }
+    // mixed-regime guard: a keyed state whose span index was written
+    // payload-free (standalone writeSpanIndex) cannot be subtracted —
+    // fail loudly instead of silently leaving unreachable rows
+    if (tableExists(spark, s"$statePath/span_hashes") &&
+        !spanIndexKeyed(spark, statePath))
+      throw new IllegalStateException(
+        s"expire: state at $statePath has doc-keyed digests but a " +
+          "payload-free span index — rewrite the span index doc-keyed " +
+          "(writeSpanIndex(..., docKeyed = true)) before expiring")
+    // pin the expired-id set EAGERLY before any mutation: every
+    // anti-join below subtracts exactly this set, and the corpus filter
+    // drops exactly these rows, so the pass is consistent even as
+    // appends land mid-pass
+    val expiredIds = spark.read.parquet(corpusPath).filter(pred)
+      .select("doc_id").distinct().localCheckpoint(true)
+    val n = expiredIds.count()
+    if (n == 0L) 0L
+    else {
+      // artifacts FIRST, corpus LAST (see the expire crash-safety note)
+      Seq("digests", "span_hashes", "bands")
+        .filter(t => tableExists(spark, s"$statePath/$t"))
+        .foreach { t =>
+          compactDirLive(spark, statePath, new HPath(s"$statePath/$t"),
+            _.join(expiredIds, Seq("doc_id"), "left_anti"))
+        }
+      // the corpus subtracts the SAME pinned id set as the artifacts —
+      // re-evaluating the predicate here could drop a matching row
+      // appended mid-pass whose artifacts were never subtracted
+      compactDirLive(spark, statePath, corpusDir,
+        _.join(expiredIds, Seq("doc_id"), "left_anti"))
+      n
+    }
+  }
+
+  /** [[expire]]'s legacy payload-free regime: lease-held rebuild of
+    * every artifact from the retained corpus. `pred` is already
+    * null-coalesced. */
+  private def expireRebuild(
+      spark: SparkSession,
+      statePath: String,
+      corpusPath: String,
+      pred: Column): Long = {
     import org.apache.hadoop.fs.{Path => HPath}
     withLeaseRetry(spark, statePath, "expire") {
       val corpusDir = new HPath(corpusPath)
       val fs = corpusDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       healDir(fs, corpusDir) // we hold the lease — safe to heal a crashed swap
       val corpus0 = spark.read.parquet(corpusPath)
-      val retained = Frames.barrier(corpus0.filter(!expired))
+      val retained = Frames.barrier(corpus0.filter(!pred))
       val n = corpus0.count() - retained.count()
       if (n == 0L) 0L
       else {
@@ -806,7 +932,8 @@ object StandingState {
           shingleSize = meta.shingleSize,
           normalizeFingerprints = meta.normalizedFingerprints)
         val (digests, bands) =
-          artifacts(retained, cfg, meta.numHashes, meta.bandRows)
+          artifacts(retained, cfg, meta.numHashes, meta.bandRows,
+            docKeyed = false)
         swapTable(spark, statePath, "digests") { staged =>
           digests.write.parquet(staged)
         }
@@ -834,6 +961,93 @@ object StandingState {
         fs.delete(retired, true)
         n
       }
+    }
+  }
+
+  /** RETENTION for the EMBEDDING state — [[expire]]'s vector twin: drop
+    * the standing-vector rows matching `expired` and their `emb_buckets`
+    * rows, so an expired vector no longer blocks replicas of itself
+    * from (re-)admission through
+    * [[Dedup.dedupByEmbeddingLshIncrementalVsBuckets]] /
+    * [[graft.streaming.CorpusIntakeJob.ingestEmbeddingBatch]].
+    *
+    * The bucket table keys by vec_id ALREADY, so subtraction is sound
+    * with no schema migration: each table anti-joins the pinned expired
+    * id set under the snapshot-delta discipline ([[compactDirLive]] —
+    * lease held only for delta catch-up + renames; concurrent ingest
+    * appends ride through). Buckets subtract FIRST, the vector table
+    * LAST: a crash mid-pass leaves the expired vectors in the table, so
+    * a re-run finds n > 0 and re-subtracts (idempotent); the transient
+    * missing-bucket drift is exactly what [[repairEmbBuckets]] detects,
+    * and a repair racing the crash window merely re-appends rows the
+    * re-run subtracts again. NULL-predicate rows are RETAINED (see
+    * [[expire]]). Returns the number of vector rows dropped. */
+  def expireEmbeddings(
+      spark: SparkSession,
+      statePath: String,
+      standingVecsPath: String,
+      expired: Column): Long = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val pred = coalesce(expired, lit(false))
+    val vecsDir = new HPath(standingVecsPath)
+    val fs = vecsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(vecsDir) && fs.exists(sibling(vecsDir, "__retired")))
+      withLeaseRetry(spark, statePath, "expireEmbeddings:healVecs") {
+        healDir(fs, vecsDir)
+      }
+    val expiredIds = spark.read.parquet(standingVecsPath).filter(pred)
+      .select("vec_id").distinct().localCheckpoint(true)
+    val n = expiredIds.count()
+    if (n == 0L) 0L
+    else {
+      if (tableExists(spark, s"$statePath/emb_buckets"))
+        compactDirLive(spark, statePath, new HPath(s"$statePath/emb_buckets"),
+          _.join(expiredIds, Seq("vec_id"), "left_anti"))
+      compactDirLive(spark, statePath, vecsDir,
+        _.join(expiredIds, Seq("vec_id"), "left_anti"))
+      n
+    }
+  }
+
+  /** RETENTION for the MEDIA state — [[expire]]'s image/audio/video
+    * twin: drop the standing-media rows matching `expired` and their
+    * `media_phashes` + `media_bands` rows, so an expired item's
+    * perceptual hash no longer blocks near-replicas from
+    * (re-)admission through
+    * [[graft.streaming.CorpusIntakeJob.ingestMediaBatch]]. Both
+    * artifact tables key by media_id already — same sound-subtraction
+    * shape, same snapshot-delta discipline, same artifacts-first /
+    * media-table-LAST crash ordering and idempotent re-run as
+    * [[expireEmbeddings]] (the transient phash/band drift of a crash
+    * window is [[repairMediaArtifacts]]' witness). NULL-predicate rows
+    * are RETAINED. Returns the number of media rows dropped. */
+  def expireMedia(
+      spark: SparkSession,
+      statePath: String,
+      standingMediaPath: String,
+      expired: Column): Long = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val pred = coalesce(expired, lit(false))
+    val mediaDir = new HPath(standingMediaPath)
+    val fs = mediaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mediaDir) && fs.exists(sibling(mediaDir, "__retired")))
+      withLeaseRetry(spark, statePath, "expireMedia:healMedia") {
+        healDir(fs, mediaDir)
+      }
+    val expiredIds = spark.read.parquet(standingMediaPath).filter(pred)
+      .select("media_id").distinct().localCheckpoint(true)
+    val n = expiredIds.count()
+    if (n == 0L) 0L
+    else {
+      Seq("media_phashes", "media_bands")
+        .filter(t => tableExists(spark, s"$statePath/$t"))
+        .foreach { t =>
+          compactDirLive(spark, statePath, new HPath(s"$statePath/$t"),
+            _.join(expiredIds, Seq("media_id"), "left_anti"))
+        }
+      compactDirLive(spark, statePath, mediaDir,
+        _.join(expiredIds, Seq("media_id"), "left_anti"))
+      n
     }
   }
 
@@ -902,6 +1116,7 @@ object StandingState {
       if (!fs.exists(live)) return
     }
     var attempt = 0
+    var lastAbort: Throwable = null
     while (attempt < attempts) {
       attempt += 1
       // PHASE 1 — pin the snapshot: the exact data files the rewrite covers
@@ -909,6 +1124,12 @@ object StandingState {
       if (f0.isEmpty) return
       val staged = sibling(live,
         s"__staged_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+      // create the staged dir EAGERLY: the vanished-staged abort below
+      // keys on its absence, and only a dir that EXISTED can vanish — a
+      // phase-2 failure thrown before Spark created the dir (an eager
+      // collect inside the rewrite callback) must propagate with its
+      // real cause, not be swallowed as a cross-host GC race
+      fs.mkdirs(staged)
       // Staged-dir-vanished guard: a CONCURRENT same-table compactor's
       // post-swap [[gcStaleStaged]] can delete this run's staged dir if
       // the run is pathologically old (>24h in phase 2, or stuck that
@@ -969,15 +1190,18 @@ object StandingState {
           }
         } catch {
           case scala.util.control.NonFatal(e) if abortIfStagedVanished(e) =>
+            lastAbort = e // preserved as the cause if every attempt aborts
             false
         }
       if (swapped) return
     }
-    throw new IllegalStateException(
+    val fail = new IllegalStateException(
       s"compact: $live was fully rewritten during each of $attempts " +
         "snapshot attempts (a repair/maintenance rewrite or another " +
         "compactor keeps replacing the table) — compact during a quieter " +
         "window")
+    if (lastAbort != null) fail.initCause(lastAbort)
+    throw fail
   }
 
   /** TEST-ONLY injection point: invoked with the table dir's name after
@@ -1146,7 +1370,8 @@ object StandingState {
     val nDrift = drift.count()
     if (nDrift > 0) {
       val (digests, bands) =
-        artifacts(drift, cfg, state.meta.numHashes, state.meta.bandRows)
+        artifacts(drift, cfg, state.meta.numHashes, state.meta.bandRows,
+          state.meta.docKeyed)
       // drifted docs' span hashes re-append too (corpus text IS the
       // admitted cleaned text, and spanWindowHashes is deterministic, so
       // the repair rebuilds exactly what the crashed append would have
@@ -1282,10 +1507,13 @@ object StandingState {
     * [[TextOps.removeDuplicatedSpansIncremental]]. O(corpus tokens) rows
     * — the exact-substring index's honest, published cost, paid once as
     * a table instead of a census rebuild per ingest. */
-  def writeSpanIndex(docs: DataFrame, path: String, w: Int = 20): Unit = {
+  def writeSpanIndex(
+      docs: DataFrame, path: String, w: Int = 20,
+      docKeyed: Boolean = false): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    TextOps.spanWindowHashes(docs, w)
+    (if (docKeyed) TextOps.spanWindowHashesKeyed(docs, w)
+     else TextOps.spanWindowHashes(docs, w))
       .write.mode("overwrite").parquet(s"$path/span_hashes")
     Seq(w).toDF("w")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/span_meta")
@@ -1304,7 +1532,10 @@ object StandingState {
   def appendSpanHashes(cleanedBatch: DataFrame, path: String): Unit = {
     val spark = cleanedBatch.sparkSession
     val w = spark.read.parquet(s"$path/span_meta").head().getAs[Int]("w")
-    val rows = TextOps.spanWindowHashes(cleanedBatch, w)
+    val rows =
+      if (spanIndexKeyed(spark, path))
+        TextOps.spanWindowHashesKeyed(cleanedBatch, w)
+      else TextOps.spanWindowHashes(cleanedBatch, w)
     withLease(spark, path, "appendSpanHashes") {
       rows.write.mode("append").parquet(s"$path/span_hashes")
     }

@@ -1220,6 +1220,28 @@ object TextOps {
       .distinct()
   }
 
+  /** [[spanWindowHashes]] KEYED by the contributing document — one
+    * (doc_id, h) row per doc x distinct-window-in-that-doc, the
+    * doc-keyed span-index regime ([[StandingState]]): the extra 8-byte
+    * id per row is what makes retention SUBTRACTION sound (an expired
+    * doc's rows drop by anti-join; a retained doc that shares the
+    * window keeps its own row, so the hash stays standing). Consumers
+    * are unchanged — [[removeDuplicatedSpansIncremental]] projects
+    * `select("h").distinct()`, identical to the payload-free table's
+    * hash set whenever the tables cover the same docs. */
+  def spanWindowHashesKeyed(docs: DataFrame, w: Int): DataFrame = {
+    require(w > 0, s"window width $w must be positive")
+    docs
+      .select(col("doc_id"), expr(
+        s"""explode(if(size(filter(split(text, ' '), x -> length(x) > 0)) < $w,
+           |  cast(array() as array<string>),
+           |  transform(sequence(0, size(filter(split(text, ' '), x -> length(x) > 0)) - $w),
+           |    p -> md5(cast(concat_ws(' ',
+           |      slice(filter(split(text, ' '), x -> length(x) > 0), p + 1, $w)) as binary)))))"""
+          .stripMargin).as("h"))
+      .distinct()
+  }
+
   /** RefinedWeb/CCNet-style BOILERPLATE REMOVAL — the rewrite counterpart
     * of [[passageStats]]: every `w`-token chunk (same positional chunking,
     * same md5 key) occurring in >= `minDocs` DISTINCT documents is removed

@@ -158,8 +158,10 @@ class StandingStateSpec extends SparkSpec {
     val written = StandingState.write(standing, dir, cfg)
     val loaded = StandingState.load(spark, dir)
     assert(loaded.spanIndex.isDefined && loaded.spanIndex.get._2 === 20)
-    assert(loaded.spanIndex.get._1.as[String].collect().sorted.toSeq ===
-      written.spanIndex.get._1.as[String].collect().sorted.toSeq)
+    // project to the hash column — valid for both the doc-keyed (default)
+    // and legacy payload-free index schemas
+    assert(loaded.spanIndex.get._1.select("h").as[String].collect().sorted.toSeq ===
+      written.spanIndex.get._1.select("h").as[String].collect().sorted.toSeq)
 
     // ingest 1 INTRODUCES the run (df=1 in batch, absent from standing ->
     // survives intact); append closes the cycle for ingest 2
@@ -848,6 +850,158 @@ class StandingStateSpec extends SparkSpec {
       col("doc_id") === 1L || col("doc_id") === 2L) === 0L)
     assert(spark.read.parquet(corpusDir).select("doc_id").as[Long].collect().toSet
       === Set(3L, 100L, 900L))
+  }
+
+  test("keyed expire == legacy rebuild expire row-identically (differential)") {
+    // the O(expired) anti-join regime must be RESULT-INVISIBLE vs the
+    // legacy O(retained) rebuild: same corpus, same predicate, same
+    // retained rows, same consumer-visible artifact sets
+    val mk: Int => String = i => (1 to 24).map(j => s"dx${i}x$j").mkString(" ")
+    val cfg = CorpusPipeline.Config(removeDupSpans = Some((6, 2)))
+    val rows = Seq((1L, mk(1)), (2L, mk(2)), (3L, mk(2)), (4L, mk(4)))
+    def setup(tag: String, keyed: Boolean): (String, String) = {
+      val corpusDir = java.nio.file.Files
+        .createTempDirectory(s"dexp_${tag}_docs_").toString
+      rows.toDF("doc_id", "text").write.mode("overwrite").parquet(corpusDir)
+      val statePath = java.nio.file.Files
+        .createTempDirectory(s"dexp_${tag}_state_").toString
+      StandingState.write(spark.read.parquet(corpusDir), statePath, cfg,
+        docKeyed = keyed)
+      (corpusDir, statePath)
+    }
+    val (corpusK, stateK) = setup("keyed", keyed = true)
+    val (corpusL, stateL) = setup("legacy", keyed = false)
+    // regimes really differ on disk (self-describing schema)
+    assert(spark.read.parquet(s"$stateK/digests").columns.contains("doc_id"))
+    assert(!spark.read.parquet(s"$stateL/digests").columns.contains("doc_id"))
+    val pred = col("doc_id") === 1L || col("doc_id") === 2L
+    assert(StandingState.expire(spark, stateK, corpusK, pred) === 2L)
+    assert(StandingState.expire(spark, stateL, corpusL, pred) === 2L)
+    def corpusRows(dir: String): Seq[String] =
+      spark.read.parquet(dir).orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(corpusRows(corpusK) === corpusRows(corpusL))
+    // consumer projections: the exact leg's digest set, the span leg's
+    // hash set, the LSH leg's band rows — identical across regimes
+    def digestSet(p: String): Set[String] =
+      spark.read.parquet(s"$p/digests").select("digest")
+        .distinct().as[String].collect().toSet
+    def spanSet(p: String): Set[String] =
+      spark.read.parquet(s"$p/span_hashes").select("h")
+        .distinct().as[String].collect().toSet
+    def bandRows(p: String): Set[String] =
+      spark.read.parquet(s"$p/bands").distinct()
+        .orderBy("doc_id", "band").collect().map(_.toString).toSet
+    assert(digestSet(stateK) === digestSet(stateL))
+    assert(spanSet(stateK) === spanSet(stateL))
+    assert(bandRows(stateK) === bandRows(stateL))
+    // the shared-digest invariant holds in BOTH: doc 3 (replica of
+    // expired 2) is retained, so the shared digest must still stand
+    val replica = Seq((900L, mk(2))).toDF("doc_id", "text")
+    Seq(stateK, stateL).foreach { p =>
+      val st = StandingState.load(spark, p)
+      assert(Dedup.exactIncrementalVsDigests(replica, st.digests).count() === 0L)
+    }
+  }
+
+  test("expire retains NULL-predicate rows in both regimes") {
+    // a destructive maintenance op must not treat don't-know as expired:
+    // a row where the predicate evaluates NULL (null ts) is RETAINED
+    val mk: Int => String = i => (1 to 24).map(j => s"nx${i}x$j").mkString(" ")
+    Seq(true, false).foreach { keyed =>
+      val corpusDir = java.nio.file.Files
+        .createTempDirectory(s"nexp_docs_$keyed").toString
+      Seq((1L, mk(1), Some("2024-01-01 00:00:00")),
+          (2L, mk(2), None),
+          (3L, mk(3), Some("2024-06-01 00:00:00")))
+        .toDF("doc_id", "text", "ts")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .write.mode("overwrite").parquet(corpusDir)
+      val statePath = java.nio.file.Files
+        .createTempDirectory(s"nexp_state_$keyed").toString
+      StandingState.write(spark.read.parquet(corpusDir), statePath,
+        docKeyed = keyed)
+      val n = StandingState.expire(spark, statePath, corpusDir,
+        col("ts") < lit("2024-03-01 00:00:00").cast("timestamp"))
+      assert(n === 1L, s"keyed=$keyed: only the positively-matching row drops")
+      assert(spark.read.parquet(corpusDir).select("doc_id").as[Long]
+        .collect().toSet === Set(2L, 3L),
+        s"keyed=$keyed: the NULL-ts row must be retained")
+    }
+  }
+
+  test("expireEmbeddings: expired vectors unblock replicas end to end") {
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(seed * 31 + i) * 0.5).toFloat)
+    val vecsDir = java.nio.file.Files.createTempDirectory("eexp_vecs_").toString
+    Seq((1L, vec(1)), (2L, vec(2))).toDF("vec_id", "embedding")
+      .withColumn("label", lit("s"))
+      .write.mode("overwrite").parquet(vecsDir)
+    val statePath = java.nio.file.Files.createTempDirectory("eexp_state_").toString
+    StandingState.writeEmbBuckets(spark.read.parquet(vecsDir), statePath)
+    // appended batch so both tables carry multiple files across the pass
+    assert(graft.streaming.CorpusIntakeJob.ingestEmbeddingBatch(
+      Seq((3L, vec(3))).toDF("vec_id", "embedding"),
+      statePath, vecsDir, tau = 0.999) === 1L)
+
+    val n = StandingState.expireEmbeddings(spark, statePath, vecsDir,
+      col("vec_id") === 1L)
+    assert(n === 1L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(statePath, "_lease")))
+    assert(spark.read.parquet(vecsDir).select("vec_id").as[Long]
+      .collect().toSet === Set(2L, 3L))
+    assert(spark.read.parquet(s"$statePath/emb_buckets").select("vec_id")
+      .as[Long].collect().toSet === Set(2L, 3L),
+      "expired vector's bucket rows must be subtracted")
+    // a replica of the EXPIRED vector now admits end to end...
+    assert(graft.streaming.CorpusIntakeJob.ingestEmbeddingBatch(
+      Seq((900L, vec(1))).toDF("vec_id", "embedding"),
+      statePath, vecsDir, tau = 0.999) === 1L)
+    // ...while replicas of retained/appended vectors still drop
+    assert(graft.streaming.CorpusIntakeJob.ingestEmbeddingBatch(
+      Seq((901L, vec(2)), (902L, vec(3))).toDF("vec_id", "embedding"),
+      statePath, vecsDir, tau = 0.999) === 0L)
+    // idempotent: the expired id is gone, so a re-run drops nothing
+    assert(StandingState.expireEmbeddings(spark, statePath, vecsDir,
+      col("vec_id") === 1L) === 0L)
+  }
+
+  test("expireMedia: expired items unblock replicas end to end") {
+    // engineered bright/dark rasters — see the runMediaStream spec's
+    // aHash note: prose rasters all hash within hamming 8 of each other
+    val mk: Int => String = i =>
+      (0 until 20).map { j =>
+        if (((i.toLong * 2654435761L >> j) & 1L) == 1L) "!!!!!" else "zzzzz"
+      }.mkString(" ")
+    def mediaOf(rows: (Long, String)*) =
+      Multimodal.asMedia(rows.toDF("doc_id", "text"))
+    val mediaDir = java.nio.file.Files.createTempDirectory("mexp_media_").toString
+    mediaOf(1L -> mk(1), 2L -> mk(2)).write.mode("overwrite").parquet(mediaDir)
+    val statePath = java.nio.file.Files.createTempDirectory("mexp_state_").toString
+    StandingState.writeMediaState(
+      Multimodal.imagePhash(spark.read.parquet(mediaDir)), statePath)
+    assert(graft.streaming.CorpusIntakeJob.ingestMediaBatch(
+      mediaOf(3L -> mk(3)), statePath, mediaDir) === 1L)
+
+    val n = StandingState.expireMedia(spark, statePath, mediaDir,
+      col("media_id") === 1L)
+    assert(n === 1L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(statePath, "_lease")))
+    assert(spark.read.parquet(mediaDir).select("media_id").as[Long]
+      .collect().toSet === Set(2L, 3L))
+    Seq("media_phashes", "media_bands").foreach { t =>
+      assert(spark.read.parquet(s"$statePath/$t").select("media_id")
+        .as[Long].collect().toSet === Set(2L, 3L),
+        s"expired item's $t rows must be subtracted")
+    }
+    // a byte replica of the EXPIRED item now admits end to end...
+    assert(graft.streaming.CorpusIntakeJob.ingestMediaBatch(
+      mediaOf(900L -> mk(1)), statePath, mediaDir) === 1L)
+    // ...while a near-replica of a RETAINED item still drops
+    assert(graft.streaming.CorpusIntakeJob.ingestMediaBatch(
+      mediaOf(901L -> (mk(2) + " !!")), statePath, mediaDir) === 0L)
+    // idempotent re-run
+    assert(StandingState.expireMedia(spark, statePath, mediaDir,
+      col("media_id") === 1L) === 0L)
   }
 
   test("a staged dir deleted mid-compaction (cross-host staged-GC) re-pins cleanly") {
