@@ -31,18 +31,47 @@ object Mixing {
   def hashKeep(idCol: Column, frac: Column): Column =
     samplingHash(idCol) < frac * lit(4294967296.0)
 
+  /** Keys at or below this many entries fold a per-key rate map into a
+    * `when`-chain of literals (zero-join, constant-folded); above it the
+    * rates broadcast-join as a small frame instead — the plan would
+    * otherwise grow O(#keys) in expression size (analyzer/codegen cost,
+    * not data cost), which is fine at mixing's tens of sources but not
+    * for a domain-cardinality caller with ~100k+ keys. Identical
+    * membership by construction (differential-spec-pinned); override via
+    * `spark.graft.mix.literalRateCap` (the ANN
+    * `spark.graft.ann.broadcastCapBytes` cap-and-degrade precedent). */
+  val DefaultLiteralRateCap = 64
+
+  private def literalRateCap(docs: DataFrame): Int =
+    docs.sparkSession.conf
+      .get("spark.graft.mix.literalRateCap", DefaultLiteralRateCap.toString).toInt
+
   /** Per-source stratified sample at the given fractions (sources absent
-    * from the map keep `defaultFrac`). */
+    * from the map keep `defaultFrac`; a NULL source matches nothing and
+    * keeps `defaultFrac` in both forms). */
   def stratifiedSample(
       docs: DataFrame,
       fractions: Map[String, Double],
       defaultFrac: Double = 1.0,
       idCol: String = "doc_id",
       sourceCol: String = "source"): DataFrame = {
-    val frac = fractions.foldLeft(lit(defaultFrac)) { case (acc, (src, f)) =>
-      when(col(sourceCol) === src, lit(f)).otherwise(acc)
+    if (fractions.size <= literalRateCap(docs)) {
+      val frac = fractions.foldLeft(lit(defaultFrac)) { case (acc, (src, f)) =>
+        when(col(sourceCol) === src, lit(f)).otherwise(acc)
+      }
+      docs.filter(hashKeep(col(idCol), frac))
+    } else {
+      // broadcast-join form: same membership — an unmapped (or NULL)
+      // source misses the join and coalesces to defaultFrac, exactly
+      // the when-chain's otherwise arm
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val rateDf = fractions.toSeq.toDF(sourceCol, "__frac")
+      docs.join(broadcast(rateDf), Seq(sourceCol), "left")
+        .filter(hashKeep(col(idCol),
+          coalesce(col("__frac"), lit(defaultFrac))))
+        .select(docs.columns.map(col).toIndexedSeq: _*)
     }
-    docs.filter(hashKeep(col(idCol), frac))
   }
 
   /** Scale the corpus toward a whitespace-token budget with per-source
@@ -280,17 +309,29 @@ object Mixing {
     // deterministic decimal->double conversion — same value DuckDB's
     // CAST(SUM(..) AS DOUBLE) produces
     val sDouble = census.agg(sum(col("__w6"))).head().getDecimal(0).doubleValue
-    val rates = census.select(
-        col(sourceCol),
-        least(lit(1.0),
-          round(col("__w6").cast("double") / lit(sDouble)
-            * lit(targetDocs.toDouble) / col("__n").cast("double"), 6))
-          .as("__rate"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1))
-    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (src, r)) =>
-      when(col(sourceCol) === src, lit(r)).otherwise(acc)
+    // one fixed double expression per source — the SAME expression in
+    // both forms below, so literal-vs-join membership is identical by
+    // construction (the join form merely skips the driver round-trip)
+    val rateFrame = census.select(
+      col(sourceCol),
+      least(lit(1.0),
+        round(col("__w6").cast("double") / lit(sDouble)
+          * lit(targetDocs.toDouble) / col("__n").cast("double"), 6))
+        .as("__rate"))
+    if (census.limit(literalRateCap(docs) + 1).count() <= literalRateCap(docs)) {
+      val rates = rateFrame.collect().map(r => r.getString(0) -> r.getDouble(1))
+      val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (src, r)) =>
+        when(col(sourceCol) === src, lit(r)).otherwise(acc)
+      }
+      docs.filter(hashKeep(col(idCol), rateCol))
+    } else {
+      // broadcast-join form: a source absent from the census (possible
+      // only when censusOver under-covers) coalesces to rate 0 — the
+      // when-chain's otherwise arm
+      docs.join(broadcast(rateFrame), Seq(sourceCol), "left")
+        .filter(hashKeep(col(idCol), coalesce(col("__rate"), lit(0.0))))
+        .select(docs.columns.map(col).toIndexedSeq: _*)
     }
-    docs.filter(hashKeep(col(idCol), rateCol))
   }
 
   /** Per-key document cap (the CCNet/RefinedWeb per-domain cap): keep at

@@ -519,6 +519,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(labeled.filter(_._2 == "train").keySet === kept)
   }
 
+  test("Mixing rate maps above the literal cap broadcast-join; membership identical") {
+    // the cap-and-degrade gate (spark.graft.mix.literalRateCap): above it
+    // the when-chain of rate literals becomes a broadcast-joined rate
+    // frame — membership must be IDENTICAL, including the two edge arms
+    // (a source absent from the map, a NULL source -> defaultFrac)
+    val d0 = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val d = d0.unionByName(
+      d0.limit(7).select($"doc_id" + 100000L as "doc_id",
+        lit(null).cast("string").as("source"), $"text"))
+    val fractions = Map("src0" -> 1.0, "src1" -> 0.0, "src2" -> 0.25)
+    def strat(): Set[Long] =
+      Mixing.stratifiedSample(d, fractions, defaultFrac = 0.5)
+        .select("doc_id").as[Long].collect().toSet
+    def temp(): Set[Long] =
+      Mixing.temperatureSample(d0, 200L, alpha = 0.5)
+        .select("doc_id").as[Long].collect().toSet
+    val (sLit, tLit) = (strat(), temp()) // default cap: literal form
+    spark.conf.set("spark.graft.mix.literalRateCap", "0") // force join form
+    try {
+      assert(strat() === sLit)
+      assert(temp() === tLit)
+      // the join form preserves the caller's schema and column order
+      assert(Mixing.stratifiedSample(d, fractions, defaultFrac = 0.5)
+        .columns.toSeq === d.columns.toSeq)
+      assert(Mixing.temperatureSample(d0, 200L, alpha = 0.5)
+        .columns.toSeq === d0.columns.toSeq)
+    } finally spark.conf.unset("spark.graft.mix.literalRateCap")
+  }
+
   test("Mixing.temperatureSample: rates replay independently; alpha=1 is flat") {
     val d = graft.Tables.documentsRaw(spark, "/root/testdata/sf0.001")
     // skew by per-source sequence number (doc_id ≡ source index mod 20
