@@ -90,6 +90,13 @@ object QualityLr {
       .localCheckpoint(false)
     val n = labels.count()
     require(n > 0, "labeled set is empty")
+    // a NULL label (e.g. a failed try_cast upstream) would contribute
+    // nothing to the gradient while still counting in the divisor n —
+    // silently diluting the effective learning rate. Labels are curated
+    // training input; fail loudly instead.
+    val nNull = labels.filter(col("y").isNull).count()
+    require(nNull == 0L,
+      s"labeled set has $nNull NULL labels — fix or filter them before training")
     var w = Array.fill(m + 1)(0L)
     for (_ <- 1 to steps) {
       val z = logitMicros(feats, w)
@@ -108,6 +115,79 @@ object QualityLr {
       }
     }
     w
+  }
+
+  /** TRAINED language ID — one-vs-rest multiclass over the same hashed
+    * features: one binary LR per class (label = 1 iff `classCol` equals
+    * the class), each trained by the exact integer-micros GD of
+    * [[trainQualityLr]], so every per-class weight vector hash-matches
+    * cross-engine. Returns (class -> micro-weights) in SORTED class
+    * order — the order [[scoreOneVsRestLr]]'s argmax tie-break contract
+    * depends on. Training cost: |classes| independent binary trainings
+    * over the same bounded labeled sample (the features are re-derived
+    * per class; at |classes| ~ tens this is the clean form — share via a
+    * pre-checkpointed `labeled` if it ever matters). A NULL `classCol`
+    * row fails loudly through trainQualityLr's null-label guard. */
+  def trainOneVsRestLr(
+      labeled: DataFrame,
+      classCol: String,
+      classes: Seq[String],
+      m: Int,
+      steps: Int,
+      lr: Double): Seq[(String, Array[Long])] = {
+    require(classes.nonEmpty, "need at least one class")
+    require(classes.distinct.size == classes.size, "classes must be distinct")
+    classes.sorted.map { c =>
+      c -> trainQualityLr(
+        labeled.withColumn("label", (col(classCol) === lit(c)).cast("int")),
+        m, steps, lr)
+    }
+  }
+
+  /** Predict a class per doc under one-vs-rest models: (doc_id,
+    * pred_lang, score_micros) where pred_lang is the argmax class by
+    * sigmoid score with ties to the LEXICOGRAPHICALLY SMALLEST class
+    * (models must arrive class-sorted, [[trainOneVsRestLr]]'s output
+    * order — enforced). ONE features pass and ONE doc_id-keyed
+    * aggregation computes every class's logit (K sums in a single
+    * map-side-combinable agg, K broadcast weight maps — no per-class
+    * corpus pass); the argmax is a per-row expression chain. */
+  def scoreOneVsRestLr(
+      docs: DataFrame,
+      models: Seq[(String, Array[Long])],
+      m: Int): DataFrame = {
+    require(models.nonEmpty, "need at least one model")
+    require(models.map(_._1) == models.map(_._1).sorted,
+      "models must be sorted by class (trainOneVsRestLr's output order)")
+    models.foreach { case (c, wm) =>
+      require(wm.length == m + 1, s"class $c: need m+1=${m + 1} weights")
+    }
+    val feats = lrFeatures(docs, m)
+    val aggs = models.map { case (c, wm) =>
+      val wMap = typedlit(wm.zipWithIndex.map {
+        case (v, b) => b.toLong -> (v / Micros)
+      }.toMap)
+      sum(floor((element_at(wMap, col("bucket")) * col("x")) * lit(Micros)))
+        .as(s"__zm_$c")
+    }
+    val z = feats.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val scored = models.foldLeft(
+      docs.select("doc_id").join(z, Seq("doc_id"), "left")) {
+      case (df, (c, _)) =>
+        df.withColumn(s"__s_$c",
+          sigmoidMicros(coalesce(col(s"__zm_$c"), lit(0L))).cast("long"))
+    }
+    // strict > in ascending class order keeps the earlier (smaller)
+    // class on ties — identical to ORDER BY score DESC, class ASC
+    val classesSorted = models.map(_._1)
+    val init = (lit(classesSorted.head), col(s"__s_${classesSorted.head}"))
+    val (predC, bestS) = classesSorted.tail.foldLeft(init) {
+      case ((pc, ps), c) =>
+        val s = col(s"__s_$c")
+        (when(s > ps, lit(c)).otherwise(pc), when(s > ps, s).otherwise(ps))
+    }
+    scored.select(col("doc_id"), predC.as("pred_lang"),
+      bestS.as("score_micros"))
   }
 
   /** Score a corpus under trained micro-weights: (doc_id, score_micros)

@@ -3647,7 +3647,205 @@ object LlmQueries {
              |      < rate * 4294967296.0
              |ORDER BY u.doc_id""".stripMargin),
     ),
+
+    // ------------------------------------------------------------------
+    // Q100 — EMBEDDING retention end to end (StandingState
+    // .expireEmbeddings — the vector twin of q90): a persisted standing
+    // vector table + its emb_buckets state has a third of its vectors
+    // expired (vec_id % 3 == 0 — pure anti-join SUBTRACTION, the tables
+    // key by vec_id already, lease held only for each swap), then an
+    // incoming slice ingests through the full production embedding batch
+    // leg. Incoming vectors whose ONLY collision was an EXPIRED vector
+    // must now ADMIT; replicas of RETAINED standing (or a lower
+    // within-batch peer) still drop. The oracle replays the q70/q74
+    // sign-LSH bucket + cosine admission chain over the RETAINED ∪
+    // incoming universe; the result is final vector-table membership —
+    // so one hash match gates the bucket subtraction, the table swaps,
+    // AND the ingest integration.
+    Declared(
+      "q100_embedding_retention",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val standing = emb.filter(col("vec_id") < 300)
+        val vecsDir = java.nio.file.Files
+          .createTempDirectory("q100_vecs_").toString
+        standing.write.mode("overwrite").parquet(vecsDir)
+        val statePath = java.nio.file.Files
+          .createTempDirectory("q100_state_").toString
+        graft.llm.StandingState.writeEmbBuckets(
+          s.read.parquet(vecsDir), statePath, nPlanes = 4, dim = 64)
+        val nExp = graft.llm.StandingState.expireEmbeddings(
+          s, statePath, vecsDir, col("vec_id") % 3 === 0)
+        require(nExp > 0, s"q100 setup vacuous: nothing expired")
+        val replicas = emb.filter(col("vec_id").isin(0L, 3L, 1L, 5L))
+          .withColumn("vec_id", col("vec_id") + 20000L)
+        val incoming = emb.filter(col("vec_id") >= 300).unionByName(replicas)
+        graft.streaming.CorpusIntakeJob.ingestEmbeddingBatch(
+          incoming, statePath, vecsDir, tau = 0.9, nPlanes = 4, dim = 64)
+        s.read.parquet(vecsDir).select("vec_id").orderBy("vec_id")
+      },
+      Some(embeddingRetentionOracle),
+    ),
+
+    // ------------------------------------------------------------------
+    // Q101 — TRAINED language ID (the fastText-style supervised langid
+    // that replaces q23's stopword-marker heuristic in production
+    // pipelines): ONE-VS-REST logistic regression over the q93 hashed
+    // unigram+bigram features — one binary model per language, each
+    // trained by the exact integer-micros GD chain (every per-class
+    // weight vector hash-matches cross-engine), then a SINGLE scoring
+    // pass computing all five logits in one doc_id-keyed aggregation and
+    // an argmax expression (ties to the lexicographically smallest
+    // class). The oracle unrolls all 5 x 2 GD rounds as CTEs and picks
+    // the winner by ROW_NUMBER() OVER (ORDER BY s DESC, lang ASC) —
+    // provably the same tie-break as the strict-> fold. q23 is untouched
+    // (the heuristic remains the unsupervised form).
+    Declared(
+      "q101_trained_langid",
+      (s, dir) => {
+        val docs = Tables.documentsRaw(s, dir)
+        val classes = Seq("de", "en", "es", "fr", "zh")
+        val models = graft.llm.QualityLr.trainOneVsRestLr(
+          docs, "lang", classes, m = 64, steps = 2, lr = 0.5)
+        graft.llm.QualityLr.scoreOneVsRestLr(docs, models, m = 64)
+          .orderBy("doc_id")
+      },
+      Some(langIdLrOracle(m = 64, steps = 2, lr = 0.5,
+        classes = Seq("de", "en", "es", "fr", "zh"))),
+    ),
   )
+
+  // q101: the q93 GD replay per class (shared feature CTEs, per-class
+  // label/step chains), then per-class sigmoid scores unioned and the
+  // argmax picked by (s DESC, lang ASC) — identical to the Spark side's
+  // strict-> fold in ascending class order.
+  private def langIdLrOracle(
+      m: Int, steps: Int, lr: Double, classes: Seq[String]): String = {
+    val base =
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |rawf AS (
+         |  SELECT doc_id,
+         |         unnest(toks || list_transform(generate_series(1, len(toks) - 1),
+         |                                       i -> toks[i] || ' ' || toks[i+1])) AS feat
+         |  FROM t),
+         |bf AS (
+         |  SELECT doc_id, ('0x' || substr(md5(feat), 1, 8))::BIGINT % $m AS bucket
+         |  FROM rawf),
+         |cnts AS (SELECT doc_id, bucket, COUNT(*) AS c FROM bf GROUP BY 1, 2),
+         |tots AS (SELECT doc_id, SUM(c) AS nf FROM cnts GROUP BY 1),
+         |feats AS (
+         |  SELECT doc_id, bucket, CAST(c AS DOUBLE) / CAST(nf AS DOUBLE) AS x
+         |  FROM cnts JOIN tots USING (doc_id)
+         |  UNION ALL
+         |  SELECT doc_id, $m AS bucket, 1.0 AS x FROM documents),
+         |nl AS (SELECT COUNT(*) AS n FROM documents),
+         |w0 AS (SELECT unnest(generate_series(0, $m)) AS b, CAST(0 AS BIGINT) AS wm)""".stripMargin
+    val perClass = classes.map { c =>
+      val lbl =
+        s""",
+           |labels_$c AS (
+           |  SELECT doc_id, CAST(CASE WHEN lang = '$c' THEN 1 ELSE 0 END AS BIGINT) AS y
+           |  FROM documents)""".stripMargin
+      val stepCtes = (1 to steps).map { i =>
+        val p = if (i == 1) "w0" else s"w${i - 1}_$c"
+        s""",
+           |z${i}_$c AS (
+           |  SELECT f.doc_id,
+           |         SUM(CAST(floor((w.wm / 1000000.0 * f.x) * 1000000.0) AS BIGINT)) AS zm
+           |  FROM feats f JOIN $p w ON f.bucket = w.b GROUP BY 1),
+           |e${i}_$c AS (
+           |  SELECT l.doc_id,
+           |         CAST(floor(1000000.0 / (1.0 + exp(-(COALESCE(zm, 0) / 1000000.0)))) AS BIGINT)
+           |           - l.y * 1000000 AS em
+           |  FROM labels_$c l LEFT JOIN z${i}_$c USING (doc_id)),
+           |g${i}_$c AS (
+           |  SELECT f.bucket AS b,
+           |         SUM(CAST(floor(((e.em / 1000000.0) * f.x) * 1000000.0) AS BIGINT)) AS gm
+           |  FROM feats f JOIN e${i}_$c e USING (doc_id) GROUP BY 1),
+           |w${i}_$c AS (
+           |  SELECT w.b,
+           |         w.wm - CAST(floor((($lr * (COALESCE(g.gm, 0) / 1000000.0))
+           |                            / (SELECT n FROM nl)) * 1000000.0) AS BIGINT) AS wm
+           |  FROM $p w LEFT JOIN g${i}_$c g ON w.b = g.b)""".stripMargin
+      }.mkString
+      val score =
+        s""",
+           |zs_$c AS (
+           |  SELECT f.doc_id,
+           |         SUM(CAST(floor((w.wm / 1000000.0 * f.x) * 1000000.0) AS BIGINT)) AS zm
+           |  FROM feats f JOIN w${steps}_$c w ON f.bucket = w.b GROUP BY 1)""".stripMargin
+      lbl + stepCtes + score
+    }.mkString
+    val scoreUnion = classes.map { c =>
+      s"""  SELECT d.doc_id, '$c' AS lang,
+         |         CAST(floor(1000000.0 / (1.0 + exp(-(COALESCE(zm, 0) / 1000000.0)))) AS BIGINT) AS s
+         |  FROM documents d LEFT JOIN zs_$c z ON d.doc_id = z.doc_id""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    base + perClass +
+      s""",
+         |scores AS (
+         |$scoreUnion),
+         |ranked AS (
+         |  SELECT doc_id, lang, s,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn
+         |  FROM scores)
+         |SELECT doc_id, lang AS pred_lang, s AS score_micros
+         |FROM ranked WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin
+  }
+
+  // q100: the q70/q74 sign-LSH + cosine admission replay over the
+  // RETAINED (post-expire) ∪ incoming universe; final table = retained
+  // standing ∪ admitted incoming. Replicas of expired vectors (0, 3 —
+  // +20000) collide with nothing standing and must admit; replicas of
+  // retained vectors (1, 5) still drop.
+  private def embeddingRetentionOracle: String =
+    """WITH standing AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  WHERE vec_id < 300 AND vec_id % 3 <> 0),
+      |incoming AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 300
+      |  UNION ALL
+      |  SELECT vec_id + 20000, embedding FROM embeddings
+      |  WHERE vec_id IN (0, 3, 1, 5)),
+      |allv AS (
+      |  SELECT vec_id, embedding, 0 AS inc FROM standing
+      |  UNION ALL
+      |  SELECT vec_id, embedding, 1 AS inc FROM incoming),
+      |planes AS (
+      |  SELECT p, list_transform(generate_series(1, 64),
+      |    i -> ('0x' || substr(md5(p::VARCHAR || ':' || (i - 1)::VARCHAR), 1, 8))::BIGINT
+      |         / 4294967296.0 - 0.5) AS w
+      |  FROM (SELECT unnest(generate_series(0, 3)) AS p)),
+      |bits AS (
+      |  SELECT e.vec_id, pl.p,
+      |    CASE WHEN list_sum(list_transform(generate_series(1, 64),
+      |           i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) > 0
+      |         THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM allv e CROSS JOIN planes pl),
+      |b AS (
+      |  SELECT e.vec_id, e.embedding, e.inc, s.bucket,
+      |    sqrt(list_sum(list_transform(e.embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM allv e JOIN (
+      |    SELECT vec_id, CAST(sum(bit << (3 - p)) AS BIGINT) AS bucket
+      |    FROM bits GROUP BY vec_id) s ON s.vec_id = e.vec_id),
+      |drop_ids AS (
+      |  SELECT DISTINCT x.vec_id
+      |  FROM b x JOIN b a ON a.bucket = x.bucket
+      |  WHERE x.inc = 1 AND (a.inc = 0 OR a.vec_id < x.vec_id)
+      |    AND a.nrm * x.nrm <> 0
+      |    AND list_sum(list_transform(generate_series(1, 64),
+      |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))
+      |        / (a.nrm * x.nrm) >= 0.9)
+      |SELECT vec_id FROM standing
+      |UNION ALL
+      |SELECT vec_id FROM incoming
+      |WHERE vec_id NOT IN (SELECT vec_id FROM drop_ids)
+      |ORDER BY vec_id""".stripMargin
 
   // q98: q87's census/ratio chain restricted to the STANDING slice, the
   // BATCH slice scored under the frozen ratios (same 6dp-decimal sum).
