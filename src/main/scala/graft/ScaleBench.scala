@@ -912,6 +912,86 @@ object ScaleBench {
       println(s"""{"op":"quality_lr","docs":$nDocs,"steps":3,"train_sec":${f"$tTrain%.2f"},"score_sec":${f"$tScore%.2f"},"scored_all":${nScored == nDocs}}""")
     }
 
+    // KEYED retention vs legacy rebuild at replicated scale: expire ~1%
+    // of a persisted corpus under both artifact regimes. The keyed pass
+    // is anti-join subtraction (columnar IO only, snapshot-delta, lease
+    // held just for delta+swap windows); the legacy pass re-featurizes
+    // every retained doc under the lease. A concurrent probe thread
+    // repeatedly acquires the state lease and records its worst wait —
+    // the ingest-visible blocking the keyed path is built to shrink.
+    locally {
+      def leaseProbe(statePath: String)(body: => Unit): Double = {
+        val worst = new java.util.concurrent.atomic.AtomicLong(0L)
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val t = new Thread(() => {
+          while (!stop.get()) {
+            val t0 = System.nanoTime()
+            try StandingState.withLeaseRetry(
+              spark, statePath, "scalebench-lease-probe")(())
+            catch { case _: Throwable => () }
+            val dt = System.nanoTime() - t0
+            worst.updateAndGet(m => math.max(m, dt))
+            Thread.sleep(20)
+          }
+        })
+        t.start()
+        try body finally { stop.set(true); t.join() }
+        worst.get() / 1e9
+      }
+      def setup(tag: String, keyed: Boolean): (String, String) = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"expire_$tag")
+        val corpusDir = s"$tmp/corpus"
+        val statePath = s"$tmp/state"
+        docs.select(col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(corpusDir)
+        StandingState.write(
+          spark.read.parquet(corpusDir), statePath, docKeyed = keyed)
+        (corpusDir, statePath)
+      }
+      val pred = col("doc_id") % 97 === 0 // ~1% of the corpus
+      val (corpusK, stateK) = setup("keyed", keyed = true)
+      var nK = 0L
+      var tKeyed = 0.0
+      val blockedK = leaseProbe(stateK) {
+        val (n, t) = timed(StandingState.expire(spark, stateK, corpusK, pred))
+        nK = n; tKeyed = t
+      }
+      val (corpusL, stateL) = setup("legacy", keyed = false)
+      var nL = 0L
+      var tRebuild = 0.0
+      val blockedL = leaseProbe(stateL) {
+        val (n, t) = timed(StandingState.expire(spark, stateL, corpusL, pred))
+        nL = n; tRebuild = t
+      }
+      val sameCorpus =
+        spark.read.parquet(corpusK).count() == spark.read.parquet(corpusL).count()
+      println(s"""{"op":"keyed_expire","corpus":$nDocs,"expired":$nK,"keyed_sec":${f"$tKeyed%.2f"},"rebuild_sec":${f"$tRebuild%.2f"},"keyed_faster":${tKeyed < tRebuild},"lease_blocked_keyed_sec":${f"$blockedK%.2f"},"lease_blocked_rebuild_sec":${f"$blockedL%.2f"},"lease_blocked_shrunk":${blockedK < blockedL},"results_equal":${nK == nL && sameCorpus}}""")
+    }
+
+    // Per-key rate maps at DOMAIN cardinality (~100k keys): above
+    // spark.graft.mix.literalRateCap the rates broadcast-join instead of
+    // folding a 100k-arm when-chain into the plan (analyzer/codegen cost
+    // O(#keys)). The probe pins the join form completing fast at 100k
+    // keys and the kept fraction tracking the rate-weighted expectation.
+    locally {
+      import spark.implicits._
+      val nKeys = 100000
+      val rows = spark.range(200000L)
+        .select(col("id").as("doc_id"),
+          concat(lit("k"), pmod(col("id"), lit(nKeys.toLong))).as("source"),
+          lit("x").as("text"))
+        .localCheckpoint(true)
+      val fractions = (0 until nKeys).map(k => s"k$k" -> (k % 10) / 10.0).toMap
+      val (nKept, tJoin) = timed {
+        graft.llm.Mixing.stratifiedSample(rows, fractions, defaultFrac = 0.0)
+          .count()
+      }
+      // E[kept] = sum over keys of frac * rows_per_key = 2 * mean(frac) * nKeys
+      val expected = fractions.valuesIterator.sum * 2.0
+      val tracks = math.abs(nKept - expected) / expected < 0.05
+      println(s"""{"op":"stratified_rate_join","rows":200000,"keys":$nKeys,"kept":$nKept,"expected":${expected.toLong},"tracks_expected":$tracks,"sec":${f"$tJoin%.2f"}}""")
+    }
+
     spark.stop()
   }
 }

@@ -525,8 +525,9 @@ class LlmOpsSpec extends SparkSpec {
     // frame — membership must be IDENTICAL, including the two edge arms
     // (a source absent from the map, a NULL source -> defaultFrac)
     val d0 = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text")
     val d = d0.unionByName(
-      d0.limit(7).select($"doc_id" + 100000L as "doc_id",
+      d0.limit(7).select(($"doc_id" + 100000L).as("doc_id"),
         lit(null).cast("string").as("source"), $"text"))
     val fractions = Map("src0" -> 1.0, "src1" -> 0.0, "src2" -> 0.25)
     def strat(): Set[Long] =
@@ -745,6 +746,50 @@ class LlmOpsSpec extends SparkSpec {
     assert(w2.toSeq === w.toSeq)
     // scores are bounded micros
     assert(scores.values.forall(s => s >= 0L && s <= 1000000L))
+  }
+
+  test("QualityLr one-vs-rest langid: planted languages separate; ties break to smallest class") {
+    import graft.llm.QualityLr
+    // three planted languages with DISJOINT vocabularies — the testdata
+    // corpus shares one vocabulary across its lang labels, so real
+    // separation is only provable on planted classes
+    // pure class vocab (no per-doc filler — filler tokens would hash
+    // into shared buckets at small m and erode the planted disjointness)
+    val aa = (0L until 10L).map(i =>
+      (i, (1 to 12).map(j => s"alef$j").mkString(" "), "aa"))
+    val bb = (10L until 20L).map(i =>
+      (i, (1 to 12).map(j => s"bet$j").mkString(" "), "bb"))
+    val cc = (20L until 30L).map(i =>
+      (i, (1 to 12).map(j => s"gimel$j").mkString(" "), "cc"))
+    val d = (aa ++ bb ++ cc).toDF("doc_id", "text", "lang")
+    val m = 128
+    // classes passed UNSORTED — the trainer must emit sorted order (the
+    // scorer's tie-break contract)
+    val models = QualityLr.trainOneVsRestLr(
+      d, "lang", Seq("cc", "aa", "bb"), m, steps = 3, lr = 0.5)
+    assert(models.map(_._1) === Seq("aa", "bb", "cc"))
+    val out = QualityLr.scoreOneVsRestLr(d.select("doc_id", "text"), models, m)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    (aa ++ bb ++ cc).foreach { case (id, _, lang) =>
+      assert(out(id)._1 === lang, s"doc $id predicted ${out(id)._1}, wanted $lang")
+    }
+    assert(out.values.forall { case (_, s) => s >= 0L && s <= 1000000L })
+    // tie-break: give classes aa and bb IDENTICAL weights — an aa-vocab
+    // doc then scores exactly equal under both (and lower under cc, per
+    // the separation above), so argmax must keep the lexicographically
+    // smallest of the tied classes
+    val wAa = models.find(_._1 == "aa").get._2
+    val tiedModels = Seq(
+      "aa" -> wAa, "bb" -> wAa, "cc" -> models.find(_._1 == "cc").get._2)
+    val tied = QualityLr.scoreOneVsRestLr(
+        Seq((99L, aa.head._2)).toDF("doc_id", "text"), tiedModels, m)
+      .head()
+    assert(tied.getString(1) === "aa")
+    // layout independence: training on a repartitioned frame is identical
+    val re = QualityLr.trainOneVsRestLr(
+      d.repartition(7), "lang", Seq("aa", "bb", "cc"), m, steps = 3, lr = 0.5)
+    assert(re.map { case (c, w) => c -> w.toSeq } ===
+      models.map { case (c, w) => c -> w.toSeq })
   }
 
   test("Dedup.dedupNearLshKeepBest: max-score representative per cluster") {

@@ -11,16 +11,35 @@ import graft.{SparkSpec, Tables}
   *  - TIMESTAMP(NANOS) era: Spark reads the raw nano Long (legacy
   *    nanosAsLong) and Tables.events converts via `timestamp_micros(div)`,
   *    which blocks native pushdown — [[NanosPredicatePushdown]] recovers it
-  *    by adding the implied raw-long bound. Those assertions only apply when
-  *    the file is actually nano-encoded, so they `assume` on the raw read
-  *    schema and cancel otherwise.
+  *    by adding the implied raw-long bound. The testdata generation
+  *    stopped shipping nano-encoded files (rounds 8-13 left these
+  *    assertions permanently canceled behind an `assume`), so the era is
+  *    now pinned against a SELF-CONTAINED fixture: a plain INT64 `ts`
+  *    column holding nano epochs is schema-identical to what the legacy
+  *    nanosAsLong read of a TIMESTAMP(NANOS) file produces (LongType),
+  *    so Tables.events takes the identical conversion path and the rule
+  *    fires exactly as it did on real nano files.
   *  - TIMESTAMP(MICROS) era: Spark reads TIMESTAMP_NTZ natively and the
   *    session-zone cast unwraps, so the scan prunes without our rule; the
-  *    twin test pins that native path.
+  *    twin test pins that native path against the on-disk testdata (still
+  *    `assume`-guarded — it tracks whatever generation is shipped).
   */
 class NanosPredicatePushdownSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
+
+  /** Synthetic nanos-era events table: Jan 2024, 10-minute cadence, +7ns
+    * sub-microsecond remainder so bound translation exercises the
+    * div-1000 truncation. */
+  private lazy val nanosDir: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("nanos_events_").toString
+    val base = 1704067200000000000L // 2024-01-01T00:00:00Z in ns
+    spark.range(4000)
+      .select(col("id").as("event_id"),
+        (lit(base) + col("id") * lit(600000000000L) + lit(7L)).as("ts"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    tmp
+  }
 
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
@@ -34,8 +53,7 @@ class NanosPredicatePushdownSpec extends SparkSpec {
   }
 
   test("nanos era: < predicate on converted ts reaches the scan as a raw nano bound") {
-    assume(rawTsType == LongType, "events.ts is not TIMESTAMP(NANOS) in this generation")
-    val df = Tables.events(spark, dir)
+    val df = Tables.events(spark, nanosDir)
       .filter(col("ts") < lit("2024-01-15").cast("timestamp"))
       .select("event_id")
     val plan = planOf(df)
@@ -44,8 +62,7 @@ class NanosPredicatePushdownSpec extends SparkSpec {
   }
 
   test("nanos era: range predicate pushes both bounds") {
-    assume(rawTsType == LongType, "events.ts is not TIMESTAMP(NANOS) in this generation")
-    val df = Tables.events(spark, dir).filter(
+    val df = Tables.events(spark, nanosDir).filter(
       col("ts") >= lit("2024-01-05").cast("timestamp") &&
         col("ts") < lit("2024-01-06").cast("timestamp"))
     val plan = planOf(df)
@@ -54,14 +71,13 @@ class NanosPredicatePushdownSpec extends SparkSpec {
   }
 
   test("nanos era: results are unchanged by the added bounds (implied-conjunct safety)") {
-    assume(rawTsType == LongType, "events.ts is not TIMESTAMP(NANOS) in this generation")
     // same filter computed through the converted column vs directly on the
     // raw long: identical row sets
-    val viaConverted = Tables.events(spark, dir)
+    val viaConverted = Tables.events(spark, nanosDir)
       .filter(col("ts") < lit("2024-01-15").cast("timestamp"))
       .count()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val viaRaw = Tables.table(spark, dir, "events")
+    val viaRaw = Tables.table(spark, nanosDir, "events")
       .filter(col("ts") < lit(1705276800000000000L))
       .count()
     assert(viaConverted === viaRaw)
