@@ -119,15 +119,19 @@ object QualityLr {
 
   /** TRAINED language ID — one-vs-rest multiclass over the same hashed
     * features: one binary LR per class (label = 1 iff `classCol` equals
-    * the class), each trained by the exact integer-micros GD of
-    * [[trainQualityLr]], so every per-class weight vector hash-matches
-    * cross-engine. Returns (class -> micro-weights) in SORTED class
-    * order — the order [[scoreOneVsRestLr]]'s argmax tie-break contract
-    * depends on. Training cost: |classes| independent binary trainings
-    * over the same bounded labeled sample (the features are re-derived
-    * per class; at |classes| ~ tens this is the clean form — share via a
-    * pre-checkpointed `labeled` if it ever matters). A NULL `classCol`
-    * row fails loudly through trainQualityLr's null-label guard. */
+    * the class), every per-class weight WORD-FOR-WORD identical to an
+    * independent [[trainQualityLr]] run on that class's binary labels
+    * (spec-pinned) — the K trainings are FUSED into one GD loop whose
+    * per-step cost is 2 map-side-combinable aggregations + ONE
+    * <= (m+1)-row collect REGARDLESS of K: the logit pass computes all
+    * K per-doc sums in a single doc_id-keyed agg (K broadcast weight
+    * maps), the error columns are per-row expressions, and the gradient
+    * pass computes all K per-bucket sums in a single bucket-keyed agg.
+    * Sound because the K chains never interact — fusing changes the
+    * plan, not one arithmetic value. Returns (class -> micro-weights)
+    * in SORTED class order — the order [[scoreOneVsRestLr]]'s argmax
+    * tie-break contract depends on. NULL `classCol` rows fail loudly
+    * (the trainQualityLr null-label rule). */
   def trainOneVsRestLr(
       labeled: DataFrame,
       classCol: String,
@@ -137,11 +141,48 @@ object QualityLr {
       lr: Double): Seq[(String, Array[Long])] = {
     require(classes.nonEmpty, "need at least one class")
     require(classes.distinct.size == classes.size, "classes must be distinct")
-    classes.sorted.map { c =>
-      c -> trainQualityLr(
-        labeled.withColumn("label", (col(classCol) === lit(c)).cast("int")),
-        m, steps, lr)
+    require(m >= 1 && steps >= 1 && lr > 0.0, "m, steps >= 1; lr > 0")
+    val cs = classes.sorted
+    val feats = lrFeatures(labeled, m).localCheckpoint(false)
+    val labels = labeled.select(col("doc_id"), col(classCol).as("__cls"))
+      .localCheckpoint(false)
+    val n = labels.count()
+    require(n > 0, "labeled set is empty")
+    val nNull = labels.filter(col("__cls").isNull).count()
+    require(nNull == 0L,
+      s"labeled set has $nNull NULL $classCol values — fix or filter them before training")
+    var w: Map[String, Array[Long]] = cs.map(_ -> Array.fill(m + 1)(0L)).toMap
+    for (_ <- 1 to steps) {
+      val zAggs = cs.map { c =>
+        val wMap = typedlit(w(c).zipWithIndex.map {
+          case (v, b) => b.toLong -> (v / Micros)
+        }.toMap)
+        sum(floor((element_at(wMap, col("bucket")) * col("x")) * lit(Micros)))
+          .as(s"__zm_$c")
+      }
+      val z = feats.groupBy("doc_id").agg(zAggs.head, zAggs.tail: _*)
+      val err = cs.foldLeft(labels.join(z, Seq("doc_id"), "left")) {
+        case (df, c) =>
+          df.withColumn(s"__em_$c",
+            sigmoidMicros(coalesce(col(s"__zm_$c"), lit(0L)))
+              - (col("__cls") === lit(c)).cast("long") * lit(1000000L))
+      }.select(col("doc_id") +: cs.map(c => col(s"__em_$c")): _*)
+      val gAggs = cs.map { c =>
+        sum(floor(((col(s"__em_$c").cast("double") / lit(Micros)) * col("x"))
+          * lit(Micros))).as(s"__gm_$c")
+      }
+      val grads = feats.join(err, "doc_id")
+        .groupBy("bucket").agg(gAggs.head, gAggs.tail: _*)
+        .collect()
+      w = cs.zipWithIndex.map { case (c, i) =>
+        val gm = grads.map(r => r.getLong(0) -> r.getLong(i + 1)).toMap
+        c -> w(c).zipWithIndex.map { case (wm, b) =>
+          wm - math.floor(((lr * (gm.getOrElse(b.toLong, 0L) / Micros))
+            / n.toDouble) * Micros).toLong
+        }
+      }.toMap
     }
+    cs.map(c => c -> w(c))
   }
 
   /** Predict a class per doc under one-vs-rest models: (doc_id,

@@ -848,6 +848,10 @@ object StandingState {
       corpusPath: String,
       expired: Column): Long = {
     val pred = coalesce(expired, lit(false))
+    // heal a crashed digests swap BEFORE sniffing the regime — a
+    // missing-live table would otherwise read as "no digests" and
+    // silently downgrade a keyed state to the payload-free rebuild
+    heal(spark, statePath, "digests")
     val keyed = tableExists(spark, s"$statePath/digests") &&
       spark.read.parquet(s"$statePath/digests").columns.contains("doc_id")
     if (keyed) expireKeyed(spark, statePath, corpusPath, pred)

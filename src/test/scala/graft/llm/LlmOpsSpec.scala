@@ -790,6 +790,11 @@ class LlmOpsSpec extends SparkSpec {
       d.repartition(7), "lang", Seq("aa", "bb", "cc"), m, steps = 3, lr = 0.5)
     assert(re.map { case (c, w) => c -> w.toSeq } ===
       models.map { case (c, w) => c -> w.toSeq })
+    // the FUSED loop == an independent per-class trainQualityLr run,
+    // weight for weight (fusing changes the plan, not one value)
+    val indep = QualityLr.trainQualityLr(
+      d.withColumn("label", ($"lang" === "bb").cast("int")), m, steps = 3, lr = 0.5)
+    assert(models.find(_._1 == "bb").get._2.toSeq === indep.toSeq)
   }
 
   test("Dedup.dedupNearLshKeepBest: max-score representative per cluster") {
