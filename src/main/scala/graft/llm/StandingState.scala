@@ -836,8 +836,12 @@ object StandingState {
     * doc appended DURING the pass that itself matches the predicate
     * is outside the pinned snapshot and falls to the next retention
     * pass. SemDeDup centroids are untouched (frozen training state,
-    * not a per-doc blocker); the embedding and media states have
-    * their own id-keyed twins, [[expireEmbeddings]]/[[expireMedia]].
+    * not a per-doc blocker); cluster LABELS are untouched too — they
+    * are a reporting artifact, not an admission input, and a bare
+    * anti-join would leave stale cluster_size values (rebuild them via
+    * [[writeClusters]]/[[updateClusters]] when label hygiene matters);
+    * the embedding and media states have their own id-keyed twins,
+    * [[expireEmbeddings]]/[[expireMedia]].
     *
     * `expired` is a boolean predicate over corpus rows (an ingest-time
     * timestamp column, a doc_id horizon, a source policy — schema is
