@@ -518,6 +518,102 @@ class CorpusIntakeJobSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("expireEmbeddings coexists with a running embedding stream: expired vectors unblock, no lost admissions") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.lit
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(seed * 31 + i) * 0.5).toFloat)
+    val vecsDir = java.nio.file.Files.createTempDirectory("eexp_stream_vecs_").toString
+    (0L until 6L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+      .withColumn("label", lit("s"))
+      .write.mode("overwrite").parquet(vecsDir)
+    val statePath = java.nio.file.Files.createTempDirectory("eexp_stream_state_").toString
+    graft.llm.StandingState.writeEmbBuckets(spark.read.parquet(vecsDir), statePath)
+    val ck = java.nio.file.Files.createTempDirectory("eexp_stream_ck_").toString
+    val in = MemoryStream[IntakeVec]
+    val q = CorpusIntakeJob.runEmbeddingStream(
+      in.toDF(), statePath, vecsDir, ck, tau = 0.999)
+    try {
+      in.addData(IntakeVec(200L, vec(200), "b"))
+      q.processAllAvailable()
+      // TTL the even-id STANDING vectors mid-run (anti-join subtraction;
+      // the lease is held only for each table's delta+swap, so the live
+      // stream rides through); the predicate spares stream-admitted 200
+      val nExp = graft.llm.StandingState.expireEmbeddings(
+        spark, statePath, vecsDir,
+        org.apache.spark.sql.functions.expr("vec_id % 2 = 0 AND vec_id < 100"))
+      assert(nExp === 3L) // standing 0, 2, 4
+      in.addData(
+        IntakeVec(201L, vec(0), "b"),   // replica of EXPIRED 0 -> now ADMITS
+        IntakeVec(202L, vec(1), "b"),   // replica of retained 1 -> drops
+        IntakeVec(203L, vec(200), "b"), // replica of stream-admitted 200 -> drops
+        IntakeVec(204L, vec(204), "b")) // novel -> admits
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+    } finally q.stop()
+    val ids = spark.read.parquet(vecsDir).select("vec_id").as[Long].collect()
+    assert(ids.length === ids.distinct.length, "duplicate vec rows")
+    assert(ids.toSet === Set(1L, 3L, 5L, 200L, 201L, 204L),
+      "retention/admission divergence across the mid-run expire")
+    // the post-expire state still blocks replicas of everything retained
+    // or admitted — including the re-admitted body of the expired vector
+    assert(CorpusIntakeJob.ingestEmbeddingBatch(
+      Seq((900L, vec(0)), (901L, vec(1)), (902L, vec(204)))
+        .toDF("vec_id", "embedding"),
+      statePath, vecsDir, tau = 0.999) === 0L)
+  }
+
+  test("expireMedia coexists with a running media stream: expired items unblock, no lost admissions") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.Multimodal
+    // engineered bright/dark rasters — see the runMediaStream spec's aHash note
+    val mk: Int => String = i =>
+      (0 until 20).map { j =>
+        if (((i.toLong * 2654435761L >> j) & 1L) == 1L) "!!!!!" else "zzzzz"
+      }.mkString(" ")
+    def mediaOf(rows: (Long, String)*) =
+      Multimodal.asMedia(rows.toDF("doc_id", "text"))
+    val mediaDir = java.nio.file.Files.createTempDirectory("mexp_stream_m_").toString
+    mediaOf((0L until 6L).map(i => i -> mk(i.toInt)): _*)
+      .write.mode("overwrite").parquet(mediaDir)
+    val statePath = java.nio.file.Files.createTempDirectory("mexp_stream_s_").toString
+    graft.llm.StandingState.writeMediaState(
+      Multimodal.imagePhash(spark.read.parquet(mediaDir)), statePath)
+    val ck = java.nio.file.Files.createTempDirectory("mexp_stream_ck_").toString
+    val in = MemoryStream[(Long, String, Long, Array[Byte])]
+    val q = CorpusIntakeJob.runMediaStream(
+      in.toDF().toDF("media_id", "mime", "n_bytes", "payload"),
+      statePath, mediaDir, ck, maxHamming = 8)
+    def rec(id: Long, text: String): (Long, String, Long, Array[Byte]) = {
+      val r = mediaOf(id -> text).head()
+      (r.getAs[Long]("media_id"), r.getAs[String]("mime"),
+        r.getAs[Long]("n_bytes"), r.getAs[Array[Byte]]("payload"))
+    }
+    try {
+      in.addData(rec(200, mk(200)))
+      q.processAllAvailable()
+      val nExp = graft.llm.StandingState.expireMedia(
+        spark, statePath, mediaDir,
+        org.apache.spark.sql.functions.expr("media_id % 2 = 0 AND media_id < 100"))
+      assert(nExp === 3L) // standing 0, 2, 4
+      in.addData(
+        rec(201, mk(0)),   // byte replica of EXPIRED 0 -> now ADMITS
+        rec(202, mk(1)),   // replica of retained 1 -> drops
+        rec(203, mk(200)), // replica of stream-admitted 200 -> drops
+        rec(204, mk(204))) // novel -> admits
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+    } finally q.stop()
+    val ids = spark.read.parquet(mediaDir).select("media_id").as[Long].collect()
+    assert(ids.length === ids.distinct.length, "duplicate media rows")
+    assert(ids.toSet === Set(1L, 3L, 5L, 200L, 201L, 204L),
+      "retention/admission divergence across the mid-run expire")
+    // post-expire the state still blocks near-replicas of retained/admitted
+    assert(CorpusIntakeJob.ingestMediaBatch(
+      mediaOf(900L -> mk(0), 901L -> (mk(1) + " !!"), 902L -> mk(204)),
+      statePath, mediaDir) === 0L)
+  }
+
   test("ingest appends WAIT through a held lease (compaction swap window) instead of dying") {
     // distinct token bodies per id — see the live-compaction test's note
     val mk: Int => String = i =>
