@@ -46,6 +46,23 @@ object Mixing {
     docs.sparkSession.conf
       .get("spark.graft.mix.literalRateCap", DefaultLiteralRateCap.toString).toInt
 
+  /** The broadcast-join sampling tail shared by the above-cap forms:
+    * left-join the per-key rate frame, keep rows whose sampling hash
+    * clears `coalesce(rate, default)` (an unmapped or NULL key misses
+    * the join — the when-chain's otherwise arm), restore the caller's
+    * schema and column order. ONE implementation so the two callers
+    * cannot drift membership-wise. */
+  private def joinSampled(
+      docs: DataFrame,
+      rates: DataFrame,
+      keyCol: String,
+      rateName: String,
+      default: Double,
+      idCol: String): DataFrame =
+    docs.join(broadcast(rates), Seq(keyCol), "left")
+      .filter(hashKeep(col(idCol), coalesce(col(rateName), lit(default))))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+
   /** Per-source stratified sample at the given fractions (sources absent
     * from the map keep `defaultFrac`; a NULL source matches nothing and
     * keeps `defaultFrac` in both forms). */
@@ -61,16 +78,10 @@ object Mixing {
       }
       docs.filter(hashKeep(col(idCol), frac))
     } else {
-      // broadcast-join form: same membership — an unmapped (or NULL)
-      // source misses the join and coalesces to defaultFrac, exactly
-      // the when-chain's otherwise arm
       val spark = docs.sparkSession
       import spark.implicits._
       val rateDf = fractions.toSeq.toDF(sourceCol, "__frac")
-      docs.join(broadcast(rateDf), Seq(sourceCol), "left")
-        .filter(hashKeep(col(idCol),
-          coalesce(col("__frac"), lit(defaultFrac))))
-        .select(docs.columns.map(col).toIndexedSeq: _*)
+      joinSampled(docs, rateDf, sourceCol, "__frac", defaultFrac, idCol)
     }
   }
 
@@ -325,12 +336,9 @@ object Mixing {
       }
       docs.filter(hashKeep(col(idCol), rateCol))
     } else {
-      // broadcast-join form: a source absent from the census (possible
-      // only when censusOver under-covers) coalesces to rate 0 — the
-      // when-chain's otherwise arm
-      docs.join(broadcast(rateFrame), Seq(sourceCol), "left")
-        .filter(hashKeep(col(idCol), coalesce(col("__rate"), lit(0.0))))
-        .select(docs.columns.map(col).toIndexedSeq: _*)
+      // a source absent from the census (possible only when censusOver
+      // under-covers) coalesces to rate 0 — the when-chain's otherwise arm
+      joinSampled(docs, rateFrame, sourceCol, "__rate", 0.0, idCol)
     }
   }
 

@@ -151,25 +151,28 @@ object QualityLr {
     val nNull = labels.filter(col("__cls").isNull).count()
     require(nNull == 0L,
       s"labeled set has $nNull NULL $classCol values — fix or filter them before training")
+    // internal columns are keyed by class INDEX, not label — a label
+    // containing column-resolution metacharacters (dots, backticks)
+    // must not break col() resolution mid-training
     var w: Map[String, Array[Long]] = cs.map(_ -> Array.fill(m + 1)(0L)).toMap
     for (_ <- 1 to steps) {
-      val zAggs = cs.map { c =>
+      val zAggs = cs.zipWithIndex.map { case (c, i) =>
         val wMap = typedlit(w(c).zipWithIndex.map {
           case (v, b) => b.toLong -> (v / Micros)
         }.toMap)
         sum(floor((element_at(wMap, col("bucket")) * col("x")) * lit(Micros)))
-          .as(s"__zm_$c")
+          .as(s"__zm_$i")
       }
       val z = feats.groupBy("doc_id").agg(zAggs.head, zAggs.tail: _*)
-      val err = cs.foldLeft(labels.join(z, Seq("doc_id"), "left")) {
-        case (df, c) =>
-          df.withColumn(s"__em_$c",
-            sigmoidMicros(coalesce(col(s"__zm_$c"), lit(0L)))
+      val err = cs.zipWithIndex.foldLeft(labels.join(z, Seq("doc_id"), "left")) {
+        case (df, (c, i)) =>
+          df.withColumn(s"__em_$i",
+            sigmoidMicros(coalesce(col(s"__zm_$i"), lit(0L)))
               - (col("__cls") === lit(c)).cast("long") * lit(1000000L))
-      }.select(col("doc_id") +: cs.map(c => col(s"__em_$c")): _*)
-      val gAggs = cs.map { c =>
-        sum(floor(((col(s"__em_$c").cast("double") / lit(Micros)) * col("x"))
-          * lit(Micros))).as(s"__gm_$c")
+      }.select(col("doc_id") +: cs.indices.map(i => col(s"__em_$i")): _*)
+      val gAggs = cs.indices.map { i =>
+        sum(floor(((col(s"__em_$i").cast("double") / lit(Micros)) * col("x"))
+          * lit(Micros))).as(s"__gm_$i")
       }
       val grads = feats.join(err, "doc_id")
         .groupBy("bucket").agg(gAggs.head, gAggs.tail: _*)
@@ -203,28 +206,29 @@ object QualityLr {
     models.foreach { case (c, wm) =>
       require(wm.length == m + 1, s"class $c: need m+1=${m + 1} weights")
     }
+    // internal columns keyed by class INDEX (see trainOneVsRestLr)
     val feats = lrFeatures(docs, m)
-    val aggs = models.map { case (c, wm) =>
+    val aggs = models.zipWithIndex.map { case ((_, wm), i) =>
       val wMap = typedlit(wm.zipWithIndex.map {
         case (v, b) => b.toLong -> (v / Micros)
       }.toMap)
       sum(floor((element_at(wMap, col("bucket")) * col("x")) * lit(Micros)))
-        .as(s"__zm_$c")
+        .as(s"__zm_$i")
     }
     val z = feats.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    val scored = models.foldLeft(
+    val scored = models.indices.foldLeft(
       docs.select("doc_id").join(z, Seq("doc_id"), "left")) {
-      case (df, (c, _)) =>
-        df.withColumn(s"__s_$c",
-          sigmoidMicros(coalesce(col(s"__zm_$c"), lit(0L))).cast("long"))
+      case (df, i) =>
+        df.withColumn(s"__s_$i",
+          sigmoidMicros(coalesce(col(s"__zm_$i"), lit(0L))).cast("long"))
     }
     // strict > in ascending class order keeps the earlier (smaller)
     // class on ties — identical to ORDER BY score DESC, class ASC
     val classesSorted = models.map(_._1)
-    val init = (lit(classesSorted.head), col(s"__s_${classesSorted.head}"))
-    val (predC, bestS) = classesSorted.tail.foldLeft(init) {
-      case ((pc, ps), c) =>
-        val s = col(s"__s_$c")
+    val init = (lit(classesSorted.head), col("__s_0"))
+    val (predC, bestS) = classesSorted.tail.zipWithIndex.foldLeft(init) {
+      case ((pc, ps), (c, i0)) =>
+        val s = col(s"__s_${i0 + 1}")
         (when(s > ps, lit(c)).otherwise(pc), when(s > ps, s).otherwise(ps))
     }
     scored.select(col("doc_id"), predC.as("pred_lang"),

@@ -879,6 +879,12 @@ object StandingState {
       withLeaseRetry(spark, statePath, "expire:healCorpus") {
         healDir(fs, corpusDir)
       }
+    // heal every artifact table BEFORE the existence filter below — a
+    // table stranded at <table>__retired by a crashed swap would
+    // otherwise read as absent, be silently skipped, and resurrect its
+    // expired rows on the next load's heal (permanently blocking
+    // re-admission, the exact invariant expire exists to remove)
+    Seq("digests", "span_hashes", "bands").foreach(heal(spark, statePath, _))
     // mixed-regime guard: a keyed state whose span index was written
     // payload-free (standalone writeSpanIndex) cannot be subtracted —
     // fail loudly instead of silently leaving unreachable rows
@@ -891,10 +897,17 @@ object StandingState {
     // pin the expired-id set EAGERLY before any mutation: every
     // anti-join below subtracts exactly this set, and the corpus filter
     // drops exactly these rows, so the pass is consistent even as
-    // appends land mid-pass
+    // appends land mid-pass. Keyed expiry is ID-level by construction:
+    // every row of an expired doc_id drops (a duplicate-doc_id corpus is
+    // already outside the ingest invariants); the returned count is
+    // corpus ROWS dropped, matching the legacy regime's contract.
     val expiredIds = spark.read.parquet(corpusPath).filter(pred)
       .select("doc_id").distinct().localCheckpoint(true)
-    val n = expiredIds.count()
+    val nIds = expiredIds.count()
+    val n =
+      if (nIds == 0L) 0L
+      else spark.read.parquet(corpusPath)
+        .join(expiredIds, Seq("doc_id"), "left_semi").count()
     if (n == 0L) 0L
     else {
       // artifacts FIRST, corpus LAST (see the expire crash-safety note)
@@ -926,6 +939,14 @@ object StandingState {
       val corpusDir = new HPath(corpusPath)
       val fs = corpusDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       healDir(fs, corpusDir) // we hold the lease — safe to heal a crashed swap
+      // heal crashed artifact swaps too (directly — we hold the lease):
+      // a table stranded at __retired must be rebuilt, not skipped; and
+      // spanIndexKeyed below must see the healed table, not absence
+      locally {
+        val base = new HPath(statePath)
+        val sfs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Seq("digests", "span_hashes", "bands").foreach(healTable(sfs, base, _))
+      }
       val corpus0 = spark.read.parquet(corpusPath)
       val retained = Frames.barrier(corpus0.filter(!pred))
       val n = corpus0.count() - retained.count()
@@ -948,8 +969,13 @@ object StandingState {
         if (tableExists(spark, s"$statePath/span_meta")) {
           val w = spark.read.parquet(s"$statePath/span_meta")
             .head().getAs[Int]("w")
+          // rebuild in the index's OWN regime — a doc-keyed span index on
+          // a legacy-digests state must not be silently downgraded to
+          // payload-free (check BEFORE the swap replaces the table)
+          val keyedSpans = spanIndexKeyed(spark, statePath)
           swapTable(spark, statePath, "span_hashes") { staged =>
-            TextOps.spanWindowHashes(retained, w).write.parquet(staged)
+            (if (keyedSpans) TextOps.spanWindowHashesKeyed(retained, w)
+             else TextOps.spanWindowHashes(retained, w)).write.parquet(staged)
           }
         }
         swapTable(spark, statePath, "bands") { staged =>
@@ -1003,6 +1029,9 @@ object StandingState {
       withLeaseRetry(spark, statePath, "expireEmbeddings:healVecs") {
         healDir(fs, vecsDir)
       }
+    // heal a crashed bucket-table swap before the existence probe — a
+    // table stranded at __retired must be subtracted, not skipped
+    heal(spark, statePath, "emb_buckets")
     val expiredIds = spark.read.parquet(standingVecsPath).filter(pred)
       .select("vec_id").distinct().localCheckpoint(true)
     val n = expiredIds.count()
@@ -1042,6 +1071,9 @@ object StandingState {
       withLeaseRetry(spark, statePath, "expireMedia:healMedia") {
         healDir(fs, mediaDir)
       }
+    // heal crashed artifact swaps before the existence probes — a table
+    // stranded at __retired must be subtracted, not skipped
+    Seq("media_phashes", "media_bands").foreach(heal(spark, statePath, _))
     val expiredIds = spark.read.parquet(standingMediaPath).filter(pred)
       .select("media_id").distinct().localCheckpoint(true)
     val n = expiredIds.count()
@@ -1517,10 +1549,18 @@ object StandingState {
     * a table instead of a census rebuild per ingest. */
   def writeSpanIndex(
       docs: DataFrame, path: String, w: Int = 20,
-      docKeyed: Boolean = false): Unit = {
+      docKeyed: Option[Boolean] = None): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    (if (docKeyed) TextOps.spanWindowHashesKeyed(docs, w)
+    // default: FOLLOW the state's digest regime when one exists at this
+    // path — an all-defaults write() + writeSpanIndex() must not
+    // manufacture the mixed keyed-digests/payload-free-span state that
+    // expire() refuses. A span-only path (no digests table) stays
+    // payload-free unless explicitly asked.
+    val keyed = docKeyed.getOrElse(
+      tableExists(spark, s"$path/digests") &&
+        spark.read.parquet(s"$path/digests").columns.contains("doc_id"))
+    (if (keyed) TextOps.spanWindowHashesKeyed(docs, w)
      else TextOps.spanWindowHashes(docs, w))
       .write.mode("overwrite").parquet(s"$path/span_hashes")
     Seq(w).toDF("w")

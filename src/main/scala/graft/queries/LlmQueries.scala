@@ -3305,10 +3305,14 @@ object LlmQueries {
     // ------------------------------------------------------------------
     // Q90 — RETENTION end to end (the reference's key-TTL twin,
     // meeseeker.rb:99): a persisted standing corpus + state has a third
-    // of its docs expired (doc_id % 3 == 0 — StandingState.expire
-    // rebuilds digests/bands from the RETAINED corpus and filter-swaps
-    // the corpus), then the q63 incoming slice ingests through the full
-    // production batch leg against the expired state. Incoming docs
+    // of its docs expired (doc_id % 3 == 0 — since round 14 the state
+    // is DOC-KEYED by default, so StandingState.expire dispatches to
+    // the anti-join SUBTRACTION regime: per-table snapshot-delta
+    // rewrites, lease held only for each delta+swap; the legacy
+    // payload-free REBUILD regime is pinned row-identical to this path
+    // by StandingStateSpec's keyed-vs-rebuild differential), then the
+    // q63 incoming slice ingests through the full production batch leg
+    // against the expired state. Incoming docs
     // whose ONLY exact/near match was an EXPIRED doc must now ADMIT;
     // docs matching RETAINED standing (or a lower within-batch peer)
     // still drop. The oracle replays admission with q63's exact LSH
