@@ -926,6 +926,58 @@ object StandingState {
     }
   }
 
+  /** ONE-TIME migration of a legacy payload-free state to the
+    * doc-keyed regime: rebuild digests, bands and (when present) the
+    * span index from the standing corpus with doc_id-keyed rows, under
+    * the lease — the LAST lease-held O(corpus) pass this state will
+    * ever need, after which every [[expire]] is anti-join subtraction.
+    * Centroids, meta, clusters and the emb/media tables are untouched
+    * (meta carries no regime — keyedness is self-describing from the
+    * rebuilt rows). No-op on an already-keyed state. Returns true iff
+    * the migration ran. */
+  def migrateToKeyed(
+      spark: SparkSession,
+      statePath: String,
+      corpusPath: String): Boolean = {
+    heal(spark, statePath, "digests")
+    val alreadyKeyed = tableExists(spark, s"$statePath/digests") &&
+      spark.read.parquet(s"$statePath/digests").columns.contains("doc_id")
+    if (alreadyKeyed) false
+    else withLeaseRetry(spark, statePath, "migrateToKeyed") {
+      import org.apache.hadoop.fs.{Path => HPath}
+      locally {
+        val base = new HPath(statePath)
+        val sfs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Seq("digests", "span_hashes", "bands").foreach(healTable(sfs, base, _))
+      }
+      val meta = {
+        val r = spark.read.parquet(s"$statePath/meta").head()
+        Meta(r.getAs[Int]("shingle_size"), r.getAs[Int]("num_hashes"),
+          r.getAs[Int]("band_rows"), r.getAs[Boolean]("normalized"))
+      }
+      val cfg = CorpusPipeline.Config(
+        shingleSize = meta.shingleSize,
+        normalizeFingerprints = meta.normalizedFingerprints)
+      val corpus = Frames.barrier(spark.read.parquet(corpusPath))
+      val (digests, bands) =
+        artifacts(corpus, cfg, meta.numHashes, meta.bandRows, docKeyed = true)
+      swapTable(spark, statePath, "digests") { staged =>
+        digests.write.parquet(staged)
+      }
+      if (tableExists(spark, s"$statePath/span_meta")) {
+        val w = spark.read.parquet(s"$statePath/span_meta")
+          .head().getAs[Int]("w")
+        swapTable(spark, statePath, "span_hashes") { staged =>
+          TextOps.spanWindowHashesKeyed(corpus, w).write.parquet(staged)
+        }
+      }
+      swapTable(spark, statePath, "bands") { staged =>
+        bands.write.parquet(staged)
+      }
+      true
+    }
+  }
+
   /** [[expire]]'s legacy payload-free regime: lease-held rebuild of
     * every artifact from the retained corpus. `pred` is already
     * null-coalesced. */

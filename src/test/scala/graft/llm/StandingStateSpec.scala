@@ -1004,6 +1004,50 @@ class StandingStateSpec extends SparkSpec {
       col("media_id") === 1L) === 0L)
   }
 
+  test("migrateToKeyed: one-time legacy->keyed rebuild; consumers unchanged; expire turns subtractive") {
+    val mk: Int => String = i => (1 to 24).map(j => s"mg${i}x$j").mkString(" ")
+    val corpusDir = java.nio.file.Files.createTempDirectory("mig_docs_").toString
+    Seq((1L, mk(1)), (2L, mk(2))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(corpusDir)
+    val statePath = java.nio.file.Files.createTempDirectory("mig_state_").toString
+    val cfg = CorpusPipeline.Config(removeDupSpans = Some((6, 2)))
+    StandingState.write(spark.read.parquet(corpusDir), statePath, cfg,
+      docKeyed = false)
+    // ingest against the LEGACY state so appended artifacts are
+    // payload-free too (the span/digest appends follow the table schema)
+    assert(graft.streaming.CorpusIntakeJob.ingestTextBatch(
+      Seq((3L, mk(3))).toDF("doc_id", "text"),
+      statePath, corpusDir, tau = 0.5, gate = false, scrub = false) === 1L)
+    assert(!spark.read.parquet(s"$statePath/digests").columns.contains("doc_id"))
+    assert(!spark.read.parquet(s"$statePath/span_hashes").columns.contains("doc_id"))
+    def digestSet: Set[String] = spark.read.parquet(s"$statePath/digests")
+      .select("digest").distinct().as[String].collect().toSet
+    def spanSet: Set[String] = spark.read.parquet(s"$statePath/span_hashes")
+      .select("h").distinct().as[String].collect().toSet
+    def bandSet: Set[String] = spark.read.parquet(s"$statePath/bands")
+      .distinct().collect().map(_.toString).toSet
+    val (d0, s0, b0) = (digestSet, spanSet, bandSet)
+
+    assert(StandingState.migrateToKeyed(spark, statePath, corpusDir))
+    // keyed on disk, consumer projections unchanged
+    assert(spark.read.parquet(s"$statePath/digests").columns.contains("doc_id"))
+    assert(spark.read.parquet(s"$statePath/span_hashes").columns.contains("doc_id"))
+    assert(digestSet === d0 && spanSet === s0 && bandSet === b0)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(statePath, "_lease")))
+    // idempotent: already keyed -> no-op
+    assert(!StandingState.migrateToKeyed(spark, statePath, corpusDir))
+    // expire now runs the SUBTRACTIVE regime end to end: doc 1 expires,
+    // a replica of its text re-admits, replicas of retained still drop
+    assert(StandingState.expire(spark, statePath, corpusDir,
+      col("doc_id") === 1L) === 1L)
+    assert(graft.streaming.CorpusIntakeJob.ingestTextBatch(
+      Seq((900L, mk(1))).toDF("doc_id", "text"),
+      statePath, corpusDir, tau = 0.5, gate = false, scrub = false) === 1L)
+    assert(graft.streaming.CorpusIntakeJob.ingestTextBatch(
+      Seq((901L, mk(2)), (902L, mk(3))).toDF("doc_id", "text"),
+      statePath, corpusDir, tau = 0.5, gate = false, scrub = false) === 0L)
+  }
+
   test("a staged dir deleted mid-compaction (cross-host staged-GC) re-pins cleanly") {
     // A concurrent same-table compactor on ANOTHER host can age-GC this
     // run's staged dir (pid-scoping only protects same-host runs). The
