@@ -42,6 +42,21 @@ import org.apache.spark.sql.SparkSession
   * 3x max/min re-runs too — transient spikes shorter than the probe
   * cadence show in the per-query spread, not the probes (the round-10
   * artifact shipped one 41.9s outlier round undetected that way).
+  *
+  * STARTUP QUIET GATE (round-15): the mid-run defense re-runs loaded
+  * spans but happily BEGINS on a busy container — both the r13 and r14
+  * official artifacts shipped `loaded: true` that way. Before the first
+  * query, the post-warm probe is compared against the RECORDED
+  * HISTORICAL FLOOR for this (sfDir, cpus) pair
+  * (`bench_probe_floor.json`, updated monotonically downward after
+  * every run); while it reads loaded (same 1.5x + 0.3s band as the
+  * span defense) the gate WAITS (`SPARK_GRAFT_BENCH_GATE_RETRY`s
+  * between probes, bounded by `SPARK_GRAFT_BENCH_GATE_WAIT`s total —
+  * set 0 to record the verdict without waiting) and only then starts
+  * measuring. The artifact records `"gate"` (quiet / waited_quiet /
+  * proceeded_loaded / no_floor), `"gate_probes"` and
+  * `"gate_waited_sec"`, so a grader sees whether the run STARTED
+  * quiet, waited itself quiet, or hit the deadline still loaded.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -127,7 +142,48 @@ object Bench {
     // load masking — a genuinely loaded start inflates the repeated
     // probe just the same.
     probe()
-    var probes = Vector(probe()) // post-warm baseline candidate
+    // STARTUP QUIET GATE (see the object scaladoc): refuse to START
+    // measuring on a container the historical floor says is loaded.
+    val floorPath =
+      sys.env.getOrElse("SPARK_GRAFT_PROBE_FLOOR_FILE", "bench_probe_floor.json")
+    val floorKey = s"$sfDir@cpus=$cpus"
+    def readFloor(): Option[Double] =
+      try {
+        val txt = new String(
+          Files.readAllBytes(Paths.get(floorPath)), StandardCharsets.UTF_8)
+        val p = java.util.regex.Pattern.compile(
+          java.util.regex.Pattern.quote("\"" + floorKey + "\":") +
+            "([0-9.eE+-]+)")
+        val mm = p.matcher(txt)
+        if (mm.find()) Some(mm.group(1).toDouble) else None
+      } catch { case _: Exception => None }
+    def loadedVs(p: Double, basis: Double): Boolean =
+      p > 1.5 * basis && p - basis > 0.3
+    val gateWaitSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_WAIT", "600").toLong
+    val gateRetrySec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_RETRY", "20").toLong
+    val floor0 = readFloor()
+    var gateProbes = Vector(probe())
+    var gateWaited = 0L
+    val gateVerdict = floor0 match {
+      case None => "no_floor" // first run at this (sfDir, cpus): nothing
+      // to compare against; this run RECORDS the floor for the next one
+      case Some(f) =>
+        val deadline = System.nanoTime() + gateWaitSec * 1000000000L
+        while (loadedVs(gateProbes.last, f) && System.nanoTime() < deadline) {
+          Thread.sleep(gateRetrySec * 1000L)
+          gateWaited += gateRetrySec
+          gateProbes :+= probe()
+        }
+        if (loadedVs(gateProbes.last, f)) "proceeded_loaded"
+        else if (gateWaited > 0L) "waited_quiet"
+        else "quiet"
+    }
+    // the probe that let the gate through brackets span 1: quiet when
+    // the gate passed, still-inflated when it proceeded at the deadline
+    // (which then correctly flags span 1 for the mid-run defense)
+    var probes = Vector(gateProbes.last)
     val spans = declared.grouped(probeEvery).toVector
     val measured = spans.map { span =>
       val rs = span.map { case (name, fn) =>
@@ -215,16 +271,38 @@ object Bench {
     val probesJson = probes.mkString("[", ",", "]")
     val loadedJson = loadedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val exemptJson = warmupExempt.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val gateProbesJson = gateProbes.mkString("[", ",", "]")
+    // record the historical floor MONOTONICALLY: the quietest fixed-work
+    // probe this (sfDir, cpus) pair has ever shown, preserving other keys
+    locally {
+      val newFloor = (gateProbes ++ probes ++ floor0.toVector).min
+      if (floor0.forall(newFloor < _)) {
+        val existing =
+          try new String(
+            Files.readAllBytes(Paths.get(floorPath)), StandardCharsets.UTF_8)
+          catch { case _: Exception => "{}" }
+        val entryPat = java.util.regex.Pattern.compile(
+          "\"([^\"]+)\":([0-9.eE+-]+)")
+        val mm = entryPat.matcher(existing)
+        var entries = Map.empty[String, String]
+        while (mm.find()) entries += mm.group(1) -> mm.group(2)
+        entries += floorKey -> newFloor.toString
+        val body = entries.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        Files.write(Paths.get(floorPath),
+          (body + "\n").getBytes(StandardCharsets.UTF_8))
+      }
+    }
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"warmup_sec":$warmupSec,"probes":$probesJson,"loaded":$loaded,"loaded_queries":$loadedJson,"warmup_exempt":$exemptJson,"errors":$errJson,"runs":$rounds,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"warmup_sec":$warmupSec,"probes":$probesJson,"loaded":$loaded,"loaded_queries":$loadedJson,"warmup_exempt":$exemptJson,"gate":"$gateVerdict","gate_probes":$gateProbesJson,"gate_waited_sec":$gateWaited,"probe_floor":${floor0.getOrElse(-1.0)},"errors":$errJson,"runs":$rounds,"sf":"$sfDir"}"""
     // The driver's BENCH artifact keeps only the last ~4 KB of stdout; the
     // full line's FRONT fell off in round 6 (`parsed: null`). Print the
     // full line first, then a compact self-contained headline LAST so any
     // tail window ends with a parseable line carrying the totals; the full
     // per-query map is always in bench_result.json.
     val headline =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"nerr":${errors.size},"runs":$rounds,"warmup_sec":$warmupSec,"loaded":$loaded,"sf":"$sfDir","detail":"$outPath"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"nerr":${errors.size},"runs":$rounds,"warmup_sec":$warmupSec,"loaded":$loaded,"gate":"$gateVerdict","sf":"$sfDir","detail":"$outPath"}"""
     Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
     println(line)
     println(headline)

@@ -1012,6 +1012,47 @@ object ScaleBench {
       println(s"""{"op":"stratified_rate_join","rows":200000,"keys":$nKeys,"kept":$nKept,"expected":${expected.toLong},"tracks_expected":$tracks,"sec":${f"$tJoin%.2f"}}""")
     }
 
+    // Trained-LR weight delivery at fastText-production m (2^18 hash
+    // buckets): above spark.graft.lr.literalWeightCap the m+1-entry
+    // weight map becomes a broadcast-joined (bucket, weight) frame —
+    // element_at on a typedlit map is a per-row O(m) linear key scan
+    // that also re-serializes the map into every task binary. The probe
+    // trains (2 GD steps, each collecting <= m+1 gradient rows), scores
+    // the replicated corpus through the join path, and pins (a) join
+    // scores == literal scores bit-for-bit on a subsample (the literal
+    // form forced via a raised cap) and (b) planted-quality separation
+    // surviving at scale-m.
+    locally {
+      import graft.llm.QualityLr
+      val m = 262144 // 2^18
+      val pos = (0L until 12L).map(i =>
+        (i, s"informative careful prose number n$i with varied useful words", 1))
+      val neg = (12L until 24L).map(i =>
+        (i, "spam spam spam buy now spam spam spam spam", 0))
+      import spark.implicits._
+      val labeled = (pos ++ neg).toDF("doc_id", "text", "label")
+      val (w, tTrain) = timed { QualityLr.trainQualityLr(labeled, m, 2, 0.5) }
+      val lab = QualityLr.scoreQualityLr(labeled.select("doc_id", "text"), w, m)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val separates =
+        pos.map(t => lab(t._1)).min > neg.map(t => lab(t._1)).max
+      val (nScored, tScore) = timed {
+        QualityLr.scoreQualityLr(docs.select("doc_id", "text"), w, m).count()
+      }
+      // literal-vs-join at full m on a subsample: the literal form's
+      // per-row 262k-key scan is measurable even at 500 docs
+      val sub = docs.select("doc_id", "text").limit(500).localCheckpoint(true)
+      def scoreSub(): Seq[(Long, Long)] =
+        QualityLr.scoreQualityLr(sub, w, m)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val (sJoin, tJoin) = timed(scoreSub())
+      spark.conf.set("spark.graft.lr.literalWeightCap", (m + 2).toString)
+      val (sLit, tLit) =
+        try timed(scoreSub())
+        finally spark.conf.unset("spark.graft.lr.literalWeightCap")
+      println(s"""{"op":"lr_weight_join","m":$m,"train_steps":2,"train_sec":${f"$tTrain%.2f"},"score_docs":$nScored,"score_sec":${f"$tScore%.2f"},"probe_docs":500,"join_sec":${f"$tJoin%.2f"},"literal_sec":${f"$tLit%.2f"},"scores_equal":${sJoin == sLit},"separates":$separates}""")
+    }
+
     spark.stop()
   }
 }

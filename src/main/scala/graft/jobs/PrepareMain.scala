@@ -21,17 +21,35 @@ import graft.llm.{CorpusPipeline, StandingState}
   *     [--compactState]                # snapshot-delta compact the state tables
   *                                     # (+ the corpus table when --standing given)
   *     [--breakStateLease]                               # crashed-lease recovery (see below)
+  *     [--expireState=<sql predicate>] # RETENTION: drop corpus rows matching the
+  *                                     # predicate + their state artifacts (TTL ops)
+  *     [--migrateToKeyed]              # one-time legacy -> doc-keyed state migration
   *     [--tau=0.8] [--minWords=20] [--maxWords=100000]
   *     [--normalize] [--packBudget=2048]
   * }}}
   *
-  * MAINTENANCE-ONLY invocation (no `--in`/`--out`): `--state=...
-  * --breakStateLease` and/or `--compactState` run the state maintenance
-  * alone. `--breakStateLease` removes a CRASHED mutator's lease file
+  * MAINTENANCE-ONLY invocation (no `--in`/`--out`): `--state=...` with
+  * `--breakStateLease`, `--compactState`, `--expireState` and/or
+  * `--migrateToKeyed` runs the state maintenance alone.
+  * `--breakStateLease` removes a CRASHED mutator's lease file
   * ([[StandingState.breakLease]]) — only safe after confirming the
   * recorded holder process is dead; it runs before anything else in the
   * invocation, which is exactly the operator recovery flow: verify the
   * holder is gone, re-run the job with the flag added.
+  *
+  * RETENTION (`--expireState`): the predicate is a SQL boolean
+  * expression over the standing-corpus columns (e.g.
+  * `--expireState=doc_id < 1000`, or an ingest-timestamp horizon) —
+  * [[StandingState.expire]] drops the matching corpus rows AND their
+  * digest/band/span artifacts so expired content no longer blocks
+  * re-admission; NULL-predicate rows are retained. This is the daily
+  * TTL ops loop as a flag instead of Scala. `--migrateToKeyed`
+  * ([[StandingState.migrateToKeyed]]) is the one-time legacy
+  * payload-free -> doc-keyed conversion that makes every later expire
+  * an O(expired) anti-join; it no-ops on an already-keyed state. Both
+  * run BEFORE a prepare pass when combined with one (expire old rows
+  * first, then ingest the new batch) and need `--standing` (the corpus
+  * table retention rewrites).
   *
   * Modes:
   *  - `--in` + `--out` only: full [[CorpusPipeline.prepare]] (with
@@ -60,6 +78,8 @@ object PrepareMain {
       appendState: Boolean = false,
       compactState: Boolean = false,
       breakStateLease: Boolean = false,
+      expireState: Option[String] = None,
+      migrateToKeyed: Boolean = false,
       tau: Double = 0.8,
       minWords: Int = 20,
       maxWords: Int = 100000,
@@ -79,6 +99,8 @@ object PrepareMain {
         case Array("--appendState") => a.copy(appendState = true)
         case Array("--compactState") => a.copy(compactState = true)
         case Array("--breakStateLease") => a.copy(breakStateLease = true)
+        case Array("--expireState", v) => a.copy(expireState = Some(v))
+        case Array("--migrateToKeyed") => a.copy(migrateToKeyed = true)
         case Array("--tau", v) => a.copy(tau = v.toDouble)
         case Array("--minWords", v) => a.copy(minWords = v.toInt)
         case Array("--maxWords", v) => a.copy(maxWords = v.toInt)
@@ -90,7 +112,8 @@ object PrepareMain {
     // maintenance-only: state upkeep without a prepare pass
     val maintenanceOnly =
       a.in.isEmpty && a.out.isEmpty && a.state.nonEmpty &&
-        (a.breakStateLease || a.compactState) && !a.appendState
+        (a.breakStateLease || a.compactState ||
+          a.expireState.nonEmpty || a.migrateToKeyed) && !a.appendState
     require(maintenanceOnly || (a.in.nonEmpty && a.out.nonEmpty),
       "--in and --out are required (except a maintenance-only " +
         "--state + --breakStateLease/--compactState invocation)")
@@ -99,6 +122,10 @@ object PrepareMain {
     require(!a.appendState || a.state.nonEmpty, "--appendState needs --state")
     require(!a.compactState || a.state.nonEmpty, "--compactState needs --state")
     require(!a.breakStateLease || a.state.nonEmpty, "--breakStateLease needs --state")
+    require(a.expireState.isEmpty || (a.state.nonEmpty && a.standing.nonEmpty),
+      "--expireState needs --state and --standing (retention rewrites the corpus table)")
+    require(!a.migrateToKeyed || (a.state.nonEmpty && a.standing.nonEmpty),
+      "--migrateToKeyed needs --state and --standing (artifacts rebuild from the corpus)")
     // the attrition report exists only for the full-batch pipeline
     // (prepareWithReport); silently ignoring the flag in incremental mode
     // would strand scripting that reads the report path
@@ -113,12 +140,24 @@ object PrepareMain {
 
   /** Run one prepare pass; returns (result rows written, mode string). */
   def run(spark: SparkSession, a: Args): (Long, String) = {
+    import org.apache.spark.sql.functions.expr
     // crashed-lease recovery runs FIRST: the rest of the invocation (the
-    // prepare's append, or the compact) re-takes the lease normally
+    // prepare's append, the retention pass, or the compact) re-takes the
+    // lease normally
     if (a.breakStateLease) StandingState.breakLease(spark, a.state.get)
+    // migration before retention (a legacy state's first expire should
+    // already run the keyed anti-join path), retention before the
+    // prepare pass (the daily ops order: expire old rows first so the
+    // incremental dedup does not hold the new batch against
+    // already-expired content)
+    if (a.migrateToKeyed)
+      StandingState.migrateToKeyed(spark, a.state.get, a.standing.get)
+    val nExpired = a.expireState.fold(0L)(p =>
+      StandingState.expire(spark, a.state.get, a.standing.get, expr(p)))
     if (a.in.isEmpty) { // maintenance-only invocation
       if (a.compactState) StandingState.compact(spark, a.state.get, a.standing)
-      return (0L, "maintenance")
+      // rows_out reports the corpus rows the retention pass dropped
+      return (nExpired, "maintenance")
     }
     val docs = spark.read.parquet(a.in)
     val eval = a.eval.map(spark.read.parquet(_))

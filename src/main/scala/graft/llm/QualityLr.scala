@@ -1,7 +1,10 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** Trained document-quality classifier (the fastText-style linear model
   * behind "quality classifier" corpus filters, e.g. the GPT-3/LLaMA
@@ -33,6 +36,75 @@ object QualityLr {
 
   private val Micros = 1e6
 
+  /** Total weight entries at or below this fold into literal `typedlit`
+    * maps probed per row with `element_at` (zero-join; ideal at the
+    * gated m=64, where a map is 65 entries and K-class training ships
+    * K*65). Above it the weights deliver as a broadcast-joined
+    * (bucket, weight) frame instead: a literal `MapData` lookup is a
+    * per-row O(m) linear key scan and the map re-serializes into every
+    * task binary, which at fastText-production m (2^18-2^21 buckets) is
+    * a scale-killer — the DSIR ratio-table shape
+    * ([[TextOps.dsirScoresWithRatios]]) and the Mixing rate-map
+    * cap-and-degrade ([[Mixing.DefaultLiteralRateCap]]) are the house
+    * precedents. Identical arithmetic on both sides by construction
+    * (each term is `floor((w_b * x) * 1e6)` with the SAME driver-side
+    * `wm / 1e6` double, summed as order-free BIGINTs), so the switch
+    * can never move a result — differential-spec-pinned. Override via
+    * `spark.graft.lr.literalWeightCap`. */
+  val DefaultLiteralWeightCap = 1024
+
+  private def literalWeightCap(df: DataFrame): Int =
+    df.sparkSession.conf
+      .get("spark.graft.lr.literalWeightCap", DefaultLiteralWeightCap.toString).toInt
+
+  /** The per-doc logit pass shared by EVERY trainer and scorer (single
+    * and one-vs-rest): for each weight vector, `sum(floor((w_bucket *
+    * x) * 1e6))` as BIGINT grouped by doc_id — exact, order-free — with
+    * all K sums fused into ONE doc_id-keyed aggregation. Weight
+    * delivery cap-and-degrades on the TOTAL entry count across vectors
+    * (the size that would embed in the plan): at or below
+    * [[DefaultLiteralWeightCap]] each vector rides as a literal map
+    * probed with `element_at`; above it the vectors pivot into one
+    * broadcast (bucket, w_0..w_{K-1}) frame inner-joined on bucket
+    * (complete over buckets 0..m, and every feature bucket is in
+    * [0, m] by construction — [[lrFeatures]]' pmod buckets plus the
+    * bias row — so the inner join drops nothing). ONE implementation so
+    * the three callers cannot drift arithmetically. */
+  private def logitPass(
+      feats: DataFrame,
+      weightVecs: Seq[Array[Long]],
+      outNames: Seq[String]): DataFrame = {
+    require(weightVecs.nonEmpty && weightVecs.length == outNames.length)
+    val totalEntries = weightVecs.iterator.map(_.length.toLong).sum
+    if (totalEntries <= literalWeightCap(feats)) {
+      val aggs = weightVecs.zip(outNames).map { case (wv, nm) =>
+        val wMap = typedlit(wv.zipWithIndex.map {
+          case (v, b) => b.toLong -> (v / Micros)
+        }.toMap)
+        sum(floor((element_at(wMap, col("bucket")) * col("x")) * lit(Micros)))
+          .as(nm)
+      }
+      feats.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    } else {
+      val nW = weightVecs.head.length
+      require(weightVecs.forall(_.length == nW),
+        "all weight vectors must share a bucket space")
+      val rows = (0 until nW).map { b =>
+        Row.fromSeq(b.toLong +: weightVecs.map(_(b) / Micros))
+      }
+      val schema = StructType(
+        StructField("bucket", LongType, nullable = false) +:
+          outNames.indices.map(i =>
+            StructField(s"__w_$i", DoubleType, nullable = false)))
+      val wDf = feats.sparkSession.createDataFrame(rows.asJava, schema)
+      val aggs = outNames.zipWithIndex.map { case (nm, i) =>
+        sum(floor((col(s"__w_$i") * col("x")) * lit(Micros))).as(nm)
+      }
+      feats.join(broadcast(wDf), Seq("bucket"))
+        .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
   /** Hashed features with per-doc L1 normalization: one row per
     * (doc_id, bucket) with `x = count(bucket) / n_features(doc)`, plus a
     * bias row (bucket = m, x = 1) per doc — the mean-of-features form
@@ -53,16 +125,10 @@ object QualityLr {
 
   /** Per-doc logit micros under a weight map: `sum(floor((w_b * x) *
     * 1e6))` as BIGINT — exact, order-free. `weights` indexed by bucket,
-    * size m+1 (bias last), in micros. */
-  private def logitMicros(feats: DataFrame, weightsMicros: Array[Long]): DataFrame = {
-    val wMap = typedlit(weightsMicros.zipWithIndex.map {
-      case (wm, b) => b.toLong -> (wm / Micros)
-    }.toMap)
-    feats
-      .withColumn("__t",
-        floor((element_at(wMap, col("bucket")) * col("x")) * lit(Micros)))
-      .groupBy("doc_id").agg(sum("__t").as("zm"))
-  }
+    * size m+1 (bias last), in micros. Delivery via [[logitPass]] (cap-
+    * and-degrades literal map -> broadcast weight frame above the cap). */
+  private def logitMicros(feats: DataFrame, weightsMicros: Array[Long]): DataFrame =
+    logitPass(feats, Seq(weightsMicros), Seq("zm"))
 
   /** `floor(1e6 / (1 + exp(-z)))` — sigmoid in micros, z from logit
     * micros. One fixed expression; both engines evaluate identically up
@@ -156,14 +222,7 @@ object QualityLr {
     // must not break col() resolution mid-training
     var w: Map[String, Array[Long]] = cs.map(_ -> Array.fill(m + 1)(0L)).toMap
     for (_ <- 1 to steps) {
-      val zAggs = cs.zipWithIndex.map { case (c, i) =>
-        val wMap = typedlit(w(c).zipWithIndex.map {
-          case (v, b) => b.toLong -> (v / Micros)
-        }.toMap)
-        sum(floor((element_at(wMap, col("bucket")) * col("x")) * lit(Micros)))
-          .as(s"__zm_$i")
-      }
-      val z = feats.groupBy("doc_id").agg(zAggs.head, zAggs.tail: _*)
+      val z = logitPass(feats, cs.map(w(_)), cs.indices.map(i => s"__zm_$i"))
       val err = cs.zipWithIndex.foldLeft(labels.join(z, Seq("doc_id"), "left")) {
         case (df, (c, i)) =>
           df.withColumn(s"__em_$i",
@@ -208,14 +267,8 @@ object QualityLr {
     }
     // internal columns keyed by class INDEX (see trainOneVsRestLr)
     val feats = lrFeatures(docs, m)
-    val aggs = models.zipWithIndex.map { case ((_, wm), i) =>
-      val wMap = typedlit(wm.zipWithIndex.map {
-        case (v, b) => b.toLong -> (v / Micros)
-      }.toMap)
-      sum(floor((element_at(wMap, col("bucket")) * col("x")) * lit(Micros)))
-        .as(s"__zm_$i")
-    }
-    val z = feats.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val z = logitPass(feats, models.map(_._2),
+      models.indices.map(i => s"__zm_$i"))
     val scored = models.indices.foldLeft(
       docs.select("doc_id").join(z, Seq("doc_id"), "left")) {
       case (df, i) =>

@@ -617,6 +617,34 @@ object StandingState {
     if (fs.exists(base) && !leaseHeld(fs, base)) healTable(fs, base, table)
   }
 
+  /** MUTATOR-side heal of a state table — the maintenance passes' form.
+    * Unlike the reader-side [[heal]] (which SKIPS while the lease is
+    * held — correct for loads, where a live holder's own commit path
+    * finishes the work), a retention or regime-sniffing pass must not
+    * silently treat a table stranded at `__retired` by an old crashed
+    * swap as ABSENT: the skip would pass an existence filter, the
+    * pass's other swaps would still land, and the stranded rows would
+    * resurrect on the next load-side heal — permanently blocking
+    * re-admission (expire) or manufacturing the mixed regime expire
+    * refuses (span appends). So when — and only when — the table is
+    * actually stranded, WAIT for the lease ([[withLeaseRetry]]: a live
+    * ingest's brief hold passes; a crashed holder fails loudly with its
+    * identity) and heal under it. The healthy path costs two existence
+    * probes and never touches the lease; [[healDir]] re-checks under
+    * the lease, so losing the acquire race to another healer is a
+    * no-op. */
+  private def healStranded(
+      spark: SparkSession, statePath: String,
+      table: String, op: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val base = new HPath(statePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new HPath(base, table)
+    if (fs.exists(base) && !fs.exists(live) &&
+        fs.exists(sibling(live, "__retired")))
+      withLeaseRetry(spark, statePath, op) { healDir(fs, live) }
+  }
+
   /** Name of the mutual-exclusion lease file under the state dir. */
   private val LeaseFile = "_lease"
 
@@ -883,8 +911,12 @@ object StandingState {
     // table stranded at <table>__retired by a crashed swap would
     // otherwise read as absent, be silently skipped, and resurrect its
     // expired rows on the next load's heal (permanently blocking
-    // re-admission, the exact invariant expire exists to remove)
-    Seq("digests", "span_hashes", "bands").foreach(heal(spark, statePath, _))
+    // re-admission, the exact invariant expire exists to remove).
+    // healStranded, NOT the reader-side heal: that one skips while the
+    // lease is held, and a concurrent ingest's brief hold at this
+    // instant would re-open exactly the skip this heal exists to close
+    Seq("digests", "span_hashes", "bands")
+      .foreach(healStranded(spark, statePath, _, "expire:healArtifacts"))
     // mixed-regime guard: a keyed state whose span index was written
     // payload-free (standalone writeSpanIndex) cannot be subtracted —
     // fail loudly instead of silently leaving unreachable rows
@@ -950,6 +982,13 @@ object StandingState {
         val sfs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
         Seq("digests", "span_hashes", "bands").foreach(healTable(sfs, base, _))
       }
+      // re-sniff UNDER the lease (post-heal): two migrations racing the
+      // outside check — or a migration racing an expire-rebuild — can
+      // both pass it; the loser must keep the no-op promise rather than
+      // re-run the O(corpus) rebuild
+      val keyedNow = tableExists(spark, s"$statePath/digests") &&
+        spark.read.parquet(s"$statePath/digests").columns.contains("doc_id")
+      if (keyedNow) false else {
       val meta = {
         val r = spark.read.parquet(s"$statePath/meta").head()
         Meta(r.getAs[Int]("shingle_size"), r.getAs[Int]("num_hashes"),
@@ -975,6 +1014,7 @@ object StandingState {
         bands.write.parquet(staged)
       }
       true
+      }
     }
   }
 
@@ -1082,11 +1122,19 @@ object StandingState {
         healDir(fs, vecsDir)
       }
     // heal a crashed bucket-table swap before the existence probe — a
-    // table stranded at __retired must be subtracted, not skipped
-    heal(spark, statePath, "emb_buckets")
+    // table stranded at __retired must be subtracted, not skipped (and
+    // not reader-side: that heal skips while a concurrent ingest holds
+    // the lease, re-opening the skip)
+    healStranded(spark, statePath, "emb_buckets", "expireEmbeddings:healBuckets")
     val expiredIds = spark.read.parquet(standingVecsPath).filter(pred)
       .select("vec_id").distinct().localCheckpoint(true)
-    val n = expiredIds.count()
+    // count DROPPED ROWS via semi-join, not distinct ids — transient
+    // crash-window double appends can leave duplicate-id rows, and the
+    // contract ("number of vector rows dropped") matches expire's
+    val n =
+      if (expiredIds.count() == 0L) 0L
+      else spark.read.parquet(standingVecsPath)
+        .join(expiredIds, Seq("vec_id"), "left_semi").count()
     if (n == 0L) 0L
     else {
       if (tableExists(spark, s"$statePath/emb_buckets"))
@@ -1124,11 +1172,17 @@ object StandingState {
         healDir(fs, mediaDir)
       }
     // heal crashed artifact swaps before the existence probes — a table
-    // stranded at __retired must be subtracted, not skipped
-    Seq("media_phashes", "media_bands").foreach(heal(spark, statePath, _))
+    // stranded at __retired must be subtracted, not skipped (and not
+    // reader-side: that heal skips under a concurrent ingest's lease)
+    Seq("media_phashes", "media_bands")
+      .foreach(healStranded(spark, statePath, _, "expireMedia:healArtifacts"))
     val expiredIds = spark.read.parquet(standingMediaPath).filter(pred)
       .select("media_id").distinct().localCheckpoint(true)
-    val n = expiredIds.count()
+    // dropped-ROW count via semi-join (see expireEmbeddings)
+    val n =
+      if (expiredIds.count() == 0L) 0L
+      else spark.read.parquet(standingMediaPath)
+        .join(expiredIds, Seq("media_id"), "left_semi").count()
     if (n == 0L) 0L
     else {
       Seq("media_phashes", "media_bands")
@@ -1604,6 +1658,14 @@ object StandingState {
       docKeyed: Option[Boolean] = None): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // heal crashed swaps BEFORE the regime sniff and the overwrite: a
+    // digests table stranded at __retired would read as "no digests"
+    // and silently downgrade the new index to payload-free (the mixed
+    // regime expire refuses); a stranded span_hashes would be orphaned
+    // by the fresh overwrite below (its live dir then blocks healDir's
+    // rename — standing hashes silently lost)
+    healStranded(spark, path, "digests", "writeSpanIndex:healDigests")
+    healStranded(spark, path, "span_hashes", "writeSpanIndex:healSpans")
     // default: FOLLOW the state's digest regime when one exists at this
     // path — an all-defaults write() + writeSpanIndex() must not
     // manufacture the mixed keyed-digests/payload-free-span state that
@@ -1631,6 +1693,13 @@ object StandingState {
     * appends are set-semantic; [[compact]] folds them). */
   def appendSpanHashes(cleanedBatch: DataFrame, path: String): Unit = {
     val spark = cleanedBatch.sparkSession
+    // heal a crashed span_hashes swap BEFORE the regime sniff: in the
+    // crash window the sniff would read 'absent', the append would
+    // write payload-free rows into a FRESH live dir, and that live dir
+    // would block healDir's rename — the retired keyed rows orphaned
+    // (standing hashes silently lost, under-dedup) and the state left
+    // in the mixed regime expire refuses
+    healStranded(spark, path, "span_hashes", "appendSpanHashes:heal")
     val w = spark.read.parquet(s"$path/span_meta").head().getAs[Int]("w")
     val rows =
       if (spanIndexKeyed(spark, path))

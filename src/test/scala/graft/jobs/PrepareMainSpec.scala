@@ -82,6 +82,57 @@ class PrepareMainSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_lease")))
   }
 
+  test("CLI retention ops: --migrateToKeyed converts a legacy state, --expireState runs the TTL loop") {
+    // day 0: a LEGACY payload-free state over a prepared standing corpus
+    val corpus0 = writeDocs(1L -> base(1), 2L -> base(2), 3L -> base(3))
+    val standingPrep = graft.llm.CorpusPipeline.prepare(
+      spark.read.parquet(corpus0)).localCheckpoint(true)
+    val standingDir = tmp("ret_standing_")
+    standingPrep.select("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(standingDir)
+    val statePath = tmp("ret_state_")
+    graft.llm.StandingState.write(
+      spark.read.parquet(standingDir), statePath, docKeyed = false)
+    assert(!spark.read.parquet(s"$statePath/digests")
+      .columns.contains("doc_id"))
+
+    // new-flag preconditions
+    intercept[IllegalArgumentException] {
+      PrepareMain.parseArgs(Array("--state=/sp", "--expireState=doc_id < 2"))
+    } // needs --standing
+    intercept[IllegalArgumentException] {
+      PrepareMain.parseArgs(Array("--migrateToKeyed")) // needs --state
+    }
+
+    // CLI migration (maintenance-only): legacy -> doc-keyed, idempotent
+    val migArgs = PrepareMain.parseArgs(Array(
+      s"--state=$statePath", s"--standing=$standingDir", "--migrateToKeyed"))
+    assert(PrepareMain.run(spark, migArgs) === ((0L, "maintenance")))
+    assert(spark.read.parquet(s"$statePath/digests")
+      .columns.contains("doc_id"))
+    PrepareMain.run(spark, migArgs) // second invocation no-ops
+
+    // CLI retention: expire doc 1 — corpus row dropped, rows_out reports it
+    val (nExp, modeExp) = PrepareMain.run(spark, PrepareMain.parseArgs(Array(
+      s"--state=$statePath", s"--standing=$standingDir",
+      "--expireState=doc_id < 2", "--compactState")))
+    assert(modeExp === "maintenance")
+    assert(nExp === 1L)
+    assert(spark.read.parquet(standingDir).select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(2L, 3L))
+
+    // the TTL loop's point: a replica of the EXPIRED doc re-admits, a
+    // replica of a RETAINED doc still drops
+    val in = writeDocs(10L -> base(1), 11L -> base(2))
+    val out = tmp("ret_out_")
+    val (nAdm, _) = PrepareMain.run(spark, PrepareMain.parseArgs(Array(
+      s"--in=$in", s"--out=$out",
+      s"--standing=$standingDir", s"--state=$statePath")))
+    assert(nAdm === 1L)
+    assert(spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().toSeq === Seq(10L))
+  }
+
   test("batch mode: gate + dedup land in the output, report table written") {
     val in = writeDocs(
       1L -> base(1),

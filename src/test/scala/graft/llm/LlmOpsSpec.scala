@@ -797,6 +797,52 @@ class LlmOpsSpec extends SparkSpec {
     assert(models.find(_._1 == "bb").get._2.toSeq === indep.toSeq)
   }
 
+  test("QualityLr weights above the literal cap broadcast-join; values identical") {
+    import graft.llm.QualityLr
+    // the cap-and-degrade gate (spark.graft.lr.literalWeightCap): above
+    // it every weight delivery — trainQualityLr's per-step logit, the
+    // fused one-vs-rest trainer, and both scorers — switches from
+    // element_at on a typedlit map to a broadcast-joined (bucket, w)
+    // frame. The arithmetic is term-for-term the same IEEE expression
+    // over the same driver-side doubles with order-free BIGINT sums, so
+    // weights and scores must be BIT-IDENTICAL across the switch.
+    val pos = (0L until 12L).map(i =>
+      (i, s"informative careful prose number n$i with varied useful words", 1))
+    val neg = (12L until 24L).map(i =>
+      (i, "spam spam spam buy now spam spam spam spam", 0))
+    val d = (pos ++ neg).toDF("doc_id", "text", "label")
+    val aa = (0L until 10L).map(i =>
+      (i, (1 to 12).map(j => s"alef$j").mkString(" "), "aa"))
+    val bb = (10L until 20L).map(i =>
+      (i, (1 to 12).map(j => s"bet$j").mkString(" "), "bb"))
+    val dl = (aa ++ bb).toDF("doc_id", "text", "lang")
+    val m = 32
+    def run(): (Seq[Long], Seq[(Long, Long)], Seq[(String, Seq[Long])], Seq[(Long, String, Long)]) = {
+      val w = QualityLr.trainQualityLr(d, m, steps = 2, lr = 0.5)
+      val s = QualityLr.scoreQualityLr(d.select("doc_id", "text"), w, m)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val models = QualityLr.trainOneVsRestLr(
+        dl, "lang", Seq("aa", "bb"), m, steps = 2, lr = 0.5)
+      val p = QualityLr.scoreOneVsRestLr(dl.select("doc_id", "text"), models, m)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+      (w.toSeq, s, models.map { case (c, wm) => c -> wm.toSeq }, p)
+    }
+    val lit4 = run() // default cap (1024 >= 33 and 2*33): literal form
+    spark.conf.set("spark.graft.lr.literalWeightCap", "0") // force join form
+    try {
+      assert(run() === lit4)
+      // and the join form really does plan a broadcast join carrying the
+      // weight column (the doc_id restore join can broadcast too at spec
+      // scale, so pin the __w_0 weight frame specifically)
+      val w = lit4._1.toArray
+      val plan = QualityLr.scoreQualityLr(d.select("doc_id", "text"), w, m)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("__w_0"),
+        plan.take(2000))
+    } finally spark.conf.unset("spark.graft.lr.literalWeightCap")
+  }
+
   test("Dedup.dedupNearLshKeepBest: max-score representative per cluster") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa one"
     val b = "red orange yellow green blue indigo violet umber sepia ochre two"

@@ -965,6 +965,23 @@ class StandingStateSpec extends SparkSpec {
       col("vec_id") === 1L) === 0L)
   }
 
+  test("expireEmbeddings counts dropped ROWS, not distinct ids (crash-window double appends)") {
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(seed * 31 + i) * 0.5).toFloat)
+    val vecsDir = java.nio.file.Files.createTempDirectory("edup_vecs_").toString
+    // vec_id 1 appears TWICE (a transient crash-window double append);
+    // the return contract is "vector rows dropped", matching expire's
+    Seq((1L, vec(1)), (1L, vec(1)), (2L, vec(2)))
+      .toDF("vec_id", "embedding").withColumn("label", lit("s"))
+      .write.mode("overwrite").parquet(vecsDir)
+    val statePath = java.nio.file.Files.createTempDirectory("edup_state_").toString
+    StandingState.writeEmbBuckets(spark.read.parquet(vecsDir), statePath)
+    assert(StandingState.expireEmbeddings(spark, statePath, vecsDir,
+      col("vec_id") === 1L) === 2L)
+    assert(spark.read.parquet(vecsDir).select("vec_id").as[Long]
+      .collect().toSeq === Seq(2L))
+  }
+
   test("expireMedia: expired items unblock replicas end to end") {
     // engineered bright/dark rasters — see the runMediaStream spec's
     // aHash note: prose rasters all hash within hamming 8 of each other
