@@ -1012,6 +1012,51 @@ object ScaleBench {
       println(s"""{"op":"stratified_rate_join","rows":200000,"keys":$nKeys,"kept":$nKept,"expected":${expected.toLong},"tracks_expected":$tracks,"sec":${f"$tJoin%.2f"}}""")
     }
 
+    // Post-expire cluster-label hygiene at label scale: 100k labels in
+    // 50k two-member clusters over a keyed state; ~1% of docs expire
+    // with relabelClusters = true folded into the pass. Every expired
+    // doc's partner becomes a singleton and must DROP with it, so the
+    // fixed points are sharp: zero ghost rows, labels_after == labels -
+    // 2 * expired, every remaining cluster_size == its actual member
+    // count and >= 2, and the idempotent re-scan is a cheap no-op.
+    locally {
+      val tmp = java.nio.file.Files.createTempDirectory("relabel_probe")
+      val corpusDir = s"$tmp/corpus"
+      val statePath = s"$tmp/state"
+      val nLab = 100000L
+      val corpus = spark.range(nLab).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", lit("the tale of and to in"),
+          concat(lit("w"), col("id")), concat(lit("x"), col("id")),
+          concat(lit("y"), col("id"))).as("text"))
+      corpus.write.mode("overwrite").parquet(corpusDir)
+      StandingState.write(spark.read.parquet(corpusDir), statePath)
+      StandingState.writeClusters(
+        spark.range(nLab).select(
+          col("id").as("doc_id"),
+          (col("id") - pmod(col("id"), lit(2L))).as("cluster_id"),
+          lit(2).as("cluster_size")),
+        statePath)
+      val (nExp, tExpire) = timed {
+        StandingState.expire(spark, statePath, corpusDir,
+          col("doc_id") % 97 === 0, relabelClusters = true)
+      }
+      val lab = spark.read.parquet(s"$statePath/clusters")
+        .localCheckpoint(true)
+      val ghosts = lab.join(
+        spark.read.parquet(corpusDir).select("doc_id"),
+        Seq("doc_id"), "left_anti").count()
+      val sizesOk = lab.groupBy("cluster_id", "cluster_size")
+        .agg(count(lit(1)).as("m"))
+        .filter(col("m") =!= col("cluster_size") || col("cluster_size") < 2)
+        .count() == 0L
+      val nAfter = lab.count()
+      val (noop, tRescan) = timed {
+        StandingState.relabelClusters(spark, statePath, corpusDir)
+      }
+      println(s"""{"op":"relabel_clusters","labels":$nLab,"expired":$nExp,"expire_relabel_sec":${f"$tExpire%.2f"},"rescan_sec":${f"$tRescan%.2f"},"ghosts_after":$ghosts,"labels_after":$nAfter,"labels_expected":${nLab - 2 * nExp},"sizes_consistent":$sizesOk,"rescan_noop":${noop == 0L}}""")
+    }
+
     // Trained-LR weight delivery at fastText-production m (2^18 hash
     // buckets): above spark.graft.lr.literalWeightCap the m+1-entry
     // weight map becomes a broadcast-joined (bucket, weight) frame —

@@ -32,7 +32,11 @@ import graft.sink.{InMemoryKvBackend, KvBackends, PublishMode, RedisKvBackend}
   *   runMain graft.jobs.SyncMain --job=intakeState \
   *     --docs=/data/docs-jsonl-dir --state=/data/state \
   *     --corpus=/data/corpus.parquet --checkpoint=/tmp/ck \
-  *     [--tau=0.8] [--once]
+  *     [--tau=0.8] [--once] \
+  *     [--retention=<sql predicate>] [--retentionEvery=N]
+  *         # policy-driven TTL: the stream itself expires corpus rows
+  *         # matching the predicate every N micro-batches (before that
+  *         # batch's ingest) — CorpusIntakeJob.Retention
   * }}}
   *
   * `--once` runs a single bounded AvailableNow pass (backfill / test);
@@ -66,7 +70,9 @@ object SyncMain {
       // --job=intakeState knobs (CorpusIntakeJob.runTextStream)
       state: Option[String] = None,
       corpus: Option[String] = None,
-      tau: Double = 0.8)
+      tau: Double = 0.8,
+      retention: Option[String] = None,
+      retentionEvery: Long = 1L)
 
   def parseArgs(argv: Array[String]): Args =
     argv.foldLeft(Args()) { (a, s) =>
@@ -94,6 +100,8 @@ object SyncMain {
         case Array("--state", v) => a.copy(state = Some(v))
         case Array("--corpus", v) => a.copy(corpus = Some(v))
         case Array("--tau", v) => a.copy(tau = v.toDouble)
+        case Array("--retention", v) => a.copy(retention = Some(v))
+        case Array("--retentionEvery", v) => a.copy(retentionEvery = v.toLong)
         case other => sys.error(s"unknown argument '${other.mkString("=")}'")
       }
     }
@@ -152,8 +160,12 @@ object SyncMain {
       .json(dir)
     val trigger =
       if (a.once) Trigger.AvailableNow() else Trigger.ProcessingTime("3 seconds")
+    val retention = a.retention.map(p =>
+      graft.streaming.CorpusIntakeJob.Retention(
+        org.apache.spark.sql.functions.expr(p), a.retentionEvery))
     val q = graft.streaming.CorpusIntakeJob.runTextStream(
-      docs, statePath, corpus, a.checkpoint, tau = a.tau, trigger = trigger)
+      docs, statePath, corpus, a.checkpoint, tau = a.tau, trigger = trigger,
+      retention = retention)
     q.awaitTermination()
   }
 

@@ -59,6 +59,20 @@ object CorpusPipeline {
       // batch/incremental parity is by construction). Scoring is one
       // broadcast weight map + a doc_id-keyed aggregation.
       qualityGate: Option[(Seq[Long], Int, Long)] = None,
+      // trained LANGUAGE-ID gate (opt-in): Some((models, m, keep))
+      // inserts stage 1c — each doc's language is predicted under the
+      // supplied one-vs-rest [[QualityLr]] micro-weight models
+      // ([[QualityLr.scoreOneVsRestLr]]'s argmax, ties to the smallest
+      // class) and docs whose predicted language is not in `keep` are
+      // dropped, after the rule/quality gates and BEFORE the PII scrub
+      // (language ID reads raw text, like the classifier gate). `models`
+      // must arrive class-sorted ([[QualityLr.trainOneVsRestLr]]'s
+      // output order — enforced by the scorer). The pipeline never
+      // trains: models come from a curated labeled sample, trained once
+      // and ridden through the config, so batch/incremental parity is by
+      // construction. Scoring is ONE feature pass + one doc_id-keyed
+      // aggregation computing every class's logit.
+      keepLangs: Option[(Seq[(String, Seq[Long])], Int, Set[String])] = None,
       // near-dedup
       nearDupTau: Double = 0.8,
       shingleSize: Int = 3,
@@ -228,7 +242,19 @@ object CorpusPipeline {
         gated.join(keep, Seq("doc_id"), "left_semi")
       case None => gated
     }
-    val scrubbed = TextOps.redactPii(qgated, "text")
+    // 1c. the trained language-ID gate in its batch position — same
+    // models as the standing run (they ride the config), so parity with
+    // the batch form is by construction
+    val lgated = cfg.keepLangs match {
+      case Some((models, m, keep)) =>
+        val ms = models.map { case (c, w) => c -> w.toArray }
+        val keepIds = QualityLr.scoreOneVsRestLr(qgated, ms, m)
+          .filter(col("pred_lang").isin(keep.toSeq.sorted: _*))
+          .select("doc_id")
+        qgated.join(keepIds, Seq("doc_id"), "left_semi")
+      case None => qgated
+    }
+    val scrubbed = TextOps.redactPii(lgated, "text")
       .drop("text", "n_email", "n_ipv4", "n_phone")
       .withColumnRenamed("redacted", "text")
     // The scrubbed batch is the other multiply-referenced frame: the exact
@@ -354,9 +380,22 @@ object CorpusPipeline {
       case None => gated
     }
 
+    // 1c. optional TRAINED language-ID gate: predict each doc's language
+    // under the supplied one-vs-rest models and keep only the configured
+    // languages — runs on raw (pre-scrub) text like 1b
+    val lgated = cfg.keepLangs match {
+      case Some((models, m, keep)) =>
+        val ms = models.map { case (c, w) => c -> w.toArray }
+        val keepIds = QualityLr.scoreOneVsRestLr(qgated, ms, m)
+          .filter(col("pred_lang").isin(keep.toSeq.sorted: _*))
+          .select("doc_id")
+        tap(qgated.join(keepIds, Seq("doc_id"), "left_semi"))
+      case None => qgated
+    }
+
     // 2. PII scrub — the redacted text REPLACES the raw text for every
     // downstream stage (fingerprints, shingles, packing all see clean text)
-    val scrubbed = tap(TextOps.redactPii(qgated, "text")
+    val scrubbed = tap(TextOps.redactPii(lgated, "text")
       .drop("text", "n_email", "n_ipv4", "n_phone")
       .withColumnRenamed("redacted", "text"))
 
@@ -455,6 +494,7 @@ object CorpusPipeline {
       "1_quality_gate" -> gated,
     ) ++
       cfg.qualityGate.map(_ => "1b_quality_lr_gate" -> qgated).toSeq ++
+      cfg.keepLangs.map(_ => "1c_langid_gate" -> lgated).toSeq ++
       Seq(
         "2_pii_scrub" -> scrubbed,
       ) ++

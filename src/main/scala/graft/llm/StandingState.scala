@@ -408,6 +408,67 @@ object StandingState {
     * orders of magnitude smaller than the corpus; a deployment where even
     * that rewrite dominates partitions `clusters/` by cluster_id range
     * and rewrites touched partitions only. */
+  /** CLUSTER-LABEL HYGIENE after retention — [[expire]] deliberately
+    * leaves `clusters/` untouched (labels are a REPORTING artifact, not
+    * an admission input: none of the dedup legs read them, spec-pinned),
+    * which strands GHOST rows (expired doc_ids) and stale cluster_size
+    * values. This pass makes the documented rebuild recipe executable in
+    * its cheap, subtraction-shaped form: drop label rows whose doc_id is
+    * no longer in the corpus, recount cluster_size over the surviving
+    * members, and drop clusters shrunk below two members (a singleton is
+    * not a duplicate cluster — [[Dedup.duplicateClusters]]' own
+    * `cluster_size >= 2` invariant).
+    *
+    * SEMANTICS: the result is the HISTORICAL pair graph's components
+    * restricted to retained docs — two retained docs whose only
+    * connection ran THROUGH an expired bridge doc stay co-labeled (a
+    * deliberate coarsening: the pair edges are not persisted, so exact
+    * re-clustering needs a fresh [[Dedup.duplicateClusters]] run over
+    * the retained corpus + [[writeClusters]]; sizes here are exact
+    * retained-member counts either way). Ghost detection is an
+    * anti-join against the corpus id column, so the pass needs no
+    * expired-id input, is idempotent, and can run any time after one or
+    * MORE [[expire]] passes — or fold into the pass itself via
+    * `expire(..., relabelClusters = true)`. Both cluster layouts are
+    * preserved (the bucketed layout rewrites partitioned under the
+    * pinned modulus; the whole-table rewrite is the legacy layout's
+    * documented cost — labels are orders of magnitude smaller than the
+    * corpus). Returns the number of ghost label rows dropped. */
+  def relabelClusters(
+      spark: SparkSession,
+      statePath: String,
+      corpusPath: String): Long = {
+    if (!tableExists(spark, s"$statePath/clusters")) return 0L
+    withLeaseRetry(spark, statePath, "relabelClusters") {
+      val labels = loadClustersLeased(spark, statePath)
+      val corpusIds = spark.read.parquet(corpusPath)
+        .select("doc_id").distinct()
+      val kept = labels.join(corpusIds, Seq("doc_id"), "left_semi")
+      val ghosts = labels.count() - kept.count()
+      if (ghosts == 0L) 0L
+      else {
+        val recounted = kept.drop("cluster_size")
+          .join(
+            kept.groupBy("cluster_id")
+              .agg(count(lit(1)).cast("int").as("cluster_size")),
+            Seq("cluster_id"))
+          .filter(col("cluster_size") >= 2)
+          .select("doc_id", "cluster_id", "cluster_size")
+        val partitioned = tableExists(spark, s"$statePath/clusters_meta")
+        swapTable(spark, statePath, "clusters") { staged =>
+          if (partitioned) {
+            val nParts = spark.read.parquet(s"$statePath/clusters_meta")
+              .head().getAs[Int]("n_parts")
+            recounted
+              .withColumn("cpart", cpartCol(col("cluster_id"), nParts))
+              .write.partitionBy("cpart").parquet(staged)
+          } else recounted.write.parquet(staged)
+        }
+        ghosts
+      }
+    }
+  }
+
   def updateClusters(path: String, newPairs: DataFrame): DataFrame = {
     val spark = newPairs.sparkSession
     if (tableExists(spark, s"$path/clusters_meta"))
@@ -864,11 +925,15 @@ object StandingState {
     * doc appended DURING the pass that itself matches the predicate
     * is outside the pinned snapshot and falls to the next retention
     * pass. SemDeDup centroids are untouched (frozen training state,
-    * not a per-doc blocker); cluster LABELS are untouched too — they
-    * are a reporting artifact, not an admission input, and a bare
-    * anti-join would leave stale cluster_size values (rebuild them via
-    * [[writeClusters]]/[[updateClusters]] when label hygiene matters);
-    * the embedding and media states have their own id-keyed twins,
+    * not a per-doc blocker); cluster LABELS are untouched by DEFAULT —
+    * they are a reporting artifact, not an admission input, and a bare
+    * anti-join would leave stale cluster_size values — pass
+    * `relabelClusters = true` (or run [[relabelClusters]] any time
+    * later) to drop ghost rows, recount sizes and drop shrunk-to-
+    * singleton clusters, with the documented coarsening semantics (a
+    * fresh [[Dedup.duplicateClusters]] + [[writeClusters]] rebuild
+    * remains the exact re-clustering path); the embedding and media
+    * states have their own id-keyed twins,
     * [[expireEmbeddings]]/[[expireMedia]].
     *
     * `expired` is a boolean predicate over corpus rows (an ingest-time
@@ -878,7 +943,8 @@ object StandingState {
       spark: SparkSession,
       statePath: String,
       corpusPath: String,
-      expired: Column): Long = {
+      expired: Column,
+      relabelClusters: Boolean = false): Long = {
     val pred = coalesce(expired, lit(false))
     // heal a crashed digests swap BEFORE sniffing the regime — a
     // missing-live table would otherwise read as "no digests" and
@@ -886,8 +952,15 @@ object StandingState {
     heal(spark, statePath, "digests")
     val keyed = tableExists(spark, s"$statePath/digests") &&
       spark.read.parquet(s"$statePath/digests").columns.contains("doc_id")
-    if (keyed) expireKeyed(spark, statePath, corpusPath, pred)
-    else expireRebuild(spark, statePath, corpusPath, pred)
+    val n =
+      if (keyed) expireKeyed(spark, statePath, corpusPath, pred)
+      else expireRebuild(spark, statePath, corpusPath, pred)
+    // optional label hygiene, AFTER the corpus swap (the ghost detection
+    // anti-joins the post-expire corpus); crash between the swap and
+    // here just leaves the ghosts for the next relabel — see
+    // [[relabelClusters]]'s idempotence contract
+    if (relabelClusters) this.relabelClusters(spark, statePath, corpusPath)
+    n
   }
 
   /** [[expire]]'s doc-keyed subtraction regime. `pred` is already

@@ -3717,19 +3717,73 @@ object LlmQueries {
       Some(langIdLrOracle(m = 64, steps = 2, lr = 0.5,
         classes = Seq("de", "en", "es", "fr", "zh"))),
     ),
+
+    // ------------------------------------------------------------------
+    // Q102 — the composed pipeline with the TRAINED language filter on
+    // (Config.keepLangs, stage 1c): q101's one-vs-rest models are trained
+    // once on the full labeled corpus (the exact q101 chain — the oracle
+    // reuses those training CTEs verbatim), ride the config, and the
+    // pipeline predicts each RULE-GATED raw doc's language (PII suffix
+    // and all — a different frame than training saw) and keeps only the
+    // configured languages before the scrub. The attrition report pins
+    // the gate's position (1c between the rule gate and the scrub) and
+    // that every per-class weight vector transfers engines exactly — a
+    // one-micro difference in any of the 5 models would move the 1c
+    // census through the argmax.
+    Declared(
+      "q102_pipeline_lang_gate",
+      (s, dir) => {
+        // the corpus' lang labels are NOT separable from its shared
+        // vocabulary (trained predictions would collapse to the majority
+        // class and the 1c census would be vacuous), so the scenario
+        // plants a WEAK-SUPERVISION marker in the text — the fastText
+        // deployment shape, where training lines carry their label
+        // in-band — derived deterministically from the lang column on
+        // BOTH the training corpus and the pipeline slice, and trains
+        // on a class-BALANCED slice (64 docs per language: en is ~40%
+        // of the corpus, and at 2 GD steps the class-prior bias term
+        // otherwise dominates the marker signal). m = 1024 puts 5 x
+        // 1025 weights above the literal cap, so this gated query also
+        // runs the broadcast-join weight delivery in production.
+        val docs = Tables.documentsRaw(s, dir)
+          .withColumn("text", concat(col("text"),
+            lit(" zz"), col("lang"), lit("marker zz"),
+            col("lang"), lit("marker zz"), col("lang"), lit("marker")))
+        val train = docs
+          .withColumn("__rn", expr(
+            "row_number() OVER (PARTITION BY lang ORDER BY doc_id)"))
+          .filter(col("__rn") <= 64).drop("__rn")
+        val classes = Seq("de", "en", "es", "fr", "zh")
+        val models = graft.llm.QualityLr.trainOneVsRestLr(
+          train, "lang", classes, m = 1024, steps = 2, lr = 0.5)
+        val base = docs.filter(col("doc_id") < 300)
+          .withColumn("text", concat(col("text"), lit(PiiSuffix)))
+        val (_, report) = graft.llm.CorpusPipeline.prepareWithReport(
+          base, None,
+          graft.llm.CorpusPipeline.Config(
+            keepLangs = Some((
+              models.map { case (c, w) => (c, w.toSeq) },
+              1024, Set("en", "fr")))))
+        report.orderBy("stage")
+      },
+      Some(pipelineLangOracle(m = 1024, steps = 2, lr = 0.5,
+        classes = Seq("de", "en", "es", "fr", "zh"),
+        keep = Seq("en", "fr"))),
+    ),
   )
 
-  // q101: the q93 GD replay per class (shared feature CTEs, per-class
-  // label/step chains), then per-class sigmoid scores unioned and the
-  // argmax picked by (s DESC, lang ASC) — identical to the Spark side's
-  // strict-> fold in ascending class order.
-  private def langIdLrOracle(
-      m: Int, steps: Int, lr: Double, classes: Seq[String]): String = {
+  // q101/q102 shared: the q93 GD replay per class (shared feature CTEs,
+  // per-class label/step chains), ending at each class's final weight
+  // table w<steps>_<class> — q101 scores the training frame under them,
+  // q102 scores the pipeline's RULE-GATED frame.
+  private def langIdTrainCtes(
+      m: Int, steps: Int, lr: Double, classes: Seq[String],
+      docsTable: String = "documents", pre: String = ""): String = {
     val base =
-      s"""WITH t AS (
+      s"""WITH ${pre}t AS (
          |  SELECT doc_id,
          |         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
-         |  FROM documents),
+         |  FROM $docsTable),
          |rawf AS (
          |  SELECT doc_id,
          |         unnest(toks || list_transform(generate_series(1, len(toks) - 1),
@@ -3738,21 +3792,28 @@ object LlmQueries {
          |bf AS (
          |  SELECT doc_id, ('0x' || substr(md5(feat), 1, 8))::BIGINT % $m AS bucket
          |  FROM rawf),
-         |cnts AS (SELECT doc_id, bucket, COUNT(*) AS c FROM bf GROUP BY 1, 2),
+         |cnts AS MATERIALIZED (SELECT doc_id, bucket, COUNT(*) AS c FROM bf GROUP BY 1, 2),
          |tots AS (SELECT doc_id, SUM(c) AS nf FROM cnts GROUP BY 1),
-         |feats AS (
+         |feats AS MATERIALIZED (
          |  SELECT doc_id, bucket, CAST(c AS DOUBLE) / CAST(nf AS DOUBLE) AS x
          |  FROM cnts JOIN tots USING (doc_id)
          |  UNION ALL
-         |  SELECT doc_id, $m AS bucket, 1.0 AS x FROM documents),
-         |nl AS (SELECT COUNT(*) AS n FROM documents),
+         |  SELECT doc_id, $m AS bucket, 1.0 AS x FROM $docsTable),
+         |nl AS (SELECT COUNT(*) AS n FROM $docsTable),
          |w0 AS (SELECT unnest(generate_series(0, $m)) AS b, CAST(0 AS BIGINT) AS wm)""".stripMargin
+    // MATERIALIZED on the fan-out tables (feature rows, each step's
+    // weight table): DuckDB 1.0 INLINES every CTE re-reference, so a
+    // downstream consumer that touches w<steps> k times would otherwise
+    // re-evaluate the whole 3^steps-subtree training chain k times — at
+    // q102's census fan-out that made PLANNING itself blow up (the
+    // inlined tree carries thousands of chain copies). Materialization
+    // is result-neutral; it just pins each chain table to one eval.
     val perClass = classes.map { c =>
       val lbl =
         s""",
-           |labels_$c AS (
+           |labels_$c AS MATERIALIZED (
            |  SELECT doc_id, CAST(CASE WHEN lang = '$c' THEN 1 ELSE 0 END AS BIGINT) AS y
-           |  FROM documents)""".stripMargin
+           |  FROM $docsTable)""".stripMargin
       val stepCtes = (1 to steps).map { i =>
         val p = if (i == 1) "w0" else s"w${i - 1}_$c"
         s""",
@@ -3769,26 +3830,35 @@ object LlmQueries {
            |  SELECT f.bucket AS b,
            |         SUM(CAST(floor(((e.em / 1000000.0) * f.x) * 1000000.0) AS BIGINT)) AS gm
            |  FROM feats f JOIN e${i}_$c e USING (doc_id) GROUP BY 1),
-           |w${i}_$c AS (
+           |w${i}_$c AS MATERIALIZED (
            |  SELECT w.b,
            |         w.wm - CAST(floor((($lr * (COALESCE(g.gm, 0) / 1000000.0))
            |                            / (SELECT n FROM nl)) * 1000000.0) AS BIGINT) AS wm
            |  FROM $p w LEFT JOIN g${i}_$c g ON w.b = g.b)""".stripMargin
       }.mkString
-      val score =
-        s""",
-           |zs_$c AS (
-           |  SELECT f.doc_id,
-           |         SUM(CAST(floor((w.wm / 1000000.0 * f.x) * 1000000.0) AS BIGINT)) AS zm
-           |  FROM feats f JOIN w${steps}_$c w ON f.bucket = w.b GROUP BY 1)""".stripMargin
-      lbl + stepCtes + score
+      lbl + stepCtes
+    }.mkString
+    base + perClass
+  }
+
+  // q101: the training chain, then per-class sigmoid scores over the
+  // TRAINING frame unioned and the argmax picked by (s DESC, lang ASC) —
+  // identical to the Spark side's strict-> fold in ascending class order.
+  private def langIdLrOracle(
+      m: Int, steps: Int, lr: Double, classes: Seq[String]): String = {
+    val perClassScore = classes.map { c =>
+      s""",
+         |zs_$c AS (
+         |  SELECT f.doc_id,
+         |         SUM(CAST(floor((w.wm / 1000000.0 * f.x) * 1000000.0) AS BIGINT)) AS zm
+         |  FROM feats f JOIN w${steps}_$c w ON f.bucket = w.b GROUP BY 1)""".stripMargin
     }.mkString
     val scoreUnion = classes.map { c =>
       s"""  SELECT d.doc_id, '$c' AS lang,
          |         CAST(floor(1000000.0 / (1.0 + exp(-(COALESCE(zm, 0) / 1000000.0)))) AS BIGINT) AS s
          |  FROM documents d LEFT JOIN zs_$c z ON d.doc_id = z.doc_id""".stripMargin
     }.mkString("\n  UNION ALL\n")
-    base + perClass +
+    langIdTrainCtes(m, steps, lr, classes) + perClassScore +
       s""",
          |scores AS (
          |$scoreUnion),
@@ -3799,6 +3869,127 @@ object LlmQueries {
          |SELECT doc_id, lang AS pred_lang, s AS score_micros
          |FROM ranked WHERE rn = 1
          |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q102 oracle: the q101 training chain, then q95's pipeline fragments
+    * with the 1c LANGUAGE gate spliced between the rule gate and the
+    * scrub — the GATED (PII-suffixed) text re-featurized once, scored
+    * under every class's trained weights, the argmax picked by
+    * (s DESC, lang ASC), and docs predicted outside `keep` dropped.
+    * Stages 5-8 are pass-through (no embeddings/eval/mix in q102's
+    * config); the census mirrors prepareWithReport's stage names. */
+  private def pipelineLangOracle(
+      m: Int, steps: Int, lr: Double,
+      classes: Seq[String], keep: Seq[String]): String = {
+    val perClassScore = classes.map { c =>
+      s""",
+         |lz_$c AS (
+         |  SELECT f.doc_id,
+         |         SUM(CAST(floor((w.wm / 1000000.0 * f.x) * 1000000.0) AS BIGINT)) AS zm
+         |  FROM qfeats f JOIN w${steps}_$c w ON f.bucket = w.b GROUP BY 1)""".stripMargin
+    }.mkString
+    val scoreUnion = classes.map { c =>
+      s"""  SELECT g.doc_id, '$c' AS lang,
+         |         CAST(floor(1000000.0 / (1.0 + exp(-(COALESCE(zm, 0) / 1000000.0)))) AS BIGINT) AS s
+         |  FROM gated g LEFT JOIN lz_$c z ON g.doc_id = z.doc_id""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val keepList = keep.sorted.map(c => s"'$c'").mkString(", ")
+    // the weak-supervision marker + class-BALANCED training slice (see
+    // the q102 declaration comment): training and pipeline text both
+    // carry the lang-derived marker, and the trainer sees exactly 64
+    // docs per language — the corpus' own lang labels are not separable
+    // from its shared vocabulary AND en is ~40% of it, so an unmarked
+    // or unbalanced gate would predict the majority class everywhere
+    // (the class-prior bias term dominates weak features at 2 GD steps)
+    // and the 1c census would be vacuous
+    val marked =
+      "text || ' zz' || lang || 'marker zz' || lang || 'marker zz' || lang || 'marker'"
+    langIdTrainCtes(m, steps, lr, classes,
+      docsTable = "traindocs",
+      pre = s"""marked AS MATERIALIZED (
+                |  SELECT doc_id, source, lang, $marked AS text
+                |  FROM documents),
+                |traindocs AS MATERIALIZED (
+                |  SELECT doc_id, source, lang, text FROM (
+                |    SELECT doc_id, source, lang, text,
+                |           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+                |    FROM marked)
+                |  WHERE rn <= 64),
+                |""".stripMargin) +
+      s""",
+         |input AS (
+         |  SELECT doc_id, source, text || '$PiiSuffix' AS text
+         |  FROM marked WHERE doc_id < 300),
+         |${gateCtes("input", "gated")},
+         |qt AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+         |  FROM gated),
+         |qrawf AS (
+         |  SELECT doc_id,
+         |         unnest(toks || list_transform(generate_series(1, len(toks) - 1),
+         |                                       i -> toks[i] || ' ' || toks[i+1])) AS feat
+         |  FROM qt),
+         |qbf AS (
+         |  SELECT doc_id, ('0x' || substr(md5(feat), 1, 8))::BIGINT % $m AS bucket
+         |  FROM qrawf),
+         |qcnts AS (SELECT doc_id, bucket, COUNT(*) AS c FROM qbf GROUP BY 1, 2),
+         |qtots AS (SELECT doc_id, SUM(c) AS nf FROM qcnts GROUP BY 1),
+         |qfeats AS MATERIALIZED (
+         |  SELECT doc_id, bucket, CAST(c AS DOUBLE) / CAST(nf AS DOUBLE) AS x
+         |  FROM qcnts JOIN qtots USING (doc_id)
+         |  UNION ALL
+         |  SELECT doc_id, $m AS bucket, 1.0 AS x FROM gated)$perClassScore,
+         |lscores AS (
+         |$scoreUnion),
+         |lranked AS (
+         |  SELECT doc_id, lang, s,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn
+         |  FROM lscores),
+         |lgated AS MATERIALIZED (
+         |  SELECT g.doc_id, g.source, g.text FROM gated g
+         |  JOIN lranked r ON g.doc_id = r.doc_id
+         |  WHERE r.rn = 1 AND r.lang IN ($keepList)),
+         |${scrubCtes("lgated", "scrubbed")},
+         |exact AS (
+         |  SELECT doc_id, source, text FROM (
+         |    SELECT doc_id, source, text,
+         |           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |    FROM scrubbed)
+         |  WHERE rn = 1),
+         |${lshCtes("exact", "n")},
+         |ndropb AS (
+         |  SELECT DISTINCT doc_b FROM ncommon
+         |  JOIN ncnt ca ON ncommon.doc_a = ca.doc_id
+         |  JOIN ncnt cb ON ncommon.doc_b = cb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.8),
+         |deduped AS (
+         |  SELECT doc_id, text FROM exact
+         |  WHERE doc_id NOT IN (SELECT doc_b FROM ndropb)),
+         |census AS (
+         |  SELECT '0_input' AS stage, COUNT(*) AS n_docs,
+         |         COALESCE(SUM(len(string_split(text, ' '))), 0) AS nt FROM input
+         |  UNION ALL SELECT '1_quality_gate', COUNT(*),
+         |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM gated
+         |  UNION ALL SELECT '1c_langid_gate', COUNT(*),
+         |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM lgated
+         |  UNION ALL SELECT '2_pii_scrub', COUNT(*),
+         |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM scrubbed
+         |  UNION ALL SELECT '3_exact_dedup', COUNT(*),
+         |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM exact
+         |  UNION ALL SELECT '4_near_dedup', COUNT(*),
+         |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM deduped
+         |  UNION ALL SELECT '5_semantic_dedup', COUNT(*),
+         |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM deduped
+         |  UNION ALL SELECT '6_decontam', COUNT(*),
+         |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM deduped
+         |  UNION ALL SELECT '7_mixed', COUNT(*),
+         |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM deduped
+         |  UNION ALL SELECT '8_packed', COUNT(*),
+         |         COALESCE(SUM(len(string_split(text, ' '))), 0) FROM deduped)
+         |SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(nt AS BIGINT) AS n_tokens
+         |FROM census ORDER BY stage""".stripMargin
   }
 
   // q100: the q70/q74 sign-LSH + cosine admission replay over the
@@ -4055,18 +4246,22 @@ object LlmQueries {
          |bf AS (
          |  SELECT doc_id, ('0x' || substr(md5(feat), 1, 8))::BIGINT % $m AS bucket
          |  FROM rawf),
-         |cnts AS (SELECT doc_id, bucket, COUNT(*) AS c FROM bf GROUP BY 1, 2),
+         |cnts AS MATERIALIZED (SELECT doc_id, bucket, COUNT(*) AS c FROM bf GROUP BY 1, 2),
          |tots AS (SELECT doc_id, SUM(c) AS nf FROM cnts GROUP BY 1),
-         |feats AS (
+         |feats AS MATERIALIZED (
          |  SELECT doc_id, bucket, CAST(c AS DOUBLE) / CAST(nf AS DOUBLE) AS x
          |  FROM cnts JOIN tots USING (doc_id)
          |  UNION ALL
          |  SELECT doc_id, $m AS bucket, 1.0 AS x FROM documents),
-         |labels AS (
+         |labels AS MATERIALIZED (
          |  SELECT doc_id, CAST(CAST(substr(source, 4) AS INT) % 2 AS BIGINT) AS y
          |  FROM documents),
          |nl AS (SELECT COUNT(*) AS n FROM labels),
          |w0 AS (SELECT unnest(generate_series(0, $m)) AS b, CAST(0 AS BIGINT) AS wm)""".stripMargin
+    // MATERIALIZED on the fan-out tables — see langIdTrainCtes' note:
+    // DuckDB 1.0 inlines every CTE re-reference, so each step's weight
+    // table would otherwise re-expand its whole 3^steps-subtree chain
+    // into every downstream consumer. Result-neutral, one eval each.
     val stepCtes = (1 to steps).map { i =>
       val p = i - 1
       s""",
@@ -4083,7 +4278,7 @@ object LlmQueries {
          |  SELECT f.bucket AS b,
          |         SUM(CAST(floor(((e.em / 1000000.0) * f.x) * 1000000.0) AS BIGINT)) AS gm
          |  FROM feats f JOIN e$i e USING (doc_id) GROUP BY 1),
-         |w$i AS (
+         |w$i AS MATERIALIZED (
          |  SELECT w.b,
          |         w.wm - CAST(floor((($lr * (COALESCE(g.gm, 0) / 1000000.0))
          |                            / (SELECT n FROM nl)) * 1000000.0) AS BIGINT) AS wm

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -32,6 +32,31 @@ import graft.sink.KvPubSubSink
   * online intake from offline corpus prep.
   */
 object CorpusIntakeJob {
+
+  /** POLICY-DRIVEN RETENTION for the state-fed intakes — the reference's
+    * daily TTL loop (`meeseeker.rb`'s EXPIRE) as a stream config instead
+    * of an external job: every `everyBatches` micro-batches (on
+    * `batchId % everyBatches == 0`, BEFORE that batch's ingest, so
+    * replicas of just-expired content re-admit within the same trigger)
+    * the stream itself runs the id-keyed expire
+    * ([[StandingState.expire]] / [[StandingState.expireEmbeddings]] /
+    * [[StandingState.expireMedia]]) with `expired` over the standing
+    * table's rows. Safe under the proven coexistence contract — expire's
+    * rewrites are snapshot-delta (lease held only for delta catch-up +
+    * swap) and the ingest legs wait via `withLeaseRetry` — and here the
+    * two never even overlap: both run inside the same `foreachBatch`
+    * callback, serialized per micro-batch. The predicate is an arbitrary
+    * Column over the standing table (an ingest-time horizon, a doc_id
+    * policy, a source rule); NULL-predicate rows are retained, and a
+    * crash mid-expire is healed by the pass's own idempotent re-run on
+    * the next due batch. Keep the state doc-keyed
+    * ([[StandingState.migrateToKeyed]]) so each pass is O(expired)
+    * anti-joins, not an O(corpus) rebuild under the lease. */
+  final case class Retention(expired: Column, everyBatches: Long = 1L) {
+    require(everyBatches >= 1L, "everyBatches must be >= 1")
+    private[streaming] def due(batchId: Long): Boolean =
+      batchId % everyBatches == 0L
+  }
 
   /** docs stream (tsCol, doc_id, text, +passthrough) -> gated, scrubbed,
     * deduplicated stream. `nearExact = true` dedups on the k-token minhash
@@ -216,13 +241,18 @@ object CorpusIntakeJob {
       tau: Double,
       nPlanes: Int = 4,
       dim: Int = 64,
-      trigger: Trigger = Trigger.ProcessingTime("3 seconds")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("3 seconds"),
+      retention: Option[Retention] = None): StreamingQuery = {
     StandingState.repairEmbBuckets(vecs.sparkSession, statePath, standingVecsPath)
     vecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (b: Dataset[Row], _: Long) =>
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        retention.filter(_.due(id)).foreach { r =>
+          StandingState.expireEmbeddings(
+            b.sparkSession, statePath, standingVecsPath, r.expired)
+        }
         ingestEmbeddingBatch(b.toDF(), statePath, standingVecsPath, tau, nPlanes, dim)
         ()
       }
@@ -381,13 +411,18 @@ object CorpusIntakeJob {
       tau: Double,
       trigger: Trigger = Trigger.ProcessingTime("3 seconds"),
       minWords: Int = 20,
-      maxWords: Int = 100000): StreamingQuery = {
+      maxWords: Int = 100000,
+      retention: Option[Retention] = None): StreamingQuery = {
     StandingState.repairTextArtifacts(docs.sparkSession, statePath, standingDocsPath)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (b: Dataset[Row], _: Long) =>
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        retention.filter(_.due(id)).foreach { r =>
+          StandingState.expire(
+            b.sparkSession, statePath, standingDocsPath, r.expired)
+        }
         ingestTextBatch(b.toDF(), statePath, standingDocsPath, tau,
           minWords = minWords, maxWords = maxWords)
         ()
@@ -422,14 +457,19 @@ object CorpusIntakeJob {
       checkpoint: String,
       maxHamming: Int = 8,
       phashOf: DataFrame => DataFrame = graft.llm.Multimodal.imagePhash,
-      trigger: Trigger = Trigger.ProcessingTime("3 seconds")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("3 seconds"),
+      retention: Option[Retention] = None): StreamingQuery = {
     StandingState.repairMediaArtifacts(
       media.sparkSession, statePath, standingMediaPath, phashOf)
     media.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (b: Dataset[Row], _: Long) =>
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        retention.filter(_.due(id)).foreach { r =>
+          StandingState.expireMedia(
+            b.sparkSession, statePath, standingMediaPath, r.expired)
+        }
         ingestMediaBatch(b.toDF(), statePath, standingMediaPath, maxHamming, phashOf)
         ()
       }

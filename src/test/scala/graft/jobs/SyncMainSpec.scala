@@ -29,6 +29,12 @@ class SyncMainSpec extends SparkSpec {
     assert(b.keyPrefix === "c:doc" && b.verifyTau === Some(0.9))
     assert(b.horizonMs === 120000L && b.ttlSeconds === 600L)
     assert(b.notifyChannel === Some("c:admitted"))
+    val c = SyncMain.parseArgs(Array(
+      "--job=intakeState", "--docs=/d", "--state=/s", "--corpus=/c",
+      "--tau=0.6", "--retention=ts < timestamp'2024-01-01'",
+      "--retentionEvery=12"))
+    assert(c.retention === Some("ts < timestamp'2024-01-01'"))
+    assert(c.retentionEvery === 12L && c.tau === 0.6)
   }
 
   test("--job=intake --once: JSONL docs dir -> near-dup intake -> KV backend") {

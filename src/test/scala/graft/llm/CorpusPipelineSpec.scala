@@ -401,4 +401,70 @@ class CorpusPipelineSpec extends SparkSpec {
     // standing 101 drops at exact dedup, the novel good doc survives
     assert(inc.select("doc_id").as[Long].collect().toSet === Set(1200L))
   }
+
+  test("keepLangs stage 1c: trained langid filter, batch == incremental == state-fed") {
+    // planted languages with DISJOINT vocab; m large enough that the
+    // pipeline docs' per-doc filler tokens can't collide away the signal
+    // (and large enough that 2 models x 513 weights exceed the literal
+    // cap, so this spec also rides the broadcast-join delivery)
+    val m = 512
+    val aaTrain = (0L until 10L).map(i =>
+      (i, (1 to 12).map(j => s"alef$j").mkString(" "), "aa"))
+    val bbTrain = (10L until 20L).map(i =>
+      (i, (1 to 12).map(j => s"bet$j").mkString(" "), "bb"))
+    val labeled = (aaTrain ++ bbTrain).toDF("doc_id", "text", "lang")
+    // classes passed unsorted — the trainer emits sorted order
+    val models = QualityLr.trainOneVsRestLr(
+      labeled, "lang", Seq("bb", "aa"), m, steps = 3, lr = 0.5)
+    // pipeline corpus: two docs per language, dressed to pass the rule
+    // gate (stopwords, 24 distinct words, sane word lengths)
+    def dress(id: Long, vocab: String): (Long, String) =
+      (id, "the tale of and to in " + (1 to 12).map(j => s"$vocab$j").mkString(" ")
+        + s" word${id}x1 word${id}x2 word${id}x3 word${id}x4 word${id}x5 word${id}x6")
+    val aaDocs = Seq(dress(100L, "alef"), dress(101L, "alef"))
+    val bbDocs = Seq(dress(110L, "bet"), dress(111L, "bet"))
+    val docs = (aaDocs ++ bbDocs).toDF("doc_id", "text")
+      .withColumn("source", lit("s"))
+    // sanity: the models actually predict the planted classes on the
+    // DRESSED text before the pipeline relies on it
+    val preds = QualityLr.scoreOneVsRestLr(docs, models, m)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    aaDocs.foreach { case (id, _) => assert(preds(id) === "aa", s"doc $id") }
+    bbDocs.foreach { case (id, _) => assert(preds(id) === "bb", s"doc $id") }
+    val cfg = CorpusPipeline.Config(keepLangs = Some((
+      models.map { case (c, w) => (c, w.toSeq) }, m, Set("aa"))))
+    val (out, report) = CorpusPipeline.prepareWithReport(docs, None, cfg)
+    val rep = report.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the rule gate dropped nothing; 1c dropped exactly the bb docs —
+    // pinning the stage position between the rule gate and the scrub
+    assert(rep("1_quality_gate") === 4L)
+    assert(rep("1c_langid_gate") === 2L)
+    assert(rep("2_pii_scrub") === 2L)
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(100L, 101L))
+    // incremental parity: same models ride the config; a replica of
+    // standing 101 drops at exact dedup, bb docs at 1c, a novel aa doc
+    // survives
+    val standing = CorpusPipeline.prepare(docs.filter($"doc_id" < 102), None, cfg)
+      .select("doc_id", "source", "text")
+      .localCheckpoint(true)
+    val incBatch = (Seq(dress(101L, "alef")) ++ bbDocs
+      ++ Seq(dress(200L, "alef")))
+      .toDF("doc_id", "text")
+      .withColumn("source", lit("s"))
+      .withColumn("doc_id", $"doc_id" + 1000L)
+    val inc = CorpusPipeline.prepareIncremental(incBatch, standing, None, cfg)
+    assert(inc.select("doc_id").as[Long].collect().toSet === Set(1200L))
+    // state-fed parity: the same batch against a persisted state over the
+    // same standing corpus lands identically
+    val standingDir = java.nio.file.Files
+      .createTempDirectory("lang_standing_").toString
+    standing.write.mode("overwrite").parquet(standingDir)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("lang_state_").toString
+    graft.llm.StandingState.write(spark.read.parquet(standingDir), statePath)
+    val incState = CorpusPipeline.prepareIncrementalWithState(
+      incBatch, spark.read.parquet(standingDir),
+      graft.llm.StandingState.load(spark, statePath), None, cfg)
+    assert(incState.select("doc_id").as[Long].collect().toSet === Set(1200L))
+  }
 }

@@ -965,6 +965,60 @@ class StandingStateSpec extends SparkSpec {
       col("vec_id") === 1L) === 0L)
   }
 
+  test("relabelClusters after expire: ghosts drop, sizes recount, singletons drop, coarsening pinned") {
+    val mk: Int => String = i =>
+      "the tale of and to in " + (1 to 18).map(j => s"rc${i}x$j").mkString(" ")
+    def setup(partitioned: Boolean): (String, String) = {
+      val corpusDir = java.nio.file.Files
+        .createTempDirectory("relabel_docs_").toString
+      Seq(1L, 2L, 3L, 10L, 11L, 20L).map(i => (i, mk(i.toInt)))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(corpusDir)
+      val statePath = java.nio.file.Files
+        .createTempDirectory("relabel_state_").toString
+      StandingState.write(spark.read.parquet(corpusDir), statePath)
+      // cluster A = {1,2,3} connected THROUGH bridge doc 2; B = {10,11}
+      val labels = Dedup.duplicateClusters(
+        Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b"))
+      if (partitioned) StandingState.writeClustersPartitioned(labels, statePath, 4)
+      else StandingState.writeClusters(labels, statePath)
+      (corpusDir, statePath)
+    }
+    Seq(false, true).foreach { partitioned =>
+      val (corpusDir, statePath) = setup(partitioned)
+      // expire the bridge of A and one member of B, hygiene folded in
+      val n = StandingState.expire(spark, statePath, corpusDir,
+        expr("doc_id IN (2, 11)"), relabelClusters = true)
+      assert(n === 2L, s"partitioned=$partitioned")
+      val labels = StandingState.loadClusters(spark, statePath)
+        .select("doc_id", "cluster_id", "cluster_size")
+        .as[(Long, Long, Int)].collect().toSet
+      // ghosts (2, 11) gone; B shrank to singleton {10} and DROPPED;
+      // the pinned COARSENING: 1 and 3 were connected only through the
+      // expired bridge 2, but the pair edges are not persisted, so they
+      // stay co-labeled with the size recounted to the retained members
+      assert(labels === Set((1L, 1L, 2), (3L, 1L, 2)),
+        s"partitioned=$partitioned")
+      if (partitioned) {
+        // the bucketed layout survives the rewrite (cpart dirs + meta)
+        assert(spark.read.parquet(s"$statePath/clusters")
+          .columns.contains("cpart"), "bucketed layout lost")
+        assert(spark.read.parquet(s"$statePath/clusters_meta")
+          .head().getAs[Int]("n_parts") === 4)
+      }
+      // idempotent: no ghosts left -> 0, table untouched
+      assert(StandingState.relabelClusters(spark, statePath, corpusDir) === 0L)
+      // labels never affect ADMISSION: a replica of the EXPIRED bridge
+      // re-admits and a replica of a RETAINED doc drops, cluster rows or
+      // not — admission reads digests/bands only
+      assert(graft.streaming.CorpusIntakeJob.ingestTextBatch(
+        Seq((900L, mk(2)), (901L, mk(1))).toDF("doc_id", "text"),
+        statePath, corpusDir, tau = 0.5, gate = false, scrub = false) === 1L)
+      assert(spark.read.parquet(corpusDir).filter(col("doc_id") === 900L)
+        .count() === 1L, s"partitioned=$partitioned")
+    }
+  }
+
   test("expireEmbeddings counts dropped ROWS, not distinct ids (crash-window double appends)") {
     def vec(seed: Int): Array[Float] =
       Array.tabulate(64)(i => (math.sin(seed * 31 + i) * 0.5).toFloat)

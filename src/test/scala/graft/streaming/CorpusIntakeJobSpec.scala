@@ -614,6 +614,134 @@ class CorpusIntakeJobSpec extends SparkSpec {
       statePath, mediaDir) === 0L)
   }
 
+  test("Retention config: the text stream ITSELF runs the expire on its cadence; same-trigger re-admission") {
+    implicit val sqlCtx = spark.sqlContext
+    val mk: Int => String = i =>
+      "the tale of and to in " + (1 to 18).map(j => s"rt${i}x$j").mkString(" ")
+    val corpusDir = java.nio.file.Files.createTempDirectory("ttl_docs_").toString
+    (0L until 6L).map(i => (i, mk(i.toInt))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(corpusDir)
+    val statePath = java.nio.file.Files.createTempDirectory("ttl_state_").toString
+    graft.llm.StandingState.write(spark.read.parquet(corpusDir), statePath)
+    val ck = java.nio.file.Files.createTempDirectory("ttl_ck_").toString
+    val in = MemoryStream[StreamDoc]
+    // TTL policy rides the stream: expire even ids below 100 every 2nd
+    // micro-batch (batch ids 0 and 2 are due, 1 is not)
+    val q = CorpusIntakeJob.runTextStream(
+      in.toDF(), statePath, corpusDir, ck, tau = 0.5,
+      minWords = 5, maxWords = 100000,
+      retention = Some(CorpusIntakeJob.Retention(
+        org.apache.spark.sql.functions.expr("doc_id % 2 = 0 AND doc_id < 100"),
+        everyBatches = 2L)))
+    def tableIds: Set[Long] = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().toSet
+    try {
+      // batch 0 (DUE): retention runs BEFORE the ingest, so a replica of
+      // a doc expired by THIS trigger admits within the same trigger
+      in.addData(StreamDoc(ts("2024-01-01 10:00:00"), 300, mk(0)))
+      q.processAllAvailable()
+      assert(tableIds === Set(1L, 3L, 5L, 300L),
+        "due batch: evens expired by the stream, their replica re-admitted same-trigger")
+      // plant a NEW standing doc matching the policy via the batch leg
+      // (id 50 is even and < 100) — the next non-due batch must NOT
+      // expire it
+      assert(CorpusIntakeJob.ingestTextBatch(
+        Seq((50L, mk(50))).toDF("doc_id", "text"),
+        statePath, corpusDir, tau = 0.5, gate = false, scrub = false) === 1L)
+      // batch 1 (NOT due): no expire — the replica of 50 still DROPS,
+      // and a novel doc still admits (zero lost admissions off-cadence)
+      in.addData(
+        StreamDoc(ts("2024-01-01 10:01:00"), 301, mk(50)),
+        StreamDoc(ts("2024-01-01 10:01:01"), 310, mk(310)))
+      q.processAllAvailable()
+      assert(tableIds === Set(1L, 3L, 5L, 300L, 50L, 310L),
+        "non-due batch must not expire; replica of still-standing 50 must drop")
+      // batch 2 (DUE): the stream expires 50, and its replica re-admits
+      // in the same trigger
+      in.addData(StreamDoc(ts("2024-01-01 10:02:00"), 302, mk(50)))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+    } finally q.stop()
+    val ids = spark.read.parquet(corpusDir).select("doc_id").as[Long].collect()
+    assert(ids.length === ids.distinct.length, "duplicate corpus rows")
+    assert(ids.toSet === Set(1L, 3L, 5L, 300L, 310L, 302L))
+    // the state still blocks replicas of everything retained or admitted
+    val state = graft.llm.StandingState.load(spark, statePath)
+    val replicas = Seq((900L, mk(1)), (901L, mk(0)), (902L, mk(50)))
+      .toDF("doc_id", "text")
+    assert(graft.llm.Dedup.exactIncrementalVsDigests(replicas, state.digests)
+      .count() === 0L)
+  }
+
+  test("Retention config: embedding and media streams run their expire twins in-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{expr, lit}
+    // EMBEDDING twin, everyBatches = 1: expire fires before every ingest
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(seed * 31 + i) * 0.5).toFloat)
+    val vecsDir = java.nio.file.Files.createTempDirectory("ttl_vecs_").toString
+    (0L until 6L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+      .withColumn("label", lit("s"))
+      .write.mode("overwrite").parquet(vecsDir)
+    val vStatePath = java.nio.file.Files.createTempDirectory("ttl_vstate_").toString
+    graft.llm.StandingState.writeEmbBuckets(spark.read.parquet(vecsDir), vStatePath)
+    val vCk = java.nio.file.Files.createTempDirectory("ttl_vck_").toString
+    val vIn = MemoryStream[IntakeVec]
+    val vQ = CorpusIntakeJob.runEmbeddingStream(
+      vIn.toDF(), vStatePath, vecsDir, vCk, tau = 0.999,
+      retention = Some(CorpusIntakeJob.Retention(
+        expr("vec_id % 2 = 0 AND vec_id < 100"))))
+    try {
+      vIn.addData(
+        IntakeVec(201L, vec(0), "b"),   // replica of a vector expired THIS trigger -> admits
+        IntakeVec(202L, vec(1), "b"),   // replica of retained 1 -> drops
+        IntakeVec(204L, vec(204), "b")) // novel -> admits
+      vQ.processAllAvailable()
+      assert(vQ.exception.isEmpty, s"stream died: ${vQ.exception}")
+    } finally vQ.stop()
+    val vIds = spark.read.parquet(vecsDir).select("vec_id").as[Long].collect()
+    assert(vIds.length === vIds.distinct.length, "duplicate vec rows")
+    assert(vIds.toSet === Set(1L, 3L, 5L, 201L, 204L))
+
+    // MEDIA twin, everyBatches = 1 (engineered rasters — see the aHash note)
+    import graft.llm.Multimodal
+    val mk: Int => String = i =>
+      (0 until 20).map { j =>
+        if (((i.toLong * 2654435761L >> j) & 1L) == 1L) "!!!!!" else "zzzzz"
+      }.mkString(" ")
+    def mediaOf(rows: (Long, String)*) =
+      Multimodal.asMedia(rows.toDF("doc_id", "text"))
+    val mediaDir = java.nio.file.Files.createTempDirectory("ttl_media_").toString
+    mediaOf((0L until 6L).map(i => i -> mk(i.toInt)): _*)
+      .write.mode("overwrite").parquet(mediaDir)
+    val mStatePath = java.nio.file.Files.createTempDirectory("ttl_mstate_").toString
+    graft.llm.StandingState.writeMediaState(
+      Multimodal.imagePhash(spark.read.parquet(mediaDir)), mStatePath)
+    val mCk = java.nio.file.Files.createTempDirectory("ttl_mck_").toString
+    val mIn = MemoryStream[(Long, String, Long, Array[Byte])]
+    val mQ = CorpusIntakeJob.runMediaStream(
+      mIn.toDF().toDF("media_id", "mime", "n_bytes", "payload"),
+      mStatePath, mediaDir, mCk, maxHamming = 8,
+      retention = Some(CorpusIntakeJob.Retention(
+        expr("media_id % 2 = 0 AND media_id < 100"))))
+    def rec(id: Long, text: String): (Long, String, Long, Array[Byte]) = {
+      val r = mediaOf(id -> text).head()
+      (r.getAs[Long]("media_id"), r.getAs[String]("mime"),
+        r.getAs[Long]("n_bytes"), r.getAs[Array[Byte]]("payload"))
+    }
+    try {
+      mIn.addData(
+        rec(201, mk(0)),   // replica of an item expired THIS trigger -> admits
+        rec(202, mk(1)),   // replica of retained 1 -> drops
+        rec(204, mk(204))) // novel -> admits
+      mQ.processAllAvailable()
+      assert(mQ.exception.isEmpty, s"stream died: ${mQ.exception}")
+    } finally mQ.stop()
+    val mIds = spark.read.parquet(mediaDir).select("media_id").as[Long].collect()
+    assert(mIds.length === mIds.distinct.length, "duplicate media rows")
+    assert(mIds.toSet === Set(1L, 3L, 5L, 201L, 204L))
+  }
+
   test("ingest appends WAIT through a held lease (compaction swap window) instead of dying") {
     // distinct token bodies per id — see the live-compaction test's note
     val mk: Int => String = i =>
