@@ -146,7 +146,12 @@ object Bench {
     // measuring on a container the historical floor says is loaded.
     val floorPath =
       sys.env.getOrElse("SPARK_GRAFT_PROBE_FLOOR_FILE", "bench_probe_floor.json")
-    val floorKey = s"$sfDir@cpus=$cpus"
+    // probeV guards the monotone ratchet: the floor only ever moves DOWN,
+    // so a change to the probe's fixed work would strand a stale
+    // too-low floor that flags every honest later run as loaded with no
+    // in-band recovery. Bump probeV whenever probe() changes workload —
+    // old keys are simply never read again.
+    val floorKey = s"$sfDir@cpus=$cpus@probeV1"
     def readFloor(): Option[Double] =
       try {
         val txt = new String(

@@ -115,8 +115,8 @@ object PrepareMain {
         (a.breakStateLease || a.compactState ||
           a.expireState.nonEmpty || a.migrateToKeyed) && !a.appendState
     require(maintenanceOnly || (a.in.nonEmpty && a.out.nonEmpty),
-      "--in and --out are required (except a maintenance-only " +
-        "--state + --breakStateLease/--compactState invocation)")
+      "--in and --out are required (except a maintenance-only --state + " +
+        "--breakStateLease/--compactState/--expireState/--migrateToKeyed invocation)")
     require(maintenanceOnly || a.state.isEmpty || a.standing.nonEmpty,
       "--state needs --standing (the corpus table the state was built over)")
     require(!a.appendState || a.state.nonEmpty, "--appendState needs --state")

@@ -438,6 +438,11 @@ object StandingState {
       spark: SparkSession,
       statePath: String,
       corpusPath: String): Long = {
+    // a clusters table stranded at __retired by a crashed swap must be
+    // healed, not read as "no labels" — the skip would silently no-op
+    // the hygiene pass forever (the ghosts resurrect on the next
+    // reader-side heal with their stale sizes intact)
+    healStranded(spark, statePath, "clusters", "relabelClusters:heal")
     if (!tableExists(spark, s"$statePath/clusters")) return 0L
     withLeaseRetry(spark, statePath, "relabelClusters") {
       val labels = loadClustersLeased(spark, statePath)
@@ -454,15 +459,37 @@ object StandingState {
             Seq("cluster_id"))
           .filter(col("cluster_size") >= 2)
           .select("doc_id", "cluster_id", "cluster_size")
+          // the swap below must not re-read the live table it replaces,
+          // and the empty-result branch needs the count anyway
+          .localCheckpoint(true)
         val partitioned = tableExists(spark, s"$statePath/clusters_meta")
+        // EMPTY RESULT in the bucketed layout: a dynamic partitionBy
+        // write of zero rows emits zero partition dirs (just _SUCCESS),
+        // which would swap in as an unreadable table. Degrade the
+        // layout to the plain one instead: drop clusters_meta FIRST
+        // (crash between the delete and the swap leaves a meta-less
+        // but still-readable partitioned table — the legacy code paths
+        // handle a cpart data column), then swap in the schema-bearing
+        // empty plain table.
+        val empty = recounted.isEmpty
+        if (empty && partitioned) {
+          import org.apache.hadoop.fs.{Path => HPath}
+          val meta = new HPath(s"$statePath/clusters_meta")
+          meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(meta, true)
+        }
+        // mode("overwrite"): a pass that crashed after staging leaves
+        // the staged dir behind (healTable only restores the LIVE dir),
+        // and the next pass must overwrite it, not die path-exists —
+        // the updateClusters/expireRebuild swap discipline
         swapTable(spark, statePath, "clusters") { staged =>
-          if (partitioned) {
+          if (partitioned && !empty) {
             val nParts = spark.read.parquet(s"$statePath/clusters_meta")
               .head().getAs[Int]("n_parts")
             recounted
               .withColumn("cpart", cpartCol(col("cluster_id"), nParts))
-              .write.partitionBy("cpart").parquet(staged)
-          } else recounted.write.parquet(staged)
+              .write.mode("overwrite").partitionBy("cpart").parquet(staged)
+          } else recounted.write.mode("overwrite").parquet(staged)
         }
         ghosts
       }
@@ -948,13 +975,22 @@ object StandingState {
     val pred = coalesce(expired, lit(false))
     // heal a crashed digests swap BEFORE sniffing the regime — a
     // missing-live table would otherwise read as "no digests" and
-    // silently downgrade a keyed state to the payload-free rebuild
-    heal(spark, statePath, "digests")
+    // silently downgrade a keyed state to the payload-free rebuild.
+    // healStranded, not the reader-side heal: a concurrent ingest
+    // briefly holding the lease at this instant would make heal() skip
+    // and re-open exactly that downgrade
+    healStranded(spark, statePath, "digests", "expire:healDigests")
     val keyed = tableExists(spark, s"$statePath/digests") &&
       spark.read.parquet(s"$statePath/digests").columns.contains("doc_id")
     val n =
       if (keyed) expireKeyed(spark, statePath, corpusPath, pred)
-      else expireRebuild(spark, statePath, corpusPath, pred)
+      else expireRebuild(spark, statePath, corpusPath, pred) match {
+        // the rebuild re-sniffs under its lease (a migrateToKeyed or
+        // keyed writer can land in the sniff->acquire window); a state
+        // found keyed there must subtract, never be rebuilt legacy
+        case Some(m) => m
+        case None => expireKeyed(spark, statePath, corpusPath, pred)
+      }
     // optional label hygiene, AFTER the corpus swap (the ghost detection
     // anti-joins the post-expire corpus); crash between the swap and
     // here just leaves the ghosts for the next relabel — see
@@ -1074,17 +1110,17 @@ object StandingState {
       val (digests, bands) =
         artifacts(corpus, cfg, meta.numHashes, meta.bandRows, docKeyed = true)
       swapTable(spark, statePath, "digests") { staged =>
-        digests.write.parquet(staged)
+        digests.write.mode("overwrite").parquet(staged)
       }
       if (tableExists(spark, s"$statePath/span_meta")) {
         val w = spark.read.parquet(s"$statePath/span_meta")
           .head().getAs[Int]("w")
         swapTable(spark, statePath, "span_hashes") { staged =>
-          TextOps.spanWindowHashesKeyed(corpus, w).write.parquet(staged)
+          TextOps.spanWindowHashesKeyed(corpus, w).write.mode("overwrite").parquet(staged)
         }
       }
       swapTable(spark, statePath, "bands") { staged =>
-        bands.write.parquet(staged)
+        bands.write.mode("overwrite").parquet(staged)
       }
       true
       }
@@ -1093,12 +1129,15 @@ object StandingState {
 
   /** [[expire]]'s legacy payload-free regime: lease-held rebuild of
     * every artifact from the retained corpus. `pred` is already
-    * null-coalesced. */
+    * null-coalesced. Returns None when the under-lease re-sniff finds
+    * the state KEYED (a migration or keyed writer landed in the
+    * dispatcher's sniff->acquire window) — the dispatcher then runs
+    * the subtraction path instead. */
   private def expireRebuild(
       spark: SparkSession,
       statePath: String,
       corpusPath: String,
-      pred: Column): Long = {
+      pred: Column): Option[Long] = {
     import org.apache.hadoop.fs.{Path => HPath}
     withLeaseRetry(spark, statePath, "expire") {
       val corpusDir = new HPath(corpusPath)
@@ -1112,10 +1151,18 @@ object StandingState {
         val sfs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
         Seq("digests", "span_hashes", "bands").foreach(healTable(sfs, base, _))
       }
+      // re-sniff the regime UNDER the lease (post-heal): a migrateToKeyed
+      // or keyed writer landing in expire's sniff->acquire window must
+      // not have its doc-keyed artifacts silently rebuilt payload-free —
+      // hand the pass back to the dispatcher, which subtracts instead
+      val keyedNow = tableExists(spark, s"$statePath/digests") &&
+        spark.read.parquet(s"$statePath/digests").columns.contains("doc_id")
+      if (keyedNow) None
+      else {
       val corpus0 = spark.read.parquet(corpusPath)
       val retained = Frames.barrier(corpus0.filter(!pred))
       val n = corpus0.count() - retained.count()
-      if (n == 0L) 0L
+      if (n == 0L) Some(0L)
       else {
         val meta = {
           val r = spark.read.parquet(s"$statePath/meta").head()
@@ -1129,7 +1176,7 @@ object StandingState {
           artifacts(retained, cfg, meta.numHashes, meta.bandRows,
             docKeyed = false)
         swapTable(spark, statePath, "digests") { staged =>
-          digests.write.parquet(staged)
+          digests.write.mode("overwrite").parquet(staged)
         }
         if (tableExists(spark, s"$statePath/span_meta")) {
           val w = spark.read.parquet(s"$statePath/span_meta")
@@ -1140,11 +1187,11 @@ object StandingState {
           val keyedSpans = spanIndexKeyed(spark, statePath)
           swapTable(spark, statePath, "span_hashes") { staged =>
             (if (keyedSpans) TextOps.spanWindowHashesKeyed(retained, w)
-             else TextOps.spanWindowHashes(retained, w)).write.parquet(staged)
+             else TextOps.spanWindowHashes(retained, w)).write.mode("overwrite").parquet(staged)
           }
         }
         swapTable(spark, statePath, "bands") { staged =>
-          bands.write.parquet(staged)
+          bands.write.mode("overwrite").parquet(staged)
         }
         // corpus LAST (see crash-safety note above)
         val staged = sibling(corpusDir, "__staged")
@@ -1158,7 +1205,8 @@ object StandingState {
           throw new java.io.IOException(
             s"expire: rename $staged -> $corpusDir failed — pre-expire rows intact at $retired")
         fs.delete(retired, true)
-        n
+        Some(n)
+      }
       }
     }
   }

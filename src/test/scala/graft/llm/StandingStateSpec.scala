@@ -1019,6 +1019,58 @@ class StandingStateSpec extends SparkSpec {
     }
   }
 
+  test("relabelClusters crash shapes: leftover staged dir, stranded table, emptied labels") {
+    val mk: Int => String = i =>
+      "the tale of and to in " + (1 to 18).map(j => s"rx${i}x$j").mkString(" ")
+    Seq(false, true).foreach { partitioned =>
+      val corpusDir = java.nio.file.Files
+        .createTempDirectory("rcrash_docs_").toString
+      Seq(1L, 2L, 10L, 11L).map(i => (i, mk(i.toInt)))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(corpusDir)
+      val statePath = java.nio.file.Files
+        .createTempDirectory("rcrash_state_").toString
+      StandingState.write(spark.read.parquet(corpusDir), statePath)
+      val labels = Dedup.duplicateClusters(
+        Seq((1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b"))
+      if (partitioned) StandingState.writeClustersPartitioned(labels, statePath, 4)
+      else StandingState.writeClusters(labels, statePath)
+      // (a) LEFTOVER STAGED DIR from a crashed pass: the next relabel
+      // must overwrite it, not die path-exists
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(statePath, "clusters__staged"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(statePath, "clusters__staged", "junk"),
+        "junk".getBytes("UTF-8"))
+      assert(StandingState.expire(spark, statePath, corpusDir,
+        expr("doc_id = 2"), relabelClusters = true) === 1L)
+      assert(StandingState.loadClusters(spark, statePath)
+        .select("doc_id").as[Long].collect().toSet === Set(10L, 11L),
+        s"partitioned=$partitioned")
+      // (b) STRANDED TABLE: simulate a crash between swapTable's two
+      // renames (live missing, only __retired) — relabel must heal and
+      // run, not read "no labels" and no-op forever
+      val live = java.nio.file.Paths.get(statePath, "clusters")
+      val retired = java.nio.file.Paths.get(statePath, "clusters__retired")
+      java.nio.file.Files.move(live, retired)
+      // strand a ghost by expiring WITHOUT the hygiene first
+      assert(StandingState.expire(spark, statePath, corpusDir,
+        expr("doc_id = 11")) === 1L)
+      assert(StandingState.relabelClusters(spark, statePath, corpusDir) === 1L,
+        s"partitioned=$partitioned: stranded table must heal, then drop the ghost")
+      // 11's ghost dropped -> 10 is a singleton -> cluster B gone: the
+      // labels EMPTIED, and the table must stay readable in both
+      // layouts (the bucketed layout degrades to the plain one — a
+      // zero-row dynamic partitionBy write would brick the table)
+      assert(StandingState.loadClusters(spark, statePath).count() === 0L,
+        s"partitioned=$partitioned")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(statePath, "clusters_meta")) || !partitioned)
+      // idempotent after the empty rewrite
+      assert(StandingState.relabelClusters(spark, statePath, corpusDir) === 0L)
+    }
+  }
+
   test("expireEmbeddings counts dropped ROWS, not distinct ids (crash-window double appends)") {
     def vec(seed: Int): Array[Float] =
       Array.tabulate(64)(i => (math.sin(seed * 31 + i) * 0.5).toFloat)
