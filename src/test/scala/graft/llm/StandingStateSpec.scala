@@ -1071,6 +1071,36 @@ class StandingStateSpec extends SparkSpec {
     }
   }
 
+  test("expire on a KEYED state stranded at digests__retired heals and stays keyed (no regime downgrade)") {
+    val mk: Int => String = i =>
+      "the tale of and to in " + (1 to 18).map(j => s"sd${i}x$j").mkString(" ")
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("strand_docs_").toString
+    (0L until 4L).map(i => (i, mk(i.toInt))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(corpusDir)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("strand_state_").toString
+    StandingState.write(spark.read.parquet(corpusDir), statePath) // keyed
+    // simulate a crash between swapTable's two renames: the KEYED
+    // digests live only at __retired
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(statePath, "digests"),
+      java.nio.file.Paths.get(statePath, "digests__retired"))
+    // the dispatch must HEAL (not read "no digests" / payload-free) and
+    // run the keyed subtraction — a downgrade would rebuild the
+    // artifacts without doc_id and undo the one-time migration
+    assert(StandingState.expire(spark, statePath, corpusDir,
+      col("doc_id") === 0L) === 1L)
+    assert(spark.read.parquet(s"$statePath/digests")
+      .columns.contains("doc_id"), "keyed regime must survive the heal")
+    // the expired doc's replica re-admits; a retained doc's still drops
+    assert(graft.streaming.CorpusIntakeJob.ingestTextBatch(
+      Seq((900L, mk(0)), (901L, mk(1))).toDF("doc_id", "text"),
+      statePath, corpusDir, tau = 0.5, gate = false, scrub = false) === 1L)
+    assert(spark.read.parquet(corpusDir).filter(col("doc_id") === 900L)
+      .count() === 1L)
+  }
+
   test("expireEmbeddings counts dropped ROWS, not distinct ids (crash-window double appends)") {
     def vec(seed: Int): Array[Float] =
       Array.tabulate(64)(i => (math.sin(seed * 31 + i) * 0.5).toFloat)
