@@ -277,15 +277,28 @@ object Bench {
     val loadedJson = loadedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val exemptJson = warmupExempt.map("\"" + _ + "\"").mkString("[", ",", "]")
     val gateProbesJson = gateProbes.mkString("[", ",", "]")
-    // record the historical floor MONOTONICALLY: the quietest fixed-work
-    // probe this (sfDir, cpus) pair has ever shown, preserving other keys
+    // record the historical floor MONOTONICALLY from STARTUP-POSITION
+    // probes only: the gate compares a barely-warmed startup probe, so
+    // ratcheting the floor down with fully-warmed MID-RUN probes (JIT +
+    // page cache hot after ~100 queries, measurably below the startup
+    // steady state) would bias every later gate toward a false
+    // proceeded_loaded on an idle machine. Startup probes compare
+    // like-for-like run to run. Other keys are preserved; an unreadable
+    // EXISTING file skips the update (a torn write must not clobber
+    // other pairs' floors), and the write goes through temp + atomic
+    // rename so a crash can't tear it.
     locally {
-      val newFloor = (gateProbes ++ probes ++ floor0.toVector).min
-      if (floor0.forall(newFloor < _)) {
-        val existing =
-          try new String(
-            Files.readAllBytes(Paths.get(floorPath)), StandardCharsets.UTF_8)
-          catch { case _: Exception => "{}" }
+      val newFloor = (gateProbes ++ floor0.toVector).min
+      val path = Paths.get(floorPath)
+      val readable =
+        try {
+          val existing =
+            if (Files.exists(path))
+              new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
+            else "{}"
+          Some(existing)
+        } catch { case _: Exception => None }
+      if (floor0.forall(newFloor < _)) readable.foreach { existing =>
         val entryPat = java.util.regex.Pattern.compile(
           "\"([^\"]+)\":([0-9.eE+-]+)")
         val mm = entryPat.matcher(existing)
@@ -294,8 +307,11 @@ object Bench {
         entries += floorKey -> newFloor.toString
         val body = entries.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-        Files.write(Paths.get(floorPath),
-          (body + "\n").getBytes(StandardCharsets.UTF_8))
+        val tmp = Paths.get(floorPath + ".tmp")
+        Files.write(tmp, (body + "\n").getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, path,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
     }
     val total = results.map(_._2).sum

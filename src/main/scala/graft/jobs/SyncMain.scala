@@ -104,6 +104,14 @@ object SyncMain {
         case Array("--retentionEvery", v) => a.copy(retentionEvery = v.toLong)
         case other => sys.error(s"unknown argument '${other.mkString("=")}'")
       }
+    } match {
+      case a =>
+        // silently ignoring a misplaced retention flag would run the
+        // stream with TTL off and strand the ops loop (the PrepareMain
+        // --report precedent: fail loudly instead)
+        require(a.retention.isEmpty || a.job == "intakeState",
+          "--retention/--retentionEvery apply only to --job=intakeState")
+        a
     }
 
   def registerBackend(spec: String): String = spec match {

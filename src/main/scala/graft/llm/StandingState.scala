@@ -449,7 +449,9 @@ object StandingState {
       val corpusIds = spark.read.parquet(corpusPath)
         .select("doc_id").distinct()
       val kept = labels.join(corpusIds, Seq("doc_id"), "left_semi")
-      val ghosts = labels.count() - kept.count()
+      // one anti-join scan, not count(labels) - count(kept): the lease
+      // is held through this phase and concurrent ingests wait on it
+      val ghosts = labels.join(corpusIds, Seq("doc_id"), "left_anti").count()
       if (ghosts == 0L) 0L
       else {
         val recounted = kept.drop("cluster_size")
@@ -980,8 +982,7 @@ object StandingState {
     // briefly holding the lease at this instant would make heal() skip
     // and re-open exactly that downgrade
     healStranded(spark, statePath, "digests", "expire:healDigests")
-    val keyed = tableExists(spark, s"$statePath/digests") &&
-      spark.read.parquet(s"$statePath/digests").columns.contains("doc_id")
+    val keyed = digestsKeyed(spark, statePath)
     val n =
       if (keyed) expireKeyed(spark, statePath, corpusPath, pred)
       else expireRebuild(spark, statePath, corpusPath, pred) match {
@@ -1081,8 +1082,7 @@ object StandingState {
       statePath: String,
       corpusPath: String): Boolean = {
     heal(spark, statePath, "digests")
-    val alreadyKeyed = tableExists(spark, s"$statePath/digests") &&
-      spark.read.parquet(s"$statePath/digests").columns.contains("doc_id")
+    val alreadyKeyed = digestsKeyed(spark, statePath)
     if (alreadyKeyed) false
     else withLeaseRetry(spark, statePath, "migrateToKeyed") {
       import org.apache.hadoop.fs.{Path => HPath}
@@ -1095,8 +1095,7 @@ object StandingState {
       // outside check — or a migration racing an expire-rebuild — can
       // both pass it; the loser must keep the no-op promise rather than
       // re-run the O(corpus) rebuild
-      val keyedNow = tableExists(spark, s"$statePath/digests") &&
-        spark.read.parquet(s"$statePath/digests").columns.contains("doc_id")
+      val keyedNow = digestsKeyed(spark, statePath)
       if (keyedNow) false else {
       val meta = {
         val r = spark.read.parquet(s"$statePath/meta").head()
@@ -1155,8 +1154,7 @@ object StandingState {
       // or keyed writer landing in expire's sniff->acquire window must
       // not have its doc-keyed artifacts silently rebuilt payload-free —
       // hand the pass back to the dispatcher, which subtracts instead
-      val keyedNow = tableExists(spark, s"$statePath/digests") &&
-        spark.read.parquet(s"$statePath/digests").columns.contains("doc_id")
+      val keyedNow = digestsKeyed(spark, statePath)
       if (keyedNow) None
       else {
       val corpus0 = spark.read.parquet(corpusPath)
@@ -1524,6 +1522,20 @@ object StandingState {
     * file:), where a local-File check is always false (which would e.g.
     * silently drop the frozen centroids and re-run a Lloyd training every
     * ingest). One probe idiom for every optional state table. */
+  /** The digest-regime predicate every expire/migrate decision pivots
+    * on: a state is DOC-KEYED iff its digests table exists and carries
+    * the doc_id column (regimes are self-describing from schema — no
+    * meta flag to drift). ONE implementation: the sniff is the
+    * correctness pivot of the retention surface, and hand-copied
+    * instances drifting independently is how a silent
+    * keyed->payload-free downgrade gets reintroduced. Callers are
+    * responsible for healing a crashed swap FIRST ([[healStranded]]
+    * outside a lease, [[healTable]] under one) — a stranded table reads
+    * as absent here. */
+  private def digestsKeyed(spark: SparkSession, statePath: String): Boolean =
+    tableExists(spark, s"$statePath/digests") &&
+      spark.read.parquet(s"$statePath/digests").columns.contains("doc_id")
+
   private def tableExists(spark: SparkSession, path: String): Boolean =
     try { spark.read.parquet(path); true }
     catch { case _: org.apache.spark.sql.AnalysisException => false }
