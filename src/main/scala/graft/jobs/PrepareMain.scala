@@ -23,6 +23,10 @@ import graft.llm.{CorpusPipeline, StandingState}
   *     [--breakStateLease]                               # crashed-lease recovery (see below)
   *     [--expireState=<sql predicate>] # RETENTION: drop corpus rows matching the
   *                                     # predicate + their state artifacts (TTL ops)
+  *     [--expireEmbeddings=<sql predicate>] # the EMBEDDING state's twin (--standing
+  *                                     # names the standing VECTOR table)
+  *     [--expireMedia=<sql predicate>] # the MEDIA state's twin (--standing names
+  *                                     # the standing MEDIA table)
   *     [--migrateToKeyed]              # one-time legacy -> doc-keyed state migration
   *     [--tau=0.8] [--minWords=20] [--maxWords=100000]
   *     [--normalize] [--packBudget=2048]
@@ -49,7 +53,12 @@ import graft.llm.{CorpusPipeline, StandingState}
   * an O(expired) anti-join; it no-ops on an already-keyed state. Both
   * run BEFORE a prepare pass when combined with one (expire old rows
   * first, then ingest the new batch) and need `--standing` (the corpus
-  * table retention rewrites).
+  * table retention rewrites). `--expireEmbeddings`/`--expireMedia` are
+  * the vector/media twins ([[StandingState.expireEmbeddings]] /
+  * [[StandingState.expireMedia]]) — MAINTENANCE-ONLY (the text prepare
+  * pipeline has no business mid-run with those states), with
+  * `--standing` naming the respective standing table; each invocation
+  * carries exactly ONE of the three expire flags.
   *
   * Modes:
   *  - `--in` + `--out` only: full [[CorpusPipeline.prepare]] (with
@@ -79,6 +88,8 @@ object PrepareMain {
       compactState: Boolean = false,
       breakStateLease: Boolean = false,
       expireState: Option[String] = None,
+      expireEmbeddings: Option[String] = None,
+      expireMedia: Option[String] = None,
       migrateToKeyed: Boolean = false,
       tau: Double = 0.8,
       minWords: Int = 20,
@@ -100,6 +111,8 @@ object PrepareMain {
         case Array("--compactState") => a.copy(compactState = true)
         case Array("--breakStateLease") => a.copy(breakStateLease = true)
         case Array("--expireState", v) => a.copy(expireState = Some(v))
+        case Array("--expireEmbeddings", v) => a.copy(expireEmbeddings = Some(v))
+        case Array("--expireMedia", v) => a.copy(expireMedia = Some(v))
         case Array("--migrateToKeyed") => a.copy(migrateToKeyed = true)
         case Array("--tau", v) => a.copy(tau = v.toDouble)
         case Array("--minWords", v) => a.copy(minWords = v.toInt)
@@ -112,8 +125,9 @@ object PrepareMain {
     // maintenance-only: state upkeep without a prepare pass
     val maintenanceOnly =
       a.in.isEmpty && a.out.isEmpty && a.state.nonEmpty &&
-        (a.breakStateLease || a.compactState ||
-          a.expireState.nonEmpty || a.migrateToKeyed) && !a.appendState
+        (a.breakStateLease || a.compactState || a.expireState.nonEmpty ||
+          a.expireEmbeddings.nonEmpty || a.expireMedia.nonEmpty ||
+          a.migrateToKeyed) && !a.appendState
     require(maintenanceOnly || (a.in.nonEmpty && a.out.nonEmpty),
       "--in and --out are required (except a maintenance-only --state + " +
         "--breakStateLease/--compactState/--expireState/--migrateToKeyed invocation)")
@@ -124,6 +138,18 @@ object PrepareMain {
     require(!a.breakStateLease || a.state.nonEmpty, "--breakStateLease needs --state")
     require(a.expireState.isEmpty || (a.state.nonEmpty && a.standing.nonEmpty),
       "--expireState needs --state and --standing (retention rewrites the corpus table)")
+    require(
+      Seq(a.expireState, a.expireEmbeddings, a.expireMedia).count(_.nonEmpty) <= 1,
+      "--expireState/--expireEmbeddings/--expireMedia are mutually exclusive " +
+        "(--standing names ONE table per invocation)")
+    require(a.expireEmbeddings.isEmpty ||
+        (a.in.isEmpty && a.state.nonEmpty && a.standing.nonEmpty),
+      "--expireEmbeddings is maintenance-only and needs --state and --standing " +
+        "(the standing VECTOR table)")
+    require(a.expireMedia.isEmpty ||
+        (a.in.isEmpty && a.state.nonEmpty && a.standing.nonEmpty),
+      "--expireMedia is maintenance-only and needs --state and --standing " +
+        "(the standing MEDIA table)")
     require(!a.migrateToKeyed || (a.state.nonEmpty && a.standing.nonEmpty),
       "--migrateToKeyed needs --state and --standing (artifacts rebuild from the corpus)")
     // the attrition report exists only for the full-batch pipeline
@@ -153,10 +179,14 @@ object PrepareMain {
     if (a.migrateToKeyed)
       StandingState.migrateToKeyed(spark, a.state.get, a.standing.get)
     val nExpired = a.expireState.fold(0L)(p =>
-      StandingState.expire(spark, a.state.get, a.standing.get, expr(p)))
+      StandingState.expire(spark, a.state.get, a.standing.get, expr(p))) +
+      a.expireEmbeddings.fold(0L)(p =>
+        StandingState.expireEmbeddings(spark, a.state.get, a.standing.get, expr(p))) +
+      a.expireMedia.fold(0L)(p =>
+        StandingState.expireMedia(spark, a.state.get, a.standing.get, expr(p)))
     if (a.in.isEmpty) { // maintenance-only invocation
       if (a.compactState) StandingState.compact(spark, a.state.get, a.standing)
-      // rows_out reports the corpus rows the retention pass dropped
+      // rows_out reports the rows the retention pass dropped
       return (nExpired, "maintenance")
     }
     val docs = spark.read.parquet(a.in)

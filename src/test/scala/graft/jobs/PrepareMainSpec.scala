@@ -133,6 +133,57 @@ class PrepareMainSpec extends SparkSpec {
       .collect().toSeq === Seq(10L))
   }
 
+  test("CLI retention twins: --expireEmbeddings / --expireMedia run the vector/media TTL loops") {
+    // preconditions: maintenance-only, one expire flag per invocation
+    intercept[IllegalArgumentException] {
+      PrepareMain.parseArgs(Array("--in=/i", "--out=/o", "--state=/sp",
+        "--standing=/st", "--expireEmbeddings=vec_id < 2"))
+    }
+    intercept[IllegalArgumentException] {
+      PrepareMain.parseArgs(Array("--state=/sp", "--standing=/st",
+        "--expireState=doc_id < 2", "--expireMedia=media_id < 2"))
+    }
+    // EMBEDDING twin e2e
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(seed * 31 + i) * 0.5).toFloat)
+    val vecsDir = tmp("cli_vecs_")
+    Seq((1L, vec(1)), (2L, vec(2))).toDF("vec_id", "embedding")
+      .withColumn("label", lit("s"))
+      .write.mode("overwrite").parquet(vecsDir)
+    val vState = tmp("cli_vstate_")
+    graft.llm.StandingState.writeEmbBuckets(spark.read.parquet(vecsDir), vState)
+    val (nV, modeV) = PrepareMain.run(spark, PrepareMain.parseArgs(Array(
+      s"--state=$vState", s"--standing=$vecsDir",
+      "--expireEmbeddings=vec_id = 1")))
+    assert(modeV === "maintenance" && nV === 1L)
+    assert(spark.read.parquet(vecsDir).select("vec_id").as[Long]
+      .collect().toSeq === Seq(2L))
+    // the expired vector's replica re-admits; the retained one's drops
+    assert(graft.streaming.CorpusIntakeJob.ingestEmbeddingBatch(
+      Seq((900L, vec(1)), (901L, vec(2))).toDF("vec_id", "embedding"),
+      vState, vecsDir, tau = 0.999) === 1L)
+    // MEDIA twin e2e (engineered rasters — see the aHash note)
+    val mk: Int => String = i =>
+      (0 until 20).map { j =>
+        if (((i.toLong * 2654435761L >> j) & 1L) == 1L) "!!!!!" else "zzzzz"
+      }.mkString(" ")
+    def mediaOf(rows: (Long, String)*) =
+      graft.llm.Multimodal.asMedia(rows.toDF("doc_id", "text"))
+    val mediaDir = tmp("cli_media_")
+    mediaOf(1L -> mk(1), 2L -> mk(2)).write.mode("overwrite").parquet(mediaDir)
+    val mState = tmp("cli_mstate_")
+    graft.llm.StandingState.writeMediaState(
+      graft.llm.Multimodal.imagePhash(spark.read.parquet(mediaDir)), mState)
+    val (nM, _) = PrepareMain.run(spark, PrepareMain.parseArgs(Array(
+      s"--state=$mState", s"--standing=$mediaDir",
+      "--expireMedia=media_id = 1")))
+    assert(nM === 1L)
+    assert(graft.streaming.CorpusIntakeJob.ingestMediaBatch(
+      mediaOf(900L -> mk(1)), mState, mediaDir) === 1L)
+    assert(graft.streaming.CorpusIntakeJob.ingestMediaBatch(
+      mediaOf(901L -> mk(2)), mState, mediaDir) === 0L)
+  }
+
   test("batch mode: gate + dedup land in the output, report table written") {
     val in = writeDocs(
       1L -> base(1),
