@@ -1057,6 +1057,76 @@ object ScaleBench {
       println(s"""{"op":"relabel_clusters","labels":$nLab,"expired":$nExp,"expire_relabel_sec":${f"$tExpire%.2f"},"rescan_sec":${f"$tRescan%.2f"},"ghosts_after":$ghosts,"labels_after":$nAfter,"labels_expected":${nLab - 2 * nExp},"sizes_consistent":$sizesOk,"rescan_noop":${noop == 0L}}""")
     }
 
+    // relabelClusters on the BUCKETED layout: same 100k-label / 50k-
+    // cluster state bucketed under nParts = 64 — cluster_id is the even
+    // member, so only the 32 EVEN cparts hold data — with the expiry
+    // CONCENTRATED on clusters whose cpart is in {0, 2}: the predicate
+    // `even && doc_id % 64 < 4` ghosts ~3,125 clusters all living in 2
+    // of the 32 populated partitions. The probe pins the touched-
+    // partition claim DIRECTLY: a per-partition file census (name, size,
+    // mtime) taken before and after must show exactly the 2 ghost-
+    // bearing partitions rewritten and the other 30 byte-identical —
+    // plus the usual fixed points (zero ghosts, exact sizes, no-op
+    // re-scan).
+    locally {
+      val tmp = java.nio.file.Files.createTempDirectory("relabel_bucketed")
+      val corpusDir = s"$tmp/corpus"
+      val statePath = s"$tmp/state"
+      val nLab = 100000L
+      val nParts = 64
+      val corpus = spark.range(nLab).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", lit("the tale of and to in"),
+          concat(lit("b"), col("id")), concat(lit("c"), col("id")),
+          concat(lit("d"), col("id"))).as("text"))
+      corpus.write.mode("overwrite").parquet(corpusDir)
+      StandingState.write(spark.read.parquet(corpusDir), statePath)
+      StandingState.writeClustersPartitioned(
+        spark.range(nLab).select(
+          col("id").as("doc_id"),
+          (col("id") - pmod(col("id"), lit(2L))).as("cluster_id"),
+          lit(2).as("cluster_size")),
+        statePath, nParts)
+      def census(): Map[String, Set[(String, Long, Long)]] = {
+        import scala.jdk.CollectionConverters._
+        val dir = java.nio.file.Paths.get(statePath, "clusters")
+        java.nio.file.Files.list(dir).iterator().asScala
+          .filter(_.getFileName.toString.startsWith("cpart="))
+          .map { p =>
+            p.getFileName.toString ->
+              java.nio.file.Files.list(p).iterator().asScala
+                .map(f => (f.getFileName.toString,
+                  java.nio.file.Files.size(f),
+                  java.nio.file.Files.getLastModifiedTime(f).toMillis))
+                .toSet
+          }.toMap
+      }
+      val before = census()
+      val (nExp, tExpire) = timed {
+        StandingState.expire(spark, statePath, corpusDir,
+          col("doc_id") % 2 === 0 && pmod(col("doc_id"), lit(64L)) < 4,
+          relabelClusters = true)
+      }
+      val after = census()
+      val changed = after.keySet.filter(k => before.get(k) != after.get(k)) ++
+        (before.keySet -- after.keySet)
+      val lab = spark.read.parquet(s"$statePath/clusters")
+        .localCheckpoint(true)
+      val ghosts = lab.join(
+        spark.read.parquet(corpusDir).select("doc_id"),
+        Seq("doc_id"), "left_anti").count()
+      val sizesOk = lab.groupBy("cluster_id", "cluster_size")
+        .agg(count(lit(1)).as("m"))
+        .filter(col("m") =!= col("cluster_size") || col("cluster_size") < 2)
+        .count() == 0L
+      val nAfter = lab.count()
+      val (noop, tRescan) = timed {
+        StandingState.relabelClusters(spark, statePath, corpusDir)
+      }
+      val noopUntouched = census() == after
+      println(s"""{"op":"relabel_clusters_bucketed","labels":$nLab,"parts_populated":${before.size},"expired":$nExp,"expire_relabel_sec":${f"$tExpire%.2f"},"rescan_sec":${f"$tRescan%.2f"},"parts_rewritten":${changed.size},"parts_expected":2,"touched_only":${changed == Set("cpart=0", "cpart=2")},"ghosts_after":$ghosts,"labels_after":$nAfter,"labels_expected":${nLab - 2 * nExp},"sizes_consistent":$sizesOk,"rescan_noop":${noop == 0L && noopUntouched}}""")
+    }
+
     // Trained-LR weight delivery at fastText-production m (2^18 hash
     // buckets): above spark.graft.lr.literalWeightCap the m+1-entry
     // weight map becomes a broadcast-joined (bucket, weight) frame —

@@ -430,10 +430,18 @@ object StandingState {
     * expired-id input, is idempotent, and can run any time after one or
     * MORE [[expire]] passes — or fold into the pass itself via
     * `expire(..., relabelClusters = true)`. Both cluster layouts are
-    * preserved (the bucketed layout rewrites partitioned under the
-    * pinned modulus; the whole-table rewrite is the legacy layout's
+    * preserved — and the BUCKETED layout rewrites ONLY the ghost-bearing
+    * partitions: `cpart = pmod(cluster_id, nParts)` is a pure function
+    * of cluster_id, so every member of a ghost cluster lives in that
+    * cluster's partition, sizes change nowhere else, and a partition
+    * without ghosts is bit-identical before and after the recount — its
+    * files are never opened for write. The rewrite rides the same
+    * staged-partition roll-forward protocol as
+    * [[updateClustersPartitioned]] (stage -> marker -> per-partition
+    * rename; crash before the marker rolls back, after it rolls
+    * forward). The whole-table rewrite remains the legacy layout's
     * documented cost — labels are orders of magnitude smaller than the
-    * corpus). Returns the number of ghost label rows dropped. */
+    * corpus. Returns the number of ghost label rows dropped. */
   def relabelClusters(
       spark: SparkSession,
       statePath: String,
@@ -449,49 +457,84 @@ object StandingState {
       val corpusIds = spark.read.parquet(corpusPath)
         .select("doc_id").distinct()
       val kept = labels.join(corpusIds, Seq("doc_id"), "left_semi")
-      // one anti-join scan, not count(labels) - count(kept): the lease
-      // is held through this phase and concurrent ingests wait on it
-      val ghosts = labels.join(corpusIds, Seq("doc_id"), "left_anti").count()
+      // ghost ROWS, not just a count — the bucketed branch keys its
+      // touched-partition list by their cluster_ids. One anti-join scan;
+      // the lease is held through this phase and concurrent ingests
+      // wait on it. Checkpointed so the count, the partition collect
+      // and the staged write don't re-run the anti-join (and the last
+      // two don't re-read a live table mid-mutation).
+      val ghostRows = labels.join(corpusIds, Seq("doc_id"), "left_anti")
+        .select("cluster_id").localCheckpoint(true)
+      val ghosts = ghostRows.count()
       if (ghosts == 0L) 0L
       else {
-        val recounted = kept.drop("cluster_size")
+        // recount sizes over the surviving members of `rows`' clusters
+        // and drop clusters shrunk below two members
+        def recountOf(rows: DataFrame): DataFrame = rows
+          .drop("cluster_size")
           .join(
-            kept.groupBy("cluster_id")
+            rows.groupBy("cluster_id")
               .agg(count(lit(1)).cast("int").as("cluster_size")),
             Seq("cluster_id"))
           .filter(col("cluster_size") >= 2)
           .select("doc_id", "cluster_id", "cluster_size")
-          // the swap below must not re-read the live table it replaces,
-          // and the empty-result branch needs the count anyway
-          .localCheckpoint(true)
         val partitioned = tableExists(spark, s"$statePath/clusters_meta")
-        // EMPTY RESULT in the bucketed layout: a dynamic partitionBy
-        // write of zero rows emits zero partition dirs (just _SUCCESS),
-        // which would swap in as an unreadable table. Degrade the
-        // layout to the plain one instead: drop clusters_meta FIRST
-        // (crash between the delete and the swap leaves a meta-less
-        // but still-readable partitioned table — the legacy code paths
-        // handle a cpart data column), then swap in the schema-bearing
-        // empty plain table.
-        val empty = recounted.isEmpty
-        if (empty && partitioned) {
-          import org.apache.hadoop.fs.{Path => HPath}
-          val meta = new HPath(s"$statePath/clusters_meta")
-          meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .delete(meta, true)
-        }
-        // mode("overwrite"): a pass that crashed after staging leaves
-        // the staged dir behind (healTable only restores the LIVE dir),
-        // and the next pass must overwrite it, not die path-exists —
-        // the updateClusters/expireRebuild swap discipline
-        swapTable(spark, statePath, "clusters") { staged =>
-          if (partitioned && !empty) {
-            val nParts = spark.read.parquet(s"$statePath/clusters_meta")
-              .head().getAs[Int]("n_parts")
-            recounted
-              .withColumn("cpart", cpartCol(col("cluster_id"), nParts))
-              .write.mode("overwrite").partitionBy("cpart").parquet(staged)
-          } else recounted.write.mode("overwrite").parquet(staged)
+        if (partitioned) {
+          val nParts = spark.read.parquet(s"$statePath/clusters_meta")
+            .head().getAs[Int]("n_parts")
+          // TOUCHED partitions = the ghost clusters' cparts: cpart is a
+          // pure function of cluster_id, so a ghost's co-members (whose
+          // sizes change) live in the same partition, and every other
+          // partition is bit-identical after the recount. <= nParts
+          // values collected.
+          val parts = ghostRows
+            .select(cpartCol(col("cluster_id"), nParts).as("p"))
+            .distinct().collect().map(_.getLong(0)).sorted
+          val touched = kept.filter(
+            cpartCol(col("cluster_id"), nParts).isin(parts.toIndexedSeq: _*))
+          // checkpointed: the emptiness probe below must not recompute
+          // the join, and the staged write must not re-read the live
+          // table after the commit begins
+          val recounted = recountOf(touched).localCheckpoint(true)
+          // EMPTY TABLE in the bucketed layout: a dynamic partitionBy
+          // write of zero rows emits zero partition dirs (just
+          // _SUCCESS), which would brick the table. Emptiness here is
+          // GLOBAL — no surviving rows in the touched partitions AND no
+          // rows outside them (untouched partitions hold no ghosts, so
+          // labels == kept there). Degrade the layout to the plain one:
+          // drop clusters_meta FIRST (a crash between the delete and
+          // the swap leaves a meta-less but still-readable partitioned
+          // table — the legacy code paths handle a cpart data column),
+          // then swap in the schema-bearing empty plain table.
+          val globalEmpty = recounted.isEmpty && labels.filter(
+            !cpartCol(col("cluster_id"), nParts)
+              .isin(parts.toIndexedSeq: _*)).isEmpty
+          if (globalEmpty) {
+            import org.apache.hadoop.fs.{Path => HPath}
+            val meta = new HPath(s"$statePath/clusters_meta")
+            meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(meta, true)
+            swapTable(spark, statePath, "clusters") { staged =>
+              recounted.write.mode("overwrite").parquet(staged)
+            }
+          } else
+            // ghost-bearing partitions only, through the same staged
+            // roll-forward protocol as updateClustersPartitioned —
+            // untouched partitions' files are never opened for write
+            stageAndCommitClusterParts(
+              spark, statePath, recounted, parts, nParts)
+        } else {
+          val recounted = recountOf(kept)
+            // the swap below must not re-read the live table it replaces
+            .localCheckpoint(true)
+          // mode("overwrite"): a pass that crashed after staging leaves
+          // the staged dir behind (healTable only restores the LIVE
+          // dir), and the next pass must overwrite it, not die
+          // path-exists — the updateClusters/expireRebuild swap
+          // discipline
+          swapTable(spark, statePath, "clusters") { staged =>
+            recounted.write.mode("overwrite").parquet(staged)
+          }
         }
         ghosts
       }
@@ -556,32 +599,48 @@ object StandingState {
       val parts = rootMap.select(cpartCol(col("old_root"), nParts).as("p"))
         .union(touchedRows.select(cpartCol(col("cluster_id"), nParts).as("p")))
         .distinct().collect().map(_.getLong(0)).sorted
-      if (parts.nonEmpty) {
-        val base = new HPath(path)
-        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val staged = new HPath(base, "clusters__parts_staged")
-        if (fs.exists(staged)) fs.delete(staged, true)
-        // 1. STAGE: materializes the replacement rows for every touched
-        // partition (this write READS the live table; live dirs are only
-        // touched after it completes)
-        updated.withColumn("cpart", cpartCol(col("cluster_id"), nParts))
-          .filter(col("cpart").isin(parts.toIndexedSeq: _*))
-          .write.mode("overwrite").partitionBy("cpart").parquet(staged.toString)
-        // a touched partition whose clusters ALL merged away yields no rows
-        // and hence no staged dir — stage an explicit EMPTY dir so the
-        // commit still clears its live twin (otherwise the moved rows'
-        // stale copies would survive at their old location)
-        parts.foreach { p =>
-          val d = new HPath(staged, s"cpart=$p")
-          if (!fs.exists(d)) fs.mkdirs(d)
-        }
-        // 2. COMMIT POINT: marker makes the staged partitions authoritative
-        val marker = new HPath(base, "clusters__parts_commit")
-        fs.create(marker, true).close()
-        // 3. per-partition swap + cleanup (idempotent; recovery re-runs it)
-        commitClusterParts(fs, base)
-      }
+      if (parts.nonEmpty)
+        stageAndCommitClusterParts(spark, path, updated, parts, nParts)
     }
+  }
+
+  /** Steps 1–3 of the touched-partition commit, shared by
+    * [[updateClustersPartitioned]] and [[relabelClusters]]: stage the
+    * replacement rows for every partition in `parts` under
+    * `clusters__parts_staged/` (plus an explicit EMPTY dir for any
+    * touched partition whose rows all merged or dropped away, so the
+    * commit still clears its live twin — otherwise the stale rows would
+    * survive at their old location), drop the `clusters__parts_commit`
+    * marker, then roll each staged partition forward over its live twin.
+    * Caller must hold the state lease and must not mutate the live table
+    * first — the staged write is the last reader of the pre-commit rows
+    * (live dirs are only touched after it completes). */
+  private def stageAndCommitClusterParts(
+      spark: SparkSession,
+      path: String,
+      rows: DataFrame,
+      parts: Array[Long],
+      nParts: Int): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val base = new HPath(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new HPath(base, "clusters__parts_staged")
+    // a leftover staging dir from a crashed pass (no marker -> the live
+    // table was never touched) is overwritten, not a path-exists error
+    if (fs.exists(staged)) fs.delete(staged, true)
+    // 1. STAGE
+    rows.withColumn("cpart", cpartCol(col("cluster_id"), nParts))
+      .filter(col("cpart").isin(parts.toIndexedSeq: _*))
+      .write.mode("overwrite").partitionBy("cpart").parquet(staged.toString)
+    parts.foreach { p =>
+      val d = new HPath(staged, s"cpart=$p")
+      if (!fs.exists(d)) fs.mkdirs(d)
+    }
+    // 2. COMMIT POINT: marker makes the staged partitions authoritative
+    val marker = new HPath(base, "clusters__parts_commit")
+    fs.create(marker, true).close()
+    // 3. per-partition swap + cleanup (idempotent; recovery re-runs it)
+    commitClusterParts(fs, base)
   }
 
   /** Step 3 of the partitioned commit: move each staged partition dir

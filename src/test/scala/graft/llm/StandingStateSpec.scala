@@ -1019,6 +1019,113 @@ class StandingStateSpec extends SparkSpec {
     }
   }
 
+  test("relabelClusters bucketed: only ghost-bearing partitions rewritten, rest byte-untouched") {
+    val mk: Int => String = i =>
+      "the tale of and to in " + (1 to 18).map(j => s"tp${i}x$j").mkString(" ")
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("tpart_docs_").toString
+    // 4 two-member clusters whose cluster_ids (= min member) land in 4
+    // DISTINCT cparts under nParts = 4: 1 % 4 = 1, 10 % 4 = 2,
+    // 20 % 4 = 0, 31 % 4 = 3
+    val members = Seq(1L, 2L, 10L, 11L, 20L, 21L, 31L, 32L)
+    members.map(i => (i, mk(i.toInt))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(corpusDir)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("tpart_state_").toString
+    StandingState.write(spark.read.parquet(corpusDir), statePath)
+    StandingState.writeClustersPartitioned(
+      Dedup.duplicateClusters(
+        Seq((1L, 2L), (10L, 11L), (20L, 21L), (31L, 32L))
+          .toDF("doc_a", "doc_b")),
+      statePath, 4)
+    // snapshot every partition's file census (name, size, mtime)
+    def census(): Map[String, Set[(String, Long, Long)]] = {
+      import scala.jdk.CollectionConverters._
+      val dir = java.nio.file.Paths.get(statePath, "clusters")
+      java.nio.file.Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("cpart="))
+        .map { p =>
+          p.getFileName.toString ->
+            java.nio.file.Files.list(p).iterator().asScala
+              .map(f => (f.getFileName.toString, java.nio.file.Files.size(f),
+                java.nio.file.Files.getLastModifiedTime(f).toMillis)).toSet
+        }.toMap
+    }
+    val before = census()
+    assert(before.keySet === Set("cpart=0", "cpart=1", "cpart=2", "cpart=3"))
+    // expire doc 2 (ghosts cluster 1, cpart=1 -> partner 1 drops as a
+    // singleton) and doc 11 (ghosts cluster 10, cpart=2 -> partner 10
+    // drops) — cparts 0 and 3 must not be opened for write
+    assert(StandingState.expire(spark, statePath, corpusDir,
+      expr("doc_id IN (2, 11)"), relabelClusters = true) === 2L)
+    val after = census()
+    assert(after("cpart=0") === before("cpart=0"), "untouched partition rewritten")
+    assert(after("cpart=3") === before("cpart=3"), "untouched partition rewritten")
+    assert(after("cpart=1") !== before("cpart=1"))
+    assert(after("cpart=2") !== before("cpart=2"))
+    // row-identical to the whole-rewrite semantics: clusters 1 and 10
+    // emptied to singletons and dropped; 20 and 31 intact
+    assert(StandingState.loadClusters(spark, statePath)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Int)].collect().toSet ===
+      Set((20L, 20L, 2), (21L, 20L, 2), (31L, 31L, 2), (32L, 31L, 2)))
+    assert(spark.read.parquet(s"$statePath/clusters_meta")
+      .head().getAs[Int]("n_parts") === 4)
+    // idempotent re-scan is a no-op — and rewrites NOTHING
+    val afterNoop = census()
+    assert(StandingState.relabelClusters(spark, statePath, corpusDir) === 0L)
+    assert(census() === afterNoop, "no-op pass must not rewrite any partition")
+  }
+
+  test("relabelClusters bucketed crash shapes: parts_staged rollback, parts_commit roll-forward") {
+    val mk: Int => String = i =>
+      "the tale of and to in " + (1 to 18).map(j => s"pc${i}x$j").mkString(" ")
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("pcrash_docs_").toString
+    Seq(1L, 2L, 3L, 10L, 11L).map(i => (i, mk(i.toInt)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(corpusDir)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("pcrash_state_").toString
+    StandingState.write(spark.read.parquet(corpusDir), statePath)
+    StandingState.writeClustersPartitioned(
+      Dedup.duplicateClusters(
+        Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")),
+      statePath, 4)
+    // (a) LEFTOVER parts_staged WITHOUT a marker (crash mid-stage: the
+    // live table was never touched) — the next relabel pass must
+    // overwrite it and proceed, and the junk must not leak into labels
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(statePath, "clusters__parts_staged", "cpart=1"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        statePath, "clusters__parts_staged", "cpart=1", "junk"),
+      "junk".getBytes("UTF-8"))
+    assert(StandingState.expire(spark, statePath, corpusDir,
+      expr("doc_id = 2"), relabelClusters = true) === 1L)
+    // bridge coarsening: 1 and 3 stay co-labeled, size recounted
+    assert(StandingState.loadClusters(spark, statePath)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Int)].collect().toSet ===
+      Set((1L, 1L, 2), (3L, 1L, 2), (10L, 10L, 2), (11L, 10L, 2)))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(statePath, "clusters__parts_staged")),
+      "staging area must be cleared after the commit")
+    // (b) CRASH AFTER THE MARKER: the staged partitions are
+    // authoritative and the next load must roll them FORWARD. Simulate
+    // by staging a hand-built replacement for cpart=2 (cluster 10
+    // shrunk to nothing -> empty dir) plus the marker.
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(statePath, "clusters__parts_staged", "cpart=2"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(statePath, "clusters__parts_commit"))
+    assert(StandingState.loadClusters(spark, statePath)
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 3L),
+      "marker must roll the staged empty partition forward on load")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(statePath, "clusters__parts_commit")))
+  }
+
   test("relabelClusters crash shapes: leftover staged dir, stranded table, emptied labels") {
     val mk: Int => String = i =>
       "the tale of and to in " + (1 to 18).map(j => s"rx${i}x$j").mkString(" ")
