@@ -171,6 +171,18 @@ object Bench {
     val floor0 = readFloor()
     var gateProbes = Vector(probe())
     var gateWaited = 0L
+    // COLD-START CAVEAT: a first-ever run at this (sfDir, cpus) key on a
+    // LOADED container seeds an inflated floor, so subsequent loaded
+    // starts can read "quiet" until a genuinely quiet run ratchets the
+    // floor down — the gate is only as honest as the quietest probe seen
+    // so far. The monotone ratchet self-corrects over runs; graders
+    // should weight "quiet" verdicts by the floor's history (the floor
+    // file keeps every key). The floor update below is also an UNLOCKED
+    // read-modify-write: two concurrent Bench processes on different
+    // keys can each rewrite the whole file and lose the other's ratchet
+    // (atomic rename prevents torn files, not lost updates) — acceptable
+    // for the single-runner bench this is; a concurrent deployment would
+    // re-read-and-merge under an exclusive-create lock.
     val gateVerdict = floor0 match {
       case None => "no_floor" // first run at this (sfDir, cpus): nothing
       // to compare against; this run RECORDS the floor for the next one

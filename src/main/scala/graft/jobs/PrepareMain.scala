@@ -23,10 +23,15 @@ import graft.llm.{CorpusPipeline, StandingState}
   *     [--breakStateLease]                               # crashed-lease recovery (see below)
   *     [--expireState=<sql predicate>] # RETENTION: drop corpus rows matching the
   *                                     # predicate + their state artifacts (TTL ops)
-  *     [--expireEmbeddings=<sql predicate>] # the EMBEDDING state's twin (--standing
-  *                                     # names the standing VECTOR table)
-  *     [--expireMedia=<sql predicate>] # the MEDIA state's twin (--standing names
-  *                                     # the standing MEDIA table)
+  *     [--expireEmbeddings=<sql predicate>] # the EMBEDDING state's twin
+  *                                     # (--standingVecs names the standing VECTOR
+  *                                     # table; --standing still works when this is
+  *                                     # the invocation's only expire flag)
+  *     [--expireMedia=<sql predicate>] # the MEDIA state's twin (--standingMedia
+  *                                     # names the standing MEDIA table; --standing
+  *                                     # fallback as above)
+  *     [--standingVecs=/data/vecs.parquet]   # standing VECTOR table for --expireEmbeddings
+  *     [--standingMedia=/data/media.parquet] # standing MEDIA table for --expireMedia
   *     [--migrateToKeyed]              # one-time legacy -> doc-keyed state migration
   *     [--tau=0.8] [--minWords=20] [--maxWords=100000]
   *     [--normalize] [--packBudget=2048]
@@ -56,9 +61,14 @@ import graft.llm.{CorpusPipeline, StandingState}
   * table retention rewrites). `--expireEmbeddings`/`--expireMedia` are
   * the vector/media twins ([[StandingState.expireEmbeddings]] /
   * [[StandingState.expireMedia]]) — MAINTENANCE-ONLY (the text prepare
-  * pipeline has no business mid-run with those states), with
-  * `--standing` naming the respective standing table; each invocation
-  * carries exactly ONE of the three expire flags.
+  * pipeline has no business mid-run with those states). The three expire
+  * flags COMBINE: a full-state TTL pass over a text+embedding+media
+  * state is ONE invocation running them sequentially (text, then
+  * embeddings, then media — disjoint tables, independent lease cycles),
+  * with `--standingVecs`/`--standingMedia` naming the vector/media
+  * tables; when an embedding- or media-only invocation carries a single
+  * expire flag, `--standing` still names that one table (the legacy
+  * shape). `rows_out` reports the SUM of rows dropped across the passes.
   *
   * Modes:
   *  - `--in` + `--out` only: full [[CorpusPipeline.prepare]] (with
@@ -83,6 +93,8 @@ object PrepareMain {
       embeddings: Option[String] = None,
       report: Option[String] = None,
       standing: Option[String] = None,
+      standingVecs: Option[String] = None,
+      standingMedia: Option[String] = None,
       state: Option[String] = None,
       appendState: Boolean = false,
       compactState: Boolean = false,
@@ -106,6 +118,8 @@ object PrepareMain {
         case Array("--embeddings", v) => a.copy(embeddings = Some(v))
         case Array("--report", v) => a.copy(report = Some(v))
         case Array("--standing", v) => a.copy(standing = Some(v))
+        case Array("--standingVecs", v) => a.copy(standingVecs = Some(v))
+        case Array("--standingMedia", v) => a.copy(standingMedia = Some(v))
         case Array("--state", v) => a.copy(state = Some(v))
         case Array("--appendState") => a.copy(appendState = true)
         case Array("--compactState") => a.copy(compactState = true)
@@ -138,18 +152,22 @@ object PrepareMain {
     require(!a.breakStateLease || a.state.nonEmpty, "--breakStateLease needs --state")
     require(a.expireState.isEmpty || (a.state.nonEmpty && a.standing.nonEmpty),
       "--expireState needs --state and --standing (retention rewrites the corpus table)")
-    require(
-      Seq(a.expireState, a.expireEmbeddings, a.expireMedia).count(_.nonEmpty) <= 1,
-      "--expireState/--expireEmbeddings/--expireMedia are mutually exclusive " +
-        "(--standing names ONE table per invocation)")
+    // the three expire flags COMBINE (a full-state TTL pass is one
+    // invocation); the vector/media twins resolve their standing table
+    // from --standingVecs/--standingMedia, falling back to --standing
+    // only when that twin is the invocation's SOLE expire flag (the
+    // legacy single-expire shape) — a combined pass must name each table
+    // explicitly, or two expires would rewrite the same directory
     require(a.expireEmbeddings.isEmpty ||
-        (a.in.isEmpty && a.state.nonEmpty && a.standing.nonEmpty),
-      "--expireEmbeddings is maintenance-only and needs --state and --standing " +
-        "(the standing VECTOR table)")
+        (a.in.isEmpty && a.state.nonEmpty && standingVecsOf(a).nonEmpty),
+      "--expireEmbeddings is maintenance-only and needs --state and " +
+        "--standingVecs (the standing VECTOR table; --standing works only " +
+        "when this is the invocation's sole expire flag)")
     require(a.expireMedia.isEmpty ||
-        (a.in.isEmpty && a.state.nonEmpty && a.standing.nonEmpty),
-      "--expireMedia is maintenance-only and needs --state and --standing " +
-        "(the standing MEDIA table)")
+        (a.in.isEmpty && a.state.nonEmpty && standingMediaOf(a).nonEmpty),
+      "--expireMedia is maintenance-only and needs --state and " +
+        "--standingMedia (the standing MEDIA table; --standing works only " +
+        "when this is the invocation's sole expire flag)")
     require(!a.migrateToKeyed || (a.state.nonEmpty && a.standing.nonEmpty),
       "--migrateToKeyed needs --state and --standing (artifacts rebuild from the corpus)")
     // the attrition report exists only for the full-batch pipeline
@@ -159,6 +177,23 @@ object PrepareMain {
       "--report is batch-mode only (prepareWithReport); drop it for incremental runs")
     a
   }
+
+  /** True iff `flag` is the invocation's only expire flag — the legacy
+    * single-expire shape where `--standing` names that twin's table. */
+  private def soleExpire(a: Args, flag: Option[String]): Boolean =
+    flag.nonEmpty &&
+      Seq(a.expireState, a.expireEmbeddings, a.expireMedia).count(_.nonEmpty) == 1
+
+  /** Standing VECTOR table for `--expireEmbeddings` (see the combined-
+    * flags note in [[parseArgs]]). */
+  def standingVecsOf(a: Args): Option[String] =
+    a.standingVecs.orElse(
+      if (soleExpire(a, a.expireEmbeddings)) a.standing else None)
+
+  /** Standing MEDIA table for `--expireMedia`. */
+  def standingMediaOf(a: Args): Option[String] =
+    a.standingMedia.orElse(
+      if (soleExpire(a, a.expireMedia)) a.standing else None)
 
   def cfgOf(a: Args): CorpusPipeline.Config = CorpusPipeline.Config(
     minWords = a.minWords, maxWords = a.maxWords, nearDupTau = a.tau,
@@ -178,12 +213,17 @@ object PrepareMain {
     // already-expired content)
     if (a.migrateToKeyed)
       StandingState.migrateToKeyed(spark, a.state.get, a.standing.get)
+    // sequential, text -> embeddings -> media: the three twins mutate
+    // DISJOINT tables, each under its own lease cycle, so one JVM (and
+    // one flag set) covers the whole daily TTL loop
     val nExpired = a.expireState.fold(0L)(p =>
       StandingState.expire(spark, a.state.get, a.standing.get, expr(p))) +
       a.expireEmbeddings.fold(0L)(p =>
-        StandingState.expireEmbeddings(spark, a.state.get, a.standing.get, expr(p))) +
+        StandingState.expireEmbeddings(
+          spark, a.state.get, standingVecsOf(a).get, expr(p))) +
       a.expireMedia.fold(0L)(p =>
-        StandingState.expireMedia(spark, a.state.get, a.standing.get, expr(p)))
+        StandingState.expireMedia(
+          spark, a.state.get, standingMediaOf(a).get, expr(p)))
     if (a.in.isEmpty) { // maintenance-only invocation
       if (a.compactState) StandingState.compact(spark, a.state.get, a.standing)
       // rows_out reports the rows the retention pass dropped

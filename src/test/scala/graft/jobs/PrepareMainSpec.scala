@@ -134,7 +134,9 @@ class PrepareMainSpec extends SparkSpec {
   }
 
   test("CLI retention twins: --expireEmbeddings / --expireMedia run the vector/media TTL loops") {
-    // preconditions: maintenance-only, one expire flag per invocation
+    // preconditions: maintenance-only; a COMBINED invocation must name
+    // each twin's table explicitly (--standing covers a twin only when
+    // that twin is the sole expire flag)
     intercept[IllegalArgumentException] {
       PrepareMain.parseArgs(Array("--in=/i", "--out=/o", "--state=/sp",
         "--standing=/st", "--expireEmbeddings=vec_id < 2"))
@@ -182,6 +184,54 @@ class PrepareMainSpec extends SparkSpec {
       mediaOf(900L -> mk(1)), mState, mediaDir) === 1L)
     assert(graft.streaming.CorpusIntakeJob.ingestMediaBatch(
       mediaOf(901L -> mk(2)), mState, mediaDir) === 0L)
+  }
+
+  test("one-invocation full-state TTL: the three expire flags combine and run sequentially") {
+    // ONE state dir carries all three artifact families (text digests/
+    // bands + emb buckets + media phashes/bands) — the deployment shape
+    // the combined invocation exists for: one JVM, one flag set, three
+    // independent lease cycles over disjoint tables
+    val corpusDir = writeDocs(1L -> base(1), 2L -> base(2), 3L -> base(3))
+    val statePath = tmp("full_ttl_state_")
+    graft.llm.StandingState.write(spark.read.parquet(corpusDir), statePath)
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(seed * 31 + i) * 0.5).toFloat)
+    val vecsDir = tmp("full_ttl_vecs_")
+    Seq((1L, vec(1)), (2L, vec(2))).toDF("vec_id", "embedding")
+      .withColumn("label", lit("s"))
+      .write.mode("overwrite").parquet(vecsDir)
+    graft.llm.StandingState.writeEmbBuckets(spark.read.parquet(vecsDir), statePath)
+    val mk: Int => String = i =>
+      (0 until 20).map { j =>
+        if (((i.toLong * 2654435761L >> j) & 1L) == 1L) "!!!!!" else "zzzzz"
+      }.mkString(" ")
+    val mediaDir = tmp("full_ttl_media_")
+    graft.llm.Multimodal.asMedia(
+        Seq(1L -> mk(1), 2L -> mk(2)).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(mediaDir)
+    graft.llm.StandingState.writeMediaState(
+      graft.llm.Multimodal.imagePhash(spark.read.parquet(mediaDir)), statePath)
+
+    val (n, mode) = PrepareMain.run(spark, PrepareMain.parseArgs(Array(
+      s"--state=$statePath", s"--standing=$corpusDir",
+      s"--standingVecs=$vecsDir", s"--standingMedia=$mediaDir",
+      "--expireState=doc_id = 1", "--expireEmbeddings=vec_id = 1",
+      "--expireMedia=media_id = 1")))
+    assert(mode === "maintenance")
+    assert(n === 3L) // one row dropped per table, summed
+    assert(spark.read.parquet(corpusDir).select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(2L, 3L))
+    assert(spark.read.parquet(vecsDir).select("vec_id").as[Long]
+      .collect().toSeq === Seq(2L))
+    assert(spark.read.parquet(mediaDir).select("media_id").as[Long]
+      .collect().toSeq === Seq(2L))
+    // each family's artifacts subtracted too (no ghost blockers left)
+    assert(spark.read.parquet(s"$statePath/digests")
+      .filter(col("doc_id") === 1L).count() === 0L)
+    assert(spark.read.parquet(s"$statePath/emb_buckets")
+      .filter(col("vec_id") === 1L).count() === 0L)
+    assert(spark.read.parquet(s"$statePath/media_phashes")
+      .filter(col("media_id") === 1L).count() === 0L)
   }
 
   test("batch mode: gate + dedup land in the output, report table written") {
