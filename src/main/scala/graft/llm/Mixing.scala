@@ -298,7 +298,42 @@ object Mixing {
       alpha: Double = 0.5,
       idCol: String = "doc_id",
       sourceCol: String = "source",
-      censusOver: Option[DataFrame] = None): DataFrame = {
+      censusOver: Option[DataFrame] = None): DataFrame =
+    temperatureSampleFromCounts(docs, targetDocs, alpha,
+      censusOver.getOrElse(docs)
+        .groupBy(sourceCol).agg(count(lit(1)).as("__n")),
+      idCol, sourceCol)
+
+  /** [[temperatureSample]] fed a PRECOMPUTED per-key count frame instead
+    * of a frame to census — the maintained-census consumer
+    * ([[StandingState.loadSourceCensus]]'s (source, n) rows): at 100 TB
+    * the rates come from the state's #sources-row table, never from a
+    * corpus scan. Identical membership to
+    * `temperatureSample(censusOver = <the counted frame>)` by
+    * construction (same weight/rate arithmetic over the same counts —
+    * spec-pinned differentially). */
+  def temperatureSampleCounts(
+      docs: DataFrame,
+      targetDocs: Long,
+      counts: DataFrame,
+      alpha: Double = 0.5,
+      idCol: String = "doc_id",
+      sourceCol: String = "source",
+      countCol: String = "n"): DataFrame =
+    temperatureSampleFromCounts(docs, targetDocs, alpha,
+      counts.select(col(sourceCol), col(countCol).cast("long").as("__n")),
+      idCol, sourceCol)
+
+  /** Shared tail of the two temperature-mix forms: counts -> 6dp decimal
+    * weights -> exact decimal total -> per-source literal-or-broadcast
+    * rates -> hash filter. */
+  private def temperatureSampleFromCounts(
+      docs: DataFrame,
+      targetDocs: Long,
+      alpha: Double,
+      counts: DataFrame, // (sourceCol, __n)
+      idCol: String,
+      sourceCol: String): DataFrame = {
     require(targetDocs >= 0, "targetDocs must be >= 0")
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
     import org.apache.spark.sql.types.DecimalType
@@ -312,8 +347,7 @@ object Mixing {
     // filter). Because membership is a pure function of (id, source
     // rate), the incremental form EQUALS the union-sampled set restricted
     // to the batch — spec-pinned, same consistency as sampleToTokenBudget
-    val census = censusOver.getOrElse(docs)
-      .groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+    val census = counts
       .withColumn("__w6", round(w, 6).cast(DecimalType(25, 6)))
       .localCheckpoint(false) // two control-plane actions below
     // exact decimal total of the 6dp weights (order-free), then one

@@ -314,6 +314,34 @@ object StandingState {
     labels.select("doc_id", "cluster_id", "cluster_size")
       .write.mode("overwrite").parquet(s"$path/clusters")
 
+  /** Persist the VERIFIED PAIR EDGES behind the duplicate-cluster labels
+    * (`pair_edges/` — (doc_a, doc_b) rows, set-semantic): the OPT-IN
+    * artifact that makes exact post-retention re-clustering incremental.
+    * [[relabelClusters]]' default coarsening keeps two retained docs
+    * co-labeled when their only connection ran THROUGH an expired bridge
+    * doc, because labels alone cannot tell a direct edge from a
+    * transitive one; with the edges persisted,
+    * `relabelClusters(exact = true)` re-runs connected components over
+    * the RETAINED edges instead — no fresh [[Dedup.duplicateClusters]]
+    * pass over the corpus text. Maintained automatically once present:
+    * [[updateClusters]] appends each ingest's new pairs (same lease
+    * hold, before the label rewrite — a crash leaves extra edges, which
+    * are set-semantic and only ever re-assert pairs the retried update
+    * re-delivers), and [[expire]] subtracts rows touching an expired
+    * endpoint exactly like every other doc-keyed artifact (an edge is
+    * doubly keyed: it drops when EITHER endpoint expires). Cost: one
+    * (id, id) row per verified pair — the q43 pair relation, orders of
+    * magnitude below the corpus. */
+  def writePairEdges(pairs: DataFrame, path: String): Unit =
+    pairs.select("doc_a", "doc_b")
+      .write.mode("overwrite").parquet(s"$path/pair_edges")
+
+  /** Lazy scan of the persisted pair edges: (doc_a, doc_b). */
+  def loadPairEdges(spark: SparkSession, path: String): DataFrame = {
+    heal(spark, path, "pair_edges")
+    spark.read.parquet(s"$path/pair_edges")
+  }
+
   /** Default cluster_id bucket count for [[writeClustersPartitioned]]. */
   val DefaultClusterParts = 64
 
@@ -445,13 +473,70 @@ object StandingState {
   def relabelClusters(
       spark: SparkSession,
       statePath: String,
-      corpusPath: String): Long = {
+      corpusPath: String,
+      exact: Boolean = false): Long = {
     // a clusters table stranded at __retired by a crashed swap must be
     // healed, not read as "no labels" — the skip would silently no-op
     // the hygiene pass forever (the ghosts resurrect on the next
     // reader-side heal with their stale sizes intact)
     healStranded(spark, statePath, "clusters", "relabelClusters:heal")
     if (!tableExists(spark, s"$statePath/clusters")) return 0L
+    // EXACT relabel (opt-in, needs persisted [[writePairEdges]] edges):
+    // re-run connected components over the RETAINED edges instead of
+    // accepting the coarsening — two retained docs bridged only by an
+    // expired doc SPLIT here, exactly as a fresh
+    // [[Dedup.duplicateClusters]] over the retained corpus's verified
+    // pairs would label them (spec-pinned equality). The rewrite is
+    // whole-table BY NATURE (a re-clustering can move any label), so
+    // both layouts stage-and-swap the full table; the cheap
+    // ghost-bearing-partitions path remains the default. Returns label
+    // rows removed (ghosts + split-off singletons).
+    if (exact) {
+      healStranded(spark, statePath, "pair_edges", "relabelClusters:healEdges")
+      require(tableExists(spark, s"$statePath/pair_edges"),
+        "relabelClusters(exact = true) needs a persisted pair_edges table " +
+          "(StandingState.writePairEdges) — without the edges only the " +
+          "coarsening default is computable")
+      return withLeaseRetry(spark, statePath, "relabelClusters:exact") {
+        val before = loadClustersLeased(spark, statePath).count()
+        val corpusIds = spark.read.parquet(corpusPath)
+          .select("doc_id").distinct()
+        // restrict BOTH endpoints to retained docs: expire already
+        // subtracts, but the exact pass may run standalone after a
+        // manual corpus edit
+        val edges = spark.read.parquet(s"$statePath/pair_edges")
+          .join(corpusIds.withColumnRenamed("doc_id", "doc_a"),
+            Seq("doc_a"), "left_semi")
+          .join(corpusIds.withColumnRenamed("doc_id", "doc_b"),
+            Seq("doc_b"), "left_semi")
+        val relabeled = Dedup.duplicateClusters(edges)
+          .select("doc_id", "cluster_id", "cluster_size")
+          .localCheckpoint(true)
+        val partitioned = tableExists(spark, s"$statePath/clusters_meta")
+        if (partitioned && !relabeled.isEmpty) {
+          val nParts = spark.read.parquet(s"$statePath/clusters_meta")
+            .head().getAs[Int]("n_parts")
+          swapTable(spark, statePath, "clusters") { staged =>
+            relabeled.withColumn("cpart", cpartCol(col("cluster_id"), nParts))
+              .write.mode("overwrite").partitionBy("cpart").parquet(staged)
+          }
+        } else {
+          // empty bucketed result: degrade to the plain layout (the
+          // globalEmpty discipline — a zero-row partitionBy write emits
+          // no partition dirs and would brick the table)
+          if (partitioned) {
+            import org.apache.hadoop.fs.{Path => HPath}
+            val meta = new HPath(s"$statePath/clusters_meta")
+            meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(meta, true)
+          }
+          swapTable(spark, statePath, "clusters") { staged =>
+            relabeled.write.mode("overwrite").parquet(staged)
+          }
+        }
+        before - relabeled.count()
+      }
+    }
     withLeaseRetry(spark, statePath, "relabelClusters") {
       val labels = loadClustersLeased(spark, statePath)
       val corpusIds = spark.read.parquet(corpusPath)
@@ -551,6 +636,12 @@ object StandingState {
       // it, so a concurrent mutator fails loudly at its acquire instead
       // of having its committed update computed over and clobbered
       withLease(spark, path, "updateClusters") {
+        // edge upkeep FIRST (opt-in, iff the state persists pair edges):
+        // a crash after this append leaves edges whose label update never
+        // landed — set-semantic extras the retried update re-delivers
+        if (tableExists(spark, s"$path/pair_edges"))
+          newPairs.select("doc_a", "doc_b")
+            .write.mode("append").parquet(s"$path/pair_edges")
         val standing = loadClustersLeased(spark, path)
         val updated = Dedup.duplicateClustersIncremental(standing, newPairs)
         swapTable(spark, path, "clusters") { staged =>
@@ -591,6 +682,10 @@ object StandingState {
     // update silently overwritten by a rewrite computed from the
     // pre-commit snapshot
     withLease(spark, path, "updateClustersPartitioned") {
+      // edge upkeep first — see the legacy branch's ordering note
+      if (tableExists(spark, s"$path/pair_edges"))
+        newPairs.select("doc_a", "doc_b")
+          .write.mode("append").parquet(s"$path/pair_edges")
       val nParts =
         spark.read.parquet(s"$path/clusters_meta").head().getAs[Int]("n_parts")
       val standing = loadClustersLeased(spark, path)
@@ -1056,6 +1151,11 @@ object StandingState {
     // here just leaves the ghosts for the next relabel — see
     // [[relabelClusters]]'s idempotence contract
     if (relabelClusters) this.relabelClusters(spark, statePath, corpusPath)
+    // census upkeep LAST: a completed expire preserves sum(census) ==
+    // count(corpus) via one recount; a crash anywhere above leaves the
+    // mismatch this same call heals on the re-run (no-op when the state
+    // maintains no census)
+    reconcileSourceCensus(spark, statePath, corpusPath)
     n
   }
 
@@ -1084,7 +1184,7 @@ object StandingState {
     // healStranded, NOT the reader-side heal: that one skips while the
     // lease is held, and a concurrent ingest's brief hold at this
     // instant would re-open exactly the skip this heal exists to close
-    Seq("digests", "span_hashes", "bands")
+    Seq("digests", "span_hashes", "bands", "pair_edges")
       .foreach(healStranded(spark, statePath, _, "expire:healArtifacts"))
     // mixed-regime guard: a keyed state whose span index was written
     // payload-free (standalone writeSpanIndex) cannot be subtracted —
@@ -1118,6 +1218,16 @@ object StandingState {
           compactDirLive(spark, statePath, new HPath(s"$statePath/$t"),
             _.join(expiredIds, Seq("doc_id"), "left_anti"))
         }
+      // pair edges are DOUBLY keyed: an edge drops when EITHER endpoint
+      // expires (keeping it would let the exact relabel resurrect a
+      // connection through a doc that no longer exists)
+      if (tableExists(spark, s"$statePath/pair_edges"))
+        compactDirLive(spark, statePath, new HPath(s"$statePath/pair_edges"),
+          _.join(expiredIds.withColumnRenamed("doc_id", "doc_a"),
+              Seq("doc_a"), "left_anti")
+            .join(expiredIds.withColumnRenamed("doc_id", "doc_b"),
+              Seq("doc_b"), "left_anti")
+            .select("doc_a", "doc_b")) // joins reorder; keep the schema
       // the corpus subtracts the SAME pinned id set as the artifacts —
       // re-evaluating the predicate here could drop a matching row
       // appended mid-pass whose artifacts were never subtracted
@@ -1249,6 +1359,21 @@ object StandingState {
         }
         swapTable(spark, statePath, "bands") { staged =>
           bands.write.mode("overwrite").parquet(staged)
+        }
+        // pair edges subtract in BOTH regimes (doubly doc-keyed by
+        // construction — they cannot be rebuilt from text, only kept
+        // where both endpoints survive)
+        if (tableExists(spark, s"$statePath/pair_edges")) {
+          val keptEdges = spark.read.parquet(s"$statePath/pair_edges")
+            .join(retained.select(col("doc_id").as("doc_a")),
+              Seq("doc_a"), "left_semi")
+            .join(retained.select(col("doc_id").as("doc_b")),
+              Seq("doc_b"), "left_semi")
+            .select("doc_a", "doc_b") // joins reorder; keep the schema
+            .localCheckpoint(true)
+          swapTable(spark, statePath, "pair_edges") { staged =>
+            keptEdges.write.mode("overwrite").parquet(staged)
+          }
         }
         // corpus LAST (see crash-safety note above)
         val staged = sibling(corpusDir, "__staged")
@@ -1732,6 +1857,9 @@ object StandingState {
         }
       }
     }
+    // census drift (a crash between the corpus append and its census
+    // bump) heals on the same startup pass — no-op when no census
+    reconcileSourceCensus(spark, statePath, standingDocsPath)
     (nDrift, nGhosts)
   }
 
@@ -1900,6 +2028,125 @@ object StandingState {
     withLease(spark, path, "appendSpanHashes") {
       rows.write.mode("append").parquet(s"$path/span_hashes")
     }
+  }
+
+  /** Initialize the MAINTAINED PER-SOURCE CENSUS (`source_census/` —
+    * (source, n) rows): the standing-corpus count frame
+    * [[Mixing.capPerKeyIncremental]] and [[Mixing.temperatureSampleCounts]]
+    * consume. SURVEY §2.H's "at 100 TB a maintained census table, not a
+    * corpus scan" made real: written once from one corpus recount, then
+    * maintained by every [[graft.streaming.CorpusIntakeJob.ingestTextBatch]]
+    * admission (a #sources-row rewrite under the batch's own lease hold —
+    * the table is tiny, so the whole-table swap is the cheap operation
+    * here) and recounted by [[expire]]. The artifact is OPT-IN: the
+    * ingest maintains it iff this table exists.
+    *
+    * CRASH DISCIPLINE: the census updates LAST in the ingest commit
+    * (corpus -> artifacts -> census), so every crash shape leaves it
+    * UNDER-counting — the witness [[reconcileSourceCensus]] keys on
+    * (sum(census) != count(corpus) — two metadata-cheap counts), run at
+    * stream startup via [[repairTextArtifacts]] and at the end of every
+    * [[expire]]. Deltas are never subtracted blindly (a crash-retried
+    * subtraction would double-count); healing is always a recount. */
+  def writeSourceCensus(
+      spark: SparkSession, statePath: String, corpusPath: String): Unit =
+    spark.read.parquet(corpusPath)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$statePath/source_census")
+
+  /** Lazy scan of the maintained census: (source, n). */
+  def loadSourceCensus(spark: SparkSession, statePath: String): DataFrame = {
+    heal(spark, statePath, "source_census")
+    spark.read.parquet(s"$statePath/source_census")
+  }
+
+  /** True iff the census artifact exists at this state path (the ingest's
+    * maintain-iff-present probe). */
+  private[graft] def sourceCensusExists(
+      spark: SparkSession, statePath: String): Boolean =
+    tableExists(spark, s"$statePath/source_census")
+
+  /** Fold an ADMITTED batch's per-source counts into the census — caller
+    * MUST hold the state lease (the ingest commit's hold). One union +
+    * re-aggregate over (#sources + batch-sources) rows, checkpointed so
+    * the swap never re-reads the live table it replaces. */
+  private[graft] def bumpSourceCensus(
+      spark: SparkSession, statePath: String, admitted: DataFrame): Unit = {
+    val merged = spark.read.parquet(s"$statePath/source_census")
+      .unionByName(
+        admitted.groupBy("source").agg(count(lit(1)).as("n")))
+      .groupBy("source").agg(sum("n").as("n"))
+      .localCheckpoint(true)
+    swapTable(spark, statePath, "source_census") { staged =>
+      merged.coalesce(1).write.mode("overwrite").parquet(staged)
+    }
+  }
+
+  /** Heal census drift from a crash between a corpus mutation and its
+    * census update: when the census exists and its total disagrees with
+    * the corpus row count (appends and expires both preserve the
+    * equality when they complete), recount from the corpus and swap —
+    * idempotent, under the lease. Returns true iff a recount ran. The
+    * healthy path costs one census sum + one parquet-footer corpus
+    * count. */
+  def reconcileSourceCensus(
+      spark: SparkSession, statePath: String, corpusPath: String): Boolean = {
+    healStranded(spark, statePath, "source_census", "reconcileCensus:heal")
+    if (!sourceCensusExists(spark, statePath)) return false
+    val total = spark.read.parquet(s"$statePath/source_census")
+      .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+    val corpusN = spark.read.parquet(corpusPath).count()
+    if (total == corpusN) false
+    else {
+      val recount = spark.read.parquet(corpusPath)
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      withLeaseRetry(spark, statePath, "reconcileSourceCensus") {
+        swapTable(spark, statePath, "source_census") { staged =>
+          recount.coalesce(1).write.mode("overwrite").parquet(staged)
+        }
+      }
+      true
+    }
+  }
+
+  /** Persist a fitted DSIR log-ratio table (`dsir_ratios/` + a
+    * `dsir_meta` row pinning the (m, lambda) regime) — the
+    * [[TextOps.dsirLogRatios]] output as a REGIME-GUARDED state artifact
+    * instead of a bare parquet path: the frozen-model discipline the
+    * SemDeDup centroids already get (fit once over the standing corpora,
+    * score every batch against the frozen table), with the same loud
+    * failure on a regime mismatch — ratios fit under one (m, lambda)
+    * scored under another would silently mis-weight every bucket, the
+    * exact drift [[loadDsirRatios]]' requireCompatible-style check
+    * refuses. The table is a FITTED MODEL, not a per-doc artifact:
+    * [[expire]] deliberately leaves it untouched (an expired doc's
+    * feature mass stays in the fitted distribution until the model is
+    * deliberately re-fit and re-written — the centroid rule), and
+    * [[compact]] skips it (m rows, nothing to fold). */
+  def writeDsirRatios(
+      ratios: DataFrame, path: String, m: Int, lambda: Double): Unit = {
+    val spark = ratios.sparkSession
+    import spark.implicits._
+    require(m >= 1, s"m must be positive, got $m")
+    ratios.select("bucket", "log_ratio")
+      .write.mode("overwrite").parquet(s"$path/dsir_ratios")
+    Seq((m, lambda)).toDF("m", "lambda")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/dsir_meta")
+  }
+
+  /** Lazy scan of the persisted DSIR ratio table, refusing an (m, lambda)
+    * regime mismatch loudly (see [[writeDsirRatios]]). The caller feeds
+    * the result to [[TextOps.dsirScoresWithRatios]] with the SAME m. */
+  def loadDsirRatios(
+      spark: SparkSession, path: String, m: Int, lambda: Double): DataFrame = {
+    val r = spark.read.parquet(s"$path/dsir_meta").head()
+    val (pm, pl) = (r.getAs[Int]("m"), r.getAs[Double]("lambda"))
+    require(pm == m && pl == lambda,
+      s"persisted DSIR ratios were fit under m=$pm, lambda=$pl; " +
+        s"caller wants m=$m, lambda=$lambda — re-fit (writeDsirRatios) " +
+        "under the new regime instead of scoring across regimes")
+    spark.read.parquet(s"$path/dsir_ratios")
   }
 
   /** Persist the standing corpus' sign-LSH bucket rows for the EMBEDDING

@@ -1379,4 +1379,174 @@ class StandingStateSpec extends SparkSpec {
       "a crashed (dead-pid) compactor's aged staged dir must be collected")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_lease")))
   }
+
+  test("pair edges: expire subtracts, exact relabel == fresh CC over retained pairs, coarse default stays") {
+    val mk: Int => String = i => (1 to 24).map(j => s"pe${i}x$j").mkString(" ")
+    def labelsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select("doc_id", "cluster_id", "cluster_size")
+        .as[(Long, Long, Int)].collect().toSet
+    def setup(partitioned: Boolean): (String, String) = {
+      val corpusDir = java.nio.file.Files.createTempDirectory("pe_docs_").toString
+      (1 to 5).map(i => (i.toLong, mk(i), "s"))
+        .toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(corpusDir)
+      val statePath = java.nio.file.Files.createTempDirectory("pe_state_").toString
+      StandingState.write(spark.read.parquet(corpusDir), statePath)
+      // 3 BRIDGES 1 and 2 (no direct 1-2 edge); 4-5 is a direct pair
+      val pairs = Seq((1L, 3L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+      val labels = Dedup.duplicateClusters(pairs)
+      if (partitioned)
+        StandingState.writeClustersPartitioned(labels, statePath, nParts = 4)
+      else StandingState.writeClusters(labels, statePath)
+      StandingState.writePairEdges(pairs, statePath)
+      (corpusDir, statePath)
+    }
+
+    for (partitioned <- Seq(false, true)) {
+      val (corpusDir, statePath) = setup(partitioned)
+      // keyed expire of the bridge doc subtracts its edges like every
+      // other doc-keyed artifact (an edge drops when EITHER end expires)
+      assert(StandingState.expire(
+        spark, statePath, corpusDir, col("doc_id") === 3L) === 1L)
+      assert(StandingState.loadPairEdges(spark, statePath)
+        .as[(Long, Long)].collect().toSet === Set((4L, 5L)))
+      // COARSE default first: 1 and 2 stay co-labeled (documented
+      // coarsening), sizes recounted
+      assert(StandingState.relabelClusters(spark, statePath, corpusDir) === 1L)
+      val coarse = labelsOf(StandingState.loadClusters(spark, statePath))
+      assert(coarse.filter(r => Set(1L, 2L)(r._1)).map(_._3) === Set(2),
+        s"coarse form must keep the bridged pair co-labeled (layout part=$partitioned)")
+      // EXACT relabel: the bridge is gone, so 1 and 2 split to singletons
+      // and drop; result == fresh CC over the retained verified pairs
+      assert(StandingState.relabelClusters(
+        spark, statePath, corpusDir, exact = true) === 2L)
+      val exact = labelsOf(StandingState.loadClusters(spark, statePath))
+      assert(exact === labelsOf(
+        Dedup.duplicateClusters(Seq((4L, 5L)).toDF("doc_a", "doc_b"))),
+        s"exact relabel must equal fresh CC over retained pairs (part=$partitioned)")
+      // idempotent: a re-run removes nothing further
+      assert(StandingState.relabelClusters(
+        spark, statePath, corpusDir, exact = true) === 0L)
+      // updateClusters MAINTAINS the edge table once present: a new
+      // direct 1-2 pair appends and survives the next exact relabel
+      StandingState.updateClusters(statePath, Seq((1L, 2L)).toDF("doc_a", "doc_b"))
+      assert(StandingState.loadPairEdges(spark, statePath)
+        .as[(Long, Long)].collect().toSet === Set((4L, 5L), (1L, 2L)))
+      assert(StandingState.relabelClusters(
+        spark, statePath, corpusDir, exact = true) === 0L)
+      assert(labelsOf(StandingState.loadClusters(spark, statePath)) ===
+        labelsOf(Dedup.duplicateClusters(
+          Seq((4L, 5L), (1L, 2L)).toDF("doc_a", "doc_b"))))
+    }
+    // exact without edges fails loudly — silently falling back to the
+    // coarse form would misreport the semantics the caller asked for
+    val corpusDir = java.nio.file.Files.createTempDirectory("pe_docs2_").toString
+    Seq((1L, mk(1), "s")).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(corpusDir)
+    val statePath = java.nio.file.Files.createTempDirectory("pe_state2_").toString
+    StandingState.writeClusters(
+      Dedup.duplicateClusters(Seq((1L, 2L)).toDF("doc_a", "doc_b")), statePath)
+    intercept[IllegalArgumentException](
+      StandingState.relabelClusters(spark, statePath, corpusDir, exact = true))
+  }
+
+  test("source census: maintained == recount after init, each ingest append, and expire; consumers agree") {
+    val mk: Int => String = i => (1 to 24).map(j => s"sc${i}x$j").mkString(" ")
+    val corpusDir = java.nio.file.Files.createTempDirectory("census_docs_").toString
+    Seq((1L, mk(1), "a"), (2L, mk(2), "a"), (3L, mk(3), "b"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(corpusDir)
+    val statePath = java.nio.file.Files.createTempDirectory("census_state_").toString
+    StandingState.write(spark.read.parquet(corpusDir), statePath)
+    StandingState.writeSourceCensus(spark, statePath, corpusDir)
+    def censusMap: Map[String, Long] =
+      StandingState.loadSourceCensus(spark, statePath)
+        .as[(String, Long)].collect().toMap
+    def recountMap: Map[String, Long] =
+      spark.read.parquet(corpusDir).groupBy("source").count()
+        .as[(String, Long)].collect().toMap
+    assert(censusMap === Map("a" -> 2L, "b" -> 1L))
+    // ingest 1: two admitted docs (one novel source), one dropped replica
+    assert(graft.streaming.CorpusIntakeJob.ingestTextBatch(
+      Seq((10L, mk(10), "a"), (11L, mk(11), "c"), (12L, mk(1), "b"))
+        .toDF("doc_id", "text", "source"),
+      statePath, corpusDir, tau = 0.5, gate = false, scrub = false) === 2L)
+    assert(censusMap === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    assert(censusMap === recountMap)
+    // ingest 2: the maintained fold composes across sequential ingests
+    assert(graft.streaming.CorpusIntakeJob.ingestTextBatch(
+      Seq((20L, mk(20), "b")).toDF("doc_id", "text", "source"),
+      statePath, corpusDir, tau = 0.5, gate = false, scrub = false) === 1L)
+    assert(censusMap === recountMap)
+    // expire: the recount-shaped upkeep preserves the equality
+    assert(StandingState.expire(
+      spark, statePath, corpusDir, col("source") === "a") === 3L)
+    assert(censusMap === recountMap)
+    assert(censusMap === Map("b" -> 2L, "c" -> 1L))
+    // manufactured drift (the crash window: corpus appended, census not)
+    // heals through the witness on the startup repair pass
+    Seq((30L, mk(30), "c")).toDF("doc_id", "text", "source")
+      .write.mode("append").parquet(corpusDir)
+    assert(censusMap !== recountMap)
+    StandingState.repairTextArtifacts(spark, statePath, corpusDir)
+    assert(censusMap === recountMap)
+    // consumers: the maintained census feeds the incremental cap and the
+    // temperature mix exactly like a fresh recount frame would
+    val batch = (100 to 140).map(i => (i.toLong, mk(i),
+      if (i % 2 == 0) "b" else "c")).toDF("doc_id", "text", "source")
+    val viaState = Mixing.capPerKeyIncremental(
+      batch, StandingState.loadSourceCensus(spark, statePath), maxPerKey = 5)
+    val viaRecount = Mixing.capPerKeyIncremental(
+      batch, spark.read.parquet(corpusDir).groupBy("source")
+        .agg(count(lit(1)).as("n")), maxPerKey = 5)
+    assert(ids(viaState) === ids(viaRecount))
+    val mixState = Mixing.temperatureSampleCounts(
+      batch, targetDocs = 10L, StandingState.loadSourceCensus(spark, statePath))
+    val mixOver = Mixing.temperatureSample(
+      batch, targetDocs = 10L,
+      censusOver = Some(spark.read.parquet(corpusDir)))
+    assert(ids(mixState) === ids(mixOver))
+  }
+
+  test("DSIR ratios: regime-guarded state artifact — mismatch loud, expire leaves it untouched") {
+    val corpusDir = java.nio.file.Files.createTempDirectory("dsir_docs_").toString
+    docs(1L -> base(1), 2L -> base(2), 3L -> base(3))
+      .write.mode("overwrite").parquet(corpusDir)
+    val statePath = java.nio.file.Files.createTempDirectory("dsir_state_").toString
+    StandingState.write(spark.read.parquet(corpusDir), statePath)
+    val standing = spark.read.parquet(corpusDir)
+    val ratios = TextOps.dsirLogRatios(
+      standing, standing.filter(col("doc_id") === 1L), m = 64, lambda = 1.0)
+    StandingState.writeDsirRatios(ratios, statePath, m = 64, lambda = 1.0)
+    // scoring through the state path == scoring the in-session ratios
+    val batch = docs(10L -> base(10))
+    val viaState = TextOps.dsirScoresWithRatios(
+      batch, StandingState.loadDsirRatios(spark, statePath, 64, 1.0), m = 64)
+    val direct = TextOps.dsirScoresWithRatios(batch, ratios, m = 64)
+    assert(viaState.collect().map(_.toString).toSeq ===
+      direct.collect().map(_.toString).toSeq)
+    // regime mismatch fails loudly on BOTH axes — cross-regime scoring
+    // would silently mis-weight every bucket
+    intercept[IllegalArgumentException](
+      StandingState.loadDsirRatios(spark, statePath, m = 128, lambda = 1.0))
+    intercept[IllegalArgumentException](
+      StandingState.loadDsirRatios(spark, statePath, m = 64, lambda = 0.5))
+    // retention leaves the fitted model untouched (centroid rule): the
+    // ratio table's file census is byte-identical across an expire
+    def census(sub: String): Seq[(String, Long, Long)] = {
+      val d = java.nio.file.Paths.get(statePath, sub)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(d).iterator().asScala
+        .filter(p => !p.getFileName.toString.startsWith("_"))
+        .map(p => (p.getFileName.toString, java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSeq.sorted
+    }
+    val before = census("dsir_ratios")
+    assert(StandingState.expire(
+      spark, statePath, corpusDir, col("doc_id") === 2L) === 1L)
+    assert(census("dsir_ratios") === before,
+      "expire must not touch the fitted DSIR model")
+    assert(StandingState.loadDsirRatios(spark, statePath, 64, 1.0)
+      .count() === 64L)
+  }
 }
