@@ -37,6 +37,14 @@ import graft.sink.{InMemoryKvBackend, KvBackends, PublishMode, RedisKvBackend}
   *         # policy-driven TTL: the stream itself expires corpus rows
   *         # matching the predicate every N micro-batches (before that
   *         # batch's ingest) — CorpusIntakeJob.Retention
+  *     [--qualityWeights=/data/qlr.parquet --qualityM=64 --qualityMinScore=500000]
+  *         # TRAINED stage-1b quality gate: micro-weights from
+  *         # QualityLr.writeWeights (trained offline), applied between
+  *         # the rule gate and the scrub — CorpusIntakeJob.TrainedGates
+  *     [--langModels=/data/langlr.parquet --langM=64 --keepLangs=en,fr]
+  *         # TRAINED stage-1c language gate: one-vs-rest models from
+  *         # QualityLr.writeOneVsRestModels; docs predicted outside
+  *         # --keepLangs drop after 1b, before the scrub
   * }}}
   *
   * `--once` runs a single bounded AvailableNow pass (backfill / test);
@@ -72,7 +80,14 @@ object SyncMain {
       corpus: Option[String] = None,
       tau: Double = 0.8,
       retention: Option[String] = None,
-      retentionEvery: Long = 1L)
+      retentionEvery: Long = 1L,
+      // trained stage-1b/1c gates (CorpusIntakeJob.TrainedGates)
+      qualityWeights: Option[String] = None,
+      qualityM: Int = 64,
+      qualityMinScore: Long = 500000L,
+      langModels: Option[String] = None,
+      langM: Int = 64,
+      keepLangs: Option[String] = None)
 
   def parseArgs(argv: Array[String]): Args =
     argv.foldLeft(Args()) { (a, s) =>
@@ -102,6 +117,12 @@ object SyncMain {
         case Array("--tau", v) => a.copy(tau = v.toDouble)
         case Array("--retention", v) => a.copy(retention = Some(v))
         case Array("--retentionEvery", v) => a.copy(retentionEvery = v.toLong)
+        case Array("--qualityWeights", v) => a.copy(qualityWeights = Some(v))
+        case Array("--qualityM", v) => a.copy(qualityM = v.toInt)
+        case Array("--qualityMinScore", v) => a.copy(qualityMinScore = v.toLong)
+        case Array("--langModels", v) => a.copy(langModels = Some(v))
+        case Array("--langM", v) => a.copy(langM = v.toInt)
+        case Array("--keepLangs", v) => a.copy(keepLangs = Some(v))
         case other => sys.error(s"unknown argument '${other.mkString("=")}'")
       }
     } match {
@@ -111,6 +132,18 @@ object SyncMain {
         // --report precedent: fail loudly instead)
         require(a.retention.isEmpty || a.job == "intakeState",
           "--retention/--retentionEvery apply only to --job=intakeState")
+        // --retentionEvery without --retention configures a cadence for a
+        // TTL pass that never runs — the same silent strand, from the
+        // other flag
+        require(a.retentionEvery == 1L || a.retention.nonEmpty,
+          "--retentionEvery needs --retention (the predicate the cadence applies to)")
+        // same loud-fail rule for the trained-gate flags: a gate flag on
+        // the wrong job would silently run the stream ungated
+        require((a.qualityWeights.isEmpty && a.langModels.isEmpty) ||
+            a.job == "intakeState",
+          "--qualityWeights/--langModels apply only to --job=intakeState")
+        require(a.keepLangs.isEmpty || a.langModels.nonEmpty,
+          "--keepLangs needs --langModels (the models that predict the language)")
         a
     }
 
@@ -171,9 +204,24 @@ object SyncMain {
     val retention = a.retention.map(p =>
       graft.streaming.CorpusIntakeJob.Retention(
         org.apache.spark.sql.functions.expr(p), a.retentionEvery))
+    // trained stage-1b/1c gates: weights trained offline, loaded once at
+    // stream start (control-plane fetches), riding the stream config
+    val gates = graft.streaming.CorpusIntakeJob.TrainedGates(
+      qualityGate = a.qualityWeights.map { p =>
+        (graft.llm.QualityLr.loadWeights(spark, p).toSeq,
+          a.qualityM, a.qualityMinScore)
+      },
+      keepLangs = a.langModels.map { p =>
+        val keep = a.keepLangs.getOrElse(sys.error(
+          "--langModels needs --keepLangs=<comma-separated languages>"))
+          .split(',').map(_.trim).filter(_.nonEmpty).toSet
+        require(keep.nonEmpty, "--keepLangs must name at least one language")
+        (graft.llm.QualityLr.loadOneVsRestModels(spark, p)
+          .map { case (c, w) => (c, w.toSeq) }, a.langM, keep)
+      })
     val q = graft.streaming.CorpusIntakeJob.runTextStream(
       docs, statePath, corpus, a.checkpoint, tau = a.tau, trigger = trigger,
-      retention = retention)
+      retention = retention, gates = gates)
     q.awaitTermination()
   }
 

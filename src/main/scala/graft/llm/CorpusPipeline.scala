@@ -112,6 +112,40 @@ object CorpusPipeline {
       // packing
       packBudget: Long = 2048L)
 
+  /** Stage 1b — the trained QUALITY gate as a standalone transform: score
+    * the frame's raw text under the supplied [[QualityLr]] micro-weights
+    * and keep docs at or above the threshold. ONE implementation shared
+    * by the batch pipeline, both incremental forms, and the streaming
+    * intake ([[graft.streaming.CorpusIntakeJob.ingestTextBatch]]) so the
+    * four deployment shapes cannot drift semantically. No-op on None. */
+  private[graft] def applyQualityGate(
+      df: DataFrame,
+      gate: Option[(Seq[Long], Int, Long)]): DataFrame = gate match {
+    case Some((w, m, thr)) =>
+      val keep = QualityLr.scoreQualityLr(df, w.toArray, m)
+        .filter(col("score_micros") >= thr).select("doc_id")
+      df.join(keep, Seq("doc_id"), "left_semi")
+    case None => df
+  }
+
+  /** Stage 1c — the trained LANGUAGE-ID gate as a standalone transform:
+    * predict each doc's language under the supplied one-vs-rest models
+    * ([[QualityLr.scoreOneVsRestLr]]'s argmax, ties to the smallest
+    * class) and keep only the configured languages. Shared like
+    * [[applyQualityGate]]; no-op on None. */
+  private[graft] def applyLangGate(
+      df: DataFrame,
+      gate: Option[(Seq[(String, Seq[Long])], Int, Set[String])]): DataFrame =
+    gate match {
+      case Some((models, m, keep)) =>
+        val ms = models.map { case (c, w) => c -> w.toArray }
+        val keepIds = QualityLr.scoreOneVsRestLr(df, ms, m)
+          .filter(col("pred_lang").isin(keep.toSeq.sorted: _*))
+          .select("doc_id")
+        df.join(keepIds, Seq("doc_id"), "left_semi")
+      case None => df
+    }
+
   /** documents (doc_id, text, source, ...) [+ eval corpus] -> packed,
     * scrubbed, deduplicated, decontaminated training rows:
     * (doc_id, source, text, n_tokens, bin, pos_in_bin). */
@@ -232,28 +266,13 @@ object CorpusPipeline {
     val stand = Frames.barrier(standing)
     val gated = TextOps.gopherGate(incoming,
       minWords = cfg.minWords, maxWords = cfg.maxWords)
-    // 1b. the trained quality gate in its batch position — same weights
+    // 1b + 1c. the trained gates in their batch positions — same weights
     // as the standing run (they ride the config), so parity with the
-    // batch form is by construction
-    val qgated = cfg.qualityGate match {
-      case Some((w, m, thr)) =>
-        val keep = QualityLr.scoreQualityLr(gated, w.toArray, m)
-          .filter(col("score_micros") >= thr).select("doc_id")
-        gated.join(keep, Seq("doc_id"), "left_semi")
-      case None => gated
-    }
-    // 1c. the trained language-ID gate in its batch position — same
-    // models as the standing run (they ride the config), so parity with
-    // the batch form is by construction
-    val lgated = cfg.keepLangs match {
-      case Some((models, m, keep)) =>
-        val ms = models.map { case (c, w) => c -> w.toArray }
-        val keepIds = QualityLr.scoreOneVsRestLr(qgated, ms, m)
-          .filter(col("pred_lang").isin(keep.toSeq.sorted: _*))
-          .select("doc_id")
-        qgated.join(keepIds, Seq("doc_id"), "left_semi")
-      case None => qgated
-    }
+    // batch form is by construction; shared transforms (applyQualityGate/
+    // applyLangGate) so the incremental, batch and streaming shapes
+    // cannot drift
+    val lgated = applyLangGate(
+      applyQualityGate(gated, cfg.qualityGate), cfg.keepLangs)
     val scrubbed = TextOps.redactPii(lgated, "text")
       .drop("text", "n_email", "n_ipv4", "n_phone")
       .withColumnRenamed("redacted", "text")
@@ -371,27 +390,20 @@ object CorpusPipeline {
 
     // 1b. optional TRAINED quality gate: score the raw gated text under
     // the supplied QualityLr micro-weights and keep docs at or above the
-    // threshold — the classifier twin of stage 1's rule gate
-    val qgated = cfg.qualityGate match {
-      case Some((w, m, thr)) =>
-        val keep = QualityLr.scoreQualityLr(gated, w.toArray, m)
-          .filter(col("score_micros") >= thr).select("doc_id")
-        tap(gated.join(keep, Seq("doc_id"), "left_semi"))
-      case None => gated
-    }
+    // threshold — the classifier twin of stage 1's rule gate (shared
+    // transform: applyQualityGate)
+    val qgated =
+      if (cfg.qualityGate.isDefined)
+        tap(applyQualityGate(gated, cfg.qualityGate))
+      else gated
 
     // 1c. optional TRAINED language-ID gate: predict each doc's language
     // under the supplied one-vs-rest models and keep only the configured
-    // languages — runs on raw (pre-scrub) text like 1b
-    val lgated = cfg.keepLangs match {
-      case Some((models, m, keep)) =>
-        val ms = models.map { case (c, w) => c -> w.toArray }
-        val keepIds = QualityLr.scoreOneVsRestLr(qgated, ms, m)
-          .filter(col("pred_lang").isin(keep.toSeq.sorted: _*))
-          .select("doc_id")
-        tap(qgated.join(keepIds, Seq("doc_id"), "left_semi"))
-      case None => qgated
-    }
+    // languages — runs on raw (pre-scrub) text like 1b (shared
+    // transform: applyLangGate)
+    val lgated =
+      if (cfg.keepLangs.isDefined) tap(applyLangGate(qgated, cfg.keepLangs))
+      else qgated
 
     // 2. PII scrub — the redacted text REPLACES the raw text for every
     // downstream stage (fingerprints, shingles, packing all see clean text)

@@ -2,7 +2,7 @@ package graft.llm
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
@@ -286,6 +286,57 @@ object QualityLr {
     }
     scored.select(col("doc_id"), predC.as("pred_lang"),
       bestS.as("score_micros"))
+  }
+
+  /** Persist trained micro-weights as a (bucket, wm) parquet table — the
+    * ops-side handoff for the streaming intake's trained gates
+    * ([[graft.jobs.SyncMain]] `--qualityWeights`): train once offline
+    * ([[trainQualityLr]]), write here, and every stream start reloads
+    * the same exact integers (micros are BIGINTs — nothing lossy in the
+    * round-trip). m+1 rows; coalesced to one file. */
+  def writeWeights(
+      spark: SparkSession, weightsMicros: Array[Long], path: String): Unit = {
+    import spark.implicits._
+    weightsMicros.zipWithIndex.toSeq.map { case (w, b) => (b.toLong, w) }
+      .toDF("bucket", "wm")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load [[writeWeights]]' table back as the micro-weight vector
+    * (bucket-indexed, bias last). A control-plane fetch: m+1 rows. */
+  def loadWeights(spark: SparkSession, path: String): Array[Long] = {
+    val rows = spark.read.parquet(path)
+      .select("bucket", "wm").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    require(rows.nonEmpty && rows.map(_._1).toSeq == (0L until rows.length),
+      s"weight table at $path must cover buckets 0..m densely")
+    rows.map(_._2)
+  }
+
+  /** [[writeWeights]] for one-vs-rest models: (class, bucket, wm) rows. */
+  def writeOneVsRestModels(
+      spark: SparkSession, models: Seq[(String, Array[Long])], path: String): Unit = {
+    import spark.implicits._
+    models.toSeq.flatMap { case (c, w) =>
+      w.zipWithIndex.toSeq.map { case (wm, b) => (c, b.toLong, wm) }
+    }.toDF("class", "bucket", "wm")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load [[writeOneVsRestModels]]' table back, class-sorted (the order
+    * [[scoreOneVsRestLr]] requires). K * (m+1) rows collected. */
+  def loadOneVsRestModels(
+      spark: SparkSession, path: String): Seq[(String, Array[Long])] = {
+    val rows = spark.read.parquet(path)
+      .select("class", "bucket", "wm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(rows.nonEmpty, s"model table at $path is empty")
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, rs) =>
+      val sorted = rs.sortBy(_._2)
+      require(sorted.map(_._2).toSeq == (0L until sorted.length),
+        s"class $c at $path must cover buckets 0..m densely")
+      c -> sorted.map(_._3)
+    }
   }
 
   /** Score a corpus under trained micro-weights: (doc_id, score_micros)

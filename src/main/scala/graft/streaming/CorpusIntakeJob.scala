@@ -51,11 +51,45 @@ object CorpusIntakeJob {
     * crash mid-expire is healed by the pass's own idempotent re-run on
     * the next due batch. Keep the state doc-keyed
     * ([[StandingState.migrateToKeyed]]) so each pass is O(expired)
-    * anti-joins, not an O(corpus) rebuild under the lease. */
+    * anti-joins, not an O(corpus) rebuild under the lease.
+    *
+    * CADENCE COST: even a NO-OP pass scans the standing table twice
+    * (predicate filter + count), and a pass that expires anything
+    * rewrites the corpus table inside the trigger — at the default
+    * `everyBatches = 1` that cost lands on EVERY micro-batch (every ~3 s
+    * at the default trigger). The default keeps the test/backfill shape
+    * simple (one AvailableNow batch = one TTL pass); a continuous
+    * deployment should amortize with a coarser cadence sized to its TTL
+    * horizon — e.g. `everyBatches = 1200` ≈ hourly at the 3 s trigger
+    * (`--retentionEvery` on [[graft.jobs.SyncMain]]). */
   final case class Retention(expired: Column, everyBatches: Long = 1L) {
     require(everyBatches >= 1L, "everyBatches must be >= 1")
     private[streaming] def due(batchId: Long): Boolean =
       batchId % everyBatches == 0L
+  }
+
+  /** TRAINED stage-1b/1c gates for the state-fed text intake — the
+    * [[graft.llm.CorpusPipeline.Config]] `qualityGate`/`keepLangs` pair
+    * riding the stream config exactly like [[Retention]] does: a daily
+    * state-fed ingest can apply the learned quality and language filters
+    * (q95/q102's gates) without dropping back to the batch pipeline.
+    * Weights are plain micro-weight vectors
+    * ([[graft.llm.QualityLr.trainQualityLr]] /
+    * [[graft.llm.QualityLr.trainOneVsRestLr]] outputs — trained ONCE on
+    * a curated labeled sample, never by the stream), applied between the
+    * rule gate and the PII scrub in the pinned stage order (1 -> 1b ->
+    * 1c -> 2), through the SAME shared transforms as the batch pipeline
+    * ([[graft.llm.CorpusPipeline.applyQualityGate]]/`applyLangGate`), so
+    * batch/stream parity is by construction. Per-batch cost: one hashed-
+    * feature pass + one doc_id-keyed aggregation per enabled gate over
+    * the rule-gated batch — weights deliver as literals below the
+    * [[graft.llm.QualityLr.DefaultLiteralWeightCap]] and as one
+    * broadcast (bucket, w_0..w_K) frame above it. */
+  final case class TrainedGates(
+      qualityGate: Option[(Seq[Long], Int, Long)] = None,
+      keepLangs: Option[(Seq[(String, Seq[Long])], Int, Set[String])] = None) {
+    private[streaming] def isEmpty: Boolean =
+      qualityGate.isEmpty && keepLangs.isEmpty
   }
 
   /** docs stream (tsCol, doc_id, text, +passthrough) -> gated, scrubbed,
@@ -412,7 +446,8 @@ object CorpusIntakeJob {
       trigger: Trigger = Trigger.ProcessingTime("3 seconds"),
       minWords: Int = 20,
       maxWords: Int = 100000,
-      retention: Option[Retention] = None): StreamingQuery = {
+      retention: Option[Retention] = None,
+      gates: TrainedGates = TrainedGates()): StreamingQuery = {
     StandingState.repairTextArtifacts(docs.sparkSession, statePath, standingDocsPath)
     docs.writeStream
       .outputMode("append")
@@ -424,7 +459,7 @@ object CorpusIntakeJob {
             b.sparkSession, statePath, standingDocsPath, r.expired)
         }
         ingestTextBatch(b.toDF(), statePath, standingDocsPath, tau,
-          minWords = minWords, maxWords = maxWords)
+          minWords = minWords, maxWords = maxWords, gates = gates)
         ()
       }
       .start()
@@ -609,7 +644,8 @@ object CorpusIntakeJob {
       minWords: Int = 20,
       maxWords: Int = 100000,
       gate: Boolean = true,
-      scrub: Boolean = true): Long = {
+      scrub: Boolean = true,
+      gates: TrainedGates = TrainedGates()): Long = {
     // LIVE-COMPACTION COEXISTENCE: a concurrent [[StandingState.compact]]
     // swap can (a) hold the lease for its O(delta + rename) window — the
     // commit below WAITS via withLeaseRetry — and (b) invalidate a scan
@@ -628,7 +664,8 @@ object CorpusIntakeJob {
     var attempt = 0
     while (attempt < attempts) {
       try return ingestTextBatchOnce(
-        batch, statePath, standingDocsPath, tau, minWords, maxWords, gate, scrub)
+        batch, statePath, standingDocsPath, tau, minWords, maxWords, gate,
+        scrub, gates)
       catch {
         case e: IllegalStateException => throw e
         case scala.util.control.NonFatal(e) =>
@@ -648,13 +685,20 @@ object CorpusIntakeJob {
       minWords: Int,
       maxWords: Int,
       gate: Boolean,
-      scrub: Boolean): Long = {
+      scrub: Boolean,
+      gates: TrainedGates): Long = {
     val spark = batch.sparkSession
     var state = StandingState.load(spark, statePath)
     val meta = state.meta
-    val gated =
+    val rgated =
       if (gate) TextOps.gopherGate(batch, minWords = minWords, maxWords = maxWords)
       else batch
+    // 1b + 1c. the trained gates in the pipeline's pinned order (rule
+    // gate -> quality -> language -> scrub), through the SAME shared
+    // transforms as CorpusPipeline — batch/stream parity by construction
+    val gated = graft.llm.CorpusPipeline.applyLangGate(
+      graft.llm.CorpusPipeline.applyQualityGate(rgated, gates.qualityGate),
+      gates.keepLangs)
     // lazy barrier: the exact leg, the near leg, and the surviving-row
     // chain each evaluate this prefix (scan + gate + PII regexes)
     val scrubbed0 = (
@@ -696,6 +740,9 @@ object CorpusIntakeJob {
         // so the legs below dedup against the completed artifact tables
         state = StandingState.load(spark, statePath)
       }
+      // a crash that stranded the census bump behind the corpus append is
+      // only reachable through a replay — heal it here (no-op sans census)
+      StandingState.reconcileSourceCensus(spark, statePath, standingDocsPath)
     }
     val fp: DataFrame => DataFrame =
       if (meta.normalizedFingerprints) TextOps.normalized(_) else identity
@@ -721,10 +768,15 @@ object CorpusIntakeJob {
     // window hashes append with the other artifacts (same lease hold), so
     // a span-stage ingest tomorrow sees today's admissions as standing
     val sp = StandingState.spanHashesFor(admitted, statePath)
+    // census upkeep is opt-in (iff the state maintains one) and updates
+    // LAST in the commit, so every crash shape leaves it UNDER-counting —
+    // exactly the drift reconcileSourceCensus detects and heals
+    val censusOn = StandingState.sourceCensusExists(spark, statePath)
     StandingState.withLeaseRetry(spark, statePath, "ingestTextBatch:commit") {
       admitted.select(cols.head, cols.tail: _*)
         .write.mode("append").parquet(standingDocsPath)
       StandingState.writeArtifacts(dg, bd, statePath, sp)
+      if (censusOn) StandingState.bumpSourceCensus(spark, statePath, admitted)
     }
     admitted.count()
   }

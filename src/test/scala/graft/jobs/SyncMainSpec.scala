@@ -35,6 +35,87 @@ class SyncMainSpec extends SparkSpec {
       "--retentionEvery=12"))
     assert(c.retention === Some("ts < timestamp'2024-01-01'"))
     assert(c.retentionEvery === 12L && c.tau === 0.6)
+    val d = SyncMain.parseArgs(Array(
+      "--job=intakeState", "--docs=/d", "--state=/s", "--corpus=/c",
+      "--qualityWeights=/q.parquet", "--qualityM=128",
+      "--qualityMinScore=499000", "--langModels=/l.parquet",
+      "--langM=256", "--keepLangs=en,fr"))
+    assert(d.qualityWeights === Some("/q.parquet") && d.qualityM === 128)
+    assert(d.qualityMinScore === 499000L)
+    assert(d.langModels === Some("/l.parquet") && d.langM === 256)
+    assert(d.keepLangs === Some("en,fr"))
+    // misplaced / half-specified flags fail loudly (the --retention rule)
+    intercept[IllegalArgumentException](
+      SyncMain.parseArgs(Array("--qualityWeights=/q")))
+    intercept[IllegalArgumentException](
+      SyncMain.parseArgs(Array(
+        "--job=intakeState", "--docs=/d", "--keepLangs=en")))
+    intercept[IllegalArgumentException](
+      SyncMain.parseArgs(Array(
+        "--job=intakeState", "--docs=/d", "--retentionEvery=5")))
+  }
+
+  test("--job=intakeState with trained-gate flags: weights load from parquet and gate the stream") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    def words(i: Int): String =
+      "the tale of and to in " + (1 to 18).map(j => s"sg${i}x$j").mkString(" ")
+    val goodMark = (1 to 6).map(_ => " sqgoodmark").mkString
+    val badMark = (1 to 6).map(_ => " sqbadmark").mkString
+    val trainQ = (1 to 8).map { i =>
+      (100L + i, words(i) + (if (i % 2 == 1) goodMark else badMark),
+        if (i % 2 == 1) 1 else 0)
+    }.toDF("doc_id", "text", "label")
+    val qw = graft.llm.QualityLr.trainQualityLr(trainQ, m = 64, steps = 2, lr = 0.5)
+    val byY = graft.llm.QualityLr.scoreQualityLr(trainQ, qw, m = 64)
+      .join(trainQ.select("doc_id", "label"), "doc_id")
+      .groupBy("label")
+      .agg(org.apache.spark.sql.functions.sum("score_micros").as("s"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("s"), r.getAs[Long]("n")))).toMap
+    val qThr = math.floor(
+      (byY(1)._1.toDouble / byY(1)._2 + byY(0)._1.toDouble / byY(0)._2) / 2.0).toLong
+    val trainL = (1 to 8).map { i =>
+      (200L + i, words(40 + i) + (if (i % 2 == 1) " szenmark" else " szdemark") * 6,
+        if (i % 2 == 1) "en" else "de")
+    }.toDF("doc_id", "text", "lang")
+    val models = graft.llm.QualityLr.trainOneVsRestLr(
+      trainL, "lang", Seq("de", "en"), m = 64, steps = 2, lr = 0.5)
+    // the ops handoff: weights persist as parquet and round-trip exactly
+    val qwPath = java.nio.file.Files.createTempDirectory("sg_qw_").toString + "/w"
+    graft.llm.QualityLr.writeWeights(spark, qw, qwPath)
+    assert(graft.llm.QualityLr.loadWeights(spark, qwPath).toSeq === qw.toSeq)
+    val lmPath = java.nio.file.Files.createTempDirectory("sg_lm_").toString + "/m"
+    graft.llm.QualityLr.writeOneVsRestModels(spark, models, lmPath)
+    assert(graft.llm.QualityLr.loadOneVsRestModels(spark, lmPath)
+      .map { case (c, w) => (c, w.toSeq) } ===
+      models.map { case (c, w) => (c, w.toSeq) })
+    // standing corpus + state, then the CLI stream with both gates on
+    val corpusDir = java.nio.file.Files.createTempDirectory("sg_corpus_").toString
+    Seq((1L, words(90))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(corpusDir)
+    val statePath = java.nio.file.Files.createTempDirectory("sg_state_").toString
+    graft.llm.StandingState.write(spark.read.parquet(corpusDir), statePath)
+    def rec(ts: String, id: Long, text: String): String =
+      s"""{"ts":"$ts","doc_id":$id,"text":"$text"}"""
+    val dir = java.nio.file.Files.createTempDirectory("sg_docs_")
+    java.nio.file.Files.write(dir.resolve("part-0.jsonl"),
+      Seq(
+        rec("2024-01-01T10:00:00Z", 10, words(50) + goodMark + " szenmark" * 4),
+        rec("2024-01-01T10:00:01Z", 11, words(51) + badMark + " szenmark" * 4),
+        rec("2024-01-01T10:00:02Z", 12, words(52) + goodMark + " szdemark" * 4))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val ck = java.nio.file.Files.createTempDirectory("sg_ck_").toString
+    SyncMain.runOnce(spark, SyncMain.Args(
+      job = "intakeState", docs = Some(dir.toString),
+      state = Some(statePath), corpus = Some(corpusDir),
+      checkpoint = ck, tau = 0.5, once = true,
+      qualityWeights = Some(qwPath), qualityM = 64, qualityMinScore = qThr,
+      langModels = Some(lmPath), langM = 64, keepLangs = Some("en")))
+    assert(spark.read.parquet(corpusDir).select("doc_id").as[Long].collect().toSet
+      === Set(1L, 10L),
+      "10 passes both gates; 11 drops at 1b; 12 drops at 1c")
   }
 
   test("--job=intake --once: JSONL docs dir -> near-dup intake -> KV backend") {

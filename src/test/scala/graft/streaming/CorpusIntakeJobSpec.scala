@@ -307,6 +307,103 @@ class CorpusIntakeJobSpec extends SparkSpec {
     assert(spark.read.parquet(s"$statePath/digests").distinct().count() === 6L)
   }
 
+  test("trained gates ride the text intake: batch==stream parity, raw-text scoring, gated-out docs never block") {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    // stopword-bearing base: the default rule gate (stage 1) runs in both
+    // forms, and a stopword-free synthetic doc would fail its ok_stop rule
+    def words(i: Int): String =
+      "the tale of and to in " + (1 to 18).map(j => s"w${i}x$j").mkString(" ")
+    // QUALITY training: the GOOD marker is an EMAIL token, so a correct
+    // (pre-scrub) gate sees it while a wrongly post-scrub gate would see
+    // only <EMAIL> and score everything at the bias — the raw-text order
+    // is observable, not just asserted
+    val goodMark = (1 to 6).map(_ => " goodsig@mark.example.com").mkString
+    val badMark = (1 to 6).map(_ => " qbadmark").mkString
+    val trainQ = (1 to 8).map { i =>
+      val good = i % 2 == 1
+      (100L + i, words(i) + (if (good) goodMark else badMark),
+        if (good) 1 else 0)
+    }.toDF("doc_id", "text", "label")
+    val qw = graft.llm.QualityLr.trainQualityLr(trainQ, m = 64, steps = 2, lr = 0.5)
+    // calibrated midpoint threshold (the q103 recipe)
+    val byY = graft.llm.QualityLr.scoreQualityLr(trainQ, qw, m = 64)
+      .join(trainQ.select("doc_id", "label"), "doc_id")
+      .groupBy("label")
+      .agg(org.apache.spark.sql.functions.sum("score_micros").as("s"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("s"), r.getAs[Long]("n")))).toMap
+    val qThr = math.floor(
+      (byY(1)._1.toDouble / byY(1)._2 + byY(0)._1.toDouble / byY(0)._2) / 2.0).toLong
+    // LANGUAGE training: planted lang markers, two classes
+    val trainL = (1 to 8).map { i =>
+      val en = i % 2 == 1
+      (200L + i, words(40 + i) + (if (en) " zzenmark" else " zzdemark") * 6,
+        if (en) "en" else "de")
+    }.toDF("doc_id", "text", "lang")
+    val models = graft.llm.QualityLr.trainOneVsRestLr(
+      trainL, "lang", Seq("de", "en"), m = 64, steps = 2, lr = 0.5)
+    val gates = CorpusIntakeJob.TrainedGates(
+      qualityGate = Some((qw.toSeq, 64, qThr)),
+      keepLangs = Some((
+        models.map { case (c, w) => (c, w.toSeq) }, 64, Set("en"))))
+
+    // standing corpus + state; incoming exercises every gate + both dedup legs
+    val standingText = words(90) + " <EMAIL>" * 6 + " zzenmark" * 4
+    def mkCorpus(): (String, String) = {
+      val corpusDir = java.nio.file.Files.createTempDirectory("tg_docs_").toString
+      Seq((1L, standingText)).toDF("doc_id", "text")
+        .withColumn("source", lit("s"))
+        .write.mode("overwrite").parquet(corpusDir)
+      val statePath = java.nio.file.Files.createTempDirectory("tg_state_").toString
+      graft.llm.StandingState.write(spark.read.parquet(corpusDir), statePath)
+      (corpusDir, statePath)
+    }
+    val incoming = Seq(
+      (30L, words(50) + goodMark + " zzenmark" * 4), // admitted
+      (31L, words(51) + badMark + " zzenmark" * 4),  // 1b drops
+      (32L, words(52) + goodMark + " zzdemark" * 4), // 1c drops
+      // near-dup of 30 (one extra word) -> dedup drops AFTER the gates
+      (33L, words(50) + goodMark + " zzenmark" * 4 + " extraword"),
+      // scrubs to the standing doc's stored (pre-scrubbed) text -> the
+      // exact leg drops it, which also pins scrub-before-fingerprint
+      (34L, words(90) + goodMark + " zzenmark" * 4))
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+
+    // STREAM form (the batch leg)
+    val (corpusDir, statePath) = mkCorpus()
+    val n = CorpusIntakeJob.ingestTextBatch(
+      incoming, statePath, corpusDir, tau = 0.5, gates = gates)
+    assert(n === 1L)
+    val streamIds = spark.read.parquet(corpusDir)
+      .filter(col("doc_id") >= 30L).select("doc_id").as[Long].collect().toSet
+    assert(streamIds === Set(30L),
+      "1b must drop 31, 1c must drop 32, dedup must drop 33/34, 30 must admit " +
+        "on its RAW text (the good signal is an email the scrub erases)")
+
+    // BATCH form: prepareIncrementalWithState under the same config —
+    // membership parity is the judge's batch==stream contract
+    val (corpusDir2, statePath2) = mkCorpus()
+    val cfg = graft.llm.CorpusPipeline.Config(
+      qualityGate = Some((qw.toSeq, 64, qThr)),
+      keepLangs = Some((
+        models.map { case (c, w) => (c, w.toSeq) }, 64, Set("en"))),
+      nearDupTau = 0.5)
+    val batchFed = graft.llm.CorpusPipeline.prepareIncrementalWithState(
+      incoming, spark.read.parquet(corpusDir2),
+      graft.llm.StandingState.load(spark, statePath2), cfg = cfg)
+    assert(batchFed.select("doc_id").as[Long].collect().toSet === streamIds)
+
+    // gated-out docs were never admitted to the state: a later replica of
+    // 1b-dropped doc 31 has NO blocker and must admit (a gate that ran
+    // after dedup — or leaked gated docs into the state — would drop it)
+    val n2 = CorpusIntakeJob.ingestTextBatch(
+      Seq((40L, words(51) + goodMark + " zzenmark" * 4))
+        .toDF("doc_id", "text").withColumn("source", lit("s")),
+      statePath, corpusDir, tau = 0.5, gates = gates)
+    assert(n2 === 1L)
+  }
+
   test("ingestTextBatch sequence == frame-fed sequential dedup on a randomized corpus") {
     import org.apache.spark.sql.functions.col
     // random corpus with planted exact dups and near-dups scattered across
