@@ -3802,11 +3802,13 @@ object LlmQueries {
           "CASE WHEN try_cast(substring(source, 4) as int) % 2 = 1 " +
             "THEN repeat(' qgoodmark', 12) " +
             "ELSE repeat(' qbadmark', 12) END")
+        // markers repeat 12x: at the larger SFs the docs are longer, so a
+        // thin marker's L1-normalized feature weight drowns in vocab
+        // noise and the predictions collapse to near-nothing surviving —
+        // measured at sf0.1 with a 3x lang marker (6 of 2375 docs kept)
         val docs = Tables.documentsRaw(s, dir)
           .withColumn("text", concat(col("text"),
-            lit(" zz"), col("lang"), lit("marker zz"),
-            col("lang"), lit("marker zz"), col("lang"), lit("marker"),
-            qualMark))
+            expr("repeat(concat(' zz', lang, 'marker'), 12)"), qualMark))
         val train = docs
           .withColumn("__rn", expr(
             "row_number() OVER (PARTITION BY lang ORDER BY doc_id)"))
@@ -3816,13 +3818,15 @@ object LlmQueries {
         // the literal cap, so the stream runs the broadcast-join weight
         // delivery in production (the q102 choice, for the same reason —
         // and at m = 64 the hash collisions blur the 5-way marker
-        // separation into a vacuous gate)
+        // separation into a vacuous gate). ONE GD step: the planted
+        // markers separate after the first update, and each extra step
+        // is two more aggregation jobs per class chain in BOTH engines
         val models = graft.llm.QualityLr.trainOneVsRestLr(
-          train, "lang", classes, m = 1024, steps = 2, lr = 0.5)
+          train, "lang", classes, m = 1024, steps = 1, lr = 0.5)
         val qw = graft.llm.QualityLr.trainQualityLr(
           train.withColumn("label",
             expr("try_cast(substring(source, 4) as int) % 2")),
-          m = 1024, steps = 2, lr = 0.5)
+          m = 1024, steps = 1, lr = 0.5)
         // CALIBRATED threshold — the production shape: score the TRAINING
         // docs under the trained weights and split at the midpoint of the
         // per-class mean scores (a fixed literal like q95's would sit on
@@ -3851,16 +3855,18 @@ object LlmQueries {
           qualityGate = Some((qw.toSeq, 1024, qThr)),
           keepLangs = Some((
             models.map { case (c, w) => (c, w.toSeq) }, 1024, Set("en", "fr"))))
-        // non-vacuity guards: each gate must actually drop something on
-        // the batch range, or the scenario silently tests nothing (the
-        // q100/q102 discipline). Skipped on an empty batch range (tiny
-        // SFs have no doc_id >= 250 — the q75 shape degrades the same way)
-        val batch = docs.filter(col("doc_id") >= 250)
+        // non-vacuity guards: each gate must actually drop something, or
+        // the scenario silently tests nothing (the q100/q102 discipline).
+        // Checked on the FIRST chunk only — proving the gates active
+        // there proves them active, at a 50-doc cost instead of two
+        // scoring passes over the whole batch range. Skipped on an empty
+        // chunk (tiny SFs have no doc_id >= 250)
+        val probe = docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
           .select("doc_id", "source", "text")
-        val nB = batch.count()
+        val nB = probe.count()
         if (nB > 0) {
           val qg = graft.llm.CorpusPipeline.applyQualityGate(
-            batch, gates.qualityGate).localCheckpoint(false)
+            probe, gates.qualityGate).localCheckpoint(false)
           val nQ = qg.count()
           val nL = graft.llm.CorpusPipeline.applyLangGate(qg, gates.keepLangs).count()
           require(nQ < nB, "q103 setup vacuous: quality gate dropped nothing")
@@ -3875,7 +3881,11 @@ object LlmQueries {
         val statePath = java.nio.file.Files
           .createTempDirectory("q103_state_").toString
         graft.llm.StandingState.write(s.read.parquet(corpusDir), statePath)
-        Seq((250L, 300L), (300L, 350L), (350L, Long.MaxValue)).foreach {
+        // chunk 3 is BOUNDED at 450 (unlike q75's open tail): the gate
+        // semantics need three cycles, not every doc at the bench SF —
+        // an open chunk 3 would score + LSH thousands of docs at sf0.1
+        // for no additional coverage
+        Seq((250L, 300L), (300L, 350L), (350L, 450L)).foreach {
           case (lo, hi) =>
             graft.streaming.CorpusIntakeJob.ingestTextBatch(
               docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
@@ -3886,7 +3896,7 @@ object LlmQueries {
         s.read.parquet(corpusDir).filter(col("doc_id") >= 250)
           .select("doc_id", "source").orderBy("doc_id")
       },
-      Some(intakeGatesOracle(m = 1024, steps = 2, lr = 0.5,
+      Some(intakeGatesOracle(m = 1024, steps = 1, lr = 0.5,
         classes = Seq("de", "en", "es", "fr", "zh"),
         keep = Seq("en", "fr"))),
     ),
@@ -4194,8 +4204,7 @@ object LlmQueries {
         "THEN repeat(' qgoodmark', 12) " +
         "ELSE repeat(' qbadmark', 12) END"
     val markedExpr =
-      "text || ' zz' || lang || 'marker zz' || lang || 'marker zz' || " +
-        s"lang || 'marker' || $qualCase"
+      s"text || repeat(' zz' || lang || 'marker', 12) || $qualCase"
     val pre =
       s"""marked AS MATERIALIZED (
          |  SELECT doc_id, source, lang, $markedExpr AS text
@@ -4258,7 +4267,8 @@ object LlmQueries {
       qualityChain +
       s""",
          |bdocs AS MATERIALIZED (
-         |  SELECT doc_id, source, text FROM marked WHERE doc_id >= 250),
+         |  SELECT doc_id, source, text FROM marked
+         |  WHERE doc_id >= 250 AND doc_id < 450),
          |qt AS (
          |  SELECT doc_id,
          |         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
