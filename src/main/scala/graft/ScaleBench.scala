@@ -1168,6 +1168,50 @@ object ScaleBench {
       println(s"""{"op":"lr_weight_join","m":$m,"train_steps":2,"train_sec":${f"$tTrain%.2f"},"score_docs":$nScored,"score_sec":${f"$tScore%.2f"},"probe_docs":500,"join_sec":${f"$tJoin%.2f"},"literal_sec":${f"$tLit%.2f"},"scores_equal":${sJoin == sLit},"separates":$separates}""")
     }
 
+    // Maintained source census at corpus scale: the INIT pays one
+    // O(corpus) recount; each ingest FOLD is a #sources-row union +
+    // swap whose cost is independent of corpus size (the point of
+    // maintaining it — an incremental mix should never recount 100 TB);
+    // the healthy-path reconcile is two counts (census sum + parquet
+    // footers). Fixed points: census == recount exactly after init and
+    // after the fold, and the no-drift reconcile reports false.
+    locally {
+      val tmp = java.nio.file.Files.createTempDirectory("census_probe")
+      val corpusDir = s"$tmp/corpus"
+      val statePath = s"$tmp/state"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(statePath))
+      val nRows = 2000000L
+      spark.range(nRows).select(
+          col("id").as("doc_id"),
+          concat(lit("src"), pmod(col("id"), lit(50L))).as("source"),
+          lit("x").as("text"))
+        .write.mode("overwrite").parquet(corpusDir)
+      val (_, tInit) = timed {
+        StandingState.writeSourceCensus(spark, statePath, corpusDir)
+      }
+      val batch = spark.range(nRows, nRows + 500L).select(
+          col("id").as("doc_id"),
+          concat(lit("src"), pmod(col("id"), lit(50L))).as("source"),
+          lit("y").as("text"))
+        .localCheckpoint(true)
+      batch.write.mode("append").parquet(corpusDir)
+      val (_, tFold) = timed {
+        StandingState.bumpSourceCensus(spark, statePath, batch)
+      }
+      def censusMap(): Map[String, Long] =
+        StandingState.loadSourceCensus(spark, statePath)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val recount = spark.read.parquet(corpusDir)
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = censusMap() == recount
+      val (drift, tRec) = timed {
+        StandingState.reconcileSourceCensus(spark, statePath, corpusDir)
+      }
+      println(s"""{"op":"source_census_fold","corpus":${nRows + 500L},"sources":50,"init_sec":${f"$tInit%.2f"},"fold_sec":${f"$tFold%.2f"},"reconcile_noop_sec":${f"$tRec%.2f"},"census_exact":$exact,"reconcile_noop":${!drift}}""")
+    }
+
     spark.stop()
   }
 }
