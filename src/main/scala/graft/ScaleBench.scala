@@ -1089,17 +1089,22 @@ object ScaleBench {
         statePath, nParts)
       def census(): Map[String, Set[(String, Long, Long)]] = {
         import scala.jdk.CollectionConverters._
+        // Files.list streams hold open directory handles until closed —
+        // drain each inside a closing block
+        def listed[T](d: java.nio.file.Path)(
+            f: Iterator[java.nio.file.Path] => T): T = {
+          val st = java.nio.file.Files.list(d)
+          try f(st.iterator().asScala) finally st.close()
+        }
         val dir = java.nio.file.Paths.get(statePath, "clusters")
-        java.nio.file.Files.list(dir).iterator().asScala
-          .filter(_.getFileName.toString.startsWith("cpart="))
+        listed(dir)(_.filter(_.getFileName.toString.startsWith("cpart="))
           .map { p =>
             p.getFileName.toString ->
-              java.nio.file.Files.list(p).iterator().asScala
-                .map(f => (f.getFileName.toString,
+              listed(p)(_.map(f => (f.getFileName.toString,
                   java.nio.file.Files.size(f),
                   java.nio.file.Files.getLastModifiedTime(f).toMillis))
-                .toSet
-          }.toMap
+                .toSet)
+          }.toMap)
       }
       val before = census()
       val (nExp, tExpire) = timed {

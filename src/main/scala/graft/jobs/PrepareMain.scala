@@ -170,6 +170,13 @@ object PrepareMain {
         "when this is the invocation's sole expire flag)")
     require(!a.migrateToKeyed || (a.state.nonEmpty && a.standing.nonEmpty),
       "--migrateToKeyed needs --state and --standing (artifacts rebuild from the corpus)")
+    // the reverse direction of the combined-TTL flags: a standing-table
+    // flag without its expire predicate would silently skip that
+    // family's retention pass (the --retentionEvery silent-strand class)
+    require(a.standingVecs.isEmpty || a.expireEmbeddings.nonEmpty,
+      "--standingVecs needs --expireEmbeddings (the predicate that expires it)")
+    require(a.standingMedia.isEmpty || a.expireMedia.nonEmpty,
+      "--standingMedia needs --expireMedia (the predicate that expires it)")
     // the attrition report exists only for the full-batch pipeline
     // (prepareWithReport); silently ignoring the flag in incremental mode
     // would strand scripting that reads the report path

@@ -81,12 +81,15 @@ object SyncMain {
       tau: Double = 0.8,
       retention: Option[String] = None,
       retentionEvery: Long = 1L,
-      // trained stage-1b/1c gates (CorpusIntakeJob.TrainedGates)
+      // trained stage-1b/1c gates (CorpusIntakeJob.TrainedGates); the
+      // sub-knobs are Options so an orphan flag (knob without its parent
+      // weights flag) is DETECTABLE and fails loudly instead of being
+      // silently ignored — defaults apply at the use site
       qualityWeights: Option[String] = None,
-      qualityM: Int = 64,
-      qualityMinScore: Long = 500000L,
+      qualityM: Option[Int] = None,
+      qualityMinScore: Option[Long] = None,
       langModels: Option[String] = None,
-      langM: Int = 64,
+      langM: Option[Int] = None,
       keepLangs: Option[String] = None)
 
   def parseArgs(argv: Array[String]): Args =
@@ -118,10 +121,10 @@ object SyncMain {
         case Array("--retention", v) => a.copy(retention = Some(v))
         case Array("--retentionEvery", v) => a.copy(retentionEvery = v.toLong)
         case Array("--qualityWeights", v) => a.copy(qualityWeights = Some(v))
-        case Array("--qualityM", v) => a.copy(qualityM = v.toInt)
-        case Array("--qualityMinScore", v) => a.copy(qualityMinScore = v.toLong)
+        case Array("--qualityM", v) => a.copy(qualityM = Some(v.toInt))
+        case Array("--qualityMinScore", v) => a.copy(qualityMinScore = Some(v.toLong))
         case Array("--langModels", v) => a.copy(langModels = Some(v))
-        case Array("--langM", v) => a.copy(langM = v.toInt)
+        case Array("--langM", v) => a.copy(langM = Some(v.toInt))
         case Array("--keepLangs", v) => a.copy(keepLangs = Some(v))
         case other => sys.error(s"unknown argument '${other.mkString("=")}'")
       }
@@ -144,6 +147,16 @@ object SyncMain {
           "--qualityWeights/--langModels apply only to --job=intakeState")
         require(a.keepLangs.isEmpty || a.langModels.nonEmpty,
           "--keepLangs needs --langModels (the models that predict the language)")
+        require(a.langModels.isEmpty || a.keepLangs.nonEmpty,
+          "--langModels needs --keepLangs (the languages the gate keeps)")
+        // orphan sub-knobs: a threshold or m without its parent weights
+        // flag would leave the stream running ungated at a config the
+        // operator believes is in force
+        require((a.qualityM.isEmpty && a.qualityMinScore.isEmpty) ||
+            a.qualityWeights.nonEmpty,
+          "--qualityM/--qualityMinScore need --qualityWeights")
+        require(a.langM.isEmpty || a.langModels.nonEmpty,
+          "--langM needs --langModels")
         a
     }
 
@@ -209,15 +222,15 @@ object SyncMain {
     val gates = graft.streaming.CorpusIntakeJob.TrainedGates(
       qualityGate = a.qualityWeights.map { p =>
         (graft.llm.QualityLr.loadWeights(spark, p).toSeq,
-          a.qualityM, a.qualityMinScore)
+          a.qualityM.getOrElse(64), a.qualityMinScore.getOrElse(500000L))
       },
       keepLangs = a.langModels.map { p =>
-        val keep = a.keepLangs.getOrElse(sys.error(
-          "--langModels needs --keepLangs=<comma-separated languages>"))
+        // parseArgs guarantees keepLangs is present alongside langModels
+        val keep = a.keepLangs.get
           .split(',').map(_.trim).filter(_.nonEmpty).toSet
         require(keep.nonEmpty, "--keepLangs must name at least one language")
         (graft.llm.QualityLr.loadOneVsRestModels(spark, p)
-          .map { case (c, w) => (c, w.toSeq) }, a.langM, keep)
+          .map { case (c, w) => (c, w.toSeq) }, a.langM.getOrElse(64), keep)
       })
     val q = graft.streaming.CorpusIntakeJob.runTextStream(
       docs, statePath, corpus, a.checkpoint, tau = a.tau, trigger = trigger,

@@ -327,11 +327,13 @@ object StandingState {
     * [[updateClusters]] appends each ingest's new pairs (same lease
     * hold, before the label rewrite — a crash leaves extra edges, which
     * are set-semantic and only ever re-assert pairs the retried update
-    * re-delivers), and [[expire]] subtracts rows touching an expired
-    * endpoint exactly like every other doc-keyed artifact (an edge is
-    * doubly keyed: it drops when EITHER endpoint expires). Cost: one
-    * (id, id) row per verified pair — the q43 pair relation, orders of
-    * magnitude below the corpus. */
+    * re-delivers; crash-retried duplicates are folded by [[compact]]'s
+    * distinct rewrite like every other append-grown artifact), and
+    * [[expire]] subtracts rows touching an expired endpoint exactly
+    * like every other doc-keyed artifact (an edge is doubly keyed: it
+    * drops when EITHER endpoint expires). Cost: one (id, id) row per
+    * verified pair — the q43 pair relation, orders of magnitude below
+    * the corpus. */
   def writePairEdges(pairs: DataFrame, path: String): Unit =
     pairs.select("doc_a", "doc_b")
       .write.mode("overwrite").parquet(s"$path/pair_edges")
@@ -489,8 +491,12 @@ object StandingState {
     // pairs would label them (spec-pinned equality). The rewrite is
     // whole-table BY NATURE (a re-clustering can move any label), so
     // both layouts stage-and-swap the full table; the cheap
-    // ghost-bearing-partitions path remains the default. Returns label
-    // rows removed (ghosts + split-off singletons).
+    // ghost-bearing-partitions path remains the default. Returns the
+    // SIGNED label-row delta (rows removed — ghosts + split-off
+    // singletons — in the common case; NEGATIVE when persisted edges
+    // outran the labels, e.g. an updateClusters crash after its edge
+    // append but before the label swap, where the exact pass ADDS the
+    // missing co-labels).
     if (exact) {
       healStranded(spark, statePath, "pair_edges", "relabelClusters:healEdges")
       require(tableExists(spark, s"$statePath/pair_edges"),
@@ -1510,7 +1516,7 @@ object StandingState {
       targetFileBytes: Long = DefaultCompactTargetBytes): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     Seq("digests", "bands", "emb_buckets", "media_phashes", "media_bands",
-        "span_hashes")
+        "span_hashes", "pair_edges")
       .foreach { table =>
         compactDirLive(spark, path, new HPath(s"$path/$table"), _.distinct())
       }
@@ -2093,46 +2099,60 @@ object StandingState {
       spark: SparkSession, statePath: String, corpusPath: String): Boolean = {
     healStranded(spark, statePath, "source_census", "reconcileCensus:heal")
     if (!sourceCensusExists(spark, statePath)) return false
-    val total = spark.read.parquet(s"$statePath/source_census")
-      .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
-    val corpusN = spark.read.parquet(corpusPath).count()
-    if (total == corpusN) false
-    else {
-      val recount = spark.read.parquet(corpusPath)
-        .groupBy("source").agg(count(lit(1)).as("n"))
-        .localCheckpoint(true)
-      withLeaseRetry(spark, statePath, "reconcileSourceCensus") {
+    def drifted(): Boolean = {
+      val total = spark.read.parquet(s"$statePath/source_census")
+        .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+      total != spark.read.parquet(corpusPath).count()
+    }
+    // unleased fast path: the healthy case costs two counts and never
+    // touches the lease
+    if (!drifted()) false
+    else withLeaseRetry(spark, statePath, "reconcileSourceCensus") {
+      // RE-CHECK and RECOUNT under the lease: a recount computed outside
+      // it could land AFTER a concurrent ingest's census bump and clobber
+      // that batch's counts with a stale snapshot (the lost-update race
+      // the lease exists to exclude — ingest commits hold it for the
+      // corpus append + bump pair, so under the lease the pair is
+      // consistent). Drift is a crash-heal rarity; holding the lease for
+      // one corpus recount is the price of a sound heal.
+      if (!drifted()) false
+      else {
+        val recount = spark.read.parquet(corpusPath)
+          .groupBy("source").agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
         swapTable(spark, statePath, "source_census") { staged =>
           recount.coalesce(1).write.mode("overwrite").parquet(staged)
         }
+        true
       }
-      true
     }
   }
 
-  /** Persist a fitted DSIR log-ratio table (`dsir_ratios/` + a
-    * `dsir_meta` row pinning the (m, lambda) regime) — the
+  /** Persist a fitted DSIR log-ratio table (`dsir_ratios/`) — the
     * [[TextOps.dsirLogRatios]] output as a REGIME-GUARDED state artifact
     * instead of a bare parquet path: the frozen-model discipline the
     * SemDeDup centroids already get (fit once over the standing corpora,
     * score every batch against the frozen table), with the same loud
     * failure on a regime mismatch — ratios fit under one (m, lambda)
     * scored under another would silently mis-weight every bucket, the
-    * exact drift [[loadDsirRatios]]' requireCompatible-style check
-    * refuses. The table is a FITTED MODEL, not a per-doc artifact:
-    * [[expire]] deliberately leaves it untouched (an expired doc's
-    * feature mass stays in the fitted distribution until the model is
-    * deliberately re-fit and re-written — the centroid rule), and
-    * [[compact]] skips it (m rows, nothing to fold). */
+    * exact drift [[loadDsirRatios]]' check refuses. The (m, lambda)
+    * regime rides as CONSTANT COLUMNS on the ratio rows themselves
+    * rather than a sibling meta table: two separate writes can tear (a
+    * crash between them would leave new-regime ratios guarded by
+    * old-regime meta, and the guard would then PASS a cross-regime
+    * score — the exact silent failure it exists to refuse), while a
+    * single self-describing table can only be fully old, fully new, or
+    * loudly unreadable. The table is a FITTED MODEL, not a per-doc
+    * artifact: [[expire]] deliberately leaves it untouched (an expired
+    * doc's feature mass stays in the fitted distribution until the
+    * model is deliberately re-fit — the centroid rule), and [[compact]]
+    * skips it (m rows, nothing to fold). */
   def writeDsirRatios(
       ratios: DataFrame, path: String, m: Int, lambda: Double): Unit = {
-    val spark = ratios.sparkSession
-    import spark.implicits._
     require(m >= 1, s"m must be positive, got $m")
-    ratios.select("bucket", "log_ratio")
+    ratios.select(col("bucket"), col("log_ratio"),
+        lit(m).as("m"), lit(lambda).as("lambda"))
       .write.mode("overwrite").parquet(s"$path/dsir_ratios")
-    Seq((m, lambda)).toDF("m", "lambda")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/dsir_meta")
   }
 
   /** Lazy scan of the persisted DSIR ratio table, refusing an (m, lambda)
@@ -2140,13 +2160,14 @@ object StandingState {
     * the result to [[TextOps.dsirScoresWithRatios]] with the SAME m. */
   def loadDsirRatios(
       spark: SparkSession, path: String, m: Int, lambda: Double): DataFrame = {
-    val r = spark.read.parquet(s"$path/dsir_meta").head()
+    val df = spark.read.parquet(s"$path/dsir_ratios")
+    val r = df.select("m", "lambda").head()
     val (pm, pl) = (r.getAs[Int]("m"), r.getAs[Double]("lambda"))
     require(pm == m && pl == lambda,
       s"persisted DSIR ratios were fit under m=$pm, lambda=$pl; " +
         s"caller wants m=$m, lambda=$lambda — re-fit (writeDsirRatios) " +
         "under the new regime instead of scoring across regimes")
-    spark.read.parquet(s"$path/dsir_ratios")
+    df.select("bucket", "log_ratio")
   }
 
   /** Persist the standing corpus' sign-LSH bucket rows for the EMBEDDING

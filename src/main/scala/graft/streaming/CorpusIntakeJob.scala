@@ -87,10 +87,7 @@ object CorpusIntakeJob {
     * broadcast (bucket, w_0..w_K) frame above it. */
   final case class TrainedGates(
       qualityGate: Option[(Seq[Long], Int, Long)] = None,
-      keepLangs: Option[(Seq[(String, Seq[Long])], Int, Set[String])] = None) {
-    private[streaming] def isEmpty: Boolean =
-      qualityGate.isEmpty && keepLangs.isEmpty
-  }
+      keepLangs: Option[(Seq[(String, Seq[Long])], Int, Set[String])] = None)
 
   /** docs stream (tsCol, doc_id, text, +passthrough) -> gated, scrubbed,
     * deduplicated stream. `nearExact = true` dedups on the k-token minhash

@@ -40,9 +40,9 @@ class SyncMainSpec extends SparkSpec {
       "--qualityWeights=/q.parquet", "--qualityM=128",
       "--qualityMinScore=499000", "--langModels=/l.parquet",
       "--langM=256", "--keepLangs=en,fr"))
-    assert(d.qualityWeights === Some("/q.parquet") && d.qualityM === 128)
-    assert(d.qualityMinScore === 499000L)
-    assert(d.langModels === Some("/l.parquet") && d.langM === 256)
+    assert(d.qualityWeights === Some("/q.parquet") && d.qualityM === Some(128))
+    assert(d.qualityMinScore === Some(499000L))
+    assert(d.langModels === Some("/l.parquet") && d.langM === Some(256))
     assert(d.keepLangs === Some("en,fr"))
     // misplaced / half-specified flags fail loudly (the --retention rule)
     intercept[IllegalArgumentException](
@@ -50,6 +50,18 @@ class SyncMainSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       SyncMain.parseArgs(Array(
         "--job=intakeState", "--docs=/d", "--keepLangs=en")))
+    intercept[IllegalArgumentException](
+      SyncMain.parseArgs(Array(
+        "--job=intakeState", "--docs=/d", "--langModels=/l"))) // no --keepLangs
+    intercept[IllegalArgumentException](
+      SyncMain.parseArgs(Array( // orphan sub-knob, parent weights missing
+        "--job=intakeState", "--docs=/d", "--qualityM=1024")))
+    intercept[IllegalArgumentException](
+      SyncMain.parseArgs(Array(
+        "--job=intakeState", "--docs=/d", "--qualityMinScore=600000")))
+    intercept[IllegalArgumentException](
+      SyncMain.parseArgs(Array(
+        "--job=intakeState", "--docs=/d", "--langM=256")))
     intercept[IllegalArgumentException](
       SyncMain.parseArgs(Array(
         "--job=intakeState", "--docs=/d", "--retentionEvery=5")))
@@ -111,8 +123,9 @@ class SyncMainSpec extends SparkSpec {
       job = "intakeState", docs = Some(dir.toString),
       state = Some(statePath), corpus = Some(corpusDir),
       checkpoint = ck, tau = 0.5, once = true,
-      qualityWeights = Some(qwPath), qualityM = 64, qualityMinScore = qThr,
-      langModels = Some(lmPath), langM = 64, keepLangs = Some("en")))
+      qualityWeights = Some(qwPath), qualityM = Some(64),
+      qualityMinScore = Some(qThr),
+      langModels = Some(lmPath), langM = Some(64), keepLangs = Some("en")))
     assert(spark.read.parquet(corpusDir).select("doc_id").as[Long].collect().toSet
       === Set(1L, 10L),
       "10 passes both gates; 11 drops at 1b; 12 drops at 1c")

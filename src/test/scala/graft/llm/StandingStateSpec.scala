@@ -1041,15 +1041,19 @@ class StandingStateSpec extends SparkSpec {
     // snapshot every partition's file census (name, size, mtime)
     def census(): Map[String, Set[(String, Long, Long)]] = {
       import scala.jdk.CollectionConverters._
+      def listed[T](d: java.nio.file.Path)(
+          f: Iterator[java.nio.file.Path] => T): T = {
+        val st = java.nio.file.Files.list(d)
+        try f(st.iterator().asScala) finally st.close()
+      }
       val dir = java.nio.file.Paths.get(statePath, "clusters")
-      java.nio.file.Files.list(dir).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("cpart="))
+      listed(dir)(_.filter(_.getFileName.toString.startsWith("cpart="))
         .map { p =>
           p.getFileName.toString ->
-            java.nio.file.Files.list(p).iterator().asScala
-              .map(f => (f.getFileName.toString, java.nio.file.Files.size(f),
-                java.nio.file.Files.getLastModifiedTime(f).toMillis)).toSet
-        }.toMap
+            listed(p)(_.map(f =>
+              (f.getFileName.toString, java.nio.file.Files.size(f),
+                java.nio.file.Files.getLastModifiedTime(f).toMillis)).toSet)
+        }.toMap)
     }
     val before = census()
     assert(before.keySet === Set("cpart=0", "cpart=1", "cpart=2", "cpart=3"))
@@ -1333,11 +1337,13 @@ class StandingStateSpec extends SparkSpec {
         .iterator().asScala.foreach(java.nio.file.Files.delete)
     val fired = new java.util.concurrent.atomic.AtomicInteger(0)
     StandingState.compactPostStageHook = { table =>
-      if (table == "span_hashes" && fired.getAndIncrement() == 0)
-        java.nio.file.Files.list(java.nio.file.Paths.get(path))
-          .iterator().asScala
+      if (table == "span_hashes" && fired.getAndIncrement() == 0) {
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+        try st.iterator().asScala
           .filter(_.getFileName.toString.startsWith("span_hashes__staged_"))
           .foreach(rmRecursive)
+        finally st.close()
+      }
     }
     try StandingState.compact(spark, path)
     finally StandingState.compactPostStageHook = _ => ()
@@ -1536,10 +1542,12 @@ class StandingStateSpec extends SparkSpec {
     def census(sub: String): Seq[(String, Long, Long)] = {
       val d = java.nio.file.Paths.get(statePath, sub)
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(d).iterator().asScala
+      val st = java.nio.file.Files.list(d)
+      try st.iterator().asScala
         .filter(p => !p.getFileName.toString.startsWith("_"))
         .map(p => (p.getFileName.toString, java.nio.file.Files.size(p),
           java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSeq.sorted
+      finally st.close()
     }
     val before = census("dsir_ratios")
     assert(StandingState.expire(
