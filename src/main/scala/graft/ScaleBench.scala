@@ -1201,8 +1201,13 @@ object ScaleBench {
           lit("y").as("text"))
         .localCheckpoint(true)
       batch.write.mode("append").parquet(corpusDir)
+      // the fold runs under the state lease — bumpSourceCensus' documented
+      // calling convention (the ingest commit's hold); the single-process
+      // bench would be safe bare, but the probe should model production
       val (_, tFold) = timed {
-        StandingState.bumpSourceCensus(spark, statePath, batch)
+        StandingState.withLeaseRetry(spark, statePath, "scalebench:censusFold") {
+          StandingState.bumpSourceCensus(spark, statePath, batch)
+        }
       }
       def censusMap(): Map[String, Long] =
         StandingState.loadSourceCensus(spark, statePath)

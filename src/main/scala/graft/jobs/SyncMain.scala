@@ -37,14 +37,20 @@ import graft.sink.{InMemoryKvBackend, KvBackends, PublishMode, RedisKvBackend}
   *         # policy-driven TTL: the stream itself expires corpus rows
   *         # matching the predicate every N micro-batches (before that
   *         # batch's ingest) — CorpusIntakeJob.Retention
-  *     [--qualityWeights=/data/qlr.parquet --qualityM=64 --qualityMinScore=500000]
+  *     [--qualityWeights=/data/qlr.parquet --qualityMinScore=500000]
   *         # TRAINED stage-1b quality gate: micro-weights from
   *         # QualityLr.writeWeights (trained offline), applied between
-  *         # the rule gate and the scrub — CorpusIntakeJob.TrainedGates
-  *     [--langModels=/data/langlr.parquet --langM=64 --keepLangs=en,fr]
+  *         # the rule gate and the scrub — CorpusIntakeJob.TrainedGates.
+  *         # The feature regime m is DERIVED from the table's own stamp
+  *         # (no flag to drift out of sync with a re-train)
+  *     [--langModels=/data/langlr.parquet --keepLangs=en,fr]
   *         # TRAINED stage-1c language gate: one-vs-rest models from
-  *         # QualityLr.writeOneVsRestModels; docs predicted outside
-  *         # --keepLangs drop after 1b, before the scrub
+  *         # QualityLr.writeOneVsRestModels (m derived, as above); docs
+  *         # predicted outside --keepLangs drop after 1b, before the scrub
+  *     [--gateReloadEvery=N]
+  *         # LIVE WEIGHT ROTATION: re-load the gate weight tables every
+  *         # N micro-batches (a re-trained model goes live without a
+  *         # stream restart — TrainedGates.reloadEvery)
   * }}}
   *
   * `--once` runs a single bounded AvailableNow pass (backfill / test);
@@ -86,11 +92,10 @@ object SyncMain {
       // weights flag) is DETECTABLE and fails loudly instead of being
       // silently ignored — defaults apply at the use site
       qualityWeights: Option[String] = None,
-      qualityM: Option[Int] = None,
       qualityMinScore: Option[Long] = None,
       langModels: Option[String] = None,
-      langM: Option[Int] = None,
-      keepLangs: Option[String] = None)
+      keepLangs: Option[String] = None,
+      gateReloadEvery: Long = 0L)
 
   def parseArgs(argv: Array[String]): Args =
     argv.foldLeft(Args()) { (a, s) =>
@@ -121,11 +126,10 @@ object SyncMain {
         case Array("--retention", v) => a.copy(retention = Some(v))
         case Array("--retentionEvery", v) => a.copy(retentionEvery = v.toLong)
         case Array("--qualityWeights", v) => a.copy(qualityWeights = Some(v))
-        case Array("--qualityM", v) => a.copy(qualityM = Some(v.toInt))
         case Array("--qualityMinScore", v) => a.copy(qualityMinScore = Some(v.toLong))
         case Array("--langModels", v) => a.copy(langModels = Some(v))
-        case Array("--langM", v) => a.copy(langM = Some(v.toInt))
         case Array("--keepLangs", v) => a.copy(keepLangs = Some(v))
+        case Array("--gateReloadEvery", v) => a.copy(gateReloadEvery = v.toLong)
         case other => sys.error(s"unknown argument '${other.mkString("=")}'")
       }
     } match {
@@ -149,14 +153,16 @@ object SyncMain {
           "--keepLangs needs --langModels (the models that predict the language)")
         require(a.langModels.isEmpty || a.keepLangs.nonEmpty,
           "--langModels needs --keepLangs (the languages the gate keeps)")
-        // orphan sub-knobs: a threshold or m without its parent weights
-        // flag would leave the stream running ungated at a config the
-        // operator believes is in force
-        require((a.qualityM.isEmpty && a.qualityMinScore.isEmpty) ||
-            a.qualityWeights.nonEmpty,
-          "--qualityM/--qualityMinScore need --qualityWeights")
-        require(a.langM.isEmpty || a.langModels.nonEmpty,
-          "--langM needs --langModels")
+        // orphan sub-knobs: a threshold or reload cadence without its
+        // parent weights flag would leave the stream running ungated at
+        // a config the operator believes is in force
+        require(a.qualityMinScore.isEmpty || a.qualityWeights.nonEmpty,
+          "--qualityMinScore needs --qualityWeights")
+        require(a.gateReloadEvery == 0L ||
+            a.qualityWeights.nonEmpty || a.langModels.nonEmpty,
+          "--gateReloadEvery needs --qualityWeights or --langModels " +
+            "(the weight tables the cadence re-loads)")
+        require(a.gateReloadEvery >= 0L, "--gateReloadEvery must be >= 0")
         a
     }
 
@@ -217,21 +223,29 @@ object SyncMain {
     val retention = a.retention.map(p =>
       graft.streaming.CorpusIntakeJob.Retention(
         org.apache.spark.sql.functions.expr(p), a.retentionEvery))
-    // trained stage-1b/1c gates: weights trained offline, loaded once at
-    // stream start (control-plane fetches), riding the stream config
+    // trained stage-1b/1c gates: the flags become table SOURCES — the
+    // stream loads them at start (deriving m from each table's own
+    // regime stamp, so a re-train at a new m needs no flag change) and,
+    // with --gateReloadEvery, rotates them live every N micro-batches.
+    // Sources also survive restarts: the reload reads whatever the
+    // table says NOW, not what the process saw at launch.
     val gates = graft.streaming.CorpusIntakeJob.TrainedGates(
-      qualityGate = a.qualityWeights.map { p =>
-        (graft.llm.QualityLr.loadWeights(spark, p).toSeq,
-          a.qualityM.getOrElse(64), a.qualityMinScore.getOrElse(500000L))
-      },
-      keepLangs = a.langModels.map { p =>
-        // parseArgs guarantees keepLangs is present alongside langModels
-        val keep = a.keepLangs.get
+      qualitySource = a.qualityWeights.map(p =>
+        (p, a.qualityMinScore.getOrElse(500000L))),
+      langSource = a.langModels.map { p =>
+        // parseArgs pairs the flags, but Args is also constructed
+        // directly (tests, embedding callers) — re-enforce here so a
+        // programmatic langModels-without-keepLangs fails with the
+        // intended message, not a bare NoSuchElementException
+        val keep = a.keepLangs.getOrElse(sys.error(
+            "--langModels needs --keepLangs (the languages the gate keeps)"))
           .split(',').map(_.trim).filter(_.nonEmpty).toSet
         require(keep.nonEmpty, "--keepLangs must name at least one language")
-        (graft.llm.QualityLr.loadOneVsRestModels(spark, p)
-          .map { case (c, w) => (c, w.toSeq) }, a.langM.getOrElse(64), keep)
-      })
+        (p, keep)
+      },
+      reloadEvery =
+        if (a.qualityWeights.isEmpty && a.langModels.isEmpty) 0L
+        else a.gateReloadEvery)
     val q = graft.streaming.CorpusIntakeJob.runTextStream(
       docs, statePath, corpus, a.checkpoint, tau = a.tau, trigger = trigger,
       retention = retention, gates = gates)

@@ -288,55 +288,169 @@ object QualityLr {
       bestS.as("score_micros"))
   }
 
-  /** Persist trained micro-weights as a (bucket, wm) parquet table — the
-    * ops-side handoff for the streaming intake's trained gates
-    * ([[graft.jobs.SyncMain]] `--qualityWeights`): train once offline
-    * ([[trainQualityLr]]), write here, and every stream start reloads
-    * the same exact integers (micros are BIGINTs — nothing lossy in the
-    * round-trip). m+1 rows; coalesced to one file. */
+  /** Persist trained micro-weights as a REGIME-GUARDED (bucket, wm, m)
+    * parquet table — the ops-side handoff for the streaming intake's
+    * trained gates ([[graft.jobs.SyncMain]] `--qualityWeights`): train
+    * once offline ([[trainQualityLr]]), write here, and every stream
+    * start reloads the same exact integers (micros are BIGINTs —
+    * nothing lossy in the round-trip). m+1 rows; coalesced to one file.
+    *
+    * The feature regime `m` rides as a CONSTANT COLUMN on the weight
+    * rows themselves — the `writeDsirRatios` discipline
+    * ([[StandingState.writeDsirRatios]]): a weight table is only
+    * meaningful under the m it was trained at, so [[loadWeights]]
+    * DERIVES m from the table and verifies it against the row set
+    * instead of trusting a caller-supplied flag (a table retrained at a
+    * different m can then never silently become "the" table for a
+    * caller passing the stale flag — the load reports the new regime
+    * and the score-time `require` no longer depends on an operator
+    * keeping two knobs in sync). Optional `steps`/`lr` stamp training
+    * provenance (audit columns; the load does not act on them).
+    *
+    * A RE-train over an existing table routes through a stage-and-swap
+    * (write to `<path>__staged`, retire the live dir, rename in) rather
+    * than `mode("overwrite")`'s delete-then-write — a crash mid-write
+    * could otherwise leave a partially-committed table whose surviving
+    * rows carry a self-consistent m while whole buckets are missing.
+    * Load heals a crashed swap (live missing, `__retired` complete). */
   def writeWeights(
-      spark: SparkSession, weightsMicros: Array[Long], path: String): Unit = {
+      spark: SparkSession, weightsMicros: Array[Long], path: String,
+      steps: Option[Int] = None, lr: Option[Double] = None): Unit = {
     import spark.implicits._
-    weightsMicros.zipWithIndex.toSeq.map { case (w, b) => (b.toLong, w) }
+    require(weightsMicros.length >= 2,
+      s"need at least m+1=2 weights (m >= 1), got ${weightsMicros.length}")
+    val m = weightsMicros.length - 1
+    val df = weightsMicros.zipWithIndex.toSeq.map { case (w, b) => (b.toLong, w) }
       .toDF("bucket", "wm")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+      .withColumn("m", lit(m))
+      .withColumn("steps", steps.map(lit(_)).getOrElse(lit(null).cast("int")))
+      .withColumn("lr", lr.map(lit(_)).getOrElse(lit(null).cast("double")))
+    swapDir(spark, path)(staged =>
+      df.coalesce(1).write.mode("overwrite").parquet(staged))
   }
 
-  /** Load [[writeWeights]]' table back as the micro-weight vector
-    * (bucket-indexed, bias last). A control-plane fetch: m+1 rows. */
-  def loadWeights(spark: SparkSession, path: String): Array[Long] = {
-    val rows = spark.read.parquet(path)
-      .select("bucket", "wm").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    require(rows.nonEmpty && rows.map(_._1).toSeq == (0L until rows.length),
-      s"weight table at $path must cover buckets 0..m densely")
-    rows.map(_._2)
+  /** Load [[writeWeights]]' table back as (micro-weight vector, m) —
+    * bucket-indexed, bias last, with the TABLE's own trained regime. A
+    * control-plane fetch: m+1 rows. Refuses loudly a table whose rows
+    * disagree on m (a torn write) or whose bucket set does not cover
+    * 0..m densely (a partial commit — scoring it would silently zero
+    * the missing buckets' contribution). */
+  def loadWeights(spark: SparkSession, path: String): (Array[Long], Int) = {
+    healDir(spark, path)
+    val raw = spark.read.parquet(path)
+    val rows = raw.select("bucket", "wm", "m").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    require(rows.nonEmpty, s"weight table at $path is empty")
+    val ms = rows.map(_._3).distinct
+    require(ms.length == 1,
+      s"weight table at $path carries ${ms.length} distinct m regimes " +
+        s"(${ms.sorted.mkString(", ")}) — a torn write; re-train and re-write")
+    val m = ms.head
+    require(rows.length == m + 1 &&
+        rows.map(_._1).toSeq == (0L to m.toLong),
+      s"weight table at $path declares m=$m but covers " +
+        s"${rows.length} buckets in [${rows.head._1}, ${rows.last._1}] — " +
+        "a partially-committed write; re-train and re-write")
+    (rows.map(_._2), m)
   }
 
-  /** [[writeWeights]] for one-vs-rest models: (class, bucket, wm) rows. */
+  /** [[writeWeights]] for one-vs-rest models: (class, bucket, wm, m)
+    * rows, all classes under ONE m (enforced — [[scoreOneVsRestLr]]
+    * probes every model against the same feature pass). Same regime
+    * stamp, provenance columns, and stage-and-swap discipline. */
   def writeOneVsRestModels(
-      spark: SparkSession, models: Seq[(String, Array[Long])], path: String): Unit = {
+      spark: SparkSession, models: Seq[(String, Array[Long])], path: String,
+      steps: Option[Int] = None, lr: Option[Double] = None): Unit = {
     import spark.implicits._
-    models.toSeq.flatMap { case (c, w) =>
+    require(models.nonEmpty, "need at least one model")
+    val lens = models.map(_._2.length).distinct
+    require(lens.length == 1 && lens.head >= 2,
+      s"all classes must share one bucket space with m >= 1; got " +
+        s"lengths ${lens.sorted.mkString(", ")}")
+    val m = lens.head - 1
+    val df = models.toSeq.flatMap { case (c, w) =>
       w.zipWithIndex.toSeq.map { case (wm, b) => (c, b.toLong, wm) }
     }.toDF("class", "bucket", "wm")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+      .withColumn("m", lit(m))
+      .withColumn("steps", steps.map(lit(_)).getOrElse(lit(null).cast("int")))
+      .withColumn("lr", lr.map(lit(_)).getOrElse(lit(null).cast("double")))
+    swapDir(spark, path)(staged =>
+      df.coalesce(1).write.mode("overwrite").parquet(staged))
   }
 
-  /** Load [[writeOneVsRestModels]]' table back, class-sorted (the order
-    * [[scoreOneVsRestLr]] requires). K * (m+1) rows collected. */
+  /** Load [[writeOneVsRestModels]]' table back as (class-sorted models,
+    * m) — the order [[scoreOneVsRestLr]] requires, with the TABLE's own
+    * trained regime ([[loadWeights]]' derive-and-verify contract, per
+    * class). K * (m+1) rows collected. */
   def loadOneVsRestModels(
-      spark: SparkSession, path: String): Seq[(String, Array[Long])] = {
+      spark: SparkSession, path: String): (Seq[(String, Array[Long])], Int) = {
+    healDir(spark, path)
     val rows = spark.read.parquet(path)
-      .select("class", "bucket", "wm").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .select("class", "bucket", "wm", "m").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
     require(rows.nonEmpty, s"model table at $path is empty")
-    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, rs) =>
+    val ms = rows.map(_._4).distinct
+    require(ms.length == 1,
+      s"model table at $path carries ${ms.length} distinct m regimes " +
+        s"(${ms.sorted.mkString(", ")}) — a torn write; re-train and re-write")
+    val m = ms.head
+    val models = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, rs) =>
       val sorted = rs.sortBy(_._2)
-      require(sorted.map(_._2).toSeq == (0L until sorted.length),
-        s"class $c at $path must cover buckets 0..m densely")
+      require(sorted.length == m + 1 &&
+          sorted.map(_._2).toSeq == (0L to m.toLong),
+        s"class $c at $path declares m=$m but covers ${sorted.length} " +
+          "buckets — a partially-committed write; re-train and re-write")
       c -> sorted.map(_._3)
     }
+    (models, m)
+  }
+
+  /** Replace a weight-table dir atomically-enough for a filesystem:
+    * stage the replacement at `<path>__staged`, retire the live dir,
+    * rename the staged dir in, drop the retired snapshot — the
+    * [[StandingState]] swapTable protocol on a bare path (weight tables
+    * live wherever the operator points them, not inside a state dir). A
+    * crash between the two renames leaves no live dir but a complete
+    * `__retired`; [[healDir]] (run by every load) renames it back. The
+    * first-ever write has no live dir and skips the retire leg. */
+  private def swapDir(spark: SparkSession, path: String)(
+      writeStaged: String => Unit): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val live = new HPath(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healDirFs(fs, live)
+    val staged = new HPath(path + "__staged")
+    if (fs.exists(staged)) fs.delete(staged, true)
+    writeStaged(staged.toString)
+    val retired = new HPath(path + "__retired")
+    if (fs.exists(retired)) fs.delete(retired, true)
+    if (fs.exists(live) && !fs.rename(live, retired))
+      throw new java.io.IOException(
+        s"writeWeights: rename $live -> $retired failed")
+    if (!fs.rename(staged, live))
+      throw new java.io.IOException(
+        s"writeWeights: rename $staged -> $live failed" +
+          (if (fs.exists(retired)) s" — pre-swap rows intact at $retired"
+           else ""))
+    if (fs.exists(retired)) fs.delete(retired, true)
+  }
+
+  /** Load-side heal of a crashed [[swapDir]]: live dir missing but a
+    * complete `<path>__retired` present — rename it back. */
+  private def healDir(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val live = new HPath(path)
+    healDirFs(live.getFileSystem(spark.sparkContext.hadoopConfiguration), live)
+  }
+
+  private def healDirFs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val retired = new HPath(live.toString + "__retired")
+    if (!fs.exists(live) && fs.exists(retired) && !fs.rename(retired, live))
+      throw new java.io.IOException(
+        s"weight-table heal: recovery rename $retired -> $live failed")
   }
 
   /** Score a corpus under trained micro-weights: (doc_id, score_micros)

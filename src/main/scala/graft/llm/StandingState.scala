@@ -350,6 +350,40 @@ object StandingState {
   private def cpartCol(c: Column, nParts: Int): Column =
     pmod(c.cast("long"), lit(nParts.toLong))
 
+  /** n_parts of the bucketed clusters layout — trusting the TABLE over
+    * the meta row — or None for the plain layout. The empty-result
+    * degrade in [[relabelClusters]] commits the plain table FIRST and
+    * deletes `clusters_meta` second (the reverse order would strand a
+    * healed partitioned table with no meta row, silently rerouting
+    * subsequent updates through the legacy whole-table path); a crash
+    * between the two leaves a meta row describing a table that is
+    * already plain. Routing a TOUCHED-PARTITION rewrite at that shape
+    * would rename cpart= dirs into a directory of plain parquet files —
+    * a mixed table every reader would double-read — so the stale meta is
+    * treated as the incomplete half of a committed degrade: this
+    * COMPLETES it (deletes the meta) and reports the layout as plain.
+    * Caller MUST hold the state lease (the delete mutates the state
+    * dir) and must have healed/recovered the clusters table first
+    * ([[loadClustersLeased]] / the relabel pass's healStranded), so the
+    * live-dir probe never reads a mid-swap directory. A missing live dir
+    * with a meta row (pre-first-write shape) trusts the meta. */
+  private def leasedNParts(spark: SparkSession, path: String): Option[Int] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    if (!tableExists(spark, s"$path/clusters_meta")) return None
+    val nParts = spark.read.parquet(s"$path/clusters_meta")
+      .head().getAs[Int]("n_parts")
+    val base = new HPath(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new HPath(base, "clusters")
+    val stale = fs.exists(live) &&
+      !fs.listStatus(live).exists(_.getPath.getName.startsWith("cpart="))
+    if (!stale) Some(nParts)
+    else {
+      fs.delete(new HPath(base, "clusters_meta"), true)
+      None
+    }
+  }
+
   /** [[writeClusters]] BUCKETED by cluster_id (`cpart = pmod(cluster_id,
     * nParts)` partition dirs): every row of one cluster lands in one
     * partition, so an ingest's [[updateClusters]] rewrites ONLY the
@@ -518,10 +552,9 @@ object StandingState {
         val relabeled = Dedup.duplicateClusters(edges)
           .select("doc_id", "cluster_id", "cluster_size")
           .localCheckpoint(true)
-        val partitioned = tableExists(spark, s"$statePath/clusters_meta")
-        if (partitioned && !relabeled.isEmpty) {
-          val nParts = spark.read.parquet(s"$statePath/clusters_meta")
-            .head().getAs[Int]("n_parts")
+        val nPartsOpt = leasedNParts(spark, statePath)
+        if (nPartsOpt.nonEmpty && !relabeled.isEmpty) {
+          val nParts = nPartsOpt.get
           swapTable(spark, statePath, "clusters") { staged =>
             relabeled.withColumn("cpart", cpartCol(col("cluster_id"), nParts))
               .write.mode("overwrite").partitionBy("cpart").parquet(staged)
@@ -529,15 +562,21 @@ object StandingState {
         } else {
           // empty bucketed result: degrade to the plain layout (the
           // globalEmpty discipline — a zero-row partitionBy write emits
-          // no partition dirs and would brick the table)
-          if (partitioned) {
+          // no partition dirs and would brick the table). The plain
+          // table SWAPS IN FIRST, the meta row dies second: a crash
+          // between the two leaves a plain table with a stale meta row,
+          // which leasedNParts detects and completes on the next
+          // mutator (the reverse order's crash shape — a partitioned
+          // table with no meta — would silently reroute every later
+          // update through the legacy whole-table path).
+          swapTable(spark, statePath, "clusters") { staged =>
+            relabeled.write.mode("overwrite").parquet(staged)
+          }
+          if (nPartsOpt.nonEmpty) {
             import org.apache.hadoop.fs.{Path => HPath}
             val meta = new HPath(s"$statePath/clusters_meta")
             meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
               .delete(meta, true)
-          }
-          swapTable(spark, statePath, "clusters") { staged =>
-            relabeled.write.mode("overwrite").parquet(staged)
           }
         }
         before - relabeled.count()
@@ -569,10 +608,9 @@ object StandingState {
             Seq("cluster_id"))
           .filter(col("cluster_size") >= 2)
           .select("doc_id", "cluster_id", "cluster_size")
-        val partitioned = tableExists(spark, s"$statePath/clusters_meta")
-        if (partitioned) {
-          val nParts = spark.read.parquet(s"$statePath/clusters_meta")
-            .head().getAs[Int]("n_parts")
+        val nPartsOpt = leasedNParts(spark, statePath)
+        if (nPartsOpt.nonEmpty) {
+          val nParts = nPartsOpt.get
           // TOUCHED partitions = the ghost clusters' cparts: cpart is a
           // pure function of cluster_id, so a ghost's co-members (whose
           // sizes change) live in the same partition, and every other
@@ -593,21 +631,23 @@ object StandingState {
           // GLOBAL — no surviving rows in the touched partitions AND no
           // rows outside them (untouched partitions hold no ghosts, so
           // labels == kept there). Degrade the layout to the plain one:
-          // drop clusters_meta FIRST (a crash between the delete and
-          // the swap leaves a meta-less but still-readable partitioned
-          // table — the legacy code paths handle a cpart data column),
-          // then swap in the schema-bearing empty plain table.
+          // swap in the schema-bearing empty plain table FIRST, then
+          // drop clusters_meta — a crash between the two leaves a plain
+          // table with a stale meta row, which leasedNParts detects and
+          // completes on the next mutator (the reverse order's crash
+          // shape — a partitioned table with no meta — would silently
+          // reroute every later update through the legacy path).
           val globalEmpty = recounted.isEmpty && labels.filter(
             !cpartCol(col("cluster_id"), nParts)
               .isin(parts.toIndexedSeq: _*)).isEmpty
           if (globalEmpty) {
             import org.apache.hadoop.fs.{Path => HPath}
-            val meta = new HPath(s"$statePath/clusters_meta")
-            meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .delete(meta, true)
             swapTable(spark, statePath, "clusters") { staged =>
               recounted.write.mode("overwrite").parquet(staged)
             }
+            val meta = new HPath(s"$statePath/clusters_meta")
+            meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(meta, true)
           } else
             // ghost-bearing partitions only, through the same staged
             // roll-forward protocol as updateClustersPartitioned —
@@ -692,16 +732,28 @@ object StandingState {
       if (tableExists(spark, s"$path/pair_edges"))
         newPairs.select("doc_a", "doc_b")
           .write.mode("append").parquet(s"$path/pair_edges")
-      val nParts =
-        spark.read.parquet(s"$path/clusters_meta").head().getAs[Int]("n_parts")
       val standing = loadClustersLeased(spark, path)
-      val (updated, rootMap, touchedRows) =
-        Dedup.duplicateClustersIncrementalParts(standing, newPairs)
-      val parts = rootMap.select(cpartCol(col("old_root"), nParts).as("p"))
-        .union(touchedRows.select(cpartCol(col("cluster_id"), nParts).as("p")))
-        .distinct().collect().map(_.getLong(0)).sorted
-      if (parts.nonEmpty)
-        stageAndCommitClusterParts(spark, path, updated, parts, nParts)
+      leasedNParts(spark, path) match {
+        case Some(nParts) =>
+          val (updated, rootMap, touchedRows) =
+            Dedup.duplicateClustersIncrementalParts(standing, newPairs)
+          val parts = rootMap.select(cpartCol(col("old_root"), nParts).as("p"))
+            .union(touchedRows.select(cpartCol(col("cluster_id"), nParts).as("p")))
+            .distinct().collect().map(_.getLong(0)).sorted
+          if (parts.nonEmpty)
+            stageAndCommitClusterParts(spark, path, updated, parts, nParts)
+        case None =>
+          // the meta row was STALE (a crashed empty-degrade's pending
+          // delete — leasedNParts just completed it): the live table is
+          // plain, so a touched-partition commit would mix cpart= dirs
+          // into plain files. Finish this update through the legacy
+          // whole-table swap instead.
+          val updated = Dedup.duplicateClustersIncremental(standing, newPairs)
+          swapTable(spark, path, "clusters") { staged =>
+            updated.select("doc_id", "cluster_id", "cluster_size")
+              .write.mode("overwrite").parquet(staged)
+          }
+      }
     }
   }
 
@@ -2150,23 +2202,68 @@ object StandingState {
   def writeDsirRatios(
       ratios: DataFrame, path: String, m: Int, lambda: Double): Unit = {
     require(m >= 1, s"m must be positive, got $m")
-    ratios.select(col("bucket"), col("log_ratio"),
-        lit(m).as("m"), lit(lambda).as("lambda"))
-      .write.mode("overwrite").parquet(s"$path/dsir_ratios")
+    // A RE-fit routes through swapTable (stage + two renames + the
+    // load-side heal) instead of overwriting the live dir in place:
+    // mode("overwrite") deletes the live files before the new ones land,
+    // so a crash mid-write could leave a partially-committed table whose
+    // surviving rows still carry a self-consistent (m, lambda) — the
+    // regime guard would pass while dsirScoresWithRatios' inner join on
+    // bucket silently zeroed the missing buckets' contribution. The
+    // first-ever write has no live dir to retire and writes directly;
+    // loadDsirRatios' dense-coverage check is the belt to this suspender.
+    val spark = ratios.sparkSession
+    val out = ratios.select(col("bucket"), col("log_ratio"),
+      lit(m).as("m"), lit(lambda).as("lambda"))
+    if (tableExists(spark, s"$path/dsir_ratios"))
+      swapTable(spark, path, "dsir_ratios") { staged =>
+        out.write.mode("overwrite").parquet(staged)
+      }
+    else out.write.mode("overwrite").parquet(s"$path/dsir_ratios")
   }
 
   /** Lazy scan of the persisted DSIR ratio table, refusing an (m, lambda)
     * regime mismatch loudly (see [[writeDsirRatios]]). The caller feeds
-    * the result to [[TextOps.dsirScoresWithRatios]] with the SAME m. */
+    * the result to [[TextOps.dsirScoresWithRatios]] with the SAME m.
+    *
+    * The guard validates the WHOLE table, not just the head row:
+    * [[TextOps.dsirLogRatios]] emits exactly one row per bucket 0..m-1,
+    * so (a) every row must carry the same (m, lambda) — a mixed-regime
+    * table can only come from a torn write and must not score — and (b)
+    * the bucket set must cover 0..m-1 densely — a partially-committed
+    * table would otherwise pass the regime check on any surviving row
+    * while `dsirScoresWithRatios`' inner join on bucket silently zeroed
+    * the missing buckets' contribution. One m-row aggregation. */
   def loadDsirRatios(
       spark: SparkSession, path: String, m: Int, lambda: Double): DataFrame = {
+    heal(spark, path, "dsir_ratios")
     val df = spark.read.parquet(s"$path/dsir_ratios")
-    val r = df.select("m", "lambda").head()
-    val (pm, pl) = (r.getAs[Int]("m"), r.getAs[Double]("lambda"))
+    val st = df.agg(
+      count(lit(1)).as("rows"),
+      countDistinct(col("bucket")).as("nb"),
+      min(col("bucket").cast("long")).as("bmin"),
+      max(col("bucket").cast("long")).as("bmax"),
+      countDistinct(col("m"), col("lambda")).as("nreg"),
+      first("m").as("pm"), first("lambda").as("pl")).head()
+    require(st.getAs[Long]("rows") > 0L,
+      s"persisted DSIR ratio table at $path/dsir_ratios is empty — " +
+        "re-fit (writeDsirRatios) before scoring")
+    require(st.getAs[Long]("nreg") == 1L,
+      s"persisted DSIR ratio table at $path/dsir_ratios carries " +
+        s"${st.getAs[Long]("nreg")} distinct (m, lambda) regimes — a torn " +
+        "write; re-fit (writeDsirRatios) before scoring")
+    val (pm, pl) = (st.getAs[Int]("pm"), st.getAs[Double]("pl"))
     require(pm == m && pl == lambda,
       s"persisted DSIR ratios were fit under m=$pm, lambda=$pl; " +
         s"caller wants m=$m, lambda=$lambda — re-fit (writeDsirRatios) " +
         "under the new regime instead of scoring across regimes")
+    require(st.getAs[Long]("rows") == m.toLong &&
+        st.getAs[Long]("nb") == m.toLong &&
+        st.getAs[Long]("bmin") == 0L && st.getAs[Long]("bmax") == (m - 1).toLong,
+      s"persisted DSIR ratio table at $path/dsir_ratios must cover buckets " +
+        s"0..${m - 1} densely (got ${st.getAs[Long]("rows")} rows, " +
+        s"${st.getAs[Long]("nb")} distinct buckets in " +
+        s"[${st.getAs[Long]("bmin")}, ${st.getAs[Long]("bmax")}]) — a " +
+        "partially-committed write; re-fit (writeDsirRatios)")
     df.select("bucket", "log_ratio")
   }
 

@@ -84,10 +84,48 @@ object CorpusIntakeJob {
     * feature pass + one doc_id-keyed aggregation per enabled gate over
     * the rule-gated batch — weights deliver as literals below the
     * [[graft.llm.QualityLr.DefaultLiteralWeightCap]] and as one
-    * broadcast (bucket, w_0..w_K) frame above it. */
+    * broadcast (bucket, w_0..w_K) frame above it.
+    *
+    * LIVE WEIGHT ROTATION: a long-running stream should not need a
+    * restart to pick up a re-trained model. When `qualitySource` /
+    * `langSource` name the persisted weight tables
+    * ([[graft.llm.QualityLr.writeWeights]] /
+    * `writeOneVsRestModels` — regime-guarded, swap-written, so a
+    * mid-rotation read sees fully-old or fully-new weights, never a
+    * tear), [[reloaded]] re-reads them — deriving m from each table's
+    * own regime stamp — and `reloadEvery > 0` makes [[runTextStream]]
+    * do so every N micro-batches inside `foreachBatch` (the
+    * [[Retention.everyBatches]] cadence pattern; N sized to the
+    * re-train cadence, not the trigger). The reload is a control-plane
+    * fetch (m+1 / K*(m+1) rows) BETWEEN batches — no batch is lost or
+    * double-gated; admissions flip to the new weights on the next due
+    * batch. */
   final case class TrainedGates(
       qualityGate: Option[(Seq[Long], Int, Long)] = None,
-      keepLangs: Option[(Seq[(String, Seq[Long])], Int, Set[String])] = None)
+      keepLangs: Option[(Seq[(String, Seq[Long])], Int, Set[String])] = None,
+      qualitySource: Option[(String, Long)] = None,
+      langSource: Option[(String, Set[String])] = None,
+      reloadEvery: Long = 0L) {
+    require(reloadEvery >= 0L, "reloadEvery must be >= 0")
+    require(reloadEvery == 0L || qualitySource.nonEmpty || langSource.nonEmpty,
+      "reloadEvery needs a weight-table source (qualitySource/langSource) " +
+        "to re-load from — without one the cadence would reload nothing")
+    /** batch 0 never reloads: the sourced gates were just loaded at
+      * stream start ([[runTextStream]]'s initial [[reloaded]] pass). */
+    private[streaming] def reloadDue(batchId: Long): Boolean =
+      reloadEvery > 0L && batchId > 0L && batchId % reloadEvery == 0L
+    /** Re-read the sourced weight tables (deriving m from each table's
+      * regime stamp); gates without a source pass through unchanged. */
+    def reloaded(spark: org.apache.spark.sql.SparkSession): TrainedGates = copy(
+      qualityGate = qualitySource.map { case (p, minScore) =>
+        val (w, m) = graft.llm.QualityLr.loadWeights(spark, p)
+        (w.toSeq, m, minScore)
+      }.orElse(qualityGate),
+      keepLangs = langSource.map { case (p, keep) =>
+        val (models, m) = graft.llm.QualityLr.loadOneVsRestModels(spark, p)
+        (models.map { case (c, w) => (c, w.toSeq) }, m, keep)
+      }.orElse(keepLangs))
+  }
 
   /** docs stream (tsCol, doc_id, text, +passthrough) -> gated, scrubbed,
     * deduplicated stream. `nearExact = true` dedups on the k-token minhash
@@ -446,17 +484,25 @@ object CorpusIntakeJob {
       retention: Option[Retention] = None,
       gates: TrainedGates = TrainedGates()): StreamingQuery = {
     StandingState.repairTextArtifacts(docs.sparkSession, statePath, standingDocsPath)
+    // sourced gates load at stream start (the gates always mirror their
+    // tables at batch 0, whether or not the caller pre-loaded them), then
+    // rotate on the reloadEvery cadence; unsourced gates ride unchanged
+    var liveGates =
+      if (gates.qualitySource.nonEmpty || gates.langSource.nonEmpty)
+        gates.reloaded(docs.sparkSession)
+      else gates
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (b: Dataset[Row], id: Long) =>
+        if (gates.reloadDue(id)) liveGates = liveGates.reloaded(b.sparkSession)
         retention.filter(_.due(id)).foreach { r =>
           StandingState.expire(
             b.sparkSession, statePath, standingDocsPath, r.expired)
         }
         ingestTextBatch(b.toDF(), statePath, standingDocsPath, tau,
-          minWords = minWords, maxWords = maxWords, gates = gates)
+          minWords = minWords, maxWords = maxWords, gates = liveGates)
         ()
       }
       .start()

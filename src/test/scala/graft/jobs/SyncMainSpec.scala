@@ -37,13 +37,14 @@ class SyncMainSpec extends SparkSpec {
     assert(c.retentionEvery === 12L && c.tau === 0.6)
     val d = SyncMain.parseArgs(Array(
       "--job=intakeState", "--docs=/d", "--state=/s", "--corpus=/c",
-      "--qualityWeights=/q.parquet", "--qualityM=128",
+      "--qualityWeights=/q.parquet",
       "--qualityMinScore=499000", "--langModels=/l.parquet",
-      "--langM=256", "--keepLangs=en,fr"))
-    assert(d.qualityWeights === Some("/q.parquet") && d.qualityM === Some(128))
+      "--keepLangs=en,fr", "--gateReloadEvery=600"))
+    assert(d.qualityWeights === Some("/q.parquet"))
     assert(d.qualityMinScore === Some(499000L))
-    assert(d.langModels === Some("/l.parquet") && d.langM === Some(256))
+    assert(d.langModels === Some("/l.parquet"))
     assert(d.keepLangs === Some("en,fr"))
+    assert(d.gateReloadEvery === 600L)
     // misplaced / half-specified flags fail loudly (the --retention rule)
     intercept[IllegalArgumentException](
       SyncMain.parseArgs(Array("--qualityWeights=/q")))
@@ -53,18 +54,39 @@ class SyncMainSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       SyncMain.parseArgs(Array(
         "--job=intakeState", "--docs=/d", "--langModels=/l"))) // no --keepLangs
-    intercept[IllegalArgumentException](
-      SyncMain.parseArgs(Array( // orphan sub-knob, parent weights missing
+    // --qualityM/--langM are GONE (m derives from the table's regime
+    // stamp): a stale script passing them must fail as unknown, not
+    // silently steer a derived value
+    val eM = intercept[RuntimeException](
+      SyncMain.parseArgs(Array(
         "--job=intakeState", "--docs=/d", "--qualityM=1024")))
+    assert(eM.getMessage.contains("unknown argument"))
+    val eL = intercept[RuntimeException](
+      SyncMain.parseArgs(Array(
+        "--job=intakeState", "--docs=/d", "--langM=256")))
+    assert(eL.getMessage.contains("unknown argument"))
     intercept[IllegalArgumentException](
       SyncMain.parseArgs(Array(
         "--job=intakeState", "--docs=/d", "--qualityMinScore=600000")))
     intercept[IllegalArgumentException](
-      SyncMain.parseArgs(Array(
-        "--job=intakeState", "--docs=/d", "--langM=256")))
+      SyncMain.parseArgs(Array( // reload cadence without a weight table
+        "--job=intakeState", "--docs=/d", "--gateReloadEvery=600")))
     intercept[IllegalArgumentException](
       SyncMain.parseArgs(Array(
         "--job=intakeState", "--docs=/d", "--retentionEvery=5")))
+  }
+
+  test("programmatic Args: langModels without keepLangs fails with the pairing message, not a bare get") {
+    // parseArgs enforces the pairing, but Args is a public case class —
+    // a direct construction must hit the same loud require, not a
+    // NoSuchElementException from an Option.get
+    val dir = java.nio.file.Files.createTempDirectory("orphan_docs_").toString
+    val e = intercept[RuntimeException](SyncMain.runOnce(spark, SyncMain.Args(
+      job = "intakeState", docs = Some(dir), state = Some("/nope-state"),
+      corpus = Some("/nope-corpus"), once = true,
+      langModels = Some("/nope-models"))))
+    assert(e.getMessage.contains("--langModels needs --keepLangs"),
+      s"got: ${e.getMessage}")
   }
 
   test("--job=intakeState with trained-gate flags: weights load from parquet and gate the stream") {
@@ -94,15 +116,17 @@ class SyncMainSpec extends SparkSpec {
     }.toDF("doc_id", "text", "lang")
     val models = graft.llm.QualityLr.trainOneVsRestLr(
       trainL, "lang", Seq("de", "en"), m = 64, steps = 2, lr = 0.5)
-    // the ops handoff: weights persist as parquet and round-trip exactly
+    // the ops handoff: weights persist as parquet and round-trip exactly,
+    // with m DERIVED from the table's own regime stamp
     val qwPath = java.nio.file.Files.createTempDirectory("sg_qw_").toString + "/w"
     graft.llm.QualityLr.writeWeights(spark, qw, qwPath)
-    assert(graft.llm.QualityLr.loadWeights(spark, qwPath).toSeq === qw.toSeq)
+    val (qwBack, qwM) = graft.llm.QualityLr.loadWeights(spark, qwPath)
+    assert(qwBack.toSeq === qw.toSeq && qwM === 64)
     val lmPath = java.nio.file.Files.createTempDirectory("sg_lm_").toString + "/m"
     graft.llm.QualityLr.writeOneVsRestModels(spark, models, lmPath)
-    assert(graft.llm.QualityLr.loadOneVsRestModels(spark, lmPath)
-      .map { case (c, w) => (c, w.toSeq) } ===
-      models.map { case (c, w) => (c, w.toSeq) })
+    val (modelsBack, lmM) = graft.llm.QualityLr.loadOneVsRestModels(spark, lmPath)
+    assert(modelsBack.map { case (c, w) => (c, w.toSeq) } ===
+      models.map { case (c, w) => (c, w.toSeq) } && lmM === 64)
     // standing corpus + state, then the CLI stream with both gates on
     val corpusDir = java.nio.file.Files.createTempDirectory("sg_corpus_").toString
     Seq((1L, words(90))).toDF("doc_id", "text")
@@ -123,9 +147,9 @@ class SyncMainSpec extends SparkSpec {
       job = "intakeState", docs = Some(dir.toString),
       state = Some(statePath), corpus = Some(corpusDir),
       checkpoint = ck, tau = 0.5, once = true,
-      qualityWeights = Some(qwPath), qualityM = Some(64),
+      qualityWeights = Some(qwPath),
       qualityMinScore = Some(qThr),
-      langModels = Some(lmPath), langM = Some(64), keepLangs = Some("en")))
+      langModels = Some(lmPath), keepLangs = Some("en")))
     assert(spark.read.parquet(corpusDir).select("doc_id").as[Long].collect().toSet
       === Set(1L, 10L),
       "10 passes both gates; 11 drops at 1b; 12 drops at 1c")

@@ -843,6 +843,72 @@ class LlmOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.lr.literalWeightCap")
   }
 
+  test("QualityLr weight tables: regime stamped + derived, torn/partial refuse, re-train swaps, crashed swap heals") {
+    import graft.llm.QualityLr
+    val dir = java.nio.file.Files.createTempDirectory("qlr_guard_").toString
+    val p = s"$dir/w"
+    def exists(s: String): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s))
+    // (a) round-trip with m DERIVED from the table; provenance stamped
+    val w16 = Array.tabulate(17)(i => i.toLong * 1000L - 3L)
+    QualityLr.writeWeights(spark, w16, p, steps = Some(3), lr = Some(0.5))
+    val (back, m16) = QualityLr.loadWeights(spark, p)
+    assert(back.toSeq === w16.toSeq && m16 === 16)
+    val prov = spark.read.parquet(p).select("m", "steps", "lr")
+      .distinct().collect()
+    assert(prov.length === 1 && prov.head.getInt(0) === 16 &&
+      prov.head.getInt(1) === 3 && prov.head.getDouble(2) === 0.5)
+    // (b) RE-TRAIN at a different m: the load reports the NEW regime —
+    // there is no caller flag left to drift out of sync — and the swap
+    // leaves no staging debris
+    val w8 = Array.tabulate(9)(i => -i.toLong)
+    QualityLr.writeWeights(spark, w8, p)
+    val (b2, m8) = QualityLr.loadWeights(spark, p)
+    assert(b2.toSeq === w8.toSeq && m8 === 8)
+    assert(!exists(p + "__retired") && !exists(p + "__staged"))
+    // (c) PARTIALLY-COMMITTED table (the torn-overwrite shape a direct
+    // mode("overwrite") could leave): self-consistent m, missing buckets
+    val p2 = s"$dir/torn"
+    Seq((0L, 1L, 8), (1L, 2L, 8)).toDF("bucket", "wm", "m")
+      .write.mode("overwrite").parquet(p2)
+    val e = intercept[IllegalArgumentException](QualityLr.loadWeights(spark, p2))
+    assert(e.getMessage.contains("partially-committed"))
+    // (d) MIXED-REGIME rows (two writes torn together)
+    val p3 = s"$dir/mixed"
+    (Seq.tabulate(9)((i: Int) => (i.toLong, 1L, 8)) :+ ((9L, 1L, 16)))
+      .toDF("bucket", "wm", "m")
+      .write.mode("overwrite").parquet(p3)
+    val e2 = intercept[IllegalArgumentException](QualityLr.loadWeights(spark, p3))
+    assert(e2.getMessage.contains("torn"))
+    // (e) CRASHED SWAP (live missing, complete __retired): load heals
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(p), java.nio.file.Paths.get(p + "__retired"))
+    val (b3, m3) = QualityLr.loadWeights(spark, p)
+    assert(b3.toSeq === w8.toSeq && m3 === 8)
+    // (f) the one-vs-rest twin: one shared m enforced at write, derived
+    // at load; a ragged model set refuses before anything lands
+    val pm = s"$dir/models"
+    val models = Seq(
+      "aa" -> Array.tabulate(9)(i => i.toLong),
+      "bb" -> Array.tabulate(9)(i => -i.toLong))
+    QualityLr.writeOneVsRestModels(spark, models, pm, steps = Some(2))
+    val (mBack, mm) = QualityLr.loadOneVsRestModels(spark, pm)
+    assert(mBack.map { case (c, w) => (c, w.toSeq) } ===
+      models.map { case (c, w) => (c, w.toSeq) } && mm === 8)
+    intercept[IllegalArgumentException](QualityLr.writeOneVsRestModels(
+      spark, Seq("aa" -> Array.fill(9)(0L), "bb" -> Array.fill(17)(0L)),
+      s"$dir/ragged"))
+    assert(!exists(s"$dir/ragged"), "a refused write must not land")
+    // a class whose bucket rows are incomplete refuses at load
+    val p4 = s"$dir/classtorn"
+    Seq(("aa", 0L, 1L, 1), ("aa", 1L, 2L, 1), ("bb", 0L, 3L, 1))
+      .toDF("class", "bucket", "wm", "m")
+      .write.mode("overwrite").parquet(p4)
+    val e3 = intercept[IllegalArgumentException](
+      QualityLr.loadOneVsRestModels(spark, p4))
+    assert(e3.getMessage.contains("partially-committed"))
+  }
+
   test("Dedup.dedupNearLshKeepBest: max-score representative per cluster") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa one"
     val b = "red orange yellow green blue indigo violet umber sepia ochre two"

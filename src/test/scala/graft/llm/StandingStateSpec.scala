@@ -1182,6 +1182,112 @@ class StandingStateSpec extends SparkSpec {
     }
   }
 
+  test("stale clusters_meta (crashed empty-degrade) completes: mutators route plain, never mixed") {
+    // the empty-degrade commits the plain table FIRST and deletes
+    // clusters_meta second; this test plants the crash shape between the
+    // two (plain table + surviving meta row) and pins that BOTH
+    // partitioned mutators complete the degrade — delete the stale meta
+    // and commit through the whole-table swap — instead of renaming
+    // cpart= dirs into a directory of plain files (a mixed table every
+    // reader would double-read)
+    val mk: Int => String = i =>
+      "the tale of and to in " + (1 to 18).map(j => s"sm${i}x$j").mkString(" ")
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("smeta_docs_").toString
+    Seq(1L, 2L, 10L, 11L).map(i => (i, mk(i.toInt))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(corpusDir)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("smeta_state_").toString
+    StandingState.write(spark.read.parquet(corpusDir), statePath)
+    StandingState.writeClusters(
+      Dedup.duplicateClusters(Seq((1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")),
+      statePath)
+    def plantStaleMeta(): Unit =
+      Seq(4).toDF("n_parts").coalesce(1)
+        .write.mode("overwrite").parquet(s"$statePath/clusters_meta")
+    def cpartDirs(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.list(
+        java.nio.file.Paths.get(statePath, "clusters"))
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("cpart=")).toSeq
+      finally st.close()
+    }
+    // (a) updateClusters at the crash shape
+    plantStaleMeta()
+    StandingState.updateClusters(statePath, Seq((1L, 10L)).toDF("doc_a", "doc_b"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(statePath, "clusters_meta")),
+      "stale meta must be completed (deleted), not trusted")
+    assert(cpartDirs().isEmpty,
+      "mixed layout: cpart= dirs renamed into a plain table")
+    assert(StandingState.loadClusters(spark, statePath)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Int)].collect().toSet ===
+      Set((1L, 1L, 4), (2L, 1L, 4), (10L, 1L, 4), (11L, 1L, 4)))
+    // (b) relabelClusters (ghost hygiene) at the same crash shape
+    plantStaleMeta()
+    assert(StandingState.expire(
+      spark, statePath, corpusDir, expr("doc_id = 2")) === 1L)
+    assert(StandingState.relabelClusters(spark, statePath, corpusDir) === 1L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(statePath, "clusters_meta")))
+    assert(cpartDirs().isEmpty)
+    assert(StandingState.loadClusters(spark, statePath)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Int)].collect().toSet ===
+      Set((1L, 1L, 3), (10L, 1L, 3), (11L, 1L, 3)))
+  }
+
+  test("DSIR ratios: torn/partial tables refuse at load, re-fit swaps, crashed swap heals") {
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("dsirt_docs_").toString
+    docs(1L -> base(1), 2L -> base(2), 3L -> base(3))
+      .write.mode("overwrite").parquet(corpusDir)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("dsirt_state_").toString
+    StandingState.write(spark.read.parquet(corpusDir), statePath)
+    val standing = spark.read.parquet(corpusDir)
+    val ratios = TextOps.dsirLogRatios(
+      standing, standing.filter(col("doc_id") === 1L), m = 16, lambda = 1.0)
+    StandingState.writeDsirRatios(ratios, statePath, m = 16, lambda = 1.0)
+    assert(StandingState.loadDsirRatios(spark, statePath, 16, 1.0).count() === 16L)
+    // (a) PARTIALLY-COMMITTED table (the torn-overwrite shape a direct
+    // mode("overwrite") could leave): surviving rows carry a
+    // self-consistent regime, but the bucket set is not dense — the
+    // regime guard alone would pass while dsirScoresWithRatios' inner
+    // join silently zeroed the missing buckets. Must refuse at LOAD.
+    val full = StandingState.loadDsirRatios(spark, statePath, 16, 1.0)
+      .localCheckpoint(true)
+    full.filter(col("bucket") < 8)
+      .select(col("bucket"), col("log_ratio"),
+        lit(16).as("m"), lit(1.0).as("lambda"))
+      .write.mode("overwrite").parquet(s"$statePath/dsir_ratios")
+    val e = intercept[IllegalArgumentException](
+      StandingState.loadDsirRatios(spark, statePath, 16, 1.0))
+    assert(e.getMessage.contains("densely"))
+    // (b) MIXED-REGIME rows (two writes torn together): refuse loudly
+    full.select(col("bucket"), col("log_ratio"),
+        when(col("bucket") < 8, lit(16)).otherwise(lit(32)).as("m"),
+        lit(1.0).as("lambda"))
+      .write.mode("overwrite").parquet(s"$statePath/dsir_ratios")
+    val e2 = intercept[IllegalArgumentException](
+      StandingState.loadDsirRatios(spark, statePath, 16, 1.0))
+    assert(e2.getMessage.contains("regimes"))
+    // (c) RE-FIT over the broken table goes through the stage-and-swap
+    // (live table replaced whole) and load passes again
+    StandingState.writeDsirRatios(ratios, statePath, m = 16, lambda = 1.0)
+    assert(StandingState.loadDsirRatios(spark, statePath, 16, 1.0).count() === 16L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(statePath, "dsir_ratios__retired")),
+      "completed swap must clear the retired snapshot")
+    // (d) CRASHED SWAP (live missing, complete __retired): load heals
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(statePath, "dsir_ratios"),
+      java.nio.file.Paths.get(statePath, "dsir_ratios__retired"))
+    assert(StandingState.loadDsirRatios(spark, statePath, 16, 1.0).count() === 16L)
+  }
+
   test("expire on a KEYED state stranded at digests__retired heals and stays keyed (no regime downgrade)") {
     val mk: Int => String = i =>
       "the tale of and to in " + (1 to 18).map(j => s"sd${i}x$j").mkString(" ")

@@ -307,6 +307,80 @@ class CorpusIntakeJobSpec extends SparkSpec {
     assert(spark.read.parquet(s"$statePath/digests").distinct().count() === 6L)
   }
 
+  test("live weight rotation: overwritten table flips admissions on the next DUE batch, zero lost batches") {
+    import org.apache.spark.sql.functions.lit
+    implicit val sqlCtx = spark.sqlContext
+    def words(i: Int): String =
+      "the tale of and to in " + (1 to 18).map(j => s"rw${i}x$j").mkString(" ")
+    val goodMark = (1 to 6).map(_ => " rqgoodmark").mkString
+    val badMark = (1 to 6).map(_ => " rqbadmark").mkString
+    val trainQ = (1 to 8).map { i =>
+      val good = i % 2 == 1
+      (100L + i, words(i) + (if (good) goodMark else badMark),
+        if (good) 1 else 0)
+    }.toDF("doc_id", "text", "label")
+    val qw = graft.llm.QualityLr.trainQualityLr(trainQ, m = 64, steps = 2, lr = 0.5)
+    val byY = graft.llm.QualityLr.scoreQualityLr(trainQ, qw, m = 64)
+      .join(trainQ.select("doc_id", "label"), "doc_id")
+      .groupBy("label")
+      .agg(org.apache.spark.sql.functions.sum("score_micros").as("s"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("s"), r.getAs[Long]("n")))).toMap
+    val qThr = math.floor(
+      (byY(1)._1.toDouble / byY(1)._2 + byY(0)._1.toDouble / byY(0)._2) / 2.0).toLong
+    // the RE-TRAINED model: every weight negated — sigmoid(-z) mirrors
+    // the scores around 500000, so under the same calibrated midpoint
+    // the admitted polarity provably FLIPS (good drops, bad admits)
+    val qwFlipped = qw.map(-_)
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("rot_corpus_").toString
+    Seq((1L, words(90))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(corpusDir)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("rot_state_").toString
+    graft.llm.StandingState.write(spark.read.parquet(corpusDir), statePath)
+    val qwPath = java.nio.file.Files
+      .createTempDirectory("rot_qw_").toString + "/w"
+    graft.llm.QualityLr.writeWeights(spark, qw, qwPath)
+    val ck = java.nio.file.Files.createTempDirectory("rot_ck_").toString
+    val in = MemoryStream[StreamDoc]
+    // reloadEvery = 2: batches 0 and 1 run the launch-time weights even
+    // though the table is overwritten before batch 1 — the rotation is a
+    // CADENCE, not a per-batch table read — and batch 2 flips
+    val q = CorpusIntakeJob.runTextStream(
+      in.toDF(), statePath, corpusDir, ck, tau = 0.5,
+      gates = CorpusIntakeJob.TrainedGates(
+        qualitySource = Some((qwPath, qThr)), reloadEvery = 2L))
+    def tableIds: Set[Long] = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().toSet
+    try {
+      // batch 0: initial load from the table — good admits, bad drops
+      in.addData(
+        StreamDoc(ts("2024-01-01 10:00:00"), 10, words(50) + goodMark),
+        StreamDoc(ts("2024-01-01 10:00:01"), 11, words(51) + badMark))
+      q.processAllAvailable()
+      assert(tableIds === Set(1L, 10L))
+      // the re-train lands mid-stream (swap-written table overwrite)
+      graft.llm.QualityLr.writeWeights(spark, qwFlipped, qwPath)
+      // batch 1 (NOT due at reloadEvery=2): still the old gate
+      in.addData(
+        StreamDoc(ts("2024-01-01 10:01:00"), 20, words(52) + goodMark),
+        StreamDoc(ts("2024-01-01 10:01:01"), 21, words(53) + badMark))
+      q.processAllAvailable()
+      assert(tableIds === Set(1L, 10L, 20L),
+        "batch before the due cadence must still run the old weights")
+      // batch 2 (due): admissions flip to the re-trained model — and no
+      // batch was lost or double-gated along the way
+      in.addData(
+        StreamDoc(ts("2024-01-01 10:02:00"), 30, words(54) + goodMark),
+        StreamDoc(ts("2024-01-01 10:02:01"), 31, words(55) + badMark))
+      q.processAllAvailable()
+      assert(tableIds === Set(1L, 10L, 20L, 31L),
+        "due batch must run the overwritten table's weights")
+    } finally q.stop()
+  }
+
   test("trained gates ride the text intake: batch==stream parity, raw-text scoring, gated-out docs never block") {
     import org.apache.spark.sql.functions.{col, expr, lit}
     // stopword-bearing base: the default rule gate (stage 1) runs in both
