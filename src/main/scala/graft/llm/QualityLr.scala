@@ -146,58 +146,18 @@ object QualityLr {
       labeled: DataFrame,
       m: Int,
       steps: Int,
-      lr: Double): Array[Long] = {
-    require(m >= 1 && steps >= 1 && lr > 0.0, "m, steps >= 1; lr > 0")
-    // feats feed every round (and both aggregations within a round):
-    // materialize once; sever lineage so nondeterministic upstreams can't
-    // disagree between rounds (the curriculumStages discipline)
-    val feats = lrFeatures(labeled, m).localCheckpoint(false)
-    val labels = labeled.select(col("doc_id"), col("label").cast("long").as("y"))
-      .localCheckpoint(false)
-    val n = labels.count()
-    require(n > 0, "labeled set is empty")
-    // a NULL label (e.g. a failed try_cast upstream) would contribute
-    // nothing to the gradient while still counting in the divisor n —
-    // silently diluting the effective learning rate. Labels are curated
-    // training input; fail loudly instead.
-    val nNull = labels.filter(col("y").isNull).count()
-    require(nNull == 0L,
-      s"labeled set has $nNull NULL labels — fix or filter them before training")
-    var w = Array.fill(m + 1)(0L)
-    for (_ <- 1 to steps) {
-      val z = logitMicros(feats, w)
-      val err = labels.join(z, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          (sigmoidMicros(coalesce(col("zm"), lit(0L)))
-            - col("y") * lit(1000000L)).as("em"))
-      val grad = feats.join(err, "doc_id")
-        .withColumn("__g",
-          floor(((col("em").cast("double") / lit(Micros)) * col("x")) * lit(Micros)))
-        .groupBy("bucket").agg(sum("__g").as("gm"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      w = w.zipWithIndex.map { case (wm, b) =>
-        val gm = grad.getOrElse(b.toLong, 0L)
-        wm - math.floor(((lr * (gm / Micros)) / n.toDouble) * Micros).toLong
-      }
-    }
-    w
-  }
+      lr: Double): Array[Long] =
+    trainLrChains(labeled, Seq("q" -> col("label")), m, steps, lr).head._2
 
   /** TRAINED language ID — one-vs-rest multiclass over the same hashed
     * features: one binary LR per class (label = 1 iff `classCol` equals
     * the class), every per-class weight WORD-FOR-WORD identical to an
     * independent [[trainQualityLr]] run on that class's binary labels
-    * (spec-pinned) — the K trainings are FUSED into one GD loop whose
-    * per-step cost is 2 map-side-combinable aggregations + ONE
-    * <= (m+1)-row collect REGARDLESS of K: the logit pass computes all
-    * K per-doc sums in a single doc_id-keyed agg (K broadcast weight
-    * maps), the error columns are per-row expressions, and the gradient
-    * pass computes all K per-bucket sums in a single bucket-keyed agg.
-    * Sound because the K chains never interact — fusing changes the
-    * plan, not one arithmetic value. Returns (class -> micro-weights)
-    * in SORTED class order — the order [[scoreOneVsRestLr]]'s argmax
-    * tie-break contract depends on. NULL `classCol` rows fail loudly
-    * (the trainQualityLr null-label rule). */
+    * (spec-pinned) — the K trainings are FUSED into one GD loop via
+    * [[trainLrChains]]. Returns (class -> micro-weights) in SORTED class
+    * order — the order [[scoreOneVsRestLr]]'s argmax tie-break contract
+    * depends on. NULL `classCol` rows fail loudly (the trainQualityLr
+    * null-label rule — a NULL class is NULL in every chain's label). */
   def trainOneVsRestLr(
       labeled: DataFrame,
       classCol: String,
@@ -207,45 +167,116 @@ object QualityLr {
       lr: Double): Seq[(String, Array[Long])] = {
     require(classes.nonEmpty, "need at least one class")
     require(classes.distinct.size == classes.size, "classes must be distinct")
+    trainLrChains(
+      labeled,
+      classes.sorted.map(c => c -> (col(classCol) === lit(c)).cast("long")),
+      m, steps, lr)
+  }
+
+  /** Train SEVERAL independent binary LR chains over ONE shared feature
+    * pass — the generalization both public trainers wrap, and the shape
+    * a pipeline training its quality gate AND its one-vs-rest language
+    * gates uses to pay a single featurize for all of them (q103's
+    * train-both-gates recipe). `chains` maps name -> 0/1 label Column
+    * over `labeled`'s rows (NULL labels fail loudly: a NULL would
+    * contribute nothing to the gradient while still counting in the
+    * divisor n, silently diluting the effective learning rate).
+    *
+    * Every chain's weights are WORD-FOR-WORD identical to an independent
+    * [[trainQualityLr]] run on its labels (spec-pinned): the chains
+    * never interact — the logit pass computes all K per-doc sums in a
+    * single doc_id-keyed agg (K weight deliveries), the error columns
+    * are per-row expressions, and the gradient pass computes all K
+    * per-bucket sums in a single bucket-keyed agg — so fusing changes
+    * the plan, not one arithmetic value. Per-step cost: 2 map-side-
+    * combinable aggregations + ONE <= (m+1)-row collect REGARDLESS of K.
+    * Results return in CALLER order. */
+  def trainLrChains(
+      labeled: DataFrame,
+      chains: Seq[(String, Column)],
+      m: Int,
+      steps: Int,
+      lr: Double): Seq[(String, Array[Long])] =
+    trainLrChainsWithFeats(labeled, chains, m, steps, lr)._1
+
+  /** [[trainLrChains]] that also exposes the CHECKPOINTED feature frame
+    * it trained on, so a caller can run calibration scoring
+    * ([[scoreOnFeats]]) without paying a second featurize over the
+    * training set. */
+  private[graft] def trainLrChainsWithFeats(
+      labeled: DataFrame,
+      chains: Seq[(String, Column)],
+      m: Int,
+      steps: Int,
+      lr: Double): (Seq[(String, Array[Long])], DataFrame) = {
+    require(chains.nonEmpty, "need at least one chain")
+    require(chains.map(_._1).distinct.size == chains.size,
+      "chain names must be distinct")
     require(m >= 1 && steps >= 1 && lr > 0.0, "m, steps >= 1; lr > 0")
-    val cs = classes.sorted
+    val ks = chains.indices
+    // feats feed every round (and both aggregations within a round):
+    // materialize once; sever lineage so nondeterministic upstreams can't
+    // disagree between rounds (the curriculumStages discipline).
+    // Internal columns are keyed by chain INDEX, not name — a name
+    // containing column-resolution metacharacters (dots, backticks)
+    // must not break col() resolution mid-training.
     val feats = lrFeatures(labeled, m).localCheckpoint(false)
-    val labels = labeled.select(col("doc_id"), col(classCol).as("__cls"))
-      .localCheckpoint(false)
+    val labels = labeled.select(
+      col("doc_id") +: chains.zipWithIndex.map { case ((_, c), i) =>
+        c.cast("long").as(s"__y_$i")
+      }: _*).localCheckpoint(false)
     val n = labels.count()
     require(n > 0, "labeled set is empty")
-    val nNull = labels.filter(col("__cls").isNull).count()
-    require(nNull == 0L,
-      s"labeled set has $nNull NULL $classCol values — fix or filter them before training")
-    // internal columns are keyed by class INDEX, not label — a label
-    // containing column-resolution metacharacters (dots, backticks)
-    // must not break col() resolution mid-training
-    var w: Map[String, Array[Long]] = cs.map(_ -> Array.fill(m + 1)(0L)).toMap
+    // one pass counts every chain's NULL labels (curated training input;
+    // fail loudly instead of silently diluting the learning rate)
+    val nullRow = labels.agg(
+      sum(col(s"__y_0").isNull.cast("long")).as("__n_0"),
+      ks.tail.map(i =>
+        sum(col(s"__y_$i").isNull.cast("long")).as(s"__n_$i")): _*).head()
+    ks.foreach { i =>
+      val nNull = nullRow.getLong(i)
+      require(nNull == 0L,
+        s"labeled set has $nNull NULL labels in chain '${chains(i)._1}' — " +
+          "fix or filter them before training")
+    }
+    var w: IndexedSeq[Array[Long]] = ks.map(_ => Array.fill(m + 1)(0L))
     for (_ <- 1 to steps) {
-      val z = logitPass(feats, cs.map(w(_)), cs.indices.map(i => s"__zm_$i"))
-      val err = cs.zipWithIndex.foldLeft(labels.join(z, Seq("doc_id"), "left")) {
-        case (df, (c, i)) =>
+      val z = logitPass(feats, w, ks.map(i => s"__zm_$i"))
+      val err = ks.foldLeft(labels.join(z, Seq("doc_id"), "left")) {
+        case (df, i) =>
           df.withColumn(s"__em_$i",
             sigmoidMicros(coalesce(col(s"__zm_$i"), lit(0L)))
-              - (col("__cls") === lit(c)).cast("long") * lit(1000000L))
-      }.select(col("doc_id") +: cs.indices.map(i => col(s"__em_$i")): _*)
-      val gAggs = cs.indices.map { i =>
+              - col(s"__y_$i") * lit(1000000L))
+      }.select(col("doc_id") +: ks.map(i => col(s"__em_$i")): _*)
+      val gAggs = ks.map { i =>
         sum(floor(((col(s"__em_$i").cast("double") / lit(Micros)) * col("x"))
           * lit(Micros))).as(s"__gm_$i")
       }
       val grads = feats.join(err, "doc_id")
         .groupBy("bucket").agg(gAggs.head, gAggs.tail: _*)
         .collect()
-      w = cs.zipWithIndex.map { case (c, i) =>
+      w = ks.map { i =>
         val gm = grads.map(r => r.getLong(0) -> r.getLong(i + 1)).toMap
-        c -> w(c).zipWithIndex.map { case (wm, b) =>
+        w(i).zipWithIndex.map { case (wm, b) =>
           wm - math.floor(((lr * (gm.getOrElse(b.toLong, 0L) / Micros))
             / n.toDouble) * Micros).toLong
         }
-      }.toMap
+      }
     }
-    cs.map(c => c -> w(c))
+    (chains.map(_._1).zip(w.map(identity)), feats)
   }
+
+  /** Per-doc quality scores over a PRE-FEATURIZED frame (a
+    * [[trainLrChainsWithFeats]] return, or any [[lrFeatures]] output) —
+    * the calibration path: score the training set under its own trained
+    * weights without re-featurizing it. Same (doc_id, score_micros)
+    * contract and arithmetic as [[scoreQualityLr]] (one weight delivery,
+    * one doc_id-keyed agg; every doc has a bias row, so nothing drops). */
+  private[graft] def scoreOnFeats(
+      feats: DataFrame, weightsMicros: Array[Long]): DataFrame =
+    logitPass(feats, Seq(weightsMicros), Seq("zm"))
+      .select(col("doc_id"),
+        sigmoidMicros(col("zm")).cast("long").as("score_micros"))
 
   /** Predict a class per doc under one-vs-rest models: (doc_id,
     * pred_lang, score_micros) where pred_lang is the argmax class by

@@ -1212,8 +1212,10 @@ object StandingState {
     // census upkeep LAST: a completed expire preserves sum(census) ==
     // count(corpus) via one recount; a crash anywhere above leaves the
     // mismatch this same call heals on the re-run (no-op when the state
-    // maintains no census)
-    reconcileSourceCensus(spark, statePath, corpusPath)
+    // maintains no census). DEEP witness here: the pass already paid
+    // corpus-shaped work, so the per-source compare (which also catches
+    // a compensating equal-total drift) is marginal.
+    reconcileSourceCensus(spark, statePath, corpusPath, deep = true)
     n
   }
 
@@ -1916,8 +1918,11 @@ object StandingState {
       }
     }
     // census drift (a crash between the corpus append and its census
-    // bump) heals on the same startup pass — no-op when no census
-    reconcileSourceCensus(spark, statePath, standingDocsPath)
+    // bump) heals on the same startup pass — no-op when no census. DEEP
+    // witness: startup runs once and already scans the corpus, and the
+    // per-source compare also catches a compensating equal-total drift
+    // accumulated across crashes the cheap witness cannot see.
+    reconcileSourceCensus(spark, statePath, standingDocsPath, deep = true)
     (nDrift, nGhosts)
   }
 
@@ -2146,18 +2151,41 @@ object StandingState {
     * equality when they complete), recount from the corpus and swap —
     * idempotent, under the lease. Returns true iff a recount ran. The
     * healthy path costs one census sum + one parquet-footer corpus
-    * count. */
+    * count.
+    *
+    * WITNESS GRANULARITY: the default (cheap) witness is total-only, so
+    * a drift that PRESERVES the total but skews the per-source split —
+    * two compensating crash shapes with no reconcile between them —
+    * passes it. `deep = true` compares the census against the recount
+    * PER SOURCE (one corpus groupBy + a full-outer join with the
+    * #sources-row census — any disagreement, including the compensating
+    * shape, fires the heal). The deep witness costs a corpus scan, so
+    * it rides the passes that already pay corpus-shaped work — [[expire]]
+    * and the stream-startup [[repairTextArtifacts]] — while the
+    * per-batch replay reconcile stays cheap. */
   def reconcileSourceCensus(
-      spark: SparkSession, statePath: String, corpusPath: String): Boolean = {
+      spark: SparkSession, statePath: String, corpusPath: String,
+      deep: Boolean = false): Boolean = {
     healStranded(spark, statePath, "source_census", "reconcileCensus:heal")
     if (!sourceCensusExists(spark, statePath)) return false
-    def drifted(): Boolean = {
-      val total = spark.read.parquet(s"$statePath/source_census")
-        .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
-      total != spark.read.parquet(corpusPath).count()
-    }
-    // unleased fast path: the healthy case costs two counts and never
-    // touches the lease
+    def drifted(): Boolean =
+      if (deep) {
+        // per-source witness: full-outer join so a source present on
+        // only one side (admitted-then-crashed, or expired-to-zero)
+        // disagrees with the other side's absence
+        val cen = spark.read.parquet(s"$statePath/source_census")
+          .select(col("source"), col("n").as("__cn"))
+        val rec = spark.read.parquet(corpusPath)
+          .groupBy("source").agg(count(lit(1)).as("__rn"))
+        rec.join(cen, Seq("source"), "full_outer")
+          .filter(coalesce(col("__cn"), lit(0L)) =!= coalesce(col("__rn"), lit(0L)))
+          .limit(1).count() > 0
+      } else {
+        val total = spark.read.parquet(s"$statePath/source_census")
+          .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+        total != spark.read.parquet(corpusPath).count()
+      }
+    // unleased fast path: the healthy case never touches the lease
     if (!drifted()) false
     else withLeaseRetry(spark, statePath, "reconcileSourceCensus") {
       // RE-CHECK and RECOUNT under the lease: a recount computed outside

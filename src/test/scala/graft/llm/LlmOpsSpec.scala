@@ -843,6 +843,53 @@ class LlmOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.lr.literalWeightCap")
   }
 
+  test("QualityLr.trainLrChains: mixed quality+langid chains == independent trainers; scoreOnFeats == scoreQualityLr") {
+    import graft.llm.QualityLr
+    import org.apache.spark.sql.functions.{col, lit}
+    val rows = (0L until 16L).map { i =>
+      val aa = i % 2 == 0
+      (i,
+        (if (aa) (1 to 10).map(j => s"alef$j") else (1 to 10).map(j => s"bet$j"))
+          .mkString(" ") + s" tail$i",
+        if (aa) "aa" else "bb",
+        if (i % 4 < 2) 1 else 0)
+    }.toDF("doc_id", "text", "lang", "label")
+    val m = 32
+    // one fused call trains the langid one-vs-rest chains AND the quality
+    // binary over a single featurize — q103's recipe
+    val chains = Seq("aa", "bb").map(c =>
+      c -> (col("lang") === lit(c)).cast("long")) :+
+      ("q" -> col("label").cast("long"))
+    val (trained, feats) = QualityLr.trainLrChainsWithFeats(
+      rows, chains, m, steps = 2, lr = 0.5)
+    val byName = trained.toMap
+    // == the standalone one-vs-rest trainer (itself fused, class-sorted)
+    val models = QualityLr.trainOneVsRestLr(
+      rows, "lang", Seq("aa", "bb"), m, steps = 2, lr = 0.5)
+    models.foreach { case (c, w) =>
+      assert(byName(c).toSeq === w.toSeq, s"class $c drifted in the fused call")
+    }
+    // == the standalone quality trainer
+    val qw = QualityLr.trainQualityLr(rows, m, steps = 2, lr = 0.5)
+    assert(byName("q").toSeq === qw.toSeq)
+    // calibration path: scoring the trainer's own checkpointed feats ==
+    // the full scoreQualityLr chain over the same docs
+    val viaFeats = QualityLr.scoreOnFeats(feats, qw)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val viaFull = QualityLr.scoreQualityLr(rows.select("doc_id", "text"), qw, m)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(viaFeats === viaFull)
+    // NULL label in ANY chain fails loudly, naming the chain
+    val e = intercept[IllegalArgumentException] {
+      QualityLr.trainLrChains(
+        rows.withColumn("label",
+          org.apache.spark.sql.functions.when(col("doc_id") === 3L, lit(null))
+            .otherwise(col("label"))),
+        chains, m, steps = 1, lr = 0.5)
+    }
+    assert(e.getMessage.contains("chain 'q'"))
+  }
+
   test("QualityLr weight tables: regime stamped + derived, torn/partial refuse, re-train swaps, crashed swap heals") {
     import graft.llm.QualityLr
     val dir = java.nio.file.Files.createTempDirectory("qlr_guard_").toString

@@ -1620,6 +1620,56 @@ class StandingStateSpec extends SparkSpec {
     assert(ids(mixState) === ids(mixOver))
   }
 
+  test("census deep witness: a compensating equal-total drift heals per-source; cheap witness is blind to it") {
+    val mk: Int => String = i => (1 to 24).map(j => s"cw${i}x$j").mkString(" ")
+    val corpusDir = java.nio.file.Files.createTempDirectory("censusw_docs_").toString
+    Seq((1L, mk(1), "a"), (2L, mk(2), "a"), (3L, mk(3), "b"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(corpusDir)
+    val statePath = java.nio.file.Files.createTempDirectory("censusw_state_").toString
+    StandingState.write(spark.read.parquet(corpusDir), statePath)
+    StandingState.writeSourceCensus(spark, statePath, corpusDir)
+    def censusMap: Map[String, Long] =
+      StandingState.loadSourceCensus(spark, statePath)
+        .as[(String, Long)].collect().toMap
+    // plant the COMPENSATING drift: total preserved (3), per-source split
+    // skewed — two crash shapes with no reconcile between them
+    Seq(("a", 1L), ("b", 2L)).toDF("source", "n")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$statePath/source_census")
+    assert(censusMap === Map("a" -> 1L, "b" -> 2L))
+    // the cheap (total-only) witness is documented-blind to this shape
+    assert(!StandingState.reconcileSourceCensus(spark, statePath, corpusDir))
+    assert(censusMap === Map("a" -> 1L, "b" -> 2L))
+    // the deep (per-source) witness fires and heals by recount
+    assert(StandingState.reconcileSourceCensus(
+      spark, statePath, corpusDir, deep = true))
+    assert(censusMap === Map("a" -> 2L, "b" -> 1L))
+    // idempotent: a healthy census passes the deep witness without a swap
+    assert(!StandingState.reconcileSourceCensus(
+      spark, statePath, corpusDir, deep = true))
+    // a source present on only ONE side also fires the deep witness
+    // (full-outer: census names a source the corpus no longer has, with
+    // another source absorbing its count — total still 3)
+    Seq(("a", 2L), ("zz", 1L)).toDF("source", "n")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$statePath/source_census")
+    assert(!StandingState.reconcileSourceCensus(spark, statePath, corpusDir))
+    assert(StandingState.reconcileSourceCensus(
+      spark, statePath, corpusDir, deep = true))
+    assert(censusMap === Map("a" -> 2L, "b" -> 1L))
+    // expire runs the DEEP witness end-to-end: plant a census whose total
+    // will MATCH the post-expire corpus count (2) while the split is
+    // wrong — the cheap witness would be blind, so only the deep pass
+    // inside expire can explain the heal
+    Seq(("a", 1L), ("b", 1L)).toDF("source", "n")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$statePath/source_census")
+    assert(StandingState.expire(
+      spark, statePath, corpusDir, col("doc_id") === 3L) === 1L)
+    assert(censusMap === Map("a" -> 2L))
+  }
+
   test("DSIR ratios: regime-guarded state artifact — mismatch loud, expire leaves it untouched") {
     val corpusDir = java.nio.file.Files.createTempDirectory("dsir_docs_").toString
     docs(1L -> base(1), 2L -> base(2), 3L -> base(3))
