@@ -289,7 +289,7 @@ object Bench {
     // a span is load-contaminated if EITHER bracketing probe reads
     // inflated vs its session basis — the parallel axis catches the
     // core-stealing co-tenant the serial probe proved blind to
-    def loadedProbe(p: Double): Boolean = p > 1.5 * quiet && p - quiet > 0.3
+    def loadedProbe(p: Double): Boolean = loadedVs(p, quiet)
     def loadedProbePar(p: Double): Boolean = loadedVsPar(p, quietPar)
     val spanLoaded = measured.indices.map { i =>
       loadedProbe(probes(i)) || loadedProbe(probes(i + 1)) ||

@@ -243,9 +243,11 @@ object SyncMain {
         require(keep.nonEmpty, "--keepLangs must name at least one language")
         (p, keep)
       },
-      reloadEvery =
-        if (a.qualityWeights.isEmpty && a.langModels.isEmpty) 0L
-        else a.gateReloadEvery)
+      // passed through UNCONDITIONALLY: parseArgs already rejects the
+      // orphan CLI flag, and a programmatically constructed Args with a
+      // cadence but no sources must hit TrainedGates' own loud require,
+      // not have its rotation config silently zeroed
+      reloadEvery = a.gateReloadEvery)
     val q = graft.streaming.CorpusIntakeJob.runTextStream(
       docs, statePath, corpus, a.checkpoint, tau = a.tau, trigger = trigger,
       retention = retention, gates = gates)

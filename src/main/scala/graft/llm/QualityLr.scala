@@ -367,10 +367,15 @@ object QualityLr {
     * 0..m densely (a partial commit — scoring it would silently zero
     * the missing buckets' contribution). */
   def loadWeights(spark: SparkSession, path: String): (Array[Long], Int) = {
-    healDir(spark, path)
-    val raw = spark.read.parquet(path)
-    val rows = raw.select("bucket", "wm", "m").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    val rows = readWithHeal(spark, path) {
+      val raw = spark.read.parquet(path)
+      require(raw.columns.contains("m"),
+        s"weight table at $path carries no regime stamp (no 'm' column) — " +
+          "it predates the regime-guarded writeWeights; re-write it " +
+          "(writeWeights derives m from the vector) before loading")
+      raw.select("bucket", "wm", "m").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    }
     require(rows.nonEmpty, s"weight table at $path is empty")
     val ms = rows.map(_._3).distinct
     require(ms.length == 1,
@@ -415,10 +420,15 @@ object QualityLr {
     * class). K * (m+1) rows collected. */
   def loadOneVsRestModels(
       spark: SparkSession, path: String): (Seq[(String, Array[Long])], Int) = {
-    healDir(spark, path)
-    val rows = spark.read.parquet(path)
-      .select("class", "bucket", "wm", "m").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val rows = readWithHeal(spark, path) {
+      val raw = spark.read.parquet(path)
+      require(raw.columns.contains("m"),
+        s"model table at $path carries no regime stamp (no 'm' column) — " +
+          "it predates the regime-guarded writeOneVsRestModels; re-write " +
+          "it (m derives from the vectors) before loading")
+      raw.select("class", "bucket", "wm", "m").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    }
     require(rows.nonEmpty, s"model table at $path is empty")
     val ms = rows.map(_._4).distinct
     require(ms.length == 1,
@@ -443,35 +453,104 @@ object QualityLr {
     * live wherever the operator points them, not inside a state dir). A
     * crash between the two renames leaves no live dir but a complete
     * `__retired`; [[healDir]] (run by every load) renames it back. The
-    * first-ever write has no live dir and skips the retire leg. */
+    * first-ever write has no live dir and skips the retire leg.
+    *
+    * WRITER-vs-READER exclusion: the whole swap holds a `<path>__lock`
+    * marker (exclusive create; a stale lock older than
+    * [[SwapLockStaleMs]] is broken — the writer is a short driver-side
+    * rename sequence, so a lock that old can only be a crashed holder).
+    * Without it, a LIVE READER's heal could rename `__retired` back in
+    * the writer's two-rename window and fail the writer spuriously —
+    * exactly the race [[StandingState]]'s heal avoids by skipping while
+    * the state lease is held, re-created here because weight tables
+    * live on bare paths with no state lease. Readers skip the heal and
+    * RETRY the read while the lock is present ([[readWithHeal]]), so a
+    * rotation reload landing mid-swap sees fully-old or fully-new
+    * weights, never a tear and never a spurious path-not-found. */
   private def swapDir(spark: SparkSession, path: String)(
       writeStaged: String => Unit): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val live = new HPath(path)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    healDirFs(fs, live)
-    val staged = new HPath(path + "__staged")
-    if (fs.exists(staged)) fs.delete(staged, true)
-    writeStaged(staged.toString)
-    val retired = new HPath(path + "__retired")
-    if (fs.exists(retired)) fs.delete(retired, true)
-    if (fs.exists(live) && !fs.rename(live, retired))
+    val lock = new HPath(path + "__lock")
+    // break a stale lock (crashed writer): the swap is driver-side
+    // renames, never legitimately this old
+    try {
+      if (fs.exists(lock) &&
+          System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+            > SwapLockStaleMs)
+        fs.delete(lock, false)
+    } catch { case _: java.io.FileNotFoundException => () }
+    if (!tryCreateLock(fs, lock))
       throw new java.io.IOException(
-        s"writeWeights: rename $live -> $retired failed")
-    if (!fs.rename(staged, live))
-      throw new java.io.IOException(
-        s"writeWeights: rename $staged -> $live failed" +
-          (if (fs.exists(retired)) s" — pre-swap rows intact at $retired"
-           else ""))
-    if (fs.exists(retired)) fs.delete(retired, true)
+        s"writeWeights: $lock is held by a concurrent writer — retry after " +
+          "its swap completes (stale locks break after " +
+          s"${SwapLockStaleMs / 1000}s)")
+    try {
+      healDirFs(fs, live)
+      val staged = new HPath(path + "__staged")
+      if (fs.exists(staged)) fs.delete(staged, true)
+      writeStaged(staged.toString)
+      val retired = new HPath(path + "__retired")
+      if (fs.exists(retired)) fs.delete(retired, true)
+      if (fs.exists(live) && !fs.rename(live, retired))
+        throw new java.io.IOException(
+          s"writeWeights: rename $live -> $retired failed")
+      if (!fs.rename(staged, live))
+        throw new java.io.IOException(
+          s"writeWeights: rename $staged -> $live failed" +
+            (if (fs.exists(retired)) s" — pre-swap rows intact at $retired"
+             else ""))
+      if (fs.exists(retired)) fs.delete(retired, true)
+    } finally fs.delete(lock, false)
   }
 
-  /** Load-side heal of a crashed [[swapDir]]: live dir missing but a
-    * complete `<path>__retired` present — rename it back. */
-  private def healDir(spark: SparkSession, path: String): Unit = {
+  /** A swap lock this old can only belong to a crashed writer. */
+  private val SwapLockStaleMs = 10L * 60 * 1000
+
+  private def tryCreateLock(
+      fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path): Boolean =
+    try { fs.create(lock, false).close(); true }
+    catch { case _: java.io.IOException => false }
+
+  /** Reader-side load protocol: heal a crashed swap ONLY when no writer
+    * holds the lock (healing concurrently would race its renames), and
+    * retry the read a few times so a reload landing exactly in a live
+    * writer's rename window rides through to the new table instead of
+    * throwing path-not-found into the caller (for the stream gates,
+    * that caller is `foreachBatch` — a spurious throw would kill the
+    * streaming query). A failure that survives the retries is real
+    * (torn/absent table) and propagates loudly. */
+  private def readWithHeal[T](spark: SparkSession, path: String)(
+      read: => T): T = {
     import org.apache.hadoop.fs.{Path => HPath}
     val live = new HPath(path)
-    healDirFs(live.getFileSystem(spark.sparkContext.hadoopConfiguration), live)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new HPath(path + "__lock")
+    // a FRESH lock blocks the heal (a live writer owns the dirs); a
+    // STALE one is a crashed writer and must not block healing forever —
+    // readers treat it as absent (only writers delete locks)
+    def lockBlocksHeal: Boolean =
+      try {
+        fs.exists(lock) &&
+          System.currentTimeMillis() -
+            fs.getFileStatus(lock).getModificationTime <= SwapLockStaleMs
+      } catch { case _: java.io.FileNotFoundException => false }
+    var last: Throwable = null
+    var attempt = 0
+    while (attempt < 4) {
+      if (!lockBlocksHeal) healDirFs(fs, live)
+      try return read
+      catch {
+        case e: IllegalArgumentException => throw e // guard refusals are final
+        case scala.util.control.NonFatal(e) =>
+          last = e
+          attempt += 1
+          if (attempt < 4) Thread.sleep(200L * attempt)
+      }
+    }
+    throw last
   }
 
   private def healDirFs(

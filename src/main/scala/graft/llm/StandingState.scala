@@ -2172,12 +2172,15 @@ object StandingState {
       if (deep) {
         // per-source witness: full-outer join so a source present on
         // only one side (admitted-then-crashed, or expired-to-zero)
-        // disagrees with the other side's absence
+        // disagrees with the other side's absence. NULL-SAFE key equality
+        // (<=>): groupBy counts NULL sources as a group on BOTH sides, so
+        // a plain equality join would leave the two NULL rows forever
+        // unmatched and flag phantom drift that no recount can heal
         val cen = spark.read.parquet(s"$statePath/source_census")
-          .select(col("source"), col("n").as("__cn"))
+          .select(col("source").as("__cs"), col("n").as("__cn"))
         val rec = spark.read.parquet(corpusPath)
           .groupBy("source").agg(count(lit(1)).as("__rn"))
-        rec.join(cen, Seq("source"), "full_outer")
+        rec.join(cen, col("source") <=> col("__cs"), "full_outer")
           .filter(coalesce(col("__cn"), lit(0L)) =!= coalesce(col("__rn"), lit(0L)))
           .limit(1).count() > 0
       } else {
@@ -2243,8 +2246,14 @@ object StandingState {
     val out = ratios.select(col("bucket"), col("log_ratio"),
       lit(m).as("m"), lit(lambda).as("lambda"))
     if (tableExists(spark, s"$path/dsir_ratios"))
-      swapTable(spark, path, "dsir_ratios") { staged =>
-        out.write.mode("overwrite").parquet(staged)
+      // the swap holds the STATE LEASE like every other swapTable caller:
+      // loadDsirRatios' heal skips only while the lease is held, so an
+      // unleased re-fit racing a concurrent scorer's heal would have its
+      // __retired renamed back mid-swap and fail spuriously
+      withLeaseRetry(spark, path, "writeDsirRatios") {
+        swapTable(spark, path, "dsir_ratios") { staged =>
+          out.write.mode("overwrite").parquet(staged)
+        }
       }
     else out.write.mode("overwrite").parquet(s"$path/dsir_ratios")
   }

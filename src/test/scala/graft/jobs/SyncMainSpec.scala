@@ -87,6 +87,14 @@ class SyncMainSpec extends SparkSpec {
       langModels = Some("/nope-models"))))
     assert(e.getMessage.contains("--langModels needs --keepLangs"),
       s"got: ${e.getMessage}")
+    // a reload cadence with no weight-table source must hit TrainedGates'
+    // own loud require, not be silently zeroed
+    val e2 = intercept[IllegalArgumentException](
+      SyncMain.runOnce(spark, SyncMain.Args(
+        job = "intakeState", docs = Some(dir), state = Some("/nope-state"),
+        corpus = Some("/nope-corpus"), once = true, gateReloadEvery = 600L)))
+    assert(e2.getMessage.contains("reloadEvery needs a weight-table source"),
+      s"got: ${e2.getMessage}")
   }
 
   test("--job=intakeState with trained-gate flags: weights load from parquet and gate the stream") {

@@ -954,6 +954,49 @@ class LlmOpsSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](
       QualityLr.loadOneVsRestModels(spark, p4))
     assert(e3.getMessage.contains("partially-committed"))
+    // (g) LEGACY table (pre-regime-stamp (bucket, wm) shape): loud,
+    // actionable refusal — not a raw unresolved-column AnalysisException
+    val p5 = s"$dir/legacy"
+    Seq((0L, 1L), (1L, 2L)).toDF("bucket", "wm")
+      .write.mode("overwrite").parquet(p5)
+    val e4 = intercept[IllegalArgumentException](QualityLr.loadWeights(spark, p5))
+    assert(e4.getMessage.contains("no regime stamp"))
+    val e5 = intercept[IllegalArgumentException](
+      QualityLr.loadOneVsRestModels(spark, p5))
+    assert(e5.getMessage.contains("no regime stamp"))
+  }
+
+  test("QualityLr weight-table swap lock: writes leave no lock, fresh lock blocks the reader heal, stale lock does not") {
+    import graft.llm.QualityLr
+    val dir = java.nio.file.Files.createTempDirectory("qlr_lock_").toString
+    val p = s"$dir/w"
+    def path(s: String) = java.nio.file.Paths.get(s)
+    val w8 = Array.tabulate(9)(i => i.toLong)
+    QualityLr.writeWeights(spark, w8, p)
+    QualityLr.writeWeights(spark, w8.map(-_), p) // swap path
+    assert(!java.nio.file.Files.exists(path(p + "__lock")),
+      "a completed swap must release the lock")
+    // crash shape: live stranded at __retired, plus a FRESH lock (a live
+    // writer mid-swap) — the reader must NOT heal (racing the writer's
+    // renames) and, the writer never finishing here, must fail loudly
+    // after its bounded retries rather than hang
+    java.nio.file.Files.move(path(p), path(p + "__retired"))
+    java.nio.file.Files.createFile(path(p + "__lock"))
+    intercept[Exception](QualityLr.loadWeights(spark, p))
+    assert(java.nio.file.Files.exists(path(p + "__retired")),
+      "reader must not heal under a fresh lock")
+    // age the lock past the stale horizon: a crashed writer must not
+    // block healing forever — the reader now heals and loads
+    java.nio.file.Files.setLastModifiedTime(path(p + "__lock"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 11L * 60 * 1000))
+    val (back, m) = QualityLr.loadWeights(spark, p)
+    assert(back.toSeq === w8.map(-_).toSeq && m === 8)
+    // a WRITER arriving at the (still present) stale lock breaks it and
+    // proceeds
+    QualityLr.writeWeights(spark, w8, p)
+    assert(QualityLr.loadWeights(spark, p)._1.toSeq === w8.toSeq)
+    assert(!java.nio.file.Files.exists(path(p + "__lock")))
   }
 
   test("Dedup.dedupNearLshKeepBest: max-score representative per cluster") {

@@ -1668,6 +1668,24 @@ class StandingStateSpec extends SparkSpec {
     assert(StandingState.expire(
       spark, statePath, corpusDir, col("doc_id") === 3L) === 1L)
     assert(censusMap === Map("a" -> 2L))
+    // NULL sources: groupBy counts them as a group on both sides, and
+    // the deep witness joins NULL-SAFELY — a healthy census over a
+    // NULL-bearing corpus must NOT flag phantom drift (a plain equality
+    // join would leave the two NULL rows unmatched forever)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(50L, mk(50), null: String))),
+        spark.read.parquet(corpusDir).schema)
+      .write.mode("append").parquet(corpusDir)
+    assert(StandingState.reconcileSourceCensus(
+      spark, statePath, corpusDir, deep = true),
+      "the NULL-source append is genuine drift once — heals by recount")
+    assert(!StandingState.reconcileSourceCensus(
+      spark, statePath, corpusDir, deep = true),
+      "healthy NULL-bearing census must not flag phantom drift")
+    val withNull = StandingState.loadSourceCensus(spark, statePath)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(withNull === Map(Some("a") -> 2L, None -> 1L))
   }
 
   test("DSIR ratios: regime-guarded state artifact — mismatch loud, expire leaves it untouched") {
