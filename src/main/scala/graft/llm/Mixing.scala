@@ -52,16 +52,28 @@ object Mixing {
     * the join — the when-chain's otherwise arm), restore the caller's
     * schema and column order. ONE implementation so the two callers
     * cannot drift membership-wise. */
+  /** `nullSafe = true` matches NULL keys with <=> — for rate frames that
+    * DERIVE from the data (a census' NULL group must deliver its rate);
+    * the default plain-equality form leaves NULL keys unmatched (rate =
+    * `default`) — [[stratifiedSample]]'s documented contract, where the
+    * fractions are a caller-supplied String-keyed map with no NULL key. */
   private def joinSampled(
       docs: DataFrame,
       rates: DataFrame,
       keyCol: String,
       rateName: String,
       default: Double,
-      idCol: String): DataFrame =
-    docs.join(broadcast(rates), Seq(keyCol), "left")
+      idCol: String,
+      nullSafe: Boolean = false): DataFrame = {
+    val joined =
+      if (nullSafe)
+        docs.join(broadcast(rates.withColumnRenamed(keyCol, "__rk")),
+          col(keyCol) <=> col("__rk"), "left").drop("__rk")
+      else docs.join(broadcast(rates), Seq(keyCol), "left")
+    joined
       .filter(hashKeep(col(idCol), coalesce(col(rateName), lit(default))))
       .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
 
   /** Per-source stratified sample at the given fractions (sources absent
     * from the map keep `defaultFrac`; a NULL source matches nothing and
@@ -365,14 +377,24 @@ object Mixing {
         .as("__rate"))
     if (census.limit(literalRateCap(docs) + 1).count() <= literalRateCap(docs)) {
       val rates = rateFrame.collect().map(r => r.getString(0) -> r.getDouble(1))
+      // a NULL source is a first-class census group here (the counts
+      // DERIVE from the data — groupBy puts NULL rows in one group, and
+      // their weight is already inside the rate denominator), so its
+      // rate must DELIVER: a plain === arm would fall through to 0.0,
+      // silently dropping every NULL-source doc while still diluting all
+      // other sources' rates by the NULL group's census mass
       val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (src, r)) =>
-        when(col(sourceCol) === src, lit(r)).otherwise(acc)
+        if (src == null) when(col(sourceCol).isNull, lit(r)).otherwise(acc)
+        else when(col(sourceCol) === src, lit(r)).otherwise(acc)
       }
       docs.filter(hashKeep(col(idCol), rateCol))
     } else {
       // a source absent from the census (possible only when censusOver
-      // under-covers) coalesces to rate 0 — the when-chain's otherwise arm
-      joinSampled(docs, rateFrame, sourceCol, "__rate", 0.0, idCol)
+      // under-covers) coalesces to rate 0 — the when-chain's otherwise
+      // arm. nullSafe so the NULL census group's rate delivers in the
+      // join form exactly like the literal chain's isNull arm.
+      joinSampled(docs, rateFrame, sourceCol, "__rate", 0.0, idCol,
+        nullSafe = true)
     }
   }
 
@@ -432,9 +454,15 @@ object Mixing {
       .orderBy(samplingHash(col(idCol)).asc, col(idCol).asc)
     batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxPerKey) // constant limit -> WindowGroupLimit
-      .join(standingCounts.select(col(keyCol), col(countCol).as("__sn")),
-        Seq(keyCol), "left")
+      // NULL-SAFE key equality (<=>): the window above groups NULL keys
+      // into one capped partition, and a maintained census
+      // (groupBy(keyCol)) counts them as a group too — a plain equality
+      // join would never match the two NULL rows, silently granting
+      // NULL-keyed batch docs a fresh quota regardless of standing count
+      .join(standingCounts.select(
+          col(keyCol).as("__sk"), col(countCol).as("__sn")),
+        col(keyCol) <=> col("__sk"), "left")
       .filter(col("__rn") <= lit(maxPerKey.toLong) - coalesce(col("__sn"), lit(0L)))
-      .drop("__rn", "__sn")
+      .drop("__rn", "__sn", "__sk")
   }
 }

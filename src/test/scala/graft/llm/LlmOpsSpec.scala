@@ -700,6 +700,45 @@ class LlmOpsSpec extends SparkSpec {
     assert(re === admitted.map(_._1).toSet)
   }
 
+  test("Mixing NULL keys: census groups deliver — cap quota respected, temperature rate delivered, literal == join") {
+    // NULL sources group in windows AND in groupBy censuses; the census
+    // joins must match them null-safely or NULL-keyed docs silently get a
+    // fresh cap quota / a zero temperature rate while their census mass
+    // still dilutes everyone else
+    val rows = (0L until 40L).map(i =>
+      (i, if (i % 4 == 0) null else s"s${i % 4}"))
+    val batch = rows.toDF("doc_id", "source")
+    // standing census: NULL already holds 5 of the cap-7 quota; s1 holds 7
+    val counts = Seq((null: String, 5L), ("s1", 7L)).toDF("source", "n")
+    val capped = Mixing.capPerKeyIncremental(batch, counts, maxPerKey = 7)
+      .select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    val byKey = capped.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byKey.getOrElse(None, 0) === 2,
+      "NULL key must get cap - standing = 7 - 5 = 2, not a fresh quota")
+    assert(byKey.getOrElse(Some("s1"), 0) === 0, "s1's quota is exhausted")
+    assert(byKey(Some("s2")) === 7 && byKey(Some("s3")) === 7)
+    // temperature: the NULL census group's rate must DELIVER, in both the
+    // literal when-chain and the broadcast-join delivery (identical sets)
+    val lit0 = Mixing.temperatureSample(batch, targetDocs = 30L, alpha = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch.filter(col("source").isNull)
+        .select("doc_id").as[Long].collect().toSet.intersect(lit0).nonEmpty,
+      "NULL-source docs must sample at their census rate, not drop to 0")
+    spark.conf.set("spark.graft.mix.literalRateCap", "0")
+    val joined =
+      try Mixing.temperatureSample(batch, targetDocs = 30L, alpha = 0.5)
+        .select("doc_id").as[Long].collect().toSet
+      finally spark.conf.unset("spark.graft.mix.literalRateCap")
+    assert(joined === lit0, "literal and join deliveries must agree on NULL")
+    // and the counts-fed form agrees with the self-censused form
+    val viaCounts = Mixing.temperatureSampleCounts(
+        batch, targetDocs = 30L,
+        batch.groupBy("source").agg(count(lit(1)).as("n")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaCounts === lit0)
+  }
+
   test("QualityLr: GD loop matches a pure-Scala replay; planted quality separates") {
     import graft.llm.QualityLr
     val pos = (0L until 12L).map(i =>
