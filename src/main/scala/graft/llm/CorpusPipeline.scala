@@ -146,6 +146,34 @@ object CorpusPipeline {
       case None => df
     }
 
+  /** Stages 1b + 1c FUSED over one featurize — the streaming intake's
+    * per-batch form ([[graft.streaming.CorpusIntakeJob]]): when BOTH
+    * gates are on and share one feature regime m, every doc's quality
+    * score and language argmax come out of ONE [[QualityLr.lrFeatures]]
+    * pass and ONE doc_id-keyed aggregation ([[QualityLr.scoreGatesFused]]),
+    * and the kept set is the CONJUNCTION filter. Identical to applying
+    * 1b then 1c through the standalone transforms (spec-pinned): scores
+    * are per-doc functions — per-doc L1 feature normalization, per-doc
+    * logit sums — so scoring the 1c argmax over the full frame instead
+    * of the 1b survivors cannot move any doc's values, and keep(1b) ∧
+    * keep(1c) selects exactly sequential-1b-then-1c's rows. Different
+    * m's (or either gate off) fall back to the sequential transforms —
+    * same result, one more featurize. */
+  private[graft] def applyTrainedGates(
+      df: DataFrame,
+      quality: Option[(Seq[Long], Int, Long)],
+      lang: Option[(Seq[(String, Seq[Long])], Int, Set[String])]): DataFrame =
+    (quality, lang) match {
+      case (Some((qw, qm, thr)), Some((models, lm, keep))) if qm == lm =>
+        val keepIds = QualityLr.scoreGatesFused(df, qw.toArray,
+            models.map { case (c, w) => c -> w.toArray }, qm)
+          .filter(col("score_micros") >= thr &&
+            col("pred_lang").isin(keep.toSeq.sorted: _*))
+          .select("doc_id")
+        df.join(keepIds, Seq("doc_id"), "left_semi")
+      case _ => applyLangGate(applyQualityGate(df, quality), lang)
+    }
+
   /** documents (doc_id, text, source, ...) [+ eval corpus] -> packed,
     * scrubbed, deduplicated, decontaminated training rows:
     * (doc_id, source, text, n_tokens, bin, pos_in_bin). */

@@ -319,6 +319,52 @@ object QualityLr {
       bestS.as("score_micros"))
   }
 
+  /** The quality score AND the language argmax in ONE featurize + ONE
+    * doc_id-keyed aggregation — the stage-1b+1c fused scorer behind
+    * [[CorpusPipeline.applyTrainedGates]] (both gates must share m; the
+    * caller falls back to the sequential transforms otherwise). All K+1
+    * logits ride the same [[logitPass]] (one weight delivery, literal or
+    * broadcast by the TOTAL entry count), and every per-doc value equals
+    * the standalone scorers' exactly: scores are per-doc functions
+    * (per-doc L1 feature normalization, per-doc logit sums), so the
+    * cohort they are computed over cannot move them — spec-pinned.
+    * Returns (doc_id, score_micros, pred_lang) with [[scoreOneVsRestLr]]'s
+    * argmax tie-break (models must arrive class-sorted). */
+  private[graft] def scoreGatesFused(
+      docs: DataFrame,
+      qualityWeights: Array[Long],
+      models: Seq[(String, Array[Long])],
+      m: Int): DataFrame = {
+    require(models.nonEmpty, "need at least one model")
+    require(models.map(_._1) == models.map(_._1).sorted,
+      "models must be sorted by class (trainOneVsRestLr's output order)")
+    require(qualityWeights.length == m + 1,
+      s"quality: need m+1=${m + 1} weights, got ${qualityWeights.length}")
+    models.foreach { case (c, wm) =>
+      require(wm.length == m + 1, s"class $c: need m+1=${m + 1} weights")
+    }
+    val feats = lrFeatures(docs, m)
+    val z = logitPass(feats, qualityWeights +: models.map(_._2),
+      "zm" +: models.indices.map(i => s"__zm_$i"))
+    val scored = models.indices.foldLeft(
+      docs.select("doc_id").join(z, Seq("doc_id"), "left")) {
+      case (df, i) =>
+        df.withColumn(s"__s_$i",
+          sigmoidMicros(coalesce(col(s"__zm_$i"), lit(0L))).cast("long"))
+    }
+    val classesSorted = models.map(_._1)
+    val init = (lit(classesSorted.head), col("__s_0"))
+    val (predC, _) = classesSorted.tail.zipWithIndex.foldLeft(init) {
+      case ((pc, ps), (c, i0)) =>
+        val s = col(s"__s_${i0 + 1}")
+        (when(s > ps, lit(c)).otherwise(pc), when(s > ps, s).otherwise(ps))
+    }
+    scored.select(col("doc_id"),
+      sigmoidMicros(coalesce(col("zm"), lit(0L))).cast("long")
+        .as("score_micros"),
+      predC.as("pred_lang"))
+  }
+
   /** Persist trained micro-weights as a REGIME-GUARDED (bucket, wm, m)
     * parquet table — the ops-side handoff for the streaming intake's
     * trained gates ([[graft.jobs.SyncMain]] `--qualityWeights`): train

@@ -737,11 +737,12 @@ object CorpusIntakeJob {
       if (gate) TextOps.gopherGate(batch, minWords = minWords, maxWords = maxWords)
       else batch
     // 1b + 1c. the trained gates in the pipeline's pinned order (rule
-    // gate -> quality -> language -> scrub), through the SAME shared
-    // transforms as CorpusPipeline — batch/stream parity by construction
-    val gated = graft.llm.CorpusPipeline.applyLangGate(
-      graft.llm.CorpusPipeline.applyQualityGate(rgated, gates.qualityGate),
-      gates.keepLangs)
+    // gate -> quality -> language -> scrub), through CorpusPipeline's
+    // shared transforms — FUSED over one featurize when both gates share
+    // m (applyTrainedGates, spec-pinned equal to the sequential form),
+    // so a both-gates batch pays one feature pass instead of two
+    val gated = graft.llm.CorpusPipeline.applyTrainedGates(
+      rgated, gates.qualityGate, gates.keepLangs)
     // lazy barrier: the exact leg, the near leg, and the surviving-row
     // chain each evaluate this prefix (scan + gate + PII regexes)
     val scrubbed0 = (

@@ -402,6 +402,63 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(inc.select("doc_id").as[Long].collect().toSet === Set(1200L))
   }
 
+  test("applyTrainedGates: fused 1b+1c == sequential transforms; different m falls back") {
+    // planted markers: quality by 'fine'/'spam' vocab, language by
+    // 'zzen'/'zzde' markers — four cohorts so each gate drops a
+    // DIFFERENT subset and the conjunction is observable
+    def doc(i: Long, q: String, l: String): (Long, String) =
+      (i, "the tale of and to in " +
+        (1 to 12).map(j => s"$q$j").mkString(" ") + (s" zz${l}mark" * 6) +
+        s" w${i}x1 w${i}x2 w${i}x3 w${i}x4 w${i}x5 w${i}x6")
+    val docs = Seq(
+      doc(1, "fine", "en"), doc(2, "fine", "de"),
+      doc(3, "spam", "en"), doc(4, "spam", "de"))
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+    // the 2x2 grid DECORRELATES the training signals: quality from doc_id
+    // parity, language from (doc_id/2) parity — a correlated set would
+    // teach the quality model the language markers too, and a spam+en doc
+    // would score mid-range instead of below the threshold
+    val labeled = ((0L until 8L).map(i =>
+      doc(100 + i, if (i % 2 == 0) "fine" else "spam",
+        if ((i / 2) % 2 == 0) "en" else "de")))
+      .toDF("doc_id", "text")
+      .withColumn("label", (($"doc_id" % 2) === 0).cast("int"))
+      .withColumn("lang",
+        when((($"doc_id" - 100) % 4) < 2, "en").otherwise("de"))
+    val m = 32
+    val qw = QualityLr.trainQualityLr(labeled, m, steps = 3, lr = 0.5)
+    val models = QualityLr.trainOneVsRestLr(
+      labeled, "lang", Seq("de", "en"), m, steps = 3, lr = 0.5)
+    val sc = QualityLr.scoreQualityLr(docs, qw, m)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val thr = (Seq(1L, 2L).map(sc).min + Seq(3L, 4L).map(sc).max) / 2
+    val quality = Some((qw.toSeq, m, thr))
+    val lang = Some((models.map { case (c, w) => (c, w.toSeq) }, m,
+      Set("en")))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    val sequential = CorpusPipeline.applyLangGate(
+      CorpusPipeline.applyQualityGate(docs, quality), lang)
+    val fused = CorpusPipeline.applyTrainedGates(docs, quality, lang)
+    assert(ids(sequential) === Set(1L), "scenario must isolate doc 1")
+    assert(ids(fused) === ids(sequential))
+    // one-gate-off forms route through the standalone transforms
+    assert(ids(CorpusPipeline.applyTrainedGates(docs, quality, None)) ===
+      ids(CorpusPipeline.applyQualityGate(docs, quality)))
+    assert(ids(CorpusPipeline.applyTrainedGates(docs, None, lang)) ===
+      ids(CorpusPipeline.applyLangGate(docs, lang)))
+    // different m: falls back to sequential — same kept set (the lang
+    // models retrain at m=64; scores differ numerically but the planted
+    // separation holds in both regimes)
+    val models64 = QualityLr.trainOneVsRestLr(
+      labeled, "lang", Seq("de", "en"), 64, steps = 3, lr = 0.5)
+    val lang64 = Some((models64.map { case (c, w) => (c, w.toSeq) }, 64,
+      Set("en")))
+    assert(ids(CorpusPipeline.applyTrainedGates(docs, quality, lang64)) ===
+      ids(CorpusPipeline.applyLangGate(
+        CorpusPipeline.applyQualityGate(docs, quality), lang64)))
+  }
+
   test("keepLangs stage 1c: trained langid filter, batch == incremental == state-fed") {
     // planted languages with DISJOINT vocab; m large enough that the
     // pipeline docs' per-doc filler tokens can't collide away the signal
