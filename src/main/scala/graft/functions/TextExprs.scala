@@ -274,12 +274,16 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int) extends TextKer
     TextKernels.minhash(input.asInstanceOf[UTF8String], k, numHashes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName: two kernel calls in one codegen scope must not collide
+      // (nullSafeExec emits this UNBRACED when the child is non-nullable)
+      val r = ctx.freshName("r")
       s"""
-         |org.apache.spark.sql.catalyst.util.ArrayData r =
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
          |  graft.functions.TextKernels.minhash($c, $k, $numHashes);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
-       """.stripMargin)
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -317,12 +321,14 @@ case class MinShingleMd5(child: Expression, k: Int) extends TextKernelExpr {
     TextKernels.minShingleMd5(input.asInstanceOf[UTF8String], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
       s"""
-         |org.apache.spark.unsafe.types.UTF8String r =
+         |org.apache.spark.unsafe.types.UTF8String $r =
          |  graft.functions.TextKernels.minShingleMd5($c, $k);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
-       """.stripMargin)
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): MinShingleMd5 =
     copy(child = newChild)

@@ -291,11 +291,14 @@ case class DotProductFD(left: Expression, right: Expression) extends BinaryExpre
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     if (!boxed)
       defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.dotFD($a, $b)")
-    else nullSafeCodeGen(ctx, ev, (a, b) =>
+    else nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: two kernel calls in one codegen scope must not collide.
+      val r = ctx.freshName("r")
       s"""
-         |java.lang.Double r = graft.functions.VectorKernels.dotFDBoxed($a, $b);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
-       """.stripMargin)
+         |java.lang.Double $r = graft.functions.VectorKernels.dotFDBoxed($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductFD =
     copy(left = l, right = r)
@@ -326,11 +329,13 @@ case class DotProductF(left: Expression, right: Expression) extends BinaryExpres
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     if (!boxed)
       defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.dot($a, $b)")
-    else nullSafeCodeGen(ctx, ev, (a, b) =>
+    else nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
       s"""
-         |java.lang.Double r = graft.functions.VectorKernels.dotBoxed($a, $b);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
-       """.stripMargin)
+         |java.lang.Double $r = graft.functions.VectorKernels.dotBoxed($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductF =
     copy(left = l, right = r)
@@ -356,11 +361,13 @@ case class NormF(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     if (!boxed)
       defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.norm($c)")
-    else nullSafeCodeGen(ctx, ev, c =>
+    else nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
       s"""
-         |java.lang.Double r = graft.functions.VectorKernels.normBoxed($c);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
-       """.stripMargin)
+         |java.lang.Double $r = graft.functions.VectorKernels.normBoxed($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): NormF =
     copy(child = newChild)
