@@ -520,54 +520,61 @@ object QualityLr {
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = new HPath(path + "__lock")
     // break a stale lock (crashed writer): the swap is driver-side
-    // renames, never legitimately this old
+    // renames, never legitimately this old. The break is an ATOMIC
+    // rename onto a unique tombstone (AtomicSwap.breakByRename) — of N
+    // racing breakers exactly one wins, so breaker B can never delete
+    // the fresh lock breaker A just re-created (the check-then-delete
+    // hole the round-17 review flagged). Ownership after the create
+    // needs no re-read: the create itself is atomic (createNewFile on
+    // local FS via AtomicSwap.atomicCreate), so whoever's create
+    // returned true IS the sole holder.
     try {
       if (fs.exists(lock) &&
           System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
             > SwapLockStaleMs)
-        fs.delete(lock, false)
+        AtomicSwap.breakByRename(
+          fs, lock, java.util.UUID.randomUUID().toString)
     } catch { case _: java.io.FileNotFoundException => () }
-    if (!tryCreateLock(fs, lock))
+    val holderInfo =
+      s"op=writeWeights pid=${ProcessHandle.current().pid()} " +
+        s"at=${java.time.Instant.now()}"
+    if (!AtomicSwap.atomicCreate(fs, lock, holderInfo))
       throw new java.io.IOException(
         s"writeWeights: $lock is held by a concurrent writer — retry after " +
           "its swap completes (stale locks break after " +
           s"${SwapLockStaleMs / 1000}s)")
     try {
-      healDirFs(fs, live)
+      AtomicSwap.heal(fs, live)
       val staged = new HPath(path + "__staged")
       if (fs.exists(staged)) fs.delete(staged, true)
       writeStaged(staged.toString)
-      val retired = new HPath(path + "__retired")
-      if (fs.exists(retired)) fs.delete(retired, true)
-      if (fs.exists(live) && !fs.rename(live, retired))
-        throw new java.io.IOException(
-          s"writeWeights: rename $live -> $retired failed")
-      if (!fs.rename(staged, live))
-        throw new java.io.IOException(
-          s"writeWeights: rename $staged -> $live failed" +
-            (if (fs.exists(retired)) s" — pre-swap rows intact at $retired"
-             else ""))
-      if (fs.exists(retired)) fs.delete(retired, true)
+      // commitStaged tolerates the one benign race left: a reader that
+      // sampled the lock as free just before our create can heal
+      // __retired back between our two renames; the writer re-retires
+      // and retries once (see AtomicSwap.commitStaged).
+      AtomicSwap.commitStaged(fs, live, staged, "writeWeights")
     } finally fs.delete(lock, false)
   }
 
   /** A swap lock this old can only belong to a crashed writer. */
   private val SwapLockStaleMs = 10L * 60 * 1000
 
-  private def tryCreateLock(
-      fs: org.apache.hadoop.fs.FileSystem,
-      lock: org.apache.hadoop.fs.Path): Boolean =
-    try { fs.create(lock, false).close(); true }
-    catch { case _: java.io.IOException => false }
-
   /** Reader-side load protocol: heal a crashed swap ONLY when no writer
     * holds the lock (healing concurrently would race its renames), and
-    * retry the read a few times so a reload landing exactly in a live
-    * writer's rename window rides through to the new table instead of
-    * throwing path-not-found into the caller (for the stream gates,
-    * that caller is `foreachBatch` — a spurious throw would kill the
-    * streaming query). A failure that survives the retries is real
-    * (torn/absent table) and propagates loudly. */
+    * retry the read under a WALL-CLOCK deadline
+    * (`spark.graft.weights.readRetryTimeoutMs`, default 10s) so a
+    * reload racing a live writer rides through to a clean table instead
+    * of throwing path-not-found/file-not-exist into the caller (for the
+    * stream gates, that caller is `foreachBatch` — a spurious throw
+    * would kill the streaming query). A deadline, not an attempt count:
+    * a parquet read's listing-to-fetch window can lose the race to a
+    * complete swap (FILE_NOT_EXIST on the replaced part files), and
+    * under BACK-TO-BACK re-trains a fixed small attempt budget can lose
+    * it every time — churn failures are transient by construction, so
+    * the reader keeps retrying until the deadline and only a failure
+    * that outlives every concurrent swap propagates. The loaders' own
+    * GUARD refusals (torn table, missing regime stamp —
+    * IllegalArgumentException) stay final and fail immediately. */
   private def readWithHeal[T](spark: SparkSession, path: String)(
       read: => T): T = {
     import org.apache.hadoop.fs.{Path => HPath}
@@ -583,30 +590,31 @@ object QualityLr {
           System.currentTimeMillis() -
             fs.getFileStatus(lock).getModificationTime <= SwapLockStaleMs
       } catch { case _: java.io.FileNotFoundException => false }
+    val timeoutMs = spark.conf
+      .get("spark.graft.weights.readRetryTimeoutMs", "10000").toLong
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
     var last: Throwable = null
-    var attempt = 0
-    while (attempt < 4) {
-      if (!lockBlocksHeal) healDirFs(fs, live)
+    var delay = 200L
+    while (true) {
+      // the lock re-check sits IMMEDIATELY before the heal to narrow the
+      // sample-then-heal window; the residual race (writer acquires the
+      // lock between our check and our heal rename) is tolerated on the
+      // WRITER side — AtomicSwap.commitStaged re-retires and retries its
+      // staged->live rename once, so a reader heal landing in the
+      // writer's rename window degrades to a retried rename, not a
+      // failed re-train.
+      if (!lockBlocksHeal) AtomicSwap.heal(fs, live)
       try return read
       catch {
         case e: IllegalArgumentException => throw e // guard refusals are final
         case scala.util.control.NonFatal(e) =>
           last = e
-          attempt += 1
-          if (attempt < 4) Thread.sleep(200L * attempt)
+          if (System.nanoTime() > deadline) throw last
+          Thread.sleep(delay)
+          delay = math.min(delay * 2, 1000L)
       }
     }
-    throw last
-  }
-
-  private def healDirFs(
-      fs: org.apache.hadoop.fs.FileSystem,
-      live: org.apache.hadoop.fs.Path): Unit = {
-    import org.apache.hadoop.fs.{Path => HPath}
-    val retired = new HPath(live.toString + "__retired")
-    if (!fs.exists(live) && fs.exists(retired) && !fs.rename(retired, live))
-      throw new java.io.IOException(
-        s"weight-table heal: recovery rename $retired -> $live failed")
+    throw last // unreachable
   }
 
   /** Score a corpus under trained micro-weights: (doc_id, score_micros)

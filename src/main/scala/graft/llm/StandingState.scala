@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** PERSISTED standing-corpus state for the ingest cycle — the artifact
@@ -178,17 +178,26 @@ object StandingState {
   }
 
   /** Load a persisted state. The digest/band frames are lazy table scans —
-    * nothing is read until an ingest uses them. */
+    * nothing is read until an ingest uses them.
+    *
+    * The META and SPAN-REGIME rows are content-cached across calls:
+    * a streaming intake loads the state every micro-batch, and without
+    * the cache each load pays one Spark job per regime row (meta.head,
+    * span_meta.head) for values that are WRITE-TIME CONSTANTS of the
+    * state. The cache key is the regime table's own part-file listing
+    * (parquet part names carry a per-write UUID), so any rewrite —
+    * however fast — changes the key and re-reads; no mtime-granularity
+    * aliasing, and the per-batch cost drops to one driver-side
+    * directory listing per regime table. */
   def load(spark: SparkSession, path: String): StandingState = {
     Seq("digests", "bands").foreach(heal(spark, path, _))
     val digests = spark.read.parquet(s"$path/digests")
-    val meta = {
-      val r = spark.read.parquet(s"$path/meta").head()
-      Meta(r.getAs[Int]("shingle_size"), r.getAs[Int]("num_hashes"),
-        r.getAs[Int]("band_rows"), r.getAs[Boolean]("normalized"),
-        // the regime is self-describing: keyed iff the rows carry doc_id
-        docKeyed = digests.columns.contains("doc_id"))
-    }
+    val metaRow = cachedRegimeRow(spark, s"$path/meta")
+    val meta = Meta(metaRow.getAs[Int]("shingle_size"),
+      metaRow.getAs[Int]("num_hashes"),
+      metaRow.getAs[Int]("band_rows"), metaRow.getAs[Boolean]("normalized"),
+      // the regime is self-describing: keyed iff the rows carry doc_id
+      docKeyed = digests.columns.contains("doc_id"))
     val cs =
       if (!tableExists(spark, s"$path/centroids")) None
       else Some(spark.read.parquet(s"$path/centroids")
@@ -198,13 +207,36 @@ object StandingState {
       if (!tableExists(spark, s"$path/span_meta")) None
       else {
         heal(spark, path, "span_hashes")
-        val w = spark.read.parquet(s"$path/span_meta").head().getAs[Int]("w")
+        val w = cachedRegimeRow(spark, s"$path/span_meta").getAs[Int]("w")
         Some((spark.read.parquet(s"$path/span_hashes"), w))
       }
     StandingState(
       digests,
       spark.read.parquet(s"$path/bands"),
       cs, meta, spans)
+  }
+
+  /** Single-row regime tables (meta, span_meta), cached by the table
+    * dir's part-file listing — see [[load]]. Bounded: one entry per
+    * distinct (table, write) actually loaded; superseded writes are
+    * evicted by key replacement per table path. */
+  private val regimeRowCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Row)]()
+
+  private def cachedRegimeRow(spark: SparkSession, tablePath: String): Row = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key =
+      try fs.listStatus(p).map(_.getPath.getName).sorted.mkString(",")
+      catch { case _: java.io.FileNotFoundException => "" }
+    val cached = regimeRowCache.get(tablePath)
+    if (cached != null && cached._1 == key && key.nonEmpty) cached._2
+    else {
+      val r = spark.read.parquet(tablePath).head()
+      regimeRowCache.put(tablePath, (key, r))
+      r
+    }
   }
 
   /** Close the ingest cycle: append an ADMITTED batch's digests and band
@@ -256,7 +288,7 @@ object StandingState {
     val spark = batch.sparkSession
     if (!tableExists(spark, s"$path/span_meta")) None
     else {
-      val w = spark.read.parquet(s"$path/span_meta").head().getAs[Int]("w")
+      val w = cachedRegimeRow(spark, s"$path/span_meta").getAs[Int]("w")
       // follow the PERSISTED table's regime (self-describing schema, same
       // rule as [[load]]) — appending payload-free rows to a keyed index
       // would fail the scan; appending keyed rows to a legacy index would
@@ -265,6 +297,18 @@ object StandingState {
            else TextOps.spanWindowHashes(batch, w))
     }
   }
+
+  /** [[spanHashesFor]] against an already-LOADED state — the streaming
+    * batch leg's form: [[load]] just resolved the span regime (width +
+    * keyed-ness), so re-probing the path per micro-batch would re-pay
+    * two existence probes and a schema read for constants already in
+    * hand. Same regime rules, zero additional IO. */
+  private[graft] def spanHashesForState(
+      batch: DataFrame, state: StandingState): Option[DataFrame] =
+    state.spanIndex.map { case (hashes, w) =>
+      if (hashes.columns.contains("doc_id")) TextOps.spanWindowHashesKeyed(batch, w)
+      else TextOps.spanWindowHashes(batch, w)
+    }
 
   /** True iff the persisted span index at `path` is doc-keyed (carries a
     * `doc_id` column). False for legacy payload-free indexes and when the
@@ -868,15 +912,7 @@ object StandingState {
     healTable(fs, base, table)
     val staged = new HPath(base, s"${table}__staged")
     writeStaged(staged.toString)
-    val live = new HPath(base, table)
-    val retired = new HPath(base, s"${table}__retired")
-    if (fs.exists(retired)) fs.delete(retired, true)
-    if (!fs.rename(live, retired))
-      throw new java.io.IOException(s"swapTable: rename $live -> $retired failed")
-    if (!fs.rename(staged, live))
-      throw new java.io.IOException(
-        s"swapTable: rename $staged -> $live failed — pre-swap rows intact at $retired")
-    fs.delete(retired, true)
+    AtomicSwap.commitStaged(fs, new HPath(base, table), staged, "swapTable")
   }
 
   /** Recover a table from a crash in [[swapTable]]'s two-rename window:
@@ -898,12 +934,8 @@ object StandingState {
     * the state dir). Caller must hold — or have excluded — the lease. */
   private def healDir(
       fs: org.apache.hadoop.fs.FileSystem,
-      live: org.apache.hadoop.fs.Path): Unit = {
-    val retired = sibling(live, "__retired")
-    if (!fs.exists(live) && fs.exists(retired) && !fs.rename(retired, live))
-      throw new java.io.IOException(
-        s"healDir: recovery rename $retired -> $live failed")
-  }
+      live: org.apache.hadoop.fs.Path): Unit =
+    AtomicSwap.heal(fs, live)
 
   /** [[healTable]] from a path-string context — the load-site form.
     * SKIPPED while the state lease is held: a live mutator mid-swap owns
@@ -990,30 +1022,13 @@ object StandingState {
           "is gone and run StandingState.breakLease to recover.")
     val holderInfo =
       s"op=$op pid=${ProcessHandle.current().pid()} at=${java.time.Instant.now()}"
-    if (fs.getScheme == "file") {
-      // LOCAL fs: RawLocalFileSystem's create(overwrite=false) is
-      // exists()-then-create (not O_EXCL) — racing local mutators could
-      // both win. java.io.File.createNewFile IS atomic per the JDK spec.
-      val f = new java.io.File(fs.makeQualified(lease).toUri.getPath)
-      if (!f.createNewFile()) failHeld()
-      try {
-        // holder info is best-effort metadata; the CREATE is the lock
-        val w = new java.io.FileOutputStream(f)
-        try w.write(holderInfo.getBytes("UTF-8")) finally w.close()
-        body
-      } finally fs.delete(lease, false)
-    } else {
-      val out =
-        try fs.create(lease, false) // overwrite=false: fails iff already held
-        catch { case _: java.io.IOException => failHeld() }
-      // EVERYTHING after a successful create releases in finally — a failure
-      // writing the holder info must not leave the lease held forever
-      try {
-        try out.write(holderInfo.getBytes("UTF-8"))
-        finally out.close()
-        body
-      } finally fs.delete(lease, false)
-    }
+    // the CREATE is the lock; holder info is best-effort metadata.
+    // AtomicSwap.atomicCreate routes the file: scheme through
+    // java.io.File.createNewFile (RawLocalFileSystem's
+    // create(overwrite=false) is exists()-then-create, not O_EXCL) and
+    // deletes a half-born lease if the metadata write fails.
+    if (!AtomicSwap.atomicCreate(fs, lease, holderInfo)) failHeld()
+    try body finally fs.delete(lease, false)
   }
 
   /** [[withLease]] with ACQUIRE RETRY — the ingest batch leg's form
