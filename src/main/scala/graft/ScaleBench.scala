@@ -662,14 +662,30 @@ object ScaleBench {
           nFiles(corpusDir) + nFiles(s"$statePath/digests") + nFiles(s"$statePath/bands")
         val nB = 6
         val perBatch = new Array[Double](nB)
+        // JOBS PER BATCH: the round-17 finding — ingestTextBatch's fixed
+        // driver-side machinery (state loads, probes, empty appends) caps
+        // stream throughput at high trigger cadence regardless of data
+        // volume. Count Spark jobs per micro-batch so the fixed overhead
+        // is a measured number, not a log-archaeology exercise.
+        val jobsPerBatch = new Array[Long](nB)
+        val jobCount = new java.util.concurrent.atomic.AtomicLong(0L)
+        val jobListener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobCount.incrementAndGet(); ()
+          }
+        }
+        spark.sparkContext.addSparkListener(jobListener)
         var filesBefore = 0
         var filesAfter = 0
         var compactSec = 0.0
         try {
           (0 until nB).foreach { b =>
             in.addData(mkBatch(b, 500): _*)
+            val j0 = jobCount.get()
             val (_, t) = timed(q.processAllAvailable())
             perBatch(b) = t
+            jobsPerBatch(b) = jobCount.get() - j0
             if (b == 2) { // live compaction mid-run, stream still open
               filesBefore = intakeFiles
               val (_, tc) = timed(StandingState.compact(spark, statePath, Some(corpusDir)))
@@ -678,14 +694,17 @@ object ScaleBench {
             }
           }
           require(q.exception.isEmpty, s"intake stream died: ${q.exception}")
-        } finally q.stop()
+        } finally {
+          q.stop()
+          spark.sparkContext.removeSparkListener(jobListener)
+        }
         val admitted = spark.read.parquet(corpusDir)
           .filter(col("doc_id") >= 5000000000L).count()
         // flat = the last (post-compaction, most-appended) batch costs no
         // more than the early batches modulo noise — the zero-SS-state
         // claim under file growth
         val flat = perBatch.last <= 3.0 * perBatch.take(3).min + 0.5
-        println(s"""{"op":"text_intake_stream","standing":$nDocs,"batches":$nB,"batch_docs":500,"admitted":$admitted,"admitted_all":${admitted == nB * 500L},"batch_secs":[${perBatch.map(t => f"$t%.2f").mkString(",")}],"flat":$flat,"compact_sec":${f"$compactSec%.2f"},"files_before_compact":$filesBefore,"files_after_compact":$filesAfter,"files_dropped":${filesAfter < filesBefore}}""")
+        println(s"""{"op":"text_intake_stream","standing":$nDocs,"batches":$nB,"batch_docs":500,"admitted":$admitted,"admitted_all":${admitted == nB * 500L},"batch_secs":[${perBatch.map(t => f"$t%.2f").mkString(",")}],"jobs_per_batch":[${jobsPerBatch.mkString(",")}],"flat":$flat,"compact_sec":${f"$compactSec%.2f"},"files_before_compact":$filesBefore,"files_after_compact":$filesAfter,"files_dropped":${filesAfter < filesBefore}}""")
       } finally {
         val files = java.nio.file.Files.walk(tmp)
           .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())

@@ -50,7 +50,15 @@ import graft.sink.{InMemoryKvBackend, KvBackends, PublishMode, RedisKvBackend}
   *     [--gateReloadEvery=N]
   *         # LIVE WEIGHT ROTATION: re-load the gate weight tables every
   *         # N micro-batches (a re-trained model goes live without a
-  *         # stream restart — TrainedGates.reloadEvery)
+  *         # stream restart — TrainedGates.reloadEvery). A FAILED
+  *         # rotation reload (torn/legacy table, crashed writer's lock)
+  *         # logs loudly and keeps the last-good weights by default;
+  *         # --gateReloadStrict halts the stream instead
+  *     [--censusDeepEvery=N]
+  *         # PER-SOURCE census drift audit every N micro-batches
+  *         # (StandingState.reconcileSourceCensus deep=true) — heals
+  *         # compensating per-source drift on a restartless stream;
+  *         # costs one corpus groupBy scan per due batch
   * }}}
   *
   * `--once` runs a single bounded AvailableNow pass (backfill / test);
@@ -95,7 +103,9 @@ object SyncMain {
       qualityMinScore: Option[Long] = None,
       langModels: Option[String] = None,
       keepLangs: Option[String] = None,
-      gateReloadEvery: Long = 0L)
+      gateReloadEvery: Long = 0L,
+      gateReloadStrict: Boolean = false,
+      censusDeepEvery: Long = 0L)
 
   def parseArgs(argv: Array[String]): Args =
     argv.foldLeft(Args()) { (a, s) =>
@@ -130,6 +140,8 @@ object SyncMain {
         case Array("--langModels", v) => a.copy(langModels = Some(v))
         case Array("--keepLangs", v) => a.copy(keepLangs = Some(v))
         case Array("--gateReloadEvery", v) => a.copy(gateReloadEvery = v.toLong)
+        case Array("--gateReloadStrict") => a.copy(gateReloadStrict = true)
+        case Array("--censusDeepEvery", v) => a.copy(censusDeepEvery = v.toLong)
         case other => sys.error(s"unknown argument '${other.mkString("=")}'")
       }
     } match {
@@ -163,6 +175,14 @@ object SyncMain {
           "--gateReloadEvery needs --qualityWeights or --langModels " +
             "(the weight tables the cadence re-loads)")
         require(a.gateReloadEvery >= 0L, "--gateReloadEvery must be >= 0")
+        // strictness without a rotation is a no-op the operator believes
+        // is in force — same loud-fail rule as the other orphan knobs
+        require(!a.gateReloadStrict || a.gateReloadEvery > 0L,
+          "--gateReloadStrict needs --gateReloadEvery (the rotation it " +
+            "makes fail-fast)")
+        require(a.censusDeepEvery >= 0L, "--censusDeepEvery must be >= 0")
+        require(a.censusDeepEvery == 0L || a.job == "intakeState",
+          "--censusDeepEvery applies only to --job=intakeState")
         a
     }
 
@@ -247,10 +267,12 @@ object SyncMain {
       // orphan CLI flag, and a programmatically constructed Args with a
       // cadence but no sources must hit TrainedGates' own loud require,
       // not have its rotation config silently zeroed
-      reloadEvery = a.gateReloadEvery)
+      reloadEvery = a.gateReloadEvery,
+      reloadStrict = a.gateReloadStrict)
     val q = graft.streaming.CorpusIntakeJob.runTextStream(
       docs, statePath, corpus, a.checkpoint, tau = a.tau, trigger = trigger,
-      retention = retention, gates = gates)
+      retention = retention, gates = gates,
+      censusDeepEvery = a.censusDeepEvery)
     q.awaitTermination()
   }
 

@@ -105,7 +105,8 @@ object CorpusIntakeJob {
       keepLangs: Option[(Seq[(String, Seq[Long])], Int, Set[String])] = None,
       qualitySource: Option[(String, Long)] = None,
       langSource: Option[(String, Set[String])] = None,
-      reloadEvery: Long = 0L) {
+      reloadEvery: Long = 0L,
+      reloadStrict: Boolean = false) {
     require(reloadEvery >= 0L, "reloadEvery must be >= 0")
     require(reloadEvery == 0L || qualitySource.nonEmpty || langSource.nonEmpty,
       "reloadEvery needs a weight-table source (qualitySource/langSource) " +
@@ -114,6 +115,32 @@ object CorpusIntakeJob {
       * stream start ([[runTextStream]]'s initial [[reloaded]] pass). */
     private[streaming] def reloadDue(batchId: Long): Boolean =
       reloadEvery > 0L && batchId > 0L && batchId % reloadEvery == 0L
+
+    /** Rotation-site reload: [[reloaded]], but a FAILED reload (a torn
+      * or legacy table the loaders' guards refuse, a crashed writer's
+      * fresh lock outlasting the readers' retries) DEGRADES to the
+      * last-good in-memory weights instead of propagating out of
+      * `foreachBatch` and killing a long-running streaming query that
+      * still holds known-good gates — the failure is logged loudly and
+      * the next due batch retries against the (hopefully repaired)
+      * table. `reloadStrict = true` restores fail-fast for deployments
+      * that would rather halt than admit on stale weights. The INITIAL
+      * stream-start load always fails fast (there is no last-good to
+      * fall back to). */
+    private[streaming] def reloadedOrLastGood(
+        spark: org.apache.spark.sql.SparkSession, batchId: Long): TrainedGates =
+      try reloaded(spark)
+      catch {
+        case scala.util.control.NonFatal(e) if !reloadStrict =>
+          org.slf4j.LoggerFactory.getLogger(classOf[TrainedGates])
+            .error(
+              s"gate weight reload failed at batch $batchId — keeping " +
+                s"last-good weights (sources: quality=${qualitySource.map(_._1)}, " +
+                s"lang=${langSource.map(_._1)}); repair the table before the " +
+                "next due batch or restart with reloadStrict=true to halt " +
+                s"instead: $e")
+          this
+      }
     /** Re-read the sourced weight tables (deriving m from each table's
       * regime stamp); gates without a source pass through unchanged. */
     def reloaded(spark: org.apache.spark.sql.SparkSession): TrainedGates = copy(
@@ -427,13 +454,17 @@ object CorpusIntakeJob {
     // repairEmbBuckets pass) recomputes exactly the missing rows. Both
     // writes share one lease hold, serializing them against a live
     // compaction's swap of either table.
+    // admit-nothing fast path (the text twin's rule): skip the lease and
+    // the two zero-row append jobs
+    val nAdmitted = admitted.count()
+    if (nAdmitted == 0L) return 0L
     val bucketRows = StandingState.embBucketRowsFor(admitted, statePath)
     StandingState.withLeaseRetry(spark, statePath, "ingestEmbeddingBatch:commit") {
       admitted.select("vec_id", "embedding", "label")
         .write.mode("append").parquet(standingVecsPath)
       bucketRows.write.mode("append").parquet(s"$statePath/emb_buckets")
     }
-    admitted.count()
+    nAdmitted
   }
 
   /** Streaming TEXT intake against the PERSISTED standing state — the
@@ -471,7 +502,21 @@ object CorpusIntakeJob {
     * `tau` is the near-dup drop threshold. The docs stream must carry
     * (doc_id, text, +passthrough); the corpus table's columns (all of
     * which the stream must carry) define what is persisted. doc_ids must
-    * be unique across the stream and disjoint from standing. */
+    * be unique across the stream and disjoint from standing.
+    *
+    * `censusDeepEvery > 0` runs the PER-SOURCE census witness
+    * ([[StandingState.reconcileSourceCensus]] with `deep = true`) every
+    * N micro-batches — the `everyBatches` cadence pattern's third use
+    * (after [[Retention.everyBatches]] and [[TrainedGates.reloadEvery]]).
+    * Without it the deep witness rides only the passes that already pay
+    * corpus-shaped work (expire, stream startup), so a RESTARTLESS
+    * stream with no retention keeps only the cheap total-sum witness —
+    * and a per-source drift whose totals compensate would stand
+    * unhealed for the stream's whole lifetime. The deep pass costs one
+    * corpus groupBy scan per due batch; size N to the corpus scan you
+    * are willing to pay (it is a drift-heal audit, not a correctness
+    * prerequisite — every completed commit maintains the census
+    * exactly). No-op when the state keeps no census. */
   def runTextStream(
       docs: DataFrame,
       statePath: String,
@@ -482,7 +527,9 @@ object CorpusIntakeJob {
       minWords: Int = 20,
       maxWords: Int = 100000,
       retention: Option[Retention] = None,
-      gates: TrainedGates = TrainedGates()): StreamingQuery = {
+      gates: TrainedGates = TrainedGates(),
+      censusDeepEvery: Long = 0L): StreamingQuery = {
+    require(censusDeepEvery >= 0L, "censusDeepEvery must be >= 0")
     StandingState.repairTextArtifacts(docs.sparkSession, statePath, standingDocsPath)
     // sourced gates load at stream start (the gates always mirror their
     // tables at batch 0, whether or not the caller pre-loaded them), then
@@ -496,11 +543,18 @@ object CorpusIntakeJob {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (b: Dataset[Row], id: Long) =>
-        if (gates.reloadDue(id)) liveGates = liveGates.reloaded(b.sparkSession)
+        if (gates.reloadDue(id))
+          liveGates = liveGates.reloadedOrLastGood(b.sparkSession, id)
         retention.filter(_.due(id)).foreach { r =>
           StandingState.expire(
             b.sparkSession, statePath, standingDocsPath, r.expired)
         }
+        // batch 0 is covered by the startup repair pass above; the
+        // cadence heals BEFORE the batch's ingest so the batch's own
+        // census bump lands on a reconciled table
+        if (censusDeepEvery > 0L && id > 0L && id % censusDeepEvery == 0L)
+          StandingState.reconcileSourceCensus(
+            b.sparkSession, statePath, standingDocsPath, deep = true)
         ingestTextBatch(b.toDF(), statePath, standingDocsPath, tau,
           minWords = minWords, maxWords = maxWords, gates = liveGates)
         ()
@@ -626,6 +680,10 @@ object CorpusIntakeJob {
     val admittedPh = graft.llm.Multimodal.phashNearDupIncrementalVsBands(
         freshPh, standingBands, standingPh, nBands, maxHamming)
       .localCheckpoint(true)
+    // admit-nothing fast path (the text twin's rule): skip the lease,
+    // the media append, and the artifact append jobs
+    val nAdmitted = admittedPh.count()
+    if (nAdmitted == 0L) return 0L
     val cols = standingMedia.columns.toIndexedSeq
     val admitted = fresh
       .join(admittedPh.select("media_id"), Seq("media_id"), "left_semi")
@@ -638,7 +696,7 @@ object CorpusIntakeJob {
         .write.mode("append").parquet(standingMediaPath)
       StandingState.writeMediaArtifacts(admittedPh, statePath, nBands)
     }
-    admittedPh.count()
+    nAdmitted
   }
 
   /** One micro-batch of [[runTextStream]], factored out so the batch leg
@@ -776,7 +834,7 @@ object CorpusIntakeJob {
         .localCheckpoint(true) // consumed by the artifact append AND the count
       if (drifted.count() > 0) {
         val (dg, bd) = StandingState.artifactsFor(drifted, cfg, meta)
-        val sp = StandingState.spanHashesFor(drifted, statePath)
+        val sp = StandingState.spanHashesForState(drifted, state)
         StandingState.withLeaseRetry(spark, statePath, "ingestTextBatch:repair") {
           StandingState.writeArtifacts(dg, bd, statePath, sp)
         }
@@ -801,6 +859,14 @@ object CorpusIntakeJob {
         fp(exact), state.bands, fp(standingDocs).select("doc_id", "text"),
         tau, meta.shingleSize, meta.numHashes, meta.bandRows))
       .localCheckpoint(true)
+    // an ADMIT-NOTHING batch (every doc gated out or deduped — the
+    // steady state of a replay-heavy or duplicate-heavy feed) skips the
+    // whole commit: the lease acquire, four empty appends, and the
+    // census bump would each still cost a Spark job writing zero rows.
+    // admitted is eagerly checkpointed, so this count is one cached-scan
+    // job the return value needs anyway.
+    val nAdmitted = admitted.count()
+    if (nAdmitted == 0L) return 0L
     // BOTH appends commit under ONE (retried) lease hold: corpus first,
     // artifacts second — see the repair contract above — and the shared
     // hold is what serializes the corpus append against a live
@@ -811,7 +877,8 @@ object CorpusIntakeJob {
     // span-index upkeep: when the state carries one, the admitted batch's
     // window hashes append with the other artifacts (same lease hold), so
     // a span-stage ingest tomorrow sees today's admissions as standing
-    val sp = StandingState.spanHashesFor(admitted, statePath)
+    // (the span regime rides the loaded state — no per-batch re-probe)
+    val sp = StandingState.spanHashesForState(admitted, state)
     // census upkeep is opt-in (iff the state maintains one) and updates
     // LAST in the commit, so every crash shape leaves it UNDER-counting —
     // exactly the drift reconcileSourceCensus detects and heals
@@ -822,6 +889,6 @@ object CorpusIntakeJob {
       StandingState.writeArtifacts(dg, bd, statePath, sp)
       if (censusOn) StandingState.bumpSourceCensus(spark, statePath, admitted)
     }
-    admitted.count()
+    nAdmitted
   }
 }

@@ -1226,4 +1226,154 @@ class CorpusIntakeJobSpec extends SparkSpec {
     assert(CorpusIntakeJob.ingestMediaBatch(
       mediaOf(900L -> mk(204)), statePath, mediaDir) === 0L)
   }
+
+  test("censusDeepEvery: planted compensating per-source drift heals on the next DUE batch of a restartless stream") {
+    implicit val sqlCtx = spark.sqlContext
+    def words(i: Int): String =
+      "the tale of and to in " + (1 to 18).map(j => s"cde${i}x$j").mkString(" ")
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("cde_corpus_").toString
+    Seq((1L, words(1), "a"), (2L, words(2), "a"), (3L, words(3), "b"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(corpusDir)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("cde_state_").toString
+    graft.llm.StandingState.write(spark.read.parquet(corpusDir), statePath)
+    graft.llm.StandingState.writeSourceCensus(spark, statePath, corpusDir)
+    def censusMap: Map[String, Long] =
+      graft.llm.StandingState.loadSourceCensus(spark, statePath)
+        .as[(String, Long)].collect().toMap
+    val ck = java.nio.file.Files.createTempDirectory("cde_ck_").toString
+    val in = MemoryStream[(Timestamp, Long, String, String)]
+    // no retention, never restarted: without the cadence the deep witness
+    // would never run again after startup
+    val q = CorpusIntakeJob.runTextStream(
+      in.toDF().toDF("ts", "doc_id", "text", "source"),
+      statePath, corpusDir, ck, tau = 0.5,
+      censusDeepEvery = 2L)
+    try {
+      in.addData((ts("2024-01-01 10:00:00"), 10L, words(10), "a"))
+      q.processAllAvailable() // batch 0
+      assert(censusMap === Map("a" -> 3L, "b" -> 1L))
+      in.addData((ts("2024-01-01 10:01:00"), 11L, words(11), "b"))
+      q.processAllAvailable() // batch 1 (not due)
+      assert(censusMap === Map("a" -> 3L, "b" -> 2L))
+      // plant the COMPENSATING drift (total preserved at 5, split skewed)
+      // — the per-batch cheap witness and every commit path are blind to
+      // it; only the deep cadence can heal a restartless stream
+      Seq(("a", 1L), ("b", 4L)).toDF("source", "n")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$statePath/source_census")
+      assert(censusMap === Map("a" -> 1L, "b" -> 4L))
+      in.addData((ts("2024-01-01 10:02:00"), 12L, words(12), "a"))
+      q.processAllAvailable() // batch 2: DUE — deep reconcile then ingest
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+      // heal recounts {1,2,3,10,11} -> a=3,b=2; the batch then admits 12(a)
+      assert(censusMap === Map("a" -> 4L, "b" -> 2L),
+        "due batch must heal the planted drift AND fold its own admission")
+    } finally q.stop()
+  }
+
+  test("failed gate reload DEGRADES to last-good weights (lenient default); strict mode halts") {
+    // ADVICE r17: a torn/legacy weight table landing on a DUE rotation
+    // batch must not kill a long-running stream that still holds
+    // known-good weights in memory — and once the table is repaired,
+    // the next due batch picks it up.
+    import org.apache.spark.sql.functions.lit
+    implicit val sqlCtx = spark.sqlContext
+    def words(i: Int): String =
+      "the tale of and to in " + (1 to 18).map(j => s"dg${i}x$j").mkString(" ")
+    val goodMark = (1 to 6).map(_ => " dqgoodmark").mkString
+    val badMark = (1 to 6).map(_ => " dqbadmark").mkString
+    val trainQ = (1 to 8).map { i =>
+      val good = i % 2 == 1
+      (100L + i, words(i) + (if (good) goodMark else badMark),
+        if (good) 1 else 0)
+    }.toDF("doc_id", "text", "label")
+    val qw = graft.llm.QualityLr.trainQualityLr(trainQ, m = 64, steps = 2, lr = 0.5)
+    val byY = graft.llm.QualityLr.scoreQualityLr(trainQ, qw, m = 64)
+      .join(trainQ.select("doc_id", "label"), "doc_id")
+      .groupBy("label")
+      .agg(org.apache.spark.sql.functions.sum("score_micros").as("s"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("s"), r.getAs[Long]("n")))).toMap
+    val qThr = math.floor(
+      (byY(1)._1.toDouble / byY(1)._2 + byY(0)._1.toDouble / byY(0)._2) / 2.0).toLong
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("dgr_corpus_").toString
+    Seq((1L, words(90))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(corpusDir)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("dgr_state_").toString
+    graft.llm.StandingState.write(spark.read.parquet(corpusDir), statePath)
+    val qwPath = java.nio.file.Files
+      .createTempDirectory("dgr_qw_").toString + "/w"
+    graft.llm.QualityLr.writeWeights(spark, qw, qwPath)
+    // a LEGACY table (no regime stamp): the loader's guard refuses it
+    // immediately (IllegalArgumentException — final, no retry stall)
+    def corruptTable(): Unit =
+      Seq((0L, 1L)).toDF("bucket", "wm")
+        .write.mode("overwrite").parquet(qwPath)
+    val ck = java.nio.file.Files.createTempDirectory("dgr_ck_").toString
+    val in = MemoryStream[StreamDoc]
+    val q = CorpusIntakeJob.runTextStream(
+      in.toDF(), statePath, corpusDir, ck, tau = 0.5,
+      gates = CorpusIntakeJob.TrainedGates(
+        qualitySource = Some((qwPath, qThr)), reloadEvery = 1L))
+    def tableIds: Set[Long] = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().toSet
+    try {
+      // batch 0: initial load — good admits, bad drops
+      in.addData(
+        StreamDoc(ts("2024-01-01 10:00:00"), 10, words(50) + goodMark),
+        StreamDoc(ts("2024-01-01 10:00:01"), 11, words(51) + badMark))
+      q.processAllAvailable()
+      assert(tableIds === Set(1L, 10L))
+      // the re-train artifact lands BROKEN; batch 1 is DUE
+      corruptTable()
+      in.addData(
+        StreamDoc(ts("2024-01-01 10:01:00"), 20, words(52) + goodMark),
+        StreamDoc(ts("2024-01-01 10:01:01"), 21, words(53) + badMark))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty,
+        s"lenient reload must not kill the stream: ${q.exception}")
+      assert(tableIds === Set(1L, 10L, 20L),
+        "degraded rotation must keep admitting on the LAST-GOOD weights")
+      // the table is REPAIRED with the flipped model; the next due batch
+      // picks it up (the degrade did not freeze the rotation)
+      graft.llm.QualityLr.writeWeights(spark, qw.map(-_), qwPath)
+      in.addData(
+        StreamDoc(ts("2024-01-01 10:02:00"), 30, words(54) + goodMark),
+        StreamDoc(ts("2024-01-01 10:02:01"), 31, words(55) + badMark))
+      q.processAllAvailable()
+      assert(tableIds === Set(1L, 10L, 20L, 31L),
+        "post-repair due batch must rotate to the repaired weights")
+    } finally q.stop()
+
+    // STRICT mode: the same broken artifact on a due batch halts the
+    // stream (deployments that would rather stop than admit on stale
+    // weights)
+    graft.llm.QualityLr.writeWeights(spark, qw, qwPath)
+    val ck2 = java.nio.file.Files.createTempDirectory("dgr_ck2_").toString
+    val in2 = MemoryStream[StreamDoc]
+    val q2 = CorpusIntakeJob.runTextStream(
+      in2.toDF(), statePath, corpusDir, ck2, tau = 0.5,
+      gates = CorpusIntakeJob.TrainedGates(
+        qualitySource = Some((qwPath, qThr)), reloadEvery = 1L,
+        reloadStrict = true))
+    try {
+      in2.addData(StreamDoc(ts("2024-01-01 11:00:00"), 40, words(60) + goodMark))
+      q2.processAllAvailable()
+      corruptTable()
+      in2.addData(StreamDoc(ts("2024-01-01 11:01:00"), 41, words(61) + goodMark))
+      val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+        throw q2.exception.getOrElse(
+          fail("strict reload must halt the stream on a broken table"))
+      }
+      assert(died.getMessage.contains("regime stamp") ||
+        died.getCause != null)
+    } finally q2.stop()
+  }
 }
