@@ -109,6 +109,37 @@ object Bench {
     * 32-core container; scales with cpus so the per-core wall (and the
     * floor comparison) is machine-shape-stable. */
   val DefaultParPerCore = 100000000L
+
+  /** CLOSING sustained-contention verdict (round-19): the startup gate
+    * only gates the START — the r18 driver artifact began quiet, then
+    * ran 56% inflated with mid-run serial probes at 4.2x floor, and its
+    * `gate: "quiet"` field invited misreading a contaminated total as a
+    * record. The published gate therefore DOWNGRADES to `"contended"`
+    * when the run's own evidence says contention was sustained, on
+    * either of two signals:
+    *  - >= `contendedSpanK` measurement spans were load-flagged (one
+    *    flagged span is a transient the span defense already re-ran;
+    *    several means the co-tenant stayed), or
+    *  - the CLOSING probes read inflated vs the HISTORICAL floors (the
+    *    same dual bands as the startup gate, so start and end are
+    *    judged like-for-like; a missing floor skips that axis, same as
+    *    the gate).
+    * The startup verdict is preserved separately (`gate_startup`) —
+    * "started quiet, ended contended" is exactly the shape this field
+    * exists to expose. Pure function so ScaleBench's synthetic
+    * co-tenant probe and the spec drive the exact shipping arithmetic. */
+  def closingVerdict(
+      startupGate: String,
+      flaggedSpans: Int,
+      contendedSpanK: Int,
+      closingSer: Double, serFloor: Option[Double],
+      closingPar: Double, parFloor: Option[Double]): String = {
+    val closingLoaded =
+      serFloor.exists(f => loadedVs(closingSer, f)) ||
+        parFloor.exists(f => loadedVsPar(closingPar, f))
+    if (flaggedSpans >= contendedSpanK || closingLoaded) "contended"
+    else startupGate
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -409,19 +440,34 @@ object Bench {
       }
     }
     val total = results.map(_._2).sum
+    // CLOSING VERDICT (see closingVerdict's scaladoc): the published
+    // `gate` downgrades to "contended" on sustained mid-run contention;
+    // the startup verdict stays visible as `gate_startup`.
+    val contendedSpanK =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTENDED_SPANS", "3").toInt
+    val flaggedSpans = spanLoaded.count(identity)
+    val finalGate = closingVerdict(
+      gateVerdict, flaggedSpans, contendedSpanK,
+      probes.last, floor0, probesPar.last, floorPar0)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"warmup_sec":$warmupSec,"probes":$probesJson,"probes_par":$probesParJson,"loaded":$loaded,"loaded_queries":$loadedJson,"warmup_exempt":$exemptJson,"gate":"$gateVerdict","gate_probes":$gateProbesJson,"gate_probes_par":$gateProbesParJson,"gate_waited_sec":$gateWaited,"probe_floor":${floor0.getOrElse(-1.0)},"par_floor":${floorPar0.getOrElse(-1.0)},"errors":$errJson,"runs":$rounds,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"warmup_sec":$warmupSec,"probes":$probesJson,"probes_par":$probesParJson,"loaded":$loaded,"loaded_queries":$loadedJson,"warmup_exempt":$exemptJson,"gate":"$finalGate","gate_startup":"$gateVerdict","flagged_spans":$flaggedSpans,"gate_probes":$gateProbesJson,"gate_probes_par":$gateProbesParJson,"gate_waited_sec":$gateWaited,"probe_floor":${floor0.getOrElse(-1.0)},"par_floor":${floorPar0.getOrElse(-1.0)},"errors":$errJson,"runs":$rounds,"sf":"$sfDir"}"""
     // The driver's BENCH artifact keeps only the last ~4 KB of stdout; the
     // full line's FRONT fell off in round 6 (`parsed: null`). Print the
     // full line first, then a compact self-contained headline LAST so any
     // tail window ends with a parseable line carrying the totals; the full
     // per-query map is always in bench_result.json.
     val headline =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"nerr":${errors.size},"runs":$rounds,"warmup_sec":$warmupSec,"loaded":$loaded,"gate":"$gateVerdict","sf":"$sfDir","detail":"$outPath"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"nerr":${errors.size},"runs":$rounds,"warmup_sec":$warmupSec,"loaded":$loaded,"gate":"$finalGate","gate_startup":"$gateVerdict","flagged_spans":$flaggedSpans,"sf":"$sfDir","detail":"$outPath"}"""
     Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
     println(line)
     println(headline)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
+    // Under the strict gate flag a contended run must not exit 0 — a
+    // grading pipeline that only checks rc cannot adopt a contaminated
+    // total by accident. rc=2 is distinct from the query-failure rc=1.
+    if (finalGate == "contended" &&
+        sys.env.get("SPARK_GRAFT_BENCH_STRICT_GATE").contains("1"))
+      sys.exit(2)
   }
 }

@@ -1311,6 +1311,26 @@ object ScaleBench {
       val parFlags = Bench.loadedVsPar(parLoaded, parFloor)
       val serFlags = Bench.loadedVs(serLoaded, serFloor)
       println(s"""{"op":"quiet_gate_parallel","cpus":$nCpus,"spinners":${nCpus / 2},"ser_floor":${f"$serFloor%.3f"},"ser_loaded":${f"$serLoaded%.3f"},"par_floor":${f"$parFloor%.3f"},"par_loaded":${f"$parLoaded%.3f"},"par_flags_loaded":$parFlags,"serial_gate_blind":${!serFlags},"ok":$parFlags}""")
+
+      // CLOSING-VERDICT FLIP (round-19 ask): drive Bench.closingVerdict
+      // — the exact shipping arithmetic — with this container's own
+      // measured quiet floors and the synthetic-co-tenant probes above.
+      // Three shapes must hold: (a) a run that started AND ended at its
+      // floors with no flagged spans keeps its startup "quiet"; (b) a
+      // startup-quiet run whose CLOSING probes carry the half-load
+      // contention downgrades to "contended" (the r18 driver-artifact
+      // shape the field exists to catch); (c) >= k flagged spans alone
+      // downgrade even with quiet closing probes (sustained mid-run
+      // contention that quiesced before the end).
+      val vQuiet = Bench.closingVerdict(
+        "quiet", 0, 3, serFloor, Some(serFloor), parFloor, Some(parFloor))
+      val vClosing = Bench.closingVerdict(
+        "quiet", 0, 3, serLoaded, Some(serFloor), parLoaded, Some(parFloor))
+      val vSpans = Bench.closingVerdict(
+        "quiet", 3, 3, serFloor, Some(serFloor), parFloor, Some(parFloor))
+      val flipOk = vQuiet == "quiet" && vClosing == "contended" &&
+        vSpans == "contended"
+      println(s"""{"op":"bench_contended_verdict","quiet_stays":"$vQuiet","closing_loaded_flips":"$vClosing","flagged_spans_flip":"$vSpans","ok":$flipOk}""")
     }
 
     spark.stop()

@@ -38,7 +38,12 @@ private[graft] object AtomicSwap {
     * exists()-then-create (no O_EXCL), so two racing local creators
     * could otherwise both succeed. A failure WRITING the content after
     * a successful create deletes the file before rethrowing — a
-    * half-born lock must not block forever. */
+    * half-born lock must not block forever. A missing parent directory
+    * is created first (Hadoop `fs.create` auto-creates parents, so a
+    * first-ever lock in a fresh tree must succeed on both branches),
+    * and only an already-exists failure maps to `false` — permission or
+    * transient IO errors propagate rather than masquerading as "held by
+    * a concurrent writer". */
   def atomicCreate(fs: FileSystem, path: Path, content: String): Boolean = {
     def writeContent(write: => Unit): Boolean =
       try { write; true }
@@ -49,6 +54,8 @@ private[graft] object AtomicSwap {
       }
     if (fs.getScheme == "file") {
       val f = new java.io.File(fs.makeQualified(path).toUri.getPath)
+      val parent = f.getParentFile
+      if (parent != null && !parent.exists()) parent.mkdirs()
       if (!f.createNewFile()) false
       else writeContent {
         val w = new java.io.FileOutputStream(f)
@@ -57,7 +64,10 @@ private[graft] object AtomicSwap {
     } else {
       val out =
         try fs.create(path, false) // overwrite=false: fails iff present
-        catch { case _: java.io.IOException => return false }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+          case _: java.nio.file.FileAlreadyExistsException        => return false
+        }
       writeContent {
         try out.write(content.getBytes("UTF-8")) finally out.close()
       }

@@ -217,9 +217,14 @@ object StandingState {
   }
 
   /** Single-row regime tables (meta, span_meta), cached by the table
-    * dir's part-file listing — see [[load]]. Bounded: one entry per
-    * distinct (table, write) actually loaded; superseded writes are
-    * evicted by key replacement per table path. */
+    * dir's part-file listing — see [[load]]. Superseded writes are
+    * evicted by key replacement per table path; CROSS-path growth is
+    * bounded by [[RegimeCacheMax]] — a driver that touches many
+    * distinct state paths over its lifetime clears the cache when it
+    * crosses the cap (a full re-read per table is one single-row
+    * parquet fetch, so the miss penalty is trivial vs. an unbounded
+    * Row-per-path map). */
+  private val RegimeCacheMax = 128
   private val regimeRowCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Row)]()
 
@@ -234,6 +239,7 @@ object StandingState {
     if (cached != null && cached._1 == key && key.nonEmpty) cached._2
     else {
       val r = spark.read.parquet(tablePath).head()
+      if (regimeRowCache.size >= RegimeCacheMax) regimeRowCache.clear()
       regimeRowCache.put(tablePath, (key, r))
       r
     }
