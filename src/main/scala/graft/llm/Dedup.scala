@@ -157,15 +157,22 @@ object Dedup {
       standingDigests: DataFrame,
       on: String = "text"): DataFrame = {
     val dig = digestCol(on)
-    val seen = standingDigests.select(col("digest").as("__h")).distinct()
+    val seen = standingDigests.select(col("digest").as("__h"))
     val w = Window.partitionBy("__h").orderBy("doc_id")
     // ONE pass computes both drop conditions: the left join against the
-    // (distinct) standing digests flags vs-standing dups, and the window
-    // over the SAME __h partitioning — which the join's output already
-    // carries, so no second shuffle — flags within-batch non-minima. Each
-    // incoming doc appears exactly once (seen is distinct), so no
-    // union/distinct legs. Result-identical to the two-leg form: drop =
-    // {digest in standing} ∪ {not the min id of its in-batch digest group}.
+    // standing digests flags vs-standing dups, and the window over the
+    // SAME __h partitioning — which the join's output already carries,
+    // so no second shuffle — flags within-batch non-minima. `seen` is
+    // deliberately NOT distinct'd (round-19): duplicate standing digests
+    // (set-semantic append dups a compaction hasn't folded yet) can only
+    // multiply rows whose __seen is non-null — dropped regardless of
+    // multiplicity or row_number — while fresh-digest rows have no
+    // standing match, so each appears exactly once and the window's min
+    // is exact; the distinct bought no correctness and cost a dedicated
+    // aggregation stage over the corpus-scale digest table EVERY batch.
+    // Result-identical to the two-leg form: drop = {digest in standing}
+    // ∪ {not the min id of its in-batch digest group}; duplicate doc_ids
+    // in `drop` are absorbed by the anti-join.
     val drop = incoming.select(col("doc_id"), dig.as("__h"))
       .join(seen.withColumn("__seen", lit(1)), Seq("__h"), "left")
       .withColumn("__rn", row_number().over(w))

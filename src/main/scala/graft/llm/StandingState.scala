@@ -191,7 +191,7 @@ object StandingState {
     * directory listing per regime table. */
   def load(spark: SparkSession, path: String): StandingState = {
     Seq("digests", "bands").foreach(heal(spark, path, _))
-    val digests = spark.read.parquet(s"$path/digests")
+    val digests = readTable(spark, s"$path/digests")
     val metaRow = cachedRegimeRow(spark, s"$path/meta")
     val meta = Meta(metaRow.getAs[Int]("shingle_size"),
       metaRow.getAs[Int]("num_hashes"),
@@ -208,11 +208,11 @@ object StandingState {
       else {
         heal(spark, path, "span_hashes")
         val w = cachedRegimeRow(spark, s"$path/span_meta").getAs[Int]("w")
-        Some((spark.read.parquet(s"$path/span_hashes"), w))
+        Some((readTable(spark, s"$path/span_hashes"), w))
       }
     StandingState(
       digests,
-      spark.read.parquet(s"$path/bands"),
+      readTable(spark, s"$path/bands"),
       cs, meta, spans)
   }
 
@@ -228,6 +228,45 @@ object StandingState {
   private val regimeRowCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Row)]()
 
+  /** `spark.read.parquet(path)` with the table's Spark schema fetched
+    * from ONE part-file footer DRIVER-SIDE. Spark 4 runs a distributed
+    * schema-inference job per untyped parquet read — measured at one
+    * Spark job per read even for a single-file table — and the intake's
+    * per-micro-batch reads (state digests + bands + the corpus table)
+    * paid three such jobs per batch, pure driver-roundtrip latency at
+    * any scale (round-19 jobs-per-batch diet). Every table in scope is
+    * Spark-written, so each footer carries the exact Spark schema under
+    * the `org.apache.spark.sql.parquet.row.metadata` key; a file
+    * without it (foreign writer), an unlistable dir, or any footer
+    * hiccup falls back to the plain inference read, preserving today's
+    * behavior including its error shapes. NO schema caching across
+    * calls: the footer is re-read per call (~ms on any FS), so a
+    * regime-changing rewrite (e.g. digest-table key migration) can
+    * never serve a stale schema. */
+  private[graft] def readTable(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val schema =
+      try {
+        val p = new HPath(path)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val fs = p.getFileSystem(conf)
+        fs.listStatus(p).find { st =>
+          val n = st.getPath.getName
+          st.isFile && st.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+        }.flatMap { st =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+          try Option(rd.getFooter.getFileMetaData.getKeyValueMetaData
+              .get("org.apache.spark.sql.parquet.row.metadata"))
+            .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+          finally rd.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    schema.map(s => spark.read.schema(s).parquet(path))
+      .getOrElse(spark.read.parquet(path))
+  }
+
   private def cachedRegimeRow(spark: SparkSession, tablePath: String): Row = {
     import org.apache.hadoop.fs.{Path => HPath}
     val p = new HPath(tablePath)
@@ -238,7 +277,7 @@ object StandingState {
     val cached = regimeRowCache.get(tablePath)
     if (cached != null && cached._1 == key && key.nonEmpty) cached._2
     else {
-      val r = spark.read.parquet(tablePath).head()
+      val r = readTable(spark, tablePath).head()
       if (regimeRowCache.size >= RegimeCacheMax) regimeRowCache.clear()
       regimeRowCache.put(tablePath, (key, r))
       r
@@ -336,20 +375,49 @@ object StandingState {
   }
 
   /** The write half of [[appendWithMeta]] — caller MUST hold the lease.
-    * Digests FIRST, bands LAST: a crash anywhere before the band write
-    * leaves docs with no band rows — exactly the drift
-    * [[repairTextArtifacts]] detects (bands-absence is the witness) and
-    * repairs by re-appending everything (duplicates are set-semantic on
-    * every table). The optional span hashes write BETWEEN them for the
-    * same reason: a partial span append is always shadowed by absent
-    * bands, so the single witness covers all three tables. */
+    * Digests and span hashes commit CONCURRENTLY (independent tables,
+    * both projections of the same checkpointed admitted frame — round-19
+    * append fusion: overlapping them cuts one append's wall time from
+    * every span-indexed ingest batch), bands strictly LAST: a crash
+    * anywhere before the band write leaves docs with no band rows —
+    * exactly the drift [[repairTextArtifacts]] detects (bands-absence is
+    * the single witness; digests carry no doc_id in the legacy regime,
+    * so digest-absence cannot be audited) and repairs by re-appending
+    * everything (duplicates are set-semantic on every table). A failure
+    * in EITHER parallel leg propagates before the band write, so every
+    * crash/failure shape still leaves the drifted docs missing from
+    * `bands/`. */
   private[graft] def writeArtifacts(
       digests: DataFrame, bands: DataFrame, path: String,
       spans: Option[DataFrame] = None): Unit = {
-    digests.write.mode("append").parquet(s"$path/digests")
-    spans.foreach(_.write.mode("append").parquet(s"$path/span_hashes"))
+    spans match {
+      case None =>
+        digests.write.mode("append").parquet(s"$path/digests")
+      case Some(sp) =>
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec = artifactWriteEc
+        val fd = Future(digests.write.mode("append").parquet(s"$path/digests"))
+        val fs = Future(sp.write.mode("append").parquet(s"$path/span_hashes"))
+        // await BOTH before bands (and surface the first failure — a
+        // half-committed parallel phase must not reach the band write)
+        val errs = Seq(fd, fs).flatMap(f =>
+          scala.util.Try(Await.result(f, Duration.Inf)).failed.toOption)
+        errs.headOption.foreach(throw _)
+    }
     bands.write.mode("append").parquet(s"$path/bands")
   }
+
+  /** Two daemon threads for [[writeArtifacts]]' parallel phase — the
+    * writes are tiny (batch-shaped appends) and mostly driver-side
+    * commit latency, so a fixed pool of 2 is the whole win. */
+  private lazy val artifactWriteEc =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(2, r => {
+        val t = new Thread(r, "graft-artifact-write")
+        t.setDaemon(true)
+        t
+      }))
 
   /** Persist duplicate-CLUSTER labels (`clusters/` — the
     * [[Dedup.duplicateClusters]] output shape (doc_id, cluster_id,
@@ -1974,16 +2042,20 @@ object StandingState {
     * load path). */
   def loadMediaState(spark: SparkSession, path: String): (DataFrame, DataFrame, Int) = {
     Seq("media_phashes", "media_bands").foreach(heal(spark, path, _))
-    val nBands = spark.read.parquet(s"$path/media_meta").head().getAs[Int]("n_bands")
-    (spark.read.parquet(s"$path/media_phashes"),
-      spark.read.parquet(s"$path/media_bands"), nBands)
+    // regime row + schemas fetched driver-side (cachedRegimeRow /
+    // readTable) — the media intake loads this every micro-batch, and
+    // the uncached form paid one head() job + two schema-inference jobs
+    // per batch for write-time constants
+    val nBands = cachedRegimeRow(spark, s"$path/media_meta").getAs[Int]("n_bands")
+    (readTable(spark, s"$path/media_phashes"),
+      readTable(spark, s"$path/media_bands"), nBands)
   }
 
   /** Close the media ingest cycle: append an ADMITTED batch's phash and
     * band rows under the persisted regime. */
   def appendMediaPhashes(phashes: DataFrame, path: String): Unit = {
     val spark = phashes.sparkSession
-    val nBands = spark.read.parquet(s"$path/media_meta").head().getAs[Int]("n_bands")
+    val nBands = cachedRegimeRow(spark, s"$path/media_meta").getAs[Int]("n_bands")
     withLease(spark, path, "appendMediaPhashes") {
       writeMediaArtifacts(phashes, path, nBands)
     }
@@ -2352,11 +2424,11 @@ object StandingState {
       spark: SparkSession, path: String,
       nPlanes: Int = 4, dim: Int = 64): DataFrame = {
     heal(spark, path, "emb_buckets")
-    val m = spark.read.parquet(s"$path/emb_meta").head()
+    val m = cachedRegimeRow(spark, s"$path/emb_meta")
     require(m.getAs[Int]("n_planes") == nPlanes && m.getAs[Int]("dim") == dim,
       s"persisted emb buckets use nPlanes=${m.getAs[Int]("n_planes")}, " +
         s"dim=${m.getAs[Int]("dim")}; caller wants nPlanes=$nPlanes, dim=$dim")
-    spark.read.parquet(s"$path/emb_buckets")
+    readTable(spark, s"$path/emb_buckets")
   }
 
   /** Close the embedding cycle: append an ADMITTED batch's bucket rows
@@ -2376,7 +2448,7 @@ object StandingState {
     * ONE (retried) lease hold — the embedding twin of [[artifactsFor]]. */
   private[graft] def embBucketRowsFor(batchVecs: DataFrame, path: String): DataFrame = {
     val spark = batchVecs.sparkSession
-    val m = spark.read.parquet(s"$path/emb_meta").head()
+    val m = cachedRegimeRow(spark, s"$path/emb_meta")
     VectorOps.hyperplaneBuckets(
         batchVecs, m.getAs[Int]("n_planes"), m.getAs[Int]("dim"))
       .select("vec_id", "bucket")

@@ -415,11 +415,15 @@ object CorpusIntakeJob {
     // total over everything admitted.
     val b0 = withLabel.filter(
       graft.llm.VectorOps.norm(withLabel, "embedding") =!= 0.0)
-    val standingVecs = spark.read.parquet(standingVecsPath)
+    val standingVecs = StandingState.readTable(spark, standingVecsPath)
     // RETRY SELF-REPAIR (see scaladoc): split replays off by id-presence,
     // complete the bucket rows of any caught in the crash window
+    // no distinct on the standing id column: vec_ids are contractually
+    // unique in the vector table, so the distinct bought nothing and
+    // cost a dedicated aggregation stage per batch (round-19 diet —
+    // same rule in the text and media twins)
     val marked = b0.select("vec_id", "embedding", "label").join(
-        standingVecs.select("vec_id").distinct().withColumn("__in_standing", lit(1)),
+        standingVecs.select("vec_id").withColumn("__in_standing", lit(1)),
         Seq("vec_id"), "left")
       .localCheckpoint(false)
     val b = marked.filter(col("__in_standing").isNull).drop("__in_standing")
@@ -440,14 +444,18 @@ object CorpusIntakeJob {
         buckets = StandingState.loadEmbBuckets(spark, statePath, nPlanes, dim)
       }
     }
-    // EAGER barrier: the admitted frame must fully materialize (its plan
-    // READS standingVecsPath) before the append below writes new files
-    // into that same directory
+    // BARRIER + COUNT in one job (round-19 jobs-per-batch diet): the
+    // lazy localCheckpoint materializes — fully, all partitions — inside
+    // the count's single RDD job, so the admitted frame (whose plan
+    // READS standingVecsPath) is pinned in executor storage before the
+    // append below writes new files into that same directory; the eager
+    // checkpoint + Dataset.count() form paid the same barrier as two to
+    // three jobs.
     val admitted = Dedup.dedupByEmbeddingLshIncrementalVsBuckets(
       b, buckets,
       standingVecs.select("vec_id", "embedding"),
       tau, nPlanes, dim)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // vectors first, bucket rows second: a crash between the two leaves
     // admitted vectors WITHOUT bucket rows (future replicas would not
     // collide) — the batch-scoped repair above (and the startup
@@ -456,7 +464,7 @@ object CorpusIntakeJob {
     // compaction's swap of either table.
     // admit-nothing fast path (the text twin's rule): skip the lease and
     // the two zero-row append jobs
-    val nAdmitted = admitted.count()
+    val nAdmitted = admitted.queryExecution.toRdd.count()
     if (nAdmitted == 0L) return 0L
     val bucketRows = StandingState.embBucketRowsFor(admitted, statePath)
     StandingState.withLeaseRetry(spark, statePath, "ingestEmbeddingBatch:commit") {
@@ -647,14 +655,14 @@ object CorpusIntakeJob {
     val spark = batch.sparkSession
     var (standingPh, standingBands, nBands) =
       StandingState.loadMediaState(spark, statePath)
-    val standingMedia = spark.read.parquet(standingMediaPath)
+    val standingMedia = StandingState.readTable(spark, standingMediaPath)
     // RETRY SELF-REPAIR — the text twin's discipline: ids already in the
     // media table are replays of committed records (ids contractually
     // unique/disjoint); never re-appended, artifacts completed if the
     // crash window left them missing
     val marked = batch.join(
-        standingMedia.select("media_id").distinct().withColumn("__in", lit(1)),
-        Seq("media_id"), "left")
+        standingMedia.select("media_id").withColumn("__in", lit(1)),
+        Seq("media_id"), "left") // ids unique in the media table — no distinct
       .localCheckpoint(false)
     val fresh = marked.filter(col("__in").isNull).drop("__in")
     val replayed = marked.filter(col("__in").isNotNull).drop("__in")
@@ -675,14 +683,16 @@ object CorpusIntakeJob {
     // decode + hash ONCE per fresh record, executor-side; payload bytes
     // never hit the driver
     val freshPh = phashOf(fresh).localCheckpoint(false)
-    // EAGER barriers: both frames' plans READ the tables the commit
-    // appends into
+    // BARRIER + COUNT in one job (the text twin's round-19 shape): the
+    // lazy checkpoint materializes fully inside the count's single RDD
+    // job, pinning the frame (whose plan READS the tables the commit
+    // appends into) before any append runs
     val admittedPh = graft.llm.Multimodal.phashNearDupIncrementalVsBands(
         freshPh, standingBands, standingPh, nBands, maxHamming)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // admit-nothing fast path (the text twin's rule): skip the lease,
     // the media append, and the artifact append jobs
-    val nAdmitted = admittedPh.count()
+    val nAdmitted = admittedPh.queryExecution.toRdd.count()
     if (nAdmitted == 0L) return 0L
     val cols = standingMedia.columns.toIndexedSeq
     val admitted = fresh
@@ -801,24 +811,26 @@ object CorpusIntakeJob {
     // so a both-gates batch pays one feature pass instead of two
     val gated = graft.llm.CorpusPipeline.applyTrainedGates(
       rgated, gates.qualityGate, gates.keepLangs)
-    // lazy barrier: the exact leg, the near leg, and the surviving-row
-    // chain each evaluate this prefix (scan + gate + PII regexes)
-    val scrubbed0 = (
+    // the gate + PII-regex prefix needs no barrier of its own: `marked`
+    // just below is the single consumer, and ITS lazy checkpoint caches
+    // the whole prefix for the exact leg, the near leg, and the
+    // surviving-row chain (a second buffer here only double-copied every
+    // batch row through executor storage)
+    val scrubbed0 =
       if (scrub)
         TextOps.redactPii(gated, "text")
           .drop("text", "n_email", "n_ipv4", "n_phone")
           .withColumnRenamed("redacted", "text")
       else gated
-    ).localCheckpoint(false)
-    val standingDocs = spark.read.parquet(standingDocsPath)
+    val standingDocs = StandingState.readTable(spark, standingDocsPath)
     // RETRY SELF-REPAIR (see scaladoc): ids already in the corpus are
     // replays of committed docs — split them off so a retry after a
     // mid-append crash never re-appends their text, and complete the
     // artifacts of any that are missing from bands/ (the crash window).
     // Scrub is deterministic, so the replayed batch text == corpus text.
     val marked = scrubbed0.join(
-        standingDocs.select("doc_id").distinct().withColumn("__in_corpus", lit(1)),
-        Seq("doc_id"), "left")
+        standingDocs.select("doc_id").withColumn("__in_corpus", lit(1)),
+        Seq("doc_id"), "left") // ids unique in the corpus — no distinct
       .localCheckpoint(false)
     val scrubbed = marked.filter(col("__in_corpus").isNull).drop("__in_corpus")
     val replayed = marked.filter(col("__in_corpus").isNotNull).drop("__in_corpus")
@@ -853,19 +865,21 @@ object CorpusIntakeJob {
         _.withColumn("text", col("raw_text")).drop("raw_text")
       else identity
     val exact = Dedup.exactIncrementalVsDigests(scrubbed, state.digests)
-    // EAGER barrier: the admitted frame's plan READS the corpus and state
-    // tables the appends below write into — materialize fully first
+    // BARRIER + COUNT in one job (round-19 jobs-per-batch diet): the
+    // admitted frame's plan READS the corpus and state tables the
+    // appends below write into, so it must fully materialize first —
+    // the lazy localCheckpoint pins every partition in executor storage
+    // inside the count's single RDD job, where the previous eager
+    // checkpoint + Dataset.count() paid three jobs for the same barrier.
     val admitted = unfp(Dedup.dedupNearLshIncrementalVsBands(
         fp(exact), state.bands, fp(standingDocs).select("doc_id", "text"),
         tau, meta.shingleSize, meta.numHashes, meta.bandRows))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // an ADMIT-NOTHING batch (every doc gated out or deduped — the
     // steady state of a replay-heavy or duplicate-heavy feed) skips the
     // whole commit: the lease acquire, four empty appends, and the
     // census bump would each still cost a Spark job writing zero rows.
-    // admitted is eagerly checkpointed, so this count is one cached-scan
-    // job the return value needs anyway.
-    val nAdmitted = admitted.count()
+    val nAdmitted = admitted.queryExecution.toRdd.count()
     if (nAdmitted == 0L) return 0L
     // BOTH appends commit under ONE (retried) lease hold: corpus first,
     // artifacts second — see the repair contract above — and the shared
