@@ -150,14 +150,24 @@ object Bench {
     // from the median for ~1.7x bench wall time — the right trade for the
     // round-graded artifact.
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
-    val spark = SparkSession.builder()
+    // A/B bisect hook (round-19): semicolon-separated extra session
+    // confs, e.g. SPARK_GRAFT_BENCH_EXTRA_CONF=
+    // "spark.sql.codegen.wholeStage=false" to split codegen cost from
+    // plan/shuffle cost on the same harness. Never set by the driver —
+    // round artifacts always run the production confs.
+    val extraConf = sys.env.get("SPARK_GRAFT_BENCH_EXTRA_CONF")
+      .map(_.split(";").toSeq.filter(_.contains("="))
+        .map { kv => val i = kv.indexOf('='); (kv.take(i).trim, kv.drop(i + 1).trim) })
+      .getOrElse(Seq.empty)
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .getOrCreate()
+    extraConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (executor pool, codegen, parquet footer cache) so the
     // first measured query doesn't absorb ~5s of one-time init. The warmup

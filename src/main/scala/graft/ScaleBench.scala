@@ -1333,6 +1333,69 @@ object ScaleBench {
       println(s"""{"op":"bench_contended_verdict","quiet_stays":"$vQuiet","closing_loaded_flips":"$vClosing","flagged_spans_flip":"$vSpans","ok":$flipOk}""")
     }
 
+    // WEIGHT-SWAP CHURN at realistic table size (round-19 ask):
+    // AtomicSwapSpec races 30 back-to-back swaps on toy (m=8/16) tables;
+    // the 10 s readRetryTimeoutMs reader deadline was untested against a
+    // weight table big enough that the listing-to-fetch window is wide.
+    // Here a writer thread swaps an m=2^18 table (262,145 rows — the
+    // realistic ceiling for a hashed-feature LR gate) in a tight loop
+    // through the production writeWeights two-rename path while the
+    // reader hammers loadWeights; every reload must return a FULLY
+    // one-generation vector within the deadline, and the latency
+    // percentiles tell whether the default has headroom (p_max well
+    // under the 10 s deadline) or needs adjusting.
+    locally {
+      import graft.llm.QualityLr
+      val tmp = java.nio.file.Files.createTempDirectory("swap_churn_")
+      val wPath = s"$tmp/w"
+      val mW = 1 << 18
+      val wA = Array.tabulate(mW + 1)(i => i.toLong + 1L) // all-positive
+      val wB = wA.map(-_)                                 // all-negative
+      QualityLr.writeWeights(spark, wA, wPath)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val swaps = new java.util.concurrent.atomic.AtomicLong(0L)
+      val writerFail =
+        new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val writer = new Thread(() => {
+        var i = 0
+        try while (!stop.get()) {
+          QualityLr.writeWeights(spark, if (i % 2 == 0) wB else wA, wPath)
+          swaps.incrementAndGet()
+          i += 1
+        } catch { case t: Throwable => writerFail.set(t); stop.set(true) }
+      })
+      writer.setDaemon(true)
+      writer.start()
+      val lats = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var loadFails = 0
+      var torn = 0
+      val deadlineNs = System.nanoTime() + 30L * 1000000000L
+      while (System.nanoTime() < deadlineNs && !stop.get()) {
+        val s0 = System.nanoTime()
+        try {
+          val (w, m) = QualityLr.loadWeights(spark, wPath)
+          // fully one generation: every entry shares the write's sign
+          if (m != mW || w(1).sign != w(mW - 1).sign ||
+              math.abs(w(1)) != 2L) torn += 1
+        } catch { case scala.util.control.NonFatal(_) => loadFails += 1 }
+        lats += (System.nanoTime() - s0) / 1e9
+      }
+      stop.set(true)
+      writer.join(30000)
+      val sorted = lats.sorted
+      def pct(p: Double): Double =
+        if (sorted.isEmpty) -1.0
+        else sorted(math.min(sorted.size - 1, (p * sorted.size).toInt))
+      val readDeadline = 10.0 // QualityLr readRetryTimeoutMs default
+      val ok = writerFail.get() == null && loadFails == 0 && torn == 0 &&
+        sorted.nonEmpty && sorted.last <= readDeadline / 2.0
+      println(s"""{"op":"weight_swap_churn","m":$mW,"swaps":${swaps.get()},"reloads":${sorted.size},"load_fails":$loadFails,"torn":$torn,"writer_failed":${writerFail.get() != null},"p50_sec":${f"${pct(0.5)}%.3f"},"p95_sec":${f"${pct(0.95)}%.3f"},"max_sec":${f"${if (sorted.nonEmpty) sorted.last else -1.0}%.3f"},"read_deadline_sec":$readDeadline,"ok":$ok}""")
+      val files = java.nio.file.Files.walk(tmp)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator()
+      while (files.hasNext) java.nio.file.Files.deleteIfExists(files.next())
+    }
+
     spark.stop()
   }
 }
