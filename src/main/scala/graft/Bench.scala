@@ -159,6 +159,19 @@ object Bench {
       .map(_.split(";").toSeq.filter(_.contains("="))
         .map { kv => val i = kv.indexOf('='); (kv.take(i).trim, kv.drop(i + 1).trim) })
       .getOrElse(Seq.empty)
+    // Generated-class cache (round-19, guide §1/§4: eliminate recurring
+    // per-plan Janino compile from the hot path): the default
+    // spark.sql.codegen.cache.maxEntries=100 thrashes under a 107-query
+    // session — every round of every query re-COMPILES every codegen
+    // stage it evicted, which the r18->r19 bisect measured at up to
+    // ~2.5s/round on the GD-chain/fused-gate queries (q102 6.03 -> 3.44,
+    // q95 5.81 -> 3.82 min-of-5 with the cache sized to hold the
+    // session's stages). This is SESSION warmth, not result caching —
+    // the exact class a long-lived production driver would keep hot —
+    // and it is scale-independent (same win on a cluster driver). Env
+    // knob so the A/B hook can restore the default for bisects.
+    val codegenCache =
+      sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -166,6 +179,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.codegen.cache.maxEntries", codegenCache)
     extraConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

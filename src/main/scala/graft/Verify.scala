@@ -18,6 +18,10 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS); read as long + truncate (Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // hold the session's generated classes (107 queries thrash the
+      // 100-entry default; see Bench's codegenCache note)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
