@@ -1351,9 +1351,13 @@ object StandingState {
     // every row of an expired doc_id drops (a duplicate-doc_id corpus is
     // already outside the ingest invariants); the returned count is
     // corpus ROWS dropped, matching the legacy regime's contract.
+    // BARRIER + COUNT in one job (round-19 diet, the intake pattern):
+    // the lazy checkpoint materializes — fully pinned — inside the
+    // count's single RDD job; the eager checkpoint + count form paid
+    // the same barrier as two jobs.
     val expiredIds = spark.read.parquet(corpusPath).filter(pred)
-      .select("doc_id").distinct().localCheckpoint(true)
-    val nIds = expiredIds.count()
+      .select("doc_id").distinct().localCheckpoint(false)
+    val nIds = expiredIds.queryExecution.toRdd.count()
     val n =
       if (nIds == 0L) 0L
       else spark.read.parquet(corpusPath)
@@ -1578,13 +1582,14 @@ object StandingState {
     // not reader-side: that heal skips while a concurrent ingest holds
     // the lease, re-opening the skip)
     healStranded(spark, statePath, "emb_buckets", "expireEmbeddings:healBuckets")
+    // barrier + count in one job (the expireKeyed round-19 shape)
     val expiredIds = spark.read.parquet(standingVecsPath).filter(pred)
-      .select("vec_id").distinct().localCheckpoint(true)
+      .select("vec_id").distinct().localCheckpoint(false)
     // count DROPPED ROWS via semi-join, not distinct ids — transient
     // crash-window double appends can leave duplicate-id rows, and the
     // contract ("number of vector rows dropped") matches expire's
     val n =
-      if (expiredIds.count() == 0L) 0L
+      if (expiredIds.queryExecution.toRdd.count() == 0L) 0L
       else spark.read.parquet(standingVecsPath)
         .join(expiredIds, Seq("vec_id"), "left_semi").count()
     if (n == 0L) 0L
@@ -1628,11 +1633,12 @@ object StandingState {
     // reader-side: that heal skips under a concurrent ingest's lease)
     Seq("media_phashes", "media_bands")
       .foreach(healStranded(spark, statePath, _, "expireMedia:healArtifacts"))
+    // barrier + count in one job (the expireKeyed round-19 shape)
     val expiredIds = spark.read.parquet(standingMediaPath).filter(pred)
-      .select("media_id").distinct().localCheckpoint(true)
+      .select("media_id").distinct().localCheckpoint(false)
     // dropped-ROW count via semi-join (see expireEmbeddings)
     val n =
-      if (expiredIds.count() == 0L) 0L
+      if (expiredIds.queryExecution.toRdd.count() == 0L) 0L
       else spark.read.parquet(standingMediaPath)
         .join(expiredIds, Seq("media_id"), "left_semi").count()
     if (n == 0L) 0L
