@@ -44,9 +44,20 @@ object JobAudit {
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .orElse(Option(e.properties)
             .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .filter(_.nonEmpty)
+          // fall back to the result stage's callsite — the query paths set
+          // no job description, and the stage name (e.g. "parquet at
+          // Dedup.scala:247") is what attributes a job to a code line
+          .orElse(e.stageInfos.lastOption.map(_.name))
           .getOrElse("")
+        // the first graft frame in the stage details attributes an
+        // AQE-submitted stage (whose name is a CompletableFuture frame)
+        // back to the operator that built the subtree
+        val g = e.stageInfos.lastOption.map(_.details).getOrElse("")
+          .linesIterator.find(l => l.contains("graft.") && !l.contains("JobAudit"))
+          .map(_.trim).getOrElse("")
         val j = J(e.jobId, e.time, 0L,
-          e.stageInfos.map(_.numTasks).sum, d)
+          e.stageInfos.map(_.numTasks).sum, if (g.nonEmpty) s"$d | $g" else d)
         starts.put(e.jobId, j)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
@@ -55,6 +66,21 @@ object JobAudit {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // per-ACTION wall: one line per query execution (count/collect/write),
+    // with the callsite-bearing first line of the logical plan — the job
+    // listener can't attribute AQE-submitted stages, this can
+    val qeListener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        val root = qe.analyzed.toString.linesIterator.take(1).mkString.take(70)
+        println(f"@@ qe ${durationNs / 1e6}%8.1fms $funcName%-10s $root")
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(qeListener)
     val t0 = System.nanoTime()
     fn(spark, sfDir).write.mode("overwrite").format("noop").save()
     val wall = (System.nanoTime() - t0) / 1e9

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Nam
 import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan, Project, SubqueryAlias}
 
 /** Frame-materialization policy helpers shared by the composed pipelines. */
-private[llm] object Frames {
+private[graft] object Frames {
 
   /** Is this frame's plan a BARE source — a leaf relation (table scan /
     * in-memory rows / an already-materialized localCheckpoint), possibly
@@ -45,4 +45,18 @@ private[llm] object Frames {
     * cheaper plan (a standing corpus passed as its raw table scan). */
   def barrier(df: DataFrame): DataFrame =
     if (isBareSource(df)) df else df.localCheckpoint(false)
+
+  /** Size a frame's OUTPUT FILES before a parquet write (guide §6: aim
+    * for few, advisory-sized files instead of one tiny file per upstream
+    * partition): an AQE rebalance, so a batch-shaped append writes ~1
+    * file locally and advisory-sized (`spark.sql.adaptive.
+    * advisoryPartitionSizeInBytes`) files on a cluster — scale-adaptive,
+    * never a hard-coded partition count. The state tables are re-SCANNED
+    * every ingest batch and re-LISTED by every swap/compaction, so the
+    * per-append file count is a recurring cost, not a one-off; the write
+    * job itself also drops from one parquet-writer init + commit-rename
+    * per upstream partition to one per output file. Layout-only: row
+    * content is untouched. */
+  private[graft] def sizedWrite(df: DataFrame): DataFrame =
+    df.hint("rebalance")
 }

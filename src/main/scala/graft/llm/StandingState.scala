@@ -159,17 +159,29 @@ object StandingState {
     // one materialization of the scrubbed standing text feeds both legs
     val st = Frames.barrier(standing)
     val state = build(st, cfg, embeddings, numHashes, bandRows, docKeyed)
-    state.digests.write.mode("overwrite").parquet(s"$path/digests")
-    state.bands.write.mode("overwrite").parquet(s"$path/bands")
-    state.centroids.foreach { cs =>
-      cs.zipWithIndex.map { case (c, i) => (i, c) }.toDF("idx", "c")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    }
-    state.spanIndex.foreach { case (hashes, w) =>
-      hashes.write.mode("overwrite").parquet(s"$path/span_hashes")
-      Seq(w).toDF("w")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/span_meta")
-    }
+    // the four data tables are independent projections of the same
+    // barriered corpus — write them CONCURRENTLY (guide §2.6; the lazy
+    // checkpoint races are benign: whichever job computes a partition
+    // first caches it for the others). The meta row commits strictly
+    // LAST, preserving the failure shape a partial write leaves today
+    // (a state dir without meta never loads as complete).
+    inParallel(Seq(
+      () => Frames.sizedWrite(state.digests)
+        .write.mode("overwrite").parquet(s"$path/digests"),
+      () => Frames.sizedWrite(state.bands)
+        .write.mode("overwrite").parquet(s"$path/bands")) ++
+      state.centroids.map(cs => () =>
+        cs.zipWithIndex.map { case (c, i) => (i, c) }.toDF("idx", "c")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")) ++
+      state.spanIndex.map { case (hashes, w) => () => {
+        Frames.sizedWrite(hashes)
+          .write.mode("overwrite").parquet(s"$path/span_hashes")
+        // span_meta rides behind its own hashes (the spans' completion
+        // marker), inside the parallel group — only the STATE meta row
+        // below marks the whole write complete
+        Seq(w).toDF("w")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/span_meta")
+      } })
     Seq((state.meta.shingleSize, state.meta.numHashes, state.meta.bandRows,
       state.meta.normalizedFingerprints))
       .toDF("shingle_size", "num_hashes", "band_rows", "normalized")
@@ -390,22 +402,28 @@ object StandingState {
   private[graft] def writeArtifacts(
       digests: DataFrame, bands: DataFrame, path: String,
       spans: Option[DataFrame] = None): Unit = {
+    // every append is output-file-sized (Frames.sizedWrite — guide §6):
+    // the state tables are re-scanned every batch and re-listed by every
+    // swap, so one advisory-sized file per append beats one tiny file
+    // per upstream partition on both the write and every later read
     spans match {
       case None =>
-        digests.write.mode("append").parquet(s"$path/digests")
+        Frames.sizedWrite(digests).write.mode("append").parquet(s"$path/digests")
       case Some(sp) =>
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         implicit val ec = artifactWriteEc
-        val fd = Future(digests.write.mode("append").parquet(s"$path/digests"))
-        val fs = Future(sp.write.mode("append").parquet(s"$path/span_hashes"))
+        val fd = Future(
+          Frames.sizedWrite(digests).write.mode("append").parquet(s"$path/digests"))
+        val fs = Future(
+          Frames.sizedWrite(sp).write.mode("append").parquet(s"$path/span_hashes"))
         // await BOTH before bands (and surface the first failure — a
         // half-committed parallel phase must not reach the band write)
         val errs = Seq(fd, fs).flatMap(f =>
           scala.util.Try(Await.result(f, Duration.Inf)).failed.toOption)
         errs.headOption.foreach(throw _)
     }
-    bands.write.mode("append").parquet(s"$path/bands")
+    Frames.sizedWrite(bands).write.mode("append").parquet(s"$path/bands")
   }
 
   /** Two daemon threads for [[writeArtifacts]]' parallel phase — the
@@ -415,6 +433,40 @@ object StandingState {
     scala.concurrent.ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newFixedThreadPool(2, r => {
         val t = new Thread(r, "graft-artifact-write")
+        t.setDaemon(true)
+        t
+      }))
+
+  /** Submit INDEPENDENT state-table jobs concurrently and await them all
+    * (guide §2.6 — actions are only sequential because driver code calls
+    * them sequentially): used where several tables derive from the same
+    * input and carry no cross-table crash-ordering constraint among
+    * themselves ([[write]]'s initial table writes, [[expireKeyed]]'s
+    * artifact subtractions). EVERY task is awaited before the first
+    * failure propagates — a caller sequencing a crash-ordered step after
+    * this (meta write, corpus subtraction) must know no parallel job is
+    * still in flight. Runs single tasks inline (no pool round-trip). */
+  private[llm] def inParallel(tasks: Seq[() => Unit]): Unit = {
+    if (tasks.sizeIs <= 1) tasks.foreach(_.apply())
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec = stateJobEc
+      val errs = tasks.map(t => Future(t()))
+        .flatMap(f => scala.util.Try(Await.result(f, Duration.Inf)).failed.toOption)
+      errs.headOption.foreach(throw _)
+    }
+  }
+
+  /** Pool for [[inParallel]] — four daemon threads: the widest parallel
+    * group today is [[expireKeyed]]'s artifact tables (digests,
+    * span_hashes, bands, pair_edges); the jobs are mostly driver-side
+    * commit/rename latency plus small Spark jobs, so a deeper pool buys
+    * nothing. */
+  private lazy val stateJobEc =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+        val t = new Thread(r, "graft-state-job")
         t.setDaemon(true)
         t
       }))
@@ -804,7 +856,7 @@ object StandingState {
         // a crash after this append leaves edges whose label update never
         // landed — set-semantic extras the retried update re-delivers
         if (tableExists(spark, s"$path/pair_edges"))
-          newPairs.select("doc_a", "doc_b")
+          Frames.sizedWrite(newPairs.select("doc_a", "doc_b"))
             .write.mode("append").parquet(s"$path/pair_edges")
         val standing = loadClustersLeased(spark, path)
         val updated = Dedup.duplicateClustersIncremental(standing, newPairs)
@@ -848,7 +900,7 @@ object StandingState {
     withLease(spark, path, "updateClustersPartitioned") {
       // edge upkeep first — see the legacy branch's ordering note
       if (tableExists(spark, s"$path/pair_edges"))
-        newPairs.select("doc_a", "doc_b")
+        Frames.sizedWrite(newPairs.select("doc_a", "doc_b"))
           .write.mode("append").parquet(s"$path/pair_edges")
       val standing = loadClustersLeased(spark, path)
       leasedNParts(spark, path) match {
@@ -1364,23 +1416,32 @@ object StandingState {
         .join(expiredIds, Seq("doc_id"), "left_semi").count()
     if (n == 0L) 0L
     else {
-      // artifacts FIRST, corpus LAST (see the expire crash-safety note)
-      Seq("digests", "span_hashes", "bands")
-        .filter(t => tableExists(spark, s"$statePath/$t"))
-        .foreach { t =>
-          compactDirLive(spark, statePath, new HPath(s"$statePath/$t"),
-            _.join(expiredIds, Seq("doc_id"), "left_anti"))
-        }
-      // pair edges are DOUBLY keyed: an edge drops when EITHER endpoint
-      // expires (keeping it would let the exact relabel resurrect a
-      // connection through a doc that no longer exists)
-      if (tableExists(spark, s"$statePath/pair_edges"))
-        compactDirLive(spark, statePath, new HPath(s"$statePath/pair_edges"),
-          _.join(expiredIds.withColumnRenamed("doc_id", "doc_a"),
-              Seq("doc_a"), "left_anti")
-            .join(expiredIds.withColumnRenamed("doc_id", "doc_b"),
-              Seq("doc_b"), "left_anti")
-            .select("doc_a", "doc_b")) // joins reorder; keep the schema
+      // artifacts FIRST, corpus LAST (see the expire crash-safety note).
+      // The artifact tables carry no ordering constraint AMONG THEMSELVES
+      // (any completed subset + still-expired corpus rows = a re-run
+      // completes the pass), so their snapshot-delta subtractions run
+      // CONCURRENTLY (guide §2.6): the O(table) phase-2 rewrites overlap,
+      // and the brief lease-held phase-3 swaps serialize themselves via
+      // withLeaseRetry's backoff. inParallel awaits every job before the
+      // corpus subtraction below can start.
+      inParallel(
+        (Seq("digests", "span_hashes", "bands")
+          .filter(t => tableExists(spark, s"$statePath/$t"))
+          .map { t => () =>
+            compactDirLive(spark, statePath, new HPath(s"$statePath/$t"),
+              _.join(expiredIds, Seq("doc_id"), "left_anti"))
+          }) ++
+        // pair edges are DOUBLY keyed: an edge drops when EITHER endpoint
+        // expires (keeping it would let the exact relabel resurrect a
+        // connection through a doc that no longer exists)
+        (if (!tableExists(spark, s"$statePath/pair_edges")) Seq.empty
+         else Seq(() =>
+          compactDirLive(spark, statePath, new HPath(s"$statePath/pair_edges"),
+            _.join(expiredIds.withColumnRenamed("doc_id", "doc_a"),
+                Seq("doc_a"), "left_anti")
+              .join(expiredIds.withColumnRenamed("doc_id", "doc_b"),
+                Seq("doc_b"), "left_anti")
+              .select("doc_a", "doc_b"))))) // joins reorder; keep the schema
       // the corpus subtracts the SAME pinned id set as the artifacts —
       // re-evaluating the predicate here could drop a matching row
       // appended mid-pass whose artifacts were never subtracted
@@ -1643,12 +1704,14 @@ object StandingState {
         .join(expiredIds, Seq("media_id"), "left_semi").count()
     if (n == 0L) 0L
     else {
-      Seq("media_phashes", "media_bands")
+      // both artifact tables subtract CONCURRENTLY (the expireKeyed
+      // rationale — no ordering among artifacts, media table strictly last)
+      inParallel(Seq("media_phashes", "media_bands")
         .filter(t => tableExists(spark, s"$statePath/$t"))
-        .foreach { t =>
+        .map { t => () =>
           compactDirLive(spark, statePath, new HPath(s"$statePath/$t"),
             _.join(expiredIds, Seq("media_id"), "left_anti"))
-        }
+        })
       compactDirLive(spark, statePath, mediaDir,
         _.join(expiredIds, Seq("media_id"), "left_anti"))
       n
@@ -2074,9 +2137,9 @@ object StandingState {
   private[graft] def writeMediaArtifacts(
       phashes: DataFrame, path: String, nBands: Int): Unit = {
     val ph = Frames.barrier(phashes.select("media_id", "phash"))
-    ph.write.mode("append").parquet(s"$path/media_phashes")
-    Multimodal.phashBandRows(ph, nBands)
-      .select(col("doc_id").as("media_id"), col("band"), col("sig"))
+    Frames.sizedWrite(ph).write.mode("append").parquet(s"$path/media_phashes")
+    Frames.sizedWrite(Multimodal.phashBandRows(ph, nBands)
+        .select(col("doc_id").as("media_id"), col("band"), col("sig")))
       .write.mode("append").parquet(s"$path/media_bands")
   }
 
@@ -2188,7 +2251,7 @@ object StandingState {
         TextOps.spanWindowHashesKeyed(cleanedBatch, w)
       else TextOps.spanWindowHashes(cleanedBatch, w)
     withLease(spark, path, "appendSpanHashes") {
-      rows.write.mode("append").parquet(s"$path/span_hashes")
+      Frames.sizedWrite(rows).write.mode("append").parquet(s"$path/span_hashes")
     }
   }
 
@@ -2444,7 +2507,7 @@ object StandingState {
     val spark = batchVecs.sparkSession
     val rows = embBucketRowsFor(batchVecs, path)
     withLease(spark, path, "appendEmbBuckets") {
-      rows.write.mode("append").parquet(s"$path/emb_buckets")
+      Frames.sizedWrite(rows).write.mode("append").parquet(s"$path/emb_buckets")
     }
   }
 

@@ -468,9 +468,10 @@ object CorpusIntakeJob {
     if (nAdmitted == 0L) return 0L
     val bucketRows = StandingState.embBucketRowsFor(admitted, statePath)
     StandingState.withLeaseRetry(spark, statePath, "ingestEmbeddingBatch:commit") {
-      admitted.select("vec_id", "embedding", "label")
+      graft.llm.Frames.sizedWrite(admitted.select("vec_id", "embedding", "label"))
         .write.mode("append").parquet(standingVecsPath)
-      bucketRows.write.mode("append").parquet(s"$statePath/emb_buckets")
+      graft.llm.Frames.sizedWrite(bucketRows)
+        .write.mode("append").parquet(s"$statePath/emb_buckets")
     }
     nAdmitted
   }
@@ -702,7 +703,7 @@ object CorpusIntakeJob {
     // witness), both under ONE retried lease hold — the live-compaction
     // contract shared with the text and embedding twins
     StandingState.withLeaseRetry(spark, statePath, "ingestMediaBatch:commit") {
-      admitted.select(cols.head, cols.tail: _*)
+      graft.llm.Frames.sizedWrite(admitted.select(cols.head, cols.tail: _*))
         .write.mode("append").parquet(standingMediaPath)
       StandingState.writeMediaArtifacts(admittedPh, statePath, nBands)
     }
@@ -898,7 +899,7 @@ object CorpusIntakeJob {
     // exactly the drift reconcileSourceCensus detects and heals
     val censusOn = StandingState.sourceCensusExists(spark, statePath)
     StandingState.withLeaseRetry(spark, statePath, "ingestTextBatch:commit") {
-      admitted.select(cols.head, cols.tail: _*)
+      graft.llm.Frames.sizedWrite(admitted.select(cols.head, cols.tail: _*))
         .write.mode("append").parquet(standingDocsPath)
       StandingState.writeArtifacts(dg, bd, statePath, sp)
       if (censusOn) StandingState.bumpSourceCensus(spark, statePath, admitted)
